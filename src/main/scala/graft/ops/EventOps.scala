@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / semi-structured ops over the `events` table: JSON
+  * extraction, tumbling-window aggregation, gap-based sessionization.
+  * (SURVEY.md §2.2 — absent in the reference; standard engine surface and
+  * the batch shape of the §7.5 streaming path.)
+  */
+object EventOps {
+  import Tables._
+  import Exact._
+
+  /** JSON field extraction from the `props` column. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Tumbling 1-hour windows per event_type — the batch equivalent of a
+    * Structured Streaming windowed aggregation (see graft.streaming).
+    * One shuffle on (hour, type); partial aggregation makes the map-side
+    * output tiny at any scale. */
+  def qTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
+    * flag → running sum = session id → per-session aggregate. Two window
+    * passes over the same (user_id, ts) partitioning — Spark reuses the
+    * sort; single shuffle on user_id, which is the right distribution key
+    * at 100 TB (sessions never straddle users). */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> qJsonExtract,
+    "q_tumbling_window" -> qTumbling,
+    "q_sessionize" -> qSessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q_json_extract" -> """
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "q_tumbling_window" -> s"""
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tus,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      sess AS (
+        SELECT user_id, event_id, tus,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(tus) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(tus) AS session_start, max(tus) AS session_end
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")
+}

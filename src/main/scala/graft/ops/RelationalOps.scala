@@ -1,0 +1,360 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational coverage the reference lacks (SURVEY.md §2.2 — joins, aggs,
+  * windows, sorts, set-ops, scalar function families) expressed as
+  * declarative DataFrame plans so Catalyst gets pushdown/pruning/join
+  * selection for free. Scale notes per query in Scaladoc.
+  */
+object RelationalOps {
+  import Tables._
+  import Exact._
+
+  /** TPC-H Q1 shape: scan → filter → partial+final hash agg, no join.
+    * Scales linearly; shuffle is |groups| (6 rows) — negligible. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    * customer is the small side (10% of orders): Catalyst broadcasts it
+    * under AQE at bench scale; at 100 TB the orders⋈lineitem join shuffles
+    * on orderkey — the natural co-partitioning key (bucket both by orderkey
+    * in a real deployment to eliminate it). */
+  def q3TopkJoin(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** TPC-H Q5 shape: star join over region→nation→customer→orders→lineitem.
+    * region/nation are tiny → explicit broadcast; the fact-side joins
+    * shuffle once on custkey and once on orderkey. */
+  def q5StarJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  /** Broadcast-join rollup over two tiny dims: zero shuffle on the dims,
+    * one on the supplier agg keys. */
+  def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** LEFT SEMI (EXISTS): customers having an open order. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** LEFT ANTI (NOT EXISTS): customers with no pending order. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Ranking window: top-3 orders per customer by totalprice (deterministic
+    * tiebreak on orderkey). Single shuffle on custkey. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total window with an explicit ROWS frame. The accumulator is
+    * DECIMAL so the running double is order-exact vs the oracle (a raw
+    * double running sum would drift: DuckDB uses segment-tree window agg,
+    * Spark a streaming accumulator — different addition orders). */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(22, 8))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** ROLLUP grouping hierarchy; group keys COALESCEd to 'ALL' so NULL
+    * ordering never diverges between engines (Spark sorts NULLS FIRST,
+    * DuckDB NULLS LAST by default). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** INTERSECT (distinct): customers with both an 'O' and an 'F' order. */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct): ordering customers with no open ('O') order. */
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heap +
+    * driver merge, no full sort, no shuffle of the full table. */
+  def qTopk(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** String function family (SURVEY.md §2.2 row: absent in reference,
+    * standard engine surface). */
+  def qStringFns(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("lo_brand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("p_brand")).as("rev_brand"))
+      .orderBy("p_partkey")
+
+  /** Date/time function family over orders timestamps. */
+  def qDateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  /** Math function family; sqrt is IEEE-exact so safe raw, everything else
+    * is exact integer/decimal arithmetic. */
+  def qMathFns(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("rounded"),
+        abs(col("l_discount") - lit(0.05)).as("abs_diff"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_tax") + lit(1), 2).as("tax_sq"),
+        (col("l_orderkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE WHEN bucketing + HAVING-style post-aggregation filter. */
+  def qCaseHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .filter(col("n") > 10)
+      .orderBy("bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_topk_join" -> q3TopkJoin,
+    "q5_star_join" -> q5StarJoin,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_topk" -> qTopk,
+    "q_string_fns" -> qStringFns,
+    "q_date_fns" -> qDateFns,
+    "q_math_fns" -> qMathFns,
+    "q_case_having" -> qCaseHaving)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${davgSql("l_quantity")} AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q3_topk_join" -> s"""
+      SELECT l_orderkey, o_orderdate,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_star_join" -> s"""
+      SELECT r_name,
+             ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY r_name ORDER BY r_name""",
+    "q_join_broadcast" -> s"""
+      SELECT r_name, n_name, count(*) AS n_suppliers,
+             ${dsumSql("s_acctbal")} AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey""",
+    "q_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "q_window_rank" -> """
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(22,8)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total
+      FROM orders WHERE o_custkey < 200
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q_rollup" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${dsumSql("l_quantity")} AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+    "q_intersect" -> """
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey""",
+    "q_except" -> """
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey""",
+    "q_topk" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_string_fns" -> """
+      SELECT p_partkey,
+             upper(p_name) AS up_name,
+             lower(p_brand) AS lo_brand,
+             substr(p_type, 1, 5) AS type5,
+             CAST(length(p_name) AS INT) AS name_len,
+             replace(p_name, ' ', '_') AS snake_name,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             reverse(p_brand) AS rev_brand
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q_date_fns" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(day(o_orderdate) AS INT) AS dom,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+               AS days_to_2002
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "q_math_fns" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice, 1) AS rounded,
+             abs(l_discount - 0.05) AS abs_diff,
+             CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             sqrt(l_quantity) AS qty_sqrt,
+             pow(l_tax + 1, 2) AS tax_sq,
+             l_orderkey % 7 AS mod7
+      FROM lineitem WHERE l_orderkey <= 300 ORDER BY l_orderkey, l_linenumber""",
+    "q_case_having" -> s"""
+      SELECT bucket, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+      FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 200000 THEN 'medium'
+                        ELSE 'large' END AS bucket, o_totalprice
+            FROM orders) t
+      GROUP BY bucket HAVING count(*) > 10 ORDER BY bucket""")
+}

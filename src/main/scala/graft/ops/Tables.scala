@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  * Every query-builder takes `(SparkSession, sfDir)` and resolves tables
+  * through here so sf0.001/0.01/0.1 are interchangeable.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    * default; read it as raw nanos and convert with exact integer division
+    * (floor) — the same truncation DuckDB applies casting TIMESTAMP_NS →
+    * TIMESTAMP, so both engines see identical microsecond values. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Shared helpers for DuckDB-oracle-exact arithmetic.
+  *
+  * Double summation is addition-order-dependent, and Spark's partial
+  * aggregation order differs from DuckDB's — so any SUM over a double
+  * column is routed through an exact DECIMAL accumulator and only cast
+  * back to DOUBLE at the end. Both engines then produce bit-identical
+  * doubles. (SURVEY.md §7.6 "oracle alignment".)
+  */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact sum of a (money-like) double expression → double. */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(22, 8))).cast("double")
+
+  /** Matching oracle-side SQL fragment. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum divided by count, in double. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(22, 8))).cast("double") / count(lit(1)))
+
+  def davgSql(expr: String): String =
+    s"(CAST(sum(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE) / count(*))"
+}

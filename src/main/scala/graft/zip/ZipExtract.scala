@@ -1,0 +1,224 @@
+package graft.zip
+
+import java.io.BufferedInputStream
+import java.security.MessageDigest
+import java.util.zip.ZipInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One output row per file entry inside a zip archive — the reference's
+  * `UnzippedFile { name, source, body, hash }` (reference:
+  * src/builder.rs:156-161). `hash` is plain lowercase SHA-256 hex of `body`
+  * (the reference's stored form is quote-wrapped by a Debug-format bug,
+  * src/builder.rs:207 — we implement the intended semantics, SURVEY.md B2).
+  */
+case class ZipEntryRow(name: String, source: String, body: Array[Byte], hash: String)
+
+/** The reference's whole "query language" is 9 CLI flags
+  * (reference: src/main.rs:16-44); this config is its Spark-native
+  * equivalent.
+  */
+case class ZipToParquetConfig(
+    inputs: Seq[String],
+    output: String = "",
+    includeBody: Boolean = true,   // --no-body   (src/main.rs:26-28)
+    includeSource: Boolean = true, // --no-source (src/main.rs:29-31)
+    includeHash: Boolean = true,   // --no-hash   (src/main.rs:32-34)
+    entryGlob: Option[String] = None, // -g/--glob (src/main.rs:38-40)
+    rowGroupSize: Int = 100,       // --row-group-size (src/main.rs:41-43)
+    singleFile: Boolean = true,    // reference writes exactly one file
+    maxBodyBytes: Long = 1L << 30) // scale guard, SURVEY.md §7.6 (no ref analog)
+
+sealed trait GraftError { def message: String }
+object GraftError {
+  /** Reference declared but never raised these (src/error.rs:28-31,36-38);
+    * we raise them for real (SURVEY.md B4). */
+  final case class NoInputsFound(patterns: Seq[String]) extends GraftError {
+    def message = s"no input files matched: ${patterns.mkString(", ")}"
+  }
+  final case class InvalidGlob(glob: String, cause: String) extends GraftError {
+    def message = s"invalid glob '$glob': $cause"
+  }
+  final class GraftException(val err: GraftError) extends RuntimeException(err.message)
+  def raise(err: GraftError): Nothing = throw new GraftException(err)
+}
+
+/** Spark-native zip → rows extractor (reference dataflow:
+  * src/builder.rs:23-119).
+  *
+  * Scale design: the unit of parallelism is one Spark task per zip archive —
+  * the same granularity as the reference's one-thread-per-zip pool
+  * (src/builder.rs:49-50,64); a zip is not splittable (central directory +
+  * per-entry streams). We deliberately do NOT use `format("binaryFile")`,
+  * which materializes the whole archive as one row (2 GiB max, full copy in
+  * memory): instead tasks open a Hadoop `FileSystem` stream and decode with
+  * `ZipInputStream`, so memory per task is one *entry* body, not one
+  * archive — the same bound as the reference's streaming reads. On a
+  * 1000-executor cluster against 100 TB of zips this plan is a pure narrow
+  * pipeline (list → extract → write), zero shuffles.
+  *
+  * Reference pushdowns reproduced (SURVEY.md §4.1):
+  *   - name-glob filter applied BEFORE body decompression
+  *     (src/builder.rs:180-183): non-matching entries are skipped by
+  *     `getNextEntry` without inflating their data.
+  *   - body read elided entirely when neither body nor hash is requested
+  *     (src/builder.rs:185); hash alone still forces the read
+  *     (hash ← body dependency, src/builder.rs:196-209).
+  */
+object ZipExtract {
+
+  val schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("hash", StringType, nullable = true)))
+
+  /** Expand input patterns (literal paths or globs, reference
+    * src/builder.rs:25-29) into concrete zip paths via the Hadoop FS. */
+  def listInputs(spark: SparkSession, patterns: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = patterns.flatMap { pat =>
+      val p = new Path(pat)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.distinct.sorted
+    if (paths.isEmpty) GraftError.raise(GraftError.NoInputsFound(patterns))
+    paths
+  }
+
+  /** The extractor: Dataset of zip paths → one row per matching entry.
+    * Narrow plan, one task per archive. */
+  def entries(spark: SparkSession, cfg: ZipToParquetConfig): DataFrame = {
+    import spark.implicits._
+    // Validate the glob on the driver so a bad pattern fails fast (B4).
+    val globRegex: Option[String] = cfg.entryGlob.map { g =>
+      try GlobRegex.translate(g)
+      catch { case e: GlobRegex.InvalidGlobException =>
+        GraftError.raise(GraftError.InvalidGlob(g, e.getMessage))
+      }
+    }
+    val paths = listInputs(spark, cfg.inputs)
+    val needBody = cfg.includeBody
+    val needHash = cfg.includeHash
+    val needRead = needBody || needHash // src/builder.rs:185
+    val needSource = cfg.includeSource
+    val maxBody = cfg.maxBodyBytes
+    val hadoopConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+    // One task per archive: reference grain (src/builder.rs:64). repartition
+    // by path count so a 1000-zip input becomes 1000 tasks, not local[N].
+    val pathDs: Dataset[String] =
+      spark.createDataset(paths).repartition(paths.length)
+
+    val rows = pathDs.flatMap { zipPath =>
+      extractOne(zipPath, hadoopConf.value, globRegex, needRead, needBody,
+        needHash, needSource, maxBody)
+    }(org.apache.spark.sql.Encoders.product[ZipEntryRow])
+    rows.toDF()
+  }
+
+  /** Stream one archive; iterator so downstream write pipelines without
+    * buffering the archive (bounded memory = one entry, cf. the reference's
+    * bounded channel src/builder.rs:53). */
+  private[zip] def extractOne(
+      zipPath: String,
+      conf: Configuration,
+      globRegex: Option[String],
+      needRead: Boolean,
+      needBody: Boolean,
+      needHash: Boolean,
+      needSource: Boolean,
+      maxBodyBytes: Long): Iterator[ZipEntryRow] = {
+    val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
+    val p = new Path(zipPath)
+    val fs = p.getFileSystem(conf)
+    val zin = new ZipInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
+    val source = if (needSource) zipPath else null
+
+    new Iterator[ZipEntryRow] {
+      private var nextRow: ZipEntryRow = _
+      private var done = false
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && !done) {
+          val e = zin.getNextEntry
+          if (e == null) { done = true; zin.close() }
+          else if (!e.isDirectory &&
+                   pattern.forall(_.matcher(e.getName).matches())) {
+            // glob filter BEFORE decompression (src/builder.rs:180-183):
+            // a non-matching entry never reaches the read below.
+            var body: Array[Byte] = null
+            var hash: String = null
+            if (needRead) {
+              val bytes = readEntry(zin, maxBodyBytes, e.getName)
+              if (needHash) hash = sha256Hex(bytes) // src/builder.rs:196-209
+              if (needBody) body = bytes            // src/builder.rs:185-195
+            }
+            nextRow = ZipEntryRow(e.getName, source, body, hash)
+          }
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextRow != null
+      def next(): ZipEntryRow = { val r = nextRow; advance(); r }
+    }
+  }
+
+  private def readEntry(zin: ZipInputStream, maxBytes: Long, name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](1 << 16)
+    var n = zin.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > maxBytes)
+        throw new RuntimeException(
+          s"zip entry '$name' exceeds maxBodyBytes=$maxBytes")
+      n = zin.read(buf)
+    }
+    out.toByteArray
+  }
+
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.result()
+  }
+
+  /** Full reference pipeline: extract → Parquet(Snappy)
+    * (reference sink: src/builder.rs:232-278). `singleFile=true` mirrors the
+    * reference's one-output-file contract via coalesce(1) — fine at parity
+    * scale, NOT the default you want at 100 TB (write many files and let the
+    * reader glob them); pass singleFile=false for the scalable layout.
+    * Row-group ceiling maps to parquet.block.size only approximately — Spark's
+    * writer sizes groups by bytes, not rows (deviation from
+    * src/builder.rs:254 documented in SURVEY.md §6). */
+  def run(spark: SparkSession, cfg: ZipToParquetConfig): Unit = {
+    val df0 = entries(spark, cfg)
+    val df = if (cfg.singleFile) df0.coalesce(1) else df0
+    df.write
+      .mode("overwrite")
+      .option("compression", "snappy") // src/builder.rs:253
+      .parquet(cfg.output)
+  }
+}
+
+/** Minimal serializable wrapper for the Hadoop Configuration (the one in
+  * spark-core is private[spark]). */
+class SerializableConfiguration(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
