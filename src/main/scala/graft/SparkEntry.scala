@@ -19,10 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries
+    ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles
+    ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents` /
+  * `embeddings`: exact (hash group-by), n-gram Jaccard via a shingle
+  * inverted index, MinHash+LSH banding, SimHash with chunk-blocked Hamming
+  * pairs, and blocked embedding-cosine near-dup. (Extensions — the
+  * reference's only dedup-adjacent feature is the SHA-256 hash column it
+  * emits for downstream exact dedup, src/builder.rs:196-209.)
+  *
+  * Determinism/oracle strategy: md5 as the shared hash primitive (identical
+  * hex in Spark and DuckDB); MinHash = lexicographic min over fixed-width
+  * hex strings (a valid min-wise family, identical in both engines); token
+  * hashes = first 15 md5 hex chars parsed base-16 (60-bit, fits BIGINT);
+  * doubles only as division of exact ints or fixed-order fold sums.
+  *
+  * Scale notes: every pairwise op is blocked — inverted shingle index for
+  * Jaccard (candidate pairs only, never n²), LSH bands for MinHash, 15-bit
+  * chunks (pigeonhole: Hamming<=3 implies one of 4 chunks equal) for
+  * SimHash, label blocks for embeddings. At 100 TB each join key is
+  * shuffle-partitioned; hot shingles would be frequency-capped (drop
+  * shingles appearing in >0.1% of docs) — not needed at test scale.
+  */
+object DedupOps {
+  import Tables._
+
+  private val Toks = "split(text, ' ')"
+  /** Distinct 3-token shingles (guarded for short docs). */
+  private val Shingles =
+    s"""array_distinct(CASE WHEN size($Toks) >= 3 THEN
+          transform(sequence(1, size($Toks) - 2),
+            i -> concat(element_at($Toks, i), ' ', element_at($Toks, i + 1),
+                        ' ', element_at($Toks, i + 2)))
+        ELSE array() END)"""
+  private val ShinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3 THEN
+         list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       ELSE [] END)"""
+
+  /** 60-bit token hash: first 15 md5 hex chars, base-16. */
+  private def h60(e: String) =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def h60Sql(e: String) =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(string_split_regex(substr(md5($e), 1, 15), ''),
+            c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+          (a, b) -> a * 16 + b)"""
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as
+    * canonical. The 100 TB pattern: one shuffle on the hash — which is
+    * uniformly distributed, so never skewed. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("content_hash")
+
+  /** N-gram Jaccard near-dup: inverted index on distinct 3-token shingles →
+    * candidate pairs → |A∩B| / |A∪B| >= 0.8. Join + two aggs, all on the
+    * shingle/pair keys; candidate generation is output-sensitive, not n². */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), explode(expr(Shingles)).as("sh"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+        expr("inter / (`ca`.n_sh + `cb`.n_sh - inter)").as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash signature: 16 lexicographic-min md5(shingle + seed) values;
+    * LSH: 4 bands of 4 rows, band key = md5 of the concatenated band. */
+  private val BandsExpr =
+    """transform(sequence(0, 3), j ->
+         md5(concat(element_at(sig, 4 * j + 1), '|', element_at(sig, 4 * j + 2), '|',
+                    element_at(sig, 4 * j + 3), '|', element_at(sig, 4 * j + 4))))"""
+
+  /** MinHash+LSH near-dup: banded candidate pairs, then the estimated
+    * similarity = fraction of agreeing minhashes >= 0.5.
+    *
+    * The signature is computed by explode → groupBy-min, NOT a per-row
+    * nested HOF: the aggregation gives map-side partial mins (tiny shuffle,
+    * uniform keys) and — critically — an optimizer barrier, so the
+    * signature is materialized once instead of being re-inlined into every
+    * downstream use by projection collapse (which exploded codegen time).
+    * At scale the band join shuffles on (band_idx, band_hash) — uniform
+    * keys; signatures ride along as arrays so no second corpus pass. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val minCols = (0 until 16).map(i =>
+      min(when(col("seed") === i, col("mh"))).as(s"m$i"))
+    val sigs = documents(s, d)
+      .select(col("doc_id"), explode(expr(Shingles)).as("sh1"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 15), i -> md5(concat(sh1, '_', CAST(i AS STRING))))"))
+        .as(Seq("seed", "mh")))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"), col("sig"), expr(BandsExpr).as("bands"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("size(filter(zip_with(`a`.sig, `b`.sig, (x, y) -> x = y), v -> v)) / 16.0")
+          .as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash signature: 60-bit, bit i set iff the +1/-1 vote over all token
+    * hashes' bit i is positive. Pure per-row fold — embarrassingly
+    * parallel, zero shuffle before the final sort. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("hs", expr(s"transform($Toks, t -> ${h60("t")})"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, i) ->
+                  acc + IF(aggregate(hs, 0L, (a, h) ->
+                             a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
+                           shiftleft(1L, i), 0L))""").as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: block on 4 x 15-bit chunks (pigeonhole —
+    * any pair at Hamming distance <= 3 shares a chunk), verify with
+    * bit_count(xor) <= 3. Blocked join, never n². */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .withColumn("hs", expr(s"transform($Toks, t -> ${h60("t")})"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), 0L, (acc, i) ->
+                  acc + IF(aggregate(hs, 0L, (a, h) ->
+                             a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
+                           shiftleft(1L, i), 0L))""").as("simhash"))
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftright(simhash, 15 * j) & 32767)"))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(`a`.simhash ^ `b`.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding cosine near-dup, blocked by label (the generic pattern:
+    * block on a cheap partition key — cluster id, language, shard — so the
+    * pairwise compare is per-block, not corpus-wide). Dot/norms are
+    * fixed-order folds in double → bit-identical to the oracle. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val dot = "aggregate(zip_with(`a`.embedding, `b`.embedding, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    def norm(side: String) = s"sqrt(aggregate(`$side`.embedding, 0D, " +
+      s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val v = embeddings(s, d)
+    v.as("a")
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"),
+        expr(s"$dot / (${norm("a")} * ${norm("b")})").as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> exactDedup,
+    "d_ngram_jaccard" -> ngramJaccard,
+    "d_minhash_lsh" -> minhashLsh,
+    "d_simhash" -> simhash,
+    "d_simhash_pairs" -> simhashPairs,
+    "d_embedding_neardup" -> embeddingNearDup)
+
+  private val SimhashSql =
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 59), i ->
+            CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                   list_transform(hs, h ->
+                     CASE WHEN ((h >> i) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+                   (a, b) -> a + b) > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+          (a, b) -> a + b)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d_ngram_jaccard" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
+      c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
+      i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+             inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
+      ORDER BY a_id, b_id""",
+    "d_minhash_lsh" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      g AS (SELECT doc_id,
+              list_transform(generate_series(0, 15), i ->
+                list_aggregate(list_transform(sh, x -> md5(x || '_' || CAST(i AS VARCHAR))), 'min')) sig
+            FROM s WHERE len(sh) > 0),
+      bb AS (SELECT doc_id, sig,
+               list_transform(generate_series(0, 3), j ->
+                 md5(sig[4 * j + 1] || '|' || sig[4 * j + 2] || '|' ||
+                     sig[4 * j + 3] || '|' || sig[4 * j + 4])) bands
+             FROM g),
+      e AS (SELECT doc_id, sig, j AS band_idx, bands[j] AS band_hash
+            FROM bb, generate_series(1, 4) gs(j)),
+      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.sig siga, b.sig sigb
+                FROM e a JOIN e b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 AS est_sim
+      FROM pairs
+      WHERE len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 >= 0.5
+      ORDER BY a_id, b_id""",
+    "d_simhash" -> s"""
+      WITH t AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs
+                 FROM documents)
+      SELECT doc_id, $SimhashSql AS simhash FROM t ORDER BY doc_id""",
+    "d_simhash_pairs" -> s"""
+      WITH t AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs
+                 FROM documents),
+      sg AS (SELECT doc_id, $SimhashSql AS simhash FROM t),
+      ch AS (SELECT doc_id, simhash, j AS chunk_idx,
+               (simhash >> (15 * (j - 1))) & 32767 AS chunk
+             FROM sg, generate_series(1, 4) gs(j)),
+      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                  a.simhash sa, b.simhash sb
+                FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+                  AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
+      FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY a_id, b_id""",
+    "d_embedding_neardup" -> """
+      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+      p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",
+              list_reduce(list_prepend(0::DOUBLE,
+                list_transform(list_zip(a.embedding, b.embedding),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
+                (acc, x) -> acc + x) /
+              (sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) *
+               sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x))) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, "label", cosine FROM p
+      WHERE cosine >= 0.4 ORDER BY a_id, b_id""")
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token stats, n-gram language ID, quality scoring, document
+  * fingerprinting, n-gram frequency. (Extensions beyond the reference —
+  * SURVEY.md §7.2 M2; the reference's only text-adjacent op is the SHA-256
+  * hash, src/builder.rs:196-209.)
+  *
+  * Oracle-exactness strategy: every number is either exact integer
+  * arithmetic, a fold in a fixed order, or a fixed-shape IEEE-double
+  * expression over exact ints — so Spark and DuckDB produce bit-identical
+  * values. Hash primitives are md5 (both engines) and a 31-base polynomial
+  * rolling hash mod 1e9+7 (plain arithmetic in both).
+  *
+  * Scale: every query is scan → narrow per-row HOF expressions (+ one
+  * shuffle where grouped). Whole-stage-codegen keeps the lambdas in
+  * generated code; no UDFs, no collect.
+  */
+object TextOps {
+  import Tables._
+
+  private val Toks = "split(text, ' ')"
+  /** split('') in Spark appends a trailing "" (Java split limit -1) which
+    * DuckDB's string_split_regex does not — filter keeps both aligned. */
+  private val Chars = "filter(split(text, ''), c -> c <> '')"
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  private val stops = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "les"),
+    "es" -> Seq("el", "la", "de", "y", "un", "es", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+
+  private def hitsExpr(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($Toks, t -> array_contains(array($arr), t)))"
+  }
+  private def hitsSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> list_contains([$arr], t)))"
+  }
+
+  /** Per-document token statistics: counts, distinct counts, type-token
+    * ratio, mean token length — all from exact ints, divisions in double. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nt", expr(s"size($Toks)").cast("long"))
+      .withColumn("nd", expr(s"size(array_distinct($Toks))").cast("long"))
+      .select(
+        col("doc_id"), col("nt").as("n_tokens"), col("nd").as("n_distinct"),
+        expr("nd / nt").as("ttr"),
+        expr("(length(text) - nt + 1) / nt").as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword-hit scoring (n-gram heuristic): count hits
+    * per language wordlist, argmax with a fixed tie-break order. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val hits = stops.map { case (l, ws) => expr(hitsExpr(ws)).cast("long").as(s"${l}_hits") }
+    documents(s, d)
+      .select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("pred_lang",
+        expr("""CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                     WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+                     WHEN es_hits >= de_hits THEN 'es'
+                     ELSE 'de' END"""))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: weighted blend of type-token ratio, stopword ratio and
+    * mean token length (fixed parenthesization → bit-identical doubles). */
+  def quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nt", expr(s"size($Toks)").cast("long"))
+      .withColumn("nd", expr(s"size(array_distinct($Toks))").cast("long"))
+      .withColumn("sh", expr(hitsExpr(stops.head._2)).cast("long"))
+      .select(
+        col("doc_id"), col("nt").as("n_tokens"),
+        expr("nd / nt").as("ttr"),
+        expr("sh / nt").as("stop_ratio"),
+        expr("((nd / nt) * 0.5 + (sh / nt) * 0.3) + (((length(text) - nt + 1) / nt) / 8.0) * 0.2")
+          .as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: a char-level 31-base rolling hash and a
+    * token-sequence hash chaining md5-derived token ids — both mod 1e9+7.
+    * The rolling hash is the classic Rabin-Karp fingerprint. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        expr(s"aggregate($Chars, 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+          .as("fp_chars"),
+        expr(s"""aggregate($Toks, 0L, (acc, t) ->
+                 (acc * 131 + CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+                  % 1000000007) % 1000000007)""")
+          .as("fp_tokens"))
+      .orderBy("doc_id")
+
+  /** Global top-20 token bigrams: generate per-doc bigrams, explode, count.
+    * One shuffle on the bigram key; partial aggregation makes map output
+    * proportional to distinct bigrams, not rows. */
+  def ngramFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(expr(
+        s"""explode(CASE WHEN size($Toks) >= 2 THEN
+              transform(sequence(1, size($Toks) - 1),
+                        i -> concat(element_at($Toks, i), ' ', element_at($Toks, i + 1)))
+            ELSE array() END)""").as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> tokenStats,
+    "t_langid" -> langId,
+    "t_quality" -> quality,
+    "t_fingerprint" -> fingerprint,
+    "t_ngram_freq" -> ngramFreq)
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> """
+      WITH t AS (SELECT doc_id, text,
+                   len(string_split(text,' '))::BIGINT nt,
+                   len(list_distinct(string_split(text,' ')))::BIGINT nd
+                 FROM documents)
+      SELECT doc_id, nt AS n_tokens, nd AS n_distinct,
+             nd / nt AS ttr,
+             (length(text) - nt + 1) / nt AS mean_tok_len
+      FROM t ORDER BY doc_id""",
+    "t_langid" -> s"""
+      WITH t AS (SELECT doc_id, lang,
+                   ${hitsSql(stops(0)._2)}::BIGINT en_hits,
+                   ${hitsSql(stops(1)._2)}::BIGINT fr_hits,
+                   ${hitsSql(stops(2)._2)}::BIGINT es_hits,
+                   ${hitsSql(stops(3)._2)}::BIGINT de_hits
+                 FROM documents)
+      SELECT doc_id, lang, en_hits, fr_hits, es_hits, de_hits,
+             CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+                  WHEN es_hits >= de_hits THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM t ORDER BY doc_id""",
+    "t_quality" -> s"""
+      WITH t AS (SELECT doc_id, text,
+                   len(string_split(text,' '))::BIGINT nt,
+                   len(list_distinct(string_split(text,' ')))::BIGINT nd,
+                   ${hitsSql(stops.head._2)}::BIGINT sh
+                 FROM documents)
+      SELECT doc_id, nt AS n_tokens,
+             nd / nt AS ttr,
+             sh / nt AS stop_ratio,
+             ((nd / nt) * 0.5 + (sh / nt) * 0.3) + (((length(text) - nt + 1) / nt) / 8.0) * 0.2
+               AS quality_score
+      FROM t ORDER BY doc_id""",
+    "t_fingerprint" -> """
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split_regex(text, ''), c -> unicode(c)::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_chars,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '), t ->
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split_regex(substr(md5(t), 1, 15), ''),
+                     h -> (strpos('0123456789abcdef', h) - 1)::BIGINT)),
+                   (a, b) -> a * 16 + b))),
+               (acc, th) -> (acc * 131 + th % 1000000007) % 1000000007) AS fp_tokens
+      FROM documents ORDER BY doc_id""",
+    "t_ngram_freq" -> """
+      WITH t AS (SELECT string_split(text, ' ') toks FROM documents),
+      b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) bigram FROM t)
+      SELECT bigram, count(*) AS n FROM b
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+}
