@@ -158,7 +158,7 @@ object DedupOps {
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("bit_count(`a`.simhash ^ `b`.simhash)").as("hamming"))
+        expr("CAST(bit_count(`a`.simhash ^ `b`.simhash) AS BIGINT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")

@@ -29,10 +29,10 @@ object GlobRegex {
       glob.charAt(i) match {
         case '*' =>
           if (i + 1 < n && glob.charAt(i + 1) == '*') {
-            // `**/` or trailing `**` — match zero or more whole segments
+            // `**/` or trailing `**` — match zero or more whole segments.
+            // (The loop adds 1 more: total consumed = 3 for `**/`, 2 for `**`.)
             if (i + 2 < n && glob.charAt(i + 2) == '/') { sb ++= "(?:[^/]*/)*"; i += 2 }
-            else sb ++= ".*"
-            i += 1
+            else { sb ++= ".*"; i += 1 }
           } else sb ++= "[^/]*"
         case '?' => sb ++= "[^/]"
         case '[' =>

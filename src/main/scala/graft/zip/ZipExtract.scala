@@ -78,15 +78,23 @@ object ZipExtract {
     StructField("hash", StringType, nullable = true)))
 
   /** Expand input patterns (literal paths or globs, reference
-    * src/builder.rs:25-29) into concrete zip paths via the Hadoop FS. */
-  def listInputs(spark: SparkSession, patterns: Seq[String]): Seq[String] = {
+    * src/builder.rs:25-29) into concrete zip paths via the Hadoop FS.
+    * Returns (readPath, displayPath): readPath keeps the full URI so tasks
+    * open the right FileSystem; displayPath is the plain path for the
+    * `source` column (the reference stores the path as given,
+    * src/builder.rs:216 — local files there carry no `file:` scheme). */
+  def listInputs(spark: SparkSession, patterns: Seq[String]): Seq[(String, String)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val paths = patterns.flatMap { pat =>
       val p = new Path(pat)
       val fs = p.getFileSystem(conf)
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(_.isFile).map(_.getPath.toString)
-    }.distinct.sorted
+        .filter(_.isFile).map { st =>
+          val uri = st.getPath.toUri
+          val display = if (uri.getScheme == "file") uri.getPath else st.getPath.toString
+          (st.getPath.toString, display)
+        }
+    }.distinct.sortBy(_._1)
     if (paths.isEmpty) GraftError.raise(GraftError.NoInputsFound(patterns))
     paths
   }
@@ -112,12 +120,12 @@ object ZipExtract {
 
     // One task per archive: reference grain (src/builder.rs:64). repartition
     // by path count so a 1000-zip input becomes 1000 tasks, not local[N].
-    val pathDs: Dataset[String] =
+    val pathDs: Dataset[(String, String)] =
       spark.createDataset(paths).repartition(paths.length)
 
-    val rows = pathDs.flatMap { zipPath =>
-      extractOne(zipPath, hadoopConf.value, globRegex, needRead, needBody,
-        needHash, needSource, maxBody)
+    val rows = pathDs.flatMap { case (readPath, displayPath) =>
+      extractOne(readPath, displayPath, hadoopConf.value, globRegex, needRead,
+        needBody, needHash, needSource, maxBody)
     }(org.apache.spark.sql.Encoders.product[ZipEntryRow])
     rows.toDF()
   }
@@ -126,7 +134,8 @@ object ZipExtract {
     * buffering the archive (bounded memory = one entry, cf. the reference's
     * bounded channel src/builder.rs:53). */
   private[zip] def extractOne(
-      zipPath: String,
+      readPath: String,
+      displayPath: String,
       conf: Configuration,
       globRegex: Option[String],
       needRead: Boolean,
@@ -135,10 +144,10 @@ object ZipExtract {
       needSource: Boolean,
       maxBodyBytes: Long): Iterator[ZipEntryRow] = {
     val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
-    val p = new Path(zipPath)
+    val p = new Path(readPath)
     val fs = p.getFileSystem(conf)
     val zin = new ZipInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
-    val source = if (needSource) zipPath else null
+    val source = if (needSource) displayPath else null
 
     new Iterator[ZipEntryRow] {
       private var nextRow: ZipEntryRow = _
