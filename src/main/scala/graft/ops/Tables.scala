@@ -38,6 +38,43 @@ object Tables {
   * back to DOUBLE at the end. Both engines then produce bit-identical
   * doubles. (SURVEY.md §7.6 "oracle alignment".)
   */
+/** Driver-side md5-derived 60-bit hash — the Scala twin of the engines'
+  * shared `conv(substr(md5(x),1,15),16,10)` primitive, for generating
+  * deterministic constants (LSH hyperplanes, minhash permutation seeds)
+  * that get inlined as literals into both the Spark plan and oracle SQL. */
+object Hash60 {
+  def apply(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+}
+
+/** Flat (codegen-friendly) vector expressions over fixed-width embedding
+  * arrays. Spark's higher-order functions are evaluated interpreted, so a
+  * 64-step fold per row is ~10x slower than this 64-term left-associated
+  * chain — which also adds in exactly the oracle fold's order, keeping
+  * doubles bit-identical. */
+object Vec {
+  val Dim = 64
+
+  def dot(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
+      .mkString(" + ")
+
+  def normSq(a: String): String =
+    (1 to Dim).map(i =>
+      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($a, $i) AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Dot with a constant integer weight vector. */
+  def dotConst(a: String, w: Seq[Long]): String =
+    w.zipWithIndex.map { case (wi, i) =>
+      s"CAST(element_at($a, ${i + 1}) AS DOUBLE) * $wi"
+    }.mkString(" + ")
+}
+
 object Exact {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

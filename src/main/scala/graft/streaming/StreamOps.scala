@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.zip.{ZipExtract, ZipToParquetConfig}
+
+/** Structured Streaming surface (SURVEY.md §7.5 — the reference is a
+  * bounded batch tool, §2.2 streaming = NO; these are fresh Spark-native
+  * semantics, the streaming duals of the batch EventOps queries).
+  *
+  * All transforms are readStream-agnostic `DataFrame => DataFrame`
+  * functions: the same code runs on a batch frame (tested against the
+  * batch oracle) and on a streaming frame with watermarks. State scales
+  * horizontally: both stateful ops key by user/entity id, so state is
+  * hash-partitioned across executors and bounded by the watermark.
+  */
+object StreamOps {
+
+  /** Event record for the typed stateful ops (micros since epoch). */
+  case class Event(userId: Long, tsMicros: Long, eventType: String, value: Double)
+  case class SessionOut(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
+  /** Public: the state encoder's generated code must construct it. */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Tumbling-window counts per event type with a watermark: the streaming
+    * dual of EventOps.qTumbling. Late rows beyond `watermark` are dropped;
+    * state per (window, type) is bounded. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state: 30-minute inactivity
+    * closes a session (streaming dual of EventOps.qSessionize). Keyed by
+    * user — state is per-user, so memory is O(active users), not
+    * O(events). A session is emitted when the next one for the same user
+    * opens; with `idleTimeout=true` (production mode) idle sessions are
+    * additionally flushed by a processing-time timeout — note that mode
+    * keeps the micro-batch engine triggering while timeouts are pending,
+    * so tests that drain with processAllAvailable() should leave it off. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      idleTimeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(SessionOut(userId, s.start, s.last, s.n))
+      }
+      val sorted = rows.toSeq.sortBy(_.tsMicros)
+      var out = List.empty[SessionOut]
+      var st = state.getOption
+      sorted.foreach { e =>
+        st match {
+          case Some(s) if e.tsMicros - s.last <= gapUs =>
+            st = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.start, s.last, s.n)
+            st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      st.foreach { s =>
+        state.update(s)
+        if (idleTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+      }
+      out.reverseIterator
+    }
+
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
+  }
+
+  /** Watch a landing directory for new zip archives and append their
+    * extracted entries to a parquet sink — the streaming version of the
+    * reference's whole pipeline ("drop zips in, get rows out"). The file
+    * source only lists new files; contents are read inside the same
+    * per-archive extraction used in batch (pruned to `path`, so archive
+    * bytes are never materialized in the stream itself). */
+  def zipLandingStream(spark: SparkSession, landingDir: String, outDir: String,
+      checkpoint: String, cfg: ZipToParquetConfig = ZipToParquetConfig(Nil)) = {
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema) // streaming sources require an explicit schema
+      .option("pathGlobFilter", "*.zip")
+      .load(landingDir)
+      .select(col("path"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.collect().map(_.getString(0))
+        if (paths.nonEmpty) {
+          ZipExtract.entries(spark, cfg.copy(inputs = paths.toSeq))
+            .write.mode("append")
+            .option("compression", "snappy")
+            .parquet(outDir)
+        }
+      }
+      .start()
+  }
+}

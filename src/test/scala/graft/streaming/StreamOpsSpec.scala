@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("tumblingCounts aggregates per window and type with a watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, Double)]
+    val events = in.toDF().toDF("ts_us", "event_type", "value")
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("event_type"), col("value"))
+    val q = StreamOps.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    val h = 3600L * 1000000L
+    in.addData((0L, "a", 1.0), (h / 2, "a", 2.0), (h + 1, "b", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    in.addData((10 * h, "a", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    q.stop()
+    assert(rows.contains((0L, "a", 2L, 3.0)))
+    assert(rows.contains((3600L * 1000L, "b", 1L, 3.0)))
+  }
+
+  test("sessionize emits a closed session when a new one starts after the gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val min = 60L * 1000000L
+    in.addData(
+      StreamOps.Event(1L, 0L, "x", 1.0),
+      StreamOps.Event(1L, 10 * min, "x", 1.0))
+    q.processAllAvailable()
+    // 40 min later -> previous session closes, new one opens
+    in.addData(StreamOps.Event(1L, 50 * min, "x", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[StreamOps.SessionOut].collect()
+    q.stop()
+    assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 10 * min, 2L)))
+  }
+
+  test("zipLandingStream extracts newly-landed archives to parquet") {
+    val landing = tmp("graft_landing")
+    val out = tmp("graft_stream_out") + "/rows"
+    val ckpt = tmp("graft_ckpt")
+    val z = new File(landing, "in.zip")
+    val zo = new ZipOutputStream(new FileOutputStream(z))
+    zo.putNextEntry(new ZipEntry("a.txt")); zo.write("hi".getBytes); zo.closeEntry()
+    zo.close()
+    val q = StreamOps.zipLandingStream(spark, landing, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1)
+    assert(back.collect()(0).getAs[String]("name") == "a.txt")
+  }
+}
