@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * emits for downstream exact dedup, src/builder.rs:196-209.)
   *
   * Determinism/oracle strategy: md5 as the shared hash primitive (identical
-  * hex in Spark and DuckDB); MinHash = lexicographic min over fixed-width
-  * hex strings (a valid min-wise family, identical in both engines); token
-  * hashes = first 15 md5 hex chars parsed base-16 (60-bit, fits BIGINT);
-  * doubles only as division of exact ints or fixed-order fold sums.
+  * hex in Spark and DuckDB); MinHash = numeric min over 16 arithmetic
+  * permutations (a*h+b mod P, md5-derived constants inlined into both
+  * engines) of one 60-bit base hash per shingle; token hashes = first 15
+  * md5 hex chars parsed base-16 (60-bit, fits BIGINT); doubles only as
+  * division of exact ints or fixed-order fold sums.
   *
   * Scale notes: every pairwise op is blocked — inverted shingle index for
   * Jaccard (candidate pairs only, never n²), LSH bands for MinHash, 15-bit
@@ -27,13 +28,25 @@ object DedupOps {
   import Tables._
 
   private val Toks = "split(text, ' ')"
-  /** Distinct 3-token shingles (guarded for short docs). */
-  private val Shingles =
-    s"""array_distinct(CASE WHEN size($Toks) >= 3 THEN
-          transform(sequence(1, size($Toks) - 2),
-            i -> concat(element_at($Toks, i), ' ', element_at($Toks, i + 1),
-                        ' ', element_at($Toks, i + 2)))
+  /** Distinct 3-token shingles over a materialized `toks` column (guarded
+    * for short docs). `toks` must be a bound attribute, never the raw
+    * `split(...)` call: an expression inlined into the lambda body is
+    * re-evaluated per element, turning shingling into O(tokens²) splits
+    * per document. (The multi-reference of `toks` also stops
+    * CollapseProject from re-inlining the split.) */
+  private val ShinglesOfToks =
+    """array_distinct(CASE WHEN size(toks) >= 3 THEN
+          transform(sequence(1, size(toks) - 2),
+            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                        ' ', element_at(toks, i + 2)))
         ELSE array() END)"""
+
+  /** (doc_id, sh) — one row per distinct 3-shingle per document. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
   private val ShinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3 THEN
          list_transform(generate_series(1, len(toks) - 2),
@@ -68,8 +81,7 @@ object DedupOps {
     * large side. (Results are unchanged: per-doc n_sh is computed before
     * the filter.) */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), explode(expr(Shingles)).as("sh"))
+    val sh = shingleRows(s, d)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairable = sh.groupBy("sh").agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2).select(col("sh"))
@@ -108,23 +120,22 @@ object DedupOps {
   /** MinHash+LSH near-dup: banded candidate pairs, then the estimated
     * similarity = fraction of agreeing minhashes >= 0.5.
     *
-    * The signature is computed by explode → groupBy-min, NOT a per-row
-    * nested HOF: the aggregation gives map-side partial mins (tiny shuffle,
-    * uniform keys) and — critically — an optimizer barrier, so the
-    * signature is materialized once instead of being re-inlined into every
-    * downstream use by projection collapse (which exploded codegen time).
+    * The signature is computed by explode → groupBy with 16 min-aggregates
+    * (one per permutation), NOT a per-row nested HOF: one md5 per shingle,
+    * two integer ops per permutation, all codegen'd; the aggregation gives
+    * map-side partial mins (tiny shuffle, uniform keys) and — critically —
+    * an optimizer barrier, so the signature is materialized once instead of
+    * being re-inlined into every downstream use by projection collapse.
     * At scale the band join shuffles on (band_idx, band_hash) — uniform
     * keys; signatures ride along as arrays so no second corpus pass. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val minCols = (0 until 16).map(i =>
-      min(when(col("seed") === i, col("mh"))).as(s"m$i"))
-    val sigs = documents(s, d)
-      .select(col("doc_id"), explode(expr(Shingles)).as("sh1"))
-      // flat generator + codegen'd md5 per (shingle, seed) row — not a
-      // transform() HOF, which would be evaluated interpreted
-      .select(col("doc_id"), col("sh1"), explode(expr("sequence(0, 15)")).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("sh1"), lit("_"), col("seed").cast("string"))).as("mh"))
+      min(expr(s"(${mhA(i)}L * h + ${mhB(i)}L) % ${P}L")).as(s"m$i"))
+    val agree = (0 until 16)
+      .map(i => s"IF(element_at(`a`.sig, ${i + 1}) = element_at(`b`.sig, ${i + 1}), 1, 0)")
+      .mkString(" + ")
+    val sigs = shingleRows(s, d)
+      .select(col("doc_id"), expr(s"${h60("sh")} % ${P}L").as("h"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -138,8 +149,7 @@ object DedupOps {
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("size(filter(zip_with(`a`.sig, `b`.sig, (x, y) -> x = y), v -> v)) / 16.0")
-          .as("est_sim"))
+        expr(s"($agree) / 16.0").as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
       .orderBy("a_id", "b_id")
@@ -250,14 +260,19 @@ object DedupOps {
     "d_minhash_lsh" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      hh AS (SELECT doc_id,
+               list_transform(sh, x -> ${h60Sql("x")} % $P) hs
+             FROM s WHERE len(sh) > 0),
       g AS (SELECT doc_id,
-              list_transform(generate_series(0, 15), i ->
-                list_aggregate(list_transform(sh, x -> md5(x || '_' || CAST(i AS VARCHAR))), 'min')) sig
-            FROM s WHERE len(sh) > 0),
+              list_transform(generate_series(1, 16), i ->
+                list_aggregate(list_transform(hs, h ->
+                  (([${mhA.mkString(", ")}])[i] * h + ([${mhB.mkString(", ")}])[i]) % $P),
+                  'min')) sig
+            FROM hh),
       bb AS (SELECT doc_id, sig,
                list_transform(generate_series(0, 3), j ->
-                 md5(sig[4 * j + 1] || '|' || sig[4 * j + 2] || '|' ||
-                     sig[4 * j + 3] || '|' || sig[4 * j + 4])) bands
+                 sig[4 * j + 1]::VARCHAR || '|' || sig[4 * j + 2]::VARCHAR || '|' ||
+                 sig[4 * j + 3]::VARCHAR || '|' || sig[4 * j + 4]::VARCHAR) bands
              FROM g),
       e AS (SELECT doc_id, sig, j AS band_idx, bands[j] AS band_hash
             FROM bb, generate_series(1, 4) gs(j)),

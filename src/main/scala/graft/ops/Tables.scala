@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through here so sf0.001/0.01/0.1 are interchangeable.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
@@ -50,29 +52,23 @@ object Hash60 {
   }
 }
 
-/** Flat (codegen-friendly) vector expressions over fixed-width embedding
-  * arrays. Spark's higher-order functions are evaluated interpreted, so a
-  * 64-step fold per row is ~10x slower than this 64-term left-associated
-  * chain — which also adds in exactly the oracle fold's order, keeping
-  * doubles bit-identical. */
+/** Vector expression fragments, backed by the native `vec_dot` Catalyst
+  * expression (graft.functions.VecDot — registered by Tables.t): a tight
+  * codegen'd loop that accumulates left-to-right in double, the same
+  * association order as the oracle's sequential `list_reduce` fold, so
+  * doubles stay bit-identical. (Both alternatives lose: Spark HOF folds run
+  * interpreted per row; flat 64-term chains blow Janino's 64KB method
+  * limit and drop the whole stage out of codegen.) */
 object Vec {
   val Dim = 64
 
-  def dot(a: String, b: String): String =
-    (1 to Dim).map(i =>
-      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE)")
-      .mkString(" + ")
+  def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
-  def normSq(a: String): String =
-    (1 to Dim).map(i =>
-      s"CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($a, $i) AS DOUBLE)")
-      .mkString(" + ")
+  def normSq(a: String): String = s"vec_dot($a, $a)"
 
   /** Dot with a constant integer weight vector. */
   def dotConst(a: String, w: Seq[Long]): String =
-    w.zipWithIndex.map { case (wi, i) =>
-      s"CAST(element_at($a, ${i + 1}) AS DOUBLE) * $wi"
-    }.mkString(" + ")
+    s"vec_dot($a, array(${w.mkString("L, ")}L))"
 }
 
 object Exact {
