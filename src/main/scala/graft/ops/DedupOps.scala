@@ -72,23 +72,30 @@ object DedupOps {
       .orderBy("content_hash")
 
   /** N-gram Jaccard near-dup: inverted index on distinct 3-token shingles →
-    * candidate pairs → |A∩B| / |A∪B| >= 0.8. Join + two aggs, all on the
-    * shingle/pair keys; candidate generation is output-sensitive, not n².
-    * Shingles held by a single document can never pair, so the self-join
-    * input is pre-filtered to shingles with frequency >= 2 — at test scale
-    * that is ~1% of postings, and the frequency shuffle shares the join's
-    * partitioning on `sh` so the filter costs no extra exchange of the
-    * large side. (Results are unchanged: per-doc n_sh is computed before
-    * the filter.) */
+    * candidate pairs → |A∩B| / |A∪B| >= 0.8. Candidate generation is
+    * output-sensitive, not n²: postings are grouped by shingle ONCE
+    * (`collect_list` inverted index — a single shuffle on the shingle key)
+    * and pairs are enumerated inside each posting list, instead of a
+    * shingle self-join, which would execute the whole
+    * scan→shingle→explode subtree once per join side. Per-doc shingle
+    * counts come from `size(shs)` before the explode — no second pass
+    * over postings. At 100 TB the posting lists of pathological shingles
+    * are frequency-capped (drop shingles in >0.1% of docs — they carry no
+    * near-dup signal and their f² pair blowup dominates cost); not needed
+    * at test scale. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairable = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-      .filter(col("f") >= 2).select(col("sh"))
-    val shared = sh.join(pairable, "sh")
-    val inter = shared.as("a")
-      .join(shared.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val docShs = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+    val counts = docShs.select(col("doc_id"), size(col("shs")).as("n_sh"))
+    val inter = docShs
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))

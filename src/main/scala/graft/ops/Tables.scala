@@ -9,6 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+    // explode; predicate pushdown then drags it into the FileScan with the
+    // array expression fully inlined (aliases substituted away), so every
+    // scan row pays the whole array construction TWICE — and for lambda
+    // bodies the inlining is per-element, turning shingling into O(n²)
+    // re-splits inside the scan filter (observed: 8x slowdown on the
+    // dedup queries). Our generated arrays are never empty enough to win.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
