@@ -83,29 +83,26 @@ object DedupOps {
     * are frequency-capped (drop shingles in >0.1% of docs — they carry no
     * near-dup signal and their f² pair blowup dominates cost); not needed
     * at test scale. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docShs = documents(s, d)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
-    val counts = docShs.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    val inter = docShs
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      // each posting carries its doc's shingle count, so |A| and |B| ride
+      // the posting lists into the pair rows — no join back to a per-doc
+      // counts relation at any scale
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("inter"),
-        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
-        expr("inter / (`ca`.n_sh + `cb`.n_sh - inter)").as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter / (n_a + n_b - inter)").as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("a_id", "b_id")
-  }
 
   /** MinHash via 16 arithmetic permutations of ONE base hash per shingle:
     * m_i = min over shingles of (a_i * (h60(sh) mod P) + b_i) mod P.

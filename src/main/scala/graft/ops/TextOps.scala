@@ -104,10 +104,13 @@ object TextOps {
     * proportional to distinct bigrams, not rows. */
   def ngramFreq(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // `toks` must be a bound attribute: split() inlined into the lambda
+      // body would be re-evaluated per element (O(tokens²) splits/doc).
+      .select(expr(Toks).as("toks"))
       .select(expr(
-        s"""explode(CASE WHEN size($Toks) >= 2 THEN
-              transform(sequence(1, size($Toks) - 1),
-                        i -> concat(element_at($Toks, i), ' ', element_at($Toks, i + 1)))
+        """explode(CASE WHEN size(toks) >= 2 THEN
+              transform(sequence(1, size(toks) - 1),
+                        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
             ELSE array() END)""").as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
