@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.zip.{GlobRegex, SerializableConfiguration, ZipExtract}
+
+/** DataSourceV2 `format("zip")` — SURVEY.md §7.2 M3: the reference's two
+  * hand-rolled optimizations (src/builder.rs:180-195 — glob-filter entry
+  * names BEFORE decompression; read the body only when body/hash columns
+  * are needed) promoted into Catalyst-native pushdown contracts, so plain
+  * `spark.read.format("zip").load(...).filter(...).select(...)` gets them
+  * automatically:
+  *
+  *   - [[SupportsPushDownFilters]]: deterministic predicates on `name` /
+  *     `source` evaluate per entry inside the scan, skipping decompression
+  *     for non-matching entries (and whole archives for `source` misses).
+  *     `.explain` shows them under `PushedFilters`.
+  *   - [[SupportsPushDownRequiredColumns]]: a projection without `body`
+  *     and `hash` elides the entry read entirely — the scan then touches
+  *     only zip central-directory metadata, the same names-only fast path
+  *     as the reference's count pass (src/builder.rs:32-38).
+  *
+  * Options: `glob` (wax-style entry-name glob, as `-g`, src/main.rs:38-40).
+  * Partitioning: one [[InputPartition]] per archive — a zip is not
+  * splittable (central directory + contiguous entry streams), matching the
+  * reference's one-task-per-zip grain (src/builder.rs:49-50,64). At 100 TB
+  * the scan parallelism is the archive count; entries stream one at a time
+  * so task memory is bounded by one decompressed entry, never an archive.
+  */
+class ZipDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zip"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipExtract.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ZipTable(new CaseInsensitiveStringMap(properties))
+}
+
+class ZipTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "zip"
+  override def schema(): StructType = ZipExtract.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ZipScanBuilder(
+      // getTable receives the resolved properties; load()-time paths arrive
+      // in the scan options — prefer the latter when present.
+      if (caseInsensitiveOptions.isEmpty) options else caseInsensitiveOptions)
+}
+
+class ZipScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ZipExtract.schema
+
+  /** Accept any deterministic filter that references only `name`/`source` —
+    * those evaluate before decompression inside the scan. Everything else
+    * (`hash`/`body` predicates need the read) stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition { f =>
+      f.references.nonEmpty &&
+        f.references.forall(r => r == "name" || r == "source") &&
+        ZipFilterEval.supported(f)
+    }
+    pushed = ours
+    rest // residual: Spark re-evaluates what we can't
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new ZipScan(options, pushed, required)
+}
+
+class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZipScan(glob=${Option(options.get("glob")).getOrElse("*")}, " +
+      s"pushed=[${filters.mkString(", ")}], cols=${required.fieldNames.mkString(",")})"
+
+  private def paths: Seq[String] = {
+    val fromPaths = Option(options.get("paths")).toSeq.flatMap { json =>
+      // Spark encodes multi-path load() as a JSON array of strings.
+      json.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+    val fromPath = Option(options.get("path")).toSeq
+    fromPaths ++ fromPath
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    ZipExtract.listInputs(spark, paths)
+      .filter { case (_, display) => ZipFilterEval.sourceMayMatch(filters, display) }
+      .map { case (read, display) => ZipInputPartition(read, display) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val globRegex = Option(options.get("glob")).map(GlobRegex.translate)
+    ZipReaderFactory(conf, globRegex, filters, required.fieldNames)
+  }
+}
+
+case class ZipInputPartition(readPath: String, displayPath: String) extends InputPartition
+
+case class ZipReaderFactory(
+    conf: SerializableConfiguration,
+    globRegex: Option[String],
+    filters: Array[Filter],
+    columns: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZipInputPartition]
+    new ZipPartitionReader(p, conf, globRegex, filters, columns)
+  }
+}
+
+/** Streams one archive's entries as InternalRows, honoring pushed filters
+  * (pre-decompression) and the pruned projection (read elision). */
+class ZipPartitionReader(
+    part: ZipInputPartition,
+    conf: SerializableConfiguration,
+    globRegex: Option[String],
+    filters: Array[Filter],
+    columns: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val needBody = columns.contains("body")
+  private val needHash = columns.contains("hash")
+  private val needSource = columns.contains("source")
+
+  private val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
+  private val zin = {
+    val p = new Path(part.readPath)
+    val fs = p.getFileSystem(conf.value)
+    new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+  }
+  private var current: InternalRow = _
+  private var closed = false
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && !closed) {
+      val e = zin.getNextEntry
+      if (e == null) { closed = true; zin.close() }
+      else if (!e.isDirectory &&
+               pattern.forall(_.matcher(e.getName).matches()) &&
+               // pushed name/source predicates run BEFORE the entry read —
+               // the DSv2 form of src/builder.rs:180-183
+               ZipFilterEval.matches(filters, e.getName, part.displayPath)) {
+        var body: Array[Byte] = null
+        var hash: String = null
+        if (needBody || needHash) { // read elision: src/builder.rs:185
+          val bytes = readEntry(e.getName)
+          if (needHash) hash = ZipExtract.sha256Hex(bytes)
+          if (needBody) body = bytes
+        }
+        val values = columns.map {
+          case "name" => UTF8String.fromString(e.getName)
+          case "source" => if (needSource) UTF8String.fromString(part.displayPath) else null
+          case "body" => body
+          case "hash" => if (hash != null) UTF8String.fromString(hash) else null
+        }
+        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (!closed) { closed = true; zin.close() }
+
+  private def readEntry(name: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](1 << 16)
+    var n = zin.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+    out.toByteArray
+  }
+}
+
+/** Driver/executor-side evaluation of the pushed v1 filters over the two
+  * pre-read columns. Conservative: unknown filter shapes are unsupported
+  * (never pushed), and `sourceMayMatch` only prunes archives on predicates
+  * that reference `source` alone. */
+object ZipFilterEval {
+  def supported(f: Filter): Boolean = f match {
+    case _: sources.EqualTo | _: sources.StringStartsWith |
+         _: sources.StringEndsWith | _: sources.StringContains |
+         _: sources.In | _: sources.IsNotNull | _: sources.IsNull => true
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case sources.Not(c) => supported(c)
+    case _ => false
+  }
+
+  /** Evaluate one entry (name, source) against every pushed filter. */
+  def matches(filters: Array[Filter], name: String, source: String): Boolean =
+    filters.forall(eval(_, Map("name" -> name, "source" -> source)))
+
+  /** Archive-level pruning: can any entry of this archive pass? Filters
+    * referencing only `source` are decidable before opening the zip. */
+  def sourceMayMatch(filters: Array[Filter], source: String): Boolean =
+    filters.filter(_.references.forall(_ == "source"))
+      .forall(eval(_, Map("source" -> source)))
+
+  private def eval(f: Filter, row: Map[String, String]): Boolean = f match {
+    case sources.EqualTo(a, v) => row.get(a).contains(String.valueOf(v))
+    case sources.StringStartsWith(a, v) => row.get(a).exists(_.startsWith(v))
+    case sources.StringEndsWith(a, v) => row.get(a).exists(_.endsWith(v))
+    case sources.StringContains(a, v) => row.get(a).exists(_.contains(v))
+    case sources.In(a, vs) => row.get(a).exists(x => vs.map(String.valueOf).contains(x))
+    case sources.IsNotNull(a) => row.get(a).exists(_ != null)
+    case sources.IsNull(a) => row.get(a).forall(_ == null)
+    case sources.And(l, r) => eval(l, row) && eval(r, row)
+    case sources.Or(l, r) => eval(l, row) || eval(r, row)
+    case sources.Not(c) => !eval(c, row)
+    case _ => true
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** DSv2 `format("zip")` (SURVEY.md §7.2 M3): results match the flatMap
+  * extractor, and — the point of the source — Catalyst pushes name/source
+  * predicates and column pruning INTO the scan (asserted on the physical
+  * plan, not just on results). */
+class ZipDataSourceSpec extends SparkSpec {
+
+  private lazy val dir: File = {
+    val d = Files.createTempDirectory("graft_dsv2_spec").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def makeZip(name: String, entries: (String, Array[Byte])*): String = {
+    val f = new File(dir, name)
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    entries.foreach { case (n, b) =>
+      z.putNextEntry(new ZipEntry(n)); z.write(b); z.closeEntry()
+    }
+    z.close()
+    f.getAbsolutePath
+  }
+
+  private def sha(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b).map(x => f"${x & 0xff}%02x").mkString
+
+  private val bodyA = "alpha body".getBytes("UTF-8")
+  private val bodyB = Array.tabulate[Byte](128)(i => (i * 3).toByte)
+  private lazy val zip1 = makeZip("ds_one.zip", "a.txt" -> bodyA, "img/b.png" -> bodyB)
+  private lazy val zip2 = makeZip("ds_two.zip", "c.txt" -> "gamma".getBytes("UTF-8"))
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): ZipScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[ZipScan] => b.scan.asInstanceOf[ZipScan]
+    }.get
+
+  test("format(zip) reads the fixed 4-column schema with correct values") {
+    val df = spark.read.format("zip").load(zip1)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("name", StringType), ("source", StringType),
+      ("body", BinaryType), ("hash", StringType)))
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("a.txt", "img/b.png"))
+    assert(rows.head.getAs[Array[Byte]]("body").sameElements(bodyA))
+    assert(rows.head.getAs[String]("hash") == sha(bodyA))
+    assert(rows.head.getAs[String]("source") == zip1)
+  }
+
+  test("multi-path load unions archives; entry glob option filters") {
+    val df = spark.read.format("zip").load(zip1, zip2)
+    assert(df.count() == 3)
+    val txt = spark.read.format("zip").option("glob", "**/*.png").load(zip1, zip2)
+    assert(txt.collect().map(_.getString(0)).toSeq == Seq("img/b.png"))
+  }
+
+  test("name predicates are pushed into the scan (PushedFilters)") {
+    val df = spark.read.format("zip").load(zip1)
+      .filter(col("name").startsWith("img/"))
+    val scan = scanOf(df)
+    assert(scan.description().contains("StringStartsWith(name,img/)"),
+      s"expected name pushdown in: ${scan.description()}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("img/b.png"))
+  }
+
+  test("source-only predicates prune whole archives before opening them") {
+    val df = spark.read.format("zip").load(zip1, zip2)
+      .filter(col("source") === zip2)
+    val scan = scanOf(df)
+    assert(scan.description().contains(s"EqualTo(source,$zip2)"))
+    // archive-level pruning: only zip2 is planned as an input partition
+    assert(scan.planInputPartitions().map(_.asInstanceOf[ZipInputPartition].readPath)
+      .forall(_.endsWith("ds_two.zip")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("c.txt"))
+  }
+
+  test("column pruning reaches the scan; names-only projection elides reads") {
+    val df = spark.read.format("zip").load(zip1).select("name")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("name"),
+      s"expected pruned schema, got ${scan.readSchema()}")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("a.txt", "img/b.png"))
+  }
+
+  test("unsupported predicates stay as Spark-side residual and still evaluate") {
+    val df = spark.read.format("zip").load(zip1)
+      .filter(col("name").rlike("\\.png$")) // regex: not a pushable v1 filter
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("img/b.png"))
+  }
+
+  test("DSv2 results equal the flatMap extractor's") {
+    import graft.zip.{ZipExtract, ZipToParquetConfig}
+    val v2 = spark.read.format("zip").load(zip1, zip2)
+      .select("name", "source", "hash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val v1 = ZipExtract.entries(spark, ZipToParquetConfig(inputs = Seq(zip1, zip2)))
+      .select("name", "source", "hash").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(v2.toSeq == v1.toSeq)
+  }
+}
