@@ -59,10 +59,61 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join: for every click, the most recent view by the same user at
+    * or before it. Spark has no native ASOF; the scalable formulation is
+    * union + window carry-forward — ONE shuffle on user_id and a sorted
+    * pass, versus a range self-join that explodes to |clicks|x|views| per
+    * user before picking the max. Ties break deterministically by
+    * (ts, side, event_id) — views sort before clicks at equal ts, matching
+    * ASOF's `view.ts <= click.ts` semantics. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+      .withColumn("view_id",
+        last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("is_click") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy("click_id")
+  }
+
+  /** Range join: clicks falling inside each error's 5-minute window.
+    * Bucketized: both sides get a 5-min epoch bucket key (windows span
+    * exactly two buckets), so the physical join is an equi-join on the
+    * bucket plus a residual range filter — shuffle-partitioned by bucket,
+    * never the O(|A|x|B|) nested-loop a raw inequality join plans. A
+    * (error, click) pair can only meet in the click's single bucket, so no
+    * dedup is needed. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val winUs = 300L * 1000000L // 5 minutes
+    val errors = events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("t0"),
+        explode(expr(s"array(unix_micros(ts) div $winUs, unix_micros(ts) div $winUs + 1)"))
+          .as("bucket"))
+    val clicks = events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("tc"),
+        expr(s"unix_micros(ts) div $winUs").as("bucket"))
+    errors.join(clicks, Seq("bucket"))
+      .filter(col("tc") >= col("t0") && col("tc") <= col("t0") + winUs)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("err_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_tumbling_window" -> qTumbling,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin)
 
   val oracles: Map[String, String] = Map(
     "q_json_extract" -> """
@@ -89,5 +140,29 @@ object EventOps {
       SELECT user_id, session_id, count(*) AS n_events,
              min(tus) AS session_start, max(tus) AS session_end
       FROM sess GROUP BY user_id, session_id
-      ORDER BY user_id, session_id""")
+      ORDER BY user_id, session_id""",
+    "q_asof_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events WHERE event_type IN ('view', 'click')),
+      w AS (
+        SELECT *,
+               last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+               last_value(CASE WHEN is_click = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+        FROM ev)
+      SELECT event_id AS click_id, user_id, view_id,
+             epoch_us(ts) - epoch_us(view_ts) AS gap_us
+      FROM w WHERE is_click = 1 ORDER BY click_id""",
+    "q_range_join" -> """
+      SELECT e.event_id AS err_id, count(*) AS n_clicks
+      FROM events e JOIN events c
+        ON c.event_type = 'click' AND e.event_type = 'error'
+       AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP))
+       AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(e.ts AS TIMESTAMP)) + 300000000
+      GROUP BY 1 ORDER BY err_id""")
 }

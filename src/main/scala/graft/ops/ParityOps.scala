@@ -84,6 +84,30 @@ object ParityOps {
       .orderBy("name")
   }
 
+  /** The DSv2 `format("zip")` source end-to-end (SURVEY.md §7.2 M3) with a
+    * pushed name predicate and pruned columns — same fixture as
+    * [[zipExtract]]; rows-only check (plan-level pushdown assertions live
+    * in ZipDataSourceSpec). */
+  def zipDsv2(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_v2").toFile
+    dir.deleteOnExit()
+    val zipPath = new java.io.File(dir, "fixture.zip")
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    def add(name: String, body: Array[Byte]): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(body)
+      zout.closeEntry()
+    }
+    add("a.txt", "hello".getBytes("UTF-8"))
+    add("dir/b.png", Array.tabulate[Byte](16)(i => (i * 7).toByte))
+    add("dir/sub/c.txt", Array.emptyByteArray)
+    zout.close()
+    s.read.format("zip").load(zipPath.getAbsolutePath)
+      .filter(col("name").endsWith(".txt")) // pushed into the scan
+      .select(col("name"), col("hash"))     // pruned: body never read
+      .orderBy("name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_hash_sha256" -> hashSha256,
     "p_glob_filter" -> globFilter,
@@ -91,7 +115,8 @@ object ParityOps {
     "p_count_star" -> countStar,
     "p_union_all" -> unionAll,
     "p_distinct" -> distinctRows,
-    "z_zip_extract" -> zipExtract)
+    "z_zip_extract" -> zipExtract,
+    "z_zip_dsv2" -> zipDsv2)
 
   val oracles: Map[String, String] = Map(
     "p_hash_sha256" ->
