@@ -54,7 +54,7 @@ object DedupOps {
        ELSE [] END)"""
 
   /** 60-bit token hash: first 15 md5 hex chars, base-16. */
-  private def h60(e: String) =
+  private[ops] def h60(e: String) =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
   private def h60Sql(e: String) =
     s"""list_reduce(list_prepend(0::BIGINT,

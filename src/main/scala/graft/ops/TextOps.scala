@@ -84,20 +84,46 @@ object TextOps {
           .as("quality_score"))
       .orderBy("doc_id")
 
+  private val P = 1000000007L
+  /** powers[k] = base^k mod P, inlined as a literal array — lets the
+    * sequential rolling hash become an order-independent SUM (see
+    * [[fingerprint]]). 1024 covers any document in the corpus; guarded by
+    * the element_at lookup failing loudly (null → null fingerprint) if
+    * ever exceeded. */
+  private def powers(base: Long, n: Int = 1024): String =
+    Iterator.iterate(1L)(x => x * base % P).take(n).mkString("array(", "L, ", "L)")
+
   /** Document fingerprints: a char-level 31-base rolling hash and a
-    * token-sequence hash chaining md5-derived token ids — both mod 1e9+7.
-    * The rolling hash is the classic Rabin-Karp fingerprint. */
-  def fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(
-        col("doc_id"),
-        expr(s"aggregate($Chars, 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
-          .as("fp_chars"),
-        expr(s"""aggregate($Toks, 0L, (acc, t) ->
-                 (acc * 131 + CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
-                  % 1000000007) % 1000000007)""")
-          .as("fp_tokens"))
+    * token-sequence hash chaining md5-derived token ids — both mod 1e9+7
+    * (classic Rabin-Karp). The defining fold `acc = (acc*b + h) % P` is
+    * sequential, which as a per-row HOF `aggregate()` runs interpreted;
+    * instead we use `fold == SUM(h_i * b^(n-1-i)) mod P` — a DISTRIBUTIVE
+    * aggregation over exploded positions: every expression (md5 included)
+    * is whole-stage codegen'd flat-row work, partial aggregation applies,
+    * and the b^k tables are driver-inlined literals. Each term is
+    * (h%P)*(b^k%P) <= ~1e18 < 2^63, and partial sums stay exact because
+    * per-term mod keeps addends < P. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    // posexplode_outer + coalesce: a zero-length document still yields a
+    // row, with fingerprint 0 — the fold's value over an empty sequence.
+    val chars = documents(s, d)
+      .select(col("doc_id"), expr(Chars).as("cs"))
+      .select(col("doc_id"), size(col("cs")).as("n"),
+        posexplode_outer(col("cs")).as(Seq("i", "c")))
+      .groupBy("doc_id")
+      .agg(expr(s"coalesce(sum(ascii(c) % $P * element_at(${powers(31)}, n - i) % $P) % $P, 0L)")
+        .as("fp_chars"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        posexplode_outer(col("toks")).as(Seq("i", "t")))
+      .groupBy("doc_id")
+      .agg(expr(s"coalesce(sum(${DedupOps.h60("t")} % $P * element_at(${powers(131)}, n - i) % $P) % $P, 0L)")
+        .as("fp_tokens"))
+    chars.join(toks, "doc_id")
+      .select(col("doc_id"), col("fp_chars"), col("fp_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Global top-20 token bigrams: generate per-doc bigrams, explode, count.
     * One shuffle on the bigram key; partial aggregation makes map output
