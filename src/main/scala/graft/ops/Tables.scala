@@ -83,20 +83,33 @@ object Vec {
 object Exact {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.DecimalType
 
-  /** Exact sum of a (money-like) double expression → double. */
+  /** 10^6 — covers expressions with up to 6 decimal places (inputs are
+    * 2-dp money values; products like price*(1-disc) have 4). */
+  private val Scale = 1000000L
+
+  /** Exact sum of a money-like double expression → double: round to
+    * scaled integer micro-units, sum exactly in BIGINT, convert and divide
+    * ONCE at the end. A DECIMAL(22,8) accumulator is not enough: Spark
+    * rounds double→decimal via the double's string form while DuckDB
+    * rounds the exact binary value, and with enough rows the half-way
+    * disagreements surface (seen at sf0.1). Here the scaled value is
+    * within ~1e-4 of an integer, so `round` is unambiguous in both
+    * engines and every later step is exact-integer → identical doubles at
+    * any row count. */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(22, 8))).cast("double")
+    sum(round(c * Scale).cast("long")).cast("double") / Scale.toDouble
 
-  /** Matching oracle-side SQL fragment. */
+  /** Matching oracle-side SQL fragment (sum(BIGINT) is HUGEINT in DuckDB —
+    * the explicit DOUBLE cast mirrors Spark's long→double conversion of
+    * the same exact integer). */
   def dsumSql(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE)"
+    s"(CAST(sum(CAST(round(($expr) * $Scale) AS BIGINT)) AS DOUBLE) / $Scale.0)"
 
-  /** Exact mean: decimal sum divided by count, in double. */
+  /** Exact mean: the exact scaled sum, converted once, divided by count. */
   def davg(c: Column): Column =
-    (sum(c.cast(DecimalType(22, 8))).cast("double") / count(lit(1)))
+    dsum(c) / count(lit(1))
 
   def davgSql(expr: String): String =
-    s"(CAST(sum(CAST(($expr) AS DECIMAL(22,8))) AS DOUBLE) / count(*))"
+    s"(${dsumSql(expr)} / count(*))"
 }
