@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
+import graft.zip.ZipExtract
+
 /** Multimodal-column plumbing: media (image/audio/video) carried as opaque
   * `binary` columns with typed metadata, processed in batch-shaped
   * per-partition passes — the Spark-side pattern for decode / feature
@@ -37,6 +39,17 @@ object Multimodal {
     Iterator.range(0, body.length, stride).zipWithIndex.map {
       case (pos, idx) => (idx, body(pos) & 0xff)
     }
+
+  /** STUB — real implementation would decode, bilinear-resample to the
+    * target resolution, and re-encode. Stand-in: keep every `factor`-th
+    * byte (a 1-D nearest-neighbor downsample, deterministic and
+    * byte-exact). */
+  def resize(body: Array[Byte], factor: Int = 2): Array[Byte] = {
+    val out = new Array[Byte]((body.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = body(i * factor); i += 1 }
+    out
+  }
 }
 
 object MultimodalOps {
@@ -85,10 +98,30 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize stage: payload in, downsampled payload + before/after metadata
+    * out — the map shape of an image-resize pipeline (payload transforms
+    * stay within the task; only the transformed payload would flow to the
+    * next stage, never across a shuffle key). */
+  def resizeStage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, body) =>
+          val r = Multimodal.resize(body)
+          (id, body.length.toLong, r.length.toLong, ZipExtract.sha256Hex(r))
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "resized_bytes", "resized_sha")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
-    "m_frame_sample" -> frameSample)
+    "m_frame_sample" -> frameSample,
+    "m_resize" -> resizeStage)
 
   val oracles: Map[String, String] = Map(
     "m_blob_meta" -> """
@@ -108,5 +141,14 @@ object MultimodalOps {
                  FROM documents WHERE doc_id < 100)
       SELECT doc_id, ((pos - 1) // 32)::INT AS frame_idx,
              unicode(substr(text, pos, 1)) AS byte_val
-      FROM p ORDER BY doc_id, frame_idx""")
+      FROM p ORDER BY doc_id, frame_idx""",
+    // '(.).'->'\1' keeps char 1 of every pair (plus an odd tail) == the
+    // stride-2 byte downsample over ASCII text.
+    "m_resize" -> """
+      WITH r AS (SELECT doc_id, length(text)::BIGINT orig_bytes,
+                   regexp_replace(text, '(.).', '\1', 'g') rz
+                 FROM documents)
+      SELECT doc_id, orig_bytes, length(rz)::BIGINT AS resized_bytes,
+             sha256(rz) AS resized_sha
+      FROM r ORDER BY doc_id""")
 }

@@ -142,12 +142,29 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** GPT-style pre-tokenizer pattern: a leading-space word, number, or
+    * punctuation run, or residual whitespace. ASCII classes + no lookahead
+    * so Java regex (Spark) and RE2 (DuckDB) agree; both engines match
+    * leftmost-first. */
+  private val BpePat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting, whitespace vs BPE-ish regex pre-tokenization: the two
+    * standard corpus-size measures, plus their ratio. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_ws", expr(s"size($Toks)").cast("long"))
+      .withColumn("n_bpe", expr(s"size(regexp_extract_all(text, '$BpePat', 0))").cast("long"))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+        expr("n_bpe / n_ws").as("bpe_per_ws"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
     "t_fingerprint" -> fingerprint,
-    "t_ngram_freq" -> ngramFreq)
+    "t_ngram_freq" -> ngramFreq,
+    "t_bpe_tokens" -> bpeTokens)
 
   val oracles: Map[String, String] = Map(
     "t_token_stats" -> """
@@ -202,5 +219,12 @@ object TextOps {
       b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
                      i -> toks[i] || ' ' || toks[i + 1])) bigram FROM t)
       SELECT bigram, count(*) AS n FROM b
-      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "t_bpe_tokens" -> s"""
+      WITH t AS (SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT n_ws,
+                   len(regexp_extract_all(text, '$BpePat'))::BIGINT n_bpe
+                 FROM documents)
+      SELECT doc_id, n_ws, n_bpe, n_bpe / n_ws AS bpe_per_ws
+      FROM t ORDER BY doc_id""")
 }
