@@ -131,6 +131,19 @@ object RelationalOps {
         col("n"), col("qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations in one
+    * pass — Spark expands grouping sets map-side, so it's still a single
+    * shuffle keyed by (grouping-set id, keys). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("price"))
+      .orderBy("returnflag", "linestatus")
+
   /** INTERSECT (distinct): customers with both an 'O' and an 'F' order. */
   def qIntersect(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
@@ -225,6 +238,7 @@ object RelationalOps {
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
     "q_topk" -> qTopk,
@@ -306,6 +320,13 @@ object RelationalOps {
              count(*) AS n, ${dsumSql("l_quantity")} AS qty
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+    "q_cube" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${dsumSql("l_extendedprice")} AS price
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY returnflag, linestatus""",
     "q_intersect" -> """
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
