@@ -32,13 +32,14 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    qdirs = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json"))
+    qdirs = sorted(d.split("/")[-1].removesuffix(".parquet")
+                   for d in glob.glob(f"{out_dir}/*.parquet"))
     for name in qdirs:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
-        sdf = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        sdf = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet/*.parquet')")
         scols = sorted(sdf.columns)
         srows = sorted([tuple(norm(v) for v in r) for r in
                         con.sql(f"SELECT {', '.join(scols)} FROM sdf").fetchall()], key=key)
