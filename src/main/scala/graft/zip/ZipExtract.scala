@@ -209,7 +209,13 @@ object ZipExtract {
     * src/builder.rs:254 documented in SURVEY.md §6). */
   def run(spark: SparkSession, cfg: ZipToParquetConfig): Unit = {
     val df0 = entries(spark, cfg)
-    val df = if (cfg.singleFile) df0.coalesce(1) else df0
+    // repartition(1), NOT coalesce(1): coalesce folds the upstream
+    // extraction into the single writer task (serializing the whole
+    // pipeline — observed 5x slower); repartition keeps one task per
+    // archive and funnels rows to one writer through an exchange — the
+    // same N-producers/1-consumer topology as the reference's channel
+    // (src/builder.rs:52-75).
+    val df = if (cfg.singleFile) df0.repartition(1) else df0
     df.write
       .mode("overwrite")
       .option("compression", "snappy") // src/builder.rs:253
