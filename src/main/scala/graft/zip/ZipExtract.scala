@@ -221,6 +221,31 @@ object ZipExtract {
       .option("compression", "snappy") // src/builder.rs:253
       .parquet(cfg.output)
   }
+
+  /** O10 — stdout sink (reference `--stdout`, src/main.rs:72-95,
+    * src/builder.rs:243): stream the single-file Parquet bytes to an
+    * `OutputStream`. Spark writers target filesystems, so this is the
+    * documented two-step — write a temp single-file dataset, then stream
+    * the part file out (buffered, so outputs larger than memory are fine,
+    * cf. the reference's BufWriter comment src/main.rs:71). */
+  def runToStream(spark: SparkSession, cfg: ZipToParquetConfig,
+      out: java.io.OutputStream): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stdout").toFile
+    try {
+      run(spark, cfg.copy(output = tmp.getAbsolutePath, singleFile = true))
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(part), 1 << 16)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.flush()
+      } finally in.close()
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
 }
 
 /** Minimal serializable wrapper for the Hadoop Configuration (the one in

@@ -132,6 +132,18 @@ class ZipExtractSpec extends SparkSpec {
     assert(parts.length == 1)
   }
 
+  test("runToStream emits a readable parquet byte stream (O10 stdout sink)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    ZipExtract.runToStream(spark, ZipToParquetConfig(inputs = Seq(zip1)), bos)
+    val bytes = bos.toByteArray
+    // parquet magic at both ends
+    assert(bytes.slice(0, 4).sameElements("PAR1".getBytes))
+    assert(bytes.slice(bytes.length - 4, bytes.length).sameElements("PAR1".getBytes))
+    val f = new File(dir, "stream_back.parquet")
+    java.nio.file.Files.write(f.toPath, bytes)
+    assert(spark.read.parquet(f.getAbsolutePath).count() == 2)
+  }
+
   test("property: random round-trip zip(files) -> extract == files") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
