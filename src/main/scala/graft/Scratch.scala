@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.zip.{ZipExtract, ZipToParquetConfig}
 
 // Temporary profiling harness — not part of the library surface.
 object Scratch {
@@ -12,26 +11,21 @@ object Scratch {
     r
   }
   def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = ZipToParquetConfig(inputs = Seq("/tmp/zipbench/*.zip"),
-      output = "/tmp/zipbench_out", singleFile = false)
-    time("extract+hash+write (multi)")(ZipExtract.run(spark, cfg))
-    time("extract+hash+write again")(ZipExtract.run(spark, cfg))
-    time("extract singleFile")(
-      ZipExtract.run(spark, cfg.copy(singleFile = true, output = "/tmp/zipbench_out1")))
-    time("names only (count)")(
-      println(ZipExtract.entries(spark,
-        cfg.copy(includeBody = false, includeHash = false)).count()))
-    time("dsv2 names only (count)")(
-      println(spark.read.format("zip").load("/tmp/zipbench/*.zip")
-        .select("name").count()))
-    val n = spark.read.parquet("/tmp/zipbench_out").count()
-    println(s"[scratch] rows written: $n")
+    SparkEntry.queries("q5_star_join")(spark, d).write.format("noop").mode("overwrite").save()
+    for (q <- Seq("d_ngram_jaccard")) {
+      val fn = SparkEntry.queries(q)
+      time(q)(fn(spark, d).write.format("noop").mode("overwrite").save())
+      time(q + " (2nd)")(fn(spark, d).write.format("noop").mode("overwrite").save())
+      time(q + " (3rd)")(fn(spark, d).write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

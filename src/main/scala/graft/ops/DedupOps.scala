@@ -93,11 +93,16 @@ object DedupOps {
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
       .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      // enumerate exactly the C(f,2) position pairs (i < j) via slice —
+      // half the generator output of a full cross + a<b filter; orient
+      // each pair afterwards (posting lists are unordered)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("x"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("y"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter / (n_a + n_b - inter)").as("jaccard"))
