@@ -108,12 +108,35 @@ object EventOps {
       .orderBy("err_id")
   }
 
+  /** Salted two-stage aggregation — the skew-mitigation pattern for hot
+    * keys at 100 TB: stage 1 groups on (key, salt) so a pathological key's
+    * rows spread over 16 reducers; stage 2 merges the 16 partials per key.
+    * (`event_type` has only 4 values — every key IS a hot key, which is
+    * exactly when the direct groupBy's per-key reducer becomes the
+    * straggler. Results are identical to a direct groupBy; the salt is
+    * derived from event_id so the plan stays deterministic.) Exact sums via
+    * the scaled-integer accumulator, which being integer also reassociates
+    * freely across the two stages. */
+  def qSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000L
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(round(col("value") * scale).cast("long")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        (sum(col("pv")).cast("double") / scale.toDouble).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_tumbling_window" -> qTumbling,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
-    "q_range_join" -> qRangeJoin)
+    "q_range_join" -> qRangeJoin,
+    "q_skew_salted" -> qSkewSalted)
 
   val oracles: Map[String, String] = Map(
     "q_json_extract" -> """
@@ -164,5 +187,9 @@ object EventOps {
         ON c.event_type = 'click' AND e.event_type = 'error'
        AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP))
        AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(e.ts AS TIMESTAMP)) + 300000000
-      GROUP BY 1 ORDER BY err_id""")
+      GROUP BY 1 ORDER BY err_id""",
+    // the salt is invisible in the result: a plain exact-sum groupBy.
+    "q_skew_salted" -> s"""
+      SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type""")
 }
