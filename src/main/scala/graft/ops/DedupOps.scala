@@ -230,13 +230,56 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** HyperLogLog distinct-token sketch (m=16 buckets), deterministic down
+    * to the bit in both engines: bucket = first md5 hex digit; rho = 1 +
+    * leading zero BITS of the remaining 14 hex digits, extracted by string
+    * ops (ltrim zeros + a nibble lookup table — no floating log2 anywhere);
+    * the harmonic sum folds 1/2^M in bucket order (exact powers of two, so
+    * the fixed-order double fold is reproducible). Returns the estimate
+    * beside the exact distinct count.
+    *
+    * This is the mergeable-sketch shape for 100 TB cardinality work: the
+    * groupBy(bucket) max(rho) is a tiny partial-aggregatable state (16
+    * longs) that merges across any partitioning — the same algebra
+    * approx_count_distinct's HLL++ uses, built here from first principles
+    * so an external oracle can replay it. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
+    val buckets = toks
+      .select(expr("substring(md5(tok), 1, 15)").as("hx"))
+      .select(
+        expr("CAST(conv(substring(hx, 1, 1), 16, 10) AS BIGINT)").as("bucket"),
+        expr("ltrim('0', substring(hx, 2, 14))").as("rest"))
+      .select(col("bucket"),
+        expr("CASE WHEN rest = '' THEN 57L ELSE " +
+          "CAST(4 * (14 - length(rest)) AS BIGINT) + " +
+          "(CASE WHEN substring(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0L " +
+          " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
+          " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+    val exact = toks.agg(countDistinct(col("tok")).as("n_exact"))
+    buckets
+      .agg(expr(
+        // fold 1/2^M in bucket order; absent buckets would contribute 1.0
+        // (M=0) — all 16 are occupied at any SF, and the fold is over the
+        // sorted (bucket, m) structs so the addition order is fixed
+        """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
+             (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))""")
+        .as("harm"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("n_buckets"),
+        expr("0.673D * 256.0D / harm").as("hll_estimate"))
+      .crossJoin(exact)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
-    "d_embedding_neardup" -> embeddingNearDup)
+    "d_embedding_neardup" -> embeddingNearDup,
+    "d_hll_distinct" -> hllDistinct)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -313,6 +356,30 @@ object DedupOps {
       SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
       FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
       ORDER BY a_id, b_id""",
+    "d_hll_distinct" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+      hx AS (SELECT substr(md5(tok), 1, 15) AS h FROM toks),
+      br AS (SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
+                    ltrim(substr(h, 2, 14), '0') AS rest
+             FROM hx),
+      rho AS (SELECT bucket,
+                CASE WHEN rest = '' THEN 57::BIGINT ELSE
+                  (4 * (14 - length(rest)))::BIGINT +
+                  (CASE WHEN substr(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
+                        WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END)::BIGINT + 1
+                END AS rho
+              FROM br),
+      mx AS (SELECT bucket, max(rho) AS m FROM rho GROUP BY 1),
+      agg AS (SELECT count(*) AS n_buckets,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(list(m ORDER BY bucket),
+                    mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
+                  (a, b) -> a + b) AS harm
+              FROM mx)
+      SELECT n_buckets, 0.673 * 256.0 / harm AS hll_estimate,
+             (SELECT count(DISTINCT tok) FROM toks) AS n_exact
+      FROM agg""",
     "d_embedding_neardup" -> """
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",
