@@ -144,6 +144,35 @@ object RelationalOps {
         col("n"), col("price"))
       .orderBy("returnflag", "linestatus")
 
+  /** PIVOT: per-nation supplier account balance spread across region
+    * columns — `groupBy().pivot()` compiles to conditional aggregation
+    * (one pass, one shuffle), which is also how the oracle expresses it. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .pivot(col("r_name"), Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      .agg(count(lit(1)))
+      .select(col("n_name"),
+        coalesce(col("AFRICA"), lit(0L)).as("africa"),
+        coalesce(col("AMERICA"), lit(0L)).as("america"),
+        coalesce(col("ASIA"), lit(0L)).as("asia"),
+        coalesce(col("EUROPE"), lit(0L)).as("europe"),
+        coalesce(col("MIDDLE EAST"), lit(0L)).as("middle_east"))
+      .orderBy("n_name")
+
+  /** Scalar subquery: orders priced above the global exact average. The
+    * single-row aggregate broadcasts; the fact scan is one pass. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val globalAvg = orders(s, d).agg(davg(col("o_totalprice")).as("g"))
+    orders(s, d)
+      .crossJoin(broadcast(globalAvg))
+      .filter(col("o_totalprice") > col("g"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** INTERSECT (distinct): customers with both an 'O' and an 'F' order. */
   def qIntersect(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
@@ -239,6 +268,8 @@ object RelationalOps {
     "q_window_running" -> qWindowRunning,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q_pivot" -> qPivot,
+    "q_scalar_subquery" -> qScalarSubquery,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
     "q_topk" -> qTopk,
@@ -328,6 +359,21 @@ object RelationalOps {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY returnflag, linestatus""",
+    "q_pivot" -> """
+      SELECT n_name,
+             count(*) FILTER (WHERE r_name = 'AFRICA') AS africa,
+             count(*) FILTER (WHERE r_name = 'AMERICA') AS america,
+             count(*) FILTER (WHERE r_name = 'ASIA') AS asia,
+             count(*) FILTER (WHERE r_name = 'EUROPE') AS europe,
+             count(*) FILTER (WHERE r_name = 'MIDDLE EAST') AS middle_east
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_scalar_subquery" -> s"""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
+      ORDER BY o_orderkey""",
     "q_intersect" -> """
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       INTERSECT
