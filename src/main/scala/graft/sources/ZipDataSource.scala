@@ -68,10 +68,22 @@ class ZipTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
 class ZipScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZipExtract.schema
+  private var limit: Int = -1
+
+  /** Per-partition early termination: a task stops walking its archive
+    * after `n` emitted rows (no further decompression or even
+    * central-directory iteration). Returns false — the limit is only
+    * partially pushed (it bounds each partition, not the union), so Spark
+    * keeps its own global Limit on top. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false
+  }
 
   /** Accept any deterministic filter that references only `name`/`source` —
     * those evaluate before decompression inside the scan. Everything else
@@ -91,16 +103,17 @@ class ZipScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
   }
 
-  override def build(): Scan = new ZipScan(options, pushed, required)
+  override def build(): Scan = new ZipScan(options, pushed, required, limit)
 }
 
 class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"ZipScan(glob=${Option(options.get("glob")).getOrElse("*")}, " +
-      s"pushed=[${filters.mkString(", ")}], cols=${required.fieldNames.mkString(",")})"
+      s"pushed=[${filters.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +
+      (if (limit >= 0) s", limit=$limit" else "") + ")"
 
   private def paths: Seq[String] = {
     val fromPaths = Option(options.get("paths")).toSeq.flatMap { json =>
@@ -124,7 +137,7 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val globRegex = Option(options.get("glob")).map(GlobRegex.translate)
-    ZipReaderFactory(conf, globRegex, filters, required.fieldNames)
+    ZipReaderFactory(conf, globRegex, filters, required.fieldNames, limit)
   }
 }
 
@@ -134,11 +147,12 @@ case class ZipReaderFactory(
     conf: SerializableConfiguration,
     globRegex: Option[String],
     filters: Array[Filter],
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String],
+    limit: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZipInputPartition]
-    new ZipPartitionReader(p, conf, globRegex, filters, columns)
+    new ZipPartitionReader(p, conf, globRegex, filters, columns, limit)
   }
 }
 
@@ -149,7 +163,10 @@ class ZipPartitionReader(
     conf: SerializableConfiguration,
     globRegex: Option[String],
     filters: Array[Filter],
-    columns: Array[String]) extends PartitionReader[InternalRow] {
+    columns: Array[String],
+    limit: Int = -1) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val needBody = columns.contains("body")
   private val needHash = columns.contains("hash")
@@ -167,6 +184,10 @@ class ZipPartitionReader(
 
   override def next(): Boolean = {
     current = null
+    if (limit >= 0 && emitted >= limit) {
+      if (!closed) { closed = true; zin.close() }
+      return false
+    }
     while (current == null && !closed) {
       val e = zin.getNextEntry
       if (e == null) { closed = true; zin.close() }
@@ -189,6 +210,7 @@ class ZipPartitionReader(
           case "hash" => if (hash != null) UTF8String.fromString(hash) else null
         }
         current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        emitted += 1
       }
     }
     current != null

@@ -99,6 +99,14 @@ class ZipDataSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("img/b.png"))
   }
 
+  test("limit pushes into the scan and bounds per-partition reads") {
+    val df = spark.read.format("zip").load(zip1, zip2).select("name").limit(1)
+    val scan = scanOf(df)
+    assert(scan.description().contains("limit=1"),
+      s"expected pushed limit in: ${scan.description()}")
+    assert(df.collect().length == 1)
+  }
+
   test("DSv2 results equal the flatMap extractor's") {
     import graft.zip.{ZipExtract, ZipToParquetConfig}
     val v2 = spark.read.format("zip").load(zip1, zip2)
