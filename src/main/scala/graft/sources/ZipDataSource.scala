@@ -117,9 +117,12 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
 
   private def paths: Seq[String] = {
     val fromPaths = Option(options.get("paths")).toSeq.flatMap { json =>
-      // Spark encodes multi-path load() as a JSON array of strings.
-      json.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      // Spark encodes multi-path load() as a JSON array of strings —
+      // parse it as JSON (a naive comma split corrupts paths containing
+      // commas or escapes).
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]])
+      arr.toSeq
     }
     val fromPath = Option(options.get("path")).toSeq
     fromPaths ++ fromPath
