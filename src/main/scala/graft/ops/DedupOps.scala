@@ -84,6 +84,18 @@ object DedupOps {
     * near-dup signal and their f² pair blowup dominates cost); not needed
     * at test scale. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardImpl(s, d, maxDf = Int.MaxValue)
+
+  /** The hot-shingle guard made concrete: posting lists longer than
+    * `maxDf` are dropped before pair enumeration. A shingle appearing in
+    * thousands of documents is boilerplate — it contributes f² candidate
+    * pairs (the dominant cost at corpus scale) and no near-dup signal.
+    * Capped intersections under-count by at most the number of capped
+    * shingles shared, so the jaccard estimate is conservative. */
+  def ngramJaccardCapped(s: SparkSession, d: String): DataFrame =
+    ngramJaccardImpl(s, d, maxDf = 20)
+
+  private def ngramJaccardImpl(s: SparkSession, d: String, maxDf: Int): DataFrame =
     documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
@@ -92,7 +104,7 @@ object DedupOps {
       // counts relation at any scale
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
       .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
       // enumerate exactly the C(f,2) position pairs (i < j) via slice —
       // half the generator output of a full cross + a<b filter; orient
       // each pair afterwards (posting lists are unordered)
@@ -279,6 +291,7 @@ object DedupOps {
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
+    "d_ngram_jaccard_capped" -> ngramJaccardCapped,
     "d_hll_distinct" -> hllDistinct)
 
   private val SimhashSql =
@@ -303,6 +316,21 @@ object DedupOps {
       c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
       i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
             FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+             inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+      FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
+      ORDER BY a_id, b_id""",
+    "d_ngram_jaccard_capped" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
+      c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
+      keep AS (SELECT sh1 FROM e GROUP BY 1 HAVING count(*) <= 20),
+      i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            JOIN keep k ON a.sh1 = k.sh1
             GROUP BY 1, 2)
       SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
              inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
