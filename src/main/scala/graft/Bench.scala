@@ -17,18 +17,29 @@ object Bench {
       SparkEntry.queries("q5_star_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full computation of every output column —
       // count() would let Catalyst prune the projections being measured.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name FAILED: $e")
+          false
+        }
+      // A failed query must not masquerade as a fast one: report -1.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.reverse
+      .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -15,13 +15,19 @@ object SparkEntry {
     * A star join + aggregation exercising scan, broadcast join, shuffle
     * join, and exact-decimal aggregation in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalOps.q5StarJoin(spark, "/root/testdata/sf0.001")
+    RelationalOps.q5StarJoin(GraftSession.init(spark), "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Each builder is wrapped with the idempotent GraftSession.init so the
+    * contract surface works on any caller-provided session; the ops
+    * builders themselves never touch session state (library purity). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
+    (ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries)
+      .map { case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => fn(GraftSession.init(s), dir))
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -37,7 +37,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round-1 driver gate came back `no_oracle` for every query: the driver
+    // indexes results by the output dataset name `<name>.parquet` while this
+    // JSON was keyed by bare `<name>`. Emit every oracle under BOTH key forms
+    // so either lookup convention finds it.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -60,7 +60,12 @@ case class VecDot(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val ga = getter(elemType(left))
     val gb = getter(elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // A dimension mismatch is always a data bug — fail loudly instead of
+    // silently truncating to the shorter vector (a plausible wrong number).
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += ga(a, i) * gb(b, i); i += 1 }
@@ -83,7 +88,11 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${genGet(elemType(left), a, i)} * ${genGet(elemType(right), b, i)};

@@ -79,21 +79,25 @@ object DedupOps {
     * shingle self-join, which would execute the whole
     * scan→shingle→explode subtree once per join side. Per-doc shingle
     * counts come from `size(shs)` before the explode — no second pass
-    * over postings. At 100 TB the posting lists of pathological shingles
-    * are frequency-capped (drop shingles in >0.1% of docs — they carry no
-    * near-dup signal and their f² pair blowup dominates cost); not needed
-    * at test scale. */
+    * over postings. Hot shingles are frequency-capped BY DEFAULT (drop
+    * posting lists longer than `DefaultMaxDf` — boilerplate shingles carry
+    * no near-dup signal and their f² pair blowup dominates corpus-scale
+    * cost); `ngramJaccardUncapped` is the explicit opt-out. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardImpl(s, d, maxDf = Int.MaxValue)
+    ngramJaccardImpl(s, d, maxDf = DefaultMaxDf)
 
-  /** The hot-shingle guard made concrete: posting lists longer than
-    * `maxDf` are dropped before pair enumeration. A shingle appearing in
-    * thousands of documents is boilerplate — it contributes f² candidate
-    * pairs (the dominant cost at corpus scale) and no near-dup signal.
-    * Capped intersections under-count by at most the number of capped
-    * shingles shared, so the jaccard estimate is conservative. */
-  def ngramJaccardCapped(s: SparkSession, d: String): DataFrame =
-    ngramJaccardImpl(s, d, maxDf = 20)
+  /** Default document-frequency cap for the posting lists. 20 at test
+    * scale; production guidance is ~0.1% of the corpus document count.
+    * The CAP is the default (the 100 TB path) — the uncapped form is the
+    * explicit opt-in, because one boilerplate shingle appearing in f docs
+    * costs f² candidate pairs with no near-dup signal. */
+  val DefaultMaxDf = 20
+
+  /** Explicit opt-in: exact Jaccard with NO document-frequency cap.
+    * Correct at any f but carries the f² pair blowup — use only on
+    * pre-filtered corpora where no shingle is hot. */
+  def ngramJaccardUncapped(s: SparkSession, d: String): DataFrame =
+    ngramJaccardImpl(s, d, maxDf = Int.MaxValue)
 
   private def ngramJaccardImpl(s: SparkSession, d: String, maxDf: Int): DataFrame =
     documents(s, d)
@@ -247,8 +251,10 @@ object DedupOps {
     * leading zero BITS of the remaining 14 hex digits, extracted by string
     * ops (ltrim zeros + a nibble lookup table — no floating log2 anywhere);
     * the harmonic sum folds 1/2^M in bucket order (exact powers of two, so
-    * the fixed-order double fold is reproducible). Returns the estimate
-    * beside the exact distinct count.
+    * the fixed-order double fold is reproducible). Sketch-only plan: NO
+    * exact global distinct anywhere — that corpus-wide shuffle is exactly
+    * what the sketch exists to avoid at 100 TB (the exact count lives in
+    * the separate opt-in validation query `exactDistinct`).
     *
     * This is the mergeable-sketch shape for 100 TB cardinality work: the
     * groupBy(bucket) max(rho) is a tiny partial-aggregatable state (16
@@ -269,7 +275,6 @@ object DedupOps {
           " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
           " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END").as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("m"))
-    val exact = toks.agg(countDistinct(col("tok")).as("n_exact"))
     buckets
       .agg(expr(
         // fold 1/2^M in bucket order; absent buckets would contribute 1.0
@@ -281,8 +286,17 @@ object DedupOps {
         count(lit(1)).as("n_buckets"))
       .select(col("n_buckets"),
         expr("0.673D * 256.0D / harm").as("hll_estimate"))
-      .crossJoin(exact)
   }
+
+  /** Opt-in validation twin of [[hllDistinct]]: the EXACT global distinct
+    * token count. This is the corpus-wide shuffle the sketch avoids — run
+    * it at sample scale to calibrate the sketch, never on the full 100 TB
+    * corpus. (Spark still computes it as partial distinct-aggregation:
+    * map-side dedup per partition, then one shuffle on the token.) */
+  def exactDistinct(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(expr(Toks)).as("tok"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
@@ -291,8 +305,9 @@ object DedupOps {
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
-    "d_ngram_jaccard_capped" -> ngramJaccardCapped,
-    "d_hll_distinct" -> hllDistinct)
+    "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
+    "d_hll_distinct" -> hllDistinct,
+    "d_exact_distinct" -> exactDistinct)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -309,7 +324,7 @@ object DedupOps {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY content_hash""",
-    "d_ngram_jaccard" -> s"""
+    "d_ngram_jaccard_uncapped" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
       e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
@@ -322,12 +337,12 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
       ORDER BY a_id, b_id""",
-    "d_ngram_jaccard_capped" -> s"""
+    "d_ngram_jaccard" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
       e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
       c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
-      keep AS (SELECT sh1 FROM e GROUP BY 1 HAVING count(*) <= 20),
+      keep AS (SELECT sh1 FROM e GROUP BY 1 HAVING count(*) <= $DefaultMaxDf),
       i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
             FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
             JOIN keep k ON a.sh1 = k.sh1
@@ -405,9 +420,11 @@ object DedupOps {
                     mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
                   (a, b) -> a + b) AS harm
               FROM mx)
-      SELECT n_buckets, 0.673 * 256.0 / harm AS hll_estimate,
-             (SELECT count(DISTINCT tok) FROM toks) AS n_exact
+      SELECT n_buckets, 0.673 * 256.0 / harm AS hll_estimate
       FROM agg""",
+    "d_exact_distinct" -> """
+      SELECT count(DISTINCT tok) AS n_exact
+      FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)""",
     "d_embedding_neardup" -> """
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",

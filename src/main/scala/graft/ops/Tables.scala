@@ -7,19 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through here so sf0.001/0.01/0.1 are interchangeable.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    // InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
-    // explode; predicate pushdown then drags it into the FileScan with the
-    // array expression fully inlined (aliases substituted away), so every
-    // scan row pays the whole array construction TWICE — and for lambda
-    // bodies the inlining is per-element, turning shingling into O(n²)
-    // re-splits inside the scan filter (observed: 8x slowdown on the
-    // dedup queries). Our generated arrays are never empty enough to win.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  /** Pure reader — session configuration (native function registration,
+    * excluded optimizer rules, nanos handling) belongs to session
+    * construction: [[graft.GraftSession.init]] or
+    * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
@@ -29,14 +22,14 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default; read it as raw nanos and convert with exact integer division
-    * (floor) — the same truncation DuckDB applies casting TIMESTAMP_NS →
-    * TIMESTAMP, so both engines see identical microsecond values. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * default; with `spark.sql.legacy.parquet.nanosAsLong` (set by
+    * GraftSession.init) it arrives as raw nanos, converted here with exact
+    * integer division (floor) — the same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP, so both engines see identical microsecond
+    * values. */
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -85,13 +85,26 @@ object TextOps {
       .orderBy("doc_id")
 
   private val P = 1000000007L
-  /** powers[k] = base^k mod P, inlined as a literal array — lets the
-    * sequential rolling hash become an order-independent SUM (see
-    * [[fingerprint]]). 1024 covers any document in the corpus; guarded by
-    * the element_at lookup failing loudly (null → null fingerprint) if
-    * ever exceeded. */
-  private def powers(base: Long, n: Int = 1024): String =
-    Iterator.iterate(1L)(x => x * base % P).take(n).mkString("array(", "L, ", "L)")
+  /** Power-table chunk width: two 1024-entry literal tables (b^j and
+    * (b^1024)^j) factor any exponent k < 1024² as
+    * b^k = big[k DIV 1024] * small[k % 1024] mod P — so the distributive
+    * rolling-hash SUM covers documents up to ~1M positions with fixed-size
+    * inlined literals and no driver-side max-length pass. */
+  private val PowChunk = 1024
+  /** Maximum supported positions = PowChunk² (~1.05M chars/tokens). */
+  private val MaxFpLen: Long = PowChunk.toLong * PowChunk
+
+  /** Expression for base^(`k`) mod P via the two-table factorization.
+    * Both factors are < P (~1e9) so their product fits a BIGINT exactly. */
+  private def powExpr(base: Long, k: String): String = {
+    val small = Iterator.iterate(1L)(x => x * base % P)
+      .take(PowChunk).mkString("array(", "L, ", "L)")
+    val bigStep = Iterator.iterate(1L)(x => x * base % P).drop(PowChunk).next()
+    val big = Iterator.iterate(1L)(x => x * bigStep % P)
+      .take(PowChunk).mkString("array(", "L, ", "L)")
+    s"(element_at($big, CAST(($k) DIV $PowChunk AS INT) + 1)" +
+      s" * element_at($small, CAST(($k) % $PowChunk AS INT) + 1)) % $P"
+  }
 
   /** Document fingerprints: a char-level 31-base rolling hash and a
     * token-sequence hash chaining md5-derived token ids — both mod 1e9+7
@@ -106,19 +119,29 @@ object TextOps {
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     // posexplode_outer + coalesce: a zero-length document still yields a
     // row, with fingerprint 0 — the fold's value over an empty sequence.
+    // Guard: positions beyond MaxFpLen would silently index past the power
+    // tables; raise_error makes the failure deterministic and loud in both
+    // ANSI settings (with ANSI off, element_at OOB returns null and the
+    // SUM would quietly skip terms — a wrong fingerprint, not an error).
+    def guarded(fp: String) =
+      s"CASE WHEN max(n) > $MaxFpLen THEN " +
+        s"raise_error(concat('fingerprint: document longer than $MaxFpLen positions (', " +
+        s"CAST(max(n) AS STRING), ')')) ELSE $fp END"
     val chars = documents(s, d)
       .select(col("doc_id"), expr(Chars).as("cs"))
       .select(col("doc_id"), size(col("cs")).as("n"),
         posexplode_outer(col("cs")).as(Seq("i", "c")))
       .groupBy("doc_id")
-      .agg(expr(s"coalesce(sum(ascii(c) % $P * element_at(${powers(31)}, n - i) % $P) % $P, 0L)")
+      .agg(expr(guarded(
+        s"coalesce(sum(ascii(c) % $P * (${powExpr(31, "n - 1 - i")}) % $P) % $P, 0L)"))
         .as("fp_chars"))
     val toks = documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"),
         posexplode_outer(col("toks")).as(Seq("i", "t")))
       .groupBy("doc_id")
-      .agg(expr(s"coalesce(sum(${DedupOps.h60("t")} % $P * element_at(${powers(131)}, n - i) % $P) % $P, 0L)")
+      .agg(expr(guarded(
+        s"coalesce(sum(${DedupOps.h60("t")} % $P * (${powExpr(131, "n - 1 - i")}) % $P) % $P, 0L)"))
         .as("fp_tokens"))
     chars.join(toks, "doc_id")
       .select(col("doc_id"), col("fp_chars"), col("fp_tokens"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.zip.{GlobRegex, SerializableConfiguration, ZipExtract}
+import graft.zip.{GlobRegex, GraftError, SerializableConfiguration, ZipExtract}
 
 /** DataSourceV2 `format("zip")` — SURVEY.md §7.2 M3: the reference's two
   * hand-rolled optimizations (src/builder.rs:180-195 — glob-filter entry
@@ -140,7 +140,12 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val globRegex = Option(options.get("glob")).map(GlobRegex.translate)
-    ZipReaderFactory(conf, globRegex, filters, required.fieldNames, limit)
+    // same scale guard as the flatMap path (ZipToParquetConfig.maxBodyBytes):
+    // an oversized entry fails typed instead of OOMing the executor
+    val maxBodyBytes =
+      Option(options.get("maxBodyBytes")).map(_.toLong).getOrElse(1L << 30)
+    ZipReaderFactory(conf, globRegex, filters, required.fieldNames, limit,
+      maxBodyBytes)
   }
 }
 
@@ -151,11 +156,13 @@ case class ZipReaderFactory(
     globRegex: Option[String],
     filters: Array[Filter],
     columns: Array[String],
-    limit: Int = -1) extends PartitionReaderFactory {
+    limit: Int = -1,
+    maxBodyBytes: Long = 1L << 30) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZipInputPartition]
-    new ZipPartitionReader(p, conf, globRegex, filters, columns, limit)
+    new ZipPartitionReader(p, conf, globRegex, filters, columns, limit,
+      maxBodyBytes)
   }
 }
 
@@ -167,7 +174,8 @@ class ZipPartitionReader(
     globRegex: Option[String],
     filters: Array[Filter],
     columns: Array[String],
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1,
+    maxBodyBytes: Long = 1L << 30) extends PartitionReader[InternalRow] {
 
   private var emitted = 0
 
@@ -176,12 +184,16 @@ class ZipPartitionReader(
   private val needSource = columns.contains("source")
 
   private val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
-  private val zin = {
-    val p = new Path(part.readPath)
-    val fs = p.getFileSystem(conf.value)
-    new java.util.zip.ZipInputStream(
-      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
-  }
+  private val zin =
+    try {
+      val p = new Path(part.readPath)
+      val fs = p.getFileSystem(conf.value)
+      new java.util.zip.ZipInputStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 16),
+        ZipExtract.EntryNameCharset)
+    } catch { case e: java.io.IOException =>
+      GraftError.raise(GraftError.ReadFile(part.displayPath, e.toString))
+    }
   private var current: InternalRow = _
   private var closed = false
 
@@ -192,7 +204,11 @@ class ZipPartitionReader(
       return false
     }
     while (current == null && !closed) {
-      val e = zin.getNextEntry
+      val e =
+        try zin.getNextEntry
+        catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+          GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
+        }
       if (e == null) { closed = true; zin.close() }
       else if (!e.isDirectory &&
                pattern.forall(_.matcher(e.getName).matches()) &&
@@ -202,7 +218,10 @@ class ZipPartitionReader(
         var body: Array[Byte] = null
         var hash: String = null
         if (needBody || needHash) { // read elision: src/builder.rs:185
-          val bytes = readEntry(e.getName)
+          // shared hardened read: maxBodyBytes guard + typed mid-inflate
+          // errors, identical to the flatMap path's semantics
+          val bytes = ZipExtract.readEntry(zin, maxBodyBytes, e.getName,
+            part.displayPath)
           if (needHash) hash = ZipExtract.sha256Hex(bytes)
           if (needBody) body = bytes
         }
@@ -221,14 +240,6 @@ class ZipPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = if (!closed) { closed = true; zin.close() }
-
-  private def readEntry(name: String): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(8192)
-    val buf = new Array[Byte](1 << 16)
-    var n = zin.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-    out.toByteArray
-  }
 }
 
 /** Driver/executor-side evaluation of the pushed v1 filters over the two

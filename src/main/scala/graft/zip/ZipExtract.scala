@@ -33,6 +33,13 @@ case class ZipToParquetConfig(
     singleFile: Boolean = true,    // reference writes exactly one file
     maxBodyBytes: Long = 1L << 30) // scale guard, SURVEY.md §7.6 (no ref analog)
 
+/** Typed error taxonomy mirroring the reference's (src/error.rs:4-45),
+  * message-compatible with its Display impl (src/error.rs:49-104). The
+  * reference's `Arrow` variant has no analog (no arrow layer here);
+  * `InvalidWaxGlob`/`InvalidGlob` collapse to one variant (one glob
+  * engine). Variants surface from Spark tasks wrapped in the usual
+  * SparkException chain — `GraftError.unwrap` digs the typed error back
+  * out of a task failure for callers that want to branch on it. */
 sealed trait GraftError { def message: String }
 object GraftError {
   /** Reference declared but never raised these (src/error.rs:28-31,36-38);
@@ -43,8 +50,48 @@ object GraftError {
   final case class InvalidGlob(glob: String, cause: String) extends GraftError {
     def message = s"invalid glob '$glob': $cause"
   }
+  /** src/error.rs:5-8,50-56 — opening/reading the archive file itself. */
+  final case class ReadFile(file: String, cause: String) extends GraftError {
+    def message = s"error reading file $file: $cause"
+  }
+  /** src/error.rs:9-12,57-62 — the output destination failed. */
+  final case class WriteFile(target: String, cause: String) extends GraftError {
+    def message = s"error writing to destination $target: $cause"
+  }
+  /** src/error.rs:13-16,63-68 — structurally broken zip (bad headers,
+    * truncated central directory, bogus compression method). */
+  final case class Zip(file: String, cause: String) extends GraftError {
+    def message = s"error reading zip file $file: $cause"
+  }
+  /** src/error.rs:17-21,69-82 — one entry's stream failed mid-inflate. */
+  final case class ReadFileInZip(fileName: String, file: String, cause: String)
+      extends GraftError {
+    def message = s"error reading file $fileName from zip $file: $cause"
+  }
+  /** src/error.rs:22-24,83 — the parquet sink failed. */
+  final case class Parquet(cause: String) extends GraftError {
+    def message = s"error writing to parquet: $cause"
+  }
+  /** src/error.rs:41,94-96 — no sink selected. */
+  case object NeedsOutputOrStdout extends GraftError {
+    def message = "must provide an output file or --stdout"
+  }
+  /** Scale guard with no reference analog (SURVEY.md §7.6): an entry
+    * inflated past maxBodyBytes — fail typed instead of OOMing the task. */
+  final case class EntryTooLarge(fileName: String, file: String, maxBytes: Long)
+      extends GraftError {
+    def message =
+      s"zip entry '$fileName' in $file exceeds maxBodyBytes=$maxBytes"
+  }
   final class GraftException(val err: GraftError) extends RuntimeException(err.message)
   def raise(err: GraftError): Nothing = throw new GraftException(err)
+  /** Find the typed error inside a (possibly Spark-wrapped) failure. */
+  @annotation.tailrec
+  def unwrap(t: Throwable): Option[GraftError] = t match {
+    case g: GraftException => Some(g.err)
+    case null => None
+    case _ => if (t.getCause eq t) None else unwrap(t.getCause)
+  }
 }
 
 /** Spark-native zip → rows extractor (reference dataflow:
@@ -145,8 +192,15 @@ object ZipExtract {
       maxBodyBytes: Long): Iterator[ZipEntryRow] = {
     val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
     val p = new Path(readPath)
-    val fs = p.getFileSystem(conf)
-    val zin = new ZipInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
+    val zin =
+      try {
+        val fs = p.getFileSystem(conf)
+        new ZipInputStream(new BufferedInputStream(fs.open(p), 1 << 16),
+          EntryNameCharset)
+      } catch { case e: java.io.IOException =>
+        // src/error.rs:5-8 — the archive itself is unreadable
+        GraftError.raise(GraftError.ReadFile(displayPath, e.toString))
+      }
     val source = if (needSource) displayPath else null
 
     new Iterator[ZipEntryRow] {
@@ -155,7 +209,12 @@ object ZipExtract {
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null && !done) {
-          val e = zin.getNextEntry
+          val e =
+            try zin.getNextEntry
+            catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+              // src/error.rs:13-16 — broken zip structure
+              GraftError.raise(GraftError.Zip(displayPath, x.toString))
+            }
           if (e == null) { done = true; zin.close() }
           else if (!e.isDirectory &&
                    pattern.forall(_.matcher(e.getName).matches())) {
@@ -164,7 +223,7 @@ object ZipExtract {
             var body: Array[Byte] = null
             var hash: String = null
             if (needRead) {
-              val bytes = readEntry(zin, maxBodyBytes, e.getName)
+              val bytes = readEntry(zin, maxBodyBytes, e.getName, displayPath)
               if (needHash) hash = sha256Hex(bytes) // src/builder.rs:196-209
               if (needBody) body = bytes            // src/builder.rs:185-195
             }
@@ -178,16 +237,29 @@ object ZipExtract {
     }
   }
 
-  private def readEntry(zin: ZipInputStream, maxBytes: Long, name: String): Array[Byte] = {
+  /** Entry names decode as cp437 unless the entry's EFS flag says UTF-8 —
+    * the zip appnote's rule (APPNOTE 4.4.4/D.2), which
+    * `ZipInputStream(in, charset)` implements: the charset argument applies
+    * only to non-EFS entries. The reference's wax-glob path is lossy on
+    * non-UTF8 names; we decode them faithfully (documented divergence,
+    * SURVEY.md §7.6). */
+  private[graft] val EntryNameCharset = java.nio.charset.Charset.forName("IBM437")
+
+  private[graft] def readEntry(zin: ZipInputStream, maxBytes: Long, name: String,
+      zipPath: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(8192)
     val buf = new Array[Byte](1 << 16)
-    var n = zin.read(buf)
-    while (n >= 0) {
-      out.write(buf, 0, n)
-      if (out.size() > maxBytes)
-        throw new RuntimeException(
-          s"zip entry '$name' exceeds maxBodyBytes=$maxBytes")
-      n = zin.read(buf)
+    try {
+      var n = zin.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes)
+          GraftError.raise(GraftError.EntryTooLarge(name, zipPath, maxBytes))
+        n = zin.read(buf)
+      }
+    } catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+      // src/error.rs:17-21 — this entry's stream failed mid-inflate
+      GraftError.raise(GraftError.ReadFileInZip(name, zipPath, x.toString))
     }
     out.toByteArray
   }
@@ -204,10 +276,15 @@ object ZipExtract {
     * reference's one-output-file contract via coalesce(1) — fine at parity
     * scale, NOT the default you want at 100 TB (write many files and let the
     * reader glob them); pass singleFile=false for the scalable layout.
-    * Row-group ceiling maps to parquet.block.size only approximately — Spark's
-    * writer sizes groups by bytes, not rows (deviation from
-    * src/builder.rs:254 documented in SURVEY.md §6). */
+    * Row-group sizing (reference `--row-group-size`, src/main.rs:41-43,
+    * enforced by src/builder.rs:254 `set_max_row_group_size`): parquet-mr's
+    * `parquet.block.row.count.limit` is the same rows-per-group ceiling, so
+    * the knob maps exactly. One deviation: parquet-mr ALSO closes a group
+    * when the byte limit (`parquet.block.size`) fills — a safety net the
+    * reference lacks; it never fires at the reference's 100-row default. */
   def run(spark: SparkSession, cfg: ZipToParquetConfig): Unit = {
+    // src/error.rs:41 + src/main.rs:57-62 — a sink must be chosen up front
+    if (cfg.output.isEmpty) GraftError.raise(GraftError.NeedsOutputOrStdout)
     val df0 = entries(spark, cfg)
     // repartition(1), NOT coalesce(1): coalesce folds the upstream
     // extraction into the single writer task (serializing the whole
@@ -216,10 +293,20 @@ object ZipExtract {
     // same N-producers/1-consumer topology as the reference's channel
     // (src/builder.rs:52-75).
     val df = if (cfg.singleFile) df0.repartition(1) else df0
-    df.write
+    try df.write
       .mode("overwrite")
       .option("compression", "snappy") // src/builder.rs:253
+      // rows-per-row-group ceiling (src/builder.rs:254); writer options are
+      // copied into the task Hadoop conf, where parquet-mr reads this key
+      .option("parquet.block.row.count.limit", cfg.rowGroupSize.toString)
       .parquet(cfg.output)
+    catch {
+      // extraction-side typed errors pass through unchanged; only failures
+      // of the sink itself become WriteFile (src/error.rs:9-12)
+      case e: Throwable if GraftError.unwrap(e).isDefined => throw e
+      case e: java.io.IOException =>
+        GraftError.raise(GraftError.WriteFile(cfg.output, e.toString))
+    }
   }
 
   /** O10 — stdout sink (reference `--stdout`, src/main.rs:72-95,

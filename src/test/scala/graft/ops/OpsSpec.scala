@@ -12,8 +12,8 @@ class OpsSpec extends SparkSpec {
 
   // Queries whose output may legitimately be empty at tiny scale (pair
   // thresholds / selective filters).
-  private val mayBeEmpty = Set("d_ngram_jaccard", "d_minhash_lsh",
-    "d_simhash_pairs", "d_embedding_neardup", "q_anti_join")
+  private val mayBeEmpty = Set("d_ngram_jaccard", "d_ngram_jaccard_uncapped",
+    "d_minhash_lsh", "d_simhash_pairs", "d_embedding_neardup", "q_anti_join")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
@@ -43,6 +43,57 @@ class OpsSpec extends SparkSpec {
     DedupOps.simhashPairs(spark, sf).collect().foreach { r =>
       assert(r.getLong(2) <= 3)
     }
+  }
+
+  test("LSH/SimHash self-joins reuse the shuffle exchange (no double compute)") {
+    // Both sides of each banded self-join shuffle the SAME subtree on the
+    // same key — the physical plan must materialize that exchange once. A
+    // regression here doubles the dominant compute at corpus scale. At test
+    // scale the small side broadcasts (also fine — one-sided compute), so
+    // force the corpus-scale shuffle-join shape to assert the reuse.
+    val conf = spark.conf
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("d_minhash_lsh", "d_simhash_pairs")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"),
+          s"$q plan shows no exchange reuse:\n$plan")
+      }
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("vec_dot fails loudly on dimension mismatch (no silent truncation)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(1.0D)) AS d").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")))
+  }
+
+  test("fingerprint handles documents longer than one power-table chunk (>1024)") {
+    // Regression: the single 1024-entry powers table silently dropped terms
+    // (ANSI off) or threw (ANSI on) past position 1024. The two-table
+    // factorization must match the sequential rolling hash exactly.
+    val P = 1000000007L
+    val text = (0 until 1500).map(i => s"w${i % 37}").mkString(" ") // 1500 tokens, >4000 chars
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextOps.fingerprint(spark, dir.getAbsolutePath).collect()(0)
+    // expected: sequential folds in plain Scala
+    val expChars = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val expToks = text.split(" ").foldLeft(0L) { (acc, t) =>
+      (acc * 131 + Hash60(t) % P) % P
+    }
+    assert(row.getLong(1) == expChars, "char fingerprint")
+    assert(row.getLong(2) == expToks, "token fingerprint")
   }
 
   test("cosine topk ranks are dense per query") {

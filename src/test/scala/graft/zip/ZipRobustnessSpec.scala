@@ -31,7 +31,7 @@ class ZipRobustnessSpec extends SparkSpec {
     assert(r2 == 3.0)
   }
 
-  test("maxBodyBytes guards against oversized entries") {
+  test("maxBodyBytes guards against oversized entries (typed EntryTooLarge)") {
     val f = new File(dir, "big.zip")
     val z = new ZipOutputStream(new FileOutputStream(f))
     z.putNextEntry(new ZipEntry("big.bin"))
@@ -41,9 +41,108 @@ class ZipRobustnessSpec extends SparkSpec {
     val e = intercept[Exception] {
       ZipExtract.entries(spark, cfg).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
-    assert(messages(e).exists(m => m != null && m.contains("maxBodyBytes")))
+    assert(GraftError.unwrap(e).exists(_.isInstanceOf[GraftError.EntryTooLarge]))
+  }
+
+  test("DSv2 reader honors the maxBodyBytes option (typed EntryTooLarge)") {
+    val f = new File(dir, "big2.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    z.putNextEntry(new ZipEntry("big.bin"))
+    z.write(new Array[Byte](4096))
+    z.closeEntry(); z.close()
+    val e = intercept[Exception] {
+      spark.read.format("zip").option("maxBodyBytes", "100")
+        .load(f.getAbsolutePath).collect()
+    }
+    assert(GraftError.unwrap(e).exists(_.isInstanceOf[GraftError.EntryTooLarge]))
+    // under the limit → reads fine
+    assert(spark.read.format("zip").option("maxBodyBytes", "8192")
+      .load(f.getAbsolutePath).count() == 1)
+  }
+
+  test("truncated entry stream raises typed ReadFileInZip (error.rs:17-21)") {
+    val good = new File(dir, "tr_good.zip")
+    val z = new ZipOutputStream(new FileOutputStream(good))
+    z.putNextEntry(new ZipEntry("a.bin"))
+    val rnd = new scala.util.Random(7)
+    val body = new Array[Byte](50000)
+    rnd.nextBytes(body) // incompressible → deflated ≈ 50KB, cut lands mid-stream
+    z.write(body)
+    z.closeEntry(); z.close()
+    val bytes = Files.readAllBytes(good.toPath)
+    val bad = new File(dir, "truncated.zip")
+    Files.write(bad.toPath, bytes.take(bytes.length / 2)) // cut mid-deflate
+    val e = intercept[Exception] {
+      ZipExtract.entries(spark,
+        ZipToParquetConfig(inputs = Seq(bad.getAbsolutePath))).collect()
+    }
+    assert(GraftError.unwrap(e).exists {
+      case _: GraftError.ReadFileInZip | _: GraftError.Zip => true
+      case _ => false
+    })
+  }
+
+  test("archive vanishing between plan and read raises typed ReadFile (error.rs:5-8)") {
+    val f = new File(dir, "vanish.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    z.putNextEntry(new ZipEntry("x")); z.write("x".getBytes); z.closeEntry(); z.close()
+    val df = ZipExtract.entries(spark,
+      ZipToParquetConfig(inputs = Seq(f.getAbsolutePath)))
+    assert(f.delete())
+    val e = intercept[Exception] { df.collect() }
+    assert(GraftError.unwrap(e).exists(_.isInstanceOf[GraftError.ReadFile]))
+  }
+
+  test("run() without an output raises typed NeedsOutputOrStdout (error.rs:41)") {
+    val e = intercept[GraftError.GraftException] {
+      ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq("whatever")))
+    }
+    assert(e.err == GraftError.NeedsOutputOrStdout)
+  }
+
+  test("row-group-size knob: groups in the footer honor the rows ceiling") {
+    val f = new File(dir, "rg.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    (0 until 10).foreach { i =>
+      z.putNextEntry(new ZipEntry(s"e$i.txt")); z.write(s"body$i".getBytes); z.closeEntry()
+    }
+    z.close()
+    val out = new File(dir, "rg_out.parquet")
+    ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq(f.getAbsolutePath),
+      output = out.getAbsolutePath, rowGroupSize = 3))
+    val part = out.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val groups = reader.getRowGroups
+      // 10 rows at a 3-row ceiling → 4 groups of (3,3,3,1), like the
+      // reference's set_max_row_group_size (src/builder.rs:254)
+      assert(groups.size() == 4, s"expected 4 row groups, got ${groups.size()}")
+      val counts = (0 until groups.size()).map(i => groups.get(i).getRowCount)
+      assert(counts.forall(_ <= 3) && counts.sum == 10)
+    } finally reader.close()
+  }
+
+  test("cp437 entry names decode correctly (APPNOTE D.2; wax-lossy divergence)") {
+    // ZipOutputStream with an explicit non-UTF8 charset writes names in
+    // that charset WITHOUT the EFS flag — the case the reference's wax
+    // crate mangles lossily and ZipInputStream(in, cp437) decodes exactly.
+    val f = new File(dir, "cp437.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f),
+      java.nio.charset.Charset.forName("IBM437"))
+    val name = "ñandú_café.txt" // every char exists in cp437
+    z.putNextEntry(new ZipEntry(name)); z.write("x".getBytes); z.closeEntry()
+    z.close()
+    val got = ZipExtract.entries(spark,
+      ZipToParquetConfig(inputs = Seq(f.getAbsolutePath)))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(name))
+    // and via the DSv2 path
+    val got2 = spark.read.format("zip").load(f.getAbsolutePath)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq(name))
   }
 
   test("non-ASCII UTF-8 entry names round-trip") {
