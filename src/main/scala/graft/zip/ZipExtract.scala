@@ -31,7 +31,12 @@ case class ZipToParquetConfig(
     entryGlob: Option[String] = None, // -g/--glob (src/main.rs:38-40)
     rowGroupSize: Int = 100,       // --row-group-size (src/main.rs:41-43)
     singleFile: Boolean = true,    // reference writes exactly one file
-    maxBodyBytes: Long = 1L << 30) // scale guard, SURVEY.md §7.6 (no ref analog)
+    maxBodyBytes: Long = 1L << 30, // scale guard, SURVEY.md §7.6 (no ref analog)
+    // Byte-parity mode for the reference's B2 quirk (SURVEY.md B2): its
+    // Debug-format bug stores the hash quote-wrapped ("\"<hex>\"",
+    // src/builder.rs:207). Default is the intended plain hex; enable this
+    // to produce output diffable byte-for-byte against real reference runs.
+    quirkQuotedHash: Boolean = false)
 
 /** Typed error taxonomy mirroring the reference's (src/error.rs:4-45),
   * message-compatible with its Display impl (src/error.rs:49-104). The
@@ -174,7 +179,12 @@ object ZipExtract {
       extractOne(readPath, displayPath, hadoopConf.value, globRegex, needRead,
         needBody, needHash, needSource, maxBody)
     }(org.apache.spark.sql.Encoders.product[ZipEntryRow])
-    rows.toDF()
+    val df = rows.toDF()
+    // B2 byte-parity: reproduce the reference's quote-wrapped stored hash
+    // (src/builder.rs:207 Debug-format bug). concat preserves NULL.
+    if (cfg.quirkQuotedHash)
+      df.withColumn("hash", concat(lit("\""), col("hash"), lit("\"")))
+    else df
   }
 
   /** Stream one archive; iterator so downstream write pipelines without

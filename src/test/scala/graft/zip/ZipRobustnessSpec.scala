@@ -125,6 +125,21 @@ class ZipRobustnessSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("quirkQuotedHash reproduces the reference's quote-wrapped stored hash (B2)") {
+    val f = new File(dir, "quirk.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    z.putNextEntry(new ZipEntry("a.txt")); z.write("hi".getBytes); z.closeEntry()
+    z.close()
+    val plain = ZipExtract.entries(spark,
+      ZipToParquetConfig(inputs = Seq(f.getAbsolutePath)))
+      .collect()(0).getString(3)
+    val quirk = ZipExtract.entries(spark,
+      ZipToParquetConfig(inputs = Seq(f.getAbsolutePath), quirkQuotedHash = true))
+      .collect()(0).getString(3)
+    assert(quirk == "\"" + plain + "\"")
+    assert(plain.length == 64 && !plain.contains("\""))
+  }
+
   test("cp437 entry names decode correctly (APPNOTE D.2; wax-lossy divergence)") {
     // ZipOutputStream with an explicit non-UTF8 charset writes names in
     // that charset WITHOUT the EFS flag — the case the reference's wax
