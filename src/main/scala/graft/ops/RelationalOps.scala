@@ -257,6 +257,111 @@ object RelationalOps {
       .filter(col("n") > 10)
       .orderBy("bucket")
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize.
+    * Spark expands the sets map-side like cube: still one shuffle keyed by
+    * (grouping-set id, keys). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_discount")).as("disc"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("disc"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Variance / stddev / correlation with oracle-exact determinism: the
+    * built-in var_samp/corr accumulate doubles in partition order (non-
+    * reproducible bit-level), so the moments are assembled from EXACT
+    * integer sums — cents as BIGINT, squared cents summed in DECIMAL(38,0)
+    * (cents² ~1e14 × 6e5 rows overflows BIGINT) — then one fixed-shape
+    * double formula. Same single-shuffle partial-agg plan as any sum. */
+  def qStatsExact(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("c")).as("sc"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("scc"),
+        sum(col("q") * col("c")).as("sqc"))
+      .select(col("l_returnflag"), col("n"),
+        expr("(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)")
+          .as("var_qty"),
+        expr("sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0")
+          .as("stddev_price"),
+        expr("""(n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE)) /
+                (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                 sqrt(n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))""")
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact distributed quantiles (discrete median + p90) via row_number —
+    * no interpolation, no double accumulation, deterministic in both
+    * engines. One shuffle (window by group); at 100 TB a skewed group key
+    * would use the two-phase partial-histogram form instead. */
+  def qMedianDisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(expr("rn = (n + 1) DIV 2"), col("qty"))).as("median_qty"),
+        max(when(expr("rn = (9 * n + 9) DIV 10"), col("qty"))).as("p90_qty"),
+        max(col("n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** FULL OUTER join: nations' premium-customer counts vs discount-supplier
+    * counts — either side can be absent (coalesced keys/zeros). */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** CROSS JOIN (explicit cartesian): region × region ordered pairs —
+    * tiny × tiny via broadcast NLJ; the operator surface, not a scale
+    * pattern. */
+  def qCrossJoin(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).select(col("r_name"))
+    r.as("a").crossJoin(broadcast(r.as("b")))
+      .select(col("a.r_name").as("r1"), col("b.r_name").as("r2"))
+      .orderBy("r1", "r2")
+  }
+
+  /** Array function family: build, sort, aggregate and serialize arrays
+    * per group (output stays scalar so the oracle hash-compares). Sorting
+    * the collected list makes collect_list's arrival order irrelevant. */
+  def qArrayFns(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .filter(col("s_suppkey") <= 40)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(collect_list(col("s_suppkey")).as("keys"))
+      .select(col("nationkey"),
+        size(col("keys")).as("n_keys"),
+        expr("array_join(array_sort(keys), ',')").as("key_csv"),
+        expr("array_max(keys)").as("max_key"),
+        expr("array_min(keys)").as("min_key"),
+        expr("aggregate(array_sort(keys), 0L, (a, x) -> a + x)").as("key_sum"),
+        expr("array_contains(keys, 7L)").as("has_7"))
+      .orderBy("nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_topk_join" -> q3TopkJoin,
@@ -276,7 +381,13 @@ object RelationalOps {
     "q_string_fns" -> qStringFns,
     "q_date_fns" -> qDateFns,
     "q_math_fns" -> qMathFns,
-    "q_case_having" -> qCaseHaving)
+    "q_case_having" -> qCaseHaving,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_stats_exact" -> qStatsExact,
+    "q_median_disc" -> qMedianDisc,
+    "q_full_outer" -> qFullOuter,
+    "q_cross_join" -> qCrossJoin,
+    "q_array_fns" -> qArrayFns)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> s"""
@@ -423,5 +534,68 @@ object RelationalOps {
                         WHEN o_totalprice < 200000 THEN 'medium'
                         ELSE 'large' END AS bucket, o_totalprice
             FROM orders) t
-      GROUP BY bucket HAVING count(*) > 10 ORDER BY bucket""")
+      GROUP BY bucket HAVING count(*) > 10 ORDER BY bucket""",
+    "q_grouping_sets" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, ${dsumSql("l_discount")} AS disc
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY returnflag, linestatus""",
+    "q_stats_exact" -> """
+      WITH t AS (SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                 FROM lineitem),
+      m AS (SELECT l_returnflag, count(*) AS n,
+              sum(q) AS sq, sum(q * q) AS sqq,
+              sum(c) AS sc, sum(CAST(c * c AS DECIMAL(38,0))) AS scc,
+              sum(q * c) AS sqc
+            FROM t GROUP BY 1)
+      SELECT l_returnflag, n,
+             (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
+               AS var_qty,
+             sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0
+               AS stddev_price,
+             (n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE)) /
+             (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+              sqrt(n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+               AS corr_qty_price
+      FROM m ORDER BY l_returnflag""",
+    "q_median_disc" -> """
+      WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+                 FROM lineitem)
+      SELECT l_returnflag,
+             max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS median_qty,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90_qty,
+             max(n) AS n
+      FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_full_outer" -> """
+      WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                 FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+            FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      SELECT coalesce(c.nk, s.nk) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nationkey""",
+    "q_cross_join" -> """
+      SELECT a.r_name AS r1, b.r_name AS r2
+      FROM region a CROSS JOIN region b
+      ORDER BY r1, r2""",
+    "q_array_fns" -> """
+      WITH g AS (SELECT s_nationkey AS nationkey, list(s_suppkey) AS keys
+                 FROM supplier WHERE s_suppkey <= 40 GROUP BY 1)
+      SELECT nationkey,
+             CAST(len(keys) AS INT) AS n_keys,
+             array_to_string(list_sort(keys), ',') AS key_csv,
+             list_max(keys) AS max_key,
+             list_min(keys) AS min_key,
+             list_reduce(list_prepend(0::BIGINT, list_sort(keys)), (a, x) -> a + x)
+               AS key_sum,
+             list_contains(keys, 7) AS has_7
+      FROM g ORDER BY nationkey""")
 }

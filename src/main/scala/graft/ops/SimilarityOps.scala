@@ -114,9 +114,85 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+  // The third standard ANN tier beside brute force and LSH: a small coarse
+  // codebook partitions the corpus into K cells (the "inverted lists");
+  // a query probes only its nprobe nearest cells. Production trains the
+  // codebook with k-means on a sample and broadcasts it; here the codebook
+  // is a deterministic md5-derived set of vectors so the DuckDB oracle can
+  // replay the exact same assignment. The plan shape is the 100 TB story:
+  // assignment is a NARROW pass (codebook inlined as literals — at scale, a
+  // broadcast), the cell id becomes the corpus partition key, and a probe
+  // touches nprobe/K of the data.
+  private val NumCells = 8
+  private val NProbe = 2
+  private[ops] val cells: IndexedSeq[IndexedSeq[Long]] =
+    (0 until NumCells).map(j => (0 until Dim).map(i => h60(s"ivf_${j}_$i") % 2001 - 1000))
+  private val cellNormSq: IndexedSeq[Long] = cells.map(c => c.map(x => x * x).sum)
+
+  /** Spark-side score of `embedding` against centroid j: dot / |c_j|.
+    * (The row's own norm is a positive constant per row — it cannot change
+    * the argmax, so assignment skips it.) */
+  private def cellScore(j: Int): String =
+    s"(${Vec.dotConst("embedding", cells(j))}) / sqrt(CAST(${cellNormSq(j)} AS DOUBLE))"
+
+  /** DuckDB twin of [[cellScore]] — same literals, same fold order. */
+  private def cellScoreSql(j: Int): String = {
+    val w = cells(j).mkString(", ")
+    s"""(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(embedding, [$w]),
+            q -> CAST(q[1] AS DOUBLE) * q[2])), (a, v) -> a + v)
+        / sqrt(CAST(${cellNormSq(j)} AS DOUBLE)))"""
+  }
+
+  /** Argmax over the K cell scores, ties to the lowest cell id — the same
+    * ascending >=-chain in both engines (cf. TextOps.langId). Operates on
+    * bound columns s0..s{K-1}. */
+  private val argmaxCase: String =
+    (0 until NumCells - 1).map { j =>
+      val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+
+  /** IVF ANN: assign every vector to its nearest codebook cell (narrow,
+    * codegen'd argmax over K inlined centroids), probe the NProbe best
+    * cells per query, exact-cosine re-rank inside the probed cells. */
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val scored = embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +:
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+    val assigned = scored.select(col("vec_id"), col("embedding"), col("nrm"),
+      expr(argmaxCase).cast("long").as("cell"))
+    // query side (tiny): rank all K cells, keep the NProbe best
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("probe_cell"))
+    val probes = scored.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        posexplode(array((0 until NumCells).map(j => col(s"s$j")): _*))
+          .as(Seq("probe_cell", "score")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe_cell").cast("long").as("cell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        expr(s"(${Vec.dot("q_emb", "embedding")}) / (q_nrm * nrm)").as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cell"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> cosineTopk,
-    "s_ann_lsh" -> annLsh)
+    "s_ann_lsh" -> annLsh,
+    "s_ivf_topk" -> ivfTopk)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -139,5 +215,47 @@ object SimilarityOps {
         FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         WHERE q.vec_id < 5)
       SELECT q_id, bucket, rank::INT AS rank, vec_id, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY q_id, rank""")
+      WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s_ivf_topk" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, v) -> a + v))"""
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
+      val dotQC = """list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(p.q_emb, a.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+      s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
+      probes0 AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+               j AS probe_cell, ($sList)[j + 1] AS score
+        FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
+        WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, q_emb, q_nrm, probe_cell::BIGINT AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, probe_cell) AS pr
+          FROM probes0)
+        WHERE pr <= $NProbe),
+      ranked AS (
+        SELECT p.q_id, a.cell, a.vec_id,
+               $dotQC / (p.q_nrm * a.nrm) AS cosine,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY $dotQC / (p.q_nrm * a.nrm) DESC, a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.q_id <> a.vec_id)
+      SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
+      FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
 }
