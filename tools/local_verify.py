@@ -34,6 +34,16 @@ def main(sf_dir, out_dir):
     results = {}
     qdirs = sorted(d.split("/")[-1].removesuffix(".parquet")
                    for d in glob.glob(f"{out_dir}/*.parquet"))
+    # A query that threw in Spark produces no output dir at all — that must
+    # fail the gate, not silently shrink the denominator. Use the declared
+    # manifest when present (covers rows-only queries), else oracle keys.
+    try:
+        declared = set(json.load(open(f"{out_dir}/queries.json")))
+    except FileNotFoundError:
+        declared = {k for k in oracle if not k.endswith(".parquet")}
+    for name in declared:
+        if name not in qdirs:
+            results[name] = "MISSING_SPARK_OUTPUT (query threw in Verify?)"
     for name in qdirs:
         files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not files:
