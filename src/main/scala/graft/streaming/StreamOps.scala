@@ -84,6 +84,40 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }
 
+  /** Streaming exact dedup — the streaming dual of DedupOps.exactDedup:
+    * keep the first arrival per content hash, drop later duplicates. State
+    * is keyed by the md5 hash (uniform — never skewed) and expired by the
+    * watermark: at 100 TB/day the state store holds one tiny row per
+    * distinct document seen within the dedup horizon, hash-partitioned
+    * across executors, instead of an unbounded all-time set. Exactly the
+    * trade a streaming pipeline wants: duplicates arriving further apart
+    * than the horizon pass through (re-deduped by the batch job). */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-stream interval join: each click pairs with the same user's
+    * view at most `intervalMinutes` earlier. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so Spark can
+    * expire buffered state on each side — without the time bounds a
+    * stream-stream join buffers forever. Keyed by user id: state and the
+    * join shuffle are hash-partitioned, no broadcast of an unbounded side. */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame,
+      watermark: String = "1 hour", intervalMinutes: Int = 10): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("item").as("view_item")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("item").as("click_item")).withWatermark("click_ts", watermark)
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("click_item"),
+        col("view_ts"), col("view_item"))
+  }
+
   /** Watch a landing directory for new zip archives and append their
     * extracted entries to a parquet sink — the streaming version of the
     * reference's whole pipeline ("drop zips in, get rows out"). The file

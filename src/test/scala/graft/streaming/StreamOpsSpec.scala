@@ -60,6 +60,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 10 * min, 2L)))
   }
 
+  // NB: event times must sit ABOVE the initial watermark (epoch 0) — a row
+  // stamped exactly 1970-01-01T00:00:00 is dropped as late before any
+  // stateful op sees it. All streaming tests offset by a day.
+  private val dayUs = 86400L * 1000000L
+
+  test("dedupStream keeps first arrival per content hash within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, String)]
+    val docs = in.toDF().toDF("doc_id", "ts_us", "text")
+      .select(col("doc_id"), expr("timestamp_micros(ts_us)").as("ts"), col("text"))
+    val q = StreamOps.dedupStream(docs, "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val min = 60L * 1000000L
+    in.addData((1L, dayUs, "same"))
+    q.processAllAvailable()
+    // second batch: arrival order is now defined — doc 2 is the duplicate
+    in.addData((2L, dayUs + min, "same"), (3L, dayUs + 2 * min, "other"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("intervalJoinStream pairs clicks with views in the preceding interval") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val vIn = MemoryStream[(Long, Long, String)]
+    val cIn = MemoryStream[(Long, Long, String)]
+    def df(m: MemoryStream[(Long, Long, String)]) = m.toDF()
+      .toDF("user_id", "ts_us", "item")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"), col("item"))
+    val q = StreamOps.intervalJoinStream(df(vIn), df(cIn), "1 hour", 10)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    vIn.addData((1L, dayUs, "itemA"), (1L, dayUs + 30 * min, "itemB"),
+      (2L, dayUs, "itemC"))
+    cIn.addData((1L, dayUs + 5 * min, "itemA"), // 5 min after view A → joins
+      (1L, dayUs + 45 * min, "itemA"))          // 15 min after view B → no match
+    q.processAllAvailable()
+    val rows = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(4))).toSeq
+    q.stop()
+    assert(rows == Seq((1L, "itemA", "itemA")))
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"
