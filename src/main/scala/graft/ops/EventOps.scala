@@ -130,13 +130,35 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** LEAD/LAG analytic family: per-user previous/next event values and the
+    * inter-event gap — the per-entity "delta" pass every event pipeline
+    * runs. One shuffle on user_id; (ts, event_id) makes the order total so
+    * lead/lag are deterministic under duplicate timestamps. */
+  def qLeadLag(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("next_value", lead(col("value"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("gap_us",
+        col("ts_us") - lag(col("ts_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value"), col("prev_value"), col("next_value"), col("gap_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> qJsonExtract,
     "q_tumbling_window" -> qTumbling,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
-    "q_skew_salted" -> qSkewSalted)
+    "q_skew_salted" -> qSkewSalted,
+    "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
     "q_json_extract" -> """
@@ -191,5 +213,16 @@ object EventOps {
     // the salt is invisible in the result: a plain exact-sum groupBy.
     "q_skew_salted" -> s"""
       SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total_value
-      FROM events GROUP BY event_type ORDER BY event_type""")
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_lead_lag" -> """
+      WITH t AS (SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "value"
+                 FROM events WHERE user_id < 50)
+      SELECT user_id, event_id, ts_us, "value",
+             lag("value", 1) OVER w AS prev_value,
+             lead("value", 1) OVER w AS next_value,
+             ts_us - lag(ts_us, 1) OVER w AS gap_us
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ORDER BY user_id, ts_us, event_id""")
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan guards for the properties that make these plans survive a
+  * 100× scale-up: column pruning reaching the parquet scan, predicate
+  * pushdown, broadcast of small join sides, no cartesian products, and
+  * whole-stage codegen in the hot paths. These assert plan SHAPE (the
+  * oracle gate asserts values); a regression here silently multiplies IO
+  * or shuffle volume long before it changes any answer. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  private def readSchemas(p: String): Seq[String] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("q_topk scan prunes to exactly the three projected columns") {
+    val schemas = readSchemas(plan("q_topk"))
+    assert(schemas.nonEmpty)
+    val cols = schemas.head.split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_extendedprice"),
+      s"scan reads $cols")
+  }
+
+  test("d_exact_dedup scan prunes to doc_id and text") {
+    val cols = readSchemas(plan("d_exact_dedup")).head
+      .split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("doc_id", "text"), s"scan reads $cols")
+  }
+
+  test("q_json_extract pushes the event_id range filter into the scan") {
+    val p = plan("q_json_extract")
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(event_id"),
+      s"no pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("q5_star_join broadcasts the dimension tables") {
+    val p = plan("q5_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product appeared")
+  }
+
+  test("s_cosine_topk broadcasts the query side, never the corpus") {
+    val p = plan("s_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "cartesian product appeared")
+  }
+
+  test("dedup hot paths stay inside whole-stage codegen") {
+    // AQE's unfinalized plan string hides codegen spans — assert on the
+    // statically compiled plan instead.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("d_minhash_lsh", "d_simhash_pairs", "d_ngram_jaccard")) {
+        val p = plan(q)
+        // codegen'd operators print with a `*(n)` stage prefix
+        assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+          s"$q fell out of codegen:\n${p.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("s_ivf_topk assignment is a narrow scan (no shuffle before the probe join)") {
+    val p = plan("s_ivf_topk")
+    // the corpus side must be scan → project (argmax over inlined
+    // centroids) → join; a shuffle before the join would mean the
+    // assignment pass lost its narrowness
+    assert(p.contains("vec_dot"), "inlined centroid scores missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
