@@ -303,20 +303,27 @@ object RelationalOps {
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
 
-  /** Exact distributed quantiles (discrete median + p90) via row_number —
-    * no interpolation, no double accumulation, deterministic in both
-    * engines. One shuffle (window by group); at 100 TB a skewed group key
-    * would use the two-phase partial-histogram form instead. */
+  /** Exact distributed quantiles (discrete median + p90) in histogram
+    * two-phase form — the shape that survives skewed group keys: phase 1
+    * is a partial-aggregated count per (group, value) whose shuffle volume
+    * is |distinct values| per group regardless of row skew (a naive
+    * row_number window over the 3-value group key funnels the whole table
+    * through 3 tasks); phase 2 runs the cumulative window over the tiny
+    * histogram. The quantile picked (smallest value whose cumulative count
+    * reaches the position) is identical to row_number selection. */
   def qMedianDisc(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
     lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(expr("rn = (n + 1) DIV 2"), col("qty"))).as("median_qty"),
-        max(when(expr("rn = (9 * n + 9) DIV 10"), col("qty"))).as("p90_qty"),
+        min(when(expr("cum >= (n + 1) DIV 2"), col("qty"))).as("median_qty"),
+        min(when(expr("cum >= (9 * n + 9) DIV 10"), col("qty"))).as("p90_qty"),
         max(col("n")).as("n"))
       .orderBy("l_returnflag")
   }

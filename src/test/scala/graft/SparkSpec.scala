@@ -19,5 +19,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // managed tables (BucketingSpec) go to a scratch warehouse, not ./
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate())
 }

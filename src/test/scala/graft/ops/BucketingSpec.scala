@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bucketing scale story, proven on the physical plan: co-bucketed
+  * fact tables join (and then aggregate on the join key) with ZERO
+  * exchanges — the layout pays the shuffle once at write time. */
+class BucketingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("co-bucketed join + key aggregation plans with no shuffle") {
+    val conf = spark.conf
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Bucketing.writeBucketed(Tables.lineitem(spark, sf), "li_bucketed",
+        "l_orderkey", 4)
+      Bucketing.writeBucketed(Tables.orders(spark, sf), "ord_bucketed",
+        "o_orderkey", 4)
+      val joined = Bucketing.cobucketJoin(spark, "li_bucketed", "ord_bucketed",
+        "l_orderkey", "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(3000)}")
+      // and the result is the same as the shuffled join's
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      assert(joined.orderBy("l_orderkey").collect().toSeq ==
+        expected.orderBy("l_orderkey").collect().toSeq)
+    } finally {
+      prev.foreach { case (k, v) => conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

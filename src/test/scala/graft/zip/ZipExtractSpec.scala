@@ -144,6 +144,28 @@ class ZipExtractSpec extends SparkSpec {
     assert(spark.read.parquet(f.getAbsolutePath).count() == 2)
   }
 
+  test("extracted rows write to ORC/JSON/CSV sinks and round-trip (sink generality)") {
+    val df = ZipExtract.entries(spark, ZipToParquetConfig(inputs = Seq(zip1)))
+    // ORC carries the full schema including binary body
+    val orcOut = new File(dir, "out.orc").getAbsolutePath
+    df.write.mode("overwrite").orc(orcOut)
+    val orcBack = spark.read.orc(orcOut)
+    assert(orcBack.count() == 2)
+    assert(orcBack.collect().find(_.getString(0) == "a.txt").get
+      .getAs[Array[Byte]]("body").sameElements(bodyA))
+    // JSON/CSV: textual sinks for the names+hash projection
+    val proj = df.select("name", "hash")
+    val jsonOut = new File(dir, "out.json").getAbsolutePath
+    proj.write.mode("overwrite").json(jsonOut)
+    assert(spark.read.json(jsonOut).collect().map(_.getAs[String]("name")).sorted
+      .sameElements(Array("a.txt", "img/b.png")))
+    val csvOut = new File(dir, "out.csv").getAbsolutePath
+    proj.write.mode("overwrite").option("header", "true").csv(csvOut)
+    val csvBack = spark.read.option("header", "true").csv(csvOut)
+    assert(csvBack.count() == 2)
+    assert(csvBack.collect().find(_.getString(0) == "a.txt").get.getString(1) == sha(bodyA))
+  }
+
   test("property: random round-trip zip(files) -> extract == files") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
