@@ -181,13 +181,71 @@ object TextOps {
         expr("n_bpe / n_ws").as("bpe_per_ws"))
       .orderBy("doc_id")
 
+  /** Repetition metrics (the Gopher-style repetition filters a training
+    * corpus is cleaned with): per document, the most frequent bigram's
+    * share of all bigrams and the duplicate-shingle fraction. Plan: one
+    * explode → (doc, bigram) partial-agg count → per-doc max — shuffle
+    * volume is distinct bigrams per doc, not token count. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_tokens"),
+        expr("""CASE WHEN size(toks) >= 2 THEN
+                  transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+                ELSE array() END""").as("bigrams"))
+    val top = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    base
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        expr("size(array_distinct(bigrams))").cast("long").as("n_distinct_bg"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        expr("IF(n_bigrams = 0, 0.0D, coalesce(top_bigram_n, 0L) / n_bigrams)")
+          .as("top_bigram_frac"),
+        expr("IF(n_bigrams = 0, 0.0D, (n_bigrams - n_distinct_bg) / n_bigrams)")
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus-cleaning pipeline — the composition a real
+    * training-data job runs as ONE plan (each stage stays declarative, so
+    * Catalyst fuses the scans and pushes the cheap filters below the
+    * dedup shuffle): quality gate → exact dedup (keep smallest doc_id per
+    * content hash) → English-majority gate → per-doc stats out. */
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .withColumn("nt", expr(s"size($Toks)").cast("long"))
+      .withColumn("nd", expr(s"size(array_distinct($Toks))").cast("long"))
+      .withColumn("en_hits", expr(hitsExpr(stops.head._2)).cast("long"))
+      .filter(col("nt") >= 20 && expr("nd / nt") > 0.3)
+    val kept = scored
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored.join(kept, Seq("doc_id"))
+      .filter(col("en_hits") >= 2)
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        expr("nd / nt").as("ttr"),
+        expr("en_hits / nt").as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
     "t_fingerprint" -> fingerprint,
     "t_ngram_freq" -> ngramFreq,
-    "t_bpe_tokens" -> bpeTokens)
+    "t_bpe_tokens" -> bpeTokens,
+    "t_repetition" -> repetition,
+    "t_pipeline" -> pipeline)
 
   val oracles: Map[String, String] = Map(
     "t_token_stats" -> """
@@ -249,5 +307,38 @@ object TextOps {
                    len(regexp_extract_all(text, '$BpePat'))::BIGINT n_bpe
                  FROM documents)
       SELECT doc_id, n_ws, n_bpe, n_bpe / n_ws AS bpe_per_ws
-      FROM t ORDER BY doc_id""")
+      FROM t ORDER BY doc_id""",
+    "t_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      b AS (SELECT doc_id, len(toks)::BIGINT n_tokens,
+              CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+            FROM t),
+      e AS (SELECT doc_id, unnest(bigrams) bg FROM b),
+      c AS (SELECT doc_id, bg, count(*) c FROM e GROUP BY 1, 2),
+      tp AS (SELECT doc_id, max(c) AS top_bigram_n FROM c GROUP BY 1)
+      SELECT b.doc_id, n_tokens,
+             coalesce(top_bigram_n, 0) AS top_bigram_n,
+             CASE WHEN len(bigrams) = 0 THEN 0.0
+                  ELSE coalesce(top_bigram_n, 0) / len(bigrams) END AS top_bigram_frac,
+             CASE WHEN len(bigrams) = 0 THEN 0.0
+                  ELSE (len(bigrams) - len(list_distinct(bigrams))) / len(bigrams) END
+               AS dup_bigram_frac
+      FROM b LEFT JOIN tp ON b.doc_id = tp.doc_id
+      ORDER BY b.doc_id""",
+    "t_pipeline" -> s"""
+      WITH s AS (SELECT doc_id, text,
+                   len(string_split(text, ' '))::BIGINT nt,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT nd,
+                   ${hitsSql(stops.head._2)}::BIGINT en_hits
+                 FROM documents),
+      f AS (SELECT * FROM s WHERE nt >= 20 AND nd / nt > 0.3),
+      k AS (SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5(text) h FROM f) GROUP BY h)
+      SELECT f.doc_id, nt AS n_tokens, nd / nt AS ttr, en_hits / nt AS stop_ratio
+      FROM f JOIN k ON f.doc_id = k.doc_id
+      WHERE en_hits >= 2
+      ORDER BY f.doc_id""")
 }

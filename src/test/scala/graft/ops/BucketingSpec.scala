@@ -11,6 +11,21 @@ class BucketingSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("compaction rewrites a fragmented dataset into the target file count") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/d"
+    // 16 tiny files — the per-archive / per-micro-batch ingest pattern
+    (1 to 1000).toDF("v").repartition(16).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 16)
+    val n = Compaction.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(n == 1)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1)
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == (1 to 1000))
+  }
+
   test("co-bucketed join + key aggregation plans with no shuffle") {
     val conf = spark.conf
     val prev = Seq("spark.sql.adaptive.enabled",
