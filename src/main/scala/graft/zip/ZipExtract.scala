@@ -81,6 +81,10 @@ object GraftError {
   case object NeedsOutputOrStdout extends GraftError {
     def message = "must provide an output file or --stdout"
   }
+  /** src/error.rs:42,97-99 — both sinks selected. */
+  case object InvalidOutputAndStdout extends GraftError {
+    def message = "must provide an output file or --stdout, but not both"
+  }
   /** Scale guard with no reference analog (SURVEY.md §7.6): an entry
     * inflated past maxBodyBytes — fail typed instead of OOMing the task. */
   final case class EntryTooLarge(fileName: String, file: String, maxBytes: Long)

@@ -1,0 +1,64 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.zip.GraftError
+
+/** The CLI contract: reference flag surface (src/main.rs:16-44), sink
+  * validation (src/error.rs:41-42), end-to-end run. */
+class MainSpec extends SparkSpec {
+
+  private lazy val dir: File = {
+    val d = Files.createTempDirectory("graft_main").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private lazy val zip: String = {
+    val f = new File(dir, "in.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    z.putNextEntry(new ZipEntry("a.txt")); z.write("hello".getBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("b.png")); z.write("img".getBytes); z.closeEntry()
+    z.close()
+    f.getAbsolutePath
+  }
+
+  test("parse maps every reference flag") {
+    val (cfg, stdout, simple) = Main.parse(Seq(
+      "-i", "a.zip", "--input", "b.zip", "-o", "out.parquet",
+      "--no-body", "--no-source", "--no-hash", "--simple",
+      "-g", "**/*.png", "--row-group-size", "7"))
+    assert(cfg.inputs == Seq("a.zip", "b.zip"))
+    assert(cfg.output == "out.parquet")
+    assert(!cfg.includeBody && !cfg.includeSource && !cfg.includeHash)
+    assert(cfg.entryGlob.contains("**/*.png"))
+    assert(cfg.rowGroupSize == 7)
+    assert(!stdout && simple)
+  }
+
+  test("no sink raises NeedsOutputOrStdout; both sinks raise InvalidOutputAndStdout") {
+    val e1 = intercept[GraftError.GraftException](Main.parse(Seq("-i", "a.zip")))
+    assert(e1.err == GraftError.NeedsOutputOrStdout)
+    val e2 = intercept[GraftError.GraftException](
+      Main.parse(Seq("-i", "a.zip", "-o", "x", "--stdout")))
+    assert(e2.err == GraftError.InvalidOutputAndStdout)
+    assert(e2.err.message == "must provide an output file or --stdout, but not both")
+  }
+
+  test("end-to-end run writes the expected parquet") {
+    val out = new File(dir, "cli_out.parquet").getAbsolutePath
+    Main.run(spark, Seq("-i", zip, "-o", out))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("name", "source", "body", "hash"))
+  }
+
+  test("glob flag filters entries end-to-end") {
+    val out = new File(dir, "cli_png.parquet").getAbsolutePath
+    Main.run(spark, Seq("-i", zip, "-o", out, "-g", "*.png"))
+    val names = spark.read.parquet(out).collect().map(_.getString(0)).toSeq
+    assert(names == Seq("b.png"))
+  }
+}
