@@ -195,20 +195,25 @@ object TextOps {
                   transform(sequence(1, size(toks) - 1),
                     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
                 ELSE array() END""").as("bigrams"))
+    // total and distinct bigram counts ride the same two-level aggregation
+    // that finds the max — one bigram-construction pass, no second scan of
+    // the bigram arrays; the join back to `base` only supplies n_tokens
+    // (and keeps sub-2-token documents, which produce no bigram rows)
     val top = base
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bg"))
     base
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("bigrams")).cast("long").as("n_bigrams"),
-        expr("size(array_distinct(bigrams))").cast("long").as("n_distinct_bg"))
+      .select(col("doc_id"), col("n_tokens"))
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        expr("IF(n_bigrams = 0, 0.0D, coalesce(top_bigram_n, 0L) / n_bigrams)")
+        expr("IF(coalesce(n_bigrams, 0L) = 0, 0.0D, top_bigram_n / n_bigrams)")
           .as("top_bigram_frac"),
-        expr("IF(n_bigrams = 0, 0.0D, (n_bigrams - n_distinct_bg) / n_bigrams)")
+        expr("IF(coalesce(n_bigrams, 0L) = 0, 0.0D, (n_bigrams - n_distinct_bg) / n_bigrams)")
           .as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
