@@ -118,6 +118,24 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** RANGE-frame window (value-bounded, vs qWindowRunning's ROWS frame):
+    * for each lineitem, how many items of its return flag fall within 5
+    * quantity units below it. The frame is defined by VALUES, so the row
+    * set per frame — and the exact integer count/sum over it — is
+    * deterministic under ties. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty"))
+      .rangeBetween(-5, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("n_within5", count(lit(1)).over(w))
+      .withColumn("qty_within5", sum(col("qty")).over(w))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
   /** ROLLUP grouping hierarchy; group keys COALESCEd to 'ALL' so NULL
     * ordering never diverges between engines (Spark sorts NULLS FIRST,
     * DuckDB NULLS LAST by default). */
@@ -390,6 +408,7 @@ object RelationalOps {
     "q_math_fns" -> qMathFns,
     "q_case_having" -> qCaseHaving,
     "q_grouping_sets" -> qGroupingSets,
+    "q_window_range" -> qWindowRange,
     "q_stats_exact" -> qStatsExact,
     "q_median_disc" -> qMedianDisc,
     "q_full_outer" -> qFullOuter,
@@ -549,6 +568,17 @@ object RelationalOps {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       ORDER BY returnflag, linestatus""",
+    "q_window_range" -> """
+      WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem WHERE l_orderkey <= 2000)
+      SELECT l_returnflag, l_orderkey, l_linenumber, qty,
+             count(*) OVER w AS n_within5,
+             sum(qty) OVER w AS qty_within5
+      FROM t
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     "q_stats_exact" -> """
       WITH t AS (SELECT l_returnflag,
                    CAST(l_quantity AS BIGINT) AS q,
