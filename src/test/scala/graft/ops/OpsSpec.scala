@@ -96,6 +96,71 @@ class OpsSpec extends SparkSpec {
     assert(row.getLong(2) == expToks, "token fingerprint")
   }
 
+  // ---- blocking-completeness: the candidate-generation schemes must find
+  // exactly what a brute-force all-pairs pass finds. The DuckDB oracle
+  // can't certify this (it replays the same blocking); these tests use an
+  // independent driver-side reimplementation over the sf0.001 corpus.
+
+  private def shingleSets(): Map[Long, Set[String]] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val shs = if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String]
+      r.getLong(0) -> shs
+    }.toMap
+
+  test("simhash chunk blocking finds exactly the brute-force Hamming<=3 pairs") {
+    val sigs = DedupOps.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val blocked = DedupOps.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missed=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("uncapped jaccard index finds exactly the brute-force >=0.8 pairs") {
+    val sets = shingleSets()
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.8
+    } yield (a, b)).toSet
+    val indexed = DedupOps.ngramJaccardUncapped(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == brute,
+      s"missed=${brute -- indexed} extra=${indexed -- brute}")
+  }
+
+  test("minhash LSH banding finds exactly the band-sharing est_sim>=0.5 pairs") {
+    val P = 1000000007L
+    val sets = shingleSets()
+    def sig(shs: Set[String]): IndexedSeq[Long] = {
+      val hs = shs.toSeq.map(sh => Hash60(sh) % P)
+      (0 until 16).map(i =>
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => (DedupOps.mhA(i) * h + DedupOps.mhB(i)) % P).min)
+    }
+    // NB: .toSeq — a for-comprehension over a Map yields a Map, silently
+    // collapsing pairs that share a first element
+    val sigs = sets.collect { case (id, shs) if shs.nonEmpty => id -> sig(shs) }.toSeq
+    def bands(s: IndexedSeq[Long]) = (0 until 4).map(j => (j, s.slice(4 * j, 4 * j + 4)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if bands(sa).toSet.intersect(bands(sb).toSet).nonEmpty
+      agree = (0 until 16).count(i => sa(i) == sb(i))
+      if agree / 16.0 >= 0.5
+    } yield (a, b)).toSet
+    val lsh = DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
