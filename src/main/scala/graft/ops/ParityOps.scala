@@ -60,6 +60,17 @@ object ParityOps {
     documents(s, d).select(col("lang"), col("source")).distinct()
       .orderBy("lang", "source")
 
+  /** Deterministic ~10% sample by content hash — the reproducible-sampling
+    * primitive a 100 TB pipeline uses for eval splits and sketch
+    * calibration. Unlike TABLESAMPLE/rand() it is stable across engines,
+    * partitionings and reruns: membership is a pure function of doc_id.
+    * Narrow (a filter on a hash expression), pushes no shuffle anywhere. */
+  def sampleMod(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(expr(s"${DedupOps.h60("CAST(doc_id AS STRING)")} % 100") < 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** O1-O3+O5-O7 end-to-end — the REAL extractor over a deterministic zip
     * synthesized at query time (driver runs a rows-only check; exact-value
     * coverage lives in ZipExtractSpec). Output excludes `source` (a temp
@@ -115,6 +126,7 @@ object ParityOps {
     "p_count_star" -> countStar,
     "p_union_all" -> unionAll,
     "p_distinct" -> distinctRows,
+    "p_sample_mod" -> sampleMod,
     "z_zip_extract" -> zipExtract,
     "z_zip_dsv2" -> zipDsv2)
 
@@ -128,6 +140,14 @@ object ParityOps {
        "CAST(NULL AS BLOB) AS body, sha256(text) AS hash " +
        "FROM documents ORDER BY name"),
     "p_count_star" -> "SELECT count(*) AS n FROM documents",
+    "p_sample_mod" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE list_reduce(list_prepend(0::BIGINT,
+              list_transform(string_split_regex(
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+              (a, b) -> a * 16 + b) % 100 < 10
+      ORDER BY doc_id""",
     "p_union_all" ->
       ("SELECT doc_id, lang FROM documents WHERE lang = 'en' " +
        "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'fr' " +

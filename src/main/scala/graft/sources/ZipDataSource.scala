@@ -107,9 +107,38 @@ class ZipScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
-    required: StructType, limit: Int = -1) extends Scan with Batch {
+    required: StructType, limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size estimate from the archive LISTING (no data read), so Catalyst's
+    * join-side selection can treat a small zip scan as broadcastable. The
+    * estimate is projection-aware, mirroring the read-elision the reader
+    * performs: a names-only scan touches central-directory metadata only
+    * (~1% of archive bytes), while body/hash projections pay decompression
+    * (compressed bytes as the honest lower bound). */
+  override def estimateStatistics(): Statistics = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val archiveBytes =
+      try paths.flatMap { pat =>
+        val p = new Path(pat)
+        val fs = p.getFileSystem(conf)
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getLen)
+      }.sum
+      catch { case _: Exception => Long.MaxValue }
+    val needsRead = required.fieldNames.contains("body") ||
+      required.fieldNames.contains("hash")
+    val estimate = if (needsRead) archiveBytes else math.max(archiveBytes / 100, 1)
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong =
+        java.util.OptionalLong.of(estimate)
+      override def numRows: java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"ZipScan(glob=${Option(options.get("glob")).getOrElse("*")}, " +
       s"pushed=[${filters.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +

@@ -65,6 +65,17 @@ class ZipDataSourceSpec extends SparkSpec {
     assert(txt.collect().map(_.getString(0)).toSeq == Seq("img/b.png"))
   }
 
+  test("scan statistics come from the listing and track the projection") {
+    val full = scanOf(spark.read.format("zip").load(zip1).select("name", "body"))
+      .estimateStatistics()
+    val namesOnly = scanOf(spark.read.format("zip").load(zip1).select("name"))
+      .estimateStatistics()
+    val archiveLen = new File(zip1).length()
+    assert(full.sizeInBytes.getAsLong == archiveLen)
+    assert(namesOnly.sizeInBytes.getAsLong < archiveLen,
+      "names-only scan should estimate far below archive size (read elision)")
+  }
+
   test("name predicates are pushed into the scan (PushedFilters)") {
     val df = spark.read.format("zip").load(zip1)
       .filter(col("name").startsWith("img/"))
