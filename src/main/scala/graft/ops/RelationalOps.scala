@@ -346,6 +346,35 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** NOT IN subquery — the null-aware anti-join shape (distinct from
+    * qAntiJoin's NOT EXISTS, which is null-oblivious): one NULL in the
+    * subquery result legally empties the output, so Spark plans a
+    * null-aware join (broadcast at this dim size). Customers whose nation
+    * hosts no negative-balance supplier. */
+  def qNotIn(s: SparkSession, d: String): DataFrame = {
+    // NOT IN needs the SQL form — the DataFrame left_anti join is the
+    // null-oblivious NOT EXISTS plan, not the null-aware one
+    supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_nationkey"))
+      .createOrReplaceTempView("graft_neg_supp_nk")
+    customer(s, d).createOrReplaceTempView("graft_cust_v")
+    s.sql("""SELECT c_custkey, c_nationkey FROM graft_cust_v
+             WHERE c_nationkey NOT IN (SELECT s_nationkey FROM graft_neg_supp_nk)
+             ORDER BY c_custkey""")
+  }
+
+  /** Multiple DISTINCT aggregates in one pass — Catalyst plans this via
+    * Expand (one row replica per distinct clause) + two-phase aggregation;
+    * the shuffle key stays (group, replica-id), so it scales like any
+    * hash aggregation. */
+  def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** FULL OUTER join: nations' premium-customer counts vs discount-supplier
     * counts — either side can be absent (coalesced keys/zeros). */
   def qFullOuter(s: SparkSession, d: String): DataFrame = {
@@ -409,6 +438,8 @@ object RelationalOps {
     "q_case_having" -> qCaseHaving,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range" -> qWindowRange,
+    "q_not_in" -> qNotIn,
+    "q_count_distinct" -> qCountDistinct,
     "q_stats_exact" -> qStatsExact,
     "q_median_disc" -> qMedianDisc,
     "q_full_outer" -> qFullOuter,
@@ -568,6 +599,17 @@ object RelationalOps {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       ORDER BY returnflag, linestatus""",
+    "q_not_in" -> """
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_nationkey NOT IN
+        (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+      ORDER BY c_custkey""",
+    "q_count_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_window_range" -> """
       WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
                    CAST(l_quantity AS BIGINT) AS qty
