@@ -117,11 +117,34 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Audio-style framing: treat the payload as 8-bit samples, cut into
+    * fixed 64-sample windows, emit per-window count and energy (sum of
+    * squared sample values — the core of RMS/VAD features). Unlike the
+    * mapPartitions stages this one is fully relational: posexplode +
+    * integer arithmetic + one partial-aggregated shuffle on
+    * (doc, window) — everything whole-stage codegen. A real audio decoder
+    * would only replace the byte extraction, not the framing plan. */
+  def audioWindows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        expr("filter(split(text, ''), c -> c <> '')").as("cs"))
+      .select(col("doc_id"), posexplode(col("cs")).as(Seq("i", "c")))
+      .select(col("doc_id"), expr("CAST(i DIV 64 AS INT)").as("win"),
+        expr("CAST(ascii(c) AS BIGINT)").as("v"))
+      .groupBy(col("doc_id"), col("win"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("v * v")).as("energy"))
+      .select(col("doc_id"), col("win"), col("n_samples"), col("energy"),
+        expr("energy / n_samples").as("mean_energy"))
+      .orderBy("doc_id", "win")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
     "m_frame_sample" -> frameSample,
-    "m_resize" -> resizeStage)
+    "m_resize" -> resizeStage,
+    "m_audio_windows" -> audioWindows)
 
   val oracles: Map[String, String] = Map(
     "m_blob_meta" -> """
@@ -142,6 +165,16 @@ object MultimodalOps {
       SELECT doc_id, ((pos - 1) // 32)::INT AS frame_idx,
              unicode(substr(text, pos, 1)) AS byte_val
       FROM p ORDER BY doc_id, frame_idx""",
+    "m_audio_windows" -> """
+      WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
+                 FROM documents WHERE doc_id < 100),
+      v AS (SELECT doc_id, ((pos - 1) // 64)::INT AS win,
+              unicode(substr(text, pos, 1))::BIGINT AS v
+            FROM p)
+      SELECT doc_id, win, count(*) AS n_samples,
+             sum(v * v)::BIGINT AS energy,
+             sum(v * v)::BIGINT / count(*) AS mean_energy
+      FROM v GROUP BY doc_id, win ORDER BY doc_id, win""",
     // '(.).'->'\1' keeps char 1 of every pair (plus an odd tail) == the
     // stride-2 byte downsample over ASCII text.
     "m_resize" -> """
