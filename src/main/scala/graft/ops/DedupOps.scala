@@ -298,6 +298,25 @@ object DedupOps {
       .select(explode(expr(Toks)).as("tok"))
       .agg(countDistinct(col("tok")).as("n_exact"))
 
+  /** Incremental (manifest) dedup — the ingest-time pattern (SURVEY §2.2
+    * joins row): a new batch anti-joins the content-hash manifest of the
+    * historical corpus, so only genuinely new documents pass. The manifest
+    * carries 16-byte hashes, never bodies — at 100 TB it's a few GB,
+    * bucketable by hash for a shuffle-free anti join (see Bucketing).
+    * Here "history" = doc_id < 400 and the "new batch" = doc_id >= 400. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val manifest = docs.filter(col("doc_id") < 400).select(col("content_hash"))
+    docs.filter(col("doc_id") >= 400)
+      .join(manifest, Seq("content_hash"), "left_anti")
+      // a duplicate may also first appear WITHIN the new batch: keep one
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -307,7 +326,8 @@ object DedupOps {
     "d_embedding_neardup" -> embeddingNearDup,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_hll_distinct" -> hllDistinct,
-    "d_exact_distinct" -> exactDistinct)
+    "d_exact_distinct" -> exactDistinct,
+    "d_incremental_dedup" -> incrementalDedup)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -425,6 +445,14 @@ object DedupOps {
     "d_exact_distinct" -> """
       SELECT count(DISTINCT tok) AS n_exact
       FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)""",
+    "d_incremental_dedup" -> """
+      WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      manifest AS (SELECT content_hash FROM h WHERE doc_id < 400)
+      SELECT min(doc_id) AS doc_id, content_hash
+      FROM h WHERE doc_id >= 400
+        AND content_hash NOT IN (SELECT content_hash FROM manifest)
+      GROUP BY content_hash
+      ORDER BY doc_id""",
     "d_embedding_neardup" -> """
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",

@@ -26,6 +26,21 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq == (1 to 1000))
   }
 
+  test("partitionBy layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Tables.documents(spark, sf).write.partitionBy("lang").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).filter(col("lang") === "en").select("doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory pruning —
+    // non-matching partitions are never listed, let alone read), not in
+    // DataFilters/PushedFilters
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter not pruned to partitions:\n${plan.take(1500)}")
+    assert(df.count() ==
+      Tables.documents(spark, sf).filter(col("lang") === "en").count())
+  }
+
   test("co-bucketed join + key aggregation plans with no shuffle") {
     val conf = spark.conf
     val prev = Seq("spark.sql.adaptive.enabled",
