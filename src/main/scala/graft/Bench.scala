@@ -35,8 +35,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // strip quotes/backslashes AND all control chars — strict JSON parsers
+    // reject raw control bytes, which codegen/parser error messages carry
     val errJson = errors.reverse
-      .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\"" }
+      .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

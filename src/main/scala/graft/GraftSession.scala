@@ -29,8 +29,17 @@ object GraftSession {
       // O(n²) re-splits inside the scan filter (observed: 8x slowdown on
       // the dedup queries). Our generated arrays are never empty enough
       // for the inferred filter to win.
-      spark.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // APPEND to any exclusions the user's session already carries —
+      // overwriting would silently re-enable rules they disabled
+      val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+      val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        .map(_.trim).filter(_.nonEmpty)
+      val merged = existing match {
+        case Some(v) if v.split(",").map(_.trim).contains(rule) => v
+        case Some(v) => s"$v,$rule"
+        case None => rule
+      }
+      spark.conf.set("spark.sql.optimizer.excludedRules", merged)
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
       // default; read as raw nanos (Tables.events converts exactly).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -45,9 +45,16 @@ object Main {
       case "--no-hash" :: t              => noHash = true; t
       case "--simple" :: t               => simple = true; t
       case ("-g" | "--glob") :: v :: t   => glob = Some(v); t
-      case "--row-group-size" :: v :: t  => rowGroupSize = v.toInt; t
+      case "--row-group-size" :: v :: t  =>
+        rowGroupSize =
+          try v.toInt
+          catch { case _: NumberFormatException =>
+            GraftError.raise(GraftError.InvalidArgument(
+              s"--row-group-size expects a number, got '$v'"))
+          }
+        t
       case other :: _ =>
-        throw new IllegalArgumentException(s"unknown argument: $other")
+        GraftError.raise(GraftError.InvalidArgument(s"unknown argument: $other"))
       case Nil => Nil
     }
     // sink validation, reference src/error.rs:41-42
@@ -65,18 +72,21 @@ object Main {
 
   private[graft] def run(spark: SparkSession, args: Seq[String]): Unit = {
     val (cfg, stdout, _) = parse(args)
-    if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
-    else ZipExtract.run(spark, cfg)
+    run(spark, cfg, stdout)
   }
 
+  private def run(spark: SparkSession, cfg: ZipToParquetConfig,
+      stdout: Boolean): Unit =
+    if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
+    else ZipExtract.run(spark, cfg)
+
   def main(argv: Array[String]): Unit = {
-    val parsed =
+    val (cfg, stdout, simple) =
       try parse(argv.toSeq)
       catch { case e: GraftError.GraftException =>
         System.err.println(e.err.message) // src/main.rs:47-50
         sys.exit(1)
       }
-    val (_, _, simple) = parsed
     val spark = GraftSession.init(SparkSession.builder()
       .appName("zip-to-parquet")
       .config("spark.sql.shuffle.partitions",
@@ -85,7 +95,7 @@ object Main {
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate())
     if (simple) spark.sparkContext.setLogLevel("WARN")
-    try run(spark, argv.toSeq)
+    try run(spark, cfg, stdout)
     catch { case e: Throwable =>
       val msg = GraftError.unwrap(e).map(_.message).getOrElse(e.getMessage)
       System.err.println(msg)

@@ -19,10 +19,18 @@ object Verify {
       // The driver contract path is outDir/<name>.parquet — a Spark
       // parquet directory with that name (readable as a dataset by
       // duckdb/pyarrow/pandas/pyspark alike).
+      val target = new java.io.File(s"$outDir/$name.parquet")
+      // A reused outDir must not let a previous run's output mask a query
+      // that now throws — clear the target before the attempt.
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+        .parquet(target.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (target.exists()) rm(target) // no partial/stale dir either
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

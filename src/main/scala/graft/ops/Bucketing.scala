@@ -33,8 +33,11 @@ object Bucketing {
     * bucket counts the physical plan contains NO Exchange on either side
     * (asserted in BucketingSpec). */
   def cobucketJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      org.apache.spark.sql.functions.col(leftKey) ===
-        org.apache.spark.sql.functions.col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    // resolve keys against each side's DataFrame — bare col() would be
+    // ambiguous when both tables bucket on the same column name
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

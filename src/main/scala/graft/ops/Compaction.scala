@@ -15,17 +15,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** On-disk byte size of a dataset directory, from the FS listing. */
+  /** On-disk byte size of a dataset directory — RECURSIVE (content
+    * summary), so nested layouts (partitioned datasets, multi-level
+    * ingest dirs) size correctly instead of collapsing to zero. */
   def datasetBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(_.isFile)
-      .filter(!_.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    fs.getContentSummary(p).getLength
   }
 
   /** Compact `inDir` into `outDir` targeting ~`targetBytes` per output
-    * file. Returns the number of files written. */
+    * file. Returns the number of files written. NOTE: reads the dataset as
+    * one relation — for a `partitionBy` layout whose partition columns must
+    * survive, run compact per partition directory (or re-partitionBy on the
+    * write); compacting the root flattens partition columns into the data. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 512L << 20): Int = {
     val bytes = datasetBytes(spark, inDir)

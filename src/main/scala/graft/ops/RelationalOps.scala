@@ -353,13 +353,23 @@ object RelationalOps {
     * hosts no negative-balance supplier. */
   def qNotIn(s: SparkSession, d: String): DataFrame = {
     // NOT IN needs the SQL form — the DataFrame left_anti join is the
-    // null-oblivious NOT EXISTS plan, not the null-aware one
+    // null-oblivious NOT EXISTS plan, not the null-aware one. The temp
+    // views are uniquely named and dropped as soon as the plan is resolved
+    // (sql() analyzes eagerly), so no catalog state leaks or clobbers.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val vSupp = s"graft_nk_$tag"
+    val vCust = s"graft_cust_$tag"
     supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_nationkey"))
-      .createOrReplaceTempView("graft_neg_supp_nk")
-    customer(s, d).createOrReplaceTempView("graft_cust_v")
-    s.sql("""SELECT c_custkey, c_nationkey FROM graft_cust_v
-             WHERE c_nationkey NOT IN (SELECT s_nationkey FROM graft_neg_supp_nk)
-             ORDER BY c_custkey""")
+      .createOrReplaceTempView(vSupp)
+    customer(s, d).createOrReplaceTempView(vCust)
+    try s.sql(
+      s"""SELECT c_custkey, c_nationkey FROM $vCust
+          WHERE c_nationkey NOT IN (SELECT s_nationkey FROM $vSupp)
+          ORDER BY c_custkey""")
+    finally {
+      s.catalog.dropTempView(vSupp)
+      s.catalog.dropTempView(vCust)
+    }
   }
 
   /** Multiple DISTINCT aggregates in one pass — Catalyst plans this via

@@ -118,17 +118,21 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
     * performs: a names-only scan touches central-directory metadata only
     * (~1% of archive bytes), while body/hash projections pay decompression
     * (compressed bytes as the honest lower bound). */
-  override def estimateStatistics(): Statistics = {
+  // listed once per scan — Catalyst may ask for statistics several times
+  // while planning, and each glob is remote round-trips
+  private lazy val archiveBytes: Long = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val archiveBytes =
-      try paths.flatMap { pat =>
-        val p = new Path(pat)
-        val fs = p.getFileSystem(conf)
-        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-          .filter(_.isFile).map(_.getLen)
-      }.sum
-      catch { case _: Exception => Long.MaxValue }
+    try paths.flatMap { pat =>
+      val p = new Path(pat)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getLen)
+    }.sum
+    catch { case _: Exception => Long.MaxValue }
+  }
+
+  override def estimateStatistics(): Statistics = {
     val needsRead = required.fieldNames.contains("body") ||
       required.fieldNames.contains("hash")
     val estimate = if (needsRead) archiveBytes else math.max(archiveBytes / 100, 1)

@@ -85,6 +85,11 @@ object GraftError {
   case object InvalidOutputAndStdout extends GraftError {
     def message = "must provide an output file or --stdout, but not both"
   }
+  /** CLI argument errors (clap handles these in the reference; same
+    * one-line-message-and-exit contract, src/main.rs:46-51). */
+  final case class InvalidArgument(detail: String) extends GraftError {
+    def message = detail
+  }
   /** Scale guard with no reference analog (SURVEY.md §7.6): an entry
     * inflated past maxBodyBytes — fail typed instead of OOMing the task. */
   final case class EntryTooLarge(fileName: String, file: String, maxBytes: Long)
@@ -278,6 +283,10 @@ object ZipExtract {
     out.toByteArray
   }
 
+  private def causeChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(x => x != null)
+      .take(16).toList // cycle guard
+
   def sha256Hex(bytes: Array[Byte]): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(bytes)
     val sb = new StringBuilder(64)
@@ -315,11 +324,15 @@ object ZipExtract {
       .option("parquet.block.row.count.limit", cfg.rowGroupSize.toString)
       .parquet(cfg.output)
     catch {
-      // extraction-side typed errors pass through unchanged; only failures
-      // of the sink itself become WriteFile (src/error.rs:9-12)
+      // extraction-side typed errors pass through unchanged; failures of
+      // the sink itself become WriteFile/Parquet (src/error.rs:9-12,22-24).
+      // Executor-side IO errors arrive wrapped in SparkException — walk the
+      // cause chain, don't pattern-match the top.
       case e: Throwable if GraftError.unwrap(e).isDefined => throw e
-      case e: java.io.IOException =>
+      case e: Throwable if causeChain(e).exists(_.isInstanceOf[java.io.IOException]) =>
         GraftError.raise(GraftError.WriteFile(cfg.output, e.toString))
+      case e: org.apache.spark.SparkException =>
+        GraftError.raise(GraftError.Parquet(e.toString))
     }
   }
 

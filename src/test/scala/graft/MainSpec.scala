@@ -47,6 +47,17 @@ class MainSpec extends SparkSpec {
     assert(e2.err.message == "must provide an output file or --stdout, but not both")
   }
 
+  test("malformed arguments raise typed InvalidArgument (one-line message, not a stack)") {
+    val e1 = intercept[GraftError.GraftException](
+      Main.parse(Seq("-i", "a.zip", "-o", "x", "--row-group-size", "abc")))
+    assert(e1.err.isInstanceOf[GraftError.InvalidArgument])
+    assert(e1.err.message.contains("--row-group-size"))
+    val e2 = intercept[GraftError.GraftException](
+      Main.parse(Seq("--bogus")))
+    assert(e2.err.isInstanceOf[GraftError.InvalidArgument])
+    assert(e2.err.message.contains("--bogus"))
+  }
+
   test("end-to-end run writes the expected parquet") {
     val out = new File(dir, "cli_out.parquet").getAbsolutePath
     Main.run(spark, Seq("-i", zip, "-o", out))
