@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * Jaccard (candidate pairs only, never n²), LSH bands for MinHash, 15-bit
   * chunks (pigeonhole: Hamming<=3 implies one of 4 chunks equal) for
   * SimHash, label blocks for embeddings. At 100 TB each join key is
-  * shuffle-partitioned; hot shingles would be frequency-capped (drop
-  * shingles appearing in >0.1% of docs) — not needed at test scale.
+  * shuffle-partitioned, and every blocking group is frequency-capped BY
+  * DEFAULT ([[DefaultMaxDf]] shingle postings, [[DefaultMaxBand]] LSH
+  * bands / SimHash chunks) — hot groups are boilerplate, and their f² pair
+  * blowup is the one thing that kills these plans at corpus scale. The
+  * `*Uncapped` twins are the explicit opt-in.
   */
 object DedupOps {
   import Tables._
@@ -106,7 +109,8 @@ object DedupOps {
       // each posting carries its doc's shingle count, so |A| and |B| ride
       // the posting lists into the pair rows — no join back to a per-doc
       // counts relation at any scale
-      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n"),
+        explode(col("shs")).as("sh"))
       .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
       // enumerate exactly the C(f,2) position pairs (i < j) via slice —
@@ -142,39 +146,88 @@ object DedupOps {
       s"concat($parts)"
     }.mkString("array(", ", ", ")")
 
-  /** MinHash+LSH near-dup: banded candidate pairs, then the estimated
-    * similarity = fraction of agreeing minhashes >= 0.5.
+  /** One row per (doc_id, sig, band_idx, band_hash) — the minhash signature
+    * subtree shared by the capped and uncapped pair enumerations.
     *
     * The signature is computed by explode → groupBy with 16 min-aggregates
     * (one per permutation), NOT a per-row nested HOF: one md5 per shingle,
     * two integer ops per permutation, all codegen'd; the aggregation gives
     * map-side partial mins (tiny shuffle, uniform keys) and — critically —
     * an optimizer barrier, so the signature is materialized once instead of
-    * being re-inlined into every downstream use by projection collapse.
-    * At scale the band join shuffles on (band_idx, band_hash) — uniform
-    * keys; signatures ride along as arrays so no second corpus pass. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    * being re-inlined into every downstream use by projection collapse. */
+  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
     val minCols = (0 until 16).map(i =>
       min(expr(s"(${mhA(i)}L * h + ${mhB(i)}L) % ${P}L")).as(s"m$i"))
-    val agree = (0 until 16)
-      .map(i => s"IF(element_at(`a`.sig, ${i + 1}) = element_at(`b`.sig, ${i + 1}), 1, 0)")
-      .mkString(" + ")
-    val sigs = shingleRows(s, d)
+    shingleRows(s, d)
       .select(col("doc_id"), expr(s"${h60("sh")} % ${P}L").as("h"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
-      .select(col("doc_id"), col("sig"), expr(BandsExpr).as("bands"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(BandsExpr)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Default cap on documents sharing one (band_idx, band_hash) /
+    * (chunk_idx, chunk) blocking group. Near-identical boilerplate — THE
+    * common case in web corpora — lands f documents in one band and costs
+    * f² candidate pairs with almost no marginal dedup signal (any member
+    * pairs the rest transitively through cheaper groups or a later pass).
+    * 20 at test scale; production guidance ~0.01% of the corpus document
+    * count. The cap is the default (the 100 TB path); the uncapped twins
+    * are the explicit opt-in for pre-filtered corpora. */
+  val DefaultMaxBand = 20
+
+  /** Per-band agreement count between two signature structs `x`/`y`. */
+  private def agreeExpr(x: String, y: String) = (0 until 16)
+    .map(i => s"IF(element_at($x.sig, ${i + 1}) = element_at($y.sig, ${i + 1}), 1, 0)")
+    .mkString(" + ")
+
+  /** MinHash+LSH near-dup: banded candidate pairs, then the estimated
+    * similarity = fraction of agreeing minhashes >= 0.5. Hot bands are
+    * frequency-capped BY DEFAULT (groups larger than [[DefaultMaxBand]]
+    * are dropped — see there); [[minhashLshUncapped]] is the opt-out. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshImpl(s, d, maxBand = DefaultMaxBand)
+
+  /** Capped pair enumeration: postings are grouped by band ONCE (a single
+    * shuffle on the uniform band key), over-cap groups dropped, and the
+    * C(f,2) pairs enumerated inside each posting list via posexplode +
+    * slice — the same output-sensitive shape as [[ngramJaccard]]. The cap
+    * bounds every posting row (≤ maxBand sigs), so collect_list memory is
+    * bounded by construction. */
+  private[ops] def minhashLshImpl(s: SparkSession, d: String, maxBand: Int): DataFrame =
+    minhashBanded(s, d)
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBand)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("x"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("y"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        // 16.0 alone parses as DECIMAL(3,1) in Spark (the oracle's est_sim
+        // is DOUBLE) — force the double division explicitly
+        expr(s"(${agreeExpr("x", "y")}) / CAST(16.0 AS DOUBLE)").as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** Explicit opt-in: NO band-frequency cap. Kept as the banded self-join
+    * (exchange-reuse asserted in OpsSpec) because a genuinely hot band
+    * would overflow a collect_list posting row here — the join streams f²
+    * pairs instead of materializing f sigs in one row. Carries the full f²
+    * cost; use only on corpora known to be boilerplate-free. */
+  def minhashLshUncapped(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashBanded(s, d)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr(s"($agree) / 16.0").as("est_sim"))
+        expr(s"(${agreeExpr("`a`", "`b`")}) / CAST(16.0 AS DOUBLE)").as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
       .orderBy("a_id", "b_id")
@@ -204,15 +257,45 @@ object DedupOps {
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashSigs(s, d).orderBy("doc_id")
 
-  /** SimHash near-dup pairs: block on 4 x 15-bit chunks (pigeonhole —
-    * any pair at Hamming distance <= 3 shares a chunk), verify with
-    * bit_count(xor) <= 3. Blocked join, never n². */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSigs(s, d)
-    val chunked = sig.select(col("doc_id"), col("simhash"),
+  /** (doc_id, simhash, chunk_idx, chunk) — the 4×15-bit chunk blocking
+    * rows shared by the capped and uncapped pair enumerations. */
+  private def simhashChunked(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d).select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> shiftright(simhash, 15 * j) & 32767)"))
         .as(Seq("chunk_idx", "chunk")))
+
+  /** SimHash near-dup pairs: block on 4 x 15-bit chunks (pigeonhole —
+    * any pair at Hamming distance <= 3 shares a chunk), verify with
+    * bit_count(xor) <= 3. Blocked join, never n²; hot chunks are
+    * frequency-capped BY DEFAULT (see [[DefaultMaxBand]]) —
+    * [[simhashPairsUncapped]] is the opt-out. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsImpl(s, d, maxChunk = DefaultMaxBand)
+
+  /** Capped enumeration, same posting-list shape as [[minhashLshImpl]]:
+    * one shuffle on the chunk key, over-cap groups dropped, pairs
+    * enumerated inside bounded posting rows. */
+  private[ops] def simhashPairsImpl(s: SparkSession, d: String, maxChunk: Int): DataFrame =
+    simhashChunked(s, d)
+      .groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxChunk)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("x"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("y"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+
+  /** Explicit opt-in: NO chunk-frequency cap — the blocked self-join
+    * (exchange-reuse asserted), full f² cost on hot chunks. */
+  def simhashPairsUncapped(s: SparkSession, d: String): DataFrame = {
+    val chunked = simhashChunked(s, d)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -325,6 +408,8 @@ object DedupOps {
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
+    "d_minhash_lsh_uncapped" -> minhashLshUncapped,
+    "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
     "d_hll_distinct" -> hllDistinct,
     "d_exact_distinct" -> exactDistinct,
     "d_incremental_dedup" -> incrementalDedup)
@@ -338,6 +423,71 @@ object DedupOps {
                    (a, b) -> a + b) > 0
                  THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
           (a, b) -> a + b)"""
+
+  /** DuckDB replay of [[minhashLsh]] / [[minhashLshUncapped]]; `capped`
+    * adds the BETWEEN 2 AND [[DefaultMaxBand]] group filter. */
+  private def minhashOracle(capped: Boolean): String = {
+    val keep = if (capped) s"""
+      keep AS (SELECT band_idx, band_hash FROM e GROUP BY 1, 2
+               HAVING count(*) BETWEEN 2 AND $DefaultMaxBand),""" else ""
+    val keepJoin = if (capped)
+      "JOIN keep k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash"
+    else ""
+    s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      hh AS (SELECT doc_id,
+               list_transform(sh, x -> ${h60Sql("x")} % $P) hs
+             FROM s WHERE len(sh) > 0),
+      g AS (SELECT doc_id,
+              list_transform(generate_series(1, 16), i ->
+                list_aggregate(list_transform(hs, h ->
+                  (([${mhA.mkString(", ")}])[i] * h + ([${mhB.mkString(", ")}])[i]) % $P),
+                  'min')) sig
+            FROM hh),
+      bb AS (SELECT doc_id, sig,
+               list_transform(generate_series(0, 3), j ->
+                 sig[4 * j + 1]::VARCHAR || '|' || sig[4 * j + 2]::VARCHAR || '|' ||
+                 sig[4 * j + 3]::VARCHAR || '|' || sig[4 * j + 4]::VARCHAR) bands
+             FROM g),
+      e AS (SELECT doc_id, sig, j AS band_idx, bands[j] AS band_hash
+            FROM bb, generate_series(1, 4) gs(j)),$keep
+      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.sig siga, b.sig sigb
+                FROM e a JOIN e b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+                $keepJoin)
+      SELECT a_id, b_id,
+             len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 AS est_sim
+      FROM pairs
+      WHERE len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 >= 0.5
+      ORDER BY a_id, b_id"""
+  }
+
+  /** DuckDB replay of [[simhashPairs]] / [[simhashPairsUncapped]]. */
+  private def simhashPairsOracle(capped: Boolean): String = {
+    val keep = if (capped) s"""
+      keep AS (SELECT chunk_idx, chunk FROM ch GROUP BY 1, 2
+               HAVING count(*) BETWEEN 2 AND $DefaultMaxBand),""" else ""
+    val keepJoin = if (capped)
+      "JOIN keep k ON a.chunk_idx = k.chunk_idx AND a.chunk = k.chunk"
+    else ""
+    s"""
+      WITH t AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs
+                 FROM documents),
+      sg AS (SELECT doc_id, $SimhashSql AS simhash FROM t),
+      ch AS (SELECT doc_id, simhash, j AS chunk_idx,
+               (simhash >> (15 * (j - 1))) & 32767 AS chunk
+             FROM sg, generate_series(1, 4) gs(j)),$keep
+      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                  a.simhash sa, b.simhash sb
+                FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+                  AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+                $keepJoin)
+      SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
+      FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY a_id, b_id"""
+  }
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> """
@@ -372,53 +522,15 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
       ORDER BY a_id, b_id""",
-    "d_minhash_lsh" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
-      hh AS (SELECT doc_id,
-               list_transform(sh, x -> ${h60Sql("x")} % $P) hs
-             FROM s WHERE len(sh) > 0),
-      g AS (SELECT doc_id,
-              list_transform(generate_series(1, 16), i ->
-                list_aggregate(list_transform(hs, h ->
-                  (([${mhA.mkString(", ")}])[i] * h + ([${mhB.mkString(", ")}])[i]) % $P),
-                  'min')) sig
-            FROM hh),
-      bb AS (SELECT doc_id, sig,
-               list_transform(generate_series(0, 3), j ->
-                 sig[4 * j + 1]::VARCHAR || '|' || sig[4 * j + 2]::VARCHAR || '|' ||
-                 sig[4 * j + 3]::VARCHAR || '|' || sig[4 * j + 4]::VARCHAR) bands
-             FROM g),
-      e AS (SELECT doc_id, sig, j AS band_idx, bands[j] AS band_hash
-            FROM bb, generate_series(1, 4) gs(j)),
-      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.sig siga, b.sig sigb
-                FROM e a JOIN e b ON a.band_idx = b.band_idx
-                  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id,
-             len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 AS est_sim
-      FROM pairs
-      WHERE len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 >= 0.5
-      ORDER BY a_id, b_id""",
+    "d_minhash_lsh" -> minhashOracle(capped = true),
+    "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_simhash" -> s"""
       WITH t AS (SELECT doc_id,
                    list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs
                  FROM documents)
       SELECT doc_id, $SimhashSql AS simhash FROM t ORDER BY doc_id""",
-    "d_simhash_pairs" -> s"""
-      WITH t AS (SELECT doc_id,
-                   list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs
-                 FROM documents),
-      sg AS (SELECT doc_id, $SimhashSql AS simhash FROM t),
-      ch AS (SELECT doc_id, simhash, j AS chunk_idx,
-               (simhash >> (15 * (j - 1))) & 32767 AS chunk
-             FROM sg, generate_series(1, 4) gs(j)),
-      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
-                  a.simhash sa, b.simhash sb
-                FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
-                  AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
-      FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
-      ORDER BY a_id, b_id""",
+    "d_simhash_pairs" -> simhashPairsOracle(capped = true),
+    "d_simhash_pairs_uncapped" -> simhashPairsOracle(capped = false),
     "d_hll_distinct" -> """
       WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
       hx AS (SELECT substr(md5(tok), 1, 15) AS h FROM toks),

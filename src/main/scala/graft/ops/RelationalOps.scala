@@ -96,7 +96,7 @@ object RelationalOps {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
@@ -626,7 +626,7 @@ object RelationalOps {
                  FROM lineitem WHERE l_orderkey <= 2000)
       SELECT l_returnflag, l_orderkey, l_linenumber, qty,
              count(*) OVER w AS n_within5,
-             sum(qty) OVER w AS qty_within5
+             CAST(sum(qty) OVER w AS BIGINT) AS qty_within5
       FROM t
       WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)

@@ -13,7 +13,8 @@ class OpsSpec extends SparkSpec {
   // Queries whose output may legitimately be empty at tiny scale (pair
   // thresholds / selective filters).
   private val mayBeEmpty = Set("d_ngram_jaccard", "d_ngram_jaccard_uncapped",
-    "d_minhash_lsh", "d_simhash_pairs", "d_embedding_neardup", "q_anti_join")
+    "d_minhash_lsh", "d_minhash_lsh_uncapped", "d_simhash_pairs",
+    "d_simhash_pairs_uncapped", "d_embedding_neardup", "q_anti_join")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
@@ -57,7 +58,7 @@ class OpsSpec extends SparkSpec {
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("d_minhash_lsh", "d_simhash_pairs")) {
+      for (q <- Seq("d_minhash_lsh_uncapped", "d_simhash_pairs_uncapped")) {
         val plan = SparkEntry.queries(q)(spark, sf)
           .queryExecution.executedPlan.toString
         assert(plan.contains("ReusedExchange"),
@@ -116,7 +117,7 @@ class OpsSpec extends SparkSpec {
       a <- sigs.keys; b <- sigs.keys if a < b
       if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
     } yield (a, b)).toSet
-    val blocked = DedupOps.simhashPairs(spark, sf).collect()
+    val blocked = DedupOps.simhashPairsUncapped(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute,
       s"missed=${brute -- blocked} extra=${blocked -- brute}")
@@ -137,9 +138,9 @@ class OpsSpec extends SparkSpec {
       s"missed=${brute -- indexed} extra=${indexed -- brute}")
   }
 
-  test("minhash LSH banding finds exactly the band-sharing est_sim>=0.5 pairs") {
+  /** Driver-side minhash signatures (doc_id -> 16 mins) over sf0.001. */
+  private def minhashSigs(): Seq[(Long, IndexedSeq[Long])] = {
     val P = 1000000007L
-    val sets = shingleSets()
     def sig(shs: Set[String]): IndexedSeq[Long] = {
       val hs = shs.toSeq.map(sh => Hash60(sh) % P)
       (0 until 16).map(i =>
@@ -148,17 +149,66 @@ class OpsSpec extends SparkSpec {
     }
     // NB: .toSeq — a for-comprehension over a Map yields a Map, silently
     // collapsing pairs that share a first element
-    val sigs = sets.collect { case (id, shs) if shs.nonEmpty => id -> sig(shs) }.toSeq
-    def bands(s: IndexedSeq[Long]) = (0 until 4).map(j => (j, s.slice(4 * j, 4 * j + 4)))
+    shingleSets().collect { case (id, shs) if shs.nonEmpty => id -> sig(shs) }.toSeq
+  }
+  private def minhashBands(s: IndexedSeq[Long]): Seq[(Int, IndexedSeq[Long])] =
+    (0 until 4).map(j => (j, s.slice(4 * j, 4 * j + 4)))
+
+  test("uncapped minhash LSH finds exactly the band-sharing est_sim>=0.5 pairs") {
+    val sigs = minhashSigs()
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
-      if bands(sa).toSet.intersect(bands(sb).toSet).nonEmpty
+      if minhashBands(sa).toSet.intersect(minhashBands(sb).toSet).nonEmpty
       agree = (0 until 16).count(i => sa(i) == sb(i))
       if agree / 16.0 >= 0.5
     } yield (a, b)).toSet
-    val lsh = DedupOps.minhashLsh(spark, sf).collect()
+    val lsh = DedupOps.minhashLshUncapped(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("capped minhash LSH keeps exactly the pairs sharing an under-cap band group") {
+    // Cap of 2 forces real drops at sf0.001 (identical docs share all 4
+    // bands); expected = pairs co-located in a band group of size in
+    // [2, cap], nothing more, nothing less.
+    val cap = 2
+    val sigs = minhashSigs()
+    val groups = sigs.flatMap { case (id, s) => minhashBands(s).map(b => b -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val kept = groups.filter(g => g.size >= 2 && g.size <= cap)
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if kept.exists(g => g(a) && g(b))
+      agree = (0 until 16).count(i => sa(i) == sb(i))
+      if agree / 16.0 >= 0.5
+    } yield (a, b)).toSet
+    val capped = DedupOps.minhashLshImpl(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expected,
+      s"missed=${expected -- capped} extra=${capped -- expected}")
+    // and the cap only ever narrows the uncapped result
+    val uncapped = DedupOps.minhashLshUncapped(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("capped simhash pairs keep exactly the pairs sharing an under-cap chunk group") {
+    val cap = 2
+    val sigs = DedupOps.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val groups = sigs.flatMap { case (id, s) =>
+      (0 until 4).map(j => (j, (s >> (15 * j)) & 32767L) -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val kept = groups.filter(g => g.size >= 2 && g.size <= cap)
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if kept.exists(g => g(a) && g(b))
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val capped = DedupOps.simhashPairsImpl(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expected,
+      s"missed=${expected -- capped} extra=${capped -- expected}")
   }
 
   test("cosine topk ranks are dense per query") {

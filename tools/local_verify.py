@@ -18,7 +18,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # repr roundtrips the exact double, and distinguishes -0.0 from 0.0
+        # (Python's == would not) — the driver hashes the bit pattern.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return v
@@ -51,6 +53,7 @@ def main(sf_dir, out_dir):
             continue
         sdf = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet/*.parquet')")
         scols = sorted(sdf.columns)
+        stypes = dict(zip(sdf.columns, (str(t) for t in sdf.types)))
         srows = sorted([tuple(norm(v) for v in r) for r in
                         con.sql(f"SELECT {', '.join(scols)} FROM sdf").fetchall()], key=key)
         if name not in oracle:
@@ -59,6 +62,7 @@ def main(sf_dir, out_dir):
         try:
             odf = con.sql(oracle[name])
             ocols = sorted(odf.columns)
+            otypes = dict(zip(odf.columns, (str(t) for t in odf.types)))
             orows = sorted([tuple(norm(v) for v in r) for r in
                             con.sql(f"SELECT {', '.join(ocols)} FROM odf").fetchall()], key=key)
         except Exception as e:
@@ -66,6 +70,12 @@ def main(sf_dir, out_dir):
             continue
         if scols != ocols:
             results[name] = f"SCHEMA_MISMATCH spark={scols} oracle={ocols}"
+        # Type-strict: the driver's hash gate hashes typed values, so a
+        # DECIMAL-vs-DOUBLE or BIGINT-vs-HUGEINT divergence fails there even
+        # when Python's lax == (Decimal('0.5') == 0.5) would pass here.
+        elif any(stypes[c] != otypes[c] for c in scols):
+            bad = {c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]}
+            results[name] = f"TYPE_MISMATCH (spark, oracle): {bad}"
         elif len(srows) != len(orows):
             results[name] = f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"
         elif srows != orows:
