@@ -18,29 +18,41 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Noise hardening: run queries in sorted-name order (Map iteration
+    // order made round-over-round numbers incomparable) and time REPS runs
+    // per query, reporting the median (and min) — single-shot numbers on a
+    // shared box swing ±30%.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces full computation of every output column —
       // count() would let Catalyst prune the projections being measured.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val times =
+        try Iterator.continually(once()).take(reps).toVector.sorted
         catch { case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name FAILED: $e")
-          false
+          Vector.empty
         }
       // A failed query must not masquerade as a fast one: report -1.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (times.isEmpty) name -> (-1.0, -1.0)
+      else name -> (times(times.size / 2), times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // strip quotes/backslashes AND all control chars — strict JSON parsers
     // reject raw control bytes, which codegen/parser error messages carry
     val errJson = errors.reverse
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -71,14 +71,19 @@ object Main {
   }
 
   private[graft] def run(spark: SparkSession, args: Seq[String]): Unit = {
-    val (cfg, stdout, _) = parse(args)
-    run(spark, cfg, stdout)
+    val (cfg, stdout, simple) = parse(args)
+    run(spark, cfg, stdout, simple)
   }
 
   private def run(spark: SparkSession, cfg: ZipToParquetConfig,
-      stdout: Boolean): Unit =
+      stdout: Boolean, simple: Boolean): Unit = {
+    // O8/O14 parity: the reference totals the entry count before extracting
+    // (src/builder.rs:24-45) — under --simple print it as a plain log line.
+    // stderr, because --stdout streams parquet bytes on stdout.
+    if (simple) System.err.println(s"${ZipExtract.countEntries(spark, cfg)} files")
     if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
     else ZipExtract.run(spark, cfg)
+  }
 
   def main(argv: Array[String]): Unit = {
     val (cfg, stdout, simple) =
@@ -95,7 +100,7 @@ object Main {
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate())
     if (simple) spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cfg, stdout)
+    try run(spark, cfg, stdout, simple)
     catch { case e: Throwable =>
       val msg = GraftError.unwrap(e).map(_.message).getOrElse(e.getMessage)
       System.err.println(msg)

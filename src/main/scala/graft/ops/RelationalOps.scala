@@ -350,7 +350,14 @@ object RelationalOps {
     * qAntiJoin's NOT EXISTS, which is null-oblivious): one NULL in the
     * subquery result legally empties the output, so Spark plans a
     * null-aware join (broadcast at this dim size). Customers whose nation
-    * hosts no negative-balance supplier. */
+    * hosts no negative-balance supplier.
+    *
+    * SCALE NOTE: the null-aware plan executes as a
+    * BroadcastNestedLoopJoin — correct and cheap for a dim-sized subquery,
+    * a scale-killer against a fact-sized one (no hash lookup, no shuffle
+    * partitioning; every probe row scans the broadcast). When the subquery
+    * column's nullability is known (or enforced), use the
+    * [[qNotInNotNull]] rewrite instead — it plans a hash anti join. */
   def qNotIn(s: SparkSession, d: String): DataFrame = {
     // NOT IN needs the SQL form — the DataFrame left_anti join is the
     // null-oblivious NOT EXISTS plan, not the null-aware one. The temp
@@ -371,6 +378,22 @@ object RelationalOps {
       s.catalog.dropTempView(vCust)
     }
   }
+
+  /** The production form of NOT IN for a non-null (or made non-null)
+    * subquery side: `IS NOT NULL` filter + regular left_anti join. With no
+    * NULL to poison the membership test, NOT IN ≡ anti join — and Spark
+    * plans a broadcast/shuffled HASH anti join, which scales like any
+    * equi-join (shuffle on the key, hash probe) instead of qNotIn's
+    * nested-loop scan. Identical output here: s_nationkey is non-null. */
+  def qNotInNotNull(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        supplier(s, d)
+          .filter(col("s_acctbal") < 0 && col("s_nationkey").isNotNull)
+          .select(col("s_nationkey")),
+        col("c_nationkey") === col("s_nationkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy("c_custkey")
 
   /** Multiple DISTINCT aggregates in one pass — Catalyst plans this via
     * Expand (one row replica per distinct clause) + two-phase aggregation;
@@ -449,6 +472,7 @@ object RelationalOps {
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range" -> qWindowRange,
     "q_not_in" -> qNotIn,
+    "q_not_in_notnull" -> qNotInNotNull,
     "q_count_distinct" -> qCountDistinct,
     "q_stats_exact" -> qStatsExact,
     "q_median_disc" -> qMedianDisc,
@@ -613,6 +637,12 @@ object RelationalOps {
       SELECT c_custkey, c_nationkey FROM customer
       WHERE c_nationkey NOT IN
         (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+      ORDER BY c_custkey""",
+    "q_not_in_notnull" -> """
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_nationkey NOT IN
+        (SELECT s_nationkey FROM supplier
+         WHERE s_acctbal < 0 AND s_nationkey IS NOT NULL)
       ORDER BY c_custkey""",
     "q_count_distinct" -> """
       SELECT l_returnflag,

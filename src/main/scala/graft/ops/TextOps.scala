@@ -127,24 +127,31 @@ object TextOps {
       s"CASE WHEN max(n) > $MaxFpLen THEN " +
         s"raise_error(concat('fingerprint: document longer than $MaxFpLen positions (', " +
         s"CAST(max(n) AS STRING), ')')) ELSE $fp END"
-    val chars = documents(s, d)
+    // One aggregation for both fingerprints: the char-term and token-term
+    // streams (each flat, codegen'd — the md5 stays OUT of any HOF lambda)
+    // are unioned with a kind tag and folded in a single groupBy with
+    // conditional sums. vs the join-of-two-aggregations shape this is one
+    // shuffle instead of three (two partial-agg exchanges + a join) and no
+    // join at all — the per-row work is identical.
+    val charTerms = documents(s, d)
       .select(col("doc_id"), expr(Chars).as("cs"))
-      .select(col("doc_id"), size(col("cs")).as("n"),
-        posexplode_outer(col("cs")).as(Seq("i", "c")))
-      .groupBy("doc_id")
-      .agg(expr(guarded(
-        s"coalesce(sum(ascii(c) % $P * (${powExpr(31, "n - 1 - i")}) % $P) % $P, 0L)"))
-        .as("fp_chars"))
-    val toks = documents(s, d)
+      .select(col("doc_id"), lit(0).as("kind"), size(col("cs")).as("n"),
+        posexplode_outer(col("cs")).as(Seq("i", "e")))
+      .select(col("doc_id"), col("kind"), col("n"), col("i"),
+        expr(s"ascii(e) % $P").as("h"))
+    val tokTerms = documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n"),
-        posexplode_outer(col("toks")).as(Seq("i", "t")))
+      .select(col("doc_id"), lit(1).as("kind"), size(col("toks")).as("n"),
+        posexplode_outer(col("toks")).as(Seq("i", "e")))
+      .select(col("doc_id"), col("kind"), col("n"), col("i"),
+        expr(s"${DedupOps.h60("e")} % $P").as("h"))
+    charTerms.union(tokTerms)
       .groupBy("doc_id")
-      .agg(expr(guarded(
-        s"coalesce(sum(${DedupOps.h60("t")} % $P * (${powExpr(131, "n - 1 - i")}) % $P) % $P, 0L)"))
-        .as("fp_tokens"))
-    chars.join(toks, "doc_id")
-      .select(col("doc_id"), col("fp_chars"), col("fp_tokens"))
+      .agg(
+        expr(guarded(s"coalesce(sum(CASE WHEN kind = 0 THEN " +
+          s"h * (${powExpr(31, "n - 1 - i")}) % $P END) % $P, 0L)")).as("fp_chars"),
+        expr(guarded(s"coalesce(sum(CASE WHEN kind = 1 THEN " +
+          s"h * (${powExpr(131, "n - 1 - i")}) % $P END) % $P, 0L)")).as("fp_tokens"))
       .orderBy("doc_id")
   }
 

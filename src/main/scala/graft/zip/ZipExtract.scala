@@ -99,12 +99,14 @@ object GraftError {
   }
   final class GraftException(val err: GraftError) extends RuntimeException(err.message)
   def raise(err: GraftError): Nothing = throw new GraftException(err)
-  /** Find the typed error inside a (possibly Spark-wrapped) failure. */
+  /** Find the typed error inside a (possibly Spark-wrapped) failure.
+    * The walk is depth-bounded like [[causeChain]]: a self-referencing
+    * cause is not the only possible cycle (a→b→a loops too). */
   @annotation.tailrec
-  def unwrap(t: Throwable): Option[GraftError] = t match {
+  def unwrap(t: Throwable, depth: Int = 16): Option[GraftError] = t match {
     case g: GraftException => Some(g.err)
     case null => None
-    case _ => if (t.getCause eq t) None else unwrap(t.getCause)
+    case _ => if (depth <= 0 || (t.getCause eq t)) None else unwrap(t.getCause, depth - 1)
   }
 }
 
@@ -195,6 +197,15 @@ object ZipExtract {
       df.withColumn("hash", concat(lit("\""), col("hash"), lit("\"")))
     else df
   }
+
+  /** O8/O14 parity — the reference's pre-extraction count pass
+    * (src/builder.rs:24-45 walks entry NAMES to total the progress bar).
+    * Body and hash are elided, so `needRead` is false in [[entries]] and no
+    * entry is ever decompressed — the pass touches zip metadata only. The
+    * glob (and the rest of cfg) still applies: the count is exactly the
+    * rows the extraction will emit. */
+  def countEntries(spark: SparkSession, cfg: ZipToParquetConfig): Long =
+    entries(spark, cfg.copy(includeBody = false, includeHash = false)).count()
 
   /** Stream one archive; iterator so downstream write pipelines without
     * buffering the archive (bounded memory = one entry, cf. the reference's

@@ -66,6 +66,40 @@ class MainSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("name", "source", "body", "hash"))
   }
 
+  test("countEntries is a names-only pass: oversized bodies are never read") {
+    // A body far past maxBodyBytes trips the read-side guard on extraction —
+    // but counting must never reach that guard, because it elides the read.
+    val f = new File(dir, "count.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    for (i <- 0 until 5) {
+      z.putNextEntry(new ZipEntry(s"e$i.bin"))
+      z.write(new Array[Byte](4096))
+      z.closeEntry()
+    }
+    z.close()
+    val cfg = graft.zip.ZipToParquetConfig(
+      inputs = Seq(f.getAbsolutePath), maxBodyBytes = 10)
+    assert(graft.zip.ZipExtract.countEntries(spark, cfg) == 5)
+    // sanity: the same cfg WITH bodies does trip the guard
+    val e = intercept[Exception] {
+      graft.zip.ZipExtract.entries(spark, cfg).collect()
+    }
+    assert(GraftError.unwrap(e).exists(_.isInstanceOf[GraftError.EntryTooLarge]))
+  }
+
+  test("--simple prints the pre-scan entry total (reference count pass)") {
+    val out = new File(dir, "cli_simple.parquet").getAbsolutePath
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(err) {
+      val prev = System.err
+      System.setErr(new java.io.PrintStream(err, true))
+      try Main.run(spark, Seq("-i", zip, "-o", out, "--simple"))
+      finally System.setErr(prev)
+    }
+    assert(err.toString.contains("2 files"), s"stderr was: ${err.toString.take(200)}")
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("glob flag filters entries end-to-end") {
     val out = new File(dir, "cli_png.parquet").getAbsolutePath
     Main.run(spark, Seq("-i", zip, "-o", out, "-g", "*.png"))

@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q_not_in_notnull plans a hash anti join, not a nested loop") {
+    val p = plan("q_not_in_notnull")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"known-not-null NOT IN still nested-loops:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"), s"anti join missing:\n${p.take(1200)}")
+  }
+
   test("s_ivf_topk assignment is a narrow scan (no shuffle before the probe join)") {
     val p = plan("s_ivf_topk")
     // the corpus side must be scan → project (argmax over inlined

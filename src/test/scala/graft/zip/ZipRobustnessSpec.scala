@@ -190,4 +190,46 @@ class ZipRobustnessSpec extends SparkSpec {
       includeBody = false, includeHash = false)
     assert(ZipExtract.entries(spark, cfg).count() == n)
   }
+
+  test("O13: cancellation mid-extraction leaves no committed output") {
+    // Reference parity: Ctrl-C deletes the incomplete parquet and exits
+    // cleanly (src/builder.rs:294-322). Here the contract is delegated to
+    // Spark's commit protocol: a job cancelled mid-write must abort —
+    // no _SUCCESS marker, no committed part files.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+    val f = new File(dir, "cancel.zip")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    val body = new Array[Byte](4096)
+    var i = 0
+    while (i < 30000) {
+      z.putNextEntry(new ZipEntry(s"c$i.bin")); z.write(body); z.closeEntry()
+      i += 1
+    }
+    z.close()
+    val out = new File(dir, "cancel_out").getAbsolutePath
+    val sc = spark.sparkContext
+    @volatile var fired = false
+    val listener = new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit =
+        if (!fired) { fired = true; sc.cancelJobGroup("graft-o13-cancel") }
+    }
+    sc.addSparkListener(listener)
+    try {
+      intercept[Throwable] {
+        sc.setJobGroup("graft-o13-cancel", "O13 cancellation parity",
+          interruptOnCancel = true)
+        ZipExtract.run(spark,
+          ZipToParquetConfig(inputs = Seq(f.getAbsolutePath), output = out))
+      }
+      val od = new File(out)
+      assert(!new File(od, "_SUCCESS").exists, "job committed despite cancellation")
+      val committed = Option(od.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".parquet"))
+      assert(committed.isEmpty,
+        s"committed part files remain: ${committed.mkString(", ")}")
+    } finally {
+      sc.removeSparkListener(listener)
+      sc.clearJobGroup()
+    }
+  }
 }
