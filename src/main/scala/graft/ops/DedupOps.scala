@@ -400,6 +400,49 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise evidence into dedup DECISIONS. Near-duplication is not
+    * transitive (A≈B, B≈C does not imply A≈C ≥ 0.8), so a real pipeline
+    * clusters the pair graph and keeps one document per component; the
+    * canonical id here is the component's min doc_id.
+    *
+    * Algorithm: iterative min-label propagation — each node adopts the
+    * smallest label among itself and its neighbors until fixpoint. One
+    * shuffle join per iteration, converging in graph-diameter rounds
+    * (near-dup components are shallow: a handful of rounds in practice);
+    * `localCheckpoint` truncates the growing lineage each round (at 100 TB
+    * use `checkpoint` on a reliable FS). The driver-side loop is a
+    * scalar-count convergence check per round, not data collection.
+    * Non-convergence within the round cap throws rather than returning a
+    * silently-partial clustering. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("label"), col("nbr")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_ngram_jaccard" -> ngramJaccard,
@@ -412,7 +455,8 @@ object DedupOps {
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
     "d_hll_distinct" -> hllDistinct,
     "d_exact_distinct" -> exactDistinct,
-    "d_incremental_dedup" -> incrementalDedup)
+    "d_incremental_dedup" -> incrementalDedup,
+    "d_dedup_clusters" -> dedupClusters)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -508,20 +552,24 @@ object DedupOps {
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
       ORDER BY a_id, b_id""",
     "d_ngram_jaccard" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
-      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
-      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
-      c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
-      keep AS (SELECT sh1 FROM e GROUP BY 1 HAVING count(*) <= $DefaultMaxDf),
-      i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
-            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
-            JOIN keep k ON a.sh1 = k.sh1
-            GROUP BY 1, 2)
+      WITH $JaccardCappedCtes
       SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
              inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
       ORDER BY a_id, b_id""",
+    "d_dedup_clusters" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+      ed AS (SELECT a_id AS u, b_id AS v FROM p
+             UNION SELECT b_id, a_id FROM p),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
+      SELECT u AS doc_id, min(v) AS cluster_id FROM r
+      GROUP BY u ORDER BY doc_id""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_simhash" -> s"""
