@@ -533,6 +533,21 @@ object DedupOps {
       ORDER BY a_id, b_id"""
   }
 
+  /** Shared capped-Jaccard CTE chain (shingle → explode → doc sizes →
+    * DF-capped postings → intersection counts), interpolated into the
+    * `d_ngram_jaccard` and `d_dedup_clusters` oracles so both replay the
+    * same [[DefaultMaxDf]] posting-list cap as the Spark side. */
+  private val JaccardCappedCtes = s"""
+      t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
+      c AS (SELECT doc_id, count(*) n_sh FROM e GROUP BY 1),
+      keep AS (SELECT sh1 FROM e GROUP BY 1 HAVING count(*) <= $DefaultMaxDf),
+      i AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            JOIN keep k ON a.sh1 = k.sh1
+            GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -380,13 +380,21 @@ object RelationalOps {
   }
 
   /** The production form of NOT IN for a non-null (or made non-null)
-    * subquery side: `IS NOT NULL` filter + regular left_anti join. With no
-    * NULL to poison the membership test, NOT IN ≡ anti join — and Spark
-    * plans a broadcast/shuffled HASH anti join, which scales like any
-    * equi-join (shuffle on the key, hash probe) instead of qNotIn's
-    * nested-loop scan. Identical output here: s_nationkey is non-null. */
+    * subquery side: `IS NOT NULL` filters on BOTH sides + regular
+    * left_anti join. NOT IN ≡ anti join only when neither side can produce
+    * NULL: a NULL subquery value poisons every membership test, and a NULL
+    * probe value evaluates NOT IN to NULL (row dropped) whenever the
+    * subquery is non-empty — whereas a bare anti join would KEEP it (NULL
+    * key matches nothing). So the rewrite filters NULLs on both sides; the
+    * one residual divergence is a NULL probe row against an EMPTY subquery
+    * (NOT IN keeps it, this drops it) — acceptable in production where the
+    * key is non-null anyway, and exact on TPC-H (both keys non-null). The
+    * payoff: Spark plans a broadcast/shuffled HASH anti join, which scales
+    * like any equi-join (shuffle on the key, hash probe) instead of
+    * qNotIn's nested-loop scan. */
   def qNotInNotNull(s: SparkSession, d: String): DataFrame =
     customer(s, d)
+      .filter(col("c_nationkey").isNotNull)
       .join(
         supplier(s, d)
           .filter(col("s_acctbal") < 0 && col("s_nationkey").isNotNull)
