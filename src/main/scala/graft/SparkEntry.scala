@@ -23,8 +23,8 @@ object SparkEntry {
     * builders themselves never touch session state (library purity). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
-      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries)
+      TextOps.queries ++ CorpusOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ MultimodalOps.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(GraftSession.init(s), dir))
       }
@@ -33,6 +33,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles ++
-      TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      MultimodalOps.oracles
+      TextOps.oracles ++ CorpusOps.oracles ++ DedupOps.oracles ++
+      SimilarityOps.oracles ++ MultimodalOps.oracles
 }

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between raw text and the trainer: benchmark decontamination, sequence
+  * packing, stratified mixture sampling, corpus-frequency rarity scoring,
+  * and PII/deny-list scrubbing. (Extensions beyond the reference — its
+  * whole dataflow is the zip→parquet pipeline, src/builder.rs:23-119; these
+  * are the operations the produced parquet feeds at 100 TB.)
+  *
+  * Oracle-exactness strategy (same as [[TextOps]]): exact integer
+  * arithmetic everywhere, one double division at the end where a ratio is
+  * reported, md5 as the only hash primitive — Spark and DuckDB agree
+  * bit-for-bit.
+  */
+object CorpusOps {
+  import Tables._
+
+  private val Toks = "split(text, ' ')"
+  /** Distinct 3-token shingles over a bound `toks` attribute (never inline
+    * the split into the lambda — see DedupOps.ShinglesOfToks). */
+  private val ShinglesOfToks =
+    """array_distinct(CASE WHEN size(toks) >= 3 THEN
+          transform(sequence(1, size(toks) - 2),
+            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                        ' ', element_at(toks, i + 2)))
+        ELSE array() END)"""
+  private val ShinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3 THEN
+         list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       ELSE [] END)"""
+
+  /** (doc_id, n_sh, sh) — one row per distinct shingle per document,
+    * carrying the doc's shingle count (no join-back later). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_sh"),
+        explode(col("shs")).as("sh"))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * n-token shingle with the held-out eval set (here doc_id % 50 == 0 —
+    * in production the benchmark suite), reporting the overlap fraction.
+    * The Gopher/GPT-3 style 13-gram test-set filter; n=3 at test scale so
+    * the synthetic corpus actually collides.
+    *
+    * Plan/scale: the eval side is benchmark data — thousands of docs, not
+    * corpus-scale — so its distinct-shingle set is broadcast and the train
+    * side never shuffles: scan → shingle → broadcast-hash-join → one
+    * partial-agg shuffle on doc_id. No frequency cap here on purpose —
+    * ANY eval overlap is signal (contrast the Jaccard DF cap, where hot
+    * shingles are noise). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val rows = shingleRows(s, d)
+    val eval_ = rows.filter(col("doc_id") % 50 === 0)
+      .select(col("sh")).distinct()
+    rows.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(eval_), "sh")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        expr("n_hit / n_sh").as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per packed training sequence. */
+  val SeqBudget = 256
+
+  /** Sequence packing, concat-and-chunk style: within each source shard,
+    * documents are laid end-to-end in doc_id order and cut into
+    * [[SeqBudget]]-token windows; each doc reports the sequence it starts
+    * in and its offset there — the bookkeeping a trainer's data loader
+    * needs. Exact: window SUM over BIGINT.
+    *
+    * Plan/scale: the running sum is a window PARTITIONED BY source — one
+    * shuffle on the shard key, each shard's prefix sum local to its
+    * partition. Packing is per-shard by design (matching how training data
+    * is sharded on disk); a single GLOBAL concatenation order would
+    * serialize the window into one partition at 100 TB — if ever needed,
+    * do per-partition sums + a driver-side prefix of the (tiny)
+    * per-partition totals, then a map-side add. */
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(s"size($Toks)").cast("bigint").as("n_tokens"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok DIV $SeqBudget").as("seq_id"),
+        expr(s"start_tok % $SeqBudget").as("tok_offset"))
+      .orderBy("doc_id")
+
+  /** Per-language keep-rate (percent) — the mixture weights of a
+    * stratified corpus sample. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "fr" -> 50, "es" -> 30, "de" -> 20)
+  private val DefaultRate = 10
+
+  private def rateCase(col: String): String =
+    SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(s"CASE $col ", " ", s" ELSE $DefaultRate END")
+
+  /** Deterministic stratified sampling: keep a document iff
+    * md5-hash(doc_id) mod 100 falls under its language's rate — the
+    * mixture-weighting step that rebalances a corpus before training.
+    * Deterministic (same sample on re-run, no RNG state), exact in both
+    * engines (md5 is the shared primitive).
+    *
+    * Plan/scale: a narrow per-row filter — no shuffle, no sort, prunes to
+    * (doc_id, lang) + text never read. Embarrassingly parallel at any
+    * scale. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr(s"${DedupOps.h60("CAST(doc_id AS STRING)")} % 100").as("bucket"))
+      .filter(expr(s"bucket < ${rateCase("lang")}"))
+      .orderBy("doc_id")
+
+  /** Corpus-frequency rarity scoring: per document, the document-frequency
+    * stats of its distinct tokens (mean and min DF) — the unigram-LM-style
+    * signal quality filters threshold on (rare-token-heavy docs are noise
+    * or gold, frequent-token docs are boilerplate). Integer sums, one
+    * double division — exact.
+    *
+    * Plan/scale: pass 1 builds the DF table (one shuffle on token,
+    * partial-agg so map output is per-partition vocabulary); the table is
+    * vocabulary-sized — millions of rows at web scale, ≪ corpus — so pass
+    * 2 broadcast-joins it onto the exploded tokens and re-aggregates per
+    * doc. If the vocab outgrows broadcast, drop the hint: AQE plans a
+    * shuffled hash join on the same key and the shape still holds. */
+  def rarity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), expr(s"array_distinct($Toks)").as("td"))
+      .select(col("doc_id"), explode(col("td")).as("tok"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).cast("bigint").as("df"))
+    toks.join(broadcast(df), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("df_sum"),
+        min(col("df")).as("min_df"))
+      .select(col("doc_id"), col("n_distinct"), col("df_sum"),
+        expr("df_sum / n_distinct").as("mean_df"), col("min_df"))
+      .orderBy("doc_id")
+  }
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val NumberPat = "[0-9]{6,}"
+  /** Deny-list term for the redaction demo — in production a generated
+    * alternation over the configured terms. */
+  private val DenyPat = "customer"
+
+  /** PII / deny-list scrubbing: redact emails, long digit runs and
+    * deny-listed terms, reporting per-doc hit counts alongside the cleaned
+    * text. Patterns are ASCII-class-only, no lookaround — Java regex
+    * (Spark) and RE2 (DuckDB) match identically; replacement is
+    * all-occurrences in both (Spark's default; DuckDB's 'g' flag).
+    *
+    * Plan/scale: narrow per-row regex work, fully codegen'd, no shuffle —
+    * the text column never moves between executors. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(s"size(regexp_extract_all(text, '$EmailPat', 0))").cast("bigint").as("n_email"),
+        expr(s"size(regexp_extract_all(text, '$NumberPat', 0))").cast("bigint").as("n_number"),
+        expr(s"size(regexp_extract_all(text, '$DenyPat', 0))").cast("bigint").as("n_denied"),
+        expr(s"""regexp_replace(regexp_replace(regexp_replace(text,
+            '$EmailPat', '[EMAIL]'),
+            '$NumberPat', '[NUMBER]'),
+            '$DenyPat', '[REDACTED]')""").as("clean_text"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_decontaminate" -> decontaminate,
+    "t_seq_pack" -> seqPack,
+    "q_stratified_sample" -> stratifiedSample,
+    "t_rarity" -> rarity,
+    "t_pii_scrub" -> piiScrub)
+
+  private val H60DocId = """list_reduce(list_prepend(0::BIGINT,
+      list_transform(string_split_regex(substr(md5(doc_id::VARCHAR), 1, 15), ''),
+        c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+      (a, b) -> a * 16 + b)"""
+
+  val oracles: Map[String, String] = Map(
+    "t_decontaminate" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql shs FROM t),
+      ev AS (SELECT DISTINCT unnest(shs) sh FROM s WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, len(shs)::BIGINT n_sh, unnest(shs) sh
+             FROM s WHERE doc_id % 50 <> 0),
+      hit AS (SELECT doc_id, n_sh, count(*)::BIGINT n_hit
+              FROM tr JOIN ev USING (sh) GROUP BY 1, 2)
+      SELECT doc_id, n_sh, n_hit, n_hit / n_sh AS contamination
+      FROM hit ORDER BY doc_id""",
+    "t_seq_pack" -> s"""
+      WITH t AS (SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS start_tok
+            FROM t)
+      SELECT doc_id, source, n_tokens, start_tok,
+             start_tok // $SeqBudget AS seq_id,
+             start_tok % $SeqBudget AS tok_offset
+      FROM c ORDER BY doc_id""",
+    "q_stratified_sample" -> s"""
+      WITH t AS (SELECT doc_id, lang, $H60DocId % 100 AS bucket FROM documents)
+      SELECT doc_id, lang, bucket FROM t
+      WHERE bucket < ${rateCase("lang")}
+      ORDER BY doc_id""",
+    "t_rarity" -> """
+      WITH e AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) tok
+                 FROM documents),
+      df AS (SELECT tok, count(*)::BIGINT df FROM e GROUP BY 1),
+      j AS (SELECT doc_id, count(*)::BIGINT n_distinct, sum(df)::BIGINT df_sum,
+              min(df)::BIGINT min_df
+            FROM e JOIN df USING (tok) GROUP BY 1)
+      SELECT doc_id, n_distinct, df_sum, df_sum / n_distinct AS mean_df, min_df
+      FROM j ORDER BY doc_id""",
+    "t_pii_scrub" -> s"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$EmailPat'))::BIGINT n_email,
+        len(regexp_extract_all(text, '$NumberPat'))::BIGINT n_number,
+        len(regexp_extract_all(text, '$DenyPat'))::BIGINT n_denied,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$EmailPat', '[EMAIL]', 'g'),
+          '$NumberPat', '[NUMBER]', 'g'),
+          '$DenyPat', '[REDACTED]', 'g') AS clean_text
+      FROM documents ORDER BY doc_id""")
+}

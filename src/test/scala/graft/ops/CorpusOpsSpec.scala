@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic + plan-shape guards for the corpus-preparation ops. Exact
+  * values are the DuckDB oracle gate's job; these assert the invariants
+  * the oracle can't express (plan shape, cross-row properties). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("decontaminate: eval docs excluded, overlaps bounded by shingle count") {
+    val rows = CorpusOps.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, s"eval doc ${r.getLong(0)} in output")
+      assert(r.getLong(2) <= r.getLong(1), "n_hit exceeds n_sh")
+    }
+  }
+
+  test("decontaminate: eval shingle set is broadcast, train side not shuffled to the join") {
+    val p = CorpusOps.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n${p.take(1500)}")
+  }
+
+  test("seq_pack: per-source offsets are a gapless token layout") {
+    val rows = CorpusOps.seqPack(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var expectStart = 0L
+      ordered.foreach { case (_, _, nTok, start) =>
+        assert(start == expectStart, s"gap: start=$start expected=$expectStart")
+        expectStart += nTok
+      }
+    }
+    CorpusOps.seqPack(spark, sf).collect().foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(5) < CorpusOps.SeqBudget)
+      assert(r.getLong(4) == r.getLong(3) / CorpusOps.SeqBudget)
+    }
+  }
+
+  test("stratified sample: kept buckets honor per-language rates, deterministic") {
+    val rates = Map("en" -> 80, "fr" -> 50, "es" -> 30, "de" -> 20)
+    val a = CorpusOps.stratifiedSample(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val rate = rates.getOrElse(r.getString(1), 10)
+      assert(r.getLong(2) < rate, s"doc ${r.getLong(0)} bucket ${r.getLong(2)} >= $rate")
+    }
+    val b = CorpusOps.stratifiedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq, "sample not deterministic")
+  }
+
+  test("stratified sample plans no shuffle before the filter") {
+    // narrow filter: the only exchange allowed is the final orderBy's
+    val p = CorpusOps.stratifiedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllMatchIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles:\n${p.take(1500)}")
+  }
+
+  test("rarity: min_df <= mean_df, df table broadcast onto token rows") {
+    val rows = CorpusOps.rarity(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(4).toDouble <= r.getDouble(3) + 1e-9,
+        s"min_df ${r.getLong(4)} > mean_df ${r.getDouble(3)}")
+    }
+    val p = CorpusOps.rarity(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n${p.take(1500)}")
+  }
+
+  test("pii scrub: deny-list terms are gone from clean_text, counts match") {
+    val rows = CorpusOps.piiScrub(spark, sf).collect()
+    assert(rows.exists(_.getLong(3) > 0), "no deny-list hits in test corpus")
+    rows.foreach { r =>
+      assert(!r.getString(4).contains("customer"),
+        s"doc ${r.getLong(0)} still contains the deny term")
+      if (r.getLong(3) > 0)
+        assert(r.getString(4).contains("[REDACTED]"))
+    }
+  }
+}
