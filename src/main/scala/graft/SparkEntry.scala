@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
       TextOps.queries ++ CorpusOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries)
+      SimilarityOps.queries ++ MultimodalOps.queries ++ Skipping.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(GraftSession.init(s), dir))
       }
@@ -34,5 +34,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ CorpusOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles
+      SimilarityOps.oracles ++ MultimodalOps.oracles ++ Skipping.oracles
 }

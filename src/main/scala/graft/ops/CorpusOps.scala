@@ -98,6 +98,43 @@ object CorpusOps {
         expr(s"start_tok % $SeqBudget").as("tok_offset"))
       .orderBy("doc_id")
 
+  /** GLOBAL concat-and-chunk packing — documents laid end-to-end in
+    * (source, doc_id) order across the WHOLE corpus — via the two-phase
+    * prefix sum [[seqPack]]'s scaladoc promises: phase 1 computes
+    * per-shard token totals (tiny — one row per shard), a window over
+    * that tiny relation turns them into shard base offsets, and phase 2
+    * broadcast-joins the bases back so each shard's local window only adds
+    * a constant. The single-partition window runs over shard COUNT rows,
+    * not corpus rows — the pattern that makes a global running sum scale.
+    * Output is bit-identical to a global `SUM OVER (ORDER BY source,
+    * doc_id)`, which is exactly what the oracle runs. */
+  def seqPackGlobal(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(s"size($Toks)").cast("bigint").as("n_tokens"))
+    val bases = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("shard_toks"))
+      .withColumn("base",
+        coalesce(
+          sum(col("shard_toks")).over(
+            w.orderBy(col("source")).rowsBetween(w.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("base"))
+    docs
+      .withColumn("local_start",
+        sum(col("n_tokens")).over(
+          w.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(w.unboundedPreceding, 0)) - col("n_tokens"))
+      .join(broadcast(bases), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("base") + col("local_start")).as("start_tok"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok DIV $SeqBudget").as("seq_id"),
+        expr(s"start_tok % $SeqBudget").as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language keep-rate (percent) — the mixture weights of a
     * stratified corpus sample. */
   private val SampleRates: Seq[(String, Int)] =
@@ -179,6 +216,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,
+    "t_seq_pack_global" -> seqPackGlobal,
     "q_stratified_sample" -> stratifiedSample,
     "t_rarity" -> rarity,
     "t_pii_scrub" -> piiScrub)
@@ -204,6 +242,18 @@ object CorpusOps {
                    len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
       c AS (SELECT doc_id, source, n_tokens,
               (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS start_tok
+            FROM t)
+      SELECT doc_id, source, n_tokens, start_tok,
+             start_tok // $SeqBudget AS seq_id,
+             start_tok % $SeqBudget AS tok_offset
+      FROM c ORDER BY doc_id""",
+    "t_seq_pack_global" -> s"""
+      WITH t AS (SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              (sum(n_tokens) OVER (ORDER BY source, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 - n_tokens)::BIGINT AS start_tok
             FROM t)

@@ -400,6 +400,68 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter words and hash count for the manifest runtime filter:
+    * 4096 bits / 3 hashes — sized for the test manifest; production sizes
+    * m ≈ 1.44·n·log2(1/p) bits for the manifest count. Words are 32-bit
+    * (stored in BIGINT): DuckDB's `<<` overflow-checks at bit 63, so
+    * 64-bit words can't be replayed there — 32-bit masks stay positive in
+    * both engines. */
+  val BloomWords = 128
+  val BloomHashes = 3
+  private val WordBits = 32
+  private val BloomBits = BloomWords.toLong * WordBits
+
+  private def bloomPos(seed: Int) =
+    s"${h60(s"concat(text, '|b$seed')")} % $BloomBits"
+  private def bloomPosSql(seed: Int) =
+    s"${h60Sql(s"text || '|b$seed'")} % $BloomBits"
+
+  /** Bloom-filter manifest pruning — the runtime-filter half of
+    * [[incrementalDedup]]: before shipping a 100 TB batch into the
+    * anti-join shuffle, probe a bits-sized summary of the manifest and
+    * let only possible-duplicates (bloom hit) pay the join; definite-new
+    * documents (any bit clear) skip it entirely. The filter here is a
+    * deterministic 4096-bit / 3-hash bloom built as a one-row BIGINT-array
+    * aggregate kept IN-PLAN and broadcast — the same shape Spark's own
+    * runtime row-level filtering injects, but with md5-derived hashes so
+    * DuckDB replays it bit-for-bit.
+    *
+    * Output per new-batch document: the bloom verdict and the exact
+    * verdict — bloom misses are PROVEN new (no false negatives, asserted
+    * in the spec), bloom hits carry the measured false-positive residue
+    * the exact join then clears.
+    *
+    * Scale: build = one partial-agg shuffle over manifest hashes down to
+    * [[BloomWords]] words; probe = narrow per-row bit tests against the
+    * broadcast row;
+    * only the (small) hit set reaches the hash anti-join. */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val manifest = docs.filter(col("doc_id") < 400)
+    // word index -> OR of bit masks, then a dense 64-long array in one row
+    val words = manifest
+      .select(explode(array((0 until BloomHashes).map(k =>
+        expr(bloomPos(k))): _*)).as("pos"))
+      .select(expr(s"CAST(pos DIV $WordBits AS INT)").as("w"),
+        expr(s"CAST(pos % $WordBits AS INT)").as("b"))
+      .groupBy("w").agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+    val bloomRow = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+    val probes = (0 until BloomHashes).map { k =>
+      s"(coalesce(element_at(bm, CAST((${bloomPos(k)}) DIV $WordBits AS INT)), 0L)" +
+        s" & shiftleft(1L, CAST((${bloomPos(k)}) % $WordBits AS INT))) <> 0L"
+    }.mkString("(", " AND ", ")")
+    docs.filter(col("doc_id") >= 400)
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("bloom_hit", expr(probes))
+      .join(manifest.select(md5(col("text").cast("binary")).as("h")).distinct()
+          .withColumn("exact_hit", lit(true)),
+        md5(col("text").cast("binary")) === col("h"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise evidence into dedup DECISIONS. Near-duplication is not
     * transitive (A≈B, B≈C does not imply A≈C ≥ 0.8), so a real pipeline
@@ -456,7 +518,8 @@ object DedupOps {
     "d_hll_distinct" -> hllDistinct,
     "d_exact_distinct" -> exactDistinct,
     "d_incremental_dedup" -> incrementalDedup,
-    "d_dedup_clusters" -> dedupClusters)
+    "d_dedup_clusters" -> dedupClusters,
+    "d_bloom_prune" -> bloomPrune)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -628,6 +691,29 @@ object DedupOps {
         AND content_hash NOT IN (SELECT content_hash FROM manifest)
       GROUP BY content_hash
       ORDER BY doc_id""",
+    "d_bloom_prune" -> {
+      val posList = (0 until BloomHashes).map(bloomPosSql).mkString("[", ", ", "]")
+      val probes = (0 until BloomHashes).map { k =>
+        s"(bits[((${bloomPosSql(k)}) // $WordBits)::INT + 1]" +
+          s" & (1::BIGINT << ((${bloomPosSql(k)}) % $WordBits)::INT)) <> 0"
+      }.mkString("(", " AND ", ")")
+      s"""
+      WITH m AS (SELECT text FROM documents WHERE doc_id < 400),
+      pos AS (SELECT unnest($posList) AS pos FROM m),
+      wd AS (SELECT (pos // $WordBits)::INT w,
+               bit_or(1::BIGINT << (pos % $WordBits)::INT) mask
+             FROM pos GROUP BY 1),
+      bl AS (SELECT list(coalesce(mask, 0::BIGINT) ORDER BY i) bits
+             FROM generate_series(0, ${BloomWords - 1}) g(i)
+             LEFT JOIN wd ON wd.w = i),
+      mh AS (SELECT DISTINCT md5(text) h FROM m)
+      SELECT doc_id, $probes AS bloom_hit,
+             (mh.h IS NOT NULL) AS exact_hit
+      FROM documents CROSS JOIN bl
+      LEFT JOIN mh ON md5(documents.text) = mh.h
+      WHERE doc_id >= 400
+      ORDER BY doc_id"""
+    },
     "d_embedding_neardup" -> """
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",

@@ -42,6 +42,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("seq_pack_global: two-phase prefix sum equals the global concat order") {
+    val rows = CorpusOps.seqPackGlobal(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    // replay the single global window (source, doc_id) on the driver
+    var running = 0L
+    rows.sortBy(t => (t._1, t._2)).foreach { case (_, id, nTok, start) =>
+      assert(start == running, s"doc $id start=$start expected=$running")
+      running += nTok
+    }
+    // the corpus-side window must stay partitioned by source; only the
+    // shard-totals relation may hit a single partition
+    val p = CorpusOps.seqPackGlobal(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "shard bases not broadcast")
+  }
+
   test("stratified sample: kept buckets honor per-language rates, deterministic") {
     val rates = Map("en" -> 80, "fr" -> 50, "es" -> 30, "de" -> 20)
     val a = CorpusOps.stratifiedSample(spark, sf).collect()

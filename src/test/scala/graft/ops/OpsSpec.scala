@@ -212,6 +212,20 @@ class OpsSpec extends SparkSpec {
       s"missed=${expected -- capped} extra=${capped -- expected}")
   }
 
+  test("bloom prune: no false negatives, filter built in-plan and broadcast") {
+    val rows = DedupOps.bloomPrune(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the bloom invariant: an exact duplicate can never be a bloom miss
+      if (r.getBoolean(2)) assert(r.getBoolean(1),
+        s"doc ${r.getLong(0)}: exact duplicate missed by bloom (false negative)")
+    }
+    val p = DedupOps.bloomPrune(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bloom row not broadcast:\n${p.take(1500)}")
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
