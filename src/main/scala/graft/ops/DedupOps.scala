@@ -490,12 +490,15 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nbr"))
+      // keep the changed flag on the propagated row: the convergence
+      // check is then a filter-count over the checkpointed result, not a
+      // third join re-deriving prev labels
       val next = labels.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("label"), col("nbr")).as("label"))
+        .select(col("node"), least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("ch"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("ch")).count()
+      labels = next.drop("ch")
       iter += 1
     }
     if (changed > 0)
