@@ -59,7 +59,7 @@ object DedupOps {
   /** 60-bit token hash: first 15 md5 hex chars, base-16. */
   private[ops] def h60(e: String) =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
-  private def h60Sql(e: String) =
+  private[ops] def h60Sql(e: String) =
     s"""list_reduce(list_prepend(0::BIGINT,
           list_transform(string_split_regex(substr(md5($e), 1, 15), ''),
             c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
@@ -371,6 +371,40 @@ object DedupOps {
         expr("0.673D * 256.0D / harm").as("hll_estimate"))
   }
 
+  /** Per-group HLL sketches — [[hllDistinct]] keyed by language: the
+    * pre-aggregated-sketch pattern for 100 TB cardinality dashboards (one
+    * 16-long state per group, mergeable across any partitioning, distinct
+    * counts per slice WITHOUT a per-slice exact distinct shuffle). Unlike
+    * the global sketch, a small group can leave buckets EMPTY — each
+    * absent bucket contributes 1/2^0 = 1.0 to the harmonic sum, added as
+    * `(16 - n_buckets) * 1.0` in both engines. */
+  def hllByLang(s: SparkSession, d: String): DataFrame = {
+    val buckets = documents(s, d)
+      .select(col("lang"), explode(expr(Toks)).as("tok"))
+      .select(col("lang"), expr("substring(md5(tok), 1, 15)").as("hx"))
+      .select(col("lang"),
+        expr("CAST(conv(substring(hx, 1, 1), 16, 10) AS BIGINT)").as("bucket"),
+        expr("ltrim('0', substring(hx, 2, 14))").as("rest"))
+      .select(col("lang"), col("bucket"),
+        expr("CASE WHEN rest = '' THEN 57L ELSE " +
+          "CAST(4 * (14 - length(rest)) AS BIGINT) + " +
+          "(CASE WHEN substring(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0L " +
+          " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
+          " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END").as("rho"))
+      .groupBy("lang", "bucket").agg(max(col("rho")).as("m"))
+    buckets
+      .groupBy("lang")
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
+             (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))""")
+        .as("occ"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("lang"), col("n_buckets"),
+        expr("0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)")
+          .as("hll_estimate"))
+      .orderBy("lang")
+  }
+
   /** Opt-in validation twin of [[hllDistinct]]: the EXACT global distinct
     * token count. This is the corpus-wide shuffle the sketch avoids — run
     * it at sample scale to calibrate the sketch, never on the full 100 TB
@@ -519,6 +553,7 @@ object DedupOps {
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
     "d_hll_distinct" -> hllDistinct,
+    "d_hll_by_lang" -> hllByLang,
     "d_exact_distinct" -> exactDistinct,
     "d_incremental_dedup" -> incrementalDedup,
     "d_dedup_clusters" -> dedupClusters,
@@ -683,6 +718,31 @@ object DedupOps {
               FROM mx)
       SELECT n_buckets, 0.673 * 256.0 / harm AS hll_estimate
       FROM agg""",
+    "d_hll_by_lang" -> """
+      WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents),
+      hx AS (SELECT lang, substr(md5(tok), 1, 15) AS h FROM toks),
+      br AS (SELECT lang,
+                    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
+                    ltrim(substr(h, 2, 14), '0') AS rest
+             FROM hx),
+      rho AS (SELECT lang, bucket,
+                CASE WHEN rest = '' THEN 57::BIGINT ELSE
+                  (4 * (14 - length(rest)))::BIGINT +
+                  (CASE WHEN substr(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
+                        WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END)::BIGINT + 1
+                END AS rho
+              FROM br),
+      mx AS (SELECT lang, bucket, max(rho) AS m FROM rho GROUP BY 1, 2),
+      agg AS (SELECT lang, count(*) AS n_buckets,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(list(m ORDER BY bucket),
+                    mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
+                  (a, b) -> a + b) AS occ
+              FROM mx GROUP BY lang)
+      SELECT lang, n_buckets,
+             0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0) AS hll_estimate
+      FROM agg ORDER BY lang""",
     "d_exact_distinct" -> """
       SELECT count(DISTINCT tok) AS n_exact
       FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents)""",

@@ -225,6 +225,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Count-min sketch width (counters per hash row) and depth. */
+  val CmsWidth = 1024
+  val CmsDepth = 2
+
+  private def cmsPos(r: Int) =
+    s"${DedupOps.h60(s"concat(tok, '|c$r')")} % $CmsWidth"
+
+  /** Count-min-sketch heavy hitters: token frequencies estimated from a
+    * [[CmsDepth]]×[[CmsWidth]] counter grid (est = min over rows of the
+    * hashed cell), reported for the top-20 tokens next to their exact
+    * counts so the sketch's one-sided overestimate is visible. The grid is
+    * the 100 TB point: counter state is fixed-size (2×1024 cells) and
+    * mergeable regardless of corpus or vocabulary size — the shuffle
+    * reduces to it via partial aggregation, and point queries then
+    * broadcast it. Hash rows are md5-derived (deterministic), so the
+    * oracle replays the grid cell-for-cell.
+    *
+    * Plan: one explode → per-cell partial-agg count (grid build, ~2k
+    * rows), one vocab aggregation (candidate set + exact twin), then two
+    * broadcast joins of the tiny grid onto the vocab — no corpus-scale
+    * join anywhere. */
+  def cmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
+    val cells = toks
+      .select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("r"), expr(cmsPos(r)).as("p"))): _*)).as("rp"))
+      .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val withCells = (0 until CmsDepth).foldLeft(vocab) { (acc, r) =>
+      acc.join(
+        broadcast(cells.filter(col("r") === r)
+          .select(col("p").as(s"p$r"), col("c").as(s"c$r"))),
+        expr(s"(${cmsPos(r)}) = p$r"))
+    }
+    withCells
+      .select(col("tok"), col("exact_n"),
+        least((0 until CmsDepth).map(r => col(s"c$r")): _*).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("exact_n").desc, col("tok"))
+      .limit(20)
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a real
     * training-data job runs as ONE plan (each stage stays declarative, so
     * Catalyst fuses the scans and pushes the cheap filters below the
@@ -257,6 +299,7 @@ object TextOps {
     "t_ngram_freq" -> ngramFreq,
     "t_bpe_tokens" -> bpeTokens,
     "t_repetition" -> repetition,
+    "t_cms_topk" -> cmsTopk,
     "t_pipeline" -> pipeline)
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +383,22 @@ object TextOps {
                AS dup_bigram_frac
       FROM b LEFT JOIN tp ON b.doc_id = tp.doc_id
       ORDER BY b.doc_id""",
+    "t_cms_topk" -> {
+      def posSql(r: Int) = s"${DedupOps.h60Sql(s"tok || '|c$r'")} % $CmsWidth"
+      s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+      cells AS (SELECT r, p, count(*)::BIGINT c FROM (
+                  SELECT 0 AS r, ${posSql(0)} AS p FROM toks
+                  UNION ALL
+                  SELECT 1 AS r, ${posSql(1)} AS p FROM toks)
+                GROUP BY r, p),
+      vocab AS (SELECT tok, count(*)::BIGINT exact_n FROM toks GROUP BY tok)
+      SELECT tok, exact_n, least(c0.c, c1.c) AS cms_est
+      FROM vocab
+      JOIN cells c0 ON c0.r = 0 AND c0.p = ${posSql(0)}
+      JOIN cells c1 ON c1.r = 1 AND c1.p = ${posSql(1)}
+      ORDER BY cms_est DESC, exact_n DESC, tok LIMIT 20"""
+    },
     "t_pipeline" -> s"""
       WITH s AS (SELECT doc_id, text,
                    len(string_split(text, ' '))::BIGINT nt,
