@@ -118,6 +118,49 @@ object StreamOps {
         col("view_ts"), col("view_item"))
   }
 
+  /** Streaming corpus ingest with a DURABLE dedup manifest — the
+    * cross-batch dual of DedupOps.incrementalDedup. [[dedupStream]] bounds
+    * its state by the watermark horizon; when the horizon is "forever"
+    * (a training corpus must never re-ingest a document), the state store
+    * can't hold it but a parquet manifest table can. Each micro-batch:
+    * in-batch dedup on content hash → anti-join the manifest → append the
+    * survivors to the corpus AND their hashes to the manifest.
+    *
+    * Scale: the manifest carries 16-byte hashes only (a few GB per 100 TB
+    * of corpus), and both the anti-join and the appends shuffle on the
+    * uniform hash — bucket the manifest (ops/Bucketing) to make the join
+    * exchange-free. The batch is persisted across its two sinks so the
+    * anti-join runs once. Failure semantics are the foreachBatch contract:
+    * a batch that fails between the two appends can leave a corpus row
+    * whose hash is missing from the manifest — the next retry then
+    * re-appends it; run the batch twin (incrementalDedup) as the
+    * periodic re-dedup, exactly as its scaladoc prescribes. */
+  def manifestIngestStream(spark: SparkSession, docs: DataFrame,
+      corpusDir: String, manifestDir: String, checkpoint: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hashed = batch
+          .withColumn("content_hash", md5(col("text").cast("binary")))
+          .dropDuplicates("content_hash")
+        val fs = new org.apache.hadoop.fs.Path(manifestDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh = (if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir)))
+          hashed.join(spark.read.parquet(manifestDir),
+            Seq("content_hash"), "left_anti")
+        else hashed).persist()
+        try {
+          fresh.drop("content_hash")
+            .write.mode("append").option("compression", "snappy")
+            .parquet(corpusDir)
+          fresh.select(col("content_hash"))
+            .write.mode("append").option("compression", "snappy")
+            .parquet(manifestDir)
+        } finally fresh.unpersist()
+        ()
+      }
+      .start()
+
   /** Watch a landing directory for new zip archives and append their
     * extracted entries to a parquet sink — the streaming version of the
     * reference's whole pipeline ("drop zips in, get rows out"). The file

@@ -108,6 +108,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, "itemA", "itemA")))
   }
 
+  test("manifestIngestStream dedups across micro-batches via the durable manifest") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = tmp("graft_corpus") + "/docs"
+    val manifest = tmp("graft_manifest") + "/hashes"
+    val ckpt = tmp("graft_mi_ckpt")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.manifestIngestStream(spark, docs, corpus, manifest, ckpt)
+    try {
+      // batch 1: one in-batch duplicate pair
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate of "alpha" + one genuinely new doc
+      in.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.read.parquet(corpus).select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"),
+      s"corpus not deduped across batches: $texts")
+    assert(spark.read.parquet(manifest).distinct().count() == 3)
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"
