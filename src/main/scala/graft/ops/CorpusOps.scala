@@ -18,20 +18,12 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
   import Tables._
 
-  private val Toks = "split(text, ' ')"
-  /** Distinct 3-token shingles over a bound `toks` attribute (never inline
-    * the split into the lambda — see DedupOps.ShinglesOfToks). */
-  private val ShinglesOfToks =
-    """array_distinct(CASE WHEN size(toks) >= 3 THEN
-          transform(sequence(1, size(toks) - 2),
-            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-                        ' ', element_at(toks, i + 2)))
-        ELSE array() END)"""
-  private val ShinglesSql =
-    """list_distinct(CASE WHEN len(toks) >= 3 THEN
-         list_transform(generate_series(1, len(toks) - 2),
-           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-       ELSE [] END)"""
+  // Shingle/tokenize expressions shared with DedupOps — these strings
+  // must stay bit-identical across the whole oracle surface, so they
+  // live in one place.
+  private val Toks = DedupOps.Toks
+  private val ShinglesOfToks = DedupOps.ShinglesOfToks
+  private val ShinglesSql = DedupOps.ShinglesSql
 
   /** (doc_id, n_sh, sh) — one row per distinct shingle per document,
     * carrying the doc's shingle count (no join-back later). */
@@ -221,10 +213,7 @@ object CorpusOps {
     "t_rarity" -> rarity,
     "t_pii_scrub" -> piiScrub)
 
-  private val H60DocId = """list_reduce(list_prepend(0::BIGINT,
-      list_transform(string_split_regex(substr(md5(doc_id::VARCHAR), 1, 15), ''),
-        c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
-      (a, b) -> a * 16 + b)"""
+  private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
   val oracles: Map[String, String] = Map(
     "t_decontaminate" -> s"""

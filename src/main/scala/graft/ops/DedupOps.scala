@@ -30,14 +30,14 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   import Tables._
 
-  private val Toks = "split(text, ' ')"
+  private[ops] val Toks = "split(text, ' ')"
   /** Distinct 3-token shingles over a materialized `toks` column (guarded
     * for short docs). `toks` must be a bound attribute, never the raw
     * `split(...)` call: an expression inlined into the lambda body is
     * re-evaluated per element, turning shingling into O(tokens²) splits
     * per document. (The multi-reference of `toks` also stops
     * CollapseProject from re-inlining the split.) */
-  private val ShinglesOfToks =
+  private[ops] val ShinglesOfToks =
     """array_distinct(CASE WHEN size(toks) >= 3 THEN
           transform(sequence(1, size(toks) - 2),
             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
@@ -50,7 +50,7 @@ object DedupOps {
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-  private val ShinglesSql =
+  private[ops] val ShinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3 THEN
          list_transform(generate_series(1, len(toks) - 2),
            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
@@ -344,32 +344,44 @@ object DedupOps {
     * longs) that merges across any partitioning — the same algebra
     * approx_count_distinct's HLL++ uses, built here from first principles
     * so an external oracle can replay it. */
-  def hllDistinct(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
-    val buckets = toks
-      .select(expr("substring(md5(tok), 1, 15)").as("hx"))
-      .select(
+  /** Nibble-level leading-zero count: rho = 1 + leading zero BITS of the
+    * 14 trailing md5 hex digits (string ops only — no floating log2). */
+  private val RhoExpr =
+    "CASE WHEN rest = '' THEN 57L ELSE " +
+      "CAST(4 * (14 - length(rest)) AS BIGINT) + " +
+      "(CASE WHEN substring(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0L " +
+      " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
+      " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END"
+
+  /** Harmonic fold of 1/2^M over the collected (bucket, m) registers, in
+    * sorted bucket order so the double addition order is fixed. */
+  private val HarmFoldExpr =
+    """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
+         (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))"""
+
+  /** HLL register state (keys*, bucket, m) — max rho per md5-prefix bucket
+    * per group — over a token stream with columns keys* + `tok`. The
+    * shared core of [[hllDistinct]] and [[hllByLang]]: this groupBy is the
+    * mergeable 16-registers-per-group aggregation. */
+  private def hllRegisters(toks: DataFrame, keys: Seq[String]): DataFrame = {
+    val ks = keys.map(col)
+    toks
+      .select(ks :+ expr("substring(md5(tok), 1, 15)").as("hx"): _*)
+      .select(ks ++ Seq(
         expr("CAST(conv(substring(hx, 1, 1), 16, 10) AS BIGINT)").as("bucket"),
-        expr("ltrim('0', substring(hx, 2, 14))").as("rest"))
-      .select(col("bucket"),
-        expr("CASE WHEN rest = '' THEN 57L ELSE " +
-          "CAST(4 * (14 - length(rest)) AS BIGINT) + " +
-          "(CASE WHEN substring(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0L " +
-          " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
-          " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END").as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("m"))
-    buckets
-      .agg(expr(
-        // fold 1/2^M in bucket order; absent buckets would contribute 1.0
-        // (M=0) — all 16 are occupied at any SF, and the fold is over the
-        // sorted (bucket, m) structs so the addition order is fixed
-        """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
-             (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))""")
-        .as("harm"),
-        count(lit(1)).as("n_buckets"))
+        expr("ltrim('0', substring(hx, 2, 14))").as("rest")): _*)
+      .select(ks ++ Seq(col("bucket"), expr(RhoExpr).as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max(col("rho")).as("m"))
+  }
+
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllRegisters(
+      documents(s, d).select(explode(expr(Toks)).as("tok")), Nil)
+      // absent buckets would contribute 1.0 (M=0) — all 16 are occupied
+      // at any SF for the global sketch
+      .agg(expr(HarmFoldExpr).as("harm"), count(lit(1)).as("n_buckets"))
       .select(col("n_buckets"),
         expr("0.673D * 256.0D / harm").as("hll_estimate"))
-  }
 
   /** Per-group HLL sketches — [[hllDistinct]] keyed by language: the
     * pre-aggregated-sketch pattern for 100 TB cardinality dashboards (one
@@ -378,32 +390,16 @@ object DedupOps {
     * the global sketch, a small group can leave buckets EMPTY — each
     * absent bucket contributes 1/2^0 = 1.0 to the harmonic sum, added as
     * `(16 - n_buckets) * 1.0` in both engines. */
-  def hllByLang(s: SparkSession, d: String): DataFrame = {
-    val buckets = documents(s, d)
-      .select(col("lang"), explode(expr(Toks)).as("tok"))
-      .select(col("lang"), expr("substring(md5(tok), 1, 15)").as("hx"))
-      .select(col("lang"),
-        expr("CAST(conv(substring(hx, 1, 1), 16, 10) AS BIGINT)").as("bucket"),
-        expr("ltrim('0', substring(hx, 2, 14))").as("rest"))
-      .select(col("lang"), col("bucket"),
-        expr("CASE WHEN rest = '' THEN 57L ELSE " +
-          "CAST(4 * (14 - length(rest)) AS BIGINT) + " +
-          "(CASE WHEN substring(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0L " +
-          " WHEN substring(rest, 1, 1) IN ('4','5','6','7') THEN 1L " +
-          " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END").as("rho"))
-      .groupBy("lang", "bucket").agg(max(col("rho")).as("m"))
-    buckets
+  def hllByLang(s: SparkSession, d: String): DataFrame =
+    hllRegisters(
+      documents(s, d).select(col("lang"), explode(expr(Toks)).as("tok")),
+      Seq("lang"))
       .groupBy("lang")
-      .agg(expr(
-        """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
-             (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))""")
-        .as("occ"),
-        count(lit(1)).as("n_buckets"))
+      .agg(expr(HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
       .select(col("lang"), col("n_buckets"),
         expr("0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)")
           .as("hll_estimate"))
       .orderBy("lang")
-  }
 
   /** Opt-in validation twin of [[hllDistinct]]: the EXACT global distinct
     * token count. This is the corpus-wide shuffle the sketch avoids — run
@@ -569,6 +565,35 @@ object DedupOps {
                  THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
           (a, b) -> a + b)"""
 
+  /** DuckDB replay of [[hllRegisters]]: the toks→hx→br→rho→mx CTE chain,
+    * optionally keyed by lang — shared by both HLL oracles so the
+    * bit-exact rho extraction lives in ONE SQL text. */
+  private def hllRegistersCtes(keyed: Boolean): String = {
+    val k = if (keyed) "lang, " else ""
+    val grp = if (keyed) "GROUP BY 1, 2" else "GROUP BY 1"
+    s"""toks AS (SELECT ${k}unnest(string_split(text, ' ')) tok FROM documents),
+      hx AS (SELECT ${k}substr(md5(tok), 1, 15) AS h FROM toks),
+      br AS (SELECT $k(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
+                    ltrim(substr(h, 2, 14), '0') AS rest
+             FROM hx),
+      rho AS (SELECT ${k}bucket,
+                CASE WHEN rest = '' THEN 57::BIGINT ELSE
+                  (4 * (14 - length(rest)))::BIGINT +
+                  (CASE WHEN substr(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
+                        WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END)::BIGINT + 1
+                END AS rho
+              FROM br),
+      mx AS (SELECT ${k}bucket, max(rho) AS m FROM rho $grp)"""
+  }
+
+  /** DuckDB replay of [[HarmFoldExpr]] over the mx CTE. */
+  private val HarmFoldSql =
+    """list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(list(m ORDER BY bucket),
+           mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
+         (a, b) -> a + b)"""
+
   /** DuckDB replay of [[minhashLsh]] / [[minhashLshUncapped]]; `capped`
     * adds the BETWEEN 2 AND [[DefaultMaxBand]] group filter. */
   private def minhashOracle(capped: Boolean): String = {
@@ -695,50 +720,14 @@ object DedupOps {
       SELECT doc_id, $SimhashSql AS simhash FROM t ORDER BY doc_id""",
     "d_simhash_pairs" -> simhashPairsOracle(capped = true),
     "d_simhash_pairs_uncapped" -> simhashPairsOracle(capped = false),
-    "d_hll_distinct" -> """
-      WITH toks AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
-      hx AS (SELECT substr(md5(tok), 1, 15) AS h FROM toks),
-      br AS (SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
-                    ltrim(substr(h, 2, 14), '0') AS rest
-             FROM hx),
-      rho AS (SELECT bucket,
-                CASE WHEN rest = '' THEN 57::BIGINT ELSE
-                  (4 * (14 - length(rest)))::BIGINT +
-                  (CASE WHEN substr(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
-                        WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
-                        WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END)::BIGINT + 1
-                END AS rho
-              FROM br),
-      mx AS (SELECT bucket, max(rho) AS m FROM rho GROUP BY 1),
-      agg AS (SELECT count(*) AS n_buckets,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(list(m ORDER BY bucket),
-                    mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
-                  (a, b) -> a + b) AS harm
-              FROM mx)
+    "d_hll_distinct" -> s"""
+      WITH ${hllRegistersCtes(keyed = false)},
+      agg AS (SELECT count(*) AS n_buckets, $HarmFoldSql AS harm FROM mx)
       SELECT n_buckets, 0.673 * 256.0 / harm AS hll_estimate
       FROM agg""",
-    "d_hll_by_lang" -> """
-      WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents),
-      hx AS (SELECT lang, substr(md5(tok), 1, 15) AS h FROM toks),
-      br AS (SELECT lang,
-                    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
-                    ltrim(substr(h, 2, 14), '0') AS rest
-             FROM hx),
-      rho AS (SELECT lang, bucket,
-                CASE WHEN rest = '' THEN 57::BIGINT ELSE
-                  (4 * (14 - length(rest)))::BIGINT +
-                  (CASE WHEN substr(rest, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
-                        WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
-                        WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END)::BIGINT + 1
-                END AS rho
-              FROM br),
-      mx AS (SELECT lang, bucket, max(rho) AS m FROM rho GROUP BY 1, 2),
-      agg AS (SELECT lang, count(*) AS n_buckets,
-                list_reduce(list_prepend(0.0::DOUBLE,
-                  list_transform(list(m ORDER BY bucket),
-                    mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),
-                  (a, b) -> a + b) AS occ
+    "d_hll_by_lang" -> s"""
+      WITH ${hllRegistersCtes(keyed = true)},
+      agg AS (SELECT lang, count(*) AS n_buckets, $HarmFoldSql AS occ
               FROM mx GROUP BY lang)
       SELECT lang, n_buckets,
              0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0) AS hll_estimate
