@@ -346,6 +346,24 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** Continuous (interpolated) percentiles via the built-in `percentile`
+    * aggregate — the linear-interpolation twin of [[qMedianDisc]]'s
+    * discrete histogram. Both engines implement the standard type-7
+    * estimator (pos = p·(n−1), linear between the straddling order
+    * statistics), and l_quantity's small-integer domain keeps the
+    * interpolated doubles bit-identical. Spark plans this as a
+    * partial-aggregatable sort-based percentile per group — fine at a
+    * handful of groups; for skew-prone or high-cardinality grouping the
+    * histogram form in [[qMedianDisc]] is the scale path. */
+  def qPercentileCont(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99D)").as("p99_qty"))
+      .orderBy("l_returnflag")
+
   /** NOT IN subquery — the null-aware anti-join shape (distinct from
     * qAntiJoin's NOT EXISTS, which is null-oblivious): one NULL in the
     * subquery result legally empties the output, so Spark plans a
@@ -484,6 +502,7 @@ object RelationalOps {
     "q_count_distinct" -> qCountDistinct,
     "q_stats_exact" -> qStatsExact,
     "q_median_disc" -> qMedianDisc,
+    "q_percentile_cont" -> qPercentileCont,
     "q_full_outer" -> qFullOuter,
     "q_cross_join" -> qCrossJoin,
     "q_array_fns" -> qArrayFns)
@@ -699,6 +718,12 @@ object RelationalOps {
              max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90_qty,
              max(n) AS n
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentile_cont" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             quantile_cont(l_quantity, 0.99) AS p99_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_full_outer" -> """
       WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
