@@ -189,10 +189,107 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  private val KmK = 4      // clusters
+  private val KmIters = 2  // fixed Lloyd iterations (deterministic replay)
+  private val KmQ = 1024L  // quantization grid for the mean accumulation
+
+  /** Distributed k-means codebook training (the step [[ivfTopk]]'s
+    * scaladoc defers to production): [[KmIters]] Lloyd iterations over the
+    * embeddings, K = [[KmK]], initialized from the first K vectors.
+    *
+    * The trick that makes it oracle-exact: the centroid update QUANTIZES
+    * each component to a 1/[[KmQ]] grid (`floor(x·Q)` → BIGINT) before
+    * summing, so the per-cell accumulation is exact integer arithmetic —
+    * order-independent across partitions — and the new component is one
+    * double division `sum / (count·Q)`. Unquantized double means would be
+    * partition-order-dependent and could never hash-match an oracle (the
+    * same reason Exact.dsum exists). Assignment distances are fixed-order
+    * vec_dot folds: |x|² − 2·x·c + |c|², ties to the lowest cell.
+    *
+    * Plan/scale per iteration: corpus × K broadcast-joined rows → argmin
+    * (one window shuffle at test scale; production inlines the trained
+    * centroids as literals like [[ivfTopk]]'s assignment and re-trains on
+    * a sample, not the corpus) → posexplode → one partial-agg shuffle on
+    * (cell, dim). Empty cells drop out deterministically in both engines.
+    * Output: the trained codebook, one row per (cell, dimension). */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    var cents = emb.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("long").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c"),
+        lit(1L).as("n_members"))
+    for (_ <- 0 until KmIters) {
+      val wMin = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cell"))
+      val assigned = emb.crossJoin(broadcast(cents.select(col("cell"), col("c"))))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          expr(s"(${Vec.normSq("embedding")}) - 2.0D * (${Vec.dot("embedding", "c")})" +
+            s" + (${Vec.normSq("c")})").as("dist"))
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)").as("q"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"), col("cnt"),
+          expr(s"CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE)").as("comp"))
+        .groupBy(col("cell"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, comp))), t -> t.comp)")
+            .as("c"),
+          max(col("cnt")).as("n_members"))
+    }
+    cents
+      .select(col("cell"), col("n_members"),
+        posexplode(col("c")).as(Seq("dim_idx", "component")))
+      .select(col("cell"), col("n_members"),
+        col("dim_idx").cast("long").as("dim_idx"), col("component"))
+      .orderBy("cell", "dim_idx")
+  }
+
+  /** DuckDB replay of [[kmeans]]: [[KmIters]] unrolled Lloyd iterations as
+    * a generated CTE chain — same fold orders, same quantized update. */
+  private def kmeansOracle: String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+    def distSql(c: String) =
+      s"""(${fold("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
+         - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})
+         + (${fold(s"list_transform($c, x -> x * x)")})"""
+    def iter(i: Int): String = s"""
+      d$i AS (SELECT vec_id, embedding, cell, ${distSql("c")} AS dist
+              FROM emb CROSS JOIN c${i - 1}),
+      a$i AS (SELECT vec_id, embedding, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+              FROM d$i),
+      f$i AS (SELECT vec_id, embedding, cell FROM a$i WHERE rn = 1),
+      u$i AS (SELECT cell, i - 1 AS pos,
+                floor(CAST(embedding[i] AS DOUBLE) * $KmQ.0)::BIGINT AS q
+              FROM f$i, generate_series(1, $Dim) gs(i)),
+      g$i AS (SELECT cell, pos, sum(q)::BIGINT sq, count(*)::BIGINT cnt
+              FROM u$i GROUP BY 1, 2),
+      c$i AS (SELECT cell,
+                list(CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE) ORDER BY pos) AS c,
+                max(cnt) AS n_members
+              FROM g$i GROUP BY cell)"""
+    s"""
+      WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      c0 AS (SELECT vec_id::BIGINT cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+             FROM embeddings WHERE vec_id < $KmK),
+      ${(1 to KmIters).map(iter).mkString(",")}
+      SELECT cell, n_members, (i - 1)::BIGINT AS dim_idx, c[i] AS component
+      FROM c$KmIters, generate_series(1, $Dim) gs(i)
+      ORDER BY cell, dim_idx"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
-    "s_ivf_topk" -> ivfTopk)
+    "s_ivf_topk" -> ivfTopk,
+    "s_kmeans" -> kmeans)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -257,5 +354,6 @@ object SimilarityOps {
         WHERE p.q_id <> a.vec_id)
       SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
-    })
+    },
+    "s_kmeans" -> kmeansOracle)
 }
