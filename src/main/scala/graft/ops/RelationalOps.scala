@@ -475,8 +475,26 @@ object RelationalOps {
         expr("array_contains(keys, 7L)").as("has_7"))
       .orderBy("nationkey")
 
+  /** Map-typed columns end-to-end: build a region→count map per grouping
+    * via map_from_entries, then point-lookup, key/value introspection and
+    * a fold over sorted keys. Maps stay intermediate (outputs are scalars)
+    * so the oracle hash-compares engine-neutral values; DuckDB replays
+    * the map as its own MAP type with the same lookups. */
+  def qMapFns(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy(expr("n_nationkey % 5").as("grp"))
+      .agg(expr("map_from_entries(array_sort(collect_list(struct(n_name, n_regionkey))))")
+        .as("m"))
+      .select(col("grp"),
+        size(col("m")).as("n_entries"),
+        expr("element_at(m, 'NATION_5')").as("n5_region"),
+        expr("array_join(map_keys(m), ',')").as("keys_csv"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("region_sum"))
+      .orderBy("grp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "q_map_fns" -> qMapFns,
     "q3_topk_join" -> q3TopkJoin,
     "q5_star_join" -> q5StarJoin,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -718,6 +736,17 @@ object RelationalOps {
              max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90_qty,
              max(n) AS n
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_map_fns" -> """
+      WITH e AS (SELECT n_nationkey % 5 AS grp, n_name, n_regionkey FROM nation),
+      m AS (SELECT grp, map(list(n_name ORDER BY n_name),
+                            list(n_regionkey ORDER BY n_name)) AS mp
+            FROM e GROUP BY grp)
+      SELECT grp, cardinality(mp)::INT AS n_entries,
+             map_extract(mp, 'NATION_5')[1] AS n5_region,
+             array_to_string(map_keys(mp), ',') AS keys_csv,
+             list_reduce(list_prepend(0::BIGINT, map_values(mp)),
+               (a, x) -> a + x) AS region_sum
+      FROM m ORDER BY grp""",
     "q_percentile_cont" -> """
       SELECT l_returnflag,
              quantile_cont(l_quantity, 0.5) AS p50_qty,

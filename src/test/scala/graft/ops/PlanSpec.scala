@@ -80,4 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "inlined centroid scores missing")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t_cms_topk broadcasts the counter grid, never joins corpus-scale sides") {
+    val p = plan("t_cms_topk")
+    assert(p.contains("BroadcastHashJoin"), s"grid not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-scale join appeared in a sketch plan:\n${p.take(1500)}")
+  }
+
+  test("e_zorder stats row is broadcast onto a narrow projection") {
+    val p = plan("e_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
