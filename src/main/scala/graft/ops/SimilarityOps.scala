@@ -203,8 +203,10 @@ object SimilarityOps {
     * order-independent across partitions — and the new component is one
     * double division `sum / (count·Q)`. Unquantized double means would be
     * partition-order-dependent and could never hash-match an oracle (the
-    * same reason Exact.dsum exists). Assignment distances are fixed-order
-    * vec_dot folds: |x|² − 2·x·c + |c|², ties to the lowest cell.
+    * same reason Exact.dsum exists). The assignment score is
+    * |c|² − 2·x·c (the row's own |x|² is constant per row — dropped, as
+    * in [[ivfTopk]]), |c|² precomputed once per centroid on the broadcast
+    * side; ties go to the lowest cell.
     *
     * Plan/scale per iteration: corpus × K broadcast-joined rows → argmin
     * (one window shuffle at test scale; production inlines the trained
@@ -221,10 +223,11 @@ object SimilarityOps {
     for (_ <- 0 until KmIters) {
       val wMin = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist"), col("cell"))
-      val assigned = emb.crossJoin(broadcast(cents.select(col("cell"), col("c"))))
+      val assigned = emb.crossJoin(broadcast(
+          cents.select(col("cell"), col("c"),
+            expr(Vec.normSq("c")).as("cn"))))
         .select(col("vec_id"), col("embedding"), col("cell"),
-          expr(s"(${Vec.normSq("embedding")}) - 2.0D * (${Vec.dot("embedding", "c")})" +
-            s" + (${Vec.normSq("c")})").as("dist"))
+          expr(s"cn - 2.0D * (${Vec.dot("embedding", "c")})").as("dist"))
         .withColumn("rn", row_number().over(wMin))
         .filter(col("rn") === 1)
       cents = assigned
@@ -255,9 +258,7 @@ object SimilarityOps {
     def fold(body: String) =
       s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
     def distSql(c: String) =
-      s"""(${fold("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
-         - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})
-         + (${fold(s"list_transform($c, x -> x * x)")})"""
+      s"""cn - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})"""
     def iter(i: Int): String = s"""
       d$i AS (SELECT vec_id, embedding, cell, ${distSql("c")} AS dist
               FROM emb CROSS JOIN c${i - 1}),
@@ -272,12 +273,14 @@ object SimilarityOps {
               FROM u$i GROUP BY 1, 2),
       c$i AS (SELECT cell,
                 list(CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE) ORDER BY pos) AS c,
+                ${fold("list_transform(c, x -> x * x)")} AS cn,
                 max(cnt) AS n_members
               FROM g$i GROUP BY cell)"""
     s"""
       WITH emb AS (SELECT vec_id, embedding FROM embeddings),
       c0 AS (SELECT vec_id::BIGINT cell,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
+               ${fold("list_transform(c, x -> x * x)")} AS cn
              FROM embeddings WHERE vec_id < $KmK),
       ${(1 to KmIters).map(iter).mkString(",")}
       SELECT cell, n_members, (i - 1)::BIGINT AS dim_idx, c[i] AS component
