@@ -151,8 +151,31 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Data-quality report — the Deequ-style validation summary a pipeline
+    * gates ingestion on, computed as ONE narrow aggregate pass (conditional
+    * counts fold into the same partial aggregation; no per-check scan):
+    * per event_type, row count, null/violation tallies for each declared
+    * constraint, and value bounds. At 100 TB this is the same single
+    * shuffle as any grouped count — validation is free relative to the
+    * scan. */
+  def qQualityReport(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("user_id").isNull, 1)).as("null_user"),
+        count(when(col("value").isNull, 1)).as("null_value"),
+        count(when(col("value") < 0, 1)).as("neg_value"),
+        count(when(col("value") > 1000, 1)).as("over_cap"),
+        count(when(length(col("props")) === 0 || col("props").isNull, 1))
+          .as("empty_props"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> qJsonExtract,
+    "e_quality_report" -> qQualityReport,
     "q_tumbling_window" -> qTumbling,
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
@@ -161,6 +184,18 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_quality_report" -> """
+      SELECT event_type,
+             count(*) AS n_rows,
+             count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user,
+             count(CASE WHEN value IS NULL THEN 1 END) AS null_value,
+             count(CASE WHEN value < 0 THEN 1 END) AS neg_value,
+             count(CASE WHEN value > 1000 THEN 1 END) AS over_cap,
+             count(CASE WHEN length(props) = 0 OR props IS NULL THEN 1 END)
+               AS empty_props,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_json_extract" -> """
       SELECT event_id, event_type,
              CAST(json_extract_string(props, '$.k') AS INT) AS k
