@@ -31,6 +31,10 @@ import graft.zip.{GlobRegex, GraftError, SerializableConfiguration, ZipExtract}
   *     and `hash` elides the entry read entirely — the scan then touches
   *     only zip central-directory metadata, the same names-only fast path
   *     as the reference's count pass (src/builder.rs:32-38).
+  *   - [[SupportsPushDownAggregates]]: a global COUNT(*) (the reference's
+  *     count pass itself, src/builder.rs:24-41) collapses each partition
+  *     to ONE row — a names-only walk that counts matching entries with
+  *     no row materialization at all; Spark sums the per-archive partials.
   *
   * Options: `glob` (wax-style entry-name glob, as `-g`, src/main.rs:38-40).
   * Partitioning: one [[InputPartition]] per archive — a zip is not
@@ -69,11 +73,31 @@ class ZipScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZipExtract.schema
   private var limit: Int = -1
+  private var countStar = false
+
+  /** Accept exactly a global COUNT(*) — grouped or column aggregates keep
+    * their row-stream semantics with Spark. Partial pushdown: each archive
+    * partition emits its own count and Spark's final aggregate sums them
+    * (so `supportCompletePushDown` stays false). */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = limit < 0 &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countStar = true
+      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    }
+    ok
+  }
 
   /** Per-partition early termination: a task stops walking its archive
     * after `n` emitted rows (no further decompression or even
@@ -103,11 +127,12 @@ class ZipScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
   }
 
-  override def build(): Scan = new ZipScan(options, pushed, required, limit)
+  override def build(): Scan =
+    new ZipScan(options, pushed, required, limit, countStar)
 }
 
 class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
-    required: StructType, limit: Int = -1)
+    required: StructType, limit: Int = -1, countStar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -146,7 +171,8 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
   override def description(): String =
     s"ZipScan(glob=${Option(options.get("glob")).getOrElse("*")}, " +
       s"pushed=[${filters.mkString(", ")}], cols=${required.fieldNames.mkString(",")}" +
-      (if (limit >= 0) s", limit=$limit" else "") + ")"
+      (if (limit >= 0) s", limit=$limit" else "") +
+      (if (countStar) ", PushedAggregation=[COUNT(*)]" else "") + ")"
 
   private def paths: Seq[String] = {
     val fromPaths = Option(options.get("paths")).toSeq.flatMap { json =>
@@ -173,12 +199,74 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val globRegex = Option(options.get("glob")).map(GlobRegex.translate)
-    // same scale guard as the flatMap path (ZipToParquetConfig.maxBodyBytes):
-    // an oversized entry fails typed instead of OOMing the executor
-    val maxBodyBytes =
-      Option(options.get("maxBodyBytes")).map(_.toLong).getOrElse(1L << 30)
-    ZipReaderFactory(conf, globRegex, filters, required.fieldNames, limit,
-      maxBodyBytes)
+    if (countStar) ZipCountReaderFactory(conf, globRegex, filters)
+    else {
+      // same scale guard as the flatMap path (ZipToParquetConfig.maxBodyBytes):
+      // an oversized entry fails typed instead of OOMing the executor
+      val maxBodyBytes =
+        Option(options.get("maxBodyBytes")).map(_.toLong).getOrElse(1L << 30)
+      ZipReaderFactory(conf, globRegex, filters, required.fieldNames, limit,
+        maxBodyBytes)
+    }
+  }
+}
+
+/** Pushed-COUNT(*) reader: one row per archive carrying the number of
+  * glob/filter-matching entries — names-only walk, zero decompression,
+  * zero per-entry rows (the DSv2 form of the reference's count pass,
+  * src/builder.rs:24-41). An archive with no matches still emits its 0. */
+case class ZipCountReaderFactory(
+    conf: SerializableConfiguration,
+    globRegex: Option[String],
+    filters: Array[Filter]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ZipInputPartition]
+    new PartitionReader[InternalRow] {
+      private val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        val zin =
+          try {
+            val p = new Path(part.readPath)
+            val fs = p.getFileSystem(conf.value)
+            new java.util.zip.ZipInputStream(
+              new java.io.BufferedInputStream(fs.open(p), 1 << 16),
+              ZipExtract.EntryNameCharset)
+          } catch { case e: java.io.IOException =>
+            GraftError.raise(GraftError.ReadFile(part.displayPath, e.toString))
+          }
+        var n = 0L
+        try {
+          var e =
+            try zin.getNextEntry
+            catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+              GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
+            }
+          while (e != null) {
+            if (!e.isDirectory &&
+                pattern.forall(_.matcher(e.getName).matches()) &&
+                ZipFilterEval.matches(filters, e.getName, part.displayPath)) {
+              n += 1
+            }
+            e =
+              try zin.getNextEntry
+              catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+                GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
+              }
+          }
+        } finally zin.close()
+        row = new GenericInternalRow(Array[Any](n))
+        done = true
+        true
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
   }
 }
 

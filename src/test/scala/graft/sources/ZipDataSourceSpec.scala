@@ -118,6 +118,35 @@ class ZipDataSourceSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("COUNT(*) pushes into the scan: one partial row per archive, no row stream") {
+    // the aggregate introduces an exchange, so AQE would wrap the plan and
+    // hide the BatchScanExec from collectFirst — assert on the static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.read.format("zip").load(zip1, zip2).groupBy().count()
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec if b.scan.isInstanceOf[ZipScan] => b.scan.asInstanceOf[ZipScan]
+      }.get
+      assert(scan.description().contains("PushedAggregation=[COUNT(*)]"),
+        s"aggregate not pushed: ${scan.description()}")
+      assert(scan.readSchema().fields.map(_.dataType).toSeq == Seq(LongType))
+      assert(df.collect().head.getLong(0) == 3L)
+      // composes with pushed filters and the entry glob
+      val filtered = spark.read.format("zip").option("glob", "**/*.txt")
+        .load(zip1, zip2).groupBy().count()
+      assert(filtered.collect().head.getLong(0) == 2L)
+      // grouped aggregation must NOT push — rows still stream
+      val grouped = spark.read.format("zip").load(zip1, zip2)
+        .groupBy("source").count()
+      val gscan = grouped.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec if b.scan.isInstanceOf[ZipScan] => b.scan.asInstanceOf[ZipScan]
+      }.get
+      assert(!gscan.description().contains("PushedAggregation"))
+      assert(grouped.collect().map(_.getLong(1)).sum == 3L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("DSv2 results equal the flatMap extractor's") {
     import graft.zip.{ZipExtract, ZipToParquetConfig}
     val v2 = spark.read.format("zip").load(zip1, zip2)
