@@ -205,6 +205,54 @@ object CorpusOps {
             '$DenyPat', '[REDACTED]')""").as("clean_text"))
       .orderBy("doc_id")
 
+  /** End-to-end training-shard export — the deployment composition the
+    * individual operators exist for, as ONE job: quality gate → exact
+    * dedup (keep smallest doc_id per content hash) → deterministic shard
+    * assignment (uniform md5 hash — never skewed) → per-shard
+    * concat-and-chunk packing → one sorted parquet file per shard, plus a
+    * shard manifest. The write is `partitionBy(shard)` with rows sorted by
+    * (shard, start_tok), so a trainer's loader reads each shard
+    * sequentially in packing order.
+    *
+    * Plan: the whole pipeline is one lineage — Catalyst pushes the cheap
+    * length gate below the dedup shuffle; the packing window shuffles on
+    * the shard key (uniform); repartition(shard) aligns the write with the
+    * window partitioning so the sort feeds the writer directly. Returns
+    * the shard manifest (shard → docs, tokens, sequences). */
+  def exportTrainingShards(s: SparkSession, d: String, outDir: String,
+      shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val gated = documents(s, d)
+      .withColumn("n_tokens", expr(s"size($Toks)").cast("bigint"))
+      .filter(col("n_tokens") >= 20)
+    val kept = gated
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .withColumn("shard",
+        expr(s"${DedupOps.h60("CAST(doc_id AS STRING)")} % $shards").cast("int"))
+    val packed = kept
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(
+          w.partitionBy(col("shard")).orderBy(col("doc_id"))
+            .rowsBetween(w.unboundedPreceding, 0)) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_tok DIV $SeqBudget"))
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("start_tok"))
+      .select(col("shard"), col("doc_id"), col("text"), col("n_tokens"),
+        col("start_tok"), col("seq_id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "snappy").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(col("seq_id")) + 1).as("n_seqs"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,

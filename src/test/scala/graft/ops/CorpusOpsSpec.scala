@@ -89,6 +89,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n${p.take(1500)}")
   }
 
+  test("exportTrainingShards: deduped, gapless per-shard packing, manifest consistent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+      .getAbsolutePath + "/corpus"
+    val manifest = CorpusOps.exportTrainingShards(spark, sf, out, shards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.length == 4, s"expected 4 shards, got ${manifest.length}")
+    val back = spark.read.parquet(out)
+    // dedup: no text appears twice anywhere in the export
+    assert(back.count() == back.select("text").distinct().count())
+    // packing: within each shard, start_tok is the gapless running sum
+    val rows = back.select("shard", "doc_id", "n_tokens", "start_tok")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (_, docs) =>
+      var expect = 0L
+      docs.sortBy(_._2).foreach { case (_, id, nTok, start) =>
+        assert(start == expect, s"doc $id: start=$start expected=$expect")
+        expect += nTok
+      }
+    }
+    // manifest totals equal the written data
+    manifest.foreach { case (shard, nDocs, nToks, nSeqs) =>
+      val inShard = rows(shard)
+      assert(nDocs == inShard.length)
+      assert(nToks == inShard.map(_._3).sum)
+      assert(nSeqs == (inShard.map(t => t._4 / CorpusOps.SeqBudget).max + 1))
+    }
+  }
+
   test("pii scrub: deny-list terms are gone from clean_text, counts match") {
     val rows = CorpusOps.piiScrub(spark, sf).collect()
     assert(rows.exists(_.getLong(3) > 0), "no deny-list hits in test corpus")
