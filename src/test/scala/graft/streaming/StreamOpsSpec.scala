@@ -108,6 +108,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, "itemA", "itemA")))
   }
 
+  test("streaming sessionize agrees with the batch sessionize on real events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // batch truth: (user, start_us, end_us, n) from the window-based query
+    val batch = graft.ops.EventOps.qSessionize(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(session_start)"), expr("unix_micros(session_end)"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // feed the same events through the stateful streaming op; append-mode
+    // sessions only emit when the user's next session opens, so a far-future
+    // sentinel per user closes every real session
+    val evs = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_type"), col("value"))
+      .collect().map(r => StreamOps.Event(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val farFuture = evs.map(_.tsMicros).max + 365L * 86400 * 1000000
+    val sentinels = evs.map(_.userId).distinct
+      .map(u => StreamOps.Event(u, farFuture, "sentinel", 0.0))
+    val in = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess_parity").outputMode("append").start()
+    try {
+      in.addData(evs.toSeq)
+      q.processAllAvailable()
+      in.addData(sentinels.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._2 < farFuture).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("manifestIngestStream dedups across micro-batches via the durable manifest") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
