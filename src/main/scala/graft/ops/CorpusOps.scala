@@ -248,8 +248,11 @@ object CorpusOps {
       .option("compression", "snappy").parquet(outDir)
     s.read.parquet(outDir)
       .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        (max(col("seq_id")) + 1).as("n_seqs"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      // sequences the loader will chunk = ceil(total/budget): the last doc
+      // can straddle a window boundary, so max(seq_id)+1 would undercount
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${SeqBudget - 1}) DIV $SeqBudget"))
       .orderBy("shard")
   }
 

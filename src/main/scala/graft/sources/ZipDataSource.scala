@@ -229,34 +229,12 @@ case class ZipCountReaderFactory(
 
       override def next(): Boolean = {
         if (done) return false
-        val zin =
-          try {
-            val p = new Path(part.readPath)
-            val fs = p.getFileSystem(conf.value)
-            new java.util.zip.ZipInputStream(
-              new java.io.BufferedInputStream(fs.open(p), 1 << 16),
-              ZipExtract.EntryNameCharset)
-          } catch { case e: java.io.IOException =>
-            GraftError.raise(GraftError.ReadFile(part.displayPath, e.toString))
-          }
+        val zin = ZipEntryWalk.open(part, conf)
         var n = 0L
         try {
-          var e =
-            try zin.getNextEntry
-            catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
-              GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
-            }
-          while (e != null) {
-            if (!e.isDirectory &&
-                pattern.forall(_.matcher(e.getName).matches()) &&
-                ZipFilterEval.matches(filters, e.getName, part.displayPath)) {
-              n += 1
-            }
-            e =
-              try zin.getNextEntry
-              catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
-                GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
-              }
+          // same walk as the row reader — count ≡ rows the row path emits
+          while (ZipEntryWalk.nextMatching(zin, pattern, filters, part) != null) {
+            n += 1
           }
         } finally zin.close()
         row = new GenericInternalRow(Array[Any](n))
@@ -287,6 +265,44 @@ case class ZipReaderFactory(
   }
 }
 
+/** The archive walk both DSv2 readers share — open and the
+  * filter-matching entry iterator. ONE definition of "which entries this
+  * scan emits", so the pushed-COUNT(*) path can never disagree with the
+  * row path about what counts as a row. */
+private[sources] object ZipEntryWalk {
+  def open(part: ZipInputPartition,
+      conf: SerializableConfiguration): java.util.zip.ZipInputStream =
+    try {
+      val p = new Path(part.readPath)
+      val fs = p.getFileSystem(conf.value)
+      new java.util.zip.ZipInputStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 16),
+        ZipExtract.EntryNameCharset)
+    } catch { case e: java.io.IOException =>
+      GraftError.raise(GraftError.ReadFile(part.displayPath, e.toString))
+    }
+
+  /** Next entry this scan emits (directory-skipping, glob + pushed-filter
+    * matching), or null at end of archive. Errors carry the zip taxonomy. */
+  def nextMatching(zin: java.util.zip.ZipInputStream,
+      pattern: Option[java.util.regex.Pattern],
+      filters: Array[Filter],
+      part: ZipInputPartition): java.util.zip.ZipEntry = {
+    while (true) {
+      val e =
+        try zin.getNextEntry
+        catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+          GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
+        }
+      if (e == null) return null
+      if (!e.isDirectory &&
+          pattern.forall(_.matcher(e.getName).matches()) &&
+          ZipFilterEval.matches(filters, e.getName, part.displayPath)) return e
+    }
+    null // unreachable
+  }
+}
+
 /** Streams one archive's entries as InternalRows, honoring pushed filters
   * (pre-decompression) and the pruned projection (read elision). */
 class ZipPartitionReader(
@@ -305,16 +321,7 @@ class ZipPartitionReader(
   private val needSource = columns.contains("source")
 
   private val pattern = globRegex.map(java.util.regex.Pattern.compile(_))
-  private val zin =
-    try {
-      val p = new Path(part.readPath)
-      val fs = p.getFileSystem(conf.value)
-      new java.util.zip.ZipInputStream(
-        new java.io.BufferedInputStream(fs.open(p), 1 << 16),
-        ZipExtract.EntryNameCharset)
-    } catch { case e: java.io.IOException =>
-      GraftError.raise(GraftError.ReadFile(part.displayPath, e.toString))
-    }
+  private val zin = ZipEntryWalk.open(part, conf)
   private var current: InternalRow = _
   private var closed = false
 
@@ -324,39 +331,30 @@ class ZipPartitionReader(
       if (!closed) { closed = true; zin.close() }
       return false
     }
-    while (current == null && !closed) {
-      val e =
-        try zin.getNextEntry
-        catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
-          GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
-        }
-      if (e == null) { closed = true; zin.close() }
-      else if (!e.isDirectory &&
-               pattern.forall(_.matcher(e.getName).matches()) &&
-               // pushed name/source predicates run BEFORE the entry read —
-               // the DSv2 form of src/builder.rs:180-183
-               ZipFilterEval.matches(filters, e.getName, part.displayPath)) {
-        var body: Array[Byte] = null
-        var hash: String = null
-        if (needBody || needHash) { // read elision: src/builder.rs:185
-          // shared hardened read: maxBodyBytes guard + typed mid-inflate
-          // errors, identical to the flatMap path's semantics
-          val bytes = ZipExtract.readEntry(zin, maxBodyBytes, e.getName,
-            part.displayPath)
-          if (needHash) hash = ZipExtract.sha256Hex(bytes)
-          if (needBody) body = bytes
-        }
-        val values = columns.map {
-          case "name" => UTF8String.fromString(e.getName)
-          case "source" => if (needSource) UTF8String.fromString(part.displayPath) else null
-          case "body" => body
-          case "hash" => if (hash != null) UTF8String.fromString(hash) else null
-        }
-        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-        emitted += 1
-      }
+    if (closed) return false
+    // pushed name/source predicates run BEFORE the entry read — the DSv2
+    // form of src/builder.rs:180-183 (shared walk with the COUNT(*) path)
+    val e = ZipEntryWalk.nextMatching(zin, pattern, filters, part)
+    if (e == null) { closed = true; zin.close(); return false }
+    var body: Array[Byte] = null
+    var hash: String = null
+    if (needBody || needHash) { // read elision: src/builder.rs:185
+      // shared hardened read: maxBodyBytes guard + typed mid-inflate
+      // errors, identical to the flatMap path's semantics
+      val bytes = ZipExtract.readEntry(zin, maxBodyBytes, e.getName,
+        part.displayPath)
+      if (needHash) hash = ZipExtract.sha256Hex(bytes)
+      if (needBody) body = bytes
     }
-    current != null
+    val values = columns.map {
+      case "name" => UTF8String.fromString(e.getName)
+      case "source" => if (needSource) UTF8String.fromString(part.displayPath) else null
+      case "body" => body
+      case "hash" => if (hash != null) UTF8String.fromString(hash) else null
+    }
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = current

@@ -113,8 +113,11 @@ class CorpusOpsSpec extends SparkSpec {
     manifest.foreach { case (shard, nDocs, nToks, nSeqs) =>
       val inShard = rows(shard)
       assert(nDocs == inShard.length)
-      assert(nToks == inShard.map(_._3).sum)
-      assert(nSeqs == (inShard.map(t => t._4 / CorpusOps.SeqBudget).max + 1))
+      val total = inShard.map(_._3).sum
+      assert(nToks == total)
+      // the loader chunks ceil(total/budget) windows — independently
+      // re-derived from the token total, not from seq_id
+      assert(nSeqs == (total + CorpusOps.SeqBudget - 1) / CorpusOps.SeqBudget)
     }
   }
 
