@@ -430,6 +430,21 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Repeated-span (boilerplate) report — the span-level view the DF cap
+    * acts on: every 3-token shingle appearing in more than [[DefaultMaxDf]]
+    * documents, with its document frequency and an id range. This is what
+    * a corpus owner reviews to decide clip/strip rules (headers, footers,
+    * license blocks) — the spans that carry no signal and blow up pairwise
+    * dedup. Same inverted-index aggregation as the Jaccard pipeline: one
+    * shuffle on the shingle, output is vocabulary-sized. */
+  def hotSpans(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("df") > DefaultMaxDf)
+      .orderBy(col("df").desc, col("sh"))
+
   /** Bloom-filter words and hash count for the manifest runtime filter:
     * 4096 bits / 3 hashes — sized for the test manifest; production sizes
     * m ≈ 1.44·n·log2(1/p) bits for the manifest count. Words are 32-bit
@@ -553,7 +568,8 @@ object DedupOps {
     "d_exact_distinct" -> exactDistinct,
     "d_incremental_dedup" -> incrementalDedup,
     "d_dedup_clusters" -> dedupClusters,
-    "d_bloom_prune" -> bloomPrune)
+    "d_bloom_prune" -> bloomPrune,
+    "d_hot_spans" -> hotSpans)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -711,6 +727,14 @@ object DedupOps {
                   SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
       SELECT u AS doc_id, min(v) AS cluster_id FROM r
       GROUP BY u ORDER BY doc_id""",
+    "d_hot_spans" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql shs FROM t),
+      e AS (SELECT doc_id, unnest(shs) sh FROM s)
+      SELECT sh, count(*)::BIGINT AS df,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM e GROUP BY sh HAVING count(*) > $DefaultMaxDf
+      ORDER BY df DESC, sh""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_simhash" -> s"""
