@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // optional: extra args restrict the dump to named queries (dev loop)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // The driver contract path is outDir/<name>.parquet — a Spark
       // parquet directory with that name (readable as a dataset by
       // duckdb/pyarrow/pandas/pyspark alike).
@@ -56,7 +60,8 @@ object Verify {
     // Declared-query manifest: lets the local gate detect a query that
     // threw (no output dir) even when it has no oracle entry.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.filter(k => only.isEmpty || only(k))
+        .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

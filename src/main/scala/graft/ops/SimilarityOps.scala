@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,51 +205,82 @@ object SimilarityOps {
     * partition-order-dependent and could never hash-match an oracle (the
     * same reason Exact.dsum exists). The assignment score is
     * |c|² − 2·x·c (the row's own |x|² is constant per row — dropped, as
-    * in [[ivfTopk]]), |c|² precomputed once per centroid on the broadcast
-    * side; ties go to the lowest cell.
+    * in [[ivfTopk]]), |c|² precomputed once per centroid on the driver;
+    * ties go to the lowest cell.
     *
-    * Plan/scale per iteration: corpus × K broadcast-joined rows → argmin
-    * (one window shuffle at test scale; production inlines the trained
-    * centroids as literals like [[ivfTopk]]'s assignment and re-trains on
-    * a sample, not the corpus) → posexplode → one partial-agg shuffle on
-    * (cell, dim). Empty cells drop out deterministically in both engines.
+    * Plan/scale per iteration: centroids live on the DRIVER between
+    * iterations (K×Dim doubles — the shape every production Lloyd loop
+    * uses, cf. Spark MLlib KMeans) and are inlined as literals, so
+    * assignment is a NARROW codegen'd pass — K `vec_dot` scores + a
+    * CASE-chain argmin per row, the exact [[argmaxCase]] shape [[ivfTopk]]
+    * uses. No crossJoin, no per-row window shuffle; the only wide step is
+    * the (cell, dim) partial agg, whose K×Dim result rows collect back to
+    * the driver. Empty cells drop out deterministically in both engines.
     * Output: the trained codebook, one row per (cell, dimension). */
   def kmeans(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    var cents = emb.filter(col("vec_id") < KmK)
-      .select(col("vec_id").cast("long").as("cell"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c"),
-        lit(1L).as("n_members"))
+    // (cell, components, n_members), ascending cell — float→double is exact
+    var cents: Seq[(Long, IndexedSeq[Double], Long)] =
+      emb.filter(col("vec_id") < KmK)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, 1L))
+        .sortBy(_._1)
     for (_ <- 0 until KmIters) {
-      val wMin = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cell"))
-      val assigned = emb.crossJoin(broadcast(
-          cents.select(col("cell"), col("c"),
-            expr(Vec.normSq("c")).as("cn"))))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          expr(s"cn - 2.0D * (${Vec.dot("embedding", "c")})").as("dist"))
-        .withColumn("rn", row_number().over(wMin))
-        .filter(col("rn") === 1)
-      cents = assigned
+      // one distributed pass per iteration: narrow assignment → one
+      // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
+      // per-cell regroup is driver arithmetic (exact-integer sums, one
+      // double division — identical to the oracle's c$i CTE)
+      val sums = kmeansAssign(emb, cents.map(c => (c._1, c._2)))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("cell"), col("pos"),
           expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)").as("q"))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-        .select(col("cell"), col("pos"), col("cnt"),
-          expr(s"CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE)").as("comp"))
-        .groupBy(col("cell"))
-        .agg(
-          expr("transform(array_sort(collect_list(struct(pos, comp))), t -> t.comp)")
-            .as("c"),
-          max(col("cnt")).as("n_members"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+        val byPos = rows.sortBy(_.getInt(1))
+        val comps = byPos.map(r =>
+          r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble).toIndexedSeq
+        (cell, comps, byPos.head.getLong(3))
+      }.sortBy(_._1)
     }
-    cents
-      .select(col("cell"), col("n_members"),
-        posexplode(col("c")).as(Seq("dim_idx", "component")))
-      .select(col("cell"), col("n_members"),
-        col("dim_idx").cast("long").as("dim_idx"), col("component"))
+    // codebook is K×Dim by construction — materialize on the driver
+    import s.implicits._
+    cents.flatMap { case (cell, comps, n) =>
+      comps.zipWithIndex.map { case (comp, i) => (cell, n, i.toLong, comp) }
+    }.toDF("cell", "n_members", "dim_idx", "component")
       .orderBy("cell", "dim_idx")
+  }
+
+  /** The narrow Lloyd assignment pass: per row, score the driver-held
+    * centroids (inlined as double literals — `lit` preserves the exact
+    * bits, no string round-trip) with `dist_j = |c_j|² − 2·x·c_j`, then a
+    * `<=`-chain argmin with ties to the lowest cell. |c_j|² is a driver
+    * left-fold — the same association order as `vec_dot` and the oracle's
+    * `list_reduce`, so distances stay bit-identical to the old
+    * crossJoin+window plan. Dists are bound attributes (multi-referenced,
+    * non-cheap → CollapseProject keeps them), so each is computed once. */
+  private[ops] def kmeansAssign(
+      emb: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty && cents.map(_._1) == cents.map(_._1).sorted)
+    val n = cents.length
+    val scored = emb.select(
+      col("vec_id") +: col("embedding") +:
+        cents.zipWithIndex.map { case ((_, comps), i) =>
+          val cn = comps.foldLeft(0.0)((a, x) => a + x * x)
+          (lit(cn) - lit(2.0) * call_function("vec_dot", col("embedding"),
+            array(comps.map(lit): _*))).as(s"d$i")
+        }: _*)
+    val cellCol =
+      if (n == 1) lit(cents.head._1)
+      else (0 until n - 1).foldLeft(Option.empty[Column]) { (acc, i) =>
+        val cond = (i + 1 until n).map(j => col(s"d$i") <= col(s"d$j"))
+          .reduce(_ && _)
+        Some(acc.fold(when(cond, lit(cents(i)._1)))(_.when(cond, lit(cents(i)._1))))
+      }.get.otherwise(lit(cents(n - 1)._1))
+    scored.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
   }
 
   /** DuckDB replay of [[kmeans]]: [[KmIters]] unrolled Lloyd iterations as

@@ -81,6 +81,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s_kmeans assignment pass is narrow: no Exchange, no Window, no join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = (0L until 4L).map(c => (c, Seq.tabulate(64)(i => (c + i).toDouble)))
+    val p = SimilarityOps.kmeansAssign(emb, cents)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Exchange", "Window", "Join", "CartesianProduct"))
+      assert(!p.contains(bad), s"assignment pass contains $bad:\n${p.take(1500)}")
+    assert(p.contains("vec_dot"), "inlined centroid scores missing")
+  }
+
   test("t_cms_topk broadcasts the counter grid, never joins corpus-scale sides") {
     val p = plan("t_cms_topk")
     assert(p.contains("BroadcastHashJoin"), s"grid not broadcast:\n${p.take(1500)}")
