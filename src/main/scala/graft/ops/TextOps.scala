@@ -127,25 +127,26 @@ object TextOps {
       s"CASE WHEN max(n) > $MaxFpLen THEN " +
         s"raise_error(concat('fingerprint: document longer than $MaxFpLen positions (', " +
         s"CAST(max(n) AS STRING), ')')) ELSE $fp END"
-    // One aggregation for both fingerprints: the char-term and token-term
-    // streams (each flat, codegen'd — the md5 stays OUT of any HOF lambda)
-    // are unioned with a kind tag and folded in a single groupBy with
-    // conditional sums. vs the join-of-two-aggregations shape this is one
-    // shuffle instead of three (two partial-agg exchanges + a join) and no
-    // join at all — the per-row work is identical.
-    val charTerms = documents(s, d)
-      .select(col("doc_id"), expr(Chars).as("cs"))
-      .select(col("doc_id"), lit(0).as("kind"), size(col("cs")).as("n"),
-        posexplode_outer(col("cs")).as(Seq("i", "e")))
+    // One aggregation for both fingerprints, fed by ONE scan: project both
+    // element arrays from a single pass over `documents`, explode a
+    // 2-struct (kind, es) array so each doc emits both streams, then
+    // posexplode the elements. The per-position hash dispatches on the
+    // kind tag (CASE evaluates lazily — the md5 only runs for token
+    // rows, and stays OUT of any HOF lambda). vs the union-of-two-scans
+    // shape this halves the `documents` IO; vs join-of-two-aggregations
+    // it is one shuffle and no join.
+    val terms = documents(s, d)
+      .select(col("doc_id"), expr(Chars).as("cs"), expr(Toks).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array(struct(0 AS kind, cs AS es), struct(1 AS kind, toks AS es))"))
+        .as("ke"))
+      .select(col("doc_id"), col("ke.kind").as("kind"),
+        size(col("ke.es")).as("n"),
+        posexplode_outer(col("ke.es")).as(Seq("i", "e")))
       .select(col("doc_id"), col("kind"), col("n"), col("i"),
-        expr(s"ascii(e) % $P").as("h"))
-    val tokTerms = documents(s, d)
-      .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), lit(1).as("kind"), size(col("toks")).as("n"),
-        posexplode_outer(col("toks")).as(Seq("i", "e")))
-      .select(col("doc_id"), col("kind"), col("n"), col("i"),
-        expr(s"${DedupOps.h60("e")} % $P").as("h"))
-    charTerms.union(tokTerms)
+        expr(s"CASE WHEN kind = 0 THEN ascii(e) % $P " +
+          s"ELSE ${DedupOps.h60("e")} % $P END").as("h"))
+    terms
       .groupBy("doc_id")
       .agg(
         expr(guarded(s"coalesce(sum(CASE WHEN kind = 0 THEN " +

@@ -93,6 +93,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "inlined centroid scores missing")
   }
 
+  test("t_fingerprint scans documents exactly once") {
+    val p = plan("t_fingerprint")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
+  }
+
   test("t_cms_topk broadcasts the counter grid, never joins corpus-scale sides") {
     val p = plan("t_cms_topk")
     assert(p.contains("BroadcastHashJoin"), s"grid not broadcast:\n${p.take(1500)}")
