@@ -244,9 +244,11 @@ object TextOps {
     * oracle replays the grid cell-for-cell.
     *
     * Plan: one explode → per-cell partial-agg count (grid build, ~2k
-    * rows), one vocab aggregation (candidate set + exact twin), then two
-    * broadcast joins of the tiny grid onto the vocab — no corpus-scale
-    * join anywhere. */
+    * rows), one vocab aggregation (candidate set + exact twin), then the
+    * grid collapses to a ONE-ROW `map_from_entries` broadcast onto the
+    * vocab and probed with `element_at` (the [[DedupOps.bloomPrune]]
+    * shape) — constant-depth, zero per-row joins, no corpus-scale join
+    * anywhere. */
   def cmsTopk(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
     val cells = toks
@@ -255,15 +257,14 @@ object TextOps {
       .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
       .agg(count(lit(1)).as("c"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-    val withCells = (0 until CmsDepth).foldLeft(vocab) { (acc, r) =>
-      acc.join(
-        broadcast(cells.filter(col("r") === r)
-          .select(col("p").as(s"p$r"), col("c").as(s"c$r"))),
-        expr(s"(${cmsPos(r)}) = p$r"))
-    }
-    withCells
-      .select(col("tok"), col("exact_n"),
-        least((0 until CmsDepth).map(r => col(s"c$r")): _*).as("cms_est"))
+    // flat cell key r*width+p — an int map key probes with element_at
+    val gridRow = cells.agg(map_from_entries(collect_list(struct(
+      (col("r") * CmsWidth + col("p")).cast("int").as("k"), col("c")))).as("grid"))
+    val est = (0 until CmsDepth).map(r =>
+      s"coalesce(element_at(grid, CAST($r * $CmsWidth + (${cmsPos(r)}) AS INT)), 0L)")
+      .mkString("least(", ", ", ")")
+    vocab.crossJoin(broadcast(gridRow))
+      .select(col("tok"), col("exact_n"), expr(est).as("cms_est"))
       .orderBy(col("cms_est").desc, col("exact_n").desc, col("tok"))
       .limit(20)
   }

@@ -99,11 +99,11 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
   }
 
-  test("t_cms_topk broadcasts the counter grid, never joins corpus-scale sides") {
+  test("t_cms_topk probes a one-row broadcast grid, no per-row joins") {
     val p = plan("t_cms_topk")
-    assert(p.contains("BroadcastHashJoin"), s"grid not broadcast:\n${p.take(1500)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus-scale join appeared in a sketch plan:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange"), s"grid not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"per-row grid join survived the map-probe rewrite:\n${p.take(1500)}")
   }
 
   test("e_zorder stats row is broadcast onto a narrow projection") {
