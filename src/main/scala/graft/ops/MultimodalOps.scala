@@ -9,47 +9,127 @@ import graft.zip.ZipExtract
 /** Multimodal-column plumbing: media (image/audio/video) carried as opaque
   * `binary` columns with typed metadata, processed in batch-shaped
   * per-partition passes — the Spark-side pattern for decode / feature
-  * -extract / frame-sample stages. The actual media codecs are STUBBED
-  * (this container has no image/audio libraries): [[Multimodal]] marks the
-  * stub boundary, and the stand-in "decode" is a deterministic function of
-  * the bytes so the full pipeline — schema, partitioning, batch iteration,
-  * result shape — is real and oracle-checkable.
+  * -extract / frame-sample stages.
   *
-  * `documents.text` (ASCII) cast to binary stands in for media payloads;
-  * with real media only [[Multimodal]]'s internals change.
+  * Codec boundary: IMAGES are decoded for real with the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) — luminance histogram and bilinear
+  * resize run over actual pixels. Payloads imageio does not recognize fall
+  * back to a deterministic byte-level stand-in, which is also the path the
+  * m_* oracle queries exercise: the testdata corpus carries ASCII text as
+  * the payload column, and DuckDB cannot decode images — so the oracle
+  * checks the stand-in arithmetic while the scalatest suite checks the
+  * real decode on in-fixture PNGs. AUDIO/VIDEO remain stubbed (no JDK
+  * codec); only the byte-extraction stand-in would change with a real
+  * demuxer, not the plan shapes.
   *
   * Scale: mapPartitions keeps per-task state (a decoder context) allocated
   * once per partition, not per row — the same batch shape as an Arrow-batch
   * UDF; payload bytes never cross a shuffle (metadata-only outputs).
   */
 object Multimodal {
-  /** STUB — real implementation would decode the image and return pixel
-    * features. Stand-in: 16-bin histogram of raw byte values (deterministic,
-    * exercises the full byte path). */
-  def decodeImageFeatures(body: Array[Byte]): Array[Long] = {
+  import java.awt.image.BufferedImage
+
+  /** Real image decode (JDK imageio). None = not a recognizable image —
+    * callers fall back to the byte-level stand-in. */
+  def decodeImage(body: Array[Byte]): Option[BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body)))
+    catch { case _: java.io.IOException => None }
+
+  /** 16-bin luminance histogram over decoded pixels: integer BT.601 luma
+    * `(299R + 587G + 114B) / 1000` ∈ [0, 255], binned by `>> 4` —
+    * all-integer, so bit-deterministic across platforms. */
+  def luminanceHistogram(img: BufferedImage): Array[Long] = {
     val hist = new Array[Long](16)
-    var i = 0
-    while (i < body.length) { hist((body(i) & 0xff) >> 4) += 1; i += 1 }
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        hist(lum >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
     hist
   }
 
+  /** Image features: real pixel luminance histogram when the payload
+    * decodes; byte-value histogram stand-in otherwise (the oracle path —
+    * the ASCII test corpus is not PNG). Both are 16 bins. */
+  def decodeImageFeatures(body: Array[Byte]): Array[Long] =
+    decodeImage(body) match {
+      case Some(img) => luminanceHistogram(img)
+      case None =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < body.length) { hist((body(i) & 0xff) >> 4) += 1; i += 1 }
+        hist
+    }
+
+  /** Deterministic bilinear resample (own loop — Graphics2D interpolation
+    * quality is implementation-defined; this is fixed integer/double
+    * arithmetic): output pixel centers map to source coordinates, 4-tap
+    * lerp per channel, half-pixel alignment. */
+  def bilinearResize(img: BufferedImage, w2: Int, h2: Int): BufferedImage = {
+    require(w2 > 0 && h2 > 0)
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (img.getWidth, img.getHeight)
+    def clamp(v: Double, hi: Int) = math.min(math.max(v, 0.0), hi.toDouble)
+    var y = 0
+    while (y < h2) {
+      val sy = clamp((y + 0.5) * h / h2 - 0.5, h - 1)
+      val y0 = sy.toInt; val y1 = math.min(y0 + 1, h - 1); val fy = sy - y0
+      var x = 0
+      while (x < w2) {
+        val sx = clamp((x + 0.5) * w / w2 - 0.5, w - 1)
+        val x0 = sx.toInt; val x1 = math.min(x0 + 1, w - 1); val fx = sx - x0
+        def ch(shift: Int): Int = {
+          def c(px: Int, py: Int) = (img.getRGB(px, py) >> shift) & 0xff
+          val top = c(x0, y0) * (1 - fx) + c(x1, y0) * fx
+          val bot = c(x0, y1) * (1 - fx) + c(x1, y1) * fx
+          math.round(top * (1 - fy) + bot * fy).toInt
+        }
+        out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** PNG-encode (lossless, so a decode→assert round-trip is exact). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB — real implementation would demux the container and decode every
-    * k-th video frame. Stand-in: sample every 32nd byte as the "frame". */
+    * k-th video frame (no JDK video codec exists). Stand-in: sample every
+    * 32nd byte as the "frame". */
   def sampleFrames(body: Array[Byte], stride: Int = 32): Iterator[(Int, Int)] =
     Iterator.range(0, body.length, stride).zipWithIndex.map {
       case (pos, idx) => (idx, body(pos) & 0xff)
     }
 
-  /** STUB — real implementation would decode, bilinear-resample to the
-    * target resolution, and re-encode. Stand-in: keep every `factor`-th
-    * byte (a 1-D nearest-neighbor downsample, deterministic and
-    * byte-exact). */
-  def resize(body: Array[Byte], factor: Int = 2): Array[Byte] = {
-    val out = new Array[Byte]((body.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = body(i * factor); i += 1 }
-    out
-  }
+  /** Resize: payloads that decode as images take the real path — bilinear
+    * downsample by `factor` (dims round up, min 1px) and lossless PNG
+    * re-encode. Non-image payloads keep the 1-D nearest-neighbor byte
+    * downsample stand-in (the oracle path). */
+  def resize(body: Array[Byte], factor: Int = 2): Array[Byte] =
+    decodeImage(body) match {
+      case Some(img) =>
+        encodePng(bilinearResize(img,
+          math.max(1, (img.getWidth + factor - 1) / factor),
+          math.max(1, (img.getHeight + factor - 1) / factor)))
+      case None =>
+        val out = new Array[Byte]((body.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = body(i * factor); i += 1 }
+        out
+    }
 }
 
 object MultimodalOps {

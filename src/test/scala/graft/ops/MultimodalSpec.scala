@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+
+import graft.SparkSpec
+
+/** Real-image codec tests for [[Multimodal]]: known PNGs decode via the
+  * JDK's imageio to known pixel features; non-image payloads keep the
+  * deterministic byte stand-in the m_* oracles replay (DuckDB cannot
+  * decode images — that boundary is the documented split). */
+class MultimodalSpec extends SparkSpec {
+
+  /** 2×2 fixture: black, white / red, blue. */
+  private def fixturePng: Array[Byte] = {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    Multimodal.encodePng(img)
+  }
+
+  test("PNG payload decodes to the real luminance histogram") {
+    val hist = Multimodal.decodeImageFeatures(fixturePng)
+    // BT.601 integer luma: black 0 → bin 0, blue 29 → bin 1,
+    // red 76 → bin 4, white 255 → bin 15
+    val expected = new Array[Long](16)
+    expected(0) = 1; expected(1) = 1; expected(4) = 1; expected(15) = 1
+    assert(hist.toSeq == expected.toSeq)
+  }
+
+  test("bilinear resize averages the 4 taps and round-trips through PNG") {
+    val out = Multimodal.resize(fixturePng, factor = 2)
+    val img = Multimodal.decodeImage(out).get
+    assert(img.getWidth == 1 && img.getHeight == 1)
+    // center sample weights all 4 pixels at 1/4: R=(0+255+255+0)/4=127.5
+    // → 128, G=255/4=63.75 → 64, B=(255+255)/4=127.5 → 128 (round-half-up)
+    assert((img.getRGB(0, 0) & 0xffffff) == ((128 << 16) | (64 << 8) | 128))
+  }
+
+  test("bilinear resize interpolates interior pixels of a gradient") {
+    val img = new BufferedImage(4, 1, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) img.setRGB(x, 0, x * 60 << 16) // R = 0,60,120,180
+    val out = Multimodal.bilinearResize(img, 2, 1)
+    // x=0: sx=(0.5)*4/2-0.5=0.5 → lerp(0,60,.5)=30; x=1: sx=2.5 → 150
+    assert(((out.getRGB(0, 0) >> 16) & 0xff) == 30)
+    assert(((out.getRGB(1, 0) >> 16) & 0xff) == 150)
+  }
+
+  test("non-image payloads fall back to the byte stand-ins (oracle path)") {
+    val bytes = "hello graft".getBytes("UTF-8")
+    val hist = Multimodal.decodeImageFeatures(bytes)
+    val expected = new Array[Long](16)
+    bytes.foreach(b => expected((b & 0xff) >> 4) += 1)
+    assert(hist.toSeq == expected.toSeq)
+    assert(Multimodal.resize(bytes, 2).toSeq ==
+      bytes.indices.collect { case i if i % 2 == 0 => bytes(i) }.toSeq)
+  }
+
+  test("real decode runs inside the Spark batch pipeline shape") {
+    import spark.implicits._
+    val png = fixturePng
+    val rows = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDS()
+      .mapPartitions(_.map { case (id, body) =>
+        (id, Multimodal.decodeImageFeatures(body).sum,
+          Multimodal.decodeImage(body).isDefined)
+      })
+      .collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 4L, true)))   // 4 pixels histogrammed
+    assert(rows(1)._2 == "not an image".length.toLong && !rows(1)._3)
+  }
+}
