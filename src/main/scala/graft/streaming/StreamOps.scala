@@ -43,11 +43,17 @@ object StreamOps {
     * opens; with `idleTimeout=true` (production mode) idle sessions are
     * additionally flushed by a processing-time timeout — note that mode
     * keeps the micro-batch engine triggering while timeouts are pending,
-    * so tests that drain with processAllAvailable() should leave it off. */
+    * so tests that drain with processAllAvailable() should leave it off
+    * (or poll the sink, as the timeout spec does). `idleFlushAfterMs`
+    * overrides the timeout duration (default: the gap itself) — the
+    * production dial for "flush idle sessions sooner than the event-time
+    * gap", and what makes the timeout branch drivable in a test. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
-      idleTimeout: Boolean = false): Dataset[SessionOut] = {
+      idleTimeout: Boolean = false, idleFlushAfterMs: Long = -1L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val flushMs = if (idleFlushAfterMs >= 0) idleFlushAfterMs
+      else gapMinutes * 60L * 1000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -72,7 +78,7 @@ object StreamOps {
       }
       st.foreach { s =>
         state.update(s)
-        if (idleTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+        if (idleTimeout) state.setTimeoutDuration(flushMs)
       }
       out.reverseIterator
     }

@@ -60,6 +60,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 10 * min, 2L)))
   }
 
+  test("sessionize(idleTimeout) flushes an idle session without a successor event") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamOps.Event]
+    // 500 ms processing-time timeout: the idle session must flush on the
+    // engine's own re-triggering, with NO further input arriving
+    val q = StreamOps.sessionize(in.toDS(), gapMinutes = 30,
+        idleTimeout = true, idleFlushAfterMs = 500L)
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    val min = 60L * 1000000L
+    in.addData(
+      StreamOps.Event(7L, 0L, "x", 1.0),
+      StreamOps.Event(7L, 5 * min, "x", 1.0))
+    // NO processAllAvailable(): with ProcessingTimeTimeout the engine
+    // keeps triggering while a timeout is registered, so that call never
+    // returns (verified by thread dump). Poll the sink instead — output
+    // can only appear via the timeout flush, since no successor event is
+    // ever added for this user.
+    val deadline = System.currentTimeMillis() + 30000
+    var rows = Seq.empty[StreamOps.SessionOut]
+    while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      rows = spark.table("idle_sessions").as[StreamOps.SessionOut].collect().toSeq
+    }
+    q.stop()
+    assert(rows == Seq(StreamOps.SessionOut(7L, 0L, 5 * min, 2L)),
+      s"idle session not flushed by timeout, got $rows")
+  }
+
   // NB: event times must sit ABOVE the initial watermark (epoch 0) — a row
   // stamped exactly 1970-01-01T00:00:00 is dropped as late before any
   // stateful op sees it. All streaming tests offset by a day.
