@@ -52,7 +52,20 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver keeps only a tail of stdout, which
+    // truncated the per-query map in round 4 — the file keeps rounds
+    // auditable end-to-end.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
