@@ -133,9 +133,28 @@ class ZipScanBuilder(options: CaseInsensitiveStringMap)
 
 class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
     required: StructType, limit: Int = -1, countStar: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (execution-time) filtering on `source` — the archive axis.
+    * A broadcast join against a small manifest (the ingest-dedup story:
+    * "only archives not yet ingested") hands the scan an IN-set of source
+    * paths after the build side materializes; [[planInputPartitions]] then
+    * drops whole archives before a single byte is opened. Partition-exact:
+    * `source` is constant per archive, so archive-level pruning applies
+    * the filter fully and Spark's join stays correct either way. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("source"))
+
+  override def filter(newFilters: Array[Filter]): Unit =
+    runtimeFilters = newFilters.filter { f =>
+      f.references.nonEmpty && f.references.forall(_ == "source") &&
+        ZipFilterEval.supported(f)
+    }
 
   /** Size estimate from the archive LISTING (no data read), so Catalyst's
     * join-side selection can treat a small zip scan as broadcastable. The
@@ -189,8 +208,9 @@ class ZipScan(options: CaseInsensitiveStringMap, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
+    val all = filters ++ runtimeFilters
     ZipExtract.listInputs(spark, paths)
-      .filter { case (_, display) => ZipFilterEval.sourceMayMatch(filters, display) }
+      .filter { case (_, display) => ZipFilterEval.sourceMayMatch(all, display) }
       .map { case (read, display) => ZipInputPartition(read, display) }
       .toArray
   }
@@ -270,9 +290,14 @@ case class ZipReaderFactory(
   * scan emits", so the pushed-COUNT(*) path can never disagree with the
   * row path about what counts as a row. */
 private[sources] object ZipEntryWalk {
+  /** Test observability: archives actually opened by the DSv2 readers
+    * (JVM-wide — local-mode tests read it to prove partition pruning). */
+  val opened = new java.util.concurrent.atomic.AtomicLong
+
   def open(part: ZipInputPartition,
       conf: SerializableConfiguration): java.util.zip.ZipInputStream =
     try {
+      opened.incrementAndGet()
       val p = new Path(part.readPath)
       val fs = p.getFileSystem(conf.value)
       new java.util.zip.ZipInputStream(

@@ -147,6 +147,38 @@ class ZipDataSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime IN-filter from a broadcast manifest join prunes archives") {
+    import spark.implicits._
+    val zips = (0 until 3).map(i =>
+      makeZip(s"rt_$i.zip", s"doc$i.txt" -> s"payload $i".getBytes("UTF-8")))
+    // manifest keeps exactly one archive — the ingest-dedup shape. Three
+    // deliberate choices make this a RUNTIME-filtering proof, not a
+    // static-pushdown one: (a) the manifest is a real parquet scan, not a
+    // LocalRelation (there predicates constant-fold away and the DPP rule
+    // sees no selective filter); (b) the selective predicate sits on a
+    // SEPARATE column (`keep`), so constraint propagation cannot infer any
+    // static `source` predicate onto the zip side — only the execution
+    // -time IN-set from the broadcast build can prune; (c) the join side
+    // is broadcast, the reuse case DPP accepts without a benefit estimate.
+    val manifestDir = new File(dir, "rt_manifest").getAbsolutePath
+    // keep is an int compared with ===: a bare boolean column is not
+    // "likely selective" to the DPP rule, a BinaryComparison is
+    Seq((zips(0), 0), (zips(1), 1)).toDF("source", "keep")
+      .write.mode("overwrite").parquet(manifestDir)
+    val manifest = spark.read.parquet(manifestDir)
+      .filter(col("keep") === 1).select("source")
+    val joined = spark.read.format("zip").load(zips: _*)
+      .join(broadcast(manifest), Seq("source"))
+    ZipEntryWalk.opened.set(0L)
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dynamicpruning"),
+      s"no runtime filter injected:\n$optimized")
+    val rows = joined.select("name").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("doc1.txt"), "join result wrong")
+    assert(ZipEntryWalk.opened.get() == 1L,
+      s"expected runtime filtering to open 1 archive, opened ${ZipEntryWalk.opened.get()}")
+  }
+
   test("DSv2 results equal the flatMap extractor's") {
     import graft.zip.{ZipExtract, ZipToParquetConfig}
     val v2 = spark.read.format("zip").load(zip1, zip2)
