@@ -107,7 +107,11 @@ object Skipping {
       .agg((max(col(column)) - min(col(column))).cast("double").as("span"))
     val global = spark.read.parquet(dir)
       .agg((max(col(column)) - min(col(column))).cast("double")).first().getDouble(0)
-    perFile.agg(avg(col("span"))).first().getDouble(0) / global
+    // a constant column has global span 0 — every file trivially covers
+    // it; report perfect skippability (0.0) instead of 0.0/0.0 = NaN,
+    // which would silently pass or fail any comparison
+    if (global == 0.0) 0.0
+    else perFile.agg(avg(col("span"))).first().getDouble(0) / global
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -133,39 +133,57 @@ object StreamOps {
     * survivors to the corpus AND their hashes to the manifest.
     *
     * Scale: the manifest carries 16-byte hashes only (a few GB per 100 TB
-    * of corpus), and both the anti-join and the appends shuffle on the
+    * of corpus), and both the anti-join and the writes shuffle on the
     * uniform hash — bucket the manifest (ops/Bucketing) to make the join
     * exchange-free. The batch is persisted across its two sinks so the
-    * anti-join runs once. Failure semantics are the foreachBatch contract:
-    * a batch that fails between the two appends can leave a corpus row
-    * whose hash is missing from the manifest — the next retry then
-    * re-appends it; run the batch twin (incrementalDedup) as the
-    * periodic re-dedup, exactly as its scaladoc prescribes. */
+    * anti-join runs once.
+    *
+    * Idempotence: each micro-batch writes to batchId-scoped partition
+    * directories (`batch_id=N/`) with OVERWRITE. foreachBatch replays a
+    * failed batch under the SAME batchId, so a retry — whether the
+    * failure hit before, between, or after the two writes — overwrites
+    * its own partial output instead of appending duplicates. The
+    * duplicate window of the old two-append design is gone; the periodic
+    * batch re-dedup (incrementalDedup) remains only as belt-and-braces.
+    * Readers see `batch_id` as a partition column of both tables. */
   def manifestIngestStream(spark: SparkSession, docs: DataFrame,
       corpusDir: String, manifestDir: String, checkpoint: String) =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hashed = batch
-          .withColumn("content_hash", md5(col("text").cast("binary")))
-          .dropDuplicates("content_hash")
-        val fs = new org.apache.hadoop.fs.Path(manifestDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val fresh = (if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir)))
-          hashed.join(spark.read.parquet(manifestDir),
-            Seq("content_hash"), "left_anti")
-        else hashed).persist()
-        try {
-          fresh.drop("content_hash")
-            .write.mode("append").option("compression", "snappy")
-            .parquet(corpusDir)
-          fresh.select(col("content_hash"))
-            .write.mode("append").option("compression", "snappy")
-            .parquet(manifestDir)
-        } finally fresh.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, corpusDir, manifestDir)
       }
       .start()
+
+  /** One ingest micro-batch (exposed so the retry contract is testable:
+    * running the same batchId twice must be a no-op the second time,
+    * whatever the first attempt managed to write). */
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, corpusDir: String, manifestDir: String): Unit = {
+    val hashed = batch
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .dropDuplicates("content_hash")
+    val fs = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = (if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir)))
+      hashed.join(
+        // exclude THIS batch's own partition from the manifest view: a
+        // retry must not anti-join its rows away against the half-written
+        // attempt it is replacing
+        spark.read.parquet(manifestDir)
+          .filter(col("batch_id") =!= batchId),
+        Seq("content_hash"), "left_anti")
+    else hashed).persist()
+    try {
+      fresh.drop("content_hash")
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$corpusDir/batch_id=$batchId")
+      fresh.select(col("content_hash"))
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$manifestDir/batch_id=$batchId")
+    } finally fresh.unpersist()
+    ()
+  }
 
   /** Watch a landing directory for new zip archives and append their
     * extracted entries to a parquet sink — the streaming version of the

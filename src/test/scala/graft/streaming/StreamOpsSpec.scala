@@ -198,6 +198,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(manifest).distinct().count() == 3)
   }
 
+  test("manifest ingest batch retry is idempotent (batchId-scoped overwrite)") {
+    import spark.implicits._
+    val corpus = tmp("graft_corpus_r") + "/docs"
+    val manifest = tmp("graft_manifest_r") + "/hashes"
+    // batch 0 lands fully
+    StreamOps.ingestBatch(spark,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), 0L, corpus, manifest)
+    // batch 1 "fails between the two writes" … and is retried whole: run
+    // it twice under the SAME batchId — the second run must overwrite,
+    // not duplicate, and must not anti-join itself away either
+    val b1 = Seq((3L, "gamma"), (4L, "alpha")).toDF("doc_id", "text")
+    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest)
+    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest)
+    val texts = spark.read.parquet(corpus).select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"),
+      s"retry duplicated or dropped rows: $texts")
+    assert(spark.read.parquet(manifest).select("content_hash").distinct().count() == 3)
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"

@@ -197,11 +197,18 @@ class ZipRobustnessSpec extends SparkSpec {
     // Spark's commit protocol: a job cancelled mid-write must abort —
     // no _SUCCESS marker, no committed part files.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+    // The write must outlive the async cancel: incompressible (seeded
+    // -random) bodies defeat snappy, and a tiny row-group ceiling forces
+    // a flush every 32 rows — together the write takes seconds, so the
+    // listener-fired cancel reliably lands mid-write (the Success branch
+    // below is a last-resort race guard, not the expected path).
     val f = new File(dir, "cancel.zip")
     val z = new ZipOutputStream(new FileOutputStream(f))
-    val body = new Array[Byte](4096)
+    val rnd = new scala.util.Random(13)
+    val body = new Array[Byte](8192)
     var i = 0
-    while (i < 30000) {
+    while (i < 20000) {
+      rnd.nextBytes(body)
       z.putNextEntry(new ZipEntry(s"c$i.bin")); z.write(body); z.closeEntry()
       i += 1
     }
@@ -218,7 +225,8 @@ class ZipRobustnessSpec extends SparkSpec {
       sc.setJobGroup("graft-o13-cancel", "O13 cancellation parity",
         interruptOnCancel = true)
       val res = scala.util.Try(ZipExtract.run(spark,
-        ZipToParquetConfig(inputs = Seq(f.getAbsolutePath), output = out)))
+        ZipToParquetConfig(inputs = Seq(f.getAbsolutePath), output = out,
+          rowGroupSize = 32)))
       res match {
         case scala.util.Failure(_) =>
           // Cancel landed mid-write: commit protocol must have aborted.
