@@ -121,6 +121,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("exportTrainingShards manifest invariants hold over random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // doc sizes around the 20-token gate, with forced duplicate texts so
+    // both the gate and the dedup interact with the packing
+    val corpusGen = for {
+      n <- Gen.choose(5, 40)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 300))
+      dups <- Gen.listOfN(n, Gen.oneOf(true, false, false))
+    } yield sizes.zip(dups)
+    val prop = Prop.forAll(corpusGen) { spec =>
+      val docs = spec.zipWithIndex.map { case ((k, dup), i) =>
+        // duplicates clone the previous doc's text (same token count)
+        val toks = if (dup && i > 0) spec(i - 1)._1 else k
+        val word = if (dup && i > 0) "t" else s"w$i"
+        (i.toLong, Seq.fill(toks)(word).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toFile
+        .getAbsolutePath
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val manifest = CorpusOps
+        .exportTrainingShards(spark, dir, s"$dir/out", shards = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val back = spark.read.parquet(s"$dir/out")
+        .select("shard", "doc_id", "n_tokens", "start_tok", "seq_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val expectKept = docs.filter(_._2.split(" ").length >= 20)
+        .groupBy(_._2).map(_._2.map(_._1).min).toSet
+      val keptOk = back.map(_._2).toSet == expectKept
+      val gapless = back.groupBy(_._1).forall { case (_, rows) =>
+        rows.sortBy(_._2).foldLeft((true, 0L)) { case ((ok, at), r) =>
+          (ok && r._4 == at && r._5 == at / CorpusOps.SeqBudget, at + r._3)
+        }._1
+      }
+      val manifestOk = manifest.forall { case (shard, nDocs, nToks, nSeqs) =>
+        val rows = back.filter(_._1 == shard)
+        nDocs == rows.length && nToks == rows.map(_._3).sum &&
+          nSeqs == (nToks + CorpusOps.SeqBudget - 1) / CorpusOps.SeqBudget
+      }
+      keptOk && gapless && manifestOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("pii scrub: deny-list terms are gone from clean_text, counts match") {
     val rows = CorpusOps.piiScrub(spark, sf).collect()
     assert(rows.exists(_.getLong(3) > 0), "no deny-list hits in test corpus")
