@@ -8,6 +8,10 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     // optional: extra args restrict the dump to named queries (dev loop)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    // a typo'd name must fail loudly, not silently dump zero queries and
+    // overwrite queries.json with an empty manifest
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

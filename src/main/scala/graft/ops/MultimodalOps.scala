@@ -29,11 +29,19 @@ import graft.zip.ZipExtract
 object Multimodal {
   import java.awt.image.BufferedImage
 
+  // per-payload temp-file caching (ImageIO's default) would be one file
+  // create/delete PER ROW in the decode path — decode from memory instead
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode (JDK imageio). None = not a recognizable image —
-    * callers fall back to the byte-level stand-in. */
+    * callers fall back to the byte-level stand-in. NonFatal (not just
+    * IOException): a payload whose first bytes mimic an image magic (ASCII
+    * "BM…", a truncated real image) reaches a decoder that throws
+    * runtime exceptions on garbage header fields — that must mean
+    * "not an image", not a failed Spark task. */
   def decodeImage(body: Array[Byte]): Option[BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** 16-bin luminance histogram over decoded pixels: integer BT.601 luma
     * `(299R + 587G + 114B) / 1000` ∈ [0, 255], binned by `>> 4` —
@@ -85,10 +93,14 @@ object Multimodal {
       while (x < w2) {
         val sx = clamp((x + 0.5) * w / w2 - 0.5, w - 1)
         val x0 = sx.toInt; val x1 = math.min(x0 + 1, w - 1); val fx = sx - x0
+        // fetch the 4 taps once; getRGB pays a color-model conversion,
+        // so re-fetching per channel would triple the hot-loop cost
+        val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+        val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
         def ch(shift: Int): Int = {
-          def c(px: Int, py: Int) = (img.getRGB(px, py) >> shift) & 0xff
-          val top = c(x0, y0) * (1 - fx) + c(x1, y0) * fx
-          val bot = c(x0, y1) * (1 - fx) + c(x1, y1) * fx
+          def c(p: Int) = (p >> shift) & 0xff
+          val top = c(p00) * (1 - fx) + c(p10) * fx
+          val bot = c(p01) * (1 - fx) + c(p11) * fx
           math.round(top * (1 - fy) + bot * fy).toInt
         }
         out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))

@@ -218,6 +218,7 @@ object SimilarityOps {
     * the driver. Empty cells drop out deterministically in both engines.
     * Output: the trained codebook, one row per (cell, dimension). */
   def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     // (cell, components, n_members), ascending cell — float→double is exact
     var cents: Seq[(Long, IndexedSeq[Double], Long)] =
@@ -227,6 +228,11 @@ object SimilarityOps {
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, 1L))
         .sortBy(_._1)
+    // no seed vectors (empty table): an empty codebook, same as the
+    // crossJoin formulation produced — not an error
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("cell", "n_members", "dim_idx", "component")
     for (_ <- 0 until KmIters) {
       // one distributed pass per iteration: narrow assignment → one
       // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
@@ -247,7 +253,6 @@ object SimilarityOps {
       }.sortBy(_._1)
     }
     // codebook is K×Dim by construction — materialize on the driver
-    import s.implicits._
     cents.flatMap { case (cell, comps, n) =>
       comps.zipWithIndex.map { case (comp, i) => (cell, n, i.toLong, comp) }
     }.toDF("cell", "n_members", "dim_idx", "component")

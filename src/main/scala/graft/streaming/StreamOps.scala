@@ -54,6 +54,10 @@ object StreamOps {
     val gapUs = gapMinutes * 60L * 1000000L
     val flushMs = if (idleFlushAfterMs >= 0) idleFlushAfterMs
       else gapMinutes * 60L * 1000L
+    // GroupState.setTimeoutDuration rejects non-positive durations at
+    // runtime, per group — fail at construction with a clear message
+    require(!idleTimeout || flushMs > 0,
+      s"idleTimeout requires a positive flush duration, got $flushMs ms")
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -138,14 +142,21 @@ object StreamOps {
     * exchange-free. The batch is persisted across its two sinks so the
     * anti-join runs once.
     *
-    * Idempotence: each micro-batch writes to batchId-scoped partition
-    * directories (`batch_id=N/`) with OVERWRITE. foreachBatch replays a
-    * failed batch under the SAME batchId, so a retry — whether the
-    * failure hit before, between, or after the two writes — overwrites
-    * its own partial output instead of appending duplicates. The
-    * duplicate window of the old two-append design is gone; the periodic
-    * batch re-dedup (incrementalDedup) remains only as belt-and-braces.
-    * Readers see `batch_id` as a partition column of both tables. */
+    * Idempotence: each micro-batch writes to (query_id, batch_id)-scoped
+    * partition directories with OVERWRITE. foreachBatch replays a failed
+    * batch under the SAME batchId, so a retry — whether the failure hit
+    * before, between, or after the two writes — overwrites its own
+    * partial output instead of appending duplicates. The query id (from
+    * the streaming query's local property, persisted in the checkpoint)
+    * scopes the batch counter: batch ids restart at 0 when a stream gets
+    * a FRESH checkpoint against the same output dirs, and without the
+    * scope that restart would silently overwrite the old run's committed
+    * batch-0 data. The duplicate window of the old two-append design is
+    * gone; the periodic batch re-dedup (incrementalDedup) remains only as
+    * belt-and-braces. Readers see `query_id`/`batch_id` as partition
+    * columns of both tables. A manifest in the pre-partitioned flat
+    * layout is rejected loudly with migration instructions — mixing
+    * layouts would break partition discovery at first read. */
   def manifestIngestStream(spark: SparkSession, docs: DataFrame,
       corpusDir: String, manifestDir: String, checkpoint: String) =
     docs.writeStream
@@ -156,33 +167,64 @@ object StreamOps {
       .start()
 
   /** One ingest micro-batch (exposed so the retry contract is testable:
-    * running the same batchId twice must be a no-op the second time,
-    * whatever the first attempt managed to write). */
+    * running the same (queryId, batchId) twice must be a no-op the second
+    * time, whatever the first attempt managed to write). */
   private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, corpusDir: String, manifestDir: String): Unit = {
+    // stable across restarts from the same checkpoint, fresh otherwise;
+    // "adhoc" covers direct (non-streaming) invocations
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("adhoc")
     val hashed = batch
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .dropDuplicates("content_hash")
-    val fs = new org.apache.hadoop.fs.Path(manifestDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = (if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir)))
-      hashed.join(
-        // exclude THIS batch's own partition from the manifest view: a
-        // retry must not anti-join its rows away against the half-written
-        // attempt it is replacing
-        spark.read.parquet(manifestDir)
-          .filter(col("batch_id") =!= batchId),
-        Seq("content_hash"), "left_anti")
-    else hashed).persist()
+    val manifestView = readManifest(spark, manifestDir, queryId, batchId)
+    val fresh = manifestView
+      .map(m => hashed.join(m, Seq("content_hash"), "left_anti"))
+      .getOrElse(hashed).persist()
     try {
       fresh.drop("content_hash")
         .write.mode("overwrite").option("compression", "snappy")
-        .parquet(s"$corpusDir/batch_id=$batchId")
+        .parquet(s"$corpusDir/query_id=$queryId/batch_id=$batchId")
       fresh.select(col("content_hash"))
         .write.mode("overwrite").option("compression", "snappy")
-        .parquet(s"$manifestDir/batch_id=$batchId")
+        .parquet(s"$manifestDir/query_id=$queryId/batch_id=$batchId")
     } finally fresh.unpersist()
     ()
+  }
+
+  /** The manifest as an anti-join side, or None when nothing committed
+    * yet. Handles the awkward startup states the naive read dies on:
+    * a directory left behind by a crashed first write (no data files →
+    * parquet schema inference fails → treat as empty), and a manifest in
+    * the old flat layout (no partition columns → reject loudly: mixed
+    * layouts break partition discovery the moment the first partitioned
+    * write lands next to the flat files). */
+  private def readManifest(spark: SparkSession, manifestDir: String,
+      queryId: String, batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val m =
+      try spark.read.parquet(manifestDir)
+      catch {
+        // dir exists but holds no committed data files (e.g. only a
+        // _temporary of a crashed attempt) — same as no manifest
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") => return None
+      }
+    if (!(m.columns.contains("query_id") && m.columns.contains("batch_id")))
+      throw new IllegalStateException(
+        s"manifest at $manifestDir uses the flat (pre-partitioned) layout; " +
+          "migrate its parquet files into a query_id=legacy/batch_id=0/ " +
+          "subdirectory before running the partitioned ingest against it")
+    // exclude THIS batch's own partition from the manifest view: a retry
+    // must not anti-join its rows away against the half-written attempt
+    // it is replacing
+    Some(m
+      .filter(!(col("query_id") === queryId && col("batch_id") === batchId))
+      .select("content_hash"))
   }
 
   /** Watch a landing directory for new zip archives and append their

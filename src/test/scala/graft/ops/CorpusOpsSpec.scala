@@ -132,12 +132,14 @@ class CorpusOpsSpec extends SparkSpec {
       dups <- Gen.listOfN(n, Gen.oneOf(true, false, false))
     } yield sizes.zip(dups)
     val prop = Prop.forAll(corpusGen) { spec =>
-      val docs = spec.zipWithIndex.map { case ((k, dup), i) =>
-        // duplicates clone the previous doc's text (same token count)
-        val toks = if (dup && i > 0) spec(i - 1)._1 else k
-        val word = if (dup && i > 0) "t" else s"w$i"
-        (i.toLong, Seq.fill(toks)(word).mkString(" "))
-      }
+      // duplicates clone the previous doc's text VERBATIM (fold keeps the
+      // actual text, not just its size, so the dedup branch really fires)
+      val docs = spec.zipWithIndex
+        .foldLeft(Vector.empty[(Long, String)]) { case (acc, ((k, dup), i)) =>
+          val text = if (dup && acc.nonEmpty) acc.last._2
+            else Seq.fill(k)(s"w$i").mkString(" ")
+          acc :+ (i.toLong, text)
+        }
       val dir = java.nio.file.Files.createTempDirectory("graft_prop").toFile
         .getAbsolutePath
       docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")

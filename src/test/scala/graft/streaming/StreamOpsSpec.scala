@@ -216,6 +216,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(texts == Seq("alpha", "beta", "gamma"),
       s"retry duplicated or dropped rows: $texts")
     assert(spark.read.parquet(manifest).select("content_hash").distinct().count() == 3)
+    // a FRESH checkpoint restarts batch ids at 0 under a new query id —
+    // its batch 0 must land beside, not on top of, the old run's batch 0
+    val sc = spark.sparkContext
+    sc.setLocalProperty("sql.streaming.queryId", "fresh-ckpt")
+    try StreamOps.ingestBatch(spark,
+      Seq((9L, "delta"), (10L, "alpha")).toDF("doc_id", "text"),
+      0L, corpus, manifest)
+    finally sc.setLocalProperty("sql.streaming.queryId", null)
+    val after = spark.read.parquet(corpus).select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == Seq("alpha", "beta", "delta", "gamma"),
+      s"fresh-checkpoint batch 0 clobbered or re-ingested: $after")
   }
 
   test("zipLandingStream extracts newly-landed archives to parquet") {
