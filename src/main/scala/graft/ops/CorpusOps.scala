@@ -256,17 +256,59 @@ object CorpusOps {
       .orderBy("shard")
   }
 
+  /** Temperature-based mixture reweighting — the multilingual rebalancing
+    * rule (w_l ∝ n_l^α, α = 0.5 here, the exponentiated-count smoothing
+    * mBERT/XLM-R popularized): per-language doc and token counts, the
+    * normalized sampling weight, and the up/down-sampling factor vs the
+    * natural frequency (>1 = low-resource language gets oversampled).
+    *
+    * Exactness: sqrt is correctly-rounded IEEE in both engines; the
+    * denominator — a SUM of K sqrt doubles, which would be partition
+    * -order-dependent — goes through [[Exact.dsum]] (micro-rounded
+    * integer sum), and every later step is one fixed-shape division of
+    * identical doubles. Plan: one partial-agg shuffle to K language
+    * rows, a one-row broadcast for the denominator — scale-free. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val perLang = documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($Toks)")).cast("long").as("n_tokens"))
+    val denomRow = perLang.agg(
+      Exact.dsum(sqrt(col("n_docs").cast("double"))).as("denom"),
+      sum(col("n_docs")).as("total"))
+    perLang.crossJoin(broadcast(denomRow))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("sqrt(CAST(n_docs AS DOUBLE)) / denom").as("weight"),
+        expr("""(sqrt(CAST(n_docs AS DOUBLE)) / denom)
+                / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))""")
+          .as("sample_factor"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,
     "t_seq_pack_global" -> seqPackGlobal,
     "q_stratified_sample" -> stratifiedSample,
     "t_rarity" -> rarity,
-    "t_pii_scrub" -> piiScrub)
+    "t_pii_scrub" -> piiScrub,
+    "t_mix_weights" -> mixWeights)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
   val oracles: Map[String, String] = Map(
+    "t_mix_weights" -> s"""
+      WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+                  FROM documents GROUP BY 1),
+      dn AS (SELECT ${Exact.dsumSql("sqrt(CAST(n_docs AS DOUBLE))")} AS denom,
+                    CAST(sum(n_docs) AS BIGINT) AS total
+             FROM pl)
+      SELECT lang, n_docs, n_tokens,
+             sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight,
+             (sqrt(CAST(n_docs AS DOUBLE)) / denom)
+               / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS sample_factor
+      FROM pl CROSS JOIN dn ORDER BY lang""",
     "t_decontaminate" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql shs FROM t),

@@ -445,6 +445,31 @@ object DedupOps {
       .filter(col("df") > DefaultMaxDf)
       .orderBy(col("df").desc, col("sh"))
 
+  /** Per-document duplicated-span coverage — the dedup DECISION input of
+    * span-level dedup (the "what fraction of this doc is boilerplate"
+    * number a span-dedup policy thresholds on, complementing
+    * [[hotSpans]]' corpus-wide view): for each doc, the share of its
+    * distinct 3-token shingles that also appear in at least one OTHER
+    * document ([[shingleRows]] is distinct-per-doc, so df ≥ 2 means
+    * ≥ 2 documents). Docs shorter than one shingle carry no spans and
+    * are absent, matching the oracle.
+    *
+    * Plan/scale: shingle df via one partial-agg shuffle on the (uniform)
+    * shingle key, a shuffle join of doc-shingles to the df table on that
+    * same key — no corpus-scale broadcast — then one partial-agg shuffle
+    * on doc_id. Three shuffles, all uniform keys; survives 100×. */
+  def spanCoverage(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("dup_spans / n_spans").as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-filter words and hash count for the manifest runtime filter:
     * 4096 bits / 3 hashes — sized for the test manifest; production sizes
     * m ≈ 1.44·n·log2(1/p) bits for the manifest count. Words are 32-bit
@@ -578,7 +603,8 @@ object DedupOps {
     "d_incremental_dedup" -> incrementalDedup,
     "d_dedup_clusters" -> dedupClusters,
     "d_bloom_prune" -> bloomPrune,
-    "d_hot_spans" -> hotSpans)
+    "d_hot_spans" -> hotSpans,
+    "d_span_coverage" -> spanCoverage)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -744,6 +770,17 @@ object DedupOps {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM e GROUP BY sh HAVING count(*) > $DefaultMaxDf
       ORDER BY df DESC, sh""",
+    "d_span_coverage" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql shs FROM t),
+      e AS (SELECT doc_id, unnest(shs) sh FROM s),
+      dft AS (SELECT sh, count(*)::BIGINT AS df FROM e GROUP BY 1),
+      j AS (SELECT e.doc_id, dft.df FROM e JOIN dft ON e.sh = dft.sh)
+      SELECT doc_id, count(*)::BIGINT AS n_spans,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_frac
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_simhash" -> s"""

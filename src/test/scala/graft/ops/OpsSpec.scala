@@ -226,6 +226,39 @@ class OpsSpec extends SparkSpec {
       s"bloom row not broadcast:\n${p.take(1500)}")
   }
 
+  test("span coverage: bounds hold, exact-duplicate docs are fully covered") {
+    val cov = DedupOps.spanCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    cov.values.foreach { case (n, dup, frac) =>
+      assert(dup <= n && frac >= 0.0 && frac <= 1.0)
+    }
+    // a doc whose text equals another doc's (the exact-dedup fixture
+    // pairs) shares every shingle — coverage must be exactly 1.0
+    import org.apache.spark.sql.functions._
+    val dupDocs = graft.ops.Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id")).collect().map(_.getLong(0))
+    // sf0.001 has no exact-dup pair; at sf0.01+ this branch fires
+    dupDocs.filter(cov.contains).foreach { id =>
+      assert(cov(id)._3 == 1.0, s"exact-dup doc $id has coverage ${cov(id)._3}")
+    }
+  }
+
+  test("mix weights: normalized, and rebalancing favors low-resource langs") {
+    val rows = CorpusOps.mixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    // dsum micro-rounds each sqrt term to 1e-6, so the normalized sum is
+    // within K*1e-6/denom of 1, not machine epsilon
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, "weights must sum to 1")
+    // sample_factor strictly decreases as n_docs grows (α < 1 flattens)
+    val byN = rows.sortBy(_._2)
+    byN.zip(byN.tail).foreach { case ((_, na, _, fa), (_, nb, _, fb)) =>
+      if (na < nb) assert(fa > fb,
+        s"smaller lang ($na docs) must be oversampled more than ($nb docs)")
+    }
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
