@@ -106,6 +106,22 @@ class PlanSpec extends SparkSpec {
       s"per-row grid join survived the map-probe rewrite:\n${p.take(1500)}")
   }
 
+  test("d_span_coverage shuffles on the uniform shingle key, no cartesian") {
+    val p = plan("d_span_coverage")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(sh"),
+      s"shingle-df aggregation lost its uniform-key shuffle:\n${p.take(1500)}")
+    // the df side must scan text only (doc_id pruned away)
+    assert(readSchemas(p).exists(_ == "text:string"),
+      s"df-side scan reads more than text:\n${readSchemas(p)}")
+  }
+
+  test("t_mix_weights broadcasts the one-row denominator, never a sort-merge join") {
+    val p = plan("t_mix_weights")
+    assert(p.contains("BroadcastExchange"), s"denominator not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("e_zorder stats row is broadcast onto a narrow projection") {
     val p = plan("e_zorder")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
