@@ -555,9 +555,15 @@ object DedupOps {
     * would cost more than it saves. Revisit only if a corpus shows deep
     * chain components. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // checkpoint BEFORE the symmetric union so both branches read the
+    // materialized pairs by construction (previously this leaned on
+    // exchange reuse to avoid running the Jaccard pipeline per branch —
+    // wall-clock equal, but reuse is an optimizer courtesy, not a
+    // guarantee, and the flipped projection is free off a checkpoint)
     val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L

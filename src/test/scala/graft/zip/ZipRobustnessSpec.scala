@@ -191,6 +191,53 @@ class ZipRobustnessSpec extends SparkSpec {
     assert(ZipExtract.entries(spark, cfg).count() == n)
   }
 
+  test("corrupted archives fail TYPED or extract cleanly, never a raw executor error") {
+    // O15 fuzz: random byte flips and truncations of a valid archive must
+    // surface as the GraftError taxonomy (a harmless mutation may still
+    // extract) — a raw ZipException/EOF/NPE escaping to the user means a
+    // hole in the error mapping. Seeded: failures reproduce.
+    val base: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      for (i <- 0 until 8) {
+        z.putNextEntry(new ZipEntry(s"doc$i.txt"))
+        z.write(s"fuzz payload $i ".getBytes("UTF-8"))
+        z.closeEntry()
+      }
+      z.close()
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 25) {
+      val mutated = base.clone()
+      val kind = trial % 3
+      val bytes = if (kind == 2) {
+        mutated.take(1 + rnd.nextInt(mutated.length - 1)) // truncate
+      } else {
+        val flips = 1 + rnd.nextInt(8)
+        for (_ <- 0 until flips) {
+          val at = rnd.nextInt(mutated.length)
+          mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        mutated
+      }
+      val f = new File(dir, s"fuzz_$trial.zip")
+      val out = new FileOutputStream(f); out.write(bytes); out.close()
+      try {
+        val n = ZipExtract.entries(spark,
+          ZipToParquetConfig(inputs = Seq(f.getAbsolutePath))).count()
+        assert(n >= 0) // mutation survived — fine
+      } catch {
+        case e: Throwable =>
+          val typed = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .take(10)
+            .exists(_.isInstanceOf[GraftError.GraftException])
+          assert(typed,
+            s"trial $trial: untyped failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("O13: cancellation mid-extraction leaves no committed output") {
     // Reference parity: Ctrl-C deletes the incomplete parquet and exits
     // cleanly (src/builder.rs:294-322). Here the contract is delegated to
