@@ -316,7 +316,10 @@ private[sources] object ZipEntryWalk {
     while (true) {
       val e =
         try zin.getNextEntry
-        catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
+        catch { case scala.util.control.NonFatal(x) =>
+          // NonFatal (not just ZipException|IOException): JDK ZipCoder throws
+          // IllegalArgumentException on malformed UTF-8 entry names — those
+          // belong to the same GraftError.Zip contract (src/error.rs:13-16).
           GraftError.raise(GraftError.Zip(part.displayPath, x.toString))
         }
       if (e == null) return null

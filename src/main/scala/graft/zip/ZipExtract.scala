@@ -241,8 +241,11 @@ object ZipExtract {
         while (nextRow == null && !done) {
           val e =
             try zin.getNextEntry
-            catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
-              // src/error.rs:13-16 — broken zip structure
+            catch { case scala.util.control.NonFatal(x) =>
+              // src/error.rs:13-16 — broken zip structure. NonFatal, not just
+              // ZipException|IOException: the JDK raises e.g.
+              // IllegalArgumentException from ZipCoder on malformed UTF-8
+              // entry names, and the typed-taxonomy contract covers those too.
               GraftError.raise(GraftError.Zip(displayPath, x.toString))
             }
           if (e == null) { done = true; zin.close() }
@@ -287,9 +290,12 @@ object ZipExtract {
           GraftError.raise(GraftError.EntryTooLarge(name, zipPath, maxBytes))
         n = zin.read(buf)
       }
-    } catch { case x @ (_: java.util.zip.ZipException | _: java.io.IOException) =>
-      // src/error.rs:17-21 — this entry's stream failed mid-inflate
-      GraftError.raise(GraftError.ReadFileInZip(name, zipPath, x.toString))
+    } catch {
+      case g: GraftError.GraftException => throw g // EntryTooLarge from above
+      case scala.util.control.NonFatal(x) =>
+        // src/error.rs:17-21 — this entry's stream failed mid-inflate.
+        // NonFatal: inflater internals can throw beyond ZipException|IOException.
+        GraftError.raise(GraftError.ReadFileInZip(name, zipPath, x.toString))
     }
     out.toByteArray
   }

@@ -191,49 +191,85 @@ class ZipRobustnessSpec extends SparkSpec {
     assert(ZipExtract.entries(spark, cfg).count() == n)
   }
 
+  /** Fuzz corpus shared by the flatMap-path and DSv2-path trials: a valid
+    * 8-entry archive plus a seeded mutator (bit flips / truncation). */
+  private lazy val fuzzBase: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    for (i <- 0 until 8) {
+      z.putNextEntry(new ZipEntry(s"doc$i.txt"))
+      z.write(s"fuzz payload $i ".getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def mutateArchive(rnd: scala.util.Random, kind: Int): Array[Byte] = {
+    val mutated = fuzzBase.clone()
+    if (kind == 2) {
+      mutated.take(1 + rnd.nextInt(mutated.length - 1)) // truncate
+    } else {
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips) {
+        val at = rnd.nextInt(mutated.length)
+        mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      mutated
+    }
+  }
+
+  /** Run `body` on a mutated archive; pass iff it succeeds OR fails with a
+    * typed GraftError somewhere in the cause chain. */
+  private def assertTypedOrClean(trial: Int, label: String)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        val typed = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(10)
+          .exists(_.isInstanceOf[GraftError.GraftException])
+        assert(typed,
+          s"$label trial $trial: untyped failure ${e.getClass.getName}: ${e.getMessage}")
+    }
+
   test("corrupted archives fail TYPED or extract cleanly, never a raw executor error") {
     // O15 fuzz: random byte flips and truncations of a valid archive must
     // surface as the GraftError taxonomy (a harmless mutation may still
     // extract) — a raw ZipException/EOF/NPE escaping to the user means a
     // hole in the error mapping. Seeded: failures reproduce.
-    val base: Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new ZipOutputStream(bos)
-      for (i <- 0 until 8) {
-        z.putNextEntry(new ZipEntry(s"doc$i.txt"))
-        z.write(s"fuzz payload $i ".getBytes("UTF-8"))
-        z.closeEntry()
-      }
-      z.close()
-      bos.toByteArray
-    }
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 25) {
-      val mutated = base.clone()
-      val kind = trial % 3
-      val bytes = if (kind == 2) {
-        mutated.take(1 + rnd.nextInt(mutated.length - 1)) // truncate
-      } else {
-        val flips = 1 + rnd.nextInt(8)
-        for (_ <- 0 until flips) {
-          val at = rnd.nextInt(mutated.length)
-          mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
-        }
-        mutated
-      }
+      val bytes = mutateArchive(rnd, trial % 3)
       val f = new File(dir, s"fuzz_$trial.zip")
       val out = new FileOutputStream(f); out.write(bytes); out.close()
-      try {
+      assertTypedOrClean(trial, "flatMap") {
         val n = ZipExtract.entries(spark,
           ZipToParquetConfig(inputs = Seq(f.getAbsolutePath))).count()
         assert(n >= 0) // mutation survived — fine
-      } catch {
-        case e: Throwable =>
-          val typed = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .take(10)
-            .exists(_.isInstanceOf[GraftError.GraftException])
-          assert(typed,
-            s"trial $trial: untyped failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("DSv2: corrupted archives fail TYPED on both row and pushed-COUNT(*) paths") {
+    // The v2 source shares ZipEntryWalk between the row reader and the
+    // pushed-aggregate COUNT(*) reader — fuzz both through
+    // spark.read.format("zip") with the same seeded mutations so the typed
+    // GraftError contract is proven for the whole DSv2 surface, not just
+    // the flatMap path.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 25) {
+      val bytes = mutateArchive(rnd, trial % 3)
+      val f = new File(dir, s"fuzz_v2_$trial.zip")
+      val out = new FileOutputStream(f); out.write(bytes); out.close()
+      val path = f.getAbsolutePath
+      assertTypedOrClean(trial, "dsv2-count") {
+        // COUNT(*) with no filters → pushed down to the names-only walk
+        assert(spark.read.format("zip").load(path).count() >= 0)
+      }
+      assertTypedOrClean(trial, "dsv2-rows") {
+        // full row read → body inflation + hashing through the row reader
+        assert(spark.read.format("zip").load(path)
+          .select("name", "body", "hash").collect().length >= 0)
       }
     }
   }
