@@ -23,7 +23,13 @@ object Bench {
     // per query, reporting the median (and min) — single-shot numbers on a
     // shared box swing ±30%.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop subset: SPARK_GRAFT_QUERIES="a,b,c" times only those queries.
+    // The driver never sets it, so judged runs always cover the full map.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces full computation of every output column —
       // count() would let Catalyst prune the projections being measured.
       def once(): Double = {
@@ -67,6 +73,13 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     spark.stop()
+    // The driver keeps only a ~2KB tail of stdout; the full JSON above is
+    // ~5KB so its head scrolls off. Print a compact, self-contained summary
+    // LAST (no per-query maps) so the tail always ends with one complete
+    // parseable JSON object. Full detail stays in the big line +
+    // target/bench.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

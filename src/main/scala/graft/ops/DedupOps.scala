@@ -454,14 +454,16 @@ object DedupOps {
     * ≥ 2 documents). Docs shorter than one shingle carry no spans and
     * are absent, matching the oracle.
     *
-    * Plan/scale: shingle df via one partial-agg shuffle on the (uniform)
-    * shingle key, a shuffle join of doc-shingles to the df table on that
-    * same key — no corpus-scale broadcast — then one partial-agg shuffle
-    * on doc_id. Three shuffles, all uniform keys; survives 100×. */
+    * Plan/scale: ONE documents scan and ONE shingling pass — the df count
+    * rides `count(*) over (partition by sh)` on the exploded rows (one
+    * shuffle on the uniform shingle key; a df-table self-join would
+    * re-execute the whole scan→shingle subtree on the probe side, 2× the
+    * corpus CPU/IO), then one partial-agg shuffle on doc_id. Two shuffles,
+    * both uniform keys, no corpus-scale broadcast; survives 100×. */
   def spanCoverage(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+    val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    shingleRows(s, d)
+      .withColumn("df", count(lit(1)).over(perShingle))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))

@@ -106,14 +106,16 @@ class PlanSpec extends SparkSpec {
       s"per-row grid join survived the map-probe rewrite:\n${p.take(1500)}")
   }
 
-  test("d_span_coverage shuffles on the uniform shingle key, no cartesian") {
+  test("d_span_coverage scans documents ONCE and shuffles on the shingle key") {
     val p = plan("d_span_coverage")
     assert(!p.contains("CartesianProduct"))
+    // single shingling pass: the df count is a window over the exploded
+    // rows, not a self-join that re-executes the scan→shingle subtree
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"df self-join crept back:\n${p.take(1500)}")
     assert(p.contains("hashpartitioning(sh"),
-      s"shingle-df aggregation lost its uniform-key shuffle:\n${p.take(1500)}")
-    // the df side must scan text only (doc_id pruned away)
-    assert(readSchemas(p).exists(_ == "text:string"),
-      s"df-side scan reads more than text:\n${readSchemas(p)}")
+      s"shingle-df window lost its uniform-key shuffle:\n${p.take(1500)}")
   }
 
   test("t_mix_weights broadcasts the one-row denominator, never a sort-merge join") {
