@@ -33,15 +33,38 @@ object Multimodal {
   // create/delete PER ROW in the decode path — decode from memory instead
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Real image decode (JDK imageio). None = not a recognizable image —
-    * callers fall back to the byte-level stand-in. NonFatal (not just
-    * IOException): a payload whose first bytes mimic an image magic (ASCII
-    * "BM…", a truncated real image) reaches a decoder that throws
-    * runtime exceptions on garbage header fields — that must mean
-    * "not an image", not a failed Spark task. */
+  /** Magic-byte whitelist: only payloads carrying a real image signature
+    * reach ImageIO at all. Two jobs: (1) perf — `ImageIO.read` runs reader
+    * discovery (every registered reader probes the stream) per payload,
+    * which benched at +0.5s across m_resize when the corpus is 100%
+    * non-image ASCII; (2) determinism — the real-decode path is gated on
+    * an explicit signature, not on decoder success, so a random payload a
+    * lenient decoder happens to accept can never silently diverge from the
+    * byte-stand-in oracle. PNG/JPEG/GIF signatures are unambiguous; BMP's
+    * 2-byte "BM" also requires the spec-mandated zero reserved field
+    * (bytes 6-9), which no ASCII text satisfies. */
+  def looksLikeImage(body: Array[Byte]): Boolean = {
+    @inline def at(i: Int): Int = body(i) & 0xff
+    (body.length >= 8 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' &&
+      at(3) == 'G' && at(4) == 0x0d && at(5) == 0x0a && at(6) == 0x1a &&
+      at(7) == 0x0a) ||                                            // PNG
+    (body.length >= 3 && at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) || // JPEG
+    (body.length >= 6 && at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
+      at(3) == '8' && (at(4) == '7' || at(4) == '9') && at(5) == 'a') || // GIF
+    (body.length >= 26 && at(0) == 'B' && at(1) == 'M' &&
+      at(6) == 0 && at(7) == 0 && at(8) == 0 && at(9) == 0)        // BMP
+  }
+
+  /** Real image decode (JDK imageio), gated by [[looksLikeImage]]. None =
+    * not an image — callers fall back to the byte-level stand-in. NonFatal
+    * (not just IOException): a truncated real image passes the sniff but
+    * throws runtime exceptions on garbage header fields inside the decoder
+    * — that must mean "not an image", not a failed Spark task. */
   def decodeImage(body: Array[Byte]): Option[BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body)))
-    catch { case scala.util.control.NonFatal(_) => None }
+    if (!looksLikeImage(body)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** 16-bin luminance histogram over decoded pixels: integer BT.601 luma
     * `(299R + 587G + 114B) / 1000` ∈ [0, 255], binned by `>> 4` —

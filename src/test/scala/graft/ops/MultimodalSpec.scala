@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSpec {
       bytes.indices.collect { case i if i % 2 == 0 => bytes(i) }.toSeq)
   }
 
+  test("magic sniff: only real image signatures reach the decoder") {
+    // perf + determinism gate: the real-decode path is whitelisted by
+    // signature, not by decoder success (ADVICE r5)
+    assert(Multimodal.looksLikeImage(fixturePng))
+    assert(!Multimodal.looksLikeImage("plain ascii text".getBytes("UTF-8")))
+    // ASCII starting with "BM" is NOT a BMP: reserved bytes 6-9 are printable
+    assert(!Multimodal.looksLikeImage("BMsome ascii text that goes on".getBytes("UTF-8")))
+    assert(!Multimodal.looksLikeImage(Array[Byte]()))
+    assert(!Multimodal.looksLikeImage(Array[Byte](0x89.toByte, 'P', 'N'))) // short
+    assert(Multimodal.looksLikeImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)))
+    assert(Multimodal.looksLikeImage("GIF89a".getBytes("US-ASCII")))
+    // truncated PNG passes the sniff but must still fall back cleanly
+    assert(Multimodal.decodeImage(fixturePng.take(12)).isEmpty)
+  }
+
   test("real decode runs inside the Spark batch pipeline shape") {
     import spark.implicits._
     val png = fixturePng
