@@ -62,8 +62,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Declared-query manifest: lets the local gate detect a query that
-    // threw (no output dir) even when it has no oracle entry.
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
+    // threw (no output dir) even when it has no oracle entry. A subset
+    // (dev-loop) dump writes a DISTINCT file — overwriting queries.json
+    // with the subset would let a later full local_verify run against the
+    // same outDir silently validate just the subset while appearing to
+    // pass the whole gate.
+    val manifestFile = if (only.isEmpty) "queries.json" else "queries_subset.json"
+    Files.writeString(Paths.get(s"$outDir/$manifestFile"),
       SparkEntry.queries.keys.toSeq.filter(k => only.isEmpty || only(k))
         .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()

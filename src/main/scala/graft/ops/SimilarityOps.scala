@@ -261,31 +261,30 @@ object SimilarityOps {
 
   /** The narrow Lloyd assignment pass: per row, score the driver-held
     * centroids (inlined as double literals — `lit` preserves the exact
-    * bits, no string round-trip) with `dist_j = |c_j|² − 2·x·c_j`, then a
-    * `<=`-chain argmin with ties to the lowest cell. |c_j|² is a driver
-    * left-fold — the same association order as `vec_dot` and the oracle's
-    * `list_reduce`, so distances stay bit-identical to the old
-    * crossJoin+window plan. Dists are bound attributes (multi-referenced,
-    * non-cheap → CollapseProject keeps them), so each is computed once. */
+    * bits, no string round-trip) with `dist_j = |c_j|² − 2·x·c_j`, then
+    * argmin as `array_min` over `(dist, cell)` structs — struct ordering
+    * compares dist first, then cell, so ties go to the lowest cell,
+    * exactly the oracle's `row_number() OVER (ORDER BY dist, cell)`.
+    * |c_j|² is a driver left-fold — the same association order as
+    * `vec_dot` and the oracle's `list_reduce`, so distances stay
+    * bit-identical to the old crossJoin+window plan.
+    *
+    * Generated code is O(K) (one struct per centroid, each dist computed
+    * once inside the array literal) — unlike a pairwise `<=` CASE chain,
+    * whose O(K²) conditions would blow Janino's 64KB method limit at
+    * realistic codebook sizes (hundreds+ of cells). */
   private[ops] def kmeansAssign(
       emb: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty && cents.map(_._1) == cents.map(_._1).sorted)
-    val n = cents.length
-    val scored = emb.select(
-      col("vec_id") +: col("embedding") +:
-        cents.zipWithIndex.map { case ((_, comps), i) =>
-          val cn = comps.foldLeft(0.0)((a, x) => a + x * x)
-          (lit(cn) - lit(2.0) * call_function("vec_dot", col("embedding"),
-            array(comps.map(lit): _*))).as(s"d$i")
-        }: _*)
-    val cellCol =
-      if (n == 1) lit(cents.head._1)
-      else (0 until n - 1).foldLeft(Option.empty[Column]) { (acc, i) =>
-        val cond = (i + 1 until n).map(j => col(s"d$i") <= col(s"d$j"))
-          .reduce(_ && _)
-        Some(acc.fold(when(cond, lit(cents(i)._1)))(_.when(cond, lit(cents(i)._1))))
-      }.get.otherwise(lit(cents(n - 1)._1))
-    scored.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+    val scored = cents.map { case (cell, comps) =>
+      val cn = comps.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(cn) - lit(2.0) * call_function("vec_dot", col("embedding"),
+          array(comps.map(lit): _*))).as("dist"),
+        lit(cell).as("cell"))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      array_min(array(scored: _*)).getField("cell").as("cell"))
   }
 
   /** DuckDB replay of [[kmeans]]: [[KmIters]] unrolled Lloyd iterations as

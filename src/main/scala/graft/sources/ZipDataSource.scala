@@ -290,14 +290,18 @@ case class ZipReaderFactory(
   * scan emits", so the pushed-COUNT(*) path can never disagree with the
   * row path about what counts as a row. */
 private[sources] object ZipEntryWalk {
-  /** Test observability: archives actually opened by the DSv2 readers
-    * (JVM-wide — local-mode tests read it to prove partition pruning). */
+  /** Test observability: archives actually opened by the DSv2 readers.
+    * Counting is OFF unless a test flips [[countOpens]] — production reads
+    * carry no global side effect, and parallel queries can't race a
+    * counter nobody is incrementing. The pruning assertions that read it
+    * assume a single-threaded (one query at a time) test session. */
+  val countOpens = new java.util.concurrent.atomic.AtomicBoolean(false)
   val opened = new java.util.concurrent.atomic.AtomicLong
 
   def open(part: ZipInputPartition,
       conf: SerializableConfiguration): java.util.zip.ZipInputStream =
     try {
-      opened.incrementAndGet()
+      if (countOpens.get) opened.incrementAndGet()
       val p = new Path(part.readPath)
       val fs = p.getFileSystem(conf.value)
       new java.util.zip.ZipInputStream(

@@ -168,14 +168,24 @@ object StreamOps {
 
   /** One ingest micro-batch (exposed so the retry contract is testable:
     * running the same (queryId, batchId) twice must be a no-op the second
-    * time, whatever the first attempt managed to write). */
+    * time, whatever the first attempt managed to write).
+    *
+    * Non-streaming (backfill) invocations must pass an explicit `runId` —
+    * a shared default would let two unrelated ad-hoc runs that reuse a
+    * batchId silently OVERWRITE each other's committed partitions.
+    * Retrying the same logical run IS the intended idempotent path: reuse
+    * its runId; distinct runs must choose distinct ids. */
   private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, corpusDir: String, manifestDir: String): Unit = {
-    // stable across restarts from the same checkpoint, fresh otherwise;
-    // "adhoc" covers direct (non-streaming) invocations
+      batchId: Long, corpusDir: String, manifestDir: String,
+      runId: Option[String] = None): Unit = {
+    // stable across restarts from the same checkpoint, fresh otherwise
     val queryId = Option(
       spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .getOrElse("adhoc")
+      .orElse(runId)
+      .getOrElse(throw new IllegalArgumentException(
+        "non-streaming ingestBatch requires an explicit runId: the " +
+          "(run, batch) pair scopes the idempotent overwrite, and a shared " +
+          "default would let two ad-hoc runs clobber each other's output"))
     val hashed = batch
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .dropDuplicates("content_hash")

@@ -169,14 +169,19 @@ class ZipDataSourceSpec extends SparkSpec {
       .filter(col("keep") === 1).select("source")
     val joined = spark.read.format("zip").load(zips: _*)
       .join(broadcast(manifest), Seq("source"))
+    // open-counting is off in production; enable it just for this
+    // single-threaded assertion window
+    ZipEntryWalk.countOpens.set(true)
     ZipEntryWalk.opened.set(0L)
-    val optimized = joined.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("dynamicpruning"),
-      s"no runtime filter injected:\n$optimized")
-    val rows = joined.select("name").collect().map(_.getString(0)).sorted
-    assert(rows.toSeq == Seq("doc1.txt"), "join result wrong")
-    assert(ZipEntryWalk.opened.get() == 1L,
-      s"expected runtime filtering to open 1 archive, opened ${ZipEntryWalk.opened.get()}")
+    try {
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dynamicpruning"),
+        s"no runtime filter injected:\n$optimized")
+      val rows = joined.select("name").collect().map(_.getString(0)).sorted
+      assert(rows.toSeq == Seq("doc1.txt"), "join result wrong")
+      assert(ZipEntryWalk.opened.get() == 1L,
+        s"expected runtime filtering to open 1 archive, opened ${ZipEntryWalk.opened.get()}")
+    } finally ZipEntryWalk.countOpens.set(false)
   }
 
   test("DSv2 results equal the flatMap extractor's") {

@@ -202,15 +202,23 @@ class StreamOpsSpec extends SparkSpec {
     import spark.implicits._
     val corpus = tmp("graft_corpus_r") + "/docs"
     val manifest = tmp("graft_manifest_r") + "/hashes"
+    // a non-streaming call without an explicit runId must refuse loudly —
+    // a shared default id would let unrelated backfills clobber each other
+    intercept[IllegalArgumentException] {
+      StreamOps.ingestBatch(spark,
+        Seq((1L, "alpha")).toDF("doc_id", "text"), 0L, corpus, manifest)
+    }
+    val run = Some("backfill-1")
     // batch 0 lands fully
     StreamOps.ingestBatch(spark,
-      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), 0L, corpus, manifest)
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), 0L, corpus,
+      manifest, run)
     // batch 1 "fails between the two writes" … and is retried whole: run
-    // it twice under the SAME batchId — the second run must overwrite,
-    // not duplicate, and must not anti-join itself away either
+    // it twice under the SAME (runId, batchId) — the second run must
+    // overwrite, not duplicate, and must not anti-join itself away either
     val b1 = Seq((3L, "gamma"), (4L, "alpha")).toDF("doc_id", "text")
-    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest)
-    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest)
+    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest, run)
+    StreamOps.ingestBatch(spark, b1, 1L, corpus, manifest, run)
     val texts = spark.read.parquet(corpus).select("text")
       .collect().map(_.getString(0)).sorted.toSeq
     assert(texts == Seq("alpha", "beta", "gamma"),
@@ -222,7 +230,7 @@ class StreamOpsSpec extends SparkSpec {
     sc.setLocalProperty("sql.streaming.queryId", "fresh-ckpt")
     try StreamOps.ingestBatch(spark,
       Seq((9L, "delta"), (10L, "alpha")).toDF("doc_id", "text"),
-      0L, corpus, manifest)
+      0L, corpus, manifest) // streaming queryId present → no runId needed
     finally sc.setLocalProperty("sql.streaming.queryId", null)
     val after = spark.read.parquet(corpus).select("text")
       .collect().map(_.getString(0)).sorted.toSeq

@@ -42,7 +42,13 @@ def main(sf_dir, out_dir):
     try:
         declared = set(json.load(open(f"{out_dir}/queries.json")))
     except FileNotFoundError:
-        declared = {k for k in oracle if not k.endswith(".parquet")}
+        try:
+            # Subset (dev-loop) dump: Verify writes its manifest to a
+            # distinct file so it can never masquerade as the full gate.
+            declared = set(json.load(open(f"{out_dir}/queries_subset.json")))
+            print(f"NOTE: SUBSET dump ({len(declared)} queries) — not the full gate")
+        except FileNotFoundError:
+            declared = {k for k in oracle if not k.endswith(".parquet")}
     for name in declared:
         if name not in qdirs:
             results[name] = "MISSING_SPARK_OUTPUT (query threw in Verify?)"
