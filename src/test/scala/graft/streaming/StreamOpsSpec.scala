@@ -238,6 +238,33 @@ class StreamOpsSpec extends SparkSpec {
       s"fresh-checkpoint batch 0 clobbered or re-ingested: $after")
   }
 
+  test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
+    import spark.implicits._
+    // 1) manifest dir exists but holds only a crashed first attempt's
+    //    _temporary — no committed data files. The ingest must treat it as
+    //    "no manifest yet" (schema inference fails → empty view), not die.
+    val corpus = tmp("graft_corpus_c") + "/docs"
+    val manifest = tmp("graft_manifest_c") + "/hashes"
+    assert(new File(s"$manifest/_temporary/0").mkdirs())
+    StreamOps.ingestBatch(spark,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), 0L, corpus,
+      manifest, Some("crash-recovery"))
+    assert(spark.read.parquet(corpus).count() == 2,
+      "crashed-attempt manifest dir must not block the recovering ingest")
+    // 2) a manifest in the old FLAT layout (parquet files directly in the
+    //    dir, no query_id=/batch_id= partitions) must be rejected loudly —
+    //    mixing layouts breaks partition discovery at first read.
+    val flat = tmp("graft_manifest_f") + "/hashes"
+    Seq("deadbeef").toDF("content_hash")
+      .write.parquet(flat)
+    val e = intercept[IllegalStateException] {
+      StreamOps.ingestBatch(spark,
+        Seq((3L, "gamma")).toDF("doc_id", "text"), 0L,
+        tmp("graft_corpus_f") + "/docs", flat, Some("flat-check"))
+    }
+    assert(e.getMessage.contains("flat"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"

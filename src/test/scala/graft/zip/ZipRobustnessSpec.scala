@@ -274,6 +274,44 @@ class ZipRobustnessSpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary byte corruption fails TYPED or extracts (shrinks to minimal mutation)") {
+    // The seeded loops above replay a fixed corpus; this property explores
+    // fresh mutations every run and, on failure, scalacheck SHRINKS the
+    // mutation list — a future taxonomy hole reproduces as the minimal
+    // bit-flip/truncation that triggers it, not a 25-trial haystack.
+    // The reported seed (scalacheck prints it on failure) replays exactly.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val len = fuzzBase.length
+    val mutationGen: Gen[Either[Int, List[(Int, Int)]]] = Gen.oneOf(
+      Gen.choose(1, len - 1).map(Left(_)), // truncation point
+      Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0, len - 1), Gen.choose(0, 7))).map(Right(_)))
+    var n = 0
+    val prop = Prop.forAll(mutationGen) { m =>
+      val bytes = m match {
+        case Left(at) => fuzzBase.take(at)
+        case Right(flips) =>
+          val b = fuzzBase.clone()
+          flips.foreach { case (at, bit) => b(at) = (b(at) ^ (1 << bit)).toByte }
+          b
+      }
+      n += 1
+      val f = new File(dir, s"fuzz_prop_$n.zip")
+      val out = new FileOutputStream(f); out.write(bytes); out.close()
+      try {
+        ZipExtract.entries(spark,
+          ZipToParquetConfig(inputs = Seq(f.getAbsolutePath))).count() >= 0
+      } catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(_.isInstanceOf[GraftError.GraftException])
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"corruption property failed: ${res.status}")
+  }
+
   test("O13: cancellation mid-extraction leaves no committed output") {
     // Reference parity: Ctrl-C deletes the incomplete parquet and exits
     // cleanly (src/builder.rs:294-322). Here the contract is delegated to
