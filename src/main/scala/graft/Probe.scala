@@ -20,7 +20,7 @@ object Probe {
     for (q <- args) {
       println(s"==== $q ====")
       println(SparkEntry.queries(q)(s, sf)
-        .queryExecution.executedPlan.toString.take(3000))
+        .queryExecution.executedPlan.toString.take(12000))
     }
   }
 }

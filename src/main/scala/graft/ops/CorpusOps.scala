@@ -256,6 +256,53 @@ object CorpusOps {
       .orderBy("shard")
   }
 
+  /** Gopher-rules-style multi-flag quality gate — the industrial pre-filter
+    * a web corpus passes before dedup: per-document rule flags (length
+    * bounds, mean word length band, type-token ratio floor, stopword
+    * presence, repeated-token ceiling) plus the conjunction `keep_doc`.
+    * Emitting per-rule flags (not just the verdict) is what lets a curator
+    * measure each rule's kill rate before committing to it. Thresholds are
+    * tuned to split the synthetic corpus; in production they're config.
+    *
+    * Exactness: every FLAG is an integer comparison (e.g. ttr ≥ 0.4 is
+    * `5*nd >= 2*nt`) so no float threshold can straddle an engine
+    * difference; the reported ratios are single double divisions of exact
+    * ints. The repeated-token count comes from a sorted-run fold — O(n log
+    * n) per row, whole-stage codegen, NO shuffle: the entire gate is one
+    * narrow projection, embarrassingly parallel at any scale. (The oracle
+    * counts the same maximum naively per distinct token — quadratic but
+    * exact, and oracle-side only.) */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    // max run length over the sorted token array = max token frequency
+    val maxRun =
+      """aggregate(sort_array(toks),
+           named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+           (a, t) -> named_struct('prev', t,
+             'run',  IF(t = a.prev, a.run + 1L, 1L),
+             'best', GREATEST(a.best, IF(t = a.prev, a.run + 1L, 1L))),
+           a -> a.best)"""
+    documents(s, d)
+      .select(col("doc_id"), col("text"), expr(Toks).as("toks"))
+      .withColumn("nt", expr("size(toks)").cast("long"))
+      .withColumn("nd", expr("size(array_distinct(toks))").cast("long"))
+      .withColumn("nc", (length(col("text")) - col("nt") + 1).cast("long"))
+      .withColumn("sh", expr(TextOps.hitsExpr(TextOps.stops.head._2)).cast("long"))
+      .withColumn("mc", expr(maxRun).cast("long"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        expr("nc / nt").as("mean_tok_len"),
+        expr("nd / nt").as("ttr"),
+        col("sh").as("stop_hits"),
+        expr("mc / nt").as("top_tok_ratio"),
+        expr("nt >= 30").as("ok_len"),
+        expr("nc >= 4*nt AND nc <= 5*nt").as("ok_word_len"),
+        expr("5*nd >= 2*nt").as("ok_ttr"),
+        expr("sh >= 2").as("ok_stop"),
+        expr("8*mc <= nt").as("ok_rep"),
+        expr("""nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
+                AND sh >= 2 AND 8*mc <= nt""").as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based mixture reweighting — the multilingual rebalancing
     * rule (w_l ∝ n_l^α, α = 0.5 here, the exponentiated-count smoothing
     * mBERT/XLM-R popularized): per-language doc and token counts, the
@@ -292,7 +339,8 @@ object CorpusOps {
     "q_stratified_sample" -> stratifiedSample,
     "t_rarity" -> rarity,
     "t_pii_scrub" -> piiScrub,
-    "t_mix_weights" -> mixWeights)
+    "t_mix_weights" -> mixWeights,
+    "t_quality_gate" -> qualityGate)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
@@ -357,6 +405,25 @@ object CorpusOps {
             FROM e JOIN df USING (tok) GROUP BY 1)
       SELECT doc_id, n_distinct, df_sum, df_sum / n_distinct AS mean_df, min_df
       FROM j ORDER BY doc_id""",
+    "t_quality_gate" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, len(toks)::BIGINT nt,
+              len(list_distinct(toks))::BIGINT nd,
+              (length(text) - len(toks) + 1)::BIGINT nc,
+              ${TextOps.hitsSql(TextOps.stops.head._2)}::BIGINT sh,
+              list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
+            FROM t)
+      SELECT doc_id, nt AS n_tokens, nc / nt AS mean_tok_len, nd / nt AS ttr,
+        sh AS stop_hits, mc / nt AS top_tok_ratio,
+        nt >= 30 AS ok_len,
+        nc >= 4*nt AND nc <= 5*nt AS ok_word_len,
+        5*nd >= 2*nt AS ok_ttr,
+        sh >= 2 AS ok_stop,
+        8*mc <= nt AS ok_rep,
+        (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
+         AND sh >= 2 AND 8*mc <= nt) AS keep_doc
+      FROM s ORDER BY doc_id""",
     "t_pii_scrub" -> s"""
       SELECT doc_id,
         len(regexp_extract_all(text, '$EmailPat'))::BIGINT n_email,

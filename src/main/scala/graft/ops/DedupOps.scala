@@ -329,6 +329,82 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** SemDeDup-style semantic dedup: within each block (label here; the
+    * embedding's coarse cluster id in production), a vector is a duplicate
+    * iff some LOWER-id vector in the block is cosine-similar above the
+    * threshold — keep the lowest-id representative of every similar group,
+    * greedily. Output is every vector with its verdict, so the caller can
+    * either filter (`NOT is_dup`) or audit the kill rate per block.
+    *
+    * Plan/scale: same blocked pairwise core as [[embeddingNearDup]] (the
+    * per-block join never goes corpus-wide), then one distinct on the
+    * dropped ids and a left join back on vec_id — both shuffles on the
+    * uniform id key. The cosine chain is the codegen'd vec_dot. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val dropped = v.as("a")
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    v.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** Pairwise source-overlap matrix: distinct-shingle Jaccard between
+    * every pair of SOURCES (crawls, dumps, vendors) that share at least
+    * one shingle — the dataset-curation report that catches one corpus
+    * silently containing another before both are ingested at full weight.
+    *
+    * Plan/scale — ONE documents scan: rolls doc-grain data up to source
+    * grain (distinct (source, sh) — one shuffle on the uniform pair), then
+    * each shingle's posting list emits kind-tagged keys in ONE Generate
+    * (the t_fingerprint pattern): singleton keys in both orientations (for
+    * per-source totals) plus ordered pair keys (for co-occurrence). Lists
+    * are bounded by the source COUNT — catalog-sized, tens to hundreds,
+    * never corpus-sized — so no per-shingle cap is needed, and the partial
+    * agg collapses map output to ≤ K²+2K rows per task. The per-source
+    * totals then reach the pair rows via two windows over that K²-row
+    * aggregate — no second scan, no broadcast join, no self-join. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keys = documents(s, d)
+      .select(col("source"), expr(Toks).as("toks"))
+      .select(col("source"), explode(expr(ShinglesOfToks)).as("sh"))
+      .distinct()
+      .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """concat(
+             transform(ss, x -> named_struct('src_a', x, 'src_b', CAST(NULL AS STRING))),
+             transform(ss, x -> named_struct('src_a', CAST(NULL AS STRING), 'src_b', x)),
+             CASE WHEN size(ss) >= 2 THEN
+               flatten(transform(sequence(1, size(ss) - 1),
+                 i -> transform(slice(ss, i + 1, size(ss) - i),
+                   y -> named_struct('src_a', element_at(ss, i), 'src_b', y))))
+             ELSE array() END)""")).as("k"))
+      .select(col("k.src_a").as("src_a"), col("k.src_b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("cnt"))
+    keys
+      .withColumn("n_a",
+        sum(when(col("src_b").isNull, col("cnt"))).over(w.partitionBy(col("src_a"))))
+      .withColumn("n_b",
+        sum(when(col("src_a").isNull, col("cnt"))).over(w.partitionBy(col("src_b"))))
+      .filter(col("src_a").isNotNull && col("src_b").isNotNull)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("cnt").as("n_common"),
+        expr("cnt / (n_a + n_b - cnt)").as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** HyperLogLog distinct-token sketch (m=16 buckets), deterministic down
     * to the bit in both engines: bucket = first md5 hex digit; rho = 1 +
     * leading zero BITS of the remaining 14 hex digits, extracted by string
@@ -612,7 +688,9 @@ object DedupOps {
     "d_dedup_clusters" -> dedupClusters,
     "d_bloom_prune" -> bloomPrune,
     "d_hot_spans" -> hotSpans,
-    "d_span_coverage" -> spanCoverage)
+    "d_span_coverage" -> spanCoverage,
+    "d_semantic_dedup" -> semanticDedup,
+    "d_source_overlap" -> sourceOverlap)
 
   private val SimhashSql =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -859,5 +937,34 @@ object DedupOps {
                  (acc, x) -> acc + x))) AS cosine
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
       SELECT a_id, b_id, "label", cosine FROM p
-      WHERE cosine >= 0.4 ORDER BY a_id, b_id""")
+      WHERE cosine >= 0.4 ORDER BY a_id, b_id""",
+    "d_semantic_dedup" -> """
+      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+      p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+              list_reduce(list_prepend(0::DOUBLE,
+                list_transform(list_zip(a.embedding, b.embedding),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
+                (acc, x) -> acc + x) /
+              (sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) *
+               sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x))) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+      dr AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cosine >= 0.4)
+      SELECT v.vec_id, v.label, (dr.vec_id IS NOT NULL) AS is_dup
+      FROM v LEFT JOIN dr ON v.vec_id = dr.vec_id
+      ORDER BY v.vec_id""",
+    "d_source_overlap" -> s"""
+      WITH t AS (SELECT source, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT DISTINCT source, unnest($ShinglesSql) sh FROM t),
+      c AS (SELECT source, count(*)::BIGINT n FROM s GROUP BY 1),
+      p AS (SELECT a.source src_a, b.source src_b, count(*)::BIGINT n_common
+            FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, n_common,
+             n_common / (ca.n + cb.n - n_common) AS jaccard
+      FROM p JOIN c ca ON p.src_a = ca.source JOIN c cb ON p.src_b = cb.source
+      ORDER BY src_a, src_b""")
 }

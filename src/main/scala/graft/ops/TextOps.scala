@@ -28,17 +28,17 @@ object TextOps {
   private val Chars = "filter(split(text, ''), c -> c <> '')"
 
   /** Stopword lists for the n-gram/stopword language-ID heuristic. */
-  private val stops = Seq(
+  private[ops] val stops = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "fr" -> Seq("le", "la", "et", "de", "un", "est", "les"),
     "es" -> Seq("el", "la", "de", "y", "un", "es", "los"),
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"))
 
-  private def hitsExpr(words: Seq[String]): String = {
+  private[ops] def hitsExpr(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"size(filter($Toks, t -> array_contains(array($arr), t)))"
   }
-  private def hitsSql(words: Seq[String]): String = {
+  private[ops] def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> list_contains([$arr], t)))"
   }

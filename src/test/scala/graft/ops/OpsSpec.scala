@@ -259,6 +259,68 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quality gate flags match a driver-side reimplementation and split the corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stopsEn = Set("the", "a", "of", "and", "to", "in", "is")
+    val got = CorpusOps.qualityGate(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.split(" ", -1)
+      val nt = toks.length.toLong
+      val nd = toks.distinct.length.toLong
+      val nc = text.length - nt + 1
+      val sh = toks.count(stopsEn).toLong
+      val mc = toks.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getAs[Boolean]("ok_len") == (nt >= 30))
+      assert(r.getAs[Boolean]("ok_word_len") == (nc >= 4 * nt && nc <= 5 * nt))
+      assert(r.getAs[Boolean]("ok_ttr") == (5 * nd >= 2 * nt))
+      assert(r.getAs[Boolean]("ok_stop") == (sh >= 2))
+      assert(r.getAs[Boolean]("ok_rep") == (8 * mc <= nt), s"doc ${r.getLong(0)}: mc=$mc nt=$nt")
+      assert(r.getAs[Boolean]("keep_doc") ==
+        (nt >= 30 && nc >= 4 * nt && nc <= 5 * nt && 5 * nd >= 2 * nt &&
+          sh >= 2 && 8 * mc <= nt))
+    }
+    // thresholds must actually split the corpus, or the gate tests nothing
+    assert(got.exists(_.getAs[Boolean]("keep_doc")) &&
+      got.exists(r => !r.getAs[Boolean]("keep_doc")))
+  }
+
+  test("source overlap matches brute-force per-source shingle sets") {
+    val bySource = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap { r =>
+          val toks = r.getString(1).split(" ", -1)
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        }.toSet
+      }
+    val got = DedupOps.sourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      inter = (bySource(a) & bySource(b)).size if inter > 0
+    } yield ((a, b),
+      (bySource(a).size.toLong, bySource(b).size.toLong, inter.toLong))).toMap
+    assert(got == expected,
+      s"missed=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
+
+  test("semantic dedup verdict = 'has a lower-id near-dup neighbor in its block'") {
+    // the pair relation is embeddingNearDup's (same blocks, same threshold):
+    // a vector is a duplicate iff it appears as the HIGHER id of some pair
+    val dupIds = DedupOps.embeddingNearDup(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    val got = DedupOps.semanticDedup(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getBoolean(2) == dupIds.contains(r.getLong(0)),
+      s"vec ${r.getLong(0)}"))
+    assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

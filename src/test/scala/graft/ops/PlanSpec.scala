@@ -118,6 +118,29 @@ class PlanSpec extends SparkSpec {
       s"shingle-df window lost its uniform-key shuffle:\n${p.take(1500)}")
   }
 
+  test("t_quality_gate is one pruned scan with no data shuffle") {
+    val p = plan("t_quality_gate")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"gate grew a join:\n${p.take(1500)}")
+    // the sorted-run fold keeps the repeated-token rule narrow: the only
+    // exchange is the oracle-ordering rangepartitioning
+    assert(!p.contains("hashpartitioning"),
+      s"narrow gate grew a data shuffle:\n${p.take(1500)}")
+    val cols = readSchemas(p).head.split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("doc_id", "text"), s"scan reads $cols")
+  }
+
+  test("d_source_overlap scans documents ONCE, no joins (kind-tagged keys + windows)") {
+    val p = plan("d_source_overlap")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      s"per-source totals re-grew a join (second scan path):\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(sh"),
+      s"posting-list rollup lost its uniform shingle-key shuffle:\n${p.take(1500)}")
+  }
+
   test("t_mix_weights broadcasts the one-row denominator, never a sort-merge join") {
     val p = plan("t_mix_weights")
     assert(p.contains("BroadcastExchange"), s"denominator not broadcast:\n${p.take(1500)}")
