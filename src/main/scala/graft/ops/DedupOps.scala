@@ -364,8 +364,11 @@ object DedupOps {
     * one shingle — the dataset-curation report that catches one corpus
     * silently containing another before both are ingested at full weight.
     *
-    * Plan/scale — ONE documents scan: rolls doc-grain data up to source
-    * grain (distinct (source, sh) — one shuffle on the uniform pair), then
+    * Plan/scale — ONE documents scan and ONE data shuffle: doc-grain rows
+    * go straight into `collect_set(source)` per shingle (the set dedups,
+    * so a pre-distinct would just shuffle the same rows twice; removing
+    * it is time-neutral at sf0.1 — shingling dominates — but halves the
+    * shuffled bytes, which is what matters at 100 TB), then
     * each shingle's posting list emits kind-tagged keys in ONE Generate
     * (the t_fingerprint pattern): singleton keys in both orientations (for
     * per-source totals) plus ordered pair keys (for co-occurrence). Lists
@@ -379,7 +382,6 @@ object DedupOps {
     val keys = documents(s, d)
       .select(col("source"), expr(Toks).as("toks"))
       .select(col("source"), explode(expr(ShinglesOfToks)).as("sh"))
-      .distinct()
       .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
       .select(explode(expr(
         """concat(

@@ -114,6 +114,32 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN quality report: recall@5 of the LSH tier against the brute-force
+    * exact top-5, per query vector — the measurement loop a production ANN
+    * deployment runs before trusting a recall/cost dial setting (here the
+    * hyperplane count). Hit counting is exact integers; recall is one
+    * double division.
+    *
+    * Plan/scale: composes the two existing tiers (each broadcast-query
+    * shaped — the corpus side never shuffles) plus a left join and agg on
+    * the query-set-sized top-k rows, which is tiny. A validation query in
+    * the d_exact_distinct tradition: run over a query SAMPLE, not the
+    * corpus — its cost is the brute-force tier's, which is the thing the
+    * ANN index exists to avoid, so it's the opt-in measurement path. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val approx = annLsh(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit / n_exact").as("recall"))
+      .orderBy("q_id")
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
   // The third standard ANN tier beside brute force and LSH: a small coarse
   // codebook partitions the corpus into K cells (the "inverted lists");
@@ -327,7 +353,8 @@ object SimilarityOps {
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
     "s_ivf_topk" -> ivfTopk,
-    "s_kmeans" -> kmeans)
+    "s_kmeans" -> kmeans,
+    "s_ann_recall" -> annRecall)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -339,6 +366,32 @@ object SimilarityOps {
         WHERE q.vec_id < 5)
       SELECT q_id, rank::INT AS rank, vec_id, cosine FROM ranked
       WHERE rank <= 10 ORDER BY q_id, rank""",
+    "s_ann_recall" -> s"""
+      WITH exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      b2 AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
+             FROM embeddings),
+      approx AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      j AS (SELECT e.q_id, count(*)::BIGINT n_exact,
+              sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_hit
+            FROM exact e LEFT JOIN approx a
+              ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+            GROUP BY 1)
+      SELECT q_id, n_exact, n_hit, n_hit / n_exact AS recall
+      FROM j ORDER BY q_id""",
     "s_ann_lsh" -> s"""
       WITH b AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
                  FROM embeddings),
