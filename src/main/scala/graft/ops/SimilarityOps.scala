@@ -215,6 +215,57 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Product quantization ----------------------------------------------
+  // The compression side of vector search at 100 TB: a 64-dim float
+  // embedding (256 bytes) becomes PqM codebook codes (PqM bytes) — the
+  // storage layout IVF-PQ indexes serve ADC lookups from. As with
+  // [[ivfTopk]], production trains the codebooks (k-means per subspace —
+  // [[kmeans]] IS that trainer, run once per subspace slice); here they
+  // are md5-derived constants so the DuckDB oracle replays the exact
+  // assignment.
+  private val PqM = 4                // subspaces
+  private val PqSubDim = Dim / PqM   // dims per subspace
+  private val PqK = 16               // centroids per subspace → 4-bit codes
+  /** Integer centroid grid; the real component is `k / PqScale` (±0.5 —
+    * the synthetic embeddings live in ±0.45, and centroids far off the
+    * data scale would degenerate every argmin to the smallest-norm
+    * centroid). Kept integer so |c|² is an EXACT BIGINT and the double
+    * versions are single divisions — identical in both engines. */
+  private[ops] val PqScale = 2000L
+  private[ops] val pqCents: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+    (0 until PqM).map(m => (0 until PqK).map(j =>
+      (0 until PqSubDim).map(i => h60(s"pq_${m}_${j}_$i") % 2001 - 1000)))
+  private val pqCentNormSq: IndexedSeq[IndexedSeq[Long]] =
+    pqCents.map(_.map(c => c.map(x => x * x).sum))
+
+  /** PQ encoding: per subspace, the id of the nearest codebook centroid —
+    * `dist_j = |c_j|² − 2·x_m·c_j` (the sub-vector's own norm is constant
+    * per row, dropped as in [[ivfTopk]]/[[kmeansAssign]]), argmin via
+    * `array_min` over `(dist, code)` structs (O(K) codegen, ties to the
+    * lowest code — [[kmeansAssign]]'s shape).
+    *
+    * Plan/scale: one pruned scan, a NARROW fully-codegen'd projection
+    * (M×K inlined `vec_dot`s over SubDim-sliced views), no shuffle but the
+    * oracle ordering — the compress-on-ingest pass that runs beside the
+    * corpus write at any scale. */
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val codeCols = (0 until PqM).map { m =>
+      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+      val scored = (0 until PqK).map { j =>
+        val comps = pqCents(m)(j)
+          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+        s"""named_struct('dist',
+              CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+                - 2.0D * vec_dot($sub, array($comps)),
+            'code', ${j}L)"""
+      }.mkString(", ")
+      expr(s"array_min(array($scored)).code").as(s"code$m")
+    }
+    embeddings(s, d)
+      .select(col("vec_id") +: codeCols: _*)
+      .orderBy("vec_id")
+  }
+
   private val KmK = 4      // clusters
   private val KmIters = 2  // fixed Lloyd iterations (deterministic replay)
   private val KmQ = 1024L  // quantization grid for the mean accumulation
@@ -354,7 +405,8 @@ object SimilarityOps {
     "s_ann_lsh" -> annLsh,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
-    "s_ann_recall" -> annRecall)
+    "s_ann_recall" -> annRecall,
+    "s_pq_encode" -> pqEncode)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -446,5 +498,31 @@ object SimilarityOps {
       SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
     },
-    "s_kmeans" -> kmeansOracle)
+    "s_kmeans" -> kmeansOracle,
+    "s_pq_encode" -> {
+      val centRows = (for {
+        m <- 0 until PqM; j <- 0 until PqK
+      } yield s"($m, $j, ${pqCentNormSq(m)(j)}, [${pqCents(m)(j).mkString(", ")}])")
+        .mkString(",\n        ")
+      val codeCols = (0 until PqM)
+        .map(m => s"max(CASE WHEN m = $m THEN j END)::BIGINT AS code$m")
+        .mkString(",\n        ")
+      s"""
+      WITH c(m, j, cn, cv) AS (VALUES
+        $centRows),
+      d AS (SELECT vec_id, m, j,
+              CAST(cn AS DOUBLE) / ${PqScale * PqScale}.0
+                - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                list_transform(list_zip(
+                    embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim], cv),
+                  q -> CAST(q[1] AS DOUBLE) * (q[2] / $PqScale.0))),
+                (a, v) -> a + v) AS dist
+            FROM embeddings CROSS JOIN c),
+      r AS (SELECT vec_id, m, j,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) rn
+            FROM d)
+      SELECT vec_id,
+        $codeCols
+      FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+    })
 }

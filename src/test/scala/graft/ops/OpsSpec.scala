@@ -321,6 +321,31 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
   }
 
+  test("pq codes match a driver-side argmin over the inlined codebooks") {
+    val cents = SimilarityOps.pqCents
+    val subDim = cents.head.head.length
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+    val got = SimilarityOps.pqEncode(spark, sf).collect()
+    assert(got.length == vecs.size)
+    got.foreach { r =>
+      val emb = vecs(r.getLong(0))
+      cents.indices.foreach { m =>
+        val sub = emb.slice(m * subDim, (m + 1) * subDim)
+        val sc = SimilarityOps.PqScale
+        val best = cents(m).zipWithIndex.map { case (c, j) =>
+          val cn = c.map(x => x * x).sum.toDouble / (sc * sc)
+          val dot = sub.zip(c).foldLeft(0.0)((a, p) =>
+            a + p._1.toDouble * (p._2.toDouble / sc))
+          (cn - 2.0 * dot, j)
+        }.min
+        assert(r.getLong(m + 1) == best._2, s"vec ${r.getLong(0)} subspace $m")
+      }
+    }
+    // codes must actually spread over the codebook, or the test is vacuous
+    assert(got.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

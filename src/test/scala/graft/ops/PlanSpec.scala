@@ -141,6 +141,15 @@ class PlanSpec extends SparkSpec {
       s"posting-list rollup lost its uniform shingle-key shuffle:\n${p.take(1500)}")
   }
 
+  test("s_pq_encode is one pruned scan with a narrow codegen'd assignment") {
+    val p = plan("s_pq_encode")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 embeddings scan, saw $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"compress-on-ingest pass grew a join/shuffle:\n${p.take(1500)}")
+    assert(p.contains("vec_dot"), "inlined codebook scores missing")
+  }
+
   test("t_mix_weights broadcasts the one-row denominator, never a sort-merge join") {
     val p = plan("t_mix_weights")
     assert(p.contains("BroadcastExchange"), s"denominator not broadcast:\n${p.take(1500)}")
