@@ -266,6 +266,48 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: each query builds a PqM×PqK
+    * lookup table of subspace distances to every centroid ONCE; a corpus
+    * row's approximate distance is then 4 table lookups summed — the
+    * corpus side is touched only through its CODES, never its vectors.
+    * That's the PQ payoff at 100 TB: the scan reads PqM bytes per vector
+    * instead of 256, and the ranking math is additions.
+    *
+    * Plan/scale: the LUT side is queries × PqM×PqK — tiny, broadcast; the
+    * corpus side is the narrow [[pqEncode]] projection; ADC is a fixed
+    * left-assoc 4-term sum (bit-identical in both engines), ranked by the
+    * usual per-query window. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    // query-side LUT columns: lut_m = array of dist(q_m, c_j) for all j —
+    // the SAME dist expression pqEncode minimizes
+    val lutCols = (0 until PqM).map { m =>
+      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+      val dists = (0 until PqK).map { j =>
+        val comps = pqCents(m)(j)
+          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+        s"""CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+              - 2.0D * vec_dot($sub, array($comps))"""
+      }.mkString(", ")
+      expr(s"array($dists)").as(s"lut$m")
+    }
+    val queries = embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id") +: lutCols: _*)
+    val codes = pqEncode(s, d)
+    val adc = (0 until PqM)
+      .map(m => s"element_at(lut$m, CAST(code$m AS INT) + 1)")
+      .mkString(" + ")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(queries)
+      .crossJoin(codes)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), expr(adc).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy("q_id", "rank")
+  }
+
   private val KmK = 4      // clusters
   private val KmIters = 2  // fixed Lloyd iterations (deterministic replay)
   private val KmQ = 1024L  // quantization grid for the mean accumulation
@@ -406,7 +448,8 @@ object SimilarityOps {
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
     "s_ann_recall" -> annRecall,
-    "s_pq_encode" -> pqEncode)
+    "s_pq_encode" -> pqEncode,
+    "s_pq_adc" -> pqAdc)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -500,15 +543,46 @@ object SimilarityOps {
     },
     "s_kmeans" -> kmeansOracle,
     "s_pq_encode" -> {
-      val centRows = (for {
-        m <- 0 until PqM; j <- 0 until PqK
-      } yield s"($m, $j, ${pqCentNormSq(m)(j)}, [${pqCents(m)(j).mkString(", ")}])")
-        .mkString(",\n        ")
       val codeCols = (0 until PqM)
         .map(m => s"max(CASE WHEN m = $m THEN j END)::BIGINT AS code$m")
         .mkString(",\n        ")
       s"""
-      WITH c(m, j, cn, cv) AS (VALUES
+      WITH $pqBaseCtes
+      SELECT vec_id,
+        $codeCols
+      FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+    },
+    "s_pq_adc" -> {
+      val adcTerms = (0 until PqM)
+        .map(m => s"max(CASE WHEN qd.m = $m THEN qd.dist END)")
+        .mkString("\n              + ")
+      s"""
+      WITH $pqBaseCtes,
+      xc AS (SELECT vec_id, m, j AS code FROM r WHERE rn = 1),
+      qd AS (SELECT vec_id q_id, m, j, dist FROM d WHERE vec_id < 5),
+      adc AS (SELECT qd.q_id, xc.vec_id,
+                $adcTerms AS adc_dist
+              FROM xc JOIN qd ON qd.m = xc.m AND qd.j = xc.code
+              WHERE qd.q_id <> xc.vec_id
+              GROUP BY 1, 2),
+      rk AS (SELECT q_id, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+             FROM adc)
+      SELECT q_id, rank::INT AS rank, vec_id, adc_dist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
+
+  /** Shared CTE chain of the PQ oracles: the literal codebook, the
+    * per-(vector, subspace, centroid) distance relation `d` (the exact
+    * expression [[pqEncode]] minimizes and [[pqAdc]] sums), and its
+    * per-(vector, subspace) argmin ranking `r`. */
+  private def pqBaseCtes: String = {
+    val centRows = (for {
+      m <- 0 until PqM; j <- 0 until PqK
+    } yield s"($m, $j, ${pqCentNormSq(m)(j)}, [${pqCents(m)(j).mkString(", ")}])")
+      .mkString(",\n        ")
+    s"""c(m, j, cn, cv) AS (VALUES
         $centRows),
       d AS (SELECT vec_id, m, j,
               CAST(cn AS DOUBLE) / ${PqScale * PqScale}.0
@@ -520,9 +594,6 @@ object SimilarityOps {
             FROM embeddings CROSS JOIN c),
       r AS (SELECT vec_id, m, j,
               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) rn
-            FROM d)
-      SELECT vec_id,
-        $codeCols
-      FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
-    })
+            FROM d)"""
+  }
 }

@@ -346,6 +346,19 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("pq adc: dense ranks, non-decreasing distance, sums the encode-side LUT") {
+    val rows = SimilarityOps.pqAdc(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // no query ranks itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -150,6 +150,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "inlined codebook scores missing")
   }
 
+  test("s_pq_adc broadcasts the query LUTs and prunes top-k before the shuffle") {
+    val p = plan("s_pq_adc")
+    assert(p.contains("BroadcastExchange"), s"query LUTs not broadcast:\n${p.take(1500)}")
+    // WindowGroupLimit(Partial) caps each task's output at k rows before
+    // the q_id exchange — the rank filter never shuffles the full cross
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k pruning missing below the window:\n${p.take(1500)}")
+    // pqEncode's oracle ordering must be optimized away under the join
+    val sorts = "rangepartitioning".r.findAllMatchIn(p).size
+    assert(sorts == 1, s"a redundant global sort survived:\n${p.take(1500)}")
+  }
+
   test("t_mix_weights broadcasts the one-row denominator, never a sort-merge join") {
     val p = plan("t_mix_weights")
     assert(p.contains("BroadcastExchange"), s"denominator not broadcast:\n${p.take(1500)}")
