@@ -303,6 +303,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Chunk window width / stride (tokens). Stride < width → overlapping
+    * windows, the standard RAG-embedding layout. */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  /** Fixed-window document chunking with overlap — the fan-out step of an
+    * embedding/RAG pipeline: every document becomes ceil(nt / stride)
+    * windows of [[ChunkW]] tokens starting every [[ChunkS]], the last
+    * window(s) short. Emits the bookkeeping an embedder needs (chunk id,
+    * token offset, window length) beside the re-joined text.
+    *
+    * Plan/scale: one pruned scan and one Generate — `sequence` over the
+    * chunk count then a per-chunk `slice` of the bound token array; fully
+    * narrow, no shuffle, embarrassingly parallel. Output rows ≈ corpus
+    * tokens / stride. */
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr("size(toks)").cast("long").as("nt"))
+      .select(col("doc_id"), col("nt"), col("toks"),
+        explode(expr(s"sequence(0L, (nt - 1) DIV $ChunkS)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkS).as("start_tok"),
+        least(lit(ChunkW), col("nt") - col("chunk_id") * ChunkS)
+          .as("n_chunk_toks"),
+        expr(s"array_join(slice(toks, CAST(chunk_id * $ChunkS + 1 AS INT), $ChunkW), ' ')")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Temperature-based mixture reweighting — the multilingual rebalancing
     * rule (w_l ∝ n_l^α, α = 0.5 here, the exponentiated-count smoothing
     * mBERT/XLM-R popularized): per-language doc and token counts, the
@@ -340,7 +370,8 @@ object CorpusOps {
     "t_rarity" -> rarity,
     "t_pii_scrub" -> piiScrub,
     "t_mix_weights" -> mixWeights,
-    "t_quality_gate" -> qualityGate)
+    "t_quality_gate" -> qualityGate,
+    "t_chunk_windows" -> chunkWindows)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
@@ -424,6 +455,17 @@ object CorpusOps {
         (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
          AND sh >= 2 AND 8*mc <= nt) AS keep_doc
       FROM s ORDER BY doc_id""",
+    "t_chunk_windows" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      n AS (SELECT doc_id, toks, len(toks)::BIGINT nt FROM t),
+      e AS (SELECT doc_id, nt, toks, unnest(generate_series(0, (nt - 1) // $ChunkS)) chunk_id
+            FROM n)
+      SELECT doc_id, chunk_id,
+        (chunk_id * $ChunkS)::BIGINT AS start_tok,
+        least($ChunkW, nt - chunk_id * $ChunkS)::BIGINT AS n_chunk_toks,
+        array_to_string(toks[chunk_id*$ChunkS+1 : chunk_id*$ChunkS+$ChunkW], ' ')
+          AS chunk_text
+      FROM e ORDER BY doc_id, chunk_id""",
     "t_pii_scrub" -> s"""
       SELECT doc_id,
         len(regexp_extract_all(text, '$EmailPat'))::BIGINT n_email,

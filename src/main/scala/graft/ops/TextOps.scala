@@ -189,6 +189,69 @@ object TextOps {
         expr("n_bpe / n_ws").as("bpe_per_ws"))
       .orderBy("doc_id")
 
+  /** Fixed merge count for the BPE trainer — small so the oracle can
+    * unroll it as a CTE chain (the [[graft.ops.SimilarityOps.kmeans]]
+    * replay pattern). */
+  val BpeMerges = 3
+
+  /** BPE tokenizer TRAINING — the real merge loop, not just counting:
+    * start from the character vocabulary of every corpus word (weighted by
+    * word frequency), then [[BpeMerges]] times pick the most frequent
+    * adjacent symbol pair (ties → lexicographically smallest) and merge
+    * its occurrences leftmost-first, non-overlapping, within every word.
+    * Output is the learned merge table — the artifact a tokenizer ships.
+    *
+    * Plan/scale per iteration (the Lloyd shape, cf. [[SimilarityOps
+    * .kmeans]]): the state is the VOCABULARY relation (word, freq, syms) —
+    * types, not corpus tokens, so each pass is vocabulary-sized; pair
+    * counting is one explode + partial-agg shuffle on the (l, r) key;
+    * the winning pair is a 1-row driver collect inlined as literals into
+    * the next narrow merge fold (`aggregate` over the symbol array).
+    * Corpus text is touched exactly once, in the initial word count.
+    *
+    * Leftmost-first semantics ride the fold: a merged symbol lands at the
+    * accumulator tail and the next comparison sees the MERGED string, so
+    * it cannot chain into a second merge in the same pass — byte-for-byte
+    * the classical algorithm. Symbols are corpus characters; the driver
+    * refuses (loudly) quote/backslash symbols rather than inline them. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(explode(expr(Toks)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+    var state = words
+      .withColumn("syms", expr("filter(split(word, ''), c -> c <> '')"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 0 until BpeMerges) {
+      val top = state.select(col("freq"),
+          explode(expr("""CASE WHEN size(syms) >= 2 THEN
+              transform(sequence(1, size(syms) - 1),
+                i -> named_struct('l', element_at(syms, i),
+                                  'r', element_at(syms, i + 1)))
+            ELSE array() END""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE iteration $it: no adjacent pairs left to merge (vocabulary " +
+          "is all single-symbol words) — fewer merges than BpeMerges")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      require(!(l + r).exists(c => c == '\'' || c == '\\'),
+        s"BPE merge symbol '$l$r' contains a quote/backslash — literal " +
+          "inlining into the merge fold is unsupported for such corpora")
+      merges += ((it.toLong, l, r, cnt))
+      state = state.withColumn("syms", expr(s"""
+        aggregate(syms, CAST(array() AS ARRAY<STRING>),
+          (acc, s2) -> CASE WHEN size(acc) > 0
+                            AND element_at(acc, -1) = '$l' AND s2 = '$r'
+            THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+            ELSE concat(acc, array(s2)) END)"""))
+    }
+    merges.result().toDF("merge_idx", "l_sym", "r_sym", "pair_count")
+      .orderBy("merge_idx")
+  }
+
   /** Repetition metrics (the Gopher-style repetition filters a training
     * corpus is cleaned with): per document, the most frequent bigram's
     * share of all bigrams and the duplicate-shingle fraction. Plan: one
@@ -300,11 +363,48 @@ object TextOps {
     "t_fingerprint" -> fingerprint,
     "t_ngram_freq" -> ngramFreq,
     "t_bpe_tokens" -> bpeTokens,
+    "t_bpe_train" -> bpeTrain,
     "t_repetition" -> repetition,
     "t_cms_topk" -> cmsTopk,
     "t_pipeline" -> pipeline)
 
+  /** DuckDB replay of [[bpeTrain]]: [[BpeMerges]] unrolled iterations —
+    * per iteration a pair-count CTE, a 1-row argmax CTE (same tie-break),
+    * and a merge-fold CTE whose lambda captures the winner via CROSS
+    * JOIN. Same fold shape as the Spark `aggregate`, so the leftmost-
+    * first non-overlapping semantics match symbol-for-symbol. */
+  private def bpeTrainOracle: String = {
+    def iter(i: Int) = s"""
+      p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, freq FROM
+               (SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM s${i - 1}) z),
+      a$i AS (SELECT l, r, sum(freq)::BIGINT cnt FROM p$i GROUP BY 1, 2),
+      m$i AS (SELECT l, r, cnt FROM a$i ORDER BY cnt DESC, l, r LIMIT 1),
+      s$i AS (SELECT word, freq, list_reduce(
+            list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+            (acc, x) -> CASE WHEN len(acc) > 0
+                             AND acc[-1] = m$i.l AND x[1] = m$i.r
+                        THEN list_append(acc[1:len(acc)-1], m$i.l || m$i.r)
+                        ELSE list_append(acc, x[1]) END) AS syms
+          FROM s${i - 1} CROSS JOIN m$i)"""
+    val chain = (1 to BpeMerges).map(iter).mkString(",")
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT ${i - 1}::BIGINT AS merge_idx, l AS l_sym, r AS r_sym, cnt AS pair_count FROM m$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH w AS (SELECT word, count(*)::BIGINT freq FROM
+                   (SELECT unnest(string_split(text, ' ')) word FROM documents)
+                 GROUP BY 1),
+      s0 AS (SELECT word, freq, string_split_regex(word, '') AS syms FROM w),
+      $chain
+      SELECT merge_idx, l_sym, r_sym, pair_count FROM (
+        $out)
+      ORDER BY merge_idx"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainOracle,
     "t_token_stats" -> """
       WITH t AS (SELECT doc_id, text,
                    len(string_split(text,' '))::BIGINT nt,

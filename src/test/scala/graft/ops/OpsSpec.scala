@@ -346,6 +346,36 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("bpe trainer matches a driver-side classical merge loop") {
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      words.groupBy { case (w, _) => w.split("", -1).filter(_.nonEmpty).toVector }
+        .map { case (syms, m) => syms -> m.values.sum }
+    val expected = (0 until TextOps.BpeMerges).map { it =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      // leftmost-first non-overlapping merge
+      def merge(syms: Vector[String]): Vector[String] =
+        syms.foldLeft(Vector.empty[String]) { (acc, s2) =>
+          if (acc.nonEmpty && acc.last == l && s2 == r)
+            acc.init :+ (l + r)
+          else acc :+ s2
+        }
+      vocab = vocab.groupBy { case (syms, _) => merge(syms) }
+        .map { case (syms, m) => syms -> m.values.sum }
+      (it.toLong, l, r, cnt)
+    }
+    val got = TextOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected,
+      s"merge tables differ:\n got=${got.toSeq}\n exp=$expected")
+  }
+
   test("pq adc: dense ranks, non-decreasing distance, sums the encode-side LUT") {
     val rows = SimilarityOps.pqAdc(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
