@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
       TextOps.queries ++ CorpusOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ Skipping.queries)
+      SimilarityOps.queries ++ MultimodalOps.queries ++ Skipping.queries ++
+      ValidationOps.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(GraftSession.init(s), dir))
       }
@@ -34,5 +35,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ CorpusOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles ++ Skipping.oracles
+      SimilarityOps.oracles ++ MultimodalOps.oracles ++ Skipping.oracles ++
+      ValidationOps.oracles
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and constraint-validation operators — the Deequ-style
+  * checks a training-data pipeline runs on every landed batch before it
+  * spends GPU-hours on it. (Extensions beyond the reference — its only
+  * validation is the zip error taxonomy, src/error.rs:4-104; these guard
+  * the PRODUCED relation.)
+  *
+  * Oracle-exactness: every metric is exact integer counting or binary
+  * min/max on strings/ints — no doubles anywhere, so the DuckDB replay is
+  * trivially bit-identical.
+  */
+object ValidationOps {
+  import Tables._
+
+  /** Per-column profile of `documents`: null count, distinct count,
+    * lexicographic/numeric min and max (rendered as strings so the five
+    * columns share one schema). The first look a curator takes at a new
+    * drop.
+    *
+    * Plan/scale: one pass — a single global aggregate over 4×5 partial
+    * -aggregatable metrics; Spark plans multi-distinct via Expand (5×
+    * row multiplication pre-shuffle, map-side combined). At 100 TB swap
+    * the exact distincts for the HLL sketch (d_hll_distinct) — the
+    * profile SHAPE stays one narrow agg either way. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val stacked = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(", ")
+    documents(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, n_null, n_distinct, min_val, max_val)"))
+      .orderBy("col_name")
+  }
+
+  /** Constraint suite over `documents` — one row per named constraint
+    * with its violation count and verdict:
+    *   - `doc_id_not_null`:  doc_id IS NOT NULL
+    *   - `doc_id_unique`:    no doc_id occurs twice
+    *   - `n_chars_consistent`: n_chars = length(text)
+    *   - `lang_in_domain`:   lang ∈ {en, fr, es, de, zh}
+    *   - `text_nonempty`:    length(text) > 0
+    *
+    * Plan/scale: the four row-local checks are ONE narrow aggregate pass;
+    * uniqueness is its own partial-agg shuffle on the (uniform) key with
+    * the >1 groups counted — no row data moves, only (key, count) pairs.
+    * The union glues five 1-row aggregates: constant-size output. */
+  def constraints(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val rowLocal = docs.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_not_null"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_consistent"),
+      sum(when(!col("lang").isin("en", "fr", "es", "de", "zh"), 1L).otherwise(0L))
+        .as("lang_in_domain"),
+      sum(when(length(col("text")) <= 0, 1L).otherwise(0L)).as("text_nonempty"))
+    val locals = rowLocal.select(expr(
+      """stack(4,
+           'doc_id_not_null',    doc_id_not_null,
+           'n_chars_consistent', n_chars_consistent,
+           'lang_in_domain',     lang_in_domain,
+           'text_nonempty',      text_nonempty) AS (constraint_name, n_violations)"""))
+    val unique = docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+      .select(lit("doc_id_unique").as("constraint_name"), col("n_violations"))
+    locals.unionByName(unique)
+      .select(col("constraint_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("constraint_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_profile" -> profile,
+    "v_constraints" -> constraints)
+
+  val oracles: Map[String, String] = Map(
+    "v_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+              sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+              count(DISTINCT $c)::BIGINT AS n_distinct,
+              min($c)::VARCHAR AS min_val,
+              max($c)::VARCHAR AS max_val
+            FROM documents"""
+      }.mkString("", "\n      UNION ALL ", "\n      ORDER BY col_name")
+    },
+    "v_constraints" -> """
+      WITH l AS (
+        SELECT 'doc_id_not_null' AS constraint_name,
+               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_consistent',
+               sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+        FROM documents
+        UNION ALL
+        SELECT 'lang_in_domain',
+               sum(CASE WHEN lang NOT IN ('en','fr','es','de','zh') THEN 1 ELSE 0 END)::BIGINT
+        FROM documents
+        UNION ALL
+        SELECT 'text_nonempty',
+               sum(CASE WHEN length(text) <= 0 THEN 1 ELSE 0 END)::BIGINT
+        FROM documents
+        UNION ALL
+        SELECT 'doc_id_unique',
+               coalesce(sum(n), 0)::BIGINT
+        FROM (SELECT doc_id, count(*)::BIGINT n FROM documents
+              GROUP BY 1 HAVING count(*) > 1))
+      SELECT constraint_name, n_violations, n_violations = 0 AS passed
+      FROM l ORDER BY constraint_name""")
+}

@@ -346,6 +346,32 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("constraint suite counts injected violations exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_val").toFile
+    dir.deleteOnExit()
+    Seq(
+      (1L, "good text", "en", "s0", 9L),   // clean
+      (1L, "dup id", "en", "s0", 6L),      // doc_id_unique (pair -> 2 rows)
+      (2L, "bad chars", "en", "s0", 42L),  // n_chars_consistent
+      (3L, "ok", "xx", "s0", 2L),          // lang_in_domain
+      (4L, "", "en", "s0", 0L)             // text_nonempty
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ValidationOps.constraints(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("doc_id_not_null") == ((0L, true)))
+    assert(got("doc_id_unique") == ((2L, false)))
+    assert(got("n_chars_consistent") == ((1L, false)))
+    assert(got("lang_in_domain") == ((1L, false)))
+    assert(got("text_nonempty") == ((1L, false)))
+    // profile over the same fixture: null-free, 4 distinct ids
+    val prof = ValidationOps.profile(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof("doc_id") == ((0L, 4L)))
+    assert(prof("lang")._2 == 2L)
+  }
+
   test("bpe trainer matches a driver-side classical merge loop") {
     val words = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).split(" ", -1))
