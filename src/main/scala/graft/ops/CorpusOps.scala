@@ -272,7 +272,12 @@ object CorpusOps {
     * narrow projection, embarrassingly parallel at any scale. (The oracle
     * counts the same maximum naively per distinct token — quadratic but
     * exact, and oracle-side only.) */
-  def qualityGate(s: SparkSession, d: String): DataFrame = {
+  /** The gate's rule inputs + verdict appended to ANY (doc_id, text, …)
+    * relation — batch or streaming micro-batch (every expression is
+    * narrow, so it gates a stream unchanged). Used by [[qualityGate]] for
+    * the metrics report and by [[gateKept]] / streaming ingest as a
+    * filter. */
+  private[ops] def gateFlags(docs: DataFrame): DataFrame = {
     // max run length over the sorted token array = max token frequency
     val maxRun =
       """aggregate(sort_array(toks),
@@ -281,13 +286,28 @@ object CorpusOps {
              'run',  IF(t = a.prev, a.run + 1L, 1L),
              'best', GREATEST(a.best, IF(t = a.prev, a.run + 1L, 1L))),
            a -> a.best)"""
-    documents(s, d)
-      .select(col("doc_id"), col("text"), expr(Toks).as("toks"))
+    docs
+      .withColumn("toks", expr(Toks))
       .withColumn("nt", expr("size(toks)").cast("long"))
       .withColumn("nd", expr("size(array_distinct(toks))").cast("long"))
       .withColumn("nc", (length(col("text")) - col("nt") + 1).cast("long"))
       .withColumn("sh", expr(TextOps.hitsExpr(TextOps.stops.head._2)).cast("long"))
       .withColumn("mc", expr(maxRun).cast("long"))
+  }
+
+  private val GateRuleCols =
+    Seq("toks", "nt", "nd", "nc", "sh", "mc")
+
+  /** Rows of `docs` that pass every gate rule, original schema preserved —
+    * the filter form of [[qualityGate]] (batch or streaming). */
+  def gateKept(docs: DataFrame): DataFrame =
+    gateFlags(docs)
+      .filter(expr("""nt >= 30 AND nc >= 4*nt AND nc <= 5*nt
+                      AND 5*nd >= 2*nt AND sh >= 2 AND 8*mc <= nt"""))
+      .drop(GateRuleCols: _*)
+
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    gateFlags(documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("nt").as("n_tokens"),
         expr("nc / nt").as("mean_tok_len"),
         expr("nd / nt").as("ttr"),
@@ -301,7 +321,6 @@ object CorpusOps {
         expr("""nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
                 AND sh >= 2 AND 8*mc <= nt""").as("keep_doc"))
       .orderBy("doc_id")
-  }
 
   /** Chunk window width / stride (tokens). Stride < width → overlapping
     * windows, the standard RAG-embedding layout. */
@@ -362,6 +381,39 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** Training-token budget for [[budgetAlloc]]. */
+  val TokenBudget = 1000000L
+
+  /** Largest-remainder allocation of a fixed token budget across the
+    * [[mixWeights]] mixture: each language gets floor(budget · weight)
+    * tokens, then the languages with the largest fractional remainders
+    * (ties → language asc) absorb the leftover one token each — the exact
+    * integer split a data loader needs (Σ alloc = budget EXACTLY; naive
+    * rounding misses by up to K/2).
+    *
+    * Exactness: weights are the bit-identical mixWeights doubles; floor
+    * is exact; the remainder ranking compares identical doubles with a
+    * deterministic tie-break; the deficit is integer arithmetic. Plan:
+    * everything after the K-row mixture agg is window work over K rows —
+    * scale-free. */
+  def budgetAlloc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val mixed = mixWeights(s, d)
+      .select(col("lang"), col("weight"),
+        expr(s"CAST(floor(weight * ${TokenBudget}D) AS BIGINT)").as("base"),
+        expr(s"weight * ${TokenBudget}D - floor(weight * ${TokenBudget}D)").as("rem"))
+    val deficit = mixed.agg(
+      (lit(TokenBudget) - sum(col("base"))).as("deficit"))
+    mixed
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(deficit))
+      .select(col("lang"), col("weight"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,
@@ -371,7 +423,8 @@ object CorpusOps {
     "t_pii_scrub" -> piiScrub,
     "t_mix_weights" -> mixWeights,
     "t_quality_gate" -> qualityGate,
-    "t_chunk_windows" -> chunkWindows)
+    "t_chunk_windows" -> chunkWindows,
+    "t_budget_alloc" -> budgetAlloc)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
@@ -455,6 +508,23 @@ object CorpusOps {
         (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
          AND sh >= 2 AND 8*mc <= nt) AS keep_doc
       FROM s ORDER BY doc_id""",
+    "t_budget_alloc" -> s"""
+      WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs
+                  FROM documents GROUP BY 1),
+      dn AS (SELECT ${Exact.dsumSql("sqrt(CAST(n_docs AS DOUBLE))")} AS denom
+             FROM pl),
+      mw AS (SELECT lang, sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight
+             FROM pl CROSS JOIN dn),
+      b AS (SELECT lang, weight,
+              CAST(floor(weight * $TokenBudget) AS BIGINT) AS base,
+              weight * $TokenBudget - floor(weight * $TokenBudget) AS rem
+            FROM mw),
+      r AS (SELECT lang, weight, base,
+              row_number() OVER (ORDER BY rem DESC, lang) rk FROM b),
+      df AS (SELECT $TokenBudget - sum(base) AS deficit FROM b)
+      SELECT lang, weight,
+        (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens
+      FROM r CROSS JOIN df ORDER BY lang""",
     "t_chunk_windows" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       n AS (SELECT doc_id, toks, len(toks)::BIGINT nt FROM t),

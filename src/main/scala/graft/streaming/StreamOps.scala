@@ -166,6 +166,22 @@ object StreamOps {
       }
       .start()
 
+  /** [[manifestIngestStream]] with the quality gate in front: each
+    * micro-batch drops documents failing any CorpusOps.gateKept rule
+    * BEFORE hashing/dedup, so junk never costs a manifest entry or a
+    * corpus write. The gate is a narrow projection (no state, no
+    * watermark), so it composes with the streaming plan unchanged — the
+    * whole reason the batch rules were written shuffle-free. */
+  def gatedIngestStream(spark: SparkSession, docs: DataFrame,
+      corpusDir: String, manifestDir: String, checkpoint: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, graft.ops.CorpusOps.gateKept(batch), batchId,
+          corpusDir, manifestDir)
+      }
+      .start()
+
   /** One ingest micro-batch (exposed so the retry contract is testable:
     * running the same (queryId, batchId) twice must be a no-op the second
     * time, whatever the first attempt managed to write).

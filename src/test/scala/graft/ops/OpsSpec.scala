@@ -346,6 +346,19 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("budget allocation sums to the budget exactly") {
+    val rows = CorpusOps.budgetAlloc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == CorpusOps.TokenBudget,
+      "largest-remainder top-up must close the floor deficit exactly")
+    // every language gets within 1 token of its fractional target
+    rows.foreach { r =>
+      val target = r.getDouble(1) * CorpusOps.TokenBudget
+      assert(math.abs(r.getLong(2) - target) < 1.0,
+        s"${r.getString(0)} alloc ${r.getLong(2)} vs target $target")
+    }
+  }
+
   test("constraint suite counts injected violations exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_val").toFile

@@ -238,6 +238,30 @@ class StreamOpsSpec extends SparkSpec {
       s"fresh-checkpoint batch 0 clobbered or re-ingested: $after")
   }
 
+  test("gated ingest stream drops gate-failing documents before the manifest") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = tmp("graft_corpus_g") + "/docs"
+    val manifest = tmp("graft_manifest_g") + "/hashes"
+    val ckpt = tmp("graft_gate_ckpt")
+    // passes every rule: 40 tokens, mean token length 175/40 ∈ [4, 5],
+    // all distinct, two stopwords, no heavy repetition
+    val good = ((1 to 20).map(i => f"wd$i%02d") ++
+      (1 to 18).map(i => f"wde$i%02d") ++ Seq("the", "of")).mkString(" ")
+    val bad = "tiny doc" // fails the length rule (and others)
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.gatedIngestStream(spark, docs, corpus, manifest, ckpt)
+    try {
+      in.addData((1L, good), (2L, bad))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(landed == Seq(1L), s"gate let through: $landed")
+    assert(spark.read.parquet(manifest).count() == 1)
+  }
+
   test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
     import spark.implicits._
     // 1) manifest dir exists but holds only a crashed first attempt's
