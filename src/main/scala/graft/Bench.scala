@@ -27,6 +27,12 @@ object Bench {
     // The driver never sets it, so judged runs always cover the full map.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not bench nothing (cf. Verify)
+    subset.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -12,6 +12,12 @@ object Verify {
     // a typo'd name must fail loudly, not silently dump zero queries and
     // overwrite queries.json with an empty manifest
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // a subset dump into a dir holding a FULL manifest would leave
+    // local_verify validating the full set against stale outputs (only the
+    // subset is refreshed) and reporting it as a full-gate pass — refuse
+    require(only.isEmpty || !Files.exists(Paths.get(s"$outDir/queries.json")),
+      s"$outDir holds a full dump (queries.json); subset dumps need a " +
+        "fresh outDir so stale full-gate outputs can't masquerade as current")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

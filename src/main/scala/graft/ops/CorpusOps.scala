@@ -398,16 +398,18 @@ object CorpusOps {
     * scale-free. */
   def budgetAlloc(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val mixed = mixWeights(s, d)
+    // deficit via an unpartitioned window over the SAME K rows — a second
+    // aggregation branch would fork the plan and re-execute the mixture
+    // lineage (K is the language count, so the single-partition window is
+    // exactly the tiny-relation case where it's free)
+    val all = w.rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    mixWeights(s, d)
       .select(col("lang"), col("weight"),
         expr(s"CAST(floor(weight * ${TokenBudget}D) AS BIGINT)").as("base"),
         expr(s"weight * ${TokenBudget}D - floor(weight * ${TokenBudget}D)").as("rem"))
-    val deficit = mixed.agg(
-      (lit(TokenBudget) - sum(col("base"))).as("deficit"))
-    mixed
       .withColumn("rk", row_number().over(
         w.orderBy(col("rem").desc, col("lang"))))
-      .crossJoin(broadcast(deficit))
+      .withColumn("deficit", lit(TokenBudget) - sum(col("base")).over(all))
       .select(col("lang"), col("weight"),
         (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .as("alloc_tokens"))

@@ -332,9 +332,15 @@ object DedupOps {
   /** SemDeDup-style semantic dedup: within each block (label here; the
     * embedding's coarse cluster id in production), a vector is a duplicate
     * iff some LOWER-id vector in the block is cosine-similar above the
-    * threshold — keep the lowest-id representative of every similar group,
-    * greedily. Output is every vector with its verdict, so the caller can
-    * either filter (`NOT is_dup`) or audit the kill rate per block.
+    * threshold. This is the EDGE-based rule: on a similarity chain
+    * (1~2, 2~3, 1≁3) every non-minimal member is dropped — conservative
+    * (3 goes even though nothing KEPT is similar to it), unlike the
+    * sequential compare-against-kept variant, which is inherently ordered
+    * and doesn't parallelize; callers wanting one survivor per TRANSITIVE
+    * group should use [[dedupClusters]] (connected components) and keep
+    * each cluster's min. Output is every vector with its verdict, so the
+    * caller can either filter (`NOT is_dup`) or audit the kill rate per
+    * block.
     *
     * Plan/scale: same blocked pairwise core as [[embeddingNearDup]] (the
     * per-block join never goes corpus-wide), then one distinct on the

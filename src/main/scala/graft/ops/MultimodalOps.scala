@@ -52,7 +52,13 @@ object Multimodal {
     (body.length >= 6 && at(0) == 'G' && at(1) == 'I' && at(2) == 'F' &&
       at(3) == '8' && (at(4) == '7' || at(4) == '9') && at(5) == 'a') || // GIF
     (body.length >= 26 && at(0) == 'B' && at(1) == 'M' &&
-      at(6) == 0 && at(7) == 0 && at(8) == 0 && at(9) == 0)        // BMP
+      at(6) == 0 && at(7) == 0 && at(8) == 0 && at(9) == 0) ||     // BMP
+    (body.length >= 4 && at(0) == 'I' && at(1) == 'I' &&
+      at(2) == 0x2a && at(3) == 0) ||                              // TIFF LE
+    (body.length >= 4 && at(0) == 'M' && at(1) == 'M' &&
+      at(2) == 0 && at(3) == 0x2a)                                 // TIFF BE
+    // WBMP has no magic bytes — undetectable by signature, stays on the
+    // byte stand-in path by design
   }
 
   /** Real image decode (JDK imageio), gated by [[looksLikeImage]]. None =

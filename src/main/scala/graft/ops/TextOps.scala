@@ -207,7 +207,11 @@ object TextOps {
     * counting is one explode + partial-agg shuffle on the (l, r) key;
     * the winning pair is a 1-row driver collect inlined as literals into
     * the next narrow merge fold (`aggregate` over the symbol array).
-    * Corpus text is touched exactly once, in the initial word count.
+    * The word-count relation is PERSISTED so the corpus scan and its
+    * shuffle run once; each iteration's action then replays only the
+    * accumulated merge folds over the cached vocabulary (i narrow
+    * projections of a vocabulary-sized relation — cheap), unpersisted
+    * once the merge table is on the driver.
     *
     * Leftmost-first semantics ride the fold: a merged symbol lands at the
     * accumulator tail and the next comparison sees the MERGED string, so
@@ -219,10 +223,11 @@ object TextOps {
     val words = documents(s, d)
       .select(explode(expr(Toks)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+      .persist()
     var state = words
       .withColumn("syms", expr("filter(split(word, ''), c -> c <> '')"))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (it <- 0 until BpeMerges) {
+    try for (it <- 0 until BpeMerges) {
       val top = state.select(col("freq"),
           explode(expr("""CASE WHEN size(syms) >= 2 THEN
               transform(sequence(1, size(syms) - 1),
@@ -247,7 +252,9 @@ object TextOps {
                             AND element_at(acc, -1) = '$l' AND s2 = '$r'
             THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
             ELSE concat(acc, array(s2)) END)"""))
-    }
+    } finally words.unpersist(blocking = false)
+    // the merge table is driver-held — the returned frame has no lineage
+    // back to the (now unpersisted) vocabulary
     merges.result().toDF("merge_idx", "l_sym", "r_sym", "pair_count")
       .orderBy("merge_idx")
   }

@@ -194,10 +194,15 @@ object StreamOps {
   private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, corpusDir: String, manifestDir: String,
       runId: Option[String] = None): Unit = {
-    // stable across restarts from the same checkpoint, fresh otherwise
-    val queryId = Option(
-      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .orElse(runId)
+    // An EXPLICIT runId wins over the ambient streaming queryId: local
+    // properties are inherited by child threads, so a backfill launched
+    // from a streaming thread would otherwise silently adopt the stream's
+    // queryId and overwrite its committed partitions — the exact clobber
+    // the explicit-id rule exists to prevent. The streaming path passes
+    // runId=None and falls through to the checkpoint-stable queryId.
+    val queryId = runId
+      .orElse(Option(
+        spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
       .getOrElse(throw new IllegalArgumentException(
         "non-streaming ingestBatch requires an explicit runId: the " +
           "(run, batch) pair scopes the idempotent overwrite, and a shared " +
