@@ -18,6 +18,17 @@ object Verify {
     require(only.isEmpty || !Files.exists(Paths.get(s"$outDir/queries.json")),
       s"$outDir holds a full dump (queries.json); subset dumps need a " +
         "fresh outDir so stale full-gate outputs can't masquerade as current")
+    // Same masquerade one level down: a second subset dump into a dir whose
+    // queries_subset.json names queries OUTSIDE this subset would refresh
+    // the manifest but leave the other subset's stale parquet behind.
+    val priorSubset = Paths.get(s"$outDir/queries_subset.json")
+    if (only.nonEmpty && Files.exists(priorSubset)) {
+      val prior = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(Files.readString(priorSubset)).map(_.group(1)).toSet
+      require(prior.subsetOf(only),
+        s"$outDir holds a prior subset dump naming other queries " +
+          s"(${prior.diff(only).mkString(", ")}); use a fresh outDir")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

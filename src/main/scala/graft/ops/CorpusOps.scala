@@ -291,35 +291,46 @@ object CorpusOps {
       .withColumn("nt", expr("size(toks)").cast("long"))
       .withColumn("nd", expr("size(array_distinct(toks))").cast("long"))
       .withColumn("nc", (length(col("text")) - col("nt") + 1).cast("long"))
-      .withColumn("sh", expr(TextOps.hitsExpr(TextOps.stops.head._2)).cast("long"))
+      .withColumn("sh", expr(TextOps.hitsExpr(TextOps.EnglishStops)).cast("long"))
       .withColumn("mc", expr(maxRun).cast("long"))
   }
 
   private val GateRuleCols =
     Seq("toks", "nt", "nd", "nc", "sh", "mc")
 
+  /** The gate rules as ONE (flag-name, predicate) list — the per-flag
+    * report ([[qualityGate]]), the `keep_doc` conjunction, and the
+    * streaming-ingest filter ([[gateKept]]) all derive from it, so a
+    * threshold edit cannot silently desynchronize the reported verdicts
+    * from the filter actually applied. (The oracle SQL intentionally
+    * stays an independent literal copy — it is the check.) */
+  private[ops] val GateRules: Seq[(String, String)] = Seq(
+    "ok_len" -> "nt >= 30",
+    "ok_word_len" -> "nc >= 4*nt AND nc <= 5*nt",
+    "ok_ttr" -> "5*nd >= 2*nt",
+    "ok_stop" -> "sh >= 2",
+    "ok_rep" -> "8*mc <= nt")
+
+  /** Conjunction of every [[GateRules]] predicate. */
+  private[ops] val GateKeepExpr: String =
+    GateRules.map { case (_, p) => s"($p)" }.mkString(" AND ")
+
   /** Rows of `docs` that pass every gate rule, original schema preserved —
     * the filter form of [[qualityGate]] (batch or streaming). */
   def gateKept(docs: DataFrame): DataFrame =
     gateFlags(docs)
-      .filter(expr("""nt >= 30 AND nc >= 4*nt AND nc <= 5*nt
-                      AND 5*nd >= 2*nt AND sh >= 2 AND 8*mc <= nt"""))
+      .filter(expr(GateKeepExpr))
       .drop(GateRuleCols: _*)
 
   def qualityGate(s: SparkSession, d: String): DataFrame =
     gateFlags(documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("nt").as("n_tokens"),
+      .select(Seq(col("doc_id"), col("nt").as("n_tokens"),
         expr("nc / nt").as("mean_tok_len"),
         expr("nd / nt").as("ttr"),
         col("sh").as("stop_hits"),
-        expr("mc / nt").as("top_tok_ratio"),
-        expr("nt >= 30").as("ok_len"),
-        expr("nc >= 4*nt AND nc <= 5*nt").as("ok_word_len"),
-        expr("5*nd >= 2*nt").as("ok_ttr"),
-        expr("sh >= 2").as("ok_stop"),
-        expr("8*mc <= nt").as("ok_rep"),
-        expr("""nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
-                AND sh >= 2 AND 8*mc <= nt""").as("keep_doc"))
+        expr("mc / nt").as("top_tok_ratio")) ++
+        GateRules.map { case (name, p) => expr(p).as(name) } :+
+        expr(GateKeepExpr).as("keep_doc"): _*)
       .orderBy("doc_id")
 
   /** Chunk window width / stride (tokens). Stride < width → overlapping
@@ -496,7 +507,7 @@ object CorpusOps {
       s AS (SELECT doc_id, len(toks)::BIGINT nt,
               len(list_distinct(toks))::BIGINT nd,
               (length(text) - len(toks) + 1)::BIGINT nc,
-              ${TextOps.hitsSql(TextOps.stops.head._2)}::BIGINT sh,
+              ${TextOps.hitsSql(TextOps.EnglishStops)}::BIGINT sh,
               list_max(list_transform(list_distinct(toks),
                 t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
             FROM t)

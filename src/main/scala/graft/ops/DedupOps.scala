@@ -314,7 +314,15 @@ object DedupOps {
     * precomputed once per vector; the pairwise dot is a flat 64-term
     * left-associated chain (whole-stage codegen; the addition order is the
     * same as the oracle's sequential fold, so doubles are bit-identical). */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+  /** Cosine threshold shared by [[embeddingNearDup]] and
+    * [[semanticDedup]] — one constant so the report and the dedup verdict
+    * can never disagree on what "near-duplicate" means. */
+  private val NearDupCos = 0.4
+
+  /** The blocked near-dup PAIR relation both queries derive from
+    * (unordered — callers add their own sort/aggregation, so reuse does
+    * not drag a needless Sort into [[semanticDedup]]'s plan). */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val v = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
@@ -325,9 +333,11 @@ object DedupOps {
         col("a.label").as("label"),
         expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
           .as("cosine"))
-      .filter(col("cosine") >= 0.4)
-      .orderBy("a_id", "b_id")
+      .filter(col("cosine") >= NearDupCos)
   }
+
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy("a_id", "b_id")
 
   /** SemDeDup-style semantic dedup: within each block (label here; the
     * embedding's coarse cluster id in production), a vector is a duplicate
@@ -347,18 +357,12 @@ object DedupOps {
     * dropped ids and a left join back on vec_id — both shuffles on the
     * uniform id key. The cosine chain is the codegen'd vec_dot. */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val v = embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
-    val dropped = v.as("a")
-      .join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .filter(
-        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
-          >= 0.4)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+    // the dropped set IS the near-dup report's higher-id column — derived
+    // from the shared pair relation, not a re-stated join/threshold
+    val dropped = nearDupPairs(s, d)
+      .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    v.select(col("vec_id"), col("label"))
+    embeddings(s, d).select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
@@ -556,6 +560,45 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** "Paragraph" width in tokens for [[paragraphDedup]]. */
+  val ParaTokens = 16
+
+  /** Per-document duplicated-PARAGRAPH fraction — the grain between
+    * [[exactDedup]] (whole document) and [[spanCoverage]] (3-token
+    * shingles) that real curation pipelines clip on: a paragraph
+    * duplicated elsewhere in the corpus is boilerplate even when the
+    * containing document is unique. The synthetic corpus carries no
+    * newline delimiters, so the "paragraph" here is a fixed
+    * [[ParaTokens]]-token non-overlapping block (production splits on a
+    * real delimiter — only the Generate changes, not the plan); each
+    * block is md5-hashed and counts as duplicated iff its hash occurs ≥ 2
+    * times corpus-wide over ALL instances (not per-doc-distinct: twin
+    * paragraphs INSIDE one document are duplicates too — the
+    * [[exactDedup]] convention at paragraph grain).
+    *
+    * Plan/scale: the [[spanCoverage]] shape — ONE scan, one Generate,
+    * occurrence counts via `count(*) over (partition by ph)` (one shuffle
+    * on the uniform hash key; a counts-table self-join would re-execute
+    * the scan→block subtree twice), then one per-doc partial agg.
+    * Survives 100×. */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val perPara = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
+    documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0L, (size(toks) - 1) DIV $ParaTokens),
+              b -> md5(CAST(array_join(
+                slice(toks, CAST(b * $ParaTokens + 1 AS INT), $ParaTokens),
+                ' ') AS BINARY)))""")).as("ph"))
+      .withColumn("pf", count(lit(1)).over(perPara))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("pf") >= 2, 1L).otherwise(0L)).as("dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("dup_paras"),
+        expr("dup_paras / n_paras").as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-filter words and hash count for the manifest runtime filter:
     * 4096 bits / 3 hashes — sized for the test manifest; production sizes
     * m ≈ 1.44·n·log2(1/p) bits for the manifest count. Words are 32-bit
@@ -697,6 +740,7 @@ object DedupOps {
     "d_bloom_prune" -> bloomPrune,
     "d_hot_spans" -> hotSpans,
     "d_span_coverage" -> spanCoverage,
+    "d_paragraph_dedup" -> paragraphDedup,
     "d_semantic_dedup" -> semanticDedup,
     "d_source_overlap" -> sourceOverlap)
 
@@ -875,6 +919,20 @@ object DedupOps {
              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS dup_frac
       FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "d_paragraph_dedup" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      b AS (SELECT doc_id,
+              md5(array_to_string(
+                toks[(bi*$ParaTokens+1):(bi*$ParaTokens+$ParaTokens)], ' ')) AS ph
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(0, (len(toks) - 1) // $ParaTokens)) AS bi
+                  FROM t) z),
+      c AS (SELECT doc_id, count(*) OVER (PARTITION BY ph) AS pf FROM b)
+      SELECT doc_id, count(*)::BIGINT AS n_paras,
+             sum(CASE WHEN pf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_paras,
+             CAST(sum(CASE WHEN pf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_frac
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_simhash" -> s"""

@@ -147,6 +147,67 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Magic-byte sniff for RIFF/WAVE: bytes 0-3 "RIFF", 8-11 "WAVE"
+    * (bytes 4-7 are the chunk size — any value). Same role as
+    * [[looksLikeImage]]: only signed payloads reach the codec, so the
+    * real-decode path is gated on an explicit signature, never on decoder
+    * leniency. */
+  def looksLikeWav(body: Array[Byte]): Boolean =
+    body.length >= 12 &&
+      body(0) == 'R' && body(1) == 'I' && body(2) == 'F' && body(3) == 'F' &&
+      body(8) == 'W' && body(9) == 'A' && body(10) == 'V' && body(11) == 'E'
+
+  /** Real WAV/PCM decode (pure-JDK `javax.sound.sampled`), gated by
+    * [[looksLikeWav]] — the audio mirror of [[decodeImage]]. Returns the
+    * first channel's sample values: signed 16-bit PCM as-is, unsigned
+    * 8-bit recentered to signed (v - 128), little/big endian per the
+    * header. None = not decodable WAV — callers fall back to the byte
+    * stand-in. Channels beyond the first are skipped (feature extraction
+    * wants one stream); compressed encodings (A-law/μ-law/float) fall
+    * back rather than guess. */
+  def decodeWavSamples(body: Array[Byte]): Option[Array[Long]] =
+    if (!looksLikeWav(body)) None
+    else
+      try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(body))
+        try {
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ok = (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          if (!ok) None
+          else {
+            val raw = ais.readAllBytes()
+            val frameSize = fmt.getFrameSize // all channels, one sample point
+            val n = raw.length / frameSize
+            val out = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val off = i * frameSize // first channel at frame start
+              out(i) =
+                if (bits == 8) (raw(off) & 0xff) - 128L
+                else if (fmt.isBigEndian)
+                  ((raw(off) << 8) | (raw(off + 1) & 0xff)).toShort.toLong
+                else ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort.toLong
+              i += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio samples for feature framing: real PCM when the payload is a
+    * decodable WAV, byte values (ascii) otherwise — the oracle path, since
+    * the testdata corpus carries ASCII text and DuckDB cannot decode WAV. */
+  def audioSamples(body: Array[Byte]): Array[Long] =
+    decodeWavSamples(body).getOrElse {
+      val out = new Array[Long](body.length)
+      var i = 0
+      while (i < body.length) { out(i) = body(i) & 0xffL; i += 1 }
+      out
+    }
+
   /** STUB — real implementation would demux the container and decode every
     * k-th video frame (no JDK video codec exists). Stand-in: sample every
     * 32nd byte as the "frame". */
@@ -238,27 +299,36 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Audio-style framing: treat the payload as 8-bit samples, cut into
+  /** Audio-style framing: decode the payload to a sample stream, cut into
     * fixed 64-sample windows, emit per-window count and energy (sum of
-    * squared sample values — the core of RMS/VAD features). Unlike the
-    * mapPartitions stages this one is fully relational: posexplode +
-    * integer arithmetic + one partial-aggregated shuffle on
-    * (doc, window) — everything whole-stage codegen. A real audio decoder
-    * would only replace the byte extraction, not the framing plan. */
-  def audioWindows(s: SparkSession, d: String): DataFrame =
+    * squared sample values — the core of RMS/VAD features). Sample
+    * extraction is the codec boundary — a narrow mapPartitions through
+    * [[Multimodal.audioSamples]]: real PCM via pure-JDK
+    * `javax.sound.sampled` for `RIFF....WAVE`-sniffed payloads, the byte
+    * stand-in otherwise (the oracle path — the testdata corpus is ASCII
+    * text, which DuckDB can replay). Everything downstream of the decode
+    * stays relational: posexplode over the sample array + integer
+    * arithmetic + one partial-aggregated shuffle on (doc, window) — all
+    * whole-stage codegen, unchanged whichever decode path fired. */
+  def audioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     documents(s, d)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"),
-        expr("filter(split(text, ''), c -> c <> '')").as("cs"))
-      .select(col("doc_id"), posexplode(col("cs")).as(Seq("i", "c")))
-      .select(col("doc_id"), expr("CAST(i DIV 64 AS INT)").as("win"),
-        expr("CAST(ascii(c) AS BIGINT)").as("v"))
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, body) =>
+        (id, Multimodal.audioSamples(body))
+      })
+      .toDF("doc_id", "samples")
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "v")))
+      .select(col("doc_id"), expr("CAST(i DIV 64 AS INT)").as("win"), col("v"))
       .groupBy(col("doc_id"), col("win"))
       .agg(count(lit(1)).as("n_samples"),
         sum(expr("v * v")).as("energy"))
       .select(col("doc_id"), col("win"), col("n_samples"), col("energy"),
         expr("energy / n_samples").as("mean_energy"))
       .orderBy("doc_id", "win")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_blob_meta" -> blobMeta,

@@ -171,14 +171,18 @@ object SimilarityOps {
         / sqrt(CAST(${cellNormSq(j)} AS DOUBLE)))"""
   }
 
-  /** Argmax over the K cell scores, ties to the lowest cell id — the same
-    * ascending >=-chain in both engines (cf. TextOps.langId). Operates on
-    * bound columns s0..s{K-1}. */
-  private val argmaxCase: String =
-    (0 until NumCells - 1).map { j =>
-      val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
-      s"WHEN $geAll THEN $j"
-    }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+  /** Argmax over the K cell scores, ties to the lowest cell id: `array_min`
+    * over `(-score, cell)` structs — O(K) generated code (one struct per
+    * cell), the [[kmeansAssign]] shape, vs the former pairwise >=-CASE
+    * chain whose O(K²) conditions would hit Janino's 64KB method ceiling
+    * at realistic codebook sizes. Negating an IEEE double is exact, so
+    * `min(-s)` selects exactly the scores the oracle's greedy >=-chain
+    * maximizes, ties to the lowest cell in both. Operates on bound columns
+    * s0..s{K-1}. */
+  private val argmaxCells: String =
+    (0 until NumCells)
+      .map(j => s"named_struct('ns', -s$j, 'cell', CAST($j AS BIGINT))")
+      .mkString("array_min(array(", ", ", ")).cell")
 
   /** IVF ANN: assign every vector to its nearest codebook cell (narrow,
     * codegen'd argmax over K inlined centroids), probe the NProbe best
@@ -189,7 +193,7 @@ object SimilarityOps {
         expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
         (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
     val assigned = scored.select(col("vec_id"), col("embedding"), col("nrm"),
-      expr(argmaxCase).cast("long").as("cell"))
+      expr(argmaxCells).as("cell"))
     // query side (tiny): rank all K cells, keep the NProbe best
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("probe_cell"))

@@ -34,6 +34,12 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "un", "es", "los"),
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"))
 
+  /** The English list looked up BY KEY — the quality/gate queries that want
+    * specifically English must not silently re-point if [[stops]] is ever
+    * reordered or prepended to (positional `stops.head` would). */
+  private[ops] val EnglishStops: Seq[String] =
+    stops.collectFirst { case ("en", ws) => ws }.get
+
   private[ops] def hitsExpr(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"size(filter($Toks, t -> array_contains(array($arr), t)))"
@@ -56,17 +62,37 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Language ID via stopword-hit scoring (n-gram heuristic): count hits
-    * per language wordlist, argmax with a fixed tie-break order. */
+    * per language wordlist, argmax with a fixed tie-break (first entry in
+    * [[stops]] order wins ties). The argmax is `array_min` over
+    * `(-hits, ord, lang)` structs — O(K) generated code per row (the
+    * [[SimilarityOps.kmeansAssign]] shape), vs a pairwise >=-CASE chain
+    * whose O(K²) conditions would hit Janino's 64KB method ceiling at
+    * realistic language counts; negating the exact BIGINT hit counts
+    * keeps the comparison exact. The oracle keeps the equivalent greedy
+    * CASE, generated from the SAME list ([[predLangSql]]) so the two
+    * engines' tie-breaks move in lockstep. */
   def langId(s: SparkSession, d: String): DataFrame = {
     val hits = stops.map { case (l, ws) => expr(hitsExpr(ws)).cast("long").as(s"${l}_hits") }
+    val structs = stops.zipWithIndex.map { case ((l, _), i) =>
+      s"named_struct('nh', -${l}_hits, 'ord', $i, 'lang', '$l')"
+    }.mkString(", ")
     documents(s, d)
       .select(col("doc_id") +: col("lang") +: hits: _*)
-      .withColumn("pred_lang",
-        expr("""CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
-                     WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
-                     WHEN es_hits >= de_hits THEN 'es'
-                     ELSE 'de' END"""))
+      .withColumn("pred_lang", expr(s"array_min(array($structs)).lang"))
       .orderBy("doc_id")
+  }
+
+  /** Greedy argmax CASE over the per-language hit columns for the DuckDB
+    * oracle, generated from [[stops]]: language j wins iff its hits are >=
+    * every LATER language's (earlier languages already failed their
+    * guard), so ties go to the first list entry — exactly the struct
+    * argmin's `(−hits, ord)` ordering in [[langId]]. */
+  private def predLangSql: String = {
+    val langs = stops.map(_._1)
+    langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
   }
 
   /** Quality score: weighted blend of type-token ratio, stopword ratio and
@@ -75,7 +101,7 @@ object TextOps {
     documents(s, d)
       .withColumn("nt", expr(s"size($Toks)").cast("long"))
       .withColumn("nd", expr(s"size(array_distinct($Toks))").cast("long"))
-      .withColumn("sh", expr(hitsExpr(stops.head._2)).cast("long"))
+      .withColumn("sh", expr(hitsExpr(EnglishStops)).cast("long"))
       .select(
         col("doc_id"), col("nt").as("n_tokens"),
         expr("nd / nt").as("ttr"),
@@ -220,6 +246,26 @@ object TextOps {
     * refuses (loudly) quote/backslash symbols rather than inline them. */
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    trainMergeTable(s, d).toDF("merge_idx", "l_sym", "r_sym", "pair_count")
+      .orderBy("merge_idx")
+  }
+
+  /** One leftmost-first non-overlapping merge pass of pair (`l`,`r`) over
+    * a symbol-array column — the defining fold of both BPE training and
+    * application, so both use this ONE definition (a semantics change
+    * cannot desynchronize them). */
+  private def mergeFoldExpr(syms: String, l: String, r: String): String = s"""
+    aggregate($syms, CAST(array() AS ARRAY<STRING>),
+      (acc, s2) -> CASE WHEN size(acc) > 0
+                        AND element_at(acc, -1) = '$l' AND s2 = '$r'
+        THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+        ELSE concat(acc, array(s2)) END)"""
+
+  /** The [[bpeTrain]] merge loop, returning the learned
+    * (idx, l, r, pair_count) table driver-side — shared by [[bpeTrain]]
+    * (which reports it) and [[bpeApply]] (which applies it). */
+  private def trainMergeTable(
+      s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
     val words = documents(s, d)
       .select(explode(expr(Toks)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
@@ -246,17 +292,50 @@ object TextOps {
         s"BPE merge symbol '$l$r' contains a quote/backslash — literal " +
           "inlining into the merge fold is unsupported for such corpora")
       merges += ((it.toLong, l, r, cnt))
-      state = state.withColumn("syms", expr(s"""
-        aggregate(syms, CAST(array() AS ARRAY<STRING>),
-          (acc, s2) -> CASE WHEN size(acc) > 0
-                            AND element_at(acc, -1) = '$l' AND s2 = '$r'
-            THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-            ELSE concat(acc, array(s2)) END)"""))
-    } finally words.unpersist(blocking = false)
-    // the merge table is driver-held — the returned frame has no lineage
-    // back to the (now unpersisted) vocabulary
-    merges.result().toDF("merge_idx", "l_sym", "r_sym", "pair_count")
-      .orderBy("merge_idx")
+      state = state.withColumn("syms", expr(mergeFoldExpr("syms", l, r)))
+    } finally words.unpersist(blocking = true)
+    // blocking unpersist: Bench showed the trainer's cached vocabulary
+    // bleeding GC/JIT cost into the NEXT query's wall-clock (r6's
+    // t_ngram_freq 1.73s-after vs 0.58s-isolated)
+    merges.result()
+  }
+
+  /** BPE tokenizer APPLICATION — completes the train→encode loop: train
+    * the [[BpeMerges]]-entry merge table ([[trainMergeTable]]), apply the
+    * merges in training order to every word's symbol sequence (the same
+    * leftmost-first fold the trainer used — [[mergeFoldExpr]]), then
+    * report per document: word count, symbol count before any merge
+    * (= characters) and after all merges, and the compression ratio.
+    *
+    * Plan/scale: the merge folds run over the VOCABULARY relation (one
+    * fold per distinct WORD, not per occurrence — type-frequency is the
+    * whole reason tokenizers encode via a vocabulary); documents then
+    * explode to words and join the encoded vocabulary on the word key —
+    * vocabulary-sized build side (broadcastable in production), one
+    * uniform word-key shuffle, then the per-doc partial agg. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val merges = trainMergeTable(s, d)
+    val vocab0 = documents(s, d)
+      .select(explode(expr(Toks)).as("word")).distinct()
+      .withColumn("syms", expr("filter(split(word, ''), c -> c <> '')"))
+      .withColumn("n_before", expr("size(syms)").cast("long"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (_, l, r, _)) =>
+      df.withColumn("syms", expr(mergeFoldExpr("syms", l, r)))
+    }
+    val wordLens = encoded.select(col("word"), col("n_before"),
+      expr("size(syms)").cast("long").as("n_after"))
+    documents(s, d)
+      .select(col("doc_id"), explode(expr(Toks)).as("word"))
+      .join(wordLens, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_before")).as("n_syms_before"),
+        sum(col("n_after")).as("n_syms_after"))
+      .select(col("doc_id"), col("n_words"), col("n_syms_before"),
+        col("n_syms_after"),
+        expr("IF(n_syms_before = 0, CAST(NULL AS DOUBLE), n_syms_after / n_syms_before)")
+          .as("compression"))
+      .orderBy("doc_id")
   }
 
   /** Repetition metrics (the Gopher-style repetition filters a training
@@ -348,7 +427,7 @@ object TextOps {
     val scored = documents(s, d)
       .withColumn("nt", expr(s"size($Toks)").cast("long"))
       .withColumn("nd", expr(s"size(array_distinct($Toks))").cast("long"))
-      .withColumn("en_hits", expr(hitsExpr(stops.head._2)).cast("long"))
+      .withColumn("en_hits", expr(hitsExpr(EnglishStops)).cast("long"))
       .filter(col("nt") >= 20 && expr("nd / nt") > 0.3)
     val kept = scored
       .withColumn("content_hash", md5(col("text").cast("binary")))
@@ -371,16 +450,20 @@ object TextOps {
     "t_ngram_freq" -> ngramFreq,
     "t_bpe_tokens" -> bpeTokens,
     "t_bpe_train" -> bpeTrain,
+    "t_bpe_apply" -> bpeApply,
     "t_repetition" -> repetition,
     "t_cms_topk" -> cmsTopk,
     "t_pipeline" -> pipeline)
 
-  /** DuckDB replay of [[bpeTrain]]: [[BpeMerges]] unrolled iterations —
-    * per iteration a pair-count CTE, a 1-row argmax CTE (same tie-break),
-    * and a merge-fold CTE whose lambda captures the winner via CROSS
-    * JOIN. Same fold shape as the Spark `aggregate`, so the leftmost-
-    * first non-overlapping semantics match symbol-for-symbol. */
-  private def bpeTrainOracle: String = {
+  /** Shared CTE chain of the BPE oracles — the DuckDB replay of
+    * [[trainMergeTable]]: the frequency-weighted vocabulary (`w`, `s0`),
+    * then per merge iteration a pair-count CTE, a 1-row argmax CTE (same
+    * tie-break) and a merge-fold CTE whose lambda captures the winner via
+    * CROSS JOIN. Same fold shape as the Spark `aggregate`
+    * ([[mergeFoldExpr]]), so the leftmost-first non-overlapping semantics
+    * match symbol-for-symbol. Both the train and apply oracles select
+    * from this one chain. */
+  private def bpeChainCtes: String = {
     def iter(i: Int) = s"""
       p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, freq FROM
                (SELECT freq, syms,
@@ -395,23 +478,46 @@ object TextOps {
                         THEN list_append(acc[1:len(acc)-1], m$i.l || m$i.r)
                         ELSE list_append(acc, x[1]) END) AS syms
           FROM s${i - 1} CROSS JOIN m$i)"""
-    val chain = (1 to BpeMerges).map(iter).mkString(",")
+    s"""w AS (SELECT word, count(*)::BIGINT freq FROM
+                   (SELECT unnest(string_split(text, ' ')) word FROM documents)
+                 GROUP BY 1),
+      s0 AS (SELECT word, freq, string_split_regex(word, '') AS syms FROM w),
+      ${(1 to BpeMerges).map(iter).mkString(",")}"""
+  }
+
+  private def bpeTrainOracle: String = {
     val out = (1 to BpeMerges)
       .map(i => s"SELECT ${i - 1}::BIGINT AS merge_idx, l AS l_sym, r AS r_sym, cnt AS pair_count FROM m$i")
       .mkString("\n        UNION ALL ")
     s"""
-      WITH w AS (SELECT word, count(*)::BIGINT freq FROM
-                   (SELECT unnest(string_split(text, ' ')) word FROM documents)
-                 GROUP BY 1),
-      s0 AS (SELECT word, freq, string_split_regex(word, '') AS syms FROM w),
-      $chain
+      WITH $bpeChainCtes
       SELECT merge_idx, l_sym, r_sym, pair_count FROM (
         $out)
       ORDER BY merge_idx"""
   }
 
+  /** [[bpeApply]] oracle: the train chain extended by the encoded-
+    * vocabulary lengths (`s0` before / `s$BpeMerges` after) joined onto
+    * each document's exploded words. */
+  private def bpeApplyOracle: String = s"""
+      WITH $bpeChainCtes,
+      wl AS (SELECT s0.word, len(s0.syms)::BIGINT AS n_before,
+                    len(s$BpeMerges.syms)::BIGINT AS n_after
+             FROM s0 JOIN s$BpeMerges ON s0.word = s$BpeMerges.word),
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_before)::BIGINT AS n_syms_before,
+             sum(n_after)::BIGINT AS n_syms_after,
+             CASE WHEN sum(n_before) = 0 THEN NULL
+                  ELSE sum(n_after)::BIGINT / sum(n_before)::BIGINT END
+               AS compression
+      FROM dw JOIN wl ON dw.word = wl.word
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle,
+    "t_bpe_apply" -> bpeApplyOracle,
     "t_token_stats" -> """
       WITH t AS (SELECT doc_id, text,
                    len(string_split(text,' '))::BIGINT nt,
@@ -429,16 +535,13 @@ object TextOps {
                    ${hitsSql(stops(3)._2)}::BIGINT de_hits
                  FROM documents)
       SELECT doc_id, lang, en_hits, fr_hits, es_hits, de_hits,
-             CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
-                  WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
-                  WHEN es_hits >= de_hits THEN 'es'
-                  ELSE 'de' END AS pred_lang
+             $predLangSql AS pred_lang
       FROM t ORDER BY doc_id""",
     "t_quality" -> s"""
       WITH t AS (SELECT doc_id, text,
                    len(string_split(text,' '))::BIGINT nt,
                    len(list_distinct(string_split(text,' ')))::BIGINT nd,
-                   ${hitsSql(stops.head._2)}::BIGINT sh
+                   ${hitsSql(EnglishStops)}::BIGINT sh
                  FROM documents)
       SELECT doc_id, nt AS n_tokens,
              nd / nt AS ttr,
@@ -512,7 +615,7 @@ object TextOps {
       WITH s AS (SELECT doc_id, text,
                    len(string_split(text, ' '))::BIGINT nt,
                    len(list_distinct(string_split(text, ' ')))::BIGINT nd,
-                   ${hitsSql(stops.head._2)}::BIGINT en_hits
+                   ${hitsSql(EnglishStops)}::BIGINT en_hits
                  FROM documents),
       f AS (SELECT * FROM s WHERE nt >= 20 AND nd / nt > 0.3),
       k AS (SELECT min(doc_id) AS doc_id

@@ -70,6 +70,72 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(fixturePng.take(12)).isEmpty)
   }
 
+  /** In-memory WAV fixture: 16-bit signed little-endian PCM via the same
+    * pure-JDK `javax.sound.sampled` stack the decoder uses. */
+  private def fixtureWav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV payload decodes to the real signed PCM samples") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768)
+    val wav = fixtureWav(samples)
+    assert(Multimodal.looksLikeWav(wav))
+    assert(Multimodal.decodeWavSamples(wav).get.toSeq ==
+      samples.map(_.toLong).toSeq)
+    // audioSamples routes WAV through the real decoder, not the byte path
+    assert(Multimodal.audioSamples(wav).toSeq == samples.map(_.toLong).toSeq)
+  }
+
+  test("stereo WAV keeps the first channel only") {
+    // interleaved L,R frames: feature framing wants one stream
+    val wav = fixtureWav(Array[Short](10, -99, 20, -98, 30, -97), channels = 2)
+    assert(Multimodal.decodeWavSamples(wav).get.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("WAV sniff + fallback: non-WAV and truncated payloads keep the byte stand-in") {
+    val ascii = "plain ascii audio stand-in".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeWav(ascii))
+    assert(Multimodal.audioSamples(ascii).toSeq ==
+      ascii.map(b => (b & 0xff).toLong).toSeq)
+    // RIFF....WAVE prefix passes the sniff but a truncated header must
+    // fall back cleanly, never fail a task
+    val truncated = fixtureWav(Array[Short](1, 2, 3)).take(16)
+    assert(Multimodal.looksLikeWav(truncated))
+    assert(Multimodal.decodeWavSamples(truncated).isEmpty)
+    assert(Multimodal.audioSamples(truncated).toSeq ==
+      truncated.map(b => (b & 0xff).toLong).toSeq)
+  }
+
+  test("WAV payloads window real decoded energies in the audio pipeline shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sum}
+    val samples = (0 until 100).map(i => ((i * 37) % 200 - 100).toShort).toArray
+    val wav = fixtureWav(samples)
+    val ascii = "byte stand-in path".getBytes("UTF-8")
+    val rows = Seq((1L, wav), (2L, ascii)).toDS()
+      .mapPartitions(_.map { case (id, b) => (id, Multimodal.audioSamples(b)) })
+      .toDF("doc_id", "samples")
+      .selectExpr("doc_id", "posexplode(samples) AS (i, v)")
+      .selectExpr("doc_id", "CAST(i DIV 64 AS INT) AS win", "v")
+      .groupBy("doc_id", "win").agg(sum(expr("v * v")).as("energy"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def e(xs: Seq[Long]) = xs.map(v => v * v).sum
+    assert(rows((1L, 0)) == e(samples.take(64).map(_.toLong)))
+    assert(rows((1L, 1)) == e(samples.drop(64).map(_.toLong)))
+    assert(rows((2L, 0)) == e(ascii.map(b => (b & 0xff).toLong)))
+  }
+
   test("real decode runs inside the Spark batch pipeline shape") {
     import spark.implicits._
     val png = fixturePng

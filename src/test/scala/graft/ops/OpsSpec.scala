@@ -415,6 +415,49 @@ class OpsSpec extends SparkSpec {
       s"merge tables differ:\n got=${got.toSeq}\n exp=$expected")
   }
 
+  test("bpe apply: per-doc counts match a driver-side greedy encode with the trained merges") {
+    val merges = TextOps.bpeTrain(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(word: String): Vector[String] =
+      merges.foldLeft(word.split("", -1).filter(_.nonEmpty).toVector) {
+        case (syms, (l, r)) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, s2) =>
+            if (acc.nonEmpty && acc.last == l && s2 == r) acc.init :+ (l + r)
+            else acc :+ s2
+          }
+      }
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { row =>
+        val ws = row.getString(1).split(" ", -1)
+        (row.getLong(0), ws.length.toLong,
+          ws.map(_.split("", -1).count(_.nonEmpty).toLong).sum,
+          ws.map(encode(_).length.toLong).sum)
+      }.sortBy(_._1)
+    val got = TextOps.bpeApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"apply counts differ: got=${got.take(3).toSeq}… exp=${expected.take(3).toSeq}…")
+  }
+
+  test("paragraph dedup: fractions bounded, exact-duplicate docs fully duplicated") {
+    val rows = DedupOps.paragraphDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup) = (r.getLong(1), r.getLong(2))
+      assert(n > 0 && dup >= 0 && dup <= n)
+      assert(r.getDouble(3) == dup.toDouble / n.toDouble)
+    }
+    // a doc whose full text equals another doc's is duplicated at EVERY
+    // paragraph — dup_frac must be exactly 1.0
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dupDocs = texts.groupBy(_._2).filter(_._2.length >= 2)
+      .values.flatten.map(_._1).toSet
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    dupDocs.foreach(id =>
+      assert(byId(id) == 1.0, s"doc $id is an exact dup but dup_frac=${byId(id)}"))
+  }
+
   test("pq adc: dense ranks, non-decreasing distance, sums the encode-side LUT") {
     val rows = SimilarityOps.pqAdc(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

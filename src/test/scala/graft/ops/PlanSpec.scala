@@ -118,6 +118,15 @@ class PlanSpec extends SparkSpec {
       s"shingle-df window lost its uniform-key shuffle:\n${p.take(1500)}")
   }
 
+  test("d_paragraph_dedup scans documents ONCE and shuffles on the paragraph hash") {
+    val p = plan("d_paragraph_dedup")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, saw $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"occurrence-count self-join crept in:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(ph"),
+      s"paragraph-count window lost its uniform-key shuffle:\n${p.take(1500)}")
+  }
+
   test("t_quality_gate is one pruned scan with no data shuffle") {
     val p = plan("t_quality_gate")
     val scans = "Scan parquet".r.findAllMatchIn(p).size

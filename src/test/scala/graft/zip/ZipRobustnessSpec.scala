@@ -307,9 +307,19 @@ class ZipRobustnessSpec extends SparkSpec {
             .exists(_.isInstanceOf[GraftError.GraftException])
       }
     }
+    // Replayable randomness: unseeded runs make a latent taxonomy hole an
+    // intermittent, hard-to-bisect CI failure. The initial seed is logged
+    // on every run and pinnable via GRAFT_FUZZ_SEED, so any failure
+    // replays verbatim (fresh exploration is preserved — the seed still
+    // varies run to run unless pinned).
+    val seedLong = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    info(s"corruption property seed: $seedLong (replay with GRAFT_FUZZ_SEED=$seedLong)")
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
-    assert(res.passed, s"corruption property failed: ${res.status}")
+      SCTest.Parameters.default.withMinSuccessfulTests(20)
+        .withInitialSeed(org.scalacheck.rng.Seed(seedLong)), prop)
+    assert(res.passed,
+      s"corruption property failed (replay with GRAFT_FUZZ_SEED=$seedLong): ${res.status}")
   }
 
   test("O13: cancellation mid-extraction leaves no committed output") {
