@@ -252,23 +252,26 @@ object SimilarityOps {
     * (M×K inlined `vec_dot`s over SubDim-sliced views), no shuffle but the
     * oracle ordering — the compress-on-ingest pass that runs beside the
     * corpus write at any scale. */
-  def pqEncode(s: SparkSession, d: String): DataFrame = {
-    val codeCols = (0 until PqM).map { m =>
-      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-      val scored = (0 until PqK).map { j =>
-        val comps = pqCents(m)(j)
-          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
-        s"""named_struct('dist',
-              CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
-                - 2.0D * vec_dot($sub, array($comps)),
-            'code', ${j}L)"""
-      }.mkString(", ")
-      expr(s"array_min(array($scored)).code").as(s"code$m")
-    }
-    embeddings(s, d)
-      .select(col("vec_id") +: codeCols: _*)
-      .orderBy("vec_id")
+  /** The per-subspace code columns (`code0..code{M-1}`) over a bound
+    * `embedding` column — shared by [[pqEncode]] and [[ivfPqTopk]]'s
+    * corpus side. */
+  private def pqCodeCols: Seq[Column] = (0 until PqM).map { m =>
+    val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+    val scored = (0 until PqK).map { j =>
+      val comps = pqCents(m)(j)
+        .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+      s"""named_struct('dist',
+            CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+              - 2.0D * vec_dot($sub, array($comps)),
+          'code', ${j}L)"""
+    }.mkString(", ")
+    expr(s"array_min(array($scored)).code").as(s"code$m")
   }
+
+  def pqEncode(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id") +: pqCodeCols: _*)
+      .orderBy("vec_id")
 
   /** PQ asymmetric-distance (ADC) top-k: each query builds a PqM×PqK
     * lookup table of subspace distances to every centroid ONCE; a corpus
@@ -281,25 +284,32 @@ object SimilarityOps {
     * corpus side is the narrow [[pqEncode]] projection; ADC is a fixed
     * left-assoc 4-term sum (bit-identical in both engines), ranked by the
     * usual per-query window. */
+  /** Query-side LUT columns (`lut0..lut{M-1}`) over a bound `embedding`
+    * column: lut_m = array of dist(q_m, c_j) for all j — the SAME dist
+    * expression [[pqEncode]] minimizes. Shared by [[pqAdc]] and
+    * [[ivfPqTopk]]. */
+  private def pqLutCols: Seq[Column] = (0 until PqM).map { m =>
+    val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+    val dists = (0 until PqK).map { j =>
+      val comps = pqCents(m)(j)
+        .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+      s"""CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+            - 2.0D * vec_dot($sub, array($comps))"""
+    }.mkString(", ")
+    expr(s"array($dists)").as(s"lut$m")
+  }
+
+  /** The fixed left-associated M-term ADC sum over bound lut/code columns
+    * (bit-identical association order in both engines). */
+  private val adcSumExpr: String = (0 until PqM)
+    .map(m => s"element_at(lut$m, CAST(code$m AS INT) + 1)")
+    .mkString(" + ")
+
   def pqAdc(s: SparkSession, d: String): DataFrame = {
-    // query-side LUT columns: lut_m = array of dist(q_m, c_j) for all j —
-    // the SAME dist expression pqEncode minimizes
-    val lutCols = (0 until PqM).map { m =>
-      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-      val dists = (0 until PqK).map { j =>
-        val comps = pqCents(m)(j)
-          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
-        s"""CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
-              - 2.0D * vec_dot($sub, array($comps))"""
-      }.mkString(", ")
-      expr(s"array($dists)").as(s"lut$m")
-    }
     val queries = embeddings(s, d).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id") +: lutCols: _*)
+      .select(col("vec_id").as("q_id") +: pqLutCols: _*)
     val codes = pqEncode(s, d)
-    val adc = (0 until PqM)
-      .map(m => s"element_at(lut$m, CAST(code$m AS INT) + 1)")
-      .mkString(" + ")
+    val adc = adcSumExpr
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col("vec_id"))
     broadcast(queries)
@@ -309,6 +319,52 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF-PQ top-k — the COMPOSED production index read path ([[ivfTopk]]'s
+    * coarse cell pruning × [[pqAdc]]'s code-only ranking): every corpus
+    * vector is stored as (cell, M codes) — the actual IVF-PQ index layout,
+    * ~5 bytes/vector here; a query probes its [[NProbe]] best cells and
+    * ranks ONLY those cells' members by the broadcast ADC lookup tables.
+    * Neither full corpus vectors nor corpus-side distances are touched at
+    * query time.
+    *
+    * Plan/scale: the corpus pass is ONE narrow fully-codegen'd projection
+    * (cell argmax + M code argmins over inlined codebooks — at 100 TB this
+    * is the one-off ingest pass and the scan reads only the stored codes);
+    * probes+LUTs are query-set-sized and broadcast; the probe join fans
+    * each query out to NProbe/K of the corpus, and the per-query top-k
+    * rides the usual rank window (WindowGroupLimit pushes it below the
+    * shuffle). */
+  def ivfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val scored = embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+    // the stored index: (vec_id, cell, code0..code{M-1}) — nothing else
+    val assigned = scored.select(
+      col("vec_id") +: expr(argmaxCells).as("cell") +: pqCodeCols: _*)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("probe_cell"))
+    val probes = scored.filter(col("vec_id") < 5)
+      .select(Seq(col("vec_id").as("q_id")) ++ pqLutCols :+
+        posexplode(array((0 until NumCells).map(j => col(s"s$j")): _*))
+          .as(Seq("probe_cell", "score")): _*)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id") +: col("probe_cell").cast("long").as("cell") +:
+        (0 until PqM).map(m => col(s"lut$m")): _*)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        expr(adcSumExpr).as("adc_dist"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cell"), col("vec_id"),
+        col("adc_dist"))
       .orderBy("q_id", "rank")
   }
 
@@ -453,7 +509,8 @@ object SimilarityOps {
     "s_kmeans" -> kmeans,
     "s_ann_recall" -> annRecall,
     "s_pq_encode" -> pqEncode,
-    "s_pq_adc" -> pqAdc)
+    "s_pq_adc" -> pqAdc,
+    "s_ivfpq_topk" -> ivfPqTopk)
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" -> s"""
@@ -546,6 +603,49 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
     },
     "s_kmeans" -> kmeansOracle,
+    "s_ivfpq_topk" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
+      // same fixed left-assoc term order as adcSumExpr
+      val adcTerms = (0 until PqM)
+        .map(m => s"max(CASE WHEN qd.m = $m THEN qd.dist END)")
+        .mkString("\n                + ")
+      s"""
+      WITH $pqBaseCtes,
+      xc AS (SELECT vec_id, m, j AS code FROM r WHERE rn = 1),
+      scored AS (SELECT vec_id, embedding,
+               $scoreCols
+             FROM embeddings),
+      assigned AS (SELECT vec_id, ($caseSql)::BIGINT AS cell FROM scored),
+      probes0 AS (SELECT vec_id AS q_id, j AS probe_cell,
+                    ($sList)[j + 1] AS score
+                  FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
+                  WHERE vec_id < 5),
+      probes AS (SELECT q_id, probe_cell::BIGINT AS cell FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, probe_cell) AS pr
+                   FROM probes0)
+                 WHERE pr <= $NProbe),
+      qd AS (SELECT vec_id q_id, m, j, dist FROM d WHERE vec_id < 5),
+      adc AS (SELECT p.q_id, a.cell, xc.vec_id,
+                $adcTerms AS adc_dist
+              FROM probes p JOIN assigned a ON p.cell = a.cell
+              JOIN xc ON xc.vec_id = a.vec_id
+              JOIN qd ON qd.q_id = p.q_id AND qd.m = xc.m AND qd.j = xc.code
+              WHERE p.q_id <> a.vec_id
+              GROUP BY 1, 2, 3),
+      rk AS (SELECT q_id, cell, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+             FROM adc)
+      SELECT q_id, rank::INT AS rank, cell, vec_id, adc_dist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+    },
     "s_pq_encode" -> {
       val codeCols = (0 until PqM)
         .map(m => s"max(CASE WHEN m = $m THEN j END)::BIGINT AS code$m")

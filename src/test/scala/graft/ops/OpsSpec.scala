@@ -471,6 +471,24 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("ivf-pq: dense ranks, and shared candidates carry the full-scan ADC distance") {
+    val rows = SimilarityOps.ivfPqTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // cell pruning changes the CANDIDATE SET, never the distance: any
+    // (q, vec) also ranked by the full-scan ADC must carry the same value
+    val full = SimilarityOps.pqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = rows.flatMap(r =>
+      full.get((r.getLong(0), r.getLong(3))).map(_ -> r.getDouble(4)))
+    assert(shared.nonEmpty, "no candidate overlap with the full ADC scan")
+    shared.foreach { case (fullD, prunedD) => assert(fullD == prunedD) }
+  }
+
   test("cosine topk ranks are dense per query") {
     val rows = SimilarityOps.cosineTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

