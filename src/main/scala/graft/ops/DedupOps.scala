@@ -188,7 +188,38 @@ object DedupOps {
     * frequency-capped BY DEFAULT (groups larger than [[DefaultMaxBand]]
     * are dropped — see there); [[minhashLshUncapped]] is the opt-out. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshImpl(s, d, maxBand = DefaultMaxBand).orderBy("a_id", "b_id")
+
+  /** MinHash ESTIMATE-QUALITY report — the [[graft.ops.SimilarityOps
+    * .annRecall]] pattern applied to the dedup tier: every capped LSH
+    * candidate pair's 16-permutation agreement estimate next to its EXACT
+    * distinct-shingle Jaccard and the absolute error — the measurement a
+    * curator runs before trusting a band/permutation dial setting.
+    *
+    * Plan/scale: candidates come from the existing banded enumeration
+    * (capped, output-sensitive); the exact side joins the CANDIDATE set
+    * (small) back to the per-doc shingle arrays on the uniform doc key
+    * and intersects per pair — cost scales with candidate count, never
+    * corpus². Like annRecall, this is the opt-in sample-scale
+    * measurement path: the exact intersection is what the sketch exists
+    * to avoid corpus-wide. */
+  def minhashEstQuality(s: SparkSession, d: String): DataFrame = {
+    val shs = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
     minhashLshImpl(s, d, maxBand = DefaultMaxBand)
+      .join(shs.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
+      .join(shs.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("est_sim"),
+        expr("size(array_intersect(a_shs, b_shs))").cast("long").as("inter"),
+        expr("size(a_shs)").cast("long").as("n_a"),
+        expr("size(b_shs)").cast("long").as("n_b"))
+      .select(col("a_id"), col("b_id"), col("est_sim"),
+        expr("inter / (n_a + n_b - inter)").as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("est_sim"), col("jaccard"),
+        expr("abs(est_sim - jaccard)").as("abs_err"))
+      .orderBy("a_id", "b_id")
+  }
 
   /** Capped pair enumeration: postings are grouped by band ONCE (a single
     * shuffle on the uniform band key), over-cap groups dropped, and the
@@ -212,7 +243,6 @@ object DedupOps {
         expr(s"(${agreeExpr("x", "y")}) / CAST(16.0 AS DOUBLE)").as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
-      .orderBy("a_id", "b_id")
 
   /** Explicit opt-in: NO band-frequency cap. Kept as the banded self-join
     * (exchange-reuse asserted in OpsSpec) because a genuinely hot band
@@ -726,6 +756,7 @@ object DedupOps {
     "d_exact_dedup" -> exactDedup,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
+    "d_minhash_est_quality" -> minhashEstQuality,
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
@@ -785,15 +816,16 @@ object DedupOps {
 
   /** DuckDB replay of [[minhashLsh]] / [[minhashLshUncapped]]; `capped`
     * adds the BETWEEN 2 AND [[DefaultMaxBand]] group filter. */
-  private def minhashOracle(capped: Boolean): String = {
+  /** Shared CTE chain of the MinHash oracles, through the banded pair
+    * relation `pairs` (and the per-doc distinct-shingle lists `s`). */
+  private def minhashPairCtes(capped: Boolean): String = {
     val keep = if (capped) s"""
       keep AS (SELECT band_idx, band_hash FROM e GROUP BY 1, 2
                HAVING count(*) BETWEEN 2 AND $DefaultMaxBand),""" else ""
     val keepJoin = if (capped)
       "JOIN keep k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash"
     else ""
-    s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
       hh AS (SELECT doc_id,
                list_transform(sh, x -> ${h60Sql("x")} % $P) hs
@@ -814,13 +846,35 @@ object DedupOps {
       pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.sig siga, b.sig sigb
                 FROM e a JOIN e b ON a.band_idx = b.band_idx
                   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-                $keepJoin)
+                $keepJoin)"""
+  }
+
+  private def minhashOracle(capped: Boolean): String = s"""
+      WITH ${minhashPairCtes(capped)}
       SELECT a_id, b_id,
              len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 AS est_sim
       FROM pairs
       WHERE len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 >= 0.5
       ORDER BY a_id, b_id"""
-  }
+
+  /** [[minhashEstQuality]] oracle: the capped pair chain extended by the
+    * exact per-pair shingle intersection against the `s` lists. */
+  private def minhashEstQualityOracle: String = s"""
+      WITH ${minhashPairCtes(capped = true)},
+      cand AS (SELECT a_id, b_id,
+                 len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 AS est_sim
+               FROM pairs
+               WHERE len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) / 16.0 >= 0.5),
+      q AS (SELECT c.a_id, c.b_id, c.est_sim,
+              len(list_filter(sa.sh, v -> list_contains(sb.sh, v)))::BIGINT AS inter,
+              len(sa.sh)::BIGINT AS n_a, len(sb.sh)::BIGINT AS n_b
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.a_id
+            JOIN s sb ON sb.doc_id = c.b_id)
+      SELECT a_id, b_id, est_sim,
+             inter / (n_a + n_b - inter) AS jaccard,
+             abs(est_sim - inter / (n_a + n_b - inter)) AS abs_err
+      FROM q ORDER BY a_id, b_id"""
 
   /** DuckDB replay of [[simhashPairs]] / [[simhashPairsUncapped]]. */
   private def simhashPairsOracle(capped: Boolean): String = {
@@ -935,6 +989,7 @@ object DedupOps {
       FROM c GROUP BY doc_id ORDER BY doc_id""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
+    "d_minhash_est_quality" -> minhashEstQualityOracle,
     "d_simhash" -> s"""
       WITH t AS (SELECT doc_id,
                    list_transform(string_split(text, ' '), t2 -> ${h60Sql("t2")}) hs

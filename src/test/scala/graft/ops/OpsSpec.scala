@@ -13,9 +13,9 @@ class OpsSpec extends SparkSpec {
   // Queries whose output may legitimately be empty at tiny scale (pair
   // thresholds / selective filters).
   private val mayBeEmpty = Set("d_ngram_jaccard", "d_ngram_jaccard_uncapped",
-    "d_minhash_lsh", "d_minhash_lsh_uncapped", "d_simhash_pairs",
-    "d_simhash_pairs_uncapped", "d_embedding_neardup", "q_anti_join",
-    "d_dedup_clusters", "t_decontaminate", "d_hot_spans")
+    "d_minhash_lsh", "d_minhash_lsh_uncapped", "d_minhash_est_quality",
+    "d_simhash_pairs", "d_simhash_pairs_uncapped", "d_embedding_neardup",
+    "q_anti_join", "d_dedup_clusters", "t_decontaminate", "d_hot_spans")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
@@ -469,6 +469,30 @@ class OpsSpec extends SparkSpec {
     }
     // no query ranks itself
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("minhash est-quality: one row per LSH pair, exact jaccard matches brute force") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 can have zero LSH pairs
+    val rows = DedupOps.minhashEstQuality(spark, sf01).collect()
+    val pairs = DedupOps.minhashLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.length == pairs.size, "report must cover every candidate pair")
+    // brute-force exact jaccard over distinct 3-shingles
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val byId = Tables.documents(spark, sf01).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == pairs((a, b)), "est_sim must match the LSH report")
+      val inter = (byId(a) & byId(b)).size.toDouble
+      val expect = inter / (byId(a).size + byId(b).size - inter)
+      assert(r.getDouble(3) == expect, s"exact jaccard differs for ($a,$b)")
+      assert(r.getDouble(4) == math.abs(r.getDouble(2) - r.getDouble(3)))
+    }
   }
 
   test("ivf-pq: dense ranks, and shared candidates carry the full-scan ADC distance") {
