@@ -442,7 +442,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document character entropy (nats) — the Shannon diversity of the
+    * character distribution, a cheap quality/garbage signal (base64 blobs
+    * and repeated-char spam sit far from prose on this axis):
+    *
+    *   H = ln(n) − (Σ_ch c_ch·ln(c_ch)) / n
+    *
+    * with [[DetMath]]'s deterministic ln so the doubles hash-match DuckDB.
+    * The Σ is routed through round(term·1e9)::BIGINT before the SUM —
+    * double addition is order-dependent and Spark's partial-agg order
+    * differs from DuckDB's; the scaled-integer accumulator makes the sum
+    * exact in both engines (the [[Exact.dsum]] pattern).
+    *
+    * Plan/scale: explode chars → count per (doc_id, ch) → per-doc agg —
+    * two shuffles on uniform composite keys, all expressions codegen'd,
+    * no UDFs. The (doc, char) grid is ≤ alphabet-size × docs rows, far
+    * smaller than the token grids the shingle queries already move. */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("doc_id"), explode(expr(Chars)).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val terms = DetMath.withLn(counts, "c", "lc")
+      .withColumn("term", expr("cast(round((c * lc_ln) * 1.0e9) as bigint)"))
+    val agg = terms.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("term")).as("sl"))
+    DetMath.withLn(agg, "n", "lnn")
+      .select(col("doc_id"), col("n").as("n_chars_counted"),
+        expr("lnn_ln - (sl / 1.0e9) / n").as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_entropy" -> entropy,
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
@@ -623,5 +654,21 @@ object TextOps {
       SELECT f.doc_id, nt AS n_tokens, nd / nt AS ttr, en_hits / nt AS stop_ratio
       FROM f JOIN k ON f.doc_id = k.doc_id
       WHERE en_hits >= 2
-      ORDER BY f.doc_id""")
+      ORDER BY f.doc_id""",
+    "t_entropy" -> s"""
+      WITH e AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                 FROM documents),
+      g AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+      t AS (SELECT doc_id, c,
+             ${DetMath.lnDuckSelect("c", "lc")},
+             round((c * lc_ln) * 1.0e9)::BIGINT AS term
+            FROM g),
+      a AS (SELECT doc_id, sum(c)::BIGINT AS n, sum(term)::BIGINT AS sl
+            FROM t GROUP BY 1),
+      f AS (SELECT doc_id, n,
+             ${DetMath.lnDuckSelect("n", "lnn")},
+             lnn_ln - (sl / 1.0e9) / n AS entropy
+            FROM a)
+      SELECT doc_id, n AS n_chars_counted, entropy
+      FROM f ORDER BY doc_id""")
 }
