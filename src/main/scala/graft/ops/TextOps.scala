@@ -472,8 +472,81 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document mean token log-probability under the corpus unigram LM
+    * with add-one smoothing — the classic cheap perplexity proxy for
+    * quality filtering (CCNet-style: prose scores high, garbage low):
+    *
+    *   logp(t) = ln(c_t + 1) − ln(N + V)     (c_t corpus count, N tokens,
+    *   score(doc) = (Σ_t logp(t)) / n_doc     V vocabulary size)
+    *
+    * ln via [[DetMath]]; the per-doc Σ through the scaled-BIGINT
+    * accumulator (order-independent, engine-exact).
+    *
+    * Plan/scale: one explode → vocab agg (one uniform-key shuffle) →
+    * tokens⋈vocab shuffle join on the token key → per-doc agg. The (N,V)
+    * corpus constants are a 1-row aggregate broadcast-cross-joined in —
+    * no driver round-trip. At 100 TB: the vocab join is the standard
+    * skew case ("the" is hot) — AQE skew-join splits it, or broadcast a
+    * frequency-capped vocab; the shape is unchanged. */
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), explode(expr(Toks)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val denom = DetMath.withLn(
+      vocab.agg(sum(col("c_t")).as("n_total"), count(lit(1)).as("v_size"))
+        .withColumn("nv", col("n_total") + col("v_size")),
+      "nv", "ld")
+      .select(col("ld_ln").as("ln_denom"))
+    val terms = DetMath.withLn(
+      toks.join(vocab, "tok").withColumn("c1", col("c_t") + lit(1L)),
+      "c1", "lnum")
+      .crossJoin(broadcast(denom))
+      .withColumn("term", expr("cast(round((lnum_ln - ln_denom) * 1.0e9) as bigint)"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term")).as("sl"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sl / 1.0e9) / n_tokens").as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-3 TF-IDF terms per document — the keyword/topic extraction pass a
+    * curation pipeline runs for faceting and mixture reporting:
+    *
+    *   score(t, doc) = tf_{t,doc} · (ln(D) − ln(df_t))
+    *
+    * ln via [[DetMath]] (bit-identical doubles → identical ordering in
+    * both engines); ties broken by term so the top-3 is fully
+    * deterministic.
+    *
+    * Plan/scale: explode → (doc, term) count (one shuffle) → term-level
+    * df agg (second shuffle, term key) → tf⋈df shuffle join → per-doc
+    * row_number window (doc key — uniform). D rides in as a broadcast
+    * 1-row aggregate; its count-only scan reads zero parquet columns.
+    * The window's top-k gets the WindowGroupLimit partial/final pushdown
+    * (rank ≤ 3 filtered below the shuffle) on Spark 4. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(expr(Toks)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    val nd = DetMath.withLn(
+      documents(s, d).agg(count(lit(1)).as("n_docs")), "n_docs", "ld")
+      .select(col("ld_ln").as("ln_d"))
+    DetMath.withLn(tf.join(dft, "tok"), "df_t", "ldf")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", expr("c * (ln_d - ldf_ln)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok")))
+        .cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_entropy" -> entropy,
+    "t_unigram_lm" -> unigramLm,
+    "t_tfidf" -> tfidf,
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
@@ -670,5 +743,39 @@ object TextOps {
              lnn_ln - (sl / 1.0e9) / n AS entropy
             FROM a)
       SELECT doc_id, n AS n_chars_counted, entropy
-      FROM f ORDER BY doc_id""")
+      FROM f ORDER BY doc_id""",
+    "t_unigram_lm" -> s"""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      v AS (SELECT tok, count(*)::BIGINT AS c_t FROM tk GROUP BY 1),
+      kd AS (SELECT n_total + v_size AS nv,
+              ${DetMath.lnDuckSelect("nv", "ld")}
+             FROM (SELECT sum(c_t)::BIGINT AS n_total,
+                          count(*)::BIGINT AS v_size FROM v)),
+      t AS (SELECT doc_id, c_t + 1 AS c1,
+             ${DetMath.lnDuckSelect("c1", "lnum")},
+             round((lnum_ln - kd.ld_ln) * 1.0e9)::BIGINT AS term
+            FROM tk JOIN v USING (tok) CROSS JOIN kd)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             (sum(term)::BIGINT / 1.0e9) / count(*) AS avg_logprob
+      FROM t GROUP BY doc_id ORDER BY doc_id""",
+    "t_tfidf" -> s"""
+      WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2),
+      dft AS (SELECT tok, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+      nd AS (SELECT n_docs,
+              ${DetMath.lnDuckSelect("n_docs", "ld")}
+             FROM (SELECT count(*)::BIGINT AS n_docs FROM documents)),
+      sc AS (SELECT doc_id, tok, c, df_t,
+              ${DetMath.lnDuckSelect("df_t", "ldf")},
+              c * (nd.ld_ln - ldf_ln) AS score
+             FROM tf JOIN dft USING (tok) CROSS JOIN nd),
+      rk AS (SELECT doc_id, tok, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, tok) AS rank
+             FROM sc)
+      SELECT doc_id, rank, tok AS term, score
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")
 }
