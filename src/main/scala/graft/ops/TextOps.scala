@@ -543,10 +543,59 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Top-30 bigram collocations by pointwise mutual information — the
+    * phrase-mining pass (multi-word expressions, boilerplate detection):
+    *
+    *   pmi(x,y) = ln p(x,y) − ln p(x) − ln p(y)
+    *            = (ln c_xy − ln N_b) − (ln c_x − ln N_u) − (ln c_y − ln N_u)
+    *
+    * computed in that exact subtraction form (all five logs are
+    * [[DetMath]] over modest integer counts; no giant products to
+    * overflow). Min count c_xy ≥ 5 filters the unstable tail BEFORE the
+    * joins; ties broken by bigram text.
+    *
+    * Plan/scale: one tokens scan feeds both the unigram agg and the
+    * bigram agg (two uniform-key shuffles); the surviving (≥5) bigrams
+    * join the unigram counts twice on the token key. N_u/N_b ride in as
+    * broadcast 1-row aggregates. At 100 TB the ≥5 filter is what keeps
+    * the join input bounded — the bigram tail is Zipf-long but the
+    * filter is applied at the agg output, before any join. */
+  def pmi(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(expr(Toks).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val bg = toks.select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+                       i -> named_struct('l', element_at(toks, i),
+                                         'r', element_at(toks, i + 1)))
+           ELSE array() END""")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
+    val nu = DetMath.withLn(uni.agg(sum(col("c_t")).as("n_u")), "n_u", "lnu")
+      .select(col("lnu_ln").as("ln_nu"))
+    val nb = DetMath.withLn(bg.agg(sum(col("c_xy")).as("n_b")), "n_b", "lnb")
+      .select(col("lnb_ln").as("ln_nb"))
+    val joined = bg.filter(col("c_xy") >= 5)
+      .join(uni.select(col("tok").as("l"), col("c_t").as("c_l")), "l")
+      .join(uni.select(col("tok").as("r"), col("c_t").as("c_r")), "r")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+    val ln3 = Seq(("c_xy", "lxy"), ("c_l", "lx"), ("c_r", "ly"))
+      .foldLeft(joined) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    ln3
+      .withColumn("pmi",
+        expr("(lxy_ln - ln_nb) - (lx_ln - ln_nu) - (ly_ln - ln_nu)"))
+      .select(concat(col("l"), lit(" "), col("r")).as("bigram"),
+        col("c_xy"), col("c_l"), col("c_r"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
     "t_tfidf" -> tfidf,
+    "t_pmi" -> pmi,
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
@@ -777,5 +826,32 @@ object TextOps {
                                  ORDER BY score DESC, tok) AS rank
              FROM sc)
       SELECT doc_id, rank, tok AS term, score
-      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "t_pmi" -> s"""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT tok, count(*)::BIGINT AS c_t
+              FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+      bg AS (SELECT l, r, count(*)::BIGINT AS c_xy
+             FROM (SELECT toks[i] AS l, toks[i + 1] AS r
+                   FROM (SELECT toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                         FROM t) z)
+             GROUP BY 1, 2),
+      nu AS (SELECT n_u, ${DetMath.lnDuckSelect("n_u", "lnu")}
+             FROM (SELECT sum(c_t)::BIGINT AS n_u FROM uni)),
+      nb AS (SELECT n_b, ${DetMath.lnDuckSelect("n_b", "lnb")}
+             FROM (SELECT sum(c_xy)::BIGINT AS n_b FROM bg)),
+      j AS (SELECT bg.l, bg.r, c_xy, ul.c_t AS c_l, ur.c_t AS c_r
+            FROM bg JOIN uni ul ON bg.l = ul.tok
+                    JOIN uni ur ON bg.r = ur.tok
+            WHERE c_xy >= 5),
+      f AS (SELECT l, r, c_xy, c_l, c_r,
+             ${DetMath.lnDuckSelect("c_xy", "lxy")},
+             ${DetMath.lnDuckSelect("c_l", "lx")},
+             ${DetMath.lnDuckSelect("c_r", "ly")},
+             (lxy_ln - nb.lnb_ln) - (lx_ln - nu.lnu_ln) - (ly_ln - nu.lnu_ln)
+               AS pmi
+            FROM j CROSS JOIN nu CROSS JOIN nb)
+      SELECT l || ' ' || r AS bigram, c_xy, c_l, c_r, pmi
+      FROM f ORDER BY pmi DESC, bigram LIMIT 30""")
 }
