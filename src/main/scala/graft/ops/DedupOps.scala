@@ -102,7 +102,11 @@ object DedupOps {
   def ngramJaccardUncapped(s: SparkSession, d: String): DataFrame =
     ngramJaccardImpl(s, d, maxDf = Int.MaxValue)
 
-  private def ngramJaccardImpl(s: SparkSession, d: String, maxDf: Int): DataFrame =
+  /** Shared candidate-pair intersection counts (a_id, b_id, n_a, n_b,
+    * inter) — the inverted-index pair enumeration used by the Jaccard AND
+    * containment queries (one definition, so a cap/threshold change moves
+    * every consumer in lockstep). */
+  private def pairCounts(s: SparkSession, d: String, maxDf: Int): DataFrame =
     documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
@@ -124,9 +128,29 @@ object DedupOps {
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
+
+  private def ngramJaccardImpl(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    pairCounts(s, d, maxDf)
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter / (n_a + n_b - inter)").as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+      .orderBy("a_id", "b_id")
+
+  /** Asymmetric containment near-dup: |A∩B| / |A| (and /|B|) over the
+    * same distinct-shingle sets — the metric that catches SUBSET
+    * duplication, which symmetric Jaccard misses (a short doc pasted
+    * verbatim into a long one has low Jaccard but containment ≈ 1). A
+    * pair is reported when EITHER direction is ≥ 0.9.
+    *
+    * Plan/scale: identical to the capped Jaccard ([[pairCounts]] — one
+    * shuffle on the shingle key, output-sensitive pair enumeration inside
+    * DF-capped posting lists); only the final scoring differs. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    pairCounts(s, d, maxDf = DefaultMaxDf)
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter / n_a").as("cont_a_in_b"),
+        expr("inter / n_b").as("cont_b_in_a"))
+      .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
   /** MinHash via 16 arithmetic permutations of ONE base hash per shingle:
@@ -773,6 +797,7 @@ object DedupOps {
     "d_span_coverage" -> spanCoverage,
     "d_paragraph_dedup" -> paragraphDedup,
     "d_semantic_dedup" -> semanticDedup,
+    "d_containment" -> containment,
     "d_source_overlap" -> sourceOverlap)
 
   private val SimhashSql =
@@ -941,6 +966,14 @@ object DedupOps {
              inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
+      ORDER BY a_id, b_id""",
+    "d_containment" -> s"""
+      WITH $JaccardCappedCtes
+      SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+             inter / ca.n_sh AS cont_a_in_b,
+             inter / cb.n_sh AS cont_b_in_a
+      FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+      WHERE greatest(inter / ca.n_sh, inter / cb.n_sh) >= 0.9
       ORDER BY a_id, b_id""",
     "d_dedup_clusters" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
