@@ -83,9 +83,59 @@ object ValidationOps {
       .orderBy("constraint_name")
   }
 
+  /** Population-stability-index drift report: for every source, the PSI of
+    * its document-length distribution against the whole corpus —
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *
+    * over 10 fixed-width n_chars buckets (width 250, top-capped), with
+    * add-one smoothing so empty buckets stay finite. The standard batch
+    * acceptance gate: PSI < 0.1 stable, > 0.25 drifted. ln is
+    * [[DetMath]]'s deterministic log in the subtraction form
+    * (ln a₁ − ln n_s) − (ln r₁ − ln N); the per-bucket terms go through
+    * the scaled-BIGINT accumulator so the Σ is order-independent.
+    *
+    * Plan/scale: ONE scan of documents feeds the (source, bucket) agg,
+    * the per-source totals, the corpus bucket agg and the grand total —
+    * all tiny (catalog × 10 rows) after their uniform-key shuffles; the
+    * bucket grid is densified from a sequence explode so zero-count
+    * buckets still contribute their smoothed term. Everything after the
+    * first agg is catalog-sized. Buckets are data-independent constants —
+    * no quantile pass, no global sort at any scale. */
+  def drift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("source"),
+        expr("least(cast(n_chars as bigint) div 250, cast(9 as bigint))").as("b"))
+    val bySrc = docs.groupBy("source", "b").agg(count(lit(1)).as("a"))
+    val srcTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val corpus = docs.groupBy("b").agg(count(lit(1)).as("r"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    val grid = srcTot
+      .select(col("source"), col("n_s"), explode(expr("sequence(0L, 9L)")).as("b"))
+    val joined = grid
+      .join(bySrc, Seq("source", "b"), "left").na.fill(0L, Seq("a"))
+      .join(corpus, Seq("b"), "left").na.fill(0L, Seq("r"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("a1", col("a") + lit(1L))
+      .withColumn("ns1", col("n_s") + lit(10L))
+      .withColumn("r1", col("r") + lit(1L))
+      .withColumn("nt1", col("n_tot") + lit(10L))
+    val lns = Seq(("a1", "la"), ("ns1", "lns"), ("r1", "lr"), ("nt1", "lnt"))
+      .foldLeft(joined) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    lns
+      .withColumn("term", expr(
+        "cast(round(((a1 / ns1 - r1 / nt1) * ((la_ln - lns_ln) - (lr_ln - lnt_ln))) * 1.0e9) as bigint)"))
+      .groupBy("source", "n_s")
+      .agg(sum(col("term")).as("st"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("(st / 1.0e9)").as("psi"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_profile" -> profile,
-    "v_constraints" -> constraints)
+    "v_constraints" -> constraints,
+    "v_drift" -> drift)
 
   val oracles: Map[String, String] = Map(
     "v_profile" -> {
@@ -122,5 +172,34 @@ object ValidationOps {
         FROM (SELECT doc_id, count(*)::BIGINT n FROM documents
               GROUP BY 1 HAVING count(*) > 1))
       SELECT constraint_name, n_violations, n_violations = 0 AS passed
-      FROM l ORDER BY constraint_name""")
+      FROM l ORDER BY constraint_name""",
+    "v_drift" -> s"""
+      WITH dd AS (SELECT source,
+                    least(n_chars::BIGINT // 250, 9::BIGINT) AS b
+                  FROM documents),
+      bysrc AS (SELECT source, b, count(*)::BIGINT AS a FROM dd GROUP BY 1, 2),
+      st AS (SELECT source, count(*)::BIGINT AS n_s FROM dd GROUP BY 1),
+      cb AS (SELECT b, count(*)::BIGINT AS r FROM dd GROUP BY 1),
+      nt AS (SELECT count(*)::BIGINT AS n_tot FROM dd),
+      grid AS (SELECT source, n_s, unnest(generate_series(0, 9))::BIGINT AS b
+               FROM st),
+      j AS (SELECT g.source, g.n_s, g.b,
+              coalesce(bysrc.a, 0)::BIGINT AS a,
+              coalesce(cb.r, 0)::BIGINT AS r, nt.n_tot
+            FROM grid g
+            LEFT JOIN bysrc ON g.source = bysrc.source AND g.b = bysrc.b
+            LEFT JOIN cb ON g.b = cb.b
+            CROSS JOIN nt),
+      t AS (SELECT source, n_s,
+              a + 1 AS a1, n_s + 10 AS ns1, r + 1 AS r1, n_tot + 10 AS nt1,
+              ${DetMath.lnDuckSelect("a1", "la")},
+              ${DetMath.lnDuckSelect("ns1", "lns")},
+              ${DetMath.lnDuckSelect("r1", "lr")},
+              ${DetMath.lnDuckSelect("nt1", "lnt")},
+              round(((a1 / ns1 - r1 / nt1)
+                     * ((la_ln - lns_ln) - (lr_ln - lnt_ln))) * 1.0e9)::BIGINT
+                AS term
+            FROM j)
+      SELECT source, n_s AS n_docs, (sum(term)::BIGINT / 1.0e9) AS psi
+      FROM t GROUP BY 1, 2 ORDER BY source""")
 }
