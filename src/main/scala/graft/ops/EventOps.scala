@@ -173,7 +173,75 @@ object EventOps {
         max(col("value")).as("max_value"))
       .orderBy("event_type")
 
+  /** CDC upsert / MERGE-INTO semantics without a table format: a
+    * deterministic changelog (updates to every key ≡3 mod 10, inserts of
+    * fresh keys from every key ≡7 mod 10) merged into the `orders`
+    * snapshot — updates win over base, inserts append, untouched rows
+    * keep. Reported as a per-op summary (row count + exact price total)
+    * so the whole merge is content-checked, not just counted.
+    *
+    * Plan/scale: ONE full-outer sort-merge join on the (uniform) key —
+    * the merge-on-read shape; at 100 TB both sides bucket/sort by the key
+    * so the join is exchange-free ([[Bucketing]] shows that layout), and
+    * the op-summary agg is catalog-sized. No driver loop, no per-row
+    * lookups. */
+  def qUpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val updates = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") + lit(1.0)).as("price"))
+      .unionByName(orders(s, d)
+        .filter(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + lit(100000000L)).as("k"),
+          col("o_totalprice").as("price")))
+    base.as("b").join(updates.as("u"), col("b.k") === col("u.k"), "full_outer")
+      .select(
+        coalesce(col("u.k"), col("b.k")).as("k"),
+        coalesce(col("u.price"), col("b.price")).as("price"),
+        when(col("u.k").isNull, lit("kept"))
+          .when(col("b.k").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("op"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("total_price"))
+      .orderBy("op")
+  }
+
+  /** Slowly-changing-dimension type 2: collapse each user's event_type
+    * stream into effective-dated history rows (valid_from, valid_to,
+    * is_current) — the standard dimension-build for incremental training
+    * -data snapshots. Run-length grouping via the lag≠current change flag
+    * → running sum; `valid_to` = next run's `valid_from`.
+    *
+    * Plan/scale: two window passes over the SAME (user_id, time)
+    * partitioning (Spark reuses one sort+shuffle) + one uniform-key agg;
+    * the second window runs over run-level rows (tiny). User keys are
+    * uniform — no skew; nothing global. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp", "event_type")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    // valid_from can tie across adjacent runs (equal ts, distinct
+    // event_id) — grp breaks the tie deterministically in both engines
+    val w2 = Window.partitionBy("user_id").orderBy(col("valid_from"), col("grp"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_upsert" -> qUpsertMerge,
+    "e_scd2" -> qScd2,
     "q_json_extract" -> qJsonExtract,
     "e_quality_report" -> qQualityReport,
     "q_tumbling_window" -> qTumbling,
@@ -184,6 +252,43 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_upsert" -> s"""
+      WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+      upd AS (SELECT o_orderkey AS k, o_totalprice + 1.0 AS price
+              FROM orders WHERE o_orderkey % 10 = 3
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_totalprice
+              FROM orders WHERE o_orderkey % 10 = 7),
+      m AS (SELECT coalesce(u.k, b.k) AS k,
+              coalesce(u.price, b.price) AS price,
+              CASE WHEN u.k IS NULL THEN 'kept'
+                   WHEN b.k IS NULL THEN 'inserted'
+                   ELSE 'updated' END AS op
+            FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+      SELECT op, count(*)::BIGINT AS n_rows, ${dsumSql("price")} AS total_price
+      FROM m GROUP BY op ORDER BY op""",
+    "e_scd2" -> """
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                    event_id
+                  FROM events),
+      f AS (SELECT *, CASE WHEN lag(event_type)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+            FROM ev),
+      g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                        AS grp
+            FROM f),
+      r AS (SELECT user_id, grp, event_type, min(ts) AS valid_from,
+              count(*)::BIGINT AS n_events
+            FROM g GROUP BY 1, 2, 3),
+      l AS (SELECT *, lead(valid_from)
+                        OVER (PARTITION BY user_id ORDER BY valid_from, grp)
+                        AS valid_to
+            FROM r)
+      SELECT user_id, event_type, valid_from, valid_to,
+             valid_to IS NULL AS is_current, n_events
+      FROM l ORDER BY user_id, valid_from, grp""",
     "e_quality_report" -> """
       SELECT event_type,
              count(*) AS n_rows,
