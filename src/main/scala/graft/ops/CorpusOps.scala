@@ -427,7 +427,46 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** Curriculum staging: every document globally ranked by the
+    * [[TextOps.quality]] score (best first, doc_id tie-break) and split
+    * into 4 stages — the easy→hard ordering a curriculum-trained run
+    * consumes, with the rank kept so a scheduler can stream in order.
+    *
+    * The global rank is NOT a single-partition window: it decomposes as
+    * bucket-local row_number + a prefix-sum base over fixed-width score
+    * buckets (floor(score·20)) — the [[seqPackGlobal]] two-phase shape.
+    * Local windows partition by bucket; the base table is catalog-sized
+    * and broadcast. stage = 4·(rank−1) DIV N + 1 with N a broadcast
+    * 1-row count. At 100 TB: widen to ~1e4 buckets (still catalog-sized)
+    * so each bucket's local sort fits an executor; everything else is
+    * unchanged. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = TextOps.quality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("bkt", expr(
+        "least(greatest(cast(floor(quality_score * 20.0e0) as bigint), -20L), 40L)"))
+    val bases = scored.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(
+        sum(col("cnt")).over(
+          w.orderBy(col("bkt").desc).rowsBetween(w.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("base"))
+    val nTot = scored.agg(count(lit(1)).as("n_tot"))
+    scored
+      .withColumn("lr", row_number().over(
+        w.partitionBy(col("bkt"))
+          .orderBy(col("quality_score").desc, col("doc_id"))).cast("bigint"))
+      .join(broadcast(bases), "bkt")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("quality_score"),
+        (col("base") + col("lr")).as("rank"),
+        expr("(4 * (base + lr - 1)) DIV n_tot + 1").as("stage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_curriculum" -> curriculum,
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,
     "t_seq_pack_global" -> seqPackGlobal,
@@ -442,6 +481,19 @@ object CorpusOps {
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
   val oracles: Map[String, String] = Map(
+    // the quality subquery IS the t_quality oracle text — one source of
+    // truth, so a scoring change moves both queries in lockstep
+    "t_curriculum" -> s"""
+      WITH q AS (SELECT doc_id, quality_score
+                 FROM (${TextOps.oracles("t_quality")})),
+      r AS (SELECT doc_id, quality_score,
+              row_number() OVER (ORDER BY quality_score DESC, doc_id)::BIGINT
+                AS rank,
+              count(*) OVER ()::BIGINT AS n_tot
+            FROM q)
+      SELECT doc_id, quality_score, rank,
+             (4 * (rank - 1)) // n_tot + 1 AS stage
+      FROM r ORDER BY doc_id""",
     "t_mix_weights" -> s"""
       WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
                     sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

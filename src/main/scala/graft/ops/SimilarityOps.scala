@@ -70,6 +70,29 @@ object SimilarityOps {
        list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        (a, v) -> a + v)))"""
 
+  /** Threshold (range) search: every corpus vector within cosine ≥ 0.2 of
+    * each query vector — the "find ALL near matches" complement of top-k
+    * (dedup sweeps and contamination checks want a radius, not a count).
+    * Exact scan tier: broadcast queries, one narrow pass over the corpus,
+    * codegen'd `vec_dot`, no shuffle at all (output is filter-selective).
+    * At 100 TB the same predicate runs per-IVF-cell ([[ivfTopk]]'s
+    * layout) to prune the scan; the brute tier here is the recall
+    * baseline the cell-probe variant is measured against
+    * ([[annRecall]]'s pattern). */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val q = v.filter(col("vec_id") < 5)
+    broadcast(q.as("q"))
+      .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        expr(s"(${Vec.dot("`q`.embedding", "`c`.embedding")}) / (`q`.nrm * `c`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .orderBy("q_id", "vec_id")
+  }
+
   /** Brute-force cosine top-10 for each query vector (vec_id < 5),
     * broadcast-joined against the corpus; per-query window rank. */
   def cosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -503,6 +526,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
     "s_ivf_topk" -> ivfTopk,
@@ -513,6 +537,11 @@ object SimilarityOps {
     "s_ivfpq_topk" -> ivfPqTopk)
 
   val oracles: Map[String, String] = Map(
+    "s_range_search" -> s"""
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $cosineSql AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5 AND $cosineSql >= 0.2
+      ORDER BY q_id, vec_id""",
     "s_cosine_topk" -> s"""
       WITH ranked AS (
         SELECT q.vec_id q_id, c.vec_id vec_id, $cosineSql AS cosine,
