@@ -591,11 +591,54 @@ object TextOps {
       .limit(30)
   }
 
+  /** Winnowing fingerprint selection (the MOSS algorithm, Schleimer et
+    * al., SIGMOD 2003): positional 3-token shingles → 60-bit hashes →
+    * sliding window of 4 → keep each window's MINIMUM hash → the distinct
+    * survivors are the document's fingerprints. Guarantees any shared run
+    * of ≥ 6 tokens contributes at least one COMMON fingerprint, at ~1/4
+    * the stored hashes — the sub-document overlap detector that is robust
+    * to insertions (unlike [[fingerprint]]'s whole-doc hash). Reported
+    * per-doc: positional gram count, fingerprints kept, and how many of
+    * them are shared with ≥ 1 other document.
+    *
+    * Plan/scale: posexplode → one per-doc sliding-window min (uniform
+    * doc_id partitions) → distinct → one fingerprint-key agg for the
+    * document-frequency join. All keys uniform (md5-derived); the
+    * fingerprint relation is ~n_grams/4 rows. Nothing global, no HOF
+    * lambdas in the hot path (the hash is a codegen'd per-row conv). */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(1, size(toks) - 2),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                           ' ', element_at(toks, i + 2)))
+           ELSE array() END""")).as(Seq("pos", "sh")))
+      .withColumn("h", expr(DedupOps.h60("sh")))
+    val sel = grams
+      .withColumn("fp", min(col("h")).over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"), col("fp")).distinct()
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dfp = sel.groupBy("fp").agg(count(lit(1)).as("docs_with"))
+    val shared = sel.join(dfp, "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("n_grams"))
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_fp", "n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
     "t_tfidf" -> tfidf,
     "t_pmi" -> pmi,
+    "t_winnow" -> winnow,
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
     "t_quality" -> quality,
@@ -853,5 +896,32 @@ object TextOps {
                AS pmi
             FROM j CROSS JOIN nu CROSS JOIN nb)
       SELECT l || ' ' || r AS bigram, c_xy, c_l, c_r, pmi
-      FROM f ORDER BY pmi DESC, bigram LIMIT 30""")
+      FROM f ORDER BY pmi DESC, bigram LIMIT 30""",
+    "t_winnow" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 2)) AS i
+                  FROM t WHERE len(toks) >= 3) z),
+      h AS (SELECT doc_id, pos, ${DedupOps.h60Sql("sh")} AS hv FROM g),
+      wmin AS (SELECT doc_id, pos,
+                min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+               FROM h),
+      sel AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 4),
+      pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1),
+      dfp AS (SELECT fp, count(*)::BIGINT AS docs_with FROM sel GROUP BY 1),
+      sh2 AS (SELECT s2.doc_id, count(*)::BIGINT AS n_fp,
+                sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_shared
+              FROM sel s2 JOIN dfp USING (fp) GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+             coalesce(n_fp, 0)::BIGINT AS n_fp,
+             coalesce(n_shared, 0)::BIGINT AS n_shared
+      FROM documents d
+      LEFT JOIN pd ON d.doc_id = pd.doc_id
+      LEFT JOIN sh2 ON d.doc_id = sh2.doc_id
+      ORDER BY d.doc_id""")
 }
