@@ -601,11 +601,14 @@ object TextOps {
     * per-doc: positional gram count, fingerprints kept, and how many of
     * them are shared with ≥ 1 other document.
     *
-    * Plan/scale: posexplode → one per-doc sliding-window min (uniform
-    * doc_id partitions) → distinct → one fingerprint-key agg for the
-    * document-frequency join. All keys uniform (md5-derived); the
-    * fingerprint relation is ~n_grams/4 rows. Nothing global, no HOF
-    * lambdas in the hot path (the hash is a codegen'd per-row conv). */
+    * Plan/scale: ONE explode of the gram stream (the per-doc gram COUNT
+    * is a narrow size() projection, not a second pass) → per-doc
+    * sliding-window min (uniform doc_id partitions) → distinct →
+    * document-frequency via `count over (partition by fp)` (the
+    * one-scan d_span_coverage shape — no self-join) → per-doc agg. All
+    * keys uniform (md5-derived); the fingerprint relation is ~n_grams/4
+    * rows; no HOF lambdas in the hot path (the hash is a codegen'd
+    * per-row conv). */
   def winnow(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = documents(s, d)
@@ -617,18 +620,17 @@ object TextOps {
                            ' ', element_at(toks, i + 2)))
            ELSE array() END""")).as(Seq("pos", "sh")))
       .withColumn("h", expr(DedupOps.h60("sh")))
-    val sel = grams
+    val shared = grams
       .withColumn("fp", min(col("h")).over(
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)))
       .filter(col("pos") >= 3)
       .select(col("doc_id"), col("fp")).distinct()
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val dfp = sel.groupBy("fp").agg(count(lit(1)).as("docs_with"))
-    val shared = sel.join(dfp, "fp")
+      .withColumn("docs_with", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"),
         sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
-    documents(s, d).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("n_grams"))
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(s"cast(greatest(size($Toks) - 2, 0) as bigint)").as("n_grams"))
       .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_fp", "n_shared"))
       .orderBy("doc_id")
   }
