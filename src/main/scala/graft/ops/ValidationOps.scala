@@ -132,10 +132,56 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** Vocabulary-level drift: per-source KL divergence of the token
+    * distribution against the whole corpus, over the source's OBSERVED
+    * support —
+    *
+    *   KL_obs(P_s ‖ Q) = Σ_{t∈s} (a_t/n_s) · ln( (a_t/n_s) / (c_t/N) )
+    *
+    * (observed-support form: zero-count vocabulary terms are skipped, so
+    * the relation stays sparse — the dense smoothed grid would be
+    * |vocab|×|sources| rows, pointless at scale; c_t ≥ a_t ≥ 1 keeps
+    * every log finite without smoothing). The n_chars-bucket [[drift]]
+    * catches length drift; this catches CONTENT drift — a source whose
+    * vocabulary diverges from the mix. ln via [[DetMath]]; per-source Σ
+    * through a 1e12-scaled BIGINT accumulator (terms are ≤ ~20·p, so the
+    * scaled sum is ≤ ~2e13 — far inside BIGINT).
+    *
+    * Plan/scale: one tokens explode → (source, tok) agg; the per-source
+    * totals and the corpus per-token counts both derive from THAT
+    * relation (no second scan); one shuffle join on the uniform token
+    * key; totals ride in broadcast. All catalog- or vocab-sized after
+    * the first agg. */
+  def klSources(s: SparkSession, d: String): DataFrame = {
+    val st = documents(s, d)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val srcTot = DetMath.withLn(
+      st.groupBy("source").agg(sum(col("a")).as("n_s")), "n_s", "lns")
+      .select(col("source"), col("n_s"), col("lns_ln"))
+    val corp = st.groupBy("tok").agg(sum(col("a")).as("c"))
+    val nTot = DetMath.withLn(
+      corp.agg(sum(col("c")).as("n_tot")), "n_tot", "lnt")
+      .select(col("lnt_ln"))
+    val joined = st.join(corp, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(nTot))
+    val lns = Seq(("a", "la"), ("c", "lc"))
+      .foldLeft(joined) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    lns
+      .withColumn("term", expr(
+        "cast(round(((a / n_s) * ((la_ln - lns_ln) - (lc_ln - lnt_ln))) * 1.0e12) as bigint)"))
+      .groupBy("source", "n_s").agg(sum(col("term")).as("st"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        expr("st / 1.0e12").as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_profile" -> profile,
     "v_constraints" -> constraints,
-    "v_drift" -> drift)
+    "v_drift" -> drift,
+    "v_kl_sources" -> klSources)
 
   val oracles: Map[String, String] = Map(
     "v_profile" -> {
@@ -201,5 +247,28 @@ object ValidationOps {
                 AS term
             FROM j)
       SELECT source, n_s AS n_docs, (sum(term)::BIGINT / 1.0e9) AS psi
+      FROM t GROUP BY 1, 2 ORDER BY source""",
+    "v_kl_sources" -> s"""
+      WITH st AS (SELECT source, tok, count(*)::BIGINT AS a
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2),
+      stot AS (SELECT source, n_s, ${DetMath.lnDuckSelect("n_s", "lns")}
+               FROM (SELECT source, sum(a)::BIGINT AS n_s FROM st GROUP BY 1)),
+      corp AS (SELECT tok, sum(a)::BIGINT AS c FROM st GROUP BY 1),
+      nt AS (SELECT n_tot, ${DetMath.lnDuckSelect("n_tot", "lnt")}
+             FROM (SELECT sum(c)::BIGINT AS n_tot FROM corp)),
+      j AS (SELECT st.source, a, c, stot.n_s, stot.lns_ln, nt.lnt_ln
+            FROM st JOIN corp USING (tok)
+            JOIN stot ON st.source = stot.source
+            CROSS JOIN nt),
+      t AS (SELECT source, n_s,
+              ${DetMath.lnDuckSelect("a", "la")},
+              ${DetMath.lnDuckSelect("c", "lc")},
+              round(((a / n_s) * ((la_ln - lns_ln) - (lc_ln - lnt_ln)))
+                    * 1.0e12)::BIGINT AS term
+            FROM j)
+      SELECT source, n_s AS n_tokens, (sum(term)::BIGINT / 1.0e12)
+               AS kl_vs_corpus
       FROM t GROUP BY 1, 2 ORDER BY source""")
 }
