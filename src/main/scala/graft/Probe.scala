@@ -17,10 +17,15 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // SPARK_GRAFT_EXEC=1: run the query first and print the FINAL adaptive
+    // plan — the only way to see AQE's runtime exchange/stage reuse, which
+    // the pre-execution string hides.
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     for (q <- args) {
       println(s"==== $q ====")
-      println(SparkEntry.queries(q)(s, sf)
-        .queryExecution.executedPlan.toString.take(12000))
+      val df = SparkEntry.queries(q)(s, sf)
+      if (exec) df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString.take(12000))
     }
   }
 }

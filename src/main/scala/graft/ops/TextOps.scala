@@ -482,29 +482,35 @@ object TextOps {
     * ln via [[DetMath]]; the per-doc Σ through the scaled-BIGINT
     * accumulator (order-independent, engine-exact).
     *
-    * Plan/scale: one explode → vocab agg (one uniform-key shuffle) →
-    * tokens⋈vocab shuffle join on the token key → per-doc agg. The (N,V)
-    * corpus constants are a 1-row aggregate broadcast-cross-joined in —
-    * no driver round-trip. At 100 TB: the vocab join is the standard
-    * skew case ("the" is hot) — AQE skew-join splits it, or broadcast a
-    * frequency-capped vocab; the shape is unchanged. */
+    * Plan/scale: the corpus count c_t is a WINDOW count over the token
+    * stream — not a tokens⋈vocab join, which would re-expand the explode
+    * subtree (Catalyst does not reuse differently-pruned exchanges); the
+    * constant ln(N+V) never enters the per-token term (it subtracts
+    * once per doc AFTER the sum), so the scoring path is explode →
+    * token-key window → per-doc agg: two uniform-key shuffles, one
+    * scan. The (N,V) constants are the only second pass, and their
+    * explode feeds straight into a partial-aggregated count — no wide
+    * rows move. "the" is the standard hot token: AQE splits the window
+    * partition's skew, or pre-cap the window with a salted two-level
+    * count at 100 TB; the shape is unchanged. */
   def unigramLm(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val toks = documents(s, d).select(col("doc_id"), explode(expr(Toks)).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
     val denom = DetMath.withLn(
-      vocab.agg(sum(col("c_t")).as("n_total"), count(lit(1)).as("v_size"))
+      toks.agg(count(lit(1)).as("n_total"), count_distinct(col("tok")).as("v_size"))
         .withColumn("nv", col("n_total") + col("v_size")),
       "nv", "ld")
       .select(col("ld_ln").as("ln_denom"))
-    val terms = DetMath.withLn(
-      toks.join(vocab, "tok").withColumn("c1", col("c_t") + lit(1L)),
+    val scored = DetMath.withLn(
+      toks
+        .withColumn("c1", count(lit(1)).over(w.partitionBy("tok")) + lit(1L)),
       "c1", "lnum")
-      .crossJoin(broadcast(denom))
-      .withColumn("term", expr("cast(round((lnum_ln - ln_denom) * 1.0e9) as bigint)"))
-    terms.groupBy("doc_id")
+      .withColumn("term", expr("cast(round(lnum_ln * 1.0e9) as bigint)"))
+    scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("term")).as("sl"))
+      .crossJoin(broadcast(denom))
       .select(col("doc_id"), col("n_tokens"),
-        expr("(sl / 1.0e9) / n_tokens").as("avg_logprob"))
+        expr("(sl / 1.0e9) / n_tokens - ln_denom").as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -517,22 +523,24 @@ object TextOps {
     * both engines); ties broken by term so the top-3 is fully
     * deterministic.
     *
-    * Plan/scale: explode → (doc, term) count (one shuffle) → term-level
-    * df agg (second shuffle, term key) → tf⋈df shuffle join → per-doc
-    * row_number window (doc key — uniform). D rides in as a broadcast
-    * 1-row aggregate; its count-only scan reads zero parquet columns.
-    * The window's top-k gets the WindowGroupLimit partial/final pushdown
+    * Plan/scale: ONE pass — explode → (doc, term) count → document
+    * frequency as `count over (partition by term)` on that same relation
+    * (a tf⋈df self-join would re-expand the explode subtree — Catalyst
+    * does not reuse differently-pruned exchanges) → per-doc row_number
+    * window (doc key — uniform). D rides in as a broadcast 1-row
+    * aggregate; its count-only scan reads zero parquet columns. The
+    * window's top-k gets the WindowGroupLimit partial/final pushdown
     * (rank ≤ 3 filtered below the shuffle) on Spark 4. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = documents(s, d)
       .select(col("doc_id"), explode(expr(Toks)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df_t"))
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("tok")))
     val nd = DetMath.withLn(
       documents(s, d).agg(count(lit(1)).as("n_docs")), "n_docs", "ld")
       .select(col("ld_ln").as("ln_d"))
-    DetMath.withLn(tf.join(dft, "tok"), "df_t", "ldf")
+    DetMath.withLn(tf, "df_t", "ldf")
       .crossJoin(broadcast(nd))
       .withColumn("score", expr("c * (ln_d - ldf_ln)"))
       .withColumn("rank", row_number().over(
@@ -841,31 +849,34 @@ object TextOps {
     "t_unigram_lm" -> s"""
       WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents),
-      v AS (SELECT tok, count(*)::BIGINT AS c_t FROM tk GROUP BY 1),
-      kd AS (SELECT n_total + v_size AS nv,
-              ${DetMath.lnDuckSelect("nv", "ld")}
-             FROM (SELECT sum(c_t)::BIGINT AS n_total,
-                          count(*)::BIGINT AS v_size FROM v)),
-      t AS (SELECT doc_id, c_t + 1 AS c1,
+      kd AS (SELECT nv, ${DetMath.lnDuckSelect("nv", "ld")}
+             FROM (SELECT (count(*) + count(DISTINCT tok))::BIGINT AS nv
+                   FROM tk)),
+      wd AS (SELECT doc_id,
+               count(*) OVER (PARTITION BY tok)::BIGINT + 1 AS c1
+             FROM tk),
+      t AS (SELECT doc_id,
              ${DetMath.lnDuckSelect("c1", "lnum")},
-             round((lnum_ln - kd.ld_ln) * 1.0e9)::BIGINT AS term
-            FROM tk JOIN v USING (tok) CROSS JOIN kd)
+             round(lnum_ln * 1.0e9)::BIGINT AS term
+            FROM wd)
       SELECT doc_id, count(*)::BIGINT AS n_tokens,
-             (sum(term)::BIGINT / 1.0e9) / count(*) AS avg_logprob
-      FROM t GROUP BY doc_id ORDER BY doc_id""",
+             (sum(term)::BIGINT / 1.0e9) / count(*) - kd.ld_ln AS avg_logprob
+      FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln ORDER BY doc_id""",
     "t_tfidf" -> s"""
       WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                         FROM documents)
                   GROUP BY 1, 2),
-      dft AS (SELECT tok, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+      wd AS (SELECT doc_id, tok, c,
+               count(*) OVER (PARTITION BY tok)::BIGINT AS df_t
+             FROM tf),
       nd AS (SELECT n_docs,
               ${DetMath.lnDuckSelect("n_docs", "ld")}
              FROM (SELECT count(*)::BIGINT AS n_docs FROM documents)),
       sc AS (SELECT doc_id, tok, c, df_t,
               ${DetMath.lnDuckSelect("df_t", "ldf")},
               c * (nd.ld_ln - ldf_ln) AS score
-             FROM tf JOIN dft USING (tok) CROSS JOIN nd),
+             FROM wd CROSS JOIN nd),
       rk AS (SELECT doc_id, tok, score,
               row_number() OVER (PARTITION BY doc_id
                                  ORDER BY score DESC, tok) AS rank

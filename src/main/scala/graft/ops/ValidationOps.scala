@@ -147,33 +147,33 @@ object ValidationOps {
     * through a 1e12-scaled BIGINT accumulator (terms are ≤ ~20·p, so the
     * scaled sum is ≤ ~2e13 — far inside BIGINT).
     *
-    * Plan/scale: one tokens explode → (source, tok) agg; the per-source
-    * totals and the corpus per-token counts both derive from THAT
-    * relation (no second scan); one shuffle join on the uniform token
-    * key; totals ride in broadcast. All catalog- or vocab-sized after
-    * the first agg. */
+    * Plan/scale: genuinely ONE pass over the token stream. The corpus
+    * per-token counts and per-source totals are WINDOW sums over the
+    * (source, tok) agg — not self-joins, which would re-expand the
+    * explode subtree per consumer (measured: Catalyst does NOT reuse
+    * those exchanges — the consumers prune differently). ln(N) never
+    * appears in the per-row term at all: Σ_t p_t = 1 on the observed
+    * support, so Σ p·ln N = ln N and it is added once AFTER the
+    * per-source sum, from a window over the catalog-sized result. Three
+    * vocab-sized shuffles total, zero joins, one scan. */
   def klSources(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val st = documents(s, d)
       .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("a"))
-    val srcTot = DetMath.withLn(
-      st.groupBy("source").agg(sum(col("a")).as("n_s")), "n_s", "lns")
-      .select(col("source"), col("n_s"), col("lns_ln"))
-    val corp = st.groupBy("tok").agg(sum(col("a")).as("c"))
-    val nTot = DetMath.withLn(
-      corp.agg(sum(col("c")).as("n_tot")), "n_tot", "lnt")
-      .select(col("lnt_ln"))
-    val joined = st.join(corp, "tok")
-      .join(broadcast(srcTot), "source")
-      .crossJoin(broadcast(nTot))
-    val lns = Seq(("a", "la"), ("c", "lc"))
-      .foldLeft(joined) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
-    lns
+      .withColumn("c", sum(col("a")).over(w.partitionBy("tok")))
+      .withColumn("n_s", sum(col("a")).over(w.partitionBy("source")))
+    val lns = Seq(("a", "la"), ("c", "lc"), ("n_s", "lns"))
+      .foldLeft(st) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    val perSrc = lns
       .withColumn("term", expr(
-        "cast(round(((a / n_s) * ((la_ln - lns_ln) - (lc_ln - lnt_ln))) * 1.0e12) as bigint)"))
+        "cast(round(((a / n_s) * ((la_ln - lns_ln) - lc_ln)) * 1.0e12) as bigint)"))
       .groupBy("source", "n_s").agg(sum(col("term")).as("st"))
+    DetMath.withLn(
+      perSrc.withColumn("n_tot", sum(col("n_s")).over(w.partitionBy())),
+      "n_tot", "lnt")
       .select(col("source"), col("n_s").as("n_tokens"),
-        expr("st / 1.0e12").as("kl_vs_corpus"))
+        expr("st / 1.0e12 + lnt_ln").as("kl_vs_corpus"))
       .orderBy("source")
   }
 
@@ -253,22 +253,22 @@ object ValidationOps {
                   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
                         FROM documents)
                   GROUP BY 1, 2),
-      stot AS (SELECT source, n_s, ${DetMath.lnDuckSelect("n_s", "lns")}
-               FROM (SELECT source, sum(a)::BIGINT AS n_s FROM st GROUP BY 1)),
-      corp AS (SELECT tok, sum(a)::BIGINT AS c FROM st GROUP BY 1),
-      nt AS (SELECT n_tot, ${DetMath.lnDuckSelect("n_tot", "lnt")}
-             FROM (SELECT sum(c)::BIGINT AS n_tot FROM corp)),
-      j AS (SELECT st.source, a, c, stot.n_s, stot.lns_ln, nt.lnt_ln
-            FROM st JOIN corp USING (tok)
-            JOIN stot ON st.source = stot.source
-            CROSS JOIN nt),
+      win AS (SELECT source, a,
+                sum(a) OVER (PARTITION BY tok)::BIGINT AS c,
+                sum(a) OVER (PARTITION BY source)::BIGINT AS n_s
+              FROM st),
       t AS (SELECT source, n_s,
               ${DetMath.lnDuckSelect("a", "la")},
               ${DetMath.lnDuckSelect("c", "lc")},
-              round(((a / n_s) * ((la_ln - lns_ln) - (lc_ln - lnt_ln)))
+              ${DetMath.lnDuckSelect("n_s", "lns")},
+              round(((a / n_s) * ((la_ln - lns_ln) - lc_ln))
                     * 1.0e12)::BIGINT AS term
-            FROM j)
-      SELECT source, n_s AS n_tokens, (sum(term)::BIGINT / 1.0e12)
-               AS kl_vs_corpus
-      FROM t GROUP BY 1, 2 ORDER BY source""")
+            FROM win),
+      g AS (SELECT source, n_s, sum(term)::BIGINT AS st
+            FROM t GROUP BY 1, 2),
+      f AS (SELECT source, n_s, st, sum(n_s) OVER ()::BIGINT AS n_tot FROM g),
+      l AS (SELECT source, n_s, st, ${DetMath.lnDuckSelect("n_tot", "lnt")}
+            FROM f)
+      SELECT source, n_s AS n_tokens, st / 1.0e12 + lnt_ln AS kl_vs_corpus
+      FROM l ORDER BY source""")
 }
