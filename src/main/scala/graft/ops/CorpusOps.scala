@@ -446,19 +446,20 @@ object CorpusOps {
       .select(col("doc_id"), col("quality_score"))
       .withColumn("bkt", expr(
         "least(greatest(cast(floor(quality_score * 20.0e0) as bigint), -20L), 40L)"))
+    // n_tot rides the catalog-sized bases relation as a window sum — a
+    // separate count branch would re-expand the scoring scan
     val bases = scored.groupBy("bkt").agg(count(lit(1)).as("cnt"))
       .withColumn("base", coalesce(
         sum(col("cnt")).over(
           w.orderBy(col("bkt").desc).rowsBetween(w.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("bkt"), col("base"))
-    val nTot = scored.agg(count(lit(1)).as("n_tot"))
+      .withColumn("n_tot", sum(col("cnt")).over(w.partitionBy()))
+      .select(col("bkt"), col("base"), col("n_tot"))
     scored
       .withColumn("lr", row_number().over(
         w.partitionBy(col("bkt"))
           .orderBy(col("quality_score").desc, col("doc_id"))).cast("bigint"))
       .join(broadcast(bases), "bkt")
-      .crossJoin(broadcast(nTot))
       .select(col("doc_id"), col("quality_score"),
         (col("base") + col("lr")).as("rank"),
         expr("(4 * (base + lr - 1)) DIV n_tot + 1").as("stage"))

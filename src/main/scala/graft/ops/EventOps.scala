@@ -188,13 +188,15 @@ object EventOps {
   def qUpsertMerge(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    // one changelog scan, not a union of two filtered scans — the update
+    // and insert rows differ only in projection
     val updates = orders(s, d)
-      .filter(col("o_orderkey") % 10 === 3)
-      .select(col("o_orderkey").as("k"), (col("o_totalprice") + lit(1.0)).as("price"))
-      .unionByName(orders(s, d)
-        .filter(col("o_orderkey") % 10 === 7)
-        .select((col("o_orderkey") + lit(100000000L)).as("k"),
-          col("o_totalprice").as("price")))
+      .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+      .select(
+        when(col("o_orderkey") % 10 === 3, col("o_orderkey"))
+          .otherwise(col("o_orderkey") + lit(100000000L)).as("k"),
+        when(col("o_orderkey") % 10 === 3, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("price"))
     base.as("b").join(updates.as("u"), col("b.k") === col("u.k"), "full_outer")
       .select(
         coalesce(col("u.k"), col("b.k")).as("k"),

@@ -562,12 +562,16 @@ object TextOps {
     * overflow). Min count c_xy ≥ 5 filters the unstable tail BEFORE the
     * joins; ties broken by bigram text.
     *
-    * Plan/scale: one tokens scan feeds both the unigram agg and the
-    * bigram agg (two uniform-key shuffles); the surviving (≥5) bigrams
-    * join the unigram counts twice on the token key. N_u/N_b ride in as
-    * broadcast 1-row aggregates. At 100 TB the ≥5 filter is what keeps
-    * the join input bounded — the bigram tail is Zipf-long but the
-    * filter is applied at the agg output, before any join. */
+    * Plan/scale: one explode each for the unigram and bigram aggs
+    * (inherent — different gram streams), and that is ALL the corpus
+    * passes: the N_u/N_b constants come from one NARROW scan of token
+    * counts (Σ size, Σ size−1 — no explode, partial-agg'd to one row),
+    * and the surviving (≥5) bigrams reach the unigram counts through a
+    * melt — each pair explodes to its two (side, token) rows and joins
+    * the vocab ONCE — instead of two joins that would each re-expand the
+    * unigram subtree (Catalyst does not reuse differently-keyed
+    * exchanges). The ≥5 filter bounds the join input at the agg output,
+    * before anything joins. */
   def pmi(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(expr(Toks).as("toks"))
     val uni = toks.select(explode(col("toks")).as("tok"))
@@ -580,14 +584,24 @@ object TextOps {
            ELSE array() END""")).as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
-    val nu = DetMath.withLn(uni.agg(sum(col("c_t")).as("n_u")), "n_u", "lnu")
-      .select(col("lnu_ln").as("ln_nu"))
-    val nb = DetMath.withLn(bg.agg(sum(col("c_xy")).as("n_b")), "n_b", "lnb")
-      .select(col("lnb_ln").as("ln_nb"))
+    val consts = DetMath.withLn(DetMath.withLn(
+      documents(s, d)
+        .select(expr(s"size($Toks)").cast("long").as("nt"))
+        .agg(sum(col("nt")).as("n_u"),
+          sum(expr("greatest(nt - 1, 0L)")).as("n_b")),
+      "n_u", "lnu"), "n_b", "lnb")
+      .select(col("lnu_ln").as("ln_nu"), col("lnb_ln").as("ln_nb"))
     val joined = bg.filter(col("c_xy") >= 5)
-      .join(uni.select(col("tok").as("l"), col("c_t").as("c_l")), "l")
-      .join(uni.select(col("tok").as("r"), col("c_t").as("c_r")), "r")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("l"), col("r"), col("c_xy"), explode(expr(
+        """array(named_struct('side', 'l', 'tok', l),
+                 named_struct('side', 'r', 'tok', r))""")).as("e"))
+      .select(col("l"), col("r"), col("c_xy"),
+        col("e.side").as("side"), col("e.tok").as("tok"))
+      .join(uni, "tok")
+      .groupBy("l", "r", "c_xy")
+      .agg(max(when(col("side") === "l", col("c_t"))).as("c_l"),
+        max(when(col("side") === "r", col("c_t"))).as("c_r"))
+      .crossJoin(broadcast(consts))
     val ln3 = Seq(("c_xy", "lxy"), ("c_l", "lx"), ("c_r", "ly"))
       .foldLeft(joined) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
     ln3

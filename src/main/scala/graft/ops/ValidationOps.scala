@@ -95,27 +95,31 @@ object ValidationOps {
     * (ln a₁ − ln n_s) − (ln r₁ − ln N); the per-bucket terms go through
     * the scaled-BIGINT accumulator so the Σ is order-independent.
     *
-    * Plan/scale: ONE scan of documents feeds the (source, bucket) agg,
-    * the per-source totals, the corpus bucket agg and the grand total —
-    * all tiny (catalog × 10 rows) after their uniform-key shuffles; the
-    * bucket grid is densified from a sequence explode so zero-count
-    * buckets still contribute their smoothed term. Everything after the
-    * first agg is catalog-sized. Buckets are data-independent constants —
-    * no quantile pass, no global sort at any scale. */
+    * Plan/scale: genuinely ONE scan. The (source, bucket) agg collapses
+    * to a per-source bucket→count MAP (catalog-sized), the dense 10-
+    * bucket grid explodes back out of that map (zero-count buckets
+    * materialize their smoothed term without any join), and the corpus
+    * bucket totals and grand total are WINDOW sums over the K×10 grid —
+    * deriving them from the scan relation instead would re-expand the
+    * scan per consumer (Catalyst does not reuse differently-keyed
+    * exchanges). Buckets are data-independent constants — no quantile
+    * pass, no global sort at any scale; every post-scan relation is
+    * catalog × 10 rows. */
   def drift(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+    val joined = documents(s, d)
       .select(col("source"),
-        expr("least(cast(n_chars as bigint) div 250, cast(9 as bigint))").as("b"))
-    val bySrc = docs.groupBy("source", "b").agg(count(lit(1)).as("a"))
-    val srcTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val corpus = docs.groupBy("b").agg(count(lit(1)).as("r"))
-    val nTot = docs.agg(count(lit(1)).as("n_tot"))
-    val grid = srcTot
-      .select(col("source"), col("n_s"), explode(expr("sequence(0L, 9L)")).as("b"))
-    val joined = grid
-      .join(bySrc, Seq("source", "b"), "left").na.fill(0L, Seq("a"))
-      .join(corpus, Seq("b"), "left").na.fill(0L, Seq("r"))
-      .crossJoin(broadcast(nTot))
+        expr("least(cast(n_chars as bigint) div 250, cast(9 as bigint))").as("b0"))
+      .groupBy("source", "b0").agg(count(lit(1)).as("a0"))
+      .groupBy("source").agg(
+        map_from_entries(collect_list(struct(col("b0"), col("a0")))).as("m"),
+        sum(col("a0")).as("n_s"))
+      .select(col("source"), col("n_s"), col("m"),
+        explode(expr("sequence(0L, 9L)")).as("b"))
+      .withColumn("a", coalesce(expr("element_at(m, b)"), lit(0L)))
+      .drop("m")
+      .withColumn("r", sum(col("a")).over(w.partitionBy("b")))
+      .withColumn("n_tot", sum(col("a")).over(w.partitionBy()))
       .withColumn("a1", col("a") + lit(1L))
       .withColumn("ns1", col("n_s") + lit(10L))
       .withColumn("r1", col("r") + lit(1L))

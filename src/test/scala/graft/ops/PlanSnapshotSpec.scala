@@ -70,7 +70,36 @@ class PlanSnapshotSpec extends SparkSpec {
     "m_audio_windows" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // narrow assignment; broadcast probes; per-query windows ride wgl
     "s_ivfpq_topk" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=4",
-    "s_ivf_topk" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=4")
+    "s_ivf_topk" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=4",
+    // r7 DetMath/info-theoretic batch — all single-pass over the heavy
+    // stream (window aggs instead of self-joins; constants hoisted):
+    // one scan + one Generate for the per-doc families
+    "t_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // scoring pass + narrow constants pass; c_t is a token-key window
+    "t_unigram_lm" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=2 win=1 wgl=0",
+    // df via window on the tf relation; D is a zero-column count scan;
+    // top-3 rides WindowGroupLimit partial+final
+    "t_tfidf" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=1 win=2 wgl=2",
+    // uni + bigram explodes (inherent) + one NARROW constants scan; the
+    // pair→vocab lookup is a single melt join, never two vocab builds
+    "t_pmi" -> "scan=3 xhash=3 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=3 win=0 wgl=0",
+    // gram pass + narrow n_grams projection; doc-frequency via fp window
+    "t_winnow" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
+    // same inverted-index core as d_ngram_jaccard
+    "d_containment" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    // ONE scan: map-densified grid, window totals — no join, no re-scan
+    "v_drift" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
+    // ONE scan: corpus/source totals are windows on the (source,tok) agg
+    "v_kl_sources" -> "scan=1 xhash=3 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=3 wgl=0",
+    // base + single changelog scan; one full-outer sort-merge on the key
+    "e_upsert" -> "scan=2 xhash=3 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // one scan; run-length windows share the (user, time) sort
+    "e_scd2" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
+    // scoring pass + bucket-bases pass (n_tot rides the bases window)
+    "t_curriculum" -> "scan=2 xhash=2 xrange=2 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
+    // broadcast-NLJ of the 5 queries over one narrow corpus pass — the
+    // only exchange is the final output ordering
+    "s_range_search" -> "scan=2 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
