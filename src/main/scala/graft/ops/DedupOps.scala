@@ -65,6 +65,38 @@ object DedupOps {
             c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
           (a, b) -> a * 16 + b)"""
 
+  /** Shared accent→ascii fold for [[normDedup]] — one literal pair,
+    * inlined into BOTH engines' translate() so the mapping can never
+    * diverge. */
+  private val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüñçýÿ"
+  private val AccentTo = "aaaaaaeeeeiiiiooooouuuuncyy"
+
+  /** Normalization-aware exact dedup: lowercase → accent-fold →
+    * punctuation→space → whitespace-collapse → trim, then hash the
+    * NORMALIZED text. Catches the re-encoded/re-punctuated verbatim
+    * copies that byte-exact [[exactDedup]] misses but that are far
+    * cheaper than any fuzzy tier — real curation pipelines run this
+    * normalization before every dedup stage. Reports each doc's
+    * normalized-content hash, its duplicate-group size and the group's
+    * canonical (smallest) doc_id.
+    *
+    * Plan/scale: one scan, narrow codegen'd normalization, ONE shuffle on
+    * the (uniform, md5) hash serving both window aggregates. Same scale
+    * shape as exactDedup. */
+  def normDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("nh")
+    documents(s, d)
+      .withColumn("norm", expr(
+        s"""trim(regexp_replace(regexp_replace(
+              translate(lower(text), '$AccentFrom', '$AccentTo'),
+              '[^a-z0-9 ]', ' '), ' +', ' '))"""))
+      .withColumn("nh", md5(col("norm").cast("binary")))
+      .select(col("doc_id"), col("nh").as("norm_hash"),
+        count(lit(1)).over(w).as("n_dups"),
+        min(col("doc_id")).over(w).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * canonical. The 100 TB pattern: one shuffle on the hash — which is
     * uniformly distributed, so never skewed. */
@@ -778,6 +810,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
+    "d_norm_dedup" -> normDedup,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
@@ -947,6 +980,16 @@ object DedupOps {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d_norm_dedup" -> s"""
+      WITH n AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(
+                translate(lower(text), '$AccentFrom', '$AccentTo'),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+            FROM documents)
+      SELECT doc_id, md5(norm) AS norm_hash,
+             count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
+             min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
+      FROM n ORDER BY doc_id""",
     "d_ngram_jaccard_uncapped" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
