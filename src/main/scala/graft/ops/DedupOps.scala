@@ -97,6 +97,60 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The staged dedup FUNNEL — the report a curation run publishes: how
+    * many documents each dedup tier removes, applied in escalating-cost
+    * order on the previous tier's survivors:
+    *
+    *   1_exact       byte-identical content hash (keep smallest doc_id)
+    *   2_normalized  case/accent/punctuation-folded hash ([[normDedup]])
+    *   3_near_dup    capped shingle-Jaccard ≥ 0.8 edge rule (a doc is
+    *                 removed when paired with any smaller surviving id —
+    *                 the [[semanticDedup]] greedy rule at text grain)
+    *
+    * One row per stage: docs_in, docs_removed, docs_out. All exact
+    * integer counts — trivially oracle-exact.
+    *
+    * Plan/scale: each stage is the same one-uniform-shuffle shape as its
+    * standalone query (hash window / hash window / inverted-index pairs
+    * restricted to survivors by two semi-join-style inner joins on the
+    * uniform id). The stage aggregates are 1-row frames broadcast-stacked
+    * at the end. A production run materializes each survivor set instead
+    * of re-deriving lineage — the COUNTS and the shapes are identical. */
+  def dedupFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val s1 = docs
+      .withColumn("h1", md5(col("text").cast("binary")))
+      .withColumn("k1", min(col("doc_id")).over(w.partitionBy("h1")))
+    val surv1 = s1.filter(col("doc_id") === col("k1"))
+      .select(col("doc_id"), col("text"))
+    val s2 = surv1
+      .withColumn("norm", expr(
+        s"""trim(regexp_replace(regexp_replace(
+              translate(lower(text), '$AccentFrom', '$AccentTo'),
+              '[^a-z0-9 ]', ' '), ' +', ' '))"""))
+      .withColumn("h2", md5(col("norm").cast("binary")))
+      .withColumn("k2", min(col("doc_id")).over(w.partitionBy("h2")))
+    val surv2 = s2.filter(col("doc_id") === col("k2")).select(col("doc_id"))
+    val pairs = pairCounts(s, d, DefaultMaxDf)
+      .filter(expr("inter / (n_a + n_b - inter)") >= 0.8)
+    val removed3 = pairs
+      .join(surv2.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(surv2.withColumnRenamed("doc_id", "b_id"), "b_id")
+      .select(col("b_id")).distinct()
+    val row = docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(broadcast(surv1.agg(count(lit(1)).as("n1"))))
+      .crossJoin(broadcast(surv2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(removed3.agg(count(lit(1)).as("r3"))))
+    row.select(expr(
+      """stack(3,
+           '1_exact',      n0, n0 - n1, n1,
+           '2_normalized', n1, n1 - n2, n2,
+           '3_near_dup',   n2, r3,      n2 - r3)
+         AS (stage, docs_in, docs_removed, docs_out)"""))
+      .orderBy("stage")
+  }
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * canonical. The 100 TB pattern: one shuffle on the hash — which is
     * uniformly distributed, so never skewed. */
@@ -811,6 +865,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_norm_dedup" -> normDedup,
+    "d_dedup_funnel" -> dedupFunnel,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
@@ -990,6 +1045,39 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
              min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
       FROM n ORDER BY doc_id""",
+    "d_dedup_funnel" -> s"""
+      WITH $JaccardCappedCtes,
+      s1 AS (SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS k1
+             FROM documents),
+      sv1 AS (SELECT doc_id, text FROM s1 WHERE doc_id = k1),
+      nn AS (SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                 translate(lower(text), '$AccentFrom', '$AccentTo'),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             FROM sv1),
+      s2 AS (SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(norm)) AS k2
+             FROM nn),
+      sv2 AS (SELECT doc_id FROM s2 WHERE doc_id = k2),
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+      r3 AS (SELECT DISTINCT b_id FROM p
+             JOIN sv2 a2 ON p.a_id = a2.doc_id
+             JOIN sv2 b2 ON p.b_id = b2.doc_id),
+      cn AS (SELECT
+               (SELECT count(*)::BIGINT FROM documents) AS n0,
+               (SELECT count(*)::BIGINT FROM sv1) AS n1,
+               (SELECT count(*)::BIGINT FROM sv2) AS n2,
+               (SELECT count(*)::BIGINT FROM r3) AS r3)
+      SELECT '1_exact' AS stage, n0 AS docs_in, n0 - n1 AS docs_removed,
+             n1 AS docs_out FROM cn
+      UNION ALL
+      SELECT '2_normalized', n1, n1 - n2, n2 FROM cn
+      UNION ALL
+      SELECT '3_near_dup', n2, r3, n2 - r3 FROM cn
+      ORDER BY stage""",
     "d_ngram_jaccard_uncapped" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
