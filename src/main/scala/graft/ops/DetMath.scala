@@ -80,6 +80,51 @@ object DetMath {
   def lnDuck(n: String, p: String): Seq[(String, String)] =
     steps(n, p, k => s"(1::BIGINT << $k)")
 
+  // ---- deterministic exp — same engineering, inverse function ----
+
+  /** 1/j! for j = 0..15 — Taylor for e^r on |r| ≤ ln2/2 ≈ 0.347, where
+    * the 16th term is ~4e-19 relative: below double ulp. */
+  private val ExpCoefs = (0 until 16).map { j =>
+    dlit(1.0 / (1 to j).foldLeft(1L)(_ * _).toDouble)
+  }
+
+  private def expHorner(r: String): String =
+    ExpCoefs.init.foldRight(ExpCoefs.last)((c, acc) => s"(($acc) * $r + $c)")
+
+  /** The four `(alias, expression)` steps computing `exp(x)` into
+    * `<p>_exp` via range reduction x = k·ln2 + r, |r| ≤ ln2/2, then a
+    * fixed-order Taylor Horner and an exact 2^k scale. Same determinism
+    * argument as the ln steps (IEEE ops in fixed order, shared DOUBLE
+    * literals, exact power-of-two scaling); JVM↔DuckDB bit-identical over
+    * a 30k-point grid ([[graft.ops.DetMathSpec]]). Domain: |x| < 43
+    * (beyond that 2^k needs shifts past 62 bits — far outside any
+    * log-prob / perplexity use). `x` must be a DOUBLE expression. */
+  private def expSteps(x: String, p: String, shift1: String => String): Seq[(String, String)] = Seq(
+    s"${p}_k" -> s"cast(floor($x / $Ln2 + 0.5e0) as bigint)",
+    s"${p}_r" -> s"$x - ${p}_k * $Ln2",
+    s"${p}_h" -> expHorner(s"${p}_r"),
+    s"${p}_exp" -> (s"${p}_h * (CASE WHEN ${p}_k >= 0 " +
+      s"THEN cast(${shift1(s"${p}_k")} as double) " +
+      s"ELSE 1.0e0 / cast(${shift1(s"(-${p}_k)")} as double) END)"))
+
+  /** Spark dialect exp steps. shiftleft's bit-count operand is INT. */
+  def expSpark(x: String, p: String): Seq[(String, String)] =
+    expSteps(x, p, k => s"shiftleft(cast(1 as bigint), cast($k as int))")
+
+  /** DuckDB dialect exp steps. */
+  def expDuck(x: String, p: String): Seq[(String, String)] =
+    expSteps(x, p, k => s"(1::BIGINT << $k)")
+
+  /** The DuckDB exp steps as SELECT-list fragments. */
+  def expDuckSelect(x: String, p: String): String =
+    expDuck(x, p).map { case (a, e) => s"$e AS $a" }.mkString(",\n             ")
+
+  /** Apply the Spark exp steps to a DataFrame. */
+  def withExp(df: org.apache.spark.sql.DataFrame, x: String, p: String): org.apache.spark.sql.DataFrame =
+    expSpark(x, p).foldLeft(df) { case (d, (a, e)) =>
+      d.withColumn(a, org.apache.spark.sql.functions.expr(e))
+    }
+
   /** The DuckDB steps rendered as SELECT-list fragments: `expr AS alias,
     * …` — append after the caller's own columns. */
   def lnDuckSelect(n: String, p: String): String =

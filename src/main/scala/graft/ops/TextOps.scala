@@ -493,7 +493,9 @@ object TextOps {
     * rows move. "the" is the standard hot token: AQE splits the window
     * partition's skew, or pre-cap the window with a salted two-level
     * count at 100 TB; the shape is unchanged. */
-  def unigramLm(s: SparkSession, d: String): DataFrame = {
+  /** Shared per-doc unigram-LM scoring relation — (doc_id, n_tokens,
+    * avg_logprob), consumed by [[unigramLm]] and [[perplexity]]. */
+  private def unigramScored(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val toks = documents(s, d).select(col("doc_id"), explode(expr(Toks)).as("tok"))
     val denom = DetMath.withLn(
@@ -511,8 +513,23 @@ object TextOps {
       .crossJoin(broadcast(denom))
       .select(col("doc_id"), col("n_tokens"),
         expr("(sl / 1.0e9) / n_tokens - ln_denom").as("avg_logprob"))
-      .orderBy("doc_id")
   }
+
+  def unigramLm(s: SparkSession, d: String): DataFrame =
+    unigramScored(s, d).orderBy("doc_id")
+
+  /** Per-document perplexity under the corpus unigram LM —
+    * ppl = exp(−avg_logprob), the number actually quoted when a corpus is
+    * filtered "by perplexity" (CCNet keeps the low-ppl tail). Uses
+    * [[DetMath]]'s deterministic exp, so the doubles hash-match DuckDB's
+    * replay of the same steps. Plan identical to [[unigramLm]] plus four
+    * narrow codegen'd columns. */
+  def perplexity(s: SparkSession, d: String): DataFrame =
+    DetMath.withExp(
+      unigramScored(s, d).withColumn("nl", expr("-avg_logprob")), "nl", "px")
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+        col("px_exp").as("ppl"))
+      .orderBy("doc_id")
 
   /** Top-3 TF-IDF terms per document — the keyword/topic extraction pass a
     * curation pipeline runs for faceting and mixture reporting:
@@ -660,6 +677,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
+    "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
     "t_pmi" -> pmi,
     "t_winnow" -> winnow,
@@ -734,6 +752,25 @@ object TextOps {
                AS compression
       FROM dw JOIN wl ON dw.word = wl.word
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB replay of [[unigramScored]] — shared by the t_unigram_lm and
+    * t_perplexity oracles so the scoring chain lives in ONE SQL text. */
+  private val UnigramScoredSql = s"""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      kd AS (SELECT nv, ${DetMath.lnDuckSelect("nv", "ld")}
+             FROM (SELECT (count(*) + count(DISTINCT tok))::BIGINT AS nv
+                   FROM tk)),
+      wd AS (SELECT doc_id,
+               count(*) OVER (PARTITION BY tok)::BIGINT + 1 AS c1
+             FROM tk),
+      t AS (SELECT doc_id,
+             ${DetMath.lnDuckSelect("c1", "lnum")},
+             round(lnum_ln * 1.0e9)::BIGINT AS term
+            FROM wd)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             (sum(term)::BIGINT / 1.0e9) / count(*) - kd.ld_ln AS avg_logprob
+      FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln"""
 
   val oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle,
@@ -861,21 +898,14 @@ object TextOps {
       SELECT doc_id, n AS n_chars_counted, entropy
       FROM f ORDER BY doc_id""",
     "t_unigram_lm" -> s"""
-      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                  FROM documents),
-      kd AS (SELECT nv, ${DetMath.lnDuckSelect("nv", "ld")}
-             FROM (SELECT (count(*) + count(DISTINCT tok))::BIGINT AS nv
-                   FROM tk)),
-      wd AS (SELECT doc_id,
-               count(*) OVER (PARTITION BY tok)::BIGINT + 1 AS c1
-             FROM tk),
-      t AS (SELECT doc_id,
-             ${DetMath.lnDuckSelect("c1", "lnum")},
-             round(lnum_ln * 1.0e9)::BIGINT AS term
-            FROM wd)
-      SELECT doc_id, count(*)::BIGINT AS n_tokens,
-             (sum(term)::BIGINT / 1.0e9) / count(*) - kd.ld_ln AS avg_logprob
-      FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln ORDER BY doc_id""",
+      SELECT * FROM ($UnigramScoredSql) ORDER BY doc_id""",
+    "t_perplexity" -> s"""
+      WITH u AS ($UnigramScoredSql),
+      e AS (SELECT doc_id, n_tokens, avg_logprob, -avg_logprob AS nl,
+             ${DetMath.expDuckSelect("nl", "px")}
+            FROM u)
+      SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
+      FROM e ORDER BY doc_id""",
     "t_tfidf" -> s"""
       WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

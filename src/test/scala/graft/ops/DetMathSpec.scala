@@ -50,6 +50,44 @@ class DetMathSpec extends SparkSpec {
     assert(maxRel < 1e-15, s"max relative error $maxRel")
   }
 
+  /** Scalar reference for the exp steps — same fixed order. */
+  private def expRef(x: Double): Double = {
+    val ln2 = 0.6931471805599453
+    val k = math.floor(x / ln2 + 0.5).toLong
+    val r = x - k * ln2
+    val coefs = (0 until 16).map(j => 1.0 / (1 to j).foldLeft(1L)(_ * _).toDouble)
+    var h = coefs.last
+    var j = coefs.length - 2
+    while (j >= 0) { h = h * r + coefs(j); j -= 1 }
+    h * (if (k >= 0) (1L << k).toDouble else 1.0 / (1L << -k))
+  }
+
+  test("expSpark bit-matches the scalar JVM reference over [-15, 15]") {
+    import spark.implicits._
+    val df = spark.range(0, 30001).toDF("i")
+      .selectExpr("i", "i / 1000.0e0 - 15.0e0 as x")
+    val rows = DetMath.withExp(df, "x", "e")
+      .selectExpr("x", "e_exp")
+      .collect()
+    assert(rows.length == 30001)
+    rows.foreach { r =>
+      val x = r.getDouble(0)
+      val got = java.lang.Double.doubleToLongBits(r.getDouble(1))
+      val want = java.lang.Double.doubleToLongBits(expRef(x))
+      assert(got == want, s"exp($x): got bits $got want $want")
+    }
+  }
+
+  test("expSpark is accurate vs Math.exp") {
+    import spark.implicits._
+    val df = spark.range(0, 30001).toDF("i")
+      .selectExpr("i / 1000.0e0 - 15.0e0 as x")
+    val maxRel = DetMath.withExp(df, "x", "e")
+      .selectExpr("max(abs(e_exp - exp(x)) / exp(x))")
+      .as[Double].head()
+    assert(maxRel < 1e-14, s"max relative error $maxRel")
+  }
+
   test("spark and duck step chains differ only in the shift fragment") {
     val sp = DetMath.lnSpark("x", "p").toMap
     val du = DetMath.lnDuck("x", "p").toMap
