@@ -151,6 +151,61 @@ object DedupOps {
       .orderBy("stage")
   }
 
+  /** PageRank over the near-dup graph — which documents are duplication
+    * HUBS (the template/boilerplate centers a curator wants to inspect
+    * first), not just members of some cluster. Computed in FIXED-POINT
+    * INTEGER arithmetic (1e-9 units): uniform init Scale/N, then three
+    * rounds of
+    *
+    *   r'(v) = (15·(Scale DIV N)) DIV 100
+    *         + (85 · Σ_{u→v} (r(u) DIV deg(u))) DIV 100
+    *
+    * — every operation is BIGINT division/multiplication/sum, so the
+    * result is bit-exact in any engine with no floating-point anywhere
+    * (the classic damping-0.85 update, truncated instead of rounded; both
+    * engines truncate identically on positives). Isolated documents (no
+    * near-dup edge) are not graph nodes and are not reported.
+    *
+    * Plan/scale: the edge list is the capped-Jaccard pair output,
+    * materialized ONCE (localCheckpoint — the [[dedupClusters]] pattern)
+    * so the three iterations re-read a parquet-sized relation instead of
+    * re-running the shingle pipeline; each round is one uniform-key join
+    * + one uniform-key agg — the canonical distributed PageRank shape.
+    * The node count is a driver scalar (one count of a checkpointed
+    * relation), inlined into the update as a literal. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000L
+    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val nN = nodes.count()
+    if (nN == 0) {
+      // empty graph (tiny SF): empty frame with the contract schema
+      return nodes.select(col("node").as("doc_id"),
+        lit(0L).as("rank_fp"), lit(0.0).as("rank"))
+    }
+    val base = 15L * (Scale / nN) / 100L
+    var ranks = nodes.withColumn("r", lit(Scale / nN))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left").na.fill(0L, Seq("sc"))
+        .select(col("node"),
+          expr(s"${base}L + (85 * sc) DIV 100").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), col("r").as("rank_fp"),
+      expr("r / 1.0e9").as("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * canonical. The 100 TB pattern: one shuffle on the hash — which is
     * uniformly distributed, so never skewed. */
@@ -866,6 +921,7 @@ object DedupOps {
     "d_exact_dedup" -> exactDedup,
     "d_norm_dedup" -> normDedup,
     "d_dedup_funnel" -> dedupFunnel,
+    "d_pagerank" -> pagerank,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
@@ -1045,6 +1101,41 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
              min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
       FROM n ORDER BY doc_id""",
+    "d_pagerank" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+      ed AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+      dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+      nd AS (SELECT DISTINCT src AS node FROM ed),
+      cn AS (SELECT count(*)::BIGINT AS n FROM nd),
+      r0 AS (SELECT node, (1000000000 // cn.n)::BIGINT AS r
+             FROM nd CROSS JOIN cn),
+      c1 AS (SELECT ed.dst AS node, sum(r0.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r0 ON ed.src = r0.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r1 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c1.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c1 ON nd.node = c1.node),
+      c2 AS (SELECT ed.dst AS node, sum(r1.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r1 ON ed.src = r1.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r2 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c2.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c2 ON nd.node = c2.node),
+      c3 AS (SELECT ed.dst AS node, sum(r2.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r2 ON ed.src = r2.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r3 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c3.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c3 ON nd.node = c3.node)
+      SELECT node AS doc_id, r AS rank_fp, r / 1.0e9 AS rank
+      FROM r3 ORDER BY doc_id""",
     "d_dedup_funnel" -> s"""
       WITH $JaccardCappedCtes,
       s1 AS (SELECT doc_id, text,
