@@ -674,7 +674,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf's-law fit: least-squares slope of ln(freq) on ln(rank) over the
+    * top-100 tokens — the one-number corpus-health diagnostic (natural
+    * language sits near −1; template/spam corpora bend away from it).
+    * Both logs are [[DetMath]]; the five regression sums go through
+    * 1e12-scaled BIGINT accumulators so the Σs are order-independent,
+    * and the closed-form slope/intercept is a fixed-order double
+    * expression over those exact integers.
+    *
+    * Plan/scale: vocab agg (one uniform-key shuffle) → top-100 via
+    * orderBy+limit (TakeOrdered — a per-partition top-k + driver merge,
+    * never a global sort) → the rank window and regression run on 100
+    * rows (catalog-sized; the single-partition window is over the
+    * limited relation only). */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val top = documents(s, d)
+      .select(explode(expr(Toks)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(100)
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("c").desc, col("tok"))).cast("bigint"))
+    val lns = Seq(("rank", "lr"), ("c", "lc"))
+      .foldLeft(top) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    lns
+      .select(
+        expr("cast(round(lr_ln * 1.0e12) as bigint)").as("x"),
+        expr("cast(round(lc_ln * 1.0e12) as bigint)").as("y"),
+        expr("cast(round((lr_ln * lc_ln) * 1.0e12) as bigint)").as("xy"),
+        expr("cast(round((lr_ln * lr_ln) * 1.0e12) as bigint)").as("xx"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+        sum(col("xx")).as("sxx"))
+      .select(col("k"),
+        expr("sx / 1.0e12").as("dx"), expr("sy / 1.0e12").as("dy"),
+        expr("sxy / 1.0e12").as("dxy"), expr("sxx / 1.0e12").as("dxx"))
+      .select(col("k"), col("dx"), col("dy"),
+        expr("(k * dxy - dx * dy) / (k * dxx - dx * dx)").as("slope"))
+      .select(col("k").as("n_terms"), col("slope"),
+        expr("(dy - slope * dx) / k").as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_zipf" -> zipfFit,
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
     "t_perplexity" -> perplexity,
@@ -897,6 +939,35 @@ object TextOps {
             FROM a)
       SELECT doc_id, n AS n_chars_counted, entropy
       FROM f ORDER BY doc_id""",
+    "t_zipf" -> s"""
+      WITH v AS (SELECT tok, count(*)::BIGINT AS c
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+                 GROUP BY 1),
+      top AS (SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT 100),
+      rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)::BIGINT
+                       AS rank
+             FROM top),
+      t AS (SELECT
+              ${DetMath.lnDuckSelect("rank", "lr")},
+              ${DetMath.lnDuckSelect("c", "lc")},
+              round(lr_ln * 1.0e12)::BIGINT AS x,
+              round(lc_ln * 1.0e12)::BIGINT AS y,
+              round((lr_ln * lc_ln) * 1.0e12)::BIGINT AS xy,
+              round((lr_ln * lr_ln) * 1.0e12)::BIGINT AS xx
+            FROM rk),
+      a AS (SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx,
+              sum(y)::BIGINT AS sy, sum(xy)::BIGINT AS sxy,
+              sum(xx)::BIGINT AS sxx
+            FROM t),
+      f AS (SELECT k, sx / 1.0e12 AS dx, sy / 1.0e12 AS dy,
+              sxy / 1.0e12 AS dxy, sxx / 1.0e12 AS dxx
+            FROM a),
+      g AS (SELECT k, dx, dy,
+              (k * dxy - dx * dy) / (k * dxx - dx * dx) AS slope
+            FROM f)
+      SELECT k AS n_terms, slope, (dy - slope * dx) / k AS intercept
+      FROM g""",
     "t_unigram_lm" -> s"""
       SELECT * FROM ($UnigramScoredSql) ORDER BY doc_id""",
     "t_perplexity" -> s"""
