@@ -71,6 +71,23 @@ object DedupOps {
   private val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüñçýÿ"
   private val AccentTo = "aaaaaaeeeeiiiiooooouuuuncyy"
 
+  /** Near-dup Jaccard threshold — ONE definition feeding the Spark
+    * filters and every oracle's WHERE, so the dial moves all consumers
+    * (jaccard, clusters, funnel, pagerank) in lockstep. */
+  private val JaccardMin = 0.8
+
+  /** The shared normalization fold (Spark dialect + DuckDB dialect from
+    * one literal pair): lowercase → accent-fold → punctuation→space →
+    * whitespace-collapse → trim. */
+  private val NormalizeExpr =
+    s"""trim(regexp_replace(regexp_replace(
+          translate(lower(text), '$AccentFrom', '$AccentTo'),
+          '[^a-z0-9 ]', ' '), ' +', ' '))"""
+  private val NormalizeSql =
+    s"""trim(regexp_replace(regexp_replace(
+          translate(lower(text), '$AccentFrom', '$AccentTo'),
+          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+
   /** Normalization-aware exact dedup: lowercase → accent-fold →
     * punctuation→space → whitespace-collapse → trim, then hash the
     * NORMALIZED text. Catches the re-encoded/re-punctuated verbatim
@@ -86,10 +103,7 @@ object DedupOps {
   def normDedup(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("nh")
     documents(s, d)
-      .withColumn("norm", expr(
-        s"""trim(regexp_replace(regexp_replace(
-              translate(lower(text), '$AccentFrom', '$AccentTo'),
-              '[^a-z0-9 ]', ' '), ' +', ' '))"""))
+      .withColumn("norm", expr(NormalizeExpr))
       .withColumn("nh", md5(col("norm").cast("binary")))
       .select(col("doc_id"), col("nh").as("norm_hash"),
         count(lit(1)).over(w).as("n_dups"),
@@ -125,15 +139,11 @@ object DedupOps {
     val surv1 = s1.filter(col("doc_id") === col("k1"))
       .select(col("doc_id"), col("text"))
     val s2 = surv1
-      .withColumn("norm", expr(
-        s"""trim(regexp_replace(regexp_replace(
-              translate(lower(text), '$AccentFrom', '$AccentTo'),
-              '[^a-z0-9 ]', ' '), ' +', ' '))"""))
+      .withColumn("norm", expr(NormalizeExpr))
       .withColumn("h2", md5(col("norm").cast("binary")))
       .withColumn("k2", min(col("doc_id")).over(w.partitionBy("h2")))
     val surv2 = s2.filter(col("doc_id") === col("k2")).select(col("doc_id"))
-    val pairs = pairCounts(s, d, DefaultMaxDf)
-      .filter(expr("inter / (n_a + n_b - inter)") >= 0.8)
+    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
     val removed3 = pairs
       .join(surv2.withColumnRenamed("doc_id", "a_id"), "a_id")
       .join(surv2.withColumnRenamed("doc_id", "b_id"), "b_id")
@@ -274,7 +284,7 @@ object DedupOps {
     pairCounts(s, d, maxDf)
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter / (n_a + n_b - inter)").as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= JaccardMin)
       .orderBy("a_id", "b_id")
 
   /** Asymmetric containment near-dup: |A∩B| / |A| (and /|B|) over the
@@ -1093,9 +1103,7 @@ object DedupOps {
       FROM documents GROUP BY 1 ORDER BY content_hash""",
     "d_norm_dedup" -> s"""
       WITH n AS (SELECT doc_id,
-              trim(regexp_replace(regexp_replace(
-                translate(lower(text), '$AccentFrom', '$AccentTo'),
-                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              $NormalizeSql AS norm
             FROM documents)
       SELECT doc_id, md5(norm) AS norm_hash,
              count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
@@ -1105,7 +1113,7 @@ object DedupOps {
       WITH $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
       ed AS (SELECT a_id AS src, b_id AS dst FROM p
              UNION ALL SELECT b_id, a_id FROM p),
       dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
@@ -1143,9 +1151,7 @@ object DedupOps {
              FROM documents),
       sv1 AS (SELECT doc_id, text FROM s1 WHERE doc_id = k1),
       nn AS (SELECT doc_id,
-               trim(regexp_replace(regexp_replace(
-                 translate(lower(text), '$AccentFrom', '$AccentTo'),
-                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+               $NormalizeSql AS norm
              FROM sv1),
       s2 AS (SELECT doc_id,
                min(doc_id) OVER (PARTITION BY md5(norm)) AS k2
@@ -1153,7 +1159,7 @@ object DedupOps {
       sv2 AS (SELECT doc_id FROM s2 WHERE doc_id = k2),
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
       r3 AS (SELECT DISTINCT b_id FROM p
              JOIN sv2 a2 ON p.a_id = a2.doc_id
              JOIN sv2 b2 ON p.b_id = b2.doc_id),
@@ -1180,14 +1186,14 @@ object DedupOps {
       SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
              inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
     "d_ngram_jaccard" -> s"""
       WITH $JaccardCappedCtes
       SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
              inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
     "d_containment" -> s"""
       WITH $JaccardCappedCtes
@@ -1201,7 +1207,7 @@ object DedupOps {
       WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
       ed AS (SELECT a_id AS u, b_id AS v FROM p
              UNION SELECT b_id, a_id FROM p),
       r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
