@@ -133,16 +133,21 @@ object DedupOps {
   def dedupFunnel(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
+    // each survivor set is materialized (the [[pagerank]]/[[dedupClusters]]
+    // checkpoint pattern) — its lineage is consumed by BOTH the next stage
+    // and a count branch, and Catalyst would re-expand the whole upstream
+    // window per consumer otherwise
     val s1 = docs
       .withColumn("h1", md5(col("text").cast("binary")))
       .withColumn("k1", min(col("doc_id")).over(w.partitionBy("h1")))
     val surv1 = s1.filter(col("doc_id") === col("k1"))
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).localCheckpoint()
     val s2 = surv1
       .withColumn("norm", expr(NormalizeExpr))
       .withColumn("h2", md5(col("norm").cast("binary")))
       .withColumn("k2", min(col("doc_id")).over(w.partitionBy("h2")))
     val surv2 = s2.filter(col("doc_id") === col("k2")).select(col("doc_id"))
+      .localCheckpoint()
     val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
     val removed3 = pairs
       .join(surv2.withColumnRenamed("doc_id", "a_id"), "a_id")

@@ -99,7 +99,19 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_curriculum" -> "scan=2 xhash=2 xrange=2 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
     // broadcast-NLJ of the 5 queries over one narrow corpus pass — the
     // only exchange is the final output ordering
-    "s_range_search" -> "scan=2 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0")
+    "s_range_search" -> "scan=2 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0",
+    // one scan, ONE uniform-hash shuffle serving both window aggregates
+    "d_norm_dedup" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // survivor sets checkpointed (2 scans: hash window + shingle core);
+    // the rest reads materialized relations — stage aggs broadcast-stack
+    "d_dedup_funnel" -> "scan=2 xhash=3 xrange=0 bcast=5 smj=0 bhj=2 shj=0 bnlj=3 cart=0 gen=4 win=0 wgl=0",
+    // iterations read the checkpointed edge list — the returned frame is
+    // rank lineage off materialized relations, zero parquet re-scans
+    "d_pagerank" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // unigram scoring chain + four narrow exp columns
+    "t_perplexity" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=2 win=1 wgl=0",
+    // vocab agg -> TakeOrdered top-100 -> catalog-sized regression
+    "t_zipf" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
