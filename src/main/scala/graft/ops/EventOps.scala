@@ -241,9 +241,76 @@ object EventOps {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Weekly cohort-retention matrix: users bucketed by the week of their
+    * FIRST event (date_trunc week — Monday start in both engines), then
+    * distinct active users per (cohort_week, weeks_since) cell. The
+    * standard growth-analytics report, here as a data-engine op.
+    *
+    * Plan/scale: ONE scan — the cohort week is a per-user window min
+    * (uniform user key), the matrix one (cohort, offset) agg with
+    * map-side-combinable distinct. Nothing global; output is
+    * weeks × weeks cells. */
+  def qCohort(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events(s, d)
+      .withColumn("cw", date_trunc("week", min(col("ts")).over(w)))
+      .withColumn("ew", date_trunc("week", col("ts")))
+      .groupBy(col("cw").as("cohort_week"),
+        expr("cast(datediff(ew, cw) as bigint) DIV 7").as("week_n"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  /** Ordered-step event funnel (signup → view → click → purchase) with
+    * strict first-occurrence ordering: a user reaches step k when the
+    * first times of steps 1..k are all present and non-decreasing —
+    * computable from per-type min timestamps alone, so the whole funnel
+    * is ONE uniform-key aggregate over one scan (no per-step self-joins,
+    * no sequence reconstruction). Reports users reaching each step and
+    * the step-over-step conversion rate.
+    *
+    * Plan/scale: scan → per-user conditional-min agg (uniform key) →
+    * 1-row aggregate → constant 4-row union. The canonical shape at any
+    * corpus size. */
+  def qEventFunnel(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+      min(when(col("event_type") === "view", col("ts"))).as("t2"),
+      min(when(col("event_type") === "click", col("ts"))).as("t3"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t4"))
+    val counts = perUser
+      .withColumn("depth", expr(
+        """CASE WHEN t1 IS NULL THEN 0
+                WHEN t2 IS NULL OR t2 < t1 THEN 1
+                WHEN t3 IS NULL OR t3 < t2 THEN 2
+                WHEN t4 IS NULL OR t4 < t3 THEN 3
+                ELSE 4 END"""))
+      .agg(
+        sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("depth") >= 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("depth") >= 4, 1L).otherwise(0L)).as("n4"))
+    val steps = Seq(
+      ("1", "signup", "n1", None),
+      ("2", "view", "n2", Some("n1")),
+      ("3", "click", "n3", Some("n2")),
+      ("4", "purchase", "n4", Some("n3")))
+    steps.map { case (k, name, n, prev) =>
+      val conv = prev match {
+        case Some(p) => expr(s"CASE WHEN $p = 0 THEN NULL ELSE $n / $p END")
+        case None => expr("CAST(NULL AS DOUBLE)")
+      }
+      counts.select(lit(k.toLong).as("step"), lit(name).as("step_name"),
+        col(n).as("n_users"), conv.as("conv_rate"))
+    }.reduce(_ unionByName _)
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_upsert" -> qUpsertMerge,
     "e_scd2" -> qScd2,
+    "e_cohort" -> qCohort,
+    "e_event_funnel" -> qEventFunnel,
     "q_json_extract" -> qJsonExtract,
     "e_quality_report" -> qQualityReport,
     "q_tumbling_window" -> qTumbling,
@@ -254,6 +321,46 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_cohort" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      cw AS (SELECT user_id,
+               date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cw,
+               date_trunc('week', ts) AS ew
+             FROM ev)
+      SELECT cw::TIMESTAMP AS cohort_week,
+             (date_diff('day', cw, ew) // 7)::BIGINT AS week_n,
+             count(DISTINCT user_id)::BIGINT AS n_active
+      FROM cw GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e_event_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+      pu AS (SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+             FROM ev GROUP BY 1),
+      dep AS (SELECT CASE WHEN t1 IS NULL THEN 0
+                          WHEN t2 IS NULL OR t2 < t1 THEN 1
+                          WHEN t3 IS NULL OR t3 < t2 THEN 2
+                          WHEN t4 IS NULL OR t4 < t3 THEN 3
+                          ELSE 4 END AS depth
+              FROM pu),
+      ag AS (SELECT
+               sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+               sum(CASE WHEN depth >= 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+             FROM dep)
+      SELECT 1::BIGINT AS step, 'signup' AS step_name, n1 AS n_users,
+             CAST(NULL AS DOUBLE) AS conv_rate FROM ag
+      UNION ALL SELECT 2, 'view', n2,
+             CASE WHEN n1 = 0 THEN NULL ELSE n2 / n1 END FROM ag
+      UNION ALL SELECT 3, 'click', n3,
+             CASE WHEN n2 = 0 THEN NULL ELSE n3 / n2 END FROM ag
+      UNION ALL SELECT 4, 'purchase', n4,
+             CASE WHEN n3 = 0 THEN NULL ELSE n4 / n3 END FROM ag
+      ORDER BY step""",
     "e_upsert" -> s"""
       WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
       upd AS (SELECT o_orderkey AS k, o_totalprice + 1.0 AS price
