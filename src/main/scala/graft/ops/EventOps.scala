@@ -290,19 +290,18 @@ object EventOps {
         sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("n2"),
         sum(when(col("depth") >= 3, 1L).otherwise(0L)).as("n3"),
         sum(when(col("depth") >= 4, 1L).otherwise(0L)).as("n4"))
-    val steps = Seq(
-      ("1", "signup", "n1", None),
-      ("2", "view", "n2", Some("n1")),
-      ("3", "click", "n3", Some("n2")),
-      ("4", "purchase", "n4", Some("n3")))
-    steps.map { case (k, name, n, prev) =>
-      val conv = prev match {
-        case Some(p) => expr(s"CASE WHEN $p = 0 THEN NULL ELSE $n / $p END")
-        case None => expr("CAST(NULL AS DOUBLE)")
-      }
-      counts.select(lit(k.toLong).as("step"), lit(name).as("step_name"),
-        col(n).as("n_users"), conv.as("conv_rate"))
-    }.reduce(_ unionByName _)
+    // one stack over the single counts row — a union of four selects
+    // would re-expand the events lineage once per step
+    counts.select(expr(
+      """stack(4,
+           CAST(1 AS BIGINT), 'signup',   n1, CAST(NULL AS DOUBLE),
+           CAST(2 AS BIGINT), 'view',     n2,
+             CASE WHEN n1 = 0 THEN CAST(NULL AS DOUBLE) ELSE n2 / n1 END,
+           CAST(3 AS BIGINT), 'click',    n3,
+             CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE) ELSE n3 / n2 END,
+           CAST(4 AS BIGINT), 'purchase', n4,
+             CASE WHEN n3 = 0 THEN CAST(NULL AS DOUBLE) ELSE n4 / n3 END)
+         AS (step, step_name, n_users, conv_rate)"""))
       .orderBy("step")
   }
 

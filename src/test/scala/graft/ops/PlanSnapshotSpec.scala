@@ -111,7 +111,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // unigram scoring chain + four narrow exp columns
     "t_perplexity" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=2 win=1 wgl=0",
     // vocab agg -> TakeOrdered top-100 -> catalog-sized regression
-    "t_zipf" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0")
+    "t_zipf" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
+    // one scan: cohort week is a per-user window min, then one agg
+    "e_cohort" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // one scan -> per-user conditional mins -> 1-row agg -> stack
+    "e_event_funnel" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic invariants for the round-7 operator batch — properties the
+  * DuckDB oracle can't see (it replays the same computation, so a shared
+  * logic bug would hash-match): monotonicity, conservation, and range
+  * laws that must hold for ANY input. Run at sf0.001 for speed; the laws
+  * are size-independent.
+  */
+class R7InvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("event funnel counts are monotonically non-increasing") {
+    val rows = EventOps.qEventFunnel(spark, sf).collect()
+    assert(rows.length == 4)
+    val ns = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel not monotone: ${ns.mkString(",")}")
+  }
+
+  test("dedup funnel stages conserve documents") {
+    EventOps // touch to avoid unused warnings in some build configs
+    val rows = DedupOps.dedupFunnel(spark, sf).collect()
+    assert(rows.length == 3)
+    val byStage = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    byStage.values.foreach { case (in, rem, out) =>
+      assert(in - rem == out, s"in - removed != out: $in $rem $out")
+    }
+    // stage k's output is stage k+1's input
+    assert(byStage("1_exact")._3 == byStage("2_normalized")._1)
+    assert(byStage("2_normalized")._3 == byStage("3_near_dup")._1)
+  }
+
+  test("pagerank mass stays within damping bounds") {
+    val rows = DedupOps.pagerank(spark, sf).collect()
+    if (rows.nonEmpty) {
+      // fixed-point truncation only loses mass: total <= Scale, and every
+      // rank >= the damping floor
+      val total = rows.map(_.getLong(1)).sum
+      assert(total <= 1000000000L, s"rank mass exceeds Scale: $total")
+      rows.foreach(r => assert(r.getLong(1) >= 0L))
+    }
+  }
+
+  test("curriculum stages partition the corpus into ranks 1..N") {
+    val rows = CorpusOps.curriculum(spark, sf).collect()
+    val ranks = rows.map(_.getLong(2)).sorted
+    assert(ranks.toSeq == (1L to rows.length).toSeq, "ranks not a permutation")
+    val stages = rows.map(_.getLong(3))
+    assert(stages.forall(s => s >= 1 && s <= 4))
+    // stage is non-decreasing in rank
+    val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(3))
+    assert(byRank.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("entropy is non-negative and bounded by ln(alphabet)") {
+    val rows = TextOps.entropy(spark, sf).collect()
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      // ln(distinct chars) <= ln(n); loose upper bound ln(n_chars)
+      assert(h >= -1e-9, s"negative entropy $h for doc ${r.getLong(0)}")
+      assert(h <= math.log(r.getLong(1).toDouble) + 1e-9)
+    }
+  }
+
+  test("containment values lie in (0, 1] and imply shared shingles") {
+    DedupOps.containment(spark, "/root/testdata/sf0.01").collect().foreach { r =>
+      val (inter, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (cab, cba) = (r.getDouble(5), r.getDouble(6))
+      assert(inter > 0 && inter <= math.min(nA, nB))
+      assert(cab > 0 && cab <= 1.0 + 1e-9)
+      assert(cba > 0 && cba <= 1.0 + 1e-9)
+      assert(math.max(cab, cba) >= 0.9)
+    }
+  }
+
+  test("perplexity = exp(-avg_logprob) within double accuracy") {
+    TextOps.perplexity(spark, sf).collect().foreach { r =>
+      val want = math.exp(-r.getDouble(2))
+      val got = r.getDouble(3)
+      assert(math.abs(got - want) / want < 1e-12,
+        s"ppl mismatch: $got vs $want")
+    }
+  }
+
+  test("PSI drift of a source against itself would be zero: corpus PSI small for uniform split") {
+    // weaker but input-independent law: every PSI is non-negative (the
+    // add-one smoothed form is a sum of (p-q)ln(p/q) terms, each >= 0)
+    ValidationOps.drift(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) >= -1e-9, s"negative PSI for ${r.getString(0)}")
+    }
+  }
+
+  test("KL divergence of every source vs corpus is finite; n_tokens sums to corpus") {
+    val rows = ValidationOps.klSources(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = TextOps.tokenStats(spark, sf).collect().map(_.getLong(1)).sum
+    assert(total == corpus, s"token totals disagree: $total vs $corpus")
+    rows.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+}
