@@ -180,6 +180,35 @@ object RelationalOps {
         coalesce(col("MIDDLE EAST"), lit(0L)).as("middle_east"))
       .orderBy("n_name")
 
+  /** UNPIVOT (melt): the wide → long inverse of [[qPivot]], via the
+    * Dataset.unpivot API (plans as Expand — one narrow pass, no shuffle
+    * beyond the source agg). The wide input is the pivot result itself,
+    * so the pair is a round-trip. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    qPivot(s, d)
+      .unpivot(
+        ids = Array(col("n_name")),
+        values = Array(col("africa"), col("america"), col("asia"),
+          col("europe"), col("middle_east")),
+        variableColumnName = "region",
+        valueColumnName = "n_suppliers")
+      .filter(col("n_suppliers") > 0)
+      .orderBy("n_name", "region")
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per region, the
+    * nation names concatenated in DETERMINISTIC sorted order —
+    * `sort_array(collect_list(...))` then join, because a bare
+    * collect_list order is partition-arrival nondeterminism that would
+    * hash-differ run to run, let alone engine to engine. One small-dim
+    * agg; broadcast joins. */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
   /** Scalar subquery: orders priced above the global exact average. The
     * single-row aggregate broadcasts; the fact scan is one pass. */
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
@@ -505,6 +534,8 @@ object RelationalOps {
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
+    "q_string_agg" -> qStringAgg,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
@@ -617,6 +648,30 @@ object RelationalOps {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY n_name ORDER BY n_name""",
+    "q_unpivot" -> """
+      WITH wide AS (
+        SELECT n_name,
+               count(*) FILTER (WHERE r_name = 'AFRICA')::BIGINT AS africa,
+               count(*) FILTER (WHERE r_name = 'AMERICA')::BIGINT AS america,
+               count(*) FILTER (WHERE r_name = 'ASIA')::BIGINT AS asia,
+               count(*) FILTER (WHERE r_name = 'EUROPE')::BIGINT AS europe,
+               count(*) FILTER (WHERE r_name = 'MIDDLE EAST')::BIGINT
+                 AS middle_east
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name)
+      SELECT n_name, region, n_suppliers
+      FROM wide
+      UNPIVOT (n_suppliers FOR region
+               IN (africa, america, asia, europe, middle_east))
+      WHERE n_suppliers > 0
+      ORDER BY n_name, region""",
+    "q_string_agg" -> """
+      SELECT r_name, count(*)::BIGINT AS n_nations,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
     "q_scalar_subquery" -> s"""
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)
