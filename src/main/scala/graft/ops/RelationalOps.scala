@@ -180,6 +180,24 @@ object RelationalOps {
         coalesce(col("MIDDLE EAST"), lit(0L)).as("middle_east"))
       .orderBy("n_name")
 
+  /** Distribution-analytic window family: percent_rank, cume_dist and
+    * ntile(4) over each customer's orders by price — the remaining
+    * SQL-standard analytics beyond rank/row_number. All three are exact
+    * rational functions of integer ranks under a TOTAL order
+    * (deterministic tiebreak on orderkey), so the doubles are engine
+    * -identical. One shuffle on the customer key. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+  }
+
   /** UNPIVOT (melt): the wide → long inverse of [[qPivot]], via the
     * Dataset.unpivot API (plans as Expand — one narrow pass, no shuffle
     * beyond the source agg). The wide input is the pivot result itself,
@@ -535,6 +553,7 @@ object RelationalOps {
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
+    "q_window_dist" -> qWindowDist,
     "q_string_agg" -> qStringAgg,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_intersect" -> qIntersect,
@@ -648,6 +667,15 @@ object RelationalOps {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY n_name ORDER BY n_name""",
+    "q_window_dist" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             ntile(4) OVER w::BIGINT AS quartile
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_totalprice, o_orderkey""",
     "q_unpivot" -> """
       WITH wide AS (
         SELECT n_name,

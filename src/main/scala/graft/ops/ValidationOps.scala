@@ -181,13 +181,40 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** Equi-width document-length histogram (width 250, top bucket open) —
+    * the profile plot behind [[drift]]'s PSI buckets, as queryable rows
+    * with exact counts and fractions. One scan, one tiny agg, window
+    * total over ≤10 rows. */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .select(expr("least(cast(n_chars as bigint) div 250, cast(9 as bigint))")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_tot", sum(col("n_docs")).over(w.partitionBy()))
+      .select(col("bucket"), (col("bucket") * 250).as("lo_chars"),
+        ((col("bucket") + 1) * 250).as("hi_chars"),
+        col("n_docs"), expr("n_docs / n_tot").as("frac"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_histogram" -> histogram,
     "v_profile" -> profile,
     "v_constraints" -> constraints,
     "v_drift" -> drift,
     "v_kl_sources" -> klSources)
 
   val oracles: Map[String, String] = Map(
+    "v_histogram" -> """
+      WITH b AS (SELECT least(n_chars::BIGINT // 250, 9::BIGINT) AS bucket
+                 FROM documents),
+      g AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY 1),
+      t AS (SELECT bucket, n_docs, sum(n_docs) OVER ()::BIGINT AS n_tot
+            FROM g)
+      SELECT bucket, bucket * 250 AS lo_chars, (bucket + 1) * 250 AS hi_chars,
+             n_docs, n_docs / n_tot AS frac
+      FROM t ORDER BY bucket""",
     "v_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.map { c =>
