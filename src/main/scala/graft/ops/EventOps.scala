@@ -305,7 +305,67 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Last-touch attribution: every purchase's value is credited to the
+    * most recent preceding non-purchase event by the same user — the
+    * marketing-attribution pass a growth pipeline runs next to the funnel.
+    * The carry-forward window is [[qAsofJoin]]'s shape generalized to all
+    * touch types; at equal timestamps touches sort before purchases
+    * (is_p in the ORDER BY), so a same-instant touch still gets credit; a
+    * purchase with no prior touch lands in the 'none' bucket.
+    *
+    * Plan/scale: one scan, ONE shuffle on (uniform) user_id for the
+    * window, then a touch-type-sized aggregate. No per-step self-join —
+    * the naive formulation joins purchases against all prior events and
+    * re-shuffles per touch type. Value totals go through the exact
+    * scaled-integer accumulator. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("touch",
+        last(when(col("is_p") === 0, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active calendar days —
+    * the engagement-streak report. Calendar grain makes it distinct from
+    * [[qSessionize]]'s 30-minute-gap grain. The classic row_number trick:
+    * within a user, day_index − row_number is constant across a
+    * consecutive run, so islands fall out of a plain groupBy — no
+    * iterative chaining, no self-join.
+    *
+    * Plan/scale: ONE shuffle total, on (uniform) user_id — the explicit
+    * repartition satisfies the distinct's (user, day) clustering (a
+    * partitioning on a subset of the grouping key co-locates every
+    * group), and the window, island agg, and per-user agg all reuse the
+    * same distribution; output is one row per user. Without it Spark
+    * plans two exchanges (composite-key distinct, then user_id window). */
+  def qGapsIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+    events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("dayn"))
+      .repartition(col("user_id"))
+      .distinct()
+      .withColumn("grp", col("dayn") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_attribution" -> qAttribution,
+    "q_gaps_islands" -> qGapsIslands,
     "e_upsert" -> qUpsertMerge,
     "e_scd2" -> qScd2,
     "e_cohort" -> qCohort,
@@ -320,6 +380,33 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_attribution" -> s"""
+      WITH ev AS (SELECT user_id, event_id, "value", event_type,
+                    CAST(ts AS TIMESTAMP) AS ts,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+                  FROM events),
+      w AS (SELECT *,
+              last_value(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+            FROM ev)
+      SELECT coalesce(touch, 'none') AS touch_type,
+             count(*)::BIGINT AS n_purchases,
+             ${dsumSql("value")} AS attributed_value
+      FROM w WHERE is_p = 1 GROUP BY 1 ORDER BY touch_type""",
+    "q_gaps_islands" -> """
+      WITH d AS (SELECT DISTINCT user_id,
+                   date_diff('day', DATE '2024-01-01',
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE))::BIGINT AS dayn
+                 FROM events),
+      g AS (SELECT user_id, dayn,
+              dayn - row_number() OVER (PARTITION BY user_id ORDER BY dayn)
+                AS grp
+            FROM d),
+      i AS (SELECT user_id, grp, count(*)::BIGINT AS len FROM g GROUP BY 1, 2)
+      SELECT user_id, sum(len)::BIGINT AS n_active_days,
+             count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+      FROM i GROUP BY 1 ORDER BY user_id""",
     "e_cohort" -> """
       WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       cw AS (SELECT user_id,

@@ -115,7 +115,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // one scan: cohort week is a per-user window min, then one agg
     "e_cohort" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // one scan -> per-user conditional mins -> 1-row agg -> stack
-    "e_event_funnel" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
+    "e_event_funnel" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // one scan; carry-forward window on user_id + touch-type-sized agg
+    "e_attribution" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // ONE user_id shuffle serving distinct, window, and both aggs
+    "q_gaps_islands" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -86,6 +86,34 @@ class R7InvariantSpec extends SparkSpec {
     }
   }
 
+  test("attribution conserves purchases and value") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.qAttribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), Exact.dsum(col("value"))).collect()(0)
+    assert(rows.map(_.getLong(1)).sum == purchases.getLong(0),
+      "attributed purchase count != total purchases")
+    val attributed = rows.map(_.getDouble(2)).sum
+    assert(math.abs(attributed - purchases.getDouble(1)) < 1e-6,
+      s"attributed value $attributed != purchase total ${purchases.getDouble(1)}")
+  }
+
+  test("gaps-and-islands bounds: streaks partition active days") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.qGapsIslands(spark, sf).collect()
+    rows.foreach { r =>
+      val (days, streaks, longest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(streaks >= 1 && longest >= 1)
+      assert(longest <= days, s"longest $longest > active days $days")
+      assert(streaks <= days, s"more streaks than days")
+    }
+    val distinctDays = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == distinctDays,
+      "islands do not partition the distinct (user, day) set")
+  }
+
   test("PSI drift of a source against itself would be zero: corpus PSI small for uniform split") {
     // weaker but input-independent law: every PSI is non-negative (the
     // add-one smoothed form is a sum of (p-q)ln(p/q) terms, each >= 0)
