@@ -363,7 +363,54 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** A/B experiment readout: users deterministically hash-split into two
+    * arms (user_id parity — the same shape as a serving-time assignment
+    * hash), then per arm: exposure, conversion (a HIGH-VALUE purchase,
+    * value >= 95 — plain purchase is universal in this corpus, which
+    * would degenerate the statistic), exact purchase-value totals, and
+    * the conversion lift + pooled two-proportion z statistic
+    * against the OTHER arm (sign = this arm minus other, so the two rows
+    * carry ±z). All doubles derive from exact BIGINT tallies through
+    * expression trees written identically in both engines — division and
+    * sqrt are IEEE-deterministic given identical operands, so the readout
+    * hash-matches bit-for-bit.
+    *
+    * Plan/scale: per-user partial agg (uniform key), then a 2-row arm
+    * agg; the cross-arm totals are a window over those 2 rows. One
+    * user-key shuffle over the data; everything after is constant-size. */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000L
+    val perUser = events(s, d).groupBy("user_id").agg(
+      sum(when(col("event_type") === "purchase" && col("value") >= 95, 1L)
+        .otherwise(0L)).as("np"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * scale).cast("long")).otherwise(0L)).as("vfp"))
+    val w = Window.partitionBy()
+    perUser
+      .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("vfp")).as("svfp"))
+      .withColumn("tu", sum(col("n_users")).over(w))
+      .withColumn("tc", sum(col("n_converted")).over(w))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        expr("n_converted / n_users").as("conv_rate"),
+        expr("cast(svfp as double) / 1.0e6").as("total_value"),
+        expr("(cast(svfp as double) / 1.0e6) / n_users").as("value_per_user"),
+        expr("n_converted / n_users - (tc - n_converted) / (tu - n_users)")
+          .as("lift"),
+        // pooled variance is 0 when conversion is universal (tc = tu) or
+        // absent (tc = 0) — the z statistic is undefined there, not ±inf
+        expr("""CASE WHEN tc = 0 OR tc = tu THEN CAST(NULL AS DOUBLE)
+                ELSE (n_converted / n_users - (tc - n_converted) / (tu - n_users)) /
+                     sqrt((tc / tu) * (1 - tc / tu)
+                          * (1.0 / n_users + 1.0 / (tu - n_users))) END""")
+          .as("z_score"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
     "q_gaps_islands" -> qGapsIslands,
     "e_upsert" -> qUpsertMerge,
@@ -380,6 +427,31 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_ab_test" -> """
+      WITH pu AS (SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' AND "value" >= 95
+                        THEN 1 ELSE 0 END)::BIGINT AS np,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round("value" * 1000000) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS vfp
+             FROM events GROUP BY 1),
+      a AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
+              sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+              sum(vfp)::BIGINT AS svfp
+            FROM pu GROUP BY 1),
+      t AS (SELECT *, sum(n_users) OVER ()::BIGINT AS tu,
+              sum(n_converted) OVER ()::BIGINT AS tc
+            FROM a)
+      SELECT arm, n_users, n_converted,
+             n_converted / n_users AS conv_rate,
+             CAST(svfp AS DOUBLE) / 1.0e6 AS total_value,
+             (CAST(svfp AS DOUBLE) / 1.0e6) / n_users AS value_per_user,
+             n_converted / n_users - (tc - n_converted) / (tu - n_users) AS lift,
+             CASE WHEN tc = 0 OR tc = tu THEN CAST(NULL AS DOUBLE)
+                  ELSE (n_converted / n_users - (tc - n_converted) / (tu - n_users)) /
+                       sqrt((tc / tu) * (1 - tc / tu)
+                            * (1.0 / n_users + 1.0 / (tu - n_users))) END AS z_score
+      FROM t ORDER BY arm""",
     "e_attribution" -> s"""
       WITH ev AS (SELECT user_id, event_id, "value", event_type,
                     CAST(ts AS TIMESTAMP) AS ts,

@@ -198,7 +198,40 @@ object ValidationOps {
       .orderBy("bucket")
   }
 
+  /** Daily-volume anomaly detection: per (event_type, day) counts flagged
+    * when they sit more than 2 population standard deviations from the
+    * type's daily mean — the ingest-monitoring alarm that catches a
+    * broken producer or a backfill spike before it poisons a training
+    * snapshot. All moments come from exact BIGINT sums, and the flag is a
+    * PURE INTEGER comparison (dev² > 4·varnum, where dev = k·n − Σn and
+    * varnum = k·Σn² − (Σn)² are k²-scaled): no float rounding can flip a
+    * verdict at any scale. The reported z itself is the one double,
+    * derived from those exact integers through an identical expression
+    * tree in both engines.
+    *
+    * Plan/scale: one scan → (type, day) agg → per-type windows over the
+    * catalog-sized day grid. The data shuffles once on a uniform
+    * composite key; the window runs over ~days rows per type. */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sn", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .withColumn("dev", col("k") * col("n") - col("sn"))
+      .withColumn("varnum", col("k") * col("sq") - col("sn") * col("sn"))
+      .select(col("event_type"), col("day"), col("n"),
+        expr("""CASE WHEN varnum = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE cast(dev as double) / sqrt(cast(varnum as double)) END""")
+          .as("z"),
+        (col("dev") * col("dev") > lit(4L) * col("varnum")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_anomaly" -> anomaly,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
     "v_constraints" -> constraints,
@@ -206,6 +239,25 @@ object ValidationOps {
     "v_kl_sources" -> klSources)
 
   val oracles: Map[String, String] = Map(
+    "v_anomaly" -> """
+      WITH g AS (SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   count(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, n,
+              count(*) OVER (PARTITION BY event_type)::BIGINT AS k,
+              sum(n) OVER (PARTITION BY event_type)::BIGINT AS sn,
+              sum(n * n) OVER (PARTITION BY event_type)::BIGINT AS sq
+            FROM g),
+      t AS (SELECT event_type, day, n,
+              k * n - sn AS dev, k * sq - sn * sn AS varnum
+            FROM w)
+      SELECT event_type, day, n,
+             CASE WHEN varnum = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) END
+               AS z,
+             dev * dev > 4 * varnum AS is_anomaly
+      FROM t ORDER BY event_type, day""",
     "v_histogram" -> """
       WITH b AS (SELECT least(n_chars::BIGINT // 250, 9::BIGINT) AS bucket
                  FROM documents),

@@ -119,7 +119,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // one scan; carry-forward window on user_id + touch-type-sized agg
     "e_attribution" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // ONE user_id shuffle serving distinct, window, and both aggs
-    "q_gaps_islands" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
+    "q_gaps_islands" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // per-user partial agg -> 2-row arm agg -> 2-row window; no sort
+    "e_ab_test" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // one scan -> (type, day) agg -> per-type windows over the day grid
+    "v_anomaly" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

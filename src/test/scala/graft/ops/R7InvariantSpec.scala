@@ -114,6 +114,40 @@ class R7InvariantSpec extends SparkSpec {
       "islands do not partition the distinct (user, day) set")
   }
 
+  test("A/B arms partition users; z sign is antisymmetric") {
+    val rows = EventOps.qAbTest(spark, sf).collect()
+    assert(rows.length == 2)
+    val users = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "arms do not partition users")
+    rows.foreach { r =>
+      val (nu, nc, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nc <= nu)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the two rows measure the same contrast from opposite sides
+    if (!rows(0).isNullAt(7)) {
+      val z = rows.map(_.getDouble(7))
+      assert(math.abs(z(0) + z(1)) < 1e-9, s"z not antisymmetric: ${z.mkString(",")}")
+      val lifts = rows.map(_.getDouble(6))
+      assert(math.abs(lifts(0) + lifts(1)) < 1e-12)
+    }
+  }
+
+  test("anomaly flag agrees with the reported z at the 2-sigma gate") {
+    val rows = ValidationOps.anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val (z, flag) = (r.getDouble(3), r.getBoolean(4))
+        // integer flag must agree with |z| > 2 except exactly at the
+        // boundary (where the integer compare is the authority)
+        if (math.abs(math.abs(z) - 2.0) > 1e-9)
+          assert(flag == (math.abs(z) > 2.0), s"flag $flag disagrees with z=$z")
+      }
+    }
+  }
+
   test("PSI drift of a source against itself would be zero: corpus PSI small for uniform split") {
     // weaker but input-independent law: every PSI is non-negative (the
     // add-one smoothed form is a sum of (p-q)ln(p/q) terms, each >= 0)
