@@ -216,6 +216,52 @@ object Multimodal {
       case (pos, idx) => (idx, body(pos) & 0xff)
     }
 
+  /** Perceptual difference-hash (dHash), 60-bit: resample to an 11×6
+    * grid, emit one bit per horizontal neighbor pair (`left < right`),
+    * packed row-major into a positive BIGINT (6 rows × 10 bits — the
+    * repo's h60 width convention, so the hash survives BIGINT engines
+    * without sign games). Real path: deterministic bilinear resize +
+    * integer BT.601 luma per grid cell. Non-image payloads take the
+    * byte-sampling stand-in (the oracle path): grid point k ∈ [0, 66)
+    * reads the payload byte at `(k·len) DIV 66` — fixed fractional
+    * positions DuckDB can replay over ASCII text with substr/unicode. */
+  def dHash60(body: Array[Byte]): Long =
+    decodeImage(body) match {
+      case Some(img) =>
+        val small = bilinearResize(img, 11, 6)
+        def luma(x: Int, y: Int): Int = {
+          val p = small.getRGB(x, y)
+          (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+        }
+        var h = 0L
+        var r = 0
+        while (r < 6) {
+          var c = 0
+          while (c < 10) {
+            if (luma(c, r) < luma(c + 1, r)) h |= 1L << (r * 10 + c)
+            c += 1
+          }
+          r += 1
+        }
+        h
+      case None =>
+        val len = body.length
+        if (len == 0) 0L
+        else {
+          // k.toLong: at real payload sizes (MBs) k*len overflows Int
+          def at(k: Int): Int = body((k.toLong * len / 66).toInt) & 0xff
+          var h = 0L
+          var b = 0
+          while (b < 60) {
+            val k = (b / 10) * 11 + b % 10
+            if (at(k) < at(k + 1)) h |= 1L << b
+            b += 1
+          }
+          h
+        }
+    }
+
   /** Resize: payloads that decode as images take the real path — bilinear
     * downsample by `factor` (dims round up, min 1px) and lossless PNG
     * re-encode. Non-image payloads keep the 1-D nearest-neighbor byte
@@ -330,7 +376,36 @@ object MultimodalOps {
       .orderBy("doc_id", "win")
   }
 
+  /** Perceptual image dedup: 60-bit dHash per payload + exact-hash
+    * duplicate groups — the image-grain twin of `d_exact_dedup` (byte
+    * -identical files differ after re-encode; the perceptual hash
+    * collapses them). The decode is the codec boundary
+    * ([[Multimodal.dHash60]]: real pixels for sniffed images, byte
+    * stand-in for the oracle path); everything after is relational.
+    *
+    * Plan/scale: narrow mapPartitions (payload never crosses a shuffle —
+    * only the 8-byte hash does) + ONE uniform-key window on the hash. At
+    * 100 TB the hash groupBy is the same one-shuffle shape as exact
+    * dedup; near-dup (Hamming ≤ k) grouping would add the simhash
+    * pigeonhole bands (`d_simhash_pairs`) over the same column. */
+  def phash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, body) =>
+        (id, Multimodal.dHash60(body))
+      })
+      .toDF("doc_id", "ph")
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("doc_id"), col("ph"), col("n_same"),
+        (col("n_same") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_phash" -> phash,
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
     "m_frame_sample" -> frameSample,
@@ -338,6 +413,26 @@ object MultimodalOps {
     "m_audio_windows" -> audioWindows)
 
   val oracles: Map[String, String] = Map(
+    // byte-sampling stand-in replay: grid point k = (b DIV 10)*11 + b%10,
+    // byte at (k*len) DIV 66 via substr/unicode (ASCII ⇒ byte = codepoint)
+    "m_phash" -> """
+      WITH g AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+                   unnest(generate_series(0, 59))::BIGINT AS b
+                 FROM documents),
+      t AS (SELECT doc_id, b,
+              unicode(substr(text,
+                (((b // 10 * 11 + b % 10) * len) // 66 + 1)::INT, 1)) AS p0,
+              unicode(substr(text,
+                (((b // 10 * 11 + b % 10 + 1) * len) // 66 + 1)::INT, 1)) AS p1
+            FROM g),
+      h AS (SELECT doc_id,
+              sum(CASE WHEN p0 < p1 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                AS ph
+            FROM t GROUP BY 1),
+      c AS (SELECT doc_id, ph, count(*) OVER (PARTITION BY ph)::BIGINT AS n_same
+            FROM h)
+      SELECT doc_id, ph, n_same, n_same > 1 AS is_dup
+      FROM c ORDER BY doc_id""",
     "m_blob_meta" -> """
       SELECT doc_id, octet_length(CAST(text AS BLOB))::BIGINT AS n_bytes,
              sha256(text) AS content_sha

@@ -715,7 +715,38 @@ object TextOps {
         expr("(dy - slope * dx) / k").as("intercept"))
   }
 
+  /** Out-of-vocabulary rate: the per-document fraction of token instances
+    * outside the corpus's top-100 vocabulary — the curation proxy for
+    * "how much of this document will a fixed tokenizer shatter into rare
+    * pieces". Top-K ties break lexicographically (deterministic in both
+    * engines).
+    *
+    * Plan/scale: the vocabulary is one uniform-key token agg + a global
+    * sort-LIMIT (Spark plans TakeOrdered — only K rows ever leave the
+    * partial sorts, no full sort materializes); the K-row vocabulary then
+    * BROADCASTS back onto the token stream, so the per-doc pass is one
+    * Generate + broadcast join + doc-key agg. Two scans of `documents`
+    * are inherent: the vocabulary is a global reduction of the same
+    * column it then gates. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(expr(Toks)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(100)
+      .select(col("tok"), lit(1).as("in_v"))
+    documents(s, d)
+      .select(col("doc_id"), explode(expr(Toks)).as("tok"))
+      .join(broadcast(top), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov / n_tokens").as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_oov_rate" -> oovRate,
     "t_zipf" -> zipfFit,
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
@@ -815,6 +846,18 @@ object TextOps {
       FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln"""
 
   val oracles: Map[String, String] = Map(
+    "t_oov_rate" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      v AS (SELECT tok FROM (SELECT tok, count(*)::BIGINT AS c FROM toks
+              GROUP BY 1 ORDER BY c DESC, tok LIMIT 100)),
+      j AS (SELECT t.doc_id, v.tok IS NOT NULL AS in_v
+            FROM toks t LEFT JOIN v ON t.tok = v.tok)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN NOT in_v THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             sum(CASE WHEN NOT in_v THEN 1 ELSE 0 END)::BIGINT / count(*)
+               AS oov_rate
+      FROM j GROUP BY 1 ORDER BY doc_id""",
     "t_bpe_train" -> bpeTrainOracle,
     "t_bpe_apply" -> bpeApplyOracle,
     "t_token_stats" -> """

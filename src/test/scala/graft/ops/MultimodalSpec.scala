@@ -55,6 +55,39 @@ class MultimodalSpec extends SparkSpec {
       bytes.indices.collect { case i if i % 2 == 0 => bytes(i) }.toSeq)
   }
 
+  test("dHash: gradient images hash by structure, not by encoding") {
+    // horizontal ramp: every left < right → all 60 bits set
+    val ramp = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = x * 255 / 15; ramp.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val hRamp = Multimodal.dHash60(Multimodal.encodePng(ramp))
+    assert(hRamp == (1L << 60) - 1, f"ramp hash $hRamp%x")
+    // the reversed ramp: every left > right → no bits set
+    val rev = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = (15 - x) * 255 / 15; rev.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.dHash60(Multimodal.encodePng(rev)) == 0L)
+    // perceptual: a re-encoded (here: upscaled) ramp keeps the same hash
+    val big = Multimodal.bilinearResize(ramp, 64, 32)
+    assert(Multimodal.dHash60(Multimodal.encodePng(big)) == hRamp)
+  }
+
+  test("dHash stand-in replays the fixed fractional byte positions") {
+    val bytes = ("az" * 40).getBytes("UTF-8") // alternating low/high
+    val got = Multimodal.dHash60(bytes)
+    var want = 0L
+    val len = bytes.length
+    for (b <- 0 until 60) {
+      val k = (b / 10) * 11 + b % 10
+      def at(i: Int) = bytes(i * len / 66) & 0xff
+      if (at(k) < at(k + 1)) want |= 1L << b
+    }
+    assert(got == want)
+    assert(Multimodal.dHash60(Array.emptyByteArray) == 0L)
+  }
+
   test("magic sniff: only real image signatures reach the decoder") {
     // perf + determinism gate: the real-decode path is whitelisted by
     // signature, not by decoder success (ADVICE r5)

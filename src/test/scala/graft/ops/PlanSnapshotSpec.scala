@@ -123,7 +123,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // per-user partial agg -> 2-row arm agg -> 2-row window; no sort
     "e_ab_test" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // one scan -> (type, day) agg -> per-type windows over the day grid
-    "v_anomaly" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
+    "v_anomaly" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // vocab agg -> TakeOrdered top-100 broadcast back onto the stream
+    "t_oov_rate" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    // narrow hash map (payload never shuffles) + ONE hash-key window
+    "m_phash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
