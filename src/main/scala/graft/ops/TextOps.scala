@@ -745,7 +745,70 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction: PageRank over the word-adjacency graph
+    * of the corpus's top-50 vocabulary — undirected, distinct-pair edges
+    * from in-document token adjacency, 3 fixed-point iterations in
+    * 1e-9-unit INTEGER arithmetic (bit-identical across engines; the
+    * d_pagerank machinery re-keyed from doc ids to words). The classic
+    * unsupervised keyword pass over a corpus.
+    *
+    * Plan/scale: the heavy work is edge extraction — one Generate over
+    * the token stream with the ≤50-word vocabulary broadcast onto both
+    * bigram endpoints, then a distinct on the (catalog-sized) pair set.
+    * Iterations run over the checkpointed ≤50-node graph: each is one
+    * tiny join+agg, identical at any corpus size because the graph is
+    * vocabulary-bounded, not corpus-bounded. */
+  def textrank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000L
+    val vocab = documents(s, d)
+      .select(explode(expr(Toks)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(50)
+      .select(col("tok"))
+    val bg = documents(s, d).select(expr(Toks).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+                       i -> named_struct('l', element_at(toks, i),
+                                         'r', element_at(toks, i + 1)))
+           ELSE array() END""")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= col("r"))
+    val pairs = bg
+      .join(broadcast(vocab.withColumnRenamed("tok", "l")), "l")
+      .join(broadcast(vocab.withColumnRenamed("tok", "r")), "r")
+      .select(least(col("l"), col("r")).as("a"),
+        greatest(col("l"), col("r")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b"), col("a")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val nN = nodes.count()
+    if (nN == 0)
+      return nodes.select(col("node").as("word"), lit(0L).as("rank_fp"),
+        lit(0.0).as("rank"))
+    val base = 15L * (Scale / nN) / 100L
+    var ranks = nodes.withColumn("r", lit(Scale / nN))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left").na.fill(0L, Seq("sc"))
+        .select(col("node"), expr(s"${base}L + (85 * sc) DIV 100").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("word"), col("r").as("rank_fp"),
+      expr("r / 1.0e9").as("rank"))
+      .orderBy(col("rank_fp").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_textrank" -> textrank,
     "t_oov_rate" -> oovRate,
     "t_zipf" -> zipfFit,
     "t_entropy" -> entropy,
@@ -846,6 +909,49 @@ object TextOps {
       FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln"""
 
   val oracles: Map[String, String] = Map(
+    // the d_pagerank unrolled-iteration replay, re-keyed to vocabulary
+    // words with adjacency edges
+    "t_textrank" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      v AS (SELECT tok FROM (
+              SELECT tok, count(*)::BIGINT AS c
+              FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+              ORDER BY c DESC, tok LIMIT 50)),
+      bg AS (SELECT toks[i] AS l, toks[i + 1] AS r
+             FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM t) z
+             WHERE toks[i] <> toks[i + 1]),
+      p AS (SELECT DISTINCT least(l, r) AS a, greatest(l, r) AS b
+            FROM bg JOIN v vl ON bg.l = vl.tok JOIN v vr ON bg.r = vr.tok),
+      ed AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+      nd AS (SELECT DISTINCT src AS node FROM ed),
+      cn AS (SELECT count(*)::BIGINT AS n FROM nd),
+      r0 AS (SELECT node, (1000000000 // cn.n)::BIGINT AS r
+             FROM nd CROSS JOIN cn),
+      c1 AS (SELECT ed.dst AS node, sum(r0.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r0 ON ed.src = r0.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r1 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c1.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c1 ON nd.node = c1.node),
+      c2 AS (SELECT ed.dst AS node, sum(r1.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r1 ON ed.src = r1.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r2 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c2.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c2 ON nd.node = c2.node),
+      c3 AS (SELECT ed.dst AS node, sum(r2.r // dg.deg)::BIGINT AS sc
+             FROM ed JOIN r2 ON ed.src = r2.node JOIN dg ON ed.src = dg.src
+             GROUP BY 1),
+      r3 AS (SELECT nd.node,
+               ((15 * (1000000000 // cn.n)) // 100
+                + (85 * coalesce(c3.sc, 0)) // 100)::BIGINT AS r
+             FROM nd CROSS JOIN cn LEFT JOIN c3 ON nd.node = c3.node)
+      SELECT node AS word, r AS rank_fp, r / 1.0e9 AS rank
+      FROM r3 ORDER BY rank_fp DESC, word""",
     "t_oov_rate" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

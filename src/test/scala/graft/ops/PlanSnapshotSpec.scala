@@ -127,7 +127,10 @@ class PlanSnapshotSpec extends SparkSpec {
     // vocab agg -> TakeOrdered top-100 broadcast back onto the stream
     "t_oov_rate" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     // narrow hash map (payload never shuffles) + ONE hash-key window
-    "m_phash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
+    "m_phash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // iterations read the checkpointed vocabulary graph — rank lineage
+    // off materialized relations, zero parquet re-scans (d_pagerank shape)
+    "t_textrank" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -114,6 +114,21 @@ class R7InvariantSpec extends SparkSpec {
       "islands do not partition the distinct (user, day) set")
   }
 
+  test("textrank mass stays within damping bounds; nodes are vocabulary words") {
+    val rows = TextOps.textrank(spark, sf).collect()
+    if (rows.nonEmpty) {
+      // fixed-point truncation only loses mass (same law as d_pagerank)
+      assert(rows.map(_.getLong(1)).sum <= 1000000000L)
+      rows.foreach(r => assert(r.getLong(1) >= 0L))
+      // every ranked word really occurs in the corpus
+      val toks = Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("split(text, ' ')")).as("tok"))
+        .distinct().collect().map(_.getString(0)).toSet
+      rows.foreach(r => assert(toks.contains(r.getString(0))))
+    }
+  }
+
   test("A/B arms partition users; z sign is antisymmetric") {
     val rows = EventOps.qAbTest(spark, sf).collect()
     assert(rows.length == 2)
