@@ -94,6 +94,42 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }
 
+  case class TouchOut(userId: Long, purchaseTsMicros: Long, touchType: String,
+    value: Double)
+  /** Public: the state encoder's generated code must construct it. */
+  case class TouchState(touch: String, tsMicros: Long)
+
+  /** Streaming last-touch attribution — the streaming dual of
+    * EventOps.qAttribution: per-user state carries the most recent
+    * non-purchase event type; each purchase is emitted immediately,
+    * credited to it ('none' when the user has no prior touch). State is
+    * ONE tiny row per active user (touch type + time), hash-partitioned
+    * by the uniform user key — the same O(active users) bound as
+    * [[sessionize]]. Within a micro-batch rows apply in event-time order
+    * with purchases after touches at the same instant, matching the batch
+    * window's (ts, is_p) sort. */
+  def attributionStream(events: Dataset[Event]): Dataset[TouchOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[TouchState]): Iterator[TouchOut] = {
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.tsMicros, if (e.eventType == "purchase") 1 else 0))
+      var st = state.getOption
+      var out = List.empty[TouchOut]
+      sorted.foreach { e =>
+        if (e.eventType == "purchase")
+          out ::= TouchOut(userId, e.tsMicros,
+            st.map(_.touch).getOrElse("none"), e.value)
+        else st = Some(TouchState(e.eventType, e.tsMicros))
+      }
+      st.foreach(state.update)
+      out.reverseIterator
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming exact dedup — the streaming dual of DedupOps.exactDedup:
     * keep the first arrival per content hash, drop later duplicates. State
     * is keyed by the md5 hash (uniform — never skewed) and expired by the

@@ -60,6 +60,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 10 * min, 2L)))
   }
 
+  test("attributionStream credits purchases to the last prior touch across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamOps.Event]
+    val q = StreamOps.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("touches")
+      .outputMode("append").start()
+    // batch 1: purchase before any touch -> 'none'; then view -> purchase
+    in.addData(
+      StreamOps.Event(1L, 10L, "purchase", 5.0),
+      StreamOps.Event(1L, 20L, "view", 0.0),
+      StreamOps.Event(1L, 30L, "purchase", 7.0))
+    q.processAllAvailable()
+    // batch 2: state persisted — the view still gets credit; then a click
+    // supersedes it; same-instant touch beats the purchase (ts tie)
+    in.addData(
+      StreamOps.Event(1L, 40L, "purchase", 9.0),
+      StreamOps.Event(1L, 50L, "click", 0.0),
+      StreamOps.Event(1L, 50L, "purchase", 11.0))
+    q.processAllAvailable()
+    val rows = spark.table("touches").as[StreamOps.TouchOut].collect()
+      .sortBy(_.purchaseTsMicros)
+    q.stop()
+    assert(rows.toSeq == Seq(
+      StreamOps.TouchOut(1L, 10L, "none", 5.0),
+      StreamOps.TouchOut(1L, 30L, "view", 7.0),
+      StreamOps.TouchOut(1L, 40L, "view", 9.0),
+      StreamOps.TouchOut(1L, 50L, "click", 11.0)))
+  }
+
   test("sessionize(idleTimeout) flushes an idle session without a successor event") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
