@@ -404,7 +404,48 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Perceptual NEAR-dup image pairs: Hamming ≤ 3 over the 60-bit dHash
+    * via the 4×15-bit pigeonhole (a pair within distance 3 agrees on at
+    * least one band exactly — 4 bands, 3 flipped bits) — the
+    * d_simhash_pairs machinery applied to the image fingerprint, with the
+    * same capped posting enumeration.
+    *
+    * Plan/scale: narrow hash map → 4-row band explode → ONE shuffle on
+    * the (band_idx, band) key; pairs enumerated inside bounded posting
+    * rows (cap 64); the exact bit_count(xor) ≤ 3 filter runs on
+    * candidates only. Never n²; hot bands are dropped by the cap, and
+    * only (id, hash) pairs ever shuffle — payloads stay in the scan. */
+  def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxBand = 64
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, body) =>
+        (id, Multimodal.dHash60(body))
+      })
+      .toDF("doc_id", "ph")
+      .select(col("doc_id"), col("ph"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .select(col("doc_id"), col("ph"), col("band_idx"),
+        expr("(ph >> (15 * band_idx)) & 32767").as("band"))
+      .groupBy("band_idx", "band")
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBand)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("x"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("y"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_phash_pairs" -> phashPairs,
     "m_phash" -> phash,
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
@@ -412,13 +453,14 @@ object MultimodalOps {
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows)
 
-  val oracles: Map[String, String] = Map(
-    // byte-sampling stand-in replay: grid point k = (b DIV 10)*11 + b%10,
-    // byte at (k*len) DIV 66 via substr/unicode (ASCII ⇒ byte = codepoint)
-    "m_phash" -> """
-      WITH g AS (SELECT doc_id, text, length(text)::BIGINT AS len,
-                   unnest(generate_series(0, 59))::BIGINT AS b
-                 FROM documents),
+  /** Shared dHash-replay CTE chain (byte-sampling stand-in: grid point
+    * k = (b DIV 10)*11 + b%10, byte at (k*len) DIV 66 via substr/unicode
+    * — ASCII ⇒ byte = codepoint), interpolated into BOTH m_phash oracles
+    * so the hash definition can never diverge between them. */
+  private val PhashCtes = """
+      g AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+              unnest(generate_series(0, 59))::BIGINT AS b
+            FROM documents),
       t AS (SELECT doc_id, b,
               unicode(substr(text,
                 (((b // 10 * 11 + b % 10) * len) // 66 + 1)::INT, 1)) AS p0,
@@ -428,11 +470,30 @@ object MultimodalOps {
       h AS (SELECT doc_id,
               sum(CASE WHEN p0 < p1 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
                 AS ph
-            FROM t GROUP BY 1),
+            FROM t GROUP BY 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "m_phash" -> s"""
+      WITH $PhashCtes,
       c AS (SELECT doc_id, ph, count(*) OVER (PARTITION BY ph)::BIGINT AS n_same
             FROM h)
       SELECT doc_id, ph, n_same, n_same > 1 AS is_dup
       FROM c ORDER BY doc_id""",
+    "m_phash_pairs" -> s"""
+      WITH $PhashCtes,
+      ch AS (SELECT doc_id, ph, j AS band_idx,
+               (ph >> (15 * j)) & 32767 AS band
+             FROM h, generate_series(0, 3) gs(j)),
+      keep AS (SELECT band_idx, band FROM ch GROUP BY 1, 2
+               HAVING count(*) BETWEEN 2 AND 64),
+      pairs AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                  a.ph pa, b.ph pb
+                FROM ch a JOIN ch b ON a.band_idx = b.band_idx
+                  AND a.band = b.band AND a.doc_id < b.doc_id
+                JOIN keep k ON a.band_idx = k.band_idx AND a.band = k.band)
+      SELECT a_id, b_id, bit_count(xor(pa, pb))::BIGINT AS hamming
+      FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
+      ORDER BY a_id, b_id""",
     "m_blob_meta" -> """
       SELECT doc_id, octet_length(CAST(text AS BLOB))::BIGINT AS n_bytes,
              sha256(text) AS content_sha

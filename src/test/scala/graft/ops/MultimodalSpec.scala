@@ -88,6 +88,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash60(Array.emptyByteArray) == 0L)
   }
 
+  test("dHash near-dup: a small pixel edit moves few bits; bands pigeonhole it") {
+    val base = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = x * 255 / 15; base.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val edited = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = x * 255 / 15; edited.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    edited.setRGB(0, 0, 0xffffff) // one bright corner pixel
+    val (h1, h2) = (Multimodal.dHash60(Multimodal.encodePng(base)),
+      Multimodal.dHash60(Multimodal.encodePng(edited)))
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hamming <= 3, s"one-pixel edit flipped $hamming bits")
+    // the pigeonhole the query relies on: hamming <= 3 over 4 bands ⇒ at
+    // least one 15-bit band identical
+    val shared = (0 until 4).exists(j =>
+      ((h1 >> (15 * j)) & 32767L) == ((h2 >> (15 * j)) & 32767L))
+    assert(shared, "no shared band despite hamming <= 3")
+  }
+
+  test("phashPairs agrees with brute force over the corpus hashes") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val got = MultimodalOps.phashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = MultimodalOps.phash(spark, d)
+      .select(col("doc_id"), col("ph")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    // the cap can only DROP pairs (hot bands), never invent them
+    assert(got.subsetOf(want), s"phantom pairs: ${got.diff(want)}")
+    // at this SF no band is hot, so the capped result must be exact
+    assert(got == want, s"missed pairs: ${want.diff(got)}")
+  }
+
   test("magic sniff: only real image signatures reach the decoder") {
     // perf + determinism gate: the real-decode path is whitelisted by
     // signature, not by decoder success (ADVICE r5)

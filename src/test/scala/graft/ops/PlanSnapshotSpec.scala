@@ -130,7 +130,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "m_phash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // iterations read the checkpointed vocabulary graph — rank lineage
     // off materialized relations, zero parquet re-scans (d_pagerank shape)
-    "t_textrank" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "t_textrank" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE band-key shuffle; pairs enumerated inside capped posting rows
+    "m_phash_pairs" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
