@@ -363,6 +363,51 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Funnel timing: for users progressing through the ordered funnel
+    * (signup → view → click → purchase, first-occurrence ordering as in
+    * [[qEventFunnel]]), the exact discrete median and p90 of the
+    * time-to-convert into each step — the "how long does conversion
+    * take" companion to the step-count funnel. Percentiles use the
+    * histogram/cumulative-window form (the q_median_disc pattern): exact
+    * integers end-to-end, no interpolation, no type-7 float hazards.
+    *
+    * Plan/scale: one scan → per-user conditional-min agg (uniform key) →
+    * 3-row-per-user gap melt → (step, gap) histogram agg → cumulative
+    * windows partitioned by step. Everything after the per-user agg is
+    * at most 3 rows per converting user; the windows are per-step sorted
+    * passes — the documented scale path for exact percentiles. */
+  def qFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+      min(when(col("event_type") === "view", col("ts"))).as("t2"),
+      min(when(col("event_type") === "click", col("ts"))).as("t3"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t4"))
+    val gaps = perUser.select(explode(expr(
+      """filter(array(
+           CASE WHEN t1 IS NOT NULL AND t2 >= t1 THEN
+             named_struct('step', '2_view',
+                          'gap_us', unix_micros(t2) - unix_micros(t1)) END,
+           CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2 THEN
+             named_struct('step', '3_click',
+                          'gap_us', unix_micros(t3) - unix_micros(t2)) END,
+           CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2 AND t4 >= t3 THEN
+             named_struct('step', '4_purchase',
+                          'gap_us', unix_micros(t4) - unix_micros(t3)) END),
+         x -> x IS NOT NULL)""")).as("g"))
+      .select(col("g.step").as("step"), col("g.gap_us").as("gap_us"))
+    val wCum = Window.partitionBy(col("step")).orderBy(col("gap_us"))
+    val wAll = Window.partitionBy(col("step"))
+    gaps.groupBy("step", "gap_us").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy("step")
+      .agg(
+        min(when(expr("cum >= (n + 1) DIV 2"), col("gap_us"))).as("median_gap_us"),
+        min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_us"))).as("p90_gap_us"),
+        max(col("n")).as("n_users"))
+      .orderBy("step")
+  }
+
   /** A/B experiment readout: users deterministically hash-split into two
     * arms (user_id parity — the same shape as a serving-time assignment
     * hash), then per arm: exposure, conversion (a HIGH-VALUE purchase,
@@ -410,6 +455,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
     "q_gaps_islands" -> qGapsIslands,
@@ -427,6 +473,39 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_funnel_time" -> """
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+      pu AS (SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+             FROM ev GROUP BY 1),
+      gaps AS (
+        SELECT '2_view' AS step,
+               epoch_us(t2) - epoch_us(t1) AS gap_us
+        FROM pu WHERE t1 IS NOT NULL AND t2 >= t1
+        UNION ALL
+        SELECT '3_click', epoch_us(t3) - epoch_us(t2)
+        FROM pu WHERE t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
+        UNION ALL
+        SELECT '4_purchase', epoch_us(t4) - epoch_us(t3)
+        FROM pu WHERE t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2 AND t4 >= t3),
+      h AS (SELECT step, gap_us, count(*)::BIGINT AS cnt
+            FROM gaps GROUP BY 1, 2),
+      w AS (SELECT step, gap_us, cnt,
+              sum(cnt) OVER (PARTITION BY step ORDER BY gap_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+              sum(cnt) OVER (PARTITION BY step)::BIGINT AS n
+            FROM h)
+      SELECT step,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN gap_us END)::BIGINT
+               AS median_gap_us,
+             min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_us END)::BIGINT
+               AS p90_gap_us,
+             max(n)::BIGINT AS n_users
+      FROM w GROUP BY 1 ORDER BY step""",
     "e_ab_test" -> """
       WITH pu AS (SELECT user_id,
                sum(CASE WHEN event_type = 'purchase' AND "value" >= 95

@@ -230,7 +230,41 @@ object ValidationOps {
       .orderBy("event_type", "day")
   }
 
+  /** Shuffle-key skew diagnosis: for each candidate partition key of
+    * `events` (user_id, event_type, calendar day), the key cardinality,
+    * the hottest key's row count, the mean rows per key, and the skew
+    * ratio max/mean — the report that decides, BEFORE a 100 TB shuffle,
+    * which keys need salting (q_skew_salted) or AQE skew handling and
+    * which are safe to hash-partition on. A ratio near 1 is uniform;
+    * event_type's ~n/4 hot keys show exactly why the salted form exists.
+    *
+    * Plan/scale: ONE scan — the three key columns melt through a single
+    * 3-row Generate (the v_drift trick), then one (key_name, key_val)
+    * agg and a key_name-grain rollup. Both aggregates partial-combine
+    * map-side; output is 3 rows. */
+  def skew(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(explode(expr(
+        """array(
+             named_struct('key_name', 'user_id',
+                          'key_val', CAST(user_id AS STRING)),
+             named_struct('key_name', 'event_type', 'key_val', event_type),
+             named_struct('key_name', 'day',
+                          'key_val', CAST(CAST(ts AS DATE) AS STRING)))"""))
+        .as("k"))
+      .groupBy(col("k.key_name").as("key_name"), col("k.key_val").as("key_val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("key_name")
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"))
+      .select(col("key_name"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        expr("n_rows / n_keys").as("avg_key_rows"),
+        expr("max_key_rows * n_keys / n_rows").as("skew_ratio"))
+      .orderBy("key_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_skew" -> skew,
     "v_anomaly" -> anomaly,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
@@ -239,6 +273,24 @@ object ValidationOps {
     "v_kl_sources" -> klSources)
 
   val oracles: Map[String, String] = Map(
+    "v_skew" -> """
+      WITH m AS (
+        SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS key_val
+        FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+        UNION ALL
+        SELECT 'day', CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR)
+        FROM events),
+      g AS (SELECT key_name, key_val, count(*)::BIGINT AS cnt
+            FROM m GROUP BY 1, 2),
+      r AS (SELECT key_name, sum(cnt)::BIGINT AS n_rows,
+              count(*)::BIGINT AS n_keys, max(cnt)::BIGINT AS max_key_rows
+            FROM g GROUP BY 1)
+      SELECT key_name, n_rows, n_keys, max_key_rows,
+             n_rows / n_keys AS avg_key_rows,
+             max_key_rows * n_keys / n_rows AS skew_ratio
+      FROM r ORDER BY key_name""",
     "v_anomaly" -> """
       WITH g AS (SELECT event_type,
                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -132,7 +132,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // off materialized relations, zero parquet re-scans (d_pagerank shape)
     "t_textrank" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE band-key shuffle; pairs enumerated inside capped posting rows
-    "m_phash_pairs" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0")
+    "m_phash_pairs" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    // one scan -> per-user mins -> gap melt -> histogram + step windows
+    "e_funnel_time" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
+    // ONE scan: 3-key melt Generate -> composite agg -> key rollup
+    "v_skew" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -114,6 +114,35 @@ class R7InvariantSpec extends SparkSpec {
       "islands do not partition the distinct (user, day) set")
   }
 
+  test("funnel timing is consistent with the funnel counts") {
+    val times = EventOps.qFunnelTime(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val funnel = EventOps.qEventFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    times.foreach { case (step, (med, p90, n)) =>
+      assert(med >= 0 && p90 >= med, s"$step: p90 $p90 < median $med")
+      // step k's timed population == users the funnel counts at depth >= k
+      val k = step.substring(0, 1).toInt
+      assert(n == funnel(k.toLong), s"$step: timed $n != funnel ${funnel(k.toLong)}")
+    }
+  }
+
+  test("skew report: event_type is hot, user_id near-uniform; totals conserve") {
+    val rows = ValidationOps.skew(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    val total = Tables.events(spark, sf).count()
+    rows.values.foreach { case (n, k, mx, ratio) =>
+      assert(n == total, "melt lost rows")
+      assert(mx * k >= n, "max*keys < total is impossible")
+      assert(ratio >= 1.0 - 1e-9)
+    }
+    // the event-type domain is fixed (5 values at any SF); day keys are
+    // bounded by the 30-day generation window
+    assert(rows("event_type")._2 <= 8)
+    assert(rows("day")._2 <= 31)
+  }
+
   test("textrank mass stays within damping bounds; nodes are vocabulary words") {
     val rows = TextOps.textrank(spark, sf).collect()
     if (rows.nonEmpty) {
