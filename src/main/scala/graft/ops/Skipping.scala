@@ -114,6 +114,23 @@ object Skipping {
     else perFile.agg(avg(col("span"))).first().getDouble(0) / global
   }
 
+  /** Hive-style partitioned rewrite of `events` by calendar day — the
+    * coarse-grain complement of [[zorderWrite]]'s intra-file clustering
+    * and the standing ingest layout at 100 TB: a day-ranged query prunes
+    * whole partition DIRECTORIES at file-listing time (the scan's
+    * `PartitionFilters`), before a single byte of parquet IO; z-order
+    * min/max skipping then works within the surviving partitions.
+    * Returns the partition-directory count. */
+  def partitionedWrite(spark: SparkSession, inDir: String,
+      outDir: String): Int = {
+    events(spark, inDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(outDir)
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.startsWith("day="))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_zorder" -> eZorder)
 

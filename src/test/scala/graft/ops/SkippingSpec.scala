@@ -39,6 +39,33 @@ class SkippingSpec extends SparkSpec {
     assert(zValue < 0.6, s"z-order value span $zValue")
   }
 
+  test("partitionedWrite prunes day partitions at file-listing time") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_part").toFile
+    out.deleteOnExit()
+    val n = Skipping.partitionedWrite(spark, sf, out.getAbsolutePath)
+    assert(n >= 28 && n <= 31, s"expected ~30 day partitions, got $n")
+    val filtered = spark.read.parquet(out.getAbsolutePath)
+      .filter(col("day").between("2024-01-10", "2024-01-12"))
+    // the filter must reach the source as a PARTITION filter (pruned at
+    // listing), not a data filter evaluated per row after IO
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"day predicate not in PartitionFilters:\n${plan.take(1500)}")
+    // runtime truth: only the 3 matching partition dirs contribute files
+    val days = filtered.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+      .flatMap(_.split("/").find(_.startsWith("day=")))
+      .toSet
+    assert(days == Set("day=2024-01-10", "day=2024-01-11", "day=2024-01-12"),
+      s"scanned partitions: $days")
+    // and the pruned read returns exactly the source rows in range
+    val want = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-10", "2024-01-12")).count()
+    assert(filtered.count() == want)
+  }
+
   test("e_zorder z-values are consistent with their bucket ids") {
     val rows = Skipping.eZorder(spark, sf).collect()
     assert(rows.length == 10000)
