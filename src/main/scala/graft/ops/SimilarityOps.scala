@@ -207,6 +207,40 @@ object SimilarityOps {
       .map(j => s"named_struct('ns', -s$j, 'cell', CAST($j AS BIGINT))")
       .mkString("array_min(array(", ", ", ")).cell")
 
+  /** k-NN GRAPH construction: every corpus vector's 3 nearest cosine
+    * neighbors among vectors in its own IVF cell — the blocked
+    * all-vectors kNN graph that SemDeDup, graph clustering, and kNN-LM
+    * pipelines build as a standing artifact (contrast [[cosineTopk]],
+    * which serves a small query SET; this serves the WHOLE corpus).
+    *
+    * Plan/scale: the same narrow codegen'd cell assignment as
+    * [[ivfTopk]], then ONE shuffle on the cell key, a per-cell pairwise
+    * join (never corpus² — cells bound the quadratic term), and a
+    * per-vector top-3 that rides WindowGroupLimit partial+final (the
+    * limit runs below the shuffle). At 100 TB this is the standard
+    * IVF-blocked kNN-graph recipe; recall is governed by the cell
+    * grain — production unions multi-probe assignments, which only adds
+    * a second Generate, not a new shape. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val assigned = embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +:
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr(argmaxCells).as("cell"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("a_id", "rk")
+  }
+
   /** IVF ANN: assign every vector to its nearest codebook cell (narrow,
     * codegen'd argmax over K inlined centroids), probe the NProbe best
     * cells per query, exact-cosine re-rank inside the probed cells. */
@@ -529,6 +563,7 @@ object SimilarityOps {
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
+    "s_knn_graph" -> knnGraph,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
     "s_ann_recall" -> annRecall,
@@ -589,6 +624,36 @@ object SimilarityOps {
         WHERE q.vec_id < 5)
       SELECT q_id, bucket, rank::INT AS rank, vec_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s_knn_graph" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, v) -> a + v))"""
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(a.embedding, b.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+      s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
+      ranked AS (
+        SELECT a.vec_id a_id, b.vec_id b_id,
+               $dotAB / (a.nrm * b.nrm) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      SELECT a_id, b_id, cos, rk::INT AS rk FROM ranked WHERE rk <= 3
+      ORDER BY a_id, rk"""
+    },
     "s_ivf_topk" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

@@ -136,7 +136,12 @@ class PlanSnapshotSpec extends SparkSpec {
     // one scan -> per-user mins -> gap melt -> histogram + step windows
     "e_funnel_time" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
     // ONE scan: 3-key melt Generate -> composite agg -> key rollup
-    "v_skew" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
+    "v_skew" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // cell self-join (broadcast at this SF; hash on cell at scale);
+    // top-3 rides WindowGroupLimit partial+final below the shuffle.
+    // scan=2 at sf0.001: the broadcast build side re-scans; at sf0.01+
+    // ReusedExchange merges both sides into one FileScan (probe-verified)
+    "s_knn_graph" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

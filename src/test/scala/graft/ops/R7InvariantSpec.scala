@@ -143,6 +143,20 @@ class R7InvariantSpec extends SparkSpec {
     assert(rows("day")._2 <= 31)
   }
 
+  test("knn graph: ranks are 1..k per vector, cosine non-increasing, no self-edges") {
+    val rows = SimilarityOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (a, es) =>
+      val sorted = es.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to es.length), s"ranks not 1..k for $a")
+      assert(es.length <= 3)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._3 >= p(1)._3 - 1e-12), s"cosine not sorted for $a")
+      es.foreach { case (x, b, _, _) => assert(x != b, "self-edge") }
+    }
+  }
+
   test("textrank mass stays within damping bounds; nodes are vocabulary words") {
     val rows = TextOps.textrank(spark, sf).collect()
     if (rows.nonEmpty) {
