@@ -454,7 +454,32 @@ object EventOps {
       .orderBy("arm")
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * count of each consecutive (from → to) event-type pair and the
+    * row-conditional probability P(to | from) — the session-flow model
+    * behind "what do users do after a view".
+    *
+    * Plan/scale: lead() over the (user_id, ts) window — one shuffle on
+    * user_id, the natural distribution key (streams never straddle
+    * users) — then a partial-agg count on the (from, to) pair. The
+    * transition grid is event-type² = catalog-sized, so the row totals
+    * ride a window over that grid, not a second scan of events. */
+  def qMarkov(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_markov" -> qMarkov,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -473,6 +498,19 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_markov" -> """
+      WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_type
+                  FROM events),
+      nx AS (SELECT event_type AS from_type,
+               lead(event_type)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             FROM ev),
+      g AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+            FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             n / (sum(n) OVER (PARTITION BY from_type))::BIGINT AS p
+      FROM g ORDER BY from_type, to_type""",
     "e_funnel_time" -> """
       WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                   FROM events),

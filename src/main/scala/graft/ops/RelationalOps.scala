@@ -539,7 +539,42 @@ object RelationalOps {
         expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("region_sum"))
       .orderBy("grp")
 
+  /** RFM customer segmentation: per customer, recency (last order date),
+    * frequency (order count) and monetary (exact total spend), each
+    * mapped to a 1–5 quintile score by ntile (5 = most recent / most
+    * frequent / highest spend), plus the concatenated "rfm" segment
+    * string. Every ORDER BY ends on the unique custkey, so bucket
+    * assignment is total-order deterministic in both engines.
+    *
+    * Plan/scale: the per-customer rollup is one partial-agg shuffle on
+    * the uniform o_custkey. The three ntiles are single-partition
+    * windows over the CUSTOMER-grain relation — exact quintiles need a
+    * total order, and exact is what the oracle can replay bit-for-bit.
+    * At 100 TB swap them for approx_percentile thresholds computed in
+    * the same aggregate pass and broadcast: the segmentation becomes a
+    * narrow map, scores move only at bucket edges, and the rollup shape
+    * is unchanged. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("spend"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_order"), col("custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("n_orders"), col("custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("spend"), col("custkey"))))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rfm" -> qRfm,
     "q1_agg" -> q1Agg,
     "q_map_fns" -> qMapFns,
     "q3_topk_join" -> q3TopkJoin,
@@ -576,6 +611,26 @@ object RelationalOps {
     "q_array_fns" -> qArrayFns)
 
   val oracles: Map[String, String] = Map(
+    "e_rfm" -> s"""
+      WITH per AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*)::BIGINT AS n_orders,
+               ${dsumSql("o_totalprice")} AS spend
+        FROM orders GROUP BY 1),
+      sc AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY last_order, custkey) AS INT)
+                 AS r_score,
+               CAST(ntile(5) OVER (ORDER BY n_orders, custkey) AS INT)
+                 AS f_score,
+               CAST(ntile(5) OVER (ORDER BY spend, custkey) AS INT)
+                 AS m_score
+        FROM per)
+      SELECT custkey, last_order, n_orders, spend, r_score, f_score, m_score,
+             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+               AS segment
+      FROM sc ORDER BY custkey""",
     "q1_agg" -> s"""
       SELECT l_returnflag, l_linestatus,
              ${dsumSql("l_quantity")} AS sum_qty,

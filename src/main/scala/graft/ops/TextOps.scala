@@ -199,6 +199,39 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Bigram next-token prediction: for the 20 most frequent head tokens,
+    * the argmax continuation and its conditional probability
+    * P(next | head) — the 2-gram language-model read-out (the unigram
+    * twin is t_unigram_lm). Ties break by count desc then token asc.
+    *
+    * Plan/scale: ONE explode pass builds (head, next) partial-agg counts
+    * (shuffle volume = distinct bigrams, not corpus tokens); the per-head
+    * argmax and head totals ride a single window over that
+    * vocabulary²-sized relation, and top-20 is a TakeOrdered — no second
+    * scan of documents at any scale. */
+  def bigramNext(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHead = Window.partitionBy(col("head"))
+    documents(s, d)
+      .select(expr(Toks).as("toks"))
+      .select(expr(
+        """explode(CASE WHEN size(toks) >= 2 THEN
+              transform(sequence(1, size(toks) - 1),
+                        i -> struct(element_at(toks, i) AS head,
+                                    element_at(toks, i + 1) AS nxt))
+            ELSE array() END)""").as("bg"))
+      .select(col("bg.head").as("head"), col("bg.nxt").as("nxt"))
+      .groupBy("head", "nxt").agg(count(lit(1)).as("n"))
+      .withColumn("head_n", sum(col("n")).over(byHead))
+      .withColumn("rn",
+        row_number().over(byHead.orderBy(col("n").desc, col("nxt"))))
+      .filter(col("rn") === 1)
+      .select(col("head"), col("head_n"), col("nxt").as("next_tok"),
+        col("n").as("next_n"), (col("n") / col("head_n")).as("p_next"))
+      .orderBy(col("head_n").desc, col("head"))
+      .limit(20)
+  }
+
   /** GPT-style pre-tokenizer pattern: a leading-space word, number, or
     * punctuation run, or residual whitespace. ASCII classes + no lookahead
     * so Java regex (Spark) and RE2 (DuckDB) agree; both engines match
@@ -822,6 +855,7 @@ object TextOps {
     "t_quality" -> quality,
     "t_fingerprint" -> fingerprint,
     "t_ngram_freq" -> ngramFreq,
+    "t_bigram_next" -> bigramNext,
     "t_bpe_tokens" -> bpeTokens,
     "t_bpe_train" -> bpeTrain,
     "t_bpe_apply" -> bpeApply,
@@ -1016,6 +1050,20 @@ object TextOps {
                      i -> toks[i] || ' ' || toks[i + 1])) bigram FROM t)
       SELECT bigram, count(*) AS n FROM b
       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "t_bigram_next" -> """
+      WITH t AS (SELECT string_split(text, ' ') toks FROM documents),
+      b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> {'head': toks[i], 'nxt': toks[i + 1]})) bg FROM t),
+      g AS (SELECT bg.head AS head, bg.nxt AS nxt, count(*)::BIGINT AS n
+            FROM b GROUP BY 1, 2),
+      w AS (SELECT head, nxt, n,
+              sum(n) OVER (PARTITION BY head)::BIGINT AS head_n,
+              row_number() OVER (PARTITION BY head ORDER BY n DESC, nxt) AS rn
+            FROM g)
+      SELECT head, head_n, nxt AS next_tok, n AS next_n,
+             n / head_n AS p_next
+      FROM w WHERE rn = 1
+      ORDER BY head_n DESC, head LIMIT 20""",
     "t_bpe_tokens" -> s"""
       WITH t AS (SELECT doc_id,
                    len(string_split(text, ' '))::BIGINT n_ws,

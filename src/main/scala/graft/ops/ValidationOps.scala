@@ -263,7 +263,54 @@ object ValidationOps {
         expr("max_key_rows * n_keys / n_rows").as("skew_ratio"))
       .orderBy("key_name")
 
+  /** Referential-integrity audit across the warehouse FK graph — one row
+    * per declared foreign key with child-row count, NULL-key count,
+    * orphan count (non-NULL keys with no parent row) and a verdict. The
+    * join-safety check a pipeline runs before it trusts a star join.
+    *
+    * Plan/scale: each edge first collapses the child side to
+    * (key → count) — a partial-agg shuffle moving only distinct keys —
+    * then probes the parent's distinct key set, so no row payload is
+    * ever joined. Dim parents broadcast; the one big-big edge
+    * (lineitem→orders) shuffles key-count pairs on a uniform key. The
+    * union glues seven catalog-sized 1-row aggregates. */
+  def referential(s: SparkSession, d: String): DataFrame = {
+    def fk(name: String, child: DataFrame, ck: String,
+           parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+      val pks = parent.select(col(pk).as("pk")).distinct
+      keys.join(pks, col("k") === col("pk"), "left")
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          coalesce(sum(when(col("k").isNotNull && col("pk").isNull,
+            col("cnt"))), lit(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_null"),
+          col("n_orphans"))
+    }
+    Seq(
+      fk("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"),
+      fk("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey"),
+      fk("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"),
+      fk("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+        supplier(s, d), "s_suppkey"),
+      fk("nation.n_regionkey->region", nation(s, d), "n_regionkey",
+        region(s, d), "r_regionkey"),
+      fk("orders.o_custkey->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"),
+      fk("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+        nation(s, d), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_orphans") === 0L)
+      .orderBy("fk_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_referential" -> referential,
     "v_skew" -> skew,
     "v_anomaly" -> anomaly,
     "v_histogram" -> histogram,
@@ -272,7 +319,39 @@ object ValidationOps {
     "v_drift" -> drift,
     "v_kl_sources" -> klSources)
 
+  /** One UNION ALL branch of the v_referential oracle — mirrors `fk`'s
+    * (key → count) ⟕ distinct-parent shape so both engines aggregate the
+    * same relation. */
+  private def fkSql(name: String, child: String, ck: String,
+                    parent: String, pk: String): String = s"""
+      SELECT '$name' AS fk_name,
+             sum(cnt)::BIGINT AS n_rows,
+             coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0)::BIGINT
+               AS n_null,
+             coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN cnt END),
+               0)::BIGINT AS n_orphans
+      FROM (SELECT $ck AS k, count(*)::BIGINT AS cnt FROM $child GROUP BY 1) c
+      LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
+
   val oracles: Map[String, String] = Map(
+    "v_referential" -> s"""
+      WITH u AS (${Seq(
+        fkSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        fkSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        fkSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        fkSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        fkSql("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        fkSql("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        fkSql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey")).mkString(" UNION ALL ")})
+      SELECT fk_name, n_rows, n_null, n_orphans, n_orphans = 0 AS passed
+      FROM u ORDER BY fk_name""",
     "v_skew" -> """
       WITH m AS (
         SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS key_val

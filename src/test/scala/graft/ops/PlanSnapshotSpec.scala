@@ -141,7 +141,17 @@ class PlanSnapshotSpec extends SparkSpec {
     // top-3 rides WindowGroupLimit partial+final below the shuffle.
     // scan=2 at sf0.001: the broadcast build side re-scans; at sf0.01+
     // ReusedExchange merges both sides into one FileScan (probe-verified)
-    "s_knn_graph" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2")
+    "s_knn_graph" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2",
+    // one user_id shuffle for lead(), catalog-sized grid windows after
+    "e_markov" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // 7 FK edges: key-count aggs probe distinct parent keys; every
+    // parent broadcasts at this SF (at sf0.01+ ReusedExchange merges the
+    // repeated lineitem/nation scans: probe shows scan=10 bcast=5)
+    "v_referential" -> "scan=14 xhash=14 xrange=0 bcast=7 smj=0 bhj=7 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE explode pass; argmax + head totals in one window pair; top-20
+    "t_bigram_next" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=1",
+    // one custkey agg shuffle; three exact-quintile global windows
+    "e_rfm" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
