@@ -230,6 +230,29 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("content_hash")
 
+  /** Per-source exact-duplicate exposure: for each source, how many of
+    * its documents share a full-text hash with ANY document in the corpus
+    * (cross-source copies count against every source holding one) and
+    * the resulting duplicate rate — the "which crawl is dirty" readout
+    * that decides where dedup budget goes. The pairwise who-overlaps-
+    * whom view is [[sourceOverlap]]; this is the per-source roll-up.
+    *
+    * Plan/scale: one scan; the corpus-wide copy count rides a window on
+    * the uniform md5 key (only (hash, source) pairs shuffle), then a
+    * partial-agg roll-up to the catalog-sized source grain. */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("copies", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_rate", col("n_duplicated") / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** N-gram Jaccard near-dup: inverted index on distinct 3-token shingles →
     * candidate pairs → |A∩B| / |A∪B| >= 0.8. Candidate generation is
     * output-sensitive, not n²: postings are grouped by shingle ONCE
@@ -934,6 +957,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
+    "d_dup_rate_by_source" -> dupRateBySource,
     "d_norm_dedup" -> normDedup,
     "d_dedup_funnel" -> dedupFunnel,
     "d_pagerank" -> pagerank,
@@ -1106,6 +1130,16 @@ object DedupOps {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d_dup_rate_by_source" -> """
+      WITH c AS (SELECT source,
+                   count(*) OVER (PARTITION BY md5(text))::BIGINT AS copies
+                 FROM documents),
+      g AS (SELECT source, count(*)::BIGINT AS n_docs,
+              coalesce(sum(CASE WHEN copies > 1 THEN 1 END), 0)::BIGINT
+                AS n_duplicated
+            FROM c GROUP BY 1)
+      SELECT source, n_docs, n_duplicated, n_duplicated / n_docs AS dup_rate
+      FROM g ORDER BY source""",
     "d_norm_dedup" -> s"""
       WITH n AS (SELECT doc_id,
               $NormalizeSql AS norm

@@ -82,6 +82,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: labeled lang × predicted lang counts
+    * with row-conditional recall — the accuracy read-out of the
+    * [[langId]] heuristic against the corpus labels (zh has no stopword
+    * list, so its rows measure the heuristic's out-of-domain behavior).
+    *
+    * Plan/scale: the same ONE narrow scan as t_langid (per-language hit
+    * counts + struct argmin) followed by a partial-agg count on the
+    * K² = catalog-sized (lang, pred) grid; recall rides a window over
+    * that grid, never a second scan of documents. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = stops.map { case (l, ws) =>
+      expr(hitsExpr(ws)).cast("long").as(s"${l}_hits")
+    }
+    val structs = stops.zipWithIndex.map { case ((l, _), i) =>
+      s"named_struct('nh', -${l}_hits, 'ord', $i, 'lang', '$l')"
+    }.mkString(", ")
+    documents(s, d)
+      .select(col("lang") +: hits: _*)
+      .withColumn("pred_lang", expr(s"array_min(array($structs)).lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("recall",
+        col("n") / sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Greedy argmax CASE over the per-language hit columns for the DuckDB
     * oracle, generated from [[stops]]: language j wins iff its hits are >=
     * every LATER language's (earlier languages already failed their
@@ -852,6 +878,7 @@ object TextOps {
     "t_winnow" -> winnow,
     "t_token_stats" -> tokenStats,
     "t_langid" -> langId,
+    "t_lang_confusion" -> langConfusion,
     "t_quality" -> quality,
     "t_fingerprint" -> fingerprint,
     "t_ngram_freq" -> ngramFreq,
@@ -1009,6 +1036,19 @@ object TextOps {
              nd / nt AS ttr,
              (length(text) - nt + 1) / nt AS mean_tok_len
       FROM t ORDER BY doc_id""",
+    "t_lang_confusion" -> s"""
+      WITH t AS (SELECT lang,
+                   ${hitsSql(stops(0)._2)}::BIGINT en_hits,
+                   ${hitsSql(stops(1)._2)}::BIGINT fr_hits,
+                   ${hitsSql(stops(2)._2)}::BIGINT es_hits,
+                   ${hitsSql(stops(3)._2)}::BIGINT de_hits
+                 FROM documents),
+      p AS (SELECT lang, $predLangSql AS pred_lang FROM t),
+      g AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+            FROM p GROUP BY 1, 2)
+      SELECT lang, pred_lang, n,
+             n / (sum(n) OVER (PARTITION BY lang))::BIGINT AS recall
+      FROM g ORDER BY lang, pred_lang""",
     "t_langid" -> s"""
       WITH t AS (SELECT doc_id, lang,
                    ${hitsSql(stops(0)._2)}::BIGINT en_hits,

@@ -164,6 +164,18 @@ object StreamOps {
         col("view_ts"), col("view_item"))
   }
 
+  /** Stream-static dimension enrichment: left-join a streaming fact
+    * frame to a static (catalog-sized) dimension with an explicit
+    * broadcast hint — the standard "decorate events with account
+    * metadata" pattern. Stateless: no watermark, no join state store —
+    * the static side is re-planned and broadcast per micro-batch (so a
+    * dim refresh on disk is picked up by the next batch), and the
+    * stream stays in append mode. At 100 TB/day of facts the per-batch
+    * cost is the bounded dim broadcast plus a narrow map over the
+    * batch; facts never shuffle. */
+  def enrichStream(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming corpus ingest with a DURABLE dedup manifest — the
     * cross-batch dual of DedupOps.incrementalDedup. [[dedupStream]] bounds
     * its state by the watermark horizon; when the horizon is "forever"

@@ -151,7 +151,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // ONE explode pass; argmax + head totals in one window pair; top-20
     "t_bigram_next" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=1",
     // one custkey agg shuffle; three exact-quintile global windows
-    "e_rfm" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0")
+    "e_rfm" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
+    // one narrow scan; count + recall on the catalog-sized K² grid
+    "t_lang_confusion" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // corpus copy-count window on the md5 key, then source roll-up
+    "d_dup_rate_by_source" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -40,6 +40,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((3600L * 1000L, "b", 1L, 3.0)))
   }
 
+  test("enrichStream decorates a fact stream from a broadcast static dim") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Double)]
+    val facts = in.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = StreamOps.enrichStream(facts, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData((1L, 10.0), (3L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .sortBy(_._1)
+    q.stop()
+    // unknown key 3 survives with a NULL decoration (left join), and the
+    // dim row for 2 contributes nothing — fact-driven, not dim-driven
+    assert(rows.toSeq == Seq((1L, 10.0, Some("gold")), (3L, 5.0, None)))
+  }
+
   test("sessionize emits a closed session when a new one starts after the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
