@@ -208,6 +208,52 @@ object Multimodal {
       out
     }
 
+  /** Per-channel RGB accumulation: (n_r, n_g, n_b, sum_r, sum_g, sum_b),
+    * all exact integers. Real path: decoded pixels — the three counts are
+    * each width×height. Stand-in (the oracle path): byte i feeds channel
+    * i % 3 with its unsigned value, so the channel counts differ by at
+    * most 1 when the length isn't a multiple of 3. */
+  def colorStats(body: Array[Byte]): (Long, Long, Long, Long, Long, Long) =
+    decodeImage(body) match {
+      case Some(img) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (n, n, n, sr, sg, sb)
+      case None =>
+        val ns = new Array[Long](3); val ss = new Array[Long](3)
+        var i = 0
+        while (i < body.length) {
+          val ch = i % 3; ns(ch) += 1; ss(ch) += body(i) & 0xffL; i += 1
+        }
+        (ns(0), ns(1), ns(2), ss(0), ss(1), ss(2))
+    }
+
+  /** Zero-centered sample stream for sign-based features (zero-crossing
+    * rate): real PCM when the payload is a decodable WAV (samples are
+    * already signed), byte − 96 otherwise. The stand-in centers on 96,
+    * not the 8-bit-PCM 128: printable ASCII is 32–126, so 128-centering
+    * would leave every stand-in sample negative and the oracle-checked
+    * crossing count degenerately zero — 96 splits the printable range
+    * (lowercase letters sit above it) so the ASCII path genuinely
+    * exercises sign changes. */
+  def centeredSamples(body: Array[Byte]): Array[Long] =
+    decodeWavSamples(body).getOrElse {
+      val out = new Array[Long](body.length)
+      var i = 0
+      while (i < body.length) { out(i) = (body(i) & 0xffL) - 96L; i += 1 }
+      out
+    }
+
   /** STUB — real implementation would demux the container and decode every
     * k-th video frame (no JDK video codec exists). Stand-in: sample every
     * 32nd byte as the "frame". */
@@ -376,6 +422,77 @@ object MultimodalOps {
       .orderBy("doc_id", "win")
   }
 
+  /** Per-image color statistics: channel sample counts, exact integer
+    * channel sums, and mean intensity per RGB channel — the "is this
+    * corpus dark / washed out / color-cast" profiling pass a visual
+    * training pipeline runs before normalization. The decode is the codec
+    * boundary ([[Multimodal.colorStats]]: real per-pixel RGB sums for
+    * sniffed images, byte→channel-cycling stand-in otherwise — the oracle
+    * path over the ASCII corpus); the means are computed relationally so
+    * both engines share one division tree over the same exact integers.
+    *
+    * Plan/scale: narrow mapPartitions — payloads never cross a shuffle,
+    * only seven small columns per blob leave the scan; no exchange before
+    * the presentation sort. */
+  def colorStatsStage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) =>
+        val (nr, ng, nb, sr, sg, sb) = Multimodal.colorStats(b)
+        (id, nr, ng, nb, sr, sg, sb)
+      })
+      .toDF("doc_id", "n_r", "n_g", "n_b", "sum_r", "sum_g", "sum_b")
+      .select(col("doc_id"), col("n_r"), col("n_g"), col("n_b"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        expr("CASE WHEN n_r = 0 THEN CAST(NULL AS DOUBLE) ELSE sum_r / n_r END")
+          .as("mean_r"),
+        expr("CASE WHEN n_g = 0 THEN CAST(NULL AS DOUBLE) ELSE sum_g / n_g END")
+          .as("mean_g"),
+        expr("CASE WHEN n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE sum_b / n_b END")
+          .as("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-clip audio features over the zero-centered sample stream:
+    * zero-crossing count (the classic cheap voiced/unvoiced + noisiness
+    * signal next to [[audioWindows]]' energy), exact absolute-amplitude
+    * sum, and peak amplitude. Decode is the codec boundary
+    * ([[Multimodal.centeredSamples]]: real signed PCM for sniffed WAV,
+    * the 96-centered byte stand-in otherwise — the oracle path); the
+    * crossing count and amplitude stats are higher-order array
+    * expressions over the sample array, so the whole query is ONE narrow
+    * pass — no explode, no shuffle, nothing but the presentation sort.
+    * All counts/sums are exact integers; the two rates divide them once. */
+  def audioZcr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) =>
+        (id, Multimodal.centeredSamples(b))
+      })
+      .toDF("doc_id", "sm")
+      .select(col("doc_id"),
+        size(col("sm")).cast("long").as("n_samples"),
+        expr("""CASE WHEN size(sm) < 2 THEN CAST(0 AS BIGINT)
+                ELSE CAST(size(filter(zip_with(
+                       slice(sm, 1, size(sm) - 1), slice(sm, 2, size(sm) - 1),
+                       (a, b) -> (a >= 0) != (b >= 0)), x -> x)) AS BIGINT)
+                END""").as("n_cross"),
+        expr("aggregate(sm, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))")
+          .as("sum_abs"),
+        expr("array_max(transform(sm, x -> abs(x)))").as("peak"))
+      .select(col("doc_id"), col("n_samples"), col("n_cross"),
+        col("sum_abs"), col("peak"),
+        expr("CASE WHEN n_samples > 1 THEN n_cross / (n_samples - 1) END")
+          .as("zcr"),
+        expr("CASE WHEN n_samples = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE sum_abs / n_samples END").as("mean_abs"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual image dedup: 60-bit dHash per payload + exact-hash
     * duplicate groups — the image-grain twin of `d_exact_dedup` (byte
     * -identical files differ after re-encode; the perceptual hash
@@ -451,7 +568,9 @@ object MultimodalOps {
     "m_byte_histogram" -> byteHistogram,
     "m_frame_sample" -> frameSample,
     "m_resize" -> resizeStage,
-    "m_audio_windows" -> audioWindows)
+    "m_audio_windows" -> audioWindows,
+    "m_color_stats" -> colorStatsStage,
+    "m_audio_zcr" -> audioZcr)
 
   /** Shared dHash-replay CTE chain (byte-sampling stand-in: grid point
     * k = (b DIV 10)*11 + b%10, byte at (k*len) DIV 66 via substr/unicode
@@ -522,6 +641,58 @@ object MultimodalOps {
              sum(v * v)::BIGINT AS energy,
              sum(v * v)::BIGINT / count(*) AS mean_energy
       FROM v GROUP BY doc_id, win ORDER BY doc_id, win""",
+    // ASCII ⇒ byte i == codepoint of char i+1; channel = position mod 3.
+    // LEFT JOIN from documents keeps a zero-row for an empty payload (the
+    // Spark side always emits one row per doc).
+    "m_color_stats" -> """
+      WITH p AS (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) pos
+                 FROM documents),
+      v AS (SELECT doc_id, (pos - 1) % 3 AS ch,
+              unicode(substr(text, pos, 1))::BIGINT AS v FROM p),
+      g AS (SELECT doc_id,
+              count(CASE WHEN ch = 0 THEN 1 END)::BIGINT AS n_r,
+              count(CASE WHEN ch = 1 THEN 1 END)::BIGINT AS n_g,
+              count(CASE WHEN ch = 2 THEN 1 END)::BIGINT AS n_b,
+              coalesce(sum(CASE WHEN ch = 0 THEN v END), 0)::BIGINT AS sum_r,
+              coalesce(sum(CASE WHEN ch = 1 THEN v END), 0)::BIGINT AS sum_g,
+              coalesce(sum(CASE WHEN ch = 2 THEN v END), 0)::BIGINT AS sum_b
+            FROM v GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_r, 0) AS n_r, coalesce(n_g, 0) AS n_g,
+             coalesce(n_b, 0) AS n_b, coalesce(sum_r, 0) AS sum_r,
+             coalesce(sum_g, 0) AS sum_g, coalesce(sum_b, 0) AS sum_b,
+             CASE WHEN coalesce(n_r, 0) = 0 THEN NULL
+                  ELSE sum_r / n_r END AS mean_r,
+             CASE WHEN coalesce(n_g, 0) = 0 THEN NULL
+                  ELSE sum_g / n_g END AS mean_g,
+             CASE WHEN coalesce(n_b, 0) = 0 THEN NULL
+                  ELSE sum_b / n_b END AS mean_b
+      FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""",
+    // Stand-in samples are byte − 96 (see Multimodal.centeredSamples);
+    // the crossing count compares consecutive signs via lag.
+    "m_audio_zcr" -> """
+      WITH p AS (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) pos
+                 FROM documents),
+      v AS (SELECT doc_id, pos,
+              unicode(substr(text, pos, 1))::BIGINT - 96 AS v FROM p),
+      l AS (SELECT doc_id, v,
+              lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv FROM v),
+      g AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+              coalesce(sum(CASE WHEN pv IS NOT NULL
+                                 AND ((v >= 0) != (pv >= 0)) THEN 1 END),
+                       0)::BIGINT AS n_cross,
+              sum(abs(v))::BIGINT AS sum_abs,
+              max(abs(v))::BIGINT AS peak
+            FROM l GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_samples, 0) AS n_samples,
+             coalesce(n_cross, 0) AS n_cross,
+             coalesce(sum_abs, 0) AS sum_abs, peak,
+             CASE WHEN coalesce(n_samples, 0) > 1
+                  THEN n_cross / (n_samples - 1) END AS zcr,
+             CASE WHEN coalesce(n_samples, 0) = 0 THEN NULL
+                  ELSE sum_abs / n_samples END AS mean_abs
+      FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""",
     // '(.).'->'\1' keeps char 1 of every pair (plus an odd tail) == the
     // stride-2 byte downsample over ASCII text.
     "m_resize" -> """

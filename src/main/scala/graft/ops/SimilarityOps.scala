@@ -163,6 +163,118 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  // ---- MMR (maximal marginal relevance) selection ------------------------
+  private val MmrPoolK = 20
+  private val MmrSelK = 5
+
+  /** MMR-diversified top-k: from the query's top-[[MmrPoolK]] relevance
+    * pool, greedily select [[MmrSelK]] results maximizing
+    * `0.5·rel − 0.5·max_sim(selected)` — the standard redundancy-penalized
+    * re-rank (Carbonell & Goldstein '98) a RAG retrieval stage runs so
+    * five near-duplicate passages don't fill the context window. Ties
+    * break to the lowest vec_id; the first pick (empty selected set) uses
+    * max_sim = 0, i.e. pure relevance.
+    *
+    * Plan/scale: the corpus is touched exactly ONCE — the broadcast-query
+    * top-K pool pass (at 100 TB this is the ANN tier: LSH/IVF/ADC produce
+    * the pool; brute force here is the correctness baseline). Everything
+    * after is catalog-sized: a K×K pairwise similarity relation and
+    * SelK greedy steps, each a 1-row argmax collect over ≤K candidate
+    * rows (the Lloyd/BPE driver-loop shape). The returned frame is the
+    * SelK collected winners — k rows by construction. */
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val q = v.filter(col("vec_id") === 0)
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val pool = broadcast(q.as("q"))
+      .join(v.as("c"), col("c.vec_id") =!= lit(0L))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        col("c.embedding").as("embedding"), col("c.nrm").as("nrm"),
+        expr(s"(${Vec.dot("`q`.embedding", "`c`.embedding")}) / (`q`.nrm * `c`.nrm)")
+          .as("rel"))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= MmrPoolK)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+      .persist()
+    val sim = pool.as("a")
+      .join(pool.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("sim"))
+      .persist()
+    try {
+      var selected = List.empty[Long]
+      val picked = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+      for (k <- 1 to MmrSelK) {
+        val cand =
+          if (selected.isEmpty) pool.withColumn("max_sim", lit(0.0))
+          else pool
+            .filter(!col("vec_id").isin(selected: _*))
+            .join(
+              sim.filter(col("b_id").isin(selected: _*))
+                .groupBy(col("a_id")).agg(max(col("sim")).as("max_sim")),
+              col("vec_id") === col("a_id"))
+        val best = cand
+          .withColumn("mmr", expr("0.5 * rel - 0.5 * max_sim"))
+          .select(col("vec_id"), col("rel"), col("max_sim"), col("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id"))
+          .limit(1)
+          .collect()(0)
+        selected :+= best.getLong(0)
+        picked += ((k.toLong, best.getLong(0), best.getDouble(1),
+          best.getDouble(2), best.getDouble(3)))
+      }
+      picked.result().toDF("rank", "vec_id", "rel", "max_sim", "mmr")
+        .orderBy("rank")
+    } finally {
+      sim.unpersist(blocking = true)
+      pool.unpersist(blocking = true)
+    }
+  }
+
+  /** [[mmrSelect]] oracle: the greedy loop unrolled as one 1-row CTE per
+    * step — step k's candidates exclude s1..s(k−1) and read their
+    * redundancy penalty from the pool-pair `sim` relation, exactly the
+    * Spark iteration's recompute-from-scratch max. All doubles come from
+    * identical expression trees (the shared cosine fold + one multiply/
+    * subtract), so the replay is bit-exact. */
+  private def mmrOracle: String = {
+    def selSet(k: Int): String =
+      (1 until k).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to MmrSelK).map { k =>
+      s"""c$k AS (SELECT p.vec_id, p.rel,
+             (SELECT max(sim) FROM sim
+              WHERE sim.a_id = p.vec_id AND sim.b_id IN (${selSet(k)}))
+               AS max_sim
+           FROM pool p WHERE p.vec_id NOT IN (${selSet(k)})),
+      s$k AS (SELECT vec_id, rel, max_sim, 0.5 * rel - 0.5 * max_sim AS mmr
+              FROM c$k ORDER BY mmr DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n      ")
+    val unions = (1 to MmrSelK).map(k =>
+      s"SELECT $k::BIGINT AS rank, vec_id, rel, max_sim, mmr FROM s$k")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH pool0 AS (
+        SELECT c.vec_id, $cosineSql AS rel, c.embedding
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id = 0 AND c.vec_id != 0),
+      pool AS (SELECT vec_id, rel, embedding FROM
+                 (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) rn
+                  FROM pool0)
+               WHERE rn <= $MmrPoolK),
+      sim AS (SELECT q.vec_id AS a_id, c.vec_id AS b_id, $cosineSql AS sim
+              FROM pool q JOIN pool c ON q.vec_id != c.vec_id),
+      s1 AS (SELECT vec_id, rel, 0.0 AS max_sim,
+               0.5 * rel - 0.5 * 0.0 AS mmr
+             FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+      $steps
+      $unions ORDER BY rank"""
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
   // The third standard ANN tier beside brute force and LSH: a small coarse
   // codebook partitions the corpus into K cells (the "inverted lists");
@@ -569,9 +681,11 @@ object SimilarityOps {
     "s_ann_recall" -> annRecall,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
-    "s_ivfpq_topk" -> ivfPqTopk)
+    "s_ivfpq_topk" -> ivfPqTopk,
+    "s_mmr" -> mmrSelect)
 
   val oracles: Map[String, String] = Map(
+    "s_mmr" -> mmrOracle,
     "s_range_search" -> s"""
       SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $cosineSql AS cosine
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id

@@ -221,4 +221,45 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0) == ((1L, 4L, true)))   // 4 pixels histogrammed
     assert(rows(1)._2 == "not an image".length.toLong && !rows(1)._3)
   }
+
+  test("color stats: real RGB channel sums for images, byte cycling otherwise") {
+    // fixture pixels: black, white, red, blue
+    // R: 0+255+255+0=510  G: 0+255+0+0=255  B: 0+255+0+255=510, n=4 each
+    assert(Multimodal.colorStats(fixturePng) == ((4L, 4L, 4L, 510L, 255L, 510L)))
+    val bytes = "abcdefg".getBytes("UTF-8") // 7 bytes → channels 3,2,2
+    val (nr, ng, nb, sr, sg, sb) = Multimodal.colorStats(bytes)
+    assert((nr, ng, nb) == ((3L, 2L, 2L)))
+    assert(sr == ('a' + 'd' + 'g').toLong && sg == ('b' + 'e').toLong &&
+      sb == ('c' + 'f').toLong)
+  }
+
+  test("centered samples: real signed PCM for WAV, byte − 96 otherwise") {
+    val samples = Array[Short](100, -100, 50, -50, 0, -1)
+    assert(Multimodal.centeredSamples(fixtureWav(samples)).toSeq ==
+      samples.map(_.toLong).toSeq) // real path: NOT recentered
+    val ascii = "aZ".getBytes("UTF-8") // 'a'=97 → 1, 'Z'=90 → -6
+    assert(Multimodal.centeredSamples(ascii).toSeq == Seq(1L, -6L))
+  }
+
+  test("ZCR over real WAV samples counts sign changes (0 counts as positive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, size}
+    // 100→-100→50→-50→0→-1: five consecutive sign flips (0 is positive)
+    val samples = Array[Short](100, -100, 50, -50, 0, -1)
+    val row = Seq((1L, fixtureWav(samples))).toDS()
+      .mapPartitions(_.map { case (id, b) =>
+        (id, Multimodal.centeredSamples(b))
+      })
+      .toDF("doc_id", "sm")
+      .select(col("doc_id"), size(col("sm")).as("n"),
+        expr("""size(filter(zip_with(
+                  slice(sm, 1, size(sm) - 1), slice(sm, 2, size(sm) - 1),
+                  (a, b) -> (a >= 0) != (b >= 0)), x -> x))""").as("n_cross"),
+        expr("aggregate(sm, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))")
+          .as("sum_abs"),
+        expr("array_max(transform(sm, x -> abs(x)))").as("peak"))
+      .collect()(0)
+    assert(row.getInt(1) == 6 && row.getInt(2) == 5)
+    assert(row.getLong(3) == 301L && row.getLong(4) == 100L)
+  }
 }

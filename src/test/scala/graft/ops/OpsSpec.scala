@@ -69,6 +69,22 @@ class OpsSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("MMR: first pick is pure-relevance top-1, no repeats, consistent scores") {
+    val rows = SimilarityOps.mmrSelect(spark, sf).orderBy("rank").collect()
+    assert(rows.length == 5)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 5, "MMR re-selected a result")
+    // with an empty selected set the penalty is 0 → rank 1 is the plain
+    // relevance argmax, i.e. cosineTopk's top-1 for the same query
+    val top1 = SimilarityOps.cosineTopk(spark, sf)
+      .filter("q_id = 0 AND rank = 1").collect()(0).getLong(2)
+    assert(ids(0) == top1)
+    assert(rows(0).getDouble(3) == 0.0)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.5 * r.getDouble(2) - 0.5 * r.getDouble(3))
+    }
+  }
+
   test("vec_dot fails loudly on dimension mismatch (no silent truncation)") {
     val e = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(1.0D)) AS d").collect()
