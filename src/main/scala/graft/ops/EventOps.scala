@@ -478,7 +478,45 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Incremental aggregate maintenance — the nightly-ingest pattern: the
+    * standing per-type aggregate is kept as MERGEABLE partials (count,
+    * exact scaled-integer value sum, max, first/last ts) and a new
+    * partition's partials are merged in, never rescanning history. Every
+    * metric is a commutative monoid, so merge(partial(base),
+    * partial(delta)) == full recompute — and the oracle IS the full
+    * recompute over all of `events`, so the hash gate proves the
+    * incremental path exactly, including the exact-sum plumbing (scaled
+    * BIGINT partials summed, converted to double ONCE after the merge).
+    *
+    * Plan/scale: here both sides derive from one scan (a ts split at
+    * 2024-01-25); in production the base partials are a stored
+    * catalog-sized relation, so the daily cost is partial-agg(delta) +
+    * a catalog-sized merge — the only scan is the new partition. Both
+    * arms partial-aggregate map-side; the merge agg runs on 2×|types|
+    * rows. */
+  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000L
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(round(col("value") * scale).cast("long")).as("svfp"),
+      max(col("value")).as("max_value"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"))
+    val ev = events(s, d)
+    partials(ev.filter(col("ts") < cutoff))
+      .unionAll(partials(ev.filter(col("ts") >= cutoff)))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("svfp")).cast("double") / scale.toDouble).as("total_value"),
+        max(col("max_value")).as("max_value"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_incr_agg" -> qIncrAgg,
     "e_markov" -> qMarkov,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
@@ -498,6 +536,14 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    // the full recompute — equality proves the incremental merge
+    "e_incr_agg" -> s"""
+      SELECT event_type, count(*)::BIGINT AS n,
+             ${Exact.dsumSql("value")} AS total_value,
+             max(value) AS max_value,
+             min(CAST(ts AS TIMESTAMP)) AS first_ts,
+             max(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY 1 ORDER BY event_type""",
     "e_markov" -> """
       WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                     event_type

@@ -309,7 +309,56 @@ object ValidationOps {
       .orderBy("fk_name")
   }
 
+  /** Single-pass approximate quantiles from a fixed 256-bin histogram
+    * (domain [0, 512), bin width exactly 2.0 — a power of two, so the
+    * binning `floor(value / 2.0)` and the bin-edge arithmetic are
+    * float-EXACT in both engines) with the exact discrete quantiles as
+    * the validation twin and the per-percentile absolute error — the
+    * sketch-dial measurement loop (d_minhash_est_quality's role for
+    * quantiles). Production at 100 TB runs ONLY the histogram arm: one
+    * partial-aggregatable pass, 256 rows per key, no sort of the data —
+    * the exact arm (a per-key value sort) is what the sketch exists to
+    * avoid and is priced here on a sample-sized run.
+    *
+    * Plan/scale: ONE scan, two shuffles — (type, value) partial agg,
+    * then the event_type window; the final aggregate is co-located by
+    * the window's partitioning. The sketch's answer needs no second
+    * histogram pass at all: value-level cumulative counts are monotone
+    * in value and the bin is monotone in value, so the first bin whose
+    * cumulative count crosses the target IS the bin of the exact
+    * quantile — the report derives the sketch's answer as the bin edge
+    * of the exact answer (`(floor(q / width) + 1) · width`, capped),
+    * and err ≤ bin width by construction. The production 100 TB path
+    * materializes only the 256-row-per-key histogram and reads the
+    * crossing bin from it; this query prices the sketch's error against
+    * the exact sort-based answer it replaces. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("event_type"))
+    def edge(c: String): org.apache.spark.sql.Column = expr(
+      s"(least(CAST(floor($c / 2.0D) AS BIGINT), CAST(255 AS BIGINT)) + 1) * 2.0D")
+    events(s, d)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(wAll.orderBy(col("value"))))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        min(when(expr("cum >= (n + 1) DIV 2"), col("value"))).as("p50_exact"),
+        min(when(expr("cum >= (9 * n + 9) DIV 10"), col("value"))).as("p90_exact"),
+        min(when(expr("cum >= (99 * n + 99) DIV 100"), col("value"))).as("p99_exact"))
+      .select(col("event_type"), col("n"),
+        col("p50_exact"), edge("p50_exact").as("p50_approx"),
+        abs(edge("p50_exact") - col("p50_exact")).as("err_p50"),
+        col("p90_exact"), edge("p90_exact").as("p90_approx"),
+        abs(edge("p90_exact") - col("p90_exact")).as("err_p90"),
+        col("p99_exact"), edge("p99_exact").as("p99_approx"),
+        abs(edge("p99_exact") - col("p99_exact")).as("err_p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_quantile_sketch" -> quantileSketch,
     "v_referential" -> referential,
     "v_skew" -> skew,
     "v_anomaly" -> anomaly,
@@ -334,6 +383,37 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_quantile_sketch" -> """
+      WITH bv AS (SELECT event_type, value, count(*)::BIGINT AS cnt
+                  FROM events GROUP BY 1, 2),
+      e AS (SELECT event_type, value, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY value)::BIGINT
+                AS cum,
+              sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+            FROM bv),
+      ex AS (SELECT event_type, max(n)::BIGINT AS n,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS p50_exact,
+               min(CASE WHEN cum >= (9 * n + 9) // 10 THEN value END)
+                 AS p90_exact,
+               min(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END)
+                 AS p99_exact
+             FROM e GROUP BY 1)
+      SELECT event_type, n, p50_exact,
+             (least(CAST(floor(p50_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE AS p50_approx,
+             abs((least(CAST(floor(p50_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE - p50_exact) AS err_p50,
+             p90_exact,
+             (least(CAST(floor(p90_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE AS p90_approx,
+             abs((least(CAST(floor(p90_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE - p90_exact) AS err_p90,
+             p99_exact,
+             (least(CAST(floor(p99_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE AS p99_approx,
+             abs((least(CAST(floor(p99_exact / 2.0) AS BIGINT), 255) + 1)
+               * 2.0::DOUBLE - p99_exact) AS err_p99
+      FROM ex ORDER BY event_type""",
     "v_referential" -> s"""
       WITH u AS (${Seq(
         fkSql("customer.c_nationkey->nation", "customer", "c_nationkey",

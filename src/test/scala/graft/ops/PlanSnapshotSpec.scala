@@ -155,7 +155,19 @@ class PlanSnapshotSpec extends SparkSpec {
     // one narrow scan; count + recall on the catalog-sized K² grid
     "t_lang_confusion" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // corpus copy-count window on the md5 key, then source roll-up
-    "d_dup_rate_by_source" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
+    "d_dup_rate_by_source" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // narrow decode map — payload never shuffles; only the output sort
+    "m_color_stats" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE narrow pass: higher-order array exprs, no explode, no shuffle
+    "m_audio_zcr" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // greedy driver loop: the returned frame is the SelK collected
+    // winners (LocalTableScan) — corpus lineage must never leak in
+    "s_mmr" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // two filter-split partial aggs merged; in production the base side
+    // is a stored catalog-sized relation, not a scan
+    "e_incr_agg" -> "scan=2 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE scan; (type,value) agg + type window; final agg co-located
+    "v_quantile_sketch" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
