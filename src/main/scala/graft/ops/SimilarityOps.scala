@@ -671,7 +671,105 @@ object SimilarityOps {
       ORDER BY cell, dim_idx"""
   }
 
+  private val PiS = 1000L     // component quantization for the exact Gramian
+  private val PiXS = 1024L    // L∞ scale of the fixed-point iterate
+  private val PiIters = 3     // fixed power-iteration count (deterministic)
+
+  /** Top principal component of the embedding corpus via ONE distributed
+    * Gramian pass + driver-side power iteration — the tall-skinny PCA
+    * every production pipeline runs for whitening, drift detection, and
+    * "is this embedding space collapsing" health checks. G = Σ eᵢeᵢᵀ is
+    * D×D (64² = 4096 cells — catalog-sized) regardless of corpus size, so
+    * the distributed work is ONE narrow pass and the eigensolve is free
+    * on the driver (the Spark MLlib RowMatrix.computeGramianMatrix →
+    * local eig shape).
+    *
+    * Oracle-exactness device: components are quantized to a 1/[[PiS]]
+    * grid (`floor(v·1000)` → BIGINT), so the Gramian is EXACT integer
+    * arithmetic (order-independent — the Exact.dsum rationale); the
+    * [[PiIters]] power iterations then run entirely in BIGINT
+    * (y = G·x; x' = y·[[PiXS]] div max|y| — truncating division, which
+    * Scala, Spark and DuckDB agree on), so iterate, Rayleigh numerator
+    * and denominator are bit-exact in both engines; the only doubles are
+    * the final two divisions, in a pinned order. Production at 100 TB
+    * drops the quantization and accumulates doubles (same plan); BIGINT
+    * headroom here is documented to N ≈ 4·10⁸ rows.
+    *
+    * Plan/scale: one scan → ONE Generate (the 4096-struct outer-product
+    * array, flattened) → (i,j)-key partial agg (map-side combine does
+    * almost all the reduction: 4096 cells × 32 tasks cross the wire) →
+    * 4096 rows to the driver. Nothing else is distributed; the returned
+    * frame is a LocalTableScan. */
+  def powerIter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gRows = embeddings(s, d)
+      .select(expr(
+        s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))")
+        .as("e"))
+      .select(explode(expr(
+        """flatten(transform(e, (vi, i) -> transform(e, (vj, j) ->
+             named_struct('i', i, 'j', j, 'p', vi * vj))))""")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("g"))
+      .collect()
+    // empty corpus (tiny SF): empty frame with the contract schema
+    if (gRows.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("dim", "loading_fp", "loading", "lambda")
+    val G = Array.ofDim[Long](Dim, Dim)
+    gRows.foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def matvec(x: Array[Long]): Array[Long] =
+      Array.tabulate(Dim)(i =>
+        (0 until Dim).foldLeft(0L)((a, j) => a + G(i)(j) * x(j)))
+    var x = Array.fill(Dim)(PiXS)
+    for (_ <- 1 to PiIters) {
+      val y = matvec(x)
+      val m = y.map(math.abs).max
+      x = y.map(v => v * PiXS / m) // trunc div — DuckDB // semantics
+    }
+    val y = matvec(x)
+    val num = (0 until Dim).foldLeft(0L)((a, i) => a + x(i) * y(i))
+    val den = x.foldLeft(0L)((a, v) => a + v * v)
+    // Rayleigh quotient, de-quantized back to Σ vvᵀ units
+    val lam = num.toDouble / den.toDouble / (PiS * PiS).toDouble
+    (0 until Dim).map(i => (i.toLong, x(i), x(i).toDouble / PiXS, lam))
+      .toDF("dim", "loading_fp", "loading", "lambda")
+      .orderBy("dim")
+  }
+
+  /** Unrolled-CTE replay of [[powerIter]] — same integer steps, same
+    * truncating division, same final double divisions. */
+  private def powerIterOracle: String = {
+    def iter(k: Int) = s"""
+      y$k AS (SELECT g.i, sum(g.g * x${k - 1}.x)::BIGINT AS y
+              FROM g JOIN x${k - 1} ON g.j = x${k - 1}.i GROUP BY 1),
+      m$k AS (SELECT max(abs(y))::BIGINT AS m FROM y$k),
+      x$k AS (SELECT i, (y * $PiXS) // m AS x FROM y$k, m$k)"""
+    s"""
+      WITH qe AS (SELECT list_transform(embedding,
+                    v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT)) AS e
+                  FROM embeddings),
+      g AS (SELECT gi.i AS i, gj.j AS j,
+              sum(qe.e[gi.i] * qe.e[gj.j])::BIGINT AS g
+            FROM qe, generate_series(1, $Dim) gi(i),
+                 generate_series(1, $Dim) gj(j)
+            GROUP BY 1, 2),
+      x0 AS (SELECT i, $PiXS::BIGINT AS x FROM generate_series(1, $Dim) t(i)),
+      ${(1 to PiIters).map(iter).mkString(",")},
+      y4 AS (SELECT g.i, sum(g.g * x$PiIters.x)::BIGINT AS y
+             FROM g JOIN x$PiIters ON g.j = x$PiIters.i GROUP BY 1),
+      rq AS (SELECT sum(x$PiIters.x * y4.y)::BIGINT AS num,
+                    sum(x$PiIters.x * x$PiIters.x)::BIGINT AS den
+             FROM x$PiIters JOIN y4 ON x$PiIters.i = y4.i)
+      SELECT (x$PiIters.i - 1)::BIGINT AS dim, x$PiIters.x AS loading_fp,
+             CAST(x$PiIters.x AS DOUBLE) / $PiXS AS loading,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+               / ${PiS * PiS}.0 AS lambda
+      FROM x$PiIters, rq ORDER BY dim"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_power_iter" -> powerIter,
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
@@ -685,6 +783,7 @@ object SimilarityOps {
     "s_mmr" -> mmrSelect)
 
   val oracles: Map[String, String] = Map(
+    "s_power_iter" -> powerIterOracle,
     "s_mmr" -> mmrOracle,
     "s_range_search" -> s"""
       SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $cosineSql AS cosine

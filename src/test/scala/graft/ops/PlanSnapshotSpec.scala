@@ -167,7 +167,10 @@ class PlanSnapshotSpec extends SparkSpec {
     // is a stored catalog-sized relation, not a scan
     "e_incr_agg" -> "scan=2 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE scan; (type,value) agg + type window; final agg co-located
-    "v_quantile_sketch" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
+    "v_quantile_sketch" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // Gramian collects in a separate action; the returned frame is the
+    // driver eigensolve (LocalTableScan) — corpus lineage must not leak
+    "s_power_iter" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
