@@ -221,6 +221,63 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Degree-oriented triangle counting + local clustering coefficient
+    * over the near-dup graph — the community-structure readout PageRank
+    * doesn't give: a high clustering coefficient means a document sits in
+    * a DENSE copy-clique (template farms, mirrored sites), not just on a
+    * chain of pairwise matches; curators treat cliques and chains
+    * differently (cliques get one survivor, chains get human review).
+    *
+    * The scale device is the classic degree orientation: each undirected
+    * edge is directed from its (deg, id)-smaller endpoint, and wedges are
+    * enumerated only between OUT-neighbors, so a boilerplate hub with
+    * degree h never enumerates its h² neighbor pairs — out-degrees are
+    * bounded by O(√m) on any graph, which is what makes triangle
+    * enumeration feasible at all on skewed corpora. A triangle {u,v,w}
+    * is found exactly once (from its smallest vertex) and credited to
+    * all three corners.
+    *
+    * Plan/scale: pairs materialized ONCE (localCheckpoint — the
+    * [[pagerank]] pattern); orientation is two catalog-key joins against
+    * the degree table; the wedge self-join and the closure probe are
+    * uniform-key hash joins on (node) and (v, w) respectively. Output
+    * rows = graph nodes. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // orient: src → dst iff (deg, id)(src) < (deg, id)(dst); carry the
+    // endpoint degrees so wedge ordering needs no further join
+    val oriented = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg"))
+      .localCheckpoint()
+    val tri = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("ddeg").as("vdeg"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("ddeg").as("wdeg")), "u")
+      .filter(col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w")))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v").as("node")))
+      .unionAll(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left").na.fill(0L, Seq("triangles"))
+      .select(col("node").as("doc_id"), col("deg"), col("triangles"),
+        expr("""CASE WHEN deg >= 2 THEN (2 * triangles) / (deg * (deg - 1))
+                ELSE 0.0 END""").as("clustering"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * canonical. The 100 TB pattern: one shuffle on the hash — which is
     * uniformly distributed, so never skewed. */
@@ -961,6 +1018,7 @@ object DedupOps {
     "d_norm_dedup" -> normDedup,
     "d_dedup_funnel" -> dedupFunnel,
     "d_pagerank" -> pagerank,
+    "d_triangle_count" -> triangleCount,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
@@ -1148,6 +1206,33 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
              min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
       FROM n ORDER BY doc_id""",
+    "d_triangle_count" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ed AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+      dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+      ore AS (SELECT e.src, e.dst, b.deg AS ddeg
+              FROM ed e JOIN dg a ON e.src = a.node
+                        JOIN dg b ON e.dst = b.node
+              WHERE a.deg < b.deg OR (a.deg = b.deg AND e.src < e.dst)),
+      tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+              FROM ore o1 JOIN ore o2 ON o1.src = o2.src
+              JOIN ore o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+              WHERE o1.ddeg < o2.ddeg
+                 OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+      tn AS (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+             UNION ALL SELECT w FROM tri),
+      tc AS (SELECT node, count(*)::BIGINT AS triangles FROM tn GROUP BY 1)
+      SELECT dg.node AS doc_id, dg.deg,
+             coalesce(tc.triangles, 0)::BIGINT AS triangles,
+             CASE WHEN dg.deg >= 2
+               THEN (2 * coalesce(tc.triangles, 0)) / (dg.deg * (dg.deg - 1))
+               ELSE 0.0 END AS clustering
+      FROM dg LEFT JOIN tc ON dg.node = tc.node
+      ORDER BY doc_id""",
     "d_pagerank" -> s"""
       WITH $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i
