@@ -850,6 +850,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span REMOVAL — the actionable counterpart of
+    * [[spanCoverage]]: where that query reports "38% of this doc is
+    * boilerplate", this one emits the cleaned corpus (the ExactSubstr
+    * practice of span-level dedup pipelines, at the fixed 3-token shingle
+    * grain): every token covered by any shingle that also occurs in
+    * another document is dropped, and the survivors are rejoined in
+    * order. Output: per doc, original/removed token counts and the
+    * cleaned text — the relation a curation pipeline writes back as the
+    * training corpus.
+    *
+    * Plan/scale: ONE shingling pass — instances go straight into a
+    * (doc_id, sh) partial agg that keeps the position LIST, document
+    * frequency rides `count(*) over (partition by sh)` on that grouped
+    * relation (distinct-per-doc by construction, so df ≥ 2 ⇔ ≥ 2 docs —
+    * the [[spanCoverage]] convention), and only dup shingles re-explode
+    * into covered positions (output-sensitive: clean corpora explode
+    * nothing). The reconstruct is a narrow higher-order-array projection
+    * against a second cheap column-pruned scan joined on doc_id — wide
+    * text never crosses the shingle shuffle. All keys uniform;
+    * survives 100×. */
+  def spanRewrite(s: SparkSession, d: String): DataFrame = {
+    val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val byDocShingle = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(filter(sequence(0, size(toks) - 1), p -> p + 2 < size(toks)),
+             p -> named_struct('p', p, 'sh',
+               concat(element_at(toks, p + 1), ' ', element_at(toks, p + 2),
+                      ' ', element_at(toks, p + 3))))""")).as("u"))
+      .groupBy(col("doc_id"), col("u.sh").as("sh"))
+      .agg(collect_list(col("u.p")).as("ps"))
+    val cov = byDocShingle
+      .withColumn("df", count(lit(1)).over(perShingle))
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), explode(expr("array(p, p + 1, p + 2)")).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("cp"))).as("cov"))
+    documents(s, d).select(col("doc_id"), expr(Toks).as("toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+        expr("CAST(coalesce(size(cov), 0) AS BIGINT)").as("n_removed"),
+        expr("""array_join(transform(filter(
+            transform(toks, (t, i) -> named_struct('t', t, 'i', i)),
+            z -> NOT array_contains(coalesce(cov, array_repeat(0, 0)), z.i)),
+          z -> z.t), ' ')""").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** "Paragraph" width in tokens for [[paragraphDedup]]. */
   val ParaTokens = 16
 
@@ -1019,6 +1068,7 @@ object DedupOps {
     "d_dedup_funnel" -> dedupFunnel,
     "d_pagerank" -> pagerank,
     "d_triangle_count" -> triangleCount,
+    "d_span_rewrite" -> spanRewrite,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
@@ -1206,6 +1256,30 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(norm))::BIGINT AS n_dups,
              min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
       FROM n ORDER BY doc_id""",
+    "d_span_rewrite" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      i0 AS (SELECT doc_id, unnest(list_transform(
+               list_filter(generate_series(1, len(toks)),
+                 p -> p + 2 <= len(toks)),
+               p -> {'p': p - 1,
+                     'sh': toks[p] || ' ' || toks[p + 1] || ' ' || toks[p + 2]}))
+               AS u
+             FROM t),
+      inst AS (SELECT doc_id, u.p AS p, u.sh AS sh FROM i0),
+      f AS (SELECT sh, count(*)::BIGINT AS df
+            FROM (SELECT DISTINCT doc_id, sh FROM inst) GROUP BY 1),
+      cp AS (SELECT DISTINCT doc_id, cp FROM (
+               SELECT i.doc_id, unnest([i.p, i.p + 1, i.p + 2]) AS cp
+               FROM inst i JOIN f ON i.sh = f.sh WHERE f.df >= 2)),
+      cov AS (SELECT doc_id, list(cp ORDER BY cp) AS cov FROM cp GROUP BY 1)
+      SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+             coalesce(len(cov), 0)::BIGINT AS n_removed,
+             coalesce(array_to_string(list_transform(
+               list_filter(list_zip(toks, generate_series(1, len(toks))),
+                 z -> NOT list_contains(coalesce(cov, []::BIGINT[]),
+                                        z[2] - 1)),
+               z -> z[1]), ' '), '') AS cleaned_text
+      FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
     "d_triangle_count" -> s"""
       WITH $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

@@ -170,7 +170,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "v_quantile_sketch" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // Gramian collects in a separate action; the returned frame is the
     // driver eigensolve (LocalTableScan) — corpus lineage must not leak
-    "s_power_iter" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "s_power_iter" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // shingle pass → (doc,sh) agg → sh window → covered-pos re-explode →
+    // doc agg, joined onto a second pruned scan for the reconstruct
+    "d_span_rewrite" -> "scan=2 xhash=4 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=3 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
