@@ -583,6 +583,59 @@ object TextOps {
     * [[DetMath]]'s deterministic exp, so the doubles hash-match DuckDB's
     * replay of the same steps. Plan identical to [[unigramLm]] plus four
     * narrow codegen'd columns. */
+  /** Per-document mean log-probability under a Jelinek-Mercer
+    * INTERPOLATED BIGRAM LM (λ = 1/2) — the next model up from
+    * [[unigramLm]]'s perplexity proxy, and the score that actually
+    * separates fluent prose from shuffled-word salad (unigram scores are
+    * order-blind; repetitive boilerplate also lights up here through its
+    * inflated conditional probabilities):
+    *
+    *   p(w2|w1) = ½·c(w1w2)/c(w1·) + ½·(c(·w2)+1)/(N_b+V_2)
+    *
+    * The cross-engine-exactness device: the interpolation is evaluated as
+    * ONE rational — num = c_b·(N_b+V_2) + (c_2+1)·c_1, den = 2·c_1·(N_b
+    * +V_2), both exact BIGINTs from window counts — so the only
+    * floating-point is ln(num) − ln(den) via [[DetMath]] and the per-doc
+    * mean rides the scaled-BIGINT accumulator. Every bigram scored occurs
+    * in the corpus, so c_b ≥ 1 and num/den are always ≥ 1/valid. BIGINT
+    * headroom: num ≤ N_b·(N_b+V_2) — exact to N_b ≈ 3·10⁹ bigrams;
+    * production beyond that drops to double logs (same plan).
+    *
+    * Plan/scale: ONE scan and ONE Generate; the three count families ride
+    * three windows over the SAME bigram stream (uniform token keys —
+    * (w1,w2), w1, w2; the hot-token caveat and remedies are
+    * [[unigramLm]]'s), the (N_b, V_2) constants broadcast from a 1-row
+    * agg, and the per-doc mean is one partial-agg shuffle. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bg = documents(s, d)
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(filter(sequence(0, size(toks) - 1), p -> p + 1 < size(toks)),
+             p -> named_struct('w1', element_at(toks, p + 1),
+                               'w2', element_at(toks, p + 2)))""")).as("u"))
+      .select(col("doc_id"), col("u.w1").as("w1"), col("u.w2").as("w2"))
+    val consts = bg.agg(count(lit(1)).as("nb"),
+        count_distinct(col("w2")).as("v2"))
+      .select((col("nb") + col("v2")).as("nv"))
+    val counted = bg
+      .withColumn("cb", count(lit(1)).over(w.partitionBy("w1", "w2")))
+      .withColumn("c1", count(lit(1)).over(w.partitionBy("w1")))
+      .withColumn("c2", count(lit(1)).over(w.partitionBy("w2")))
+      .crossJoin(broadcast(consts))
+      .withColumn("num", expr("cb * nv + (c2 + 1) * c1"))
+      .withColumn("den", expr("2 * c1 * nv"))
+    DetMath.withLn(DetMath.withLn(counted, "num", "ln1"), "den", "ln2")
+      .withColumn("term", expr(
+        """cast(round(ln1_ln * 1.0e9) as bigint)
+           - cast(round(ln2_ln * 1.0e9) as bigint)"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(sl / 1.0e9) / n_bigrams").as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   def perplexity(s: SparkSession, d: String): DataFrame =
     DetMath.withExp(
       unigramScored(s, d).withColumn("nl", expr("-avg_logprob")), "nl", "px")
@@ -872,6 +925,7 @@ object TextOps {
     "t_zipf" -> zipfFit,
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
+    "t_bigram_lm" -> bigramLm,
     "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
     "t_pmi" -> pmi,
@@ -1207,6 +1261,33 @@ object TextOps {
       FROM g""",
     "t_unigram_lm" -> s"""
       SELECT * FROM ($UnigramScoredSql) ORDER BY doc_id""",
+    "t_bigram_lm" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM t) z),
+      ct AS (SELECT (count(*) + count(DISTINCT w2))::BIGINT AS nv FROM bg),
+      wd AS (SELECT doc_id,
+               count(*) OVER (PARTITION BY w1, w2)::BIGINT AS cb,
+               count(*) OVER (PARTITION BY w1)::BIGINT AS c1,
+               count(*) OVER (PARTITION BY w2)::BIGINT AS c2
+             FROM bg),
+      sc AS (SELECT doc_id, (cb * nv + (c2 + 1) * c1)::BIGINT AS num,
+                    (2 * c1 * nv)::BIGINT AS den
+             FROM wd CROSS JOIN ct),
+      l1 AS (SELECT doc_id, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT doc_id, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      ag AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+                   - CAST(round(ln2_ln * 1.0e9) AS BIGINT))::BIGINT AS sl
+             FROM l2 GROUP BY 1)
+      SELECT doc_id, n_bigrams, (sl / 1.0e9) / n_bigrams AS avg_logprob
+      FROM ag ORDER BY doc_id""",
     "t_perplexity" -> s"""
       WITH u AS ($UnigramScoredSql),
       e AS (SELECT doc_id, n_tokens, avg_logprob, -avg_logprob AS nl,
