@@ -886,8 +886,7 @@ object DedupOps {
       .filter(col("df") >= 2)
       .select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), explode(expr("array(p, p + 1, p + 2)")).as("cp"))
-      .distinct()
-      .groupBy("doc_id").agg(sort_array(collect_list(col("cp"))).as("cov"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("cp"))).as("cov"))
     documents(s, d).select(col("doc_id"), expr(Toks).as("toks"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),

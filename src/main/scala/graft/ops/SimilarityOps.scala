@@ -559,9 +559,9 @@ object SimilarityOps {
     * Plan/scale per iteration: centroids live on the DRIVER between
     * iterations (K×Dim doubles — the shape every production Lloyd loop
     * uses, cf. Spark MLlib KMeans) and are inlined as literals, so
-    * assignment is a NARROW codegen'd pass — K `vec_dot` scores + a
-    * CASE-chain argmin per row, the exact [[argmaxCase]] shape [[ivfTopk]]
-    * uses. No crossJoin, no per-row window shuffle; the only wide step is
+    * assignment is a NARROW codegen'd pass — K `vec_dot` scores + an
+    * O(K) struct argmin per row, the exact [[argmaxCells]] shape
+    * [[ivfTopk]] uses. No crossJoin, no per-row window shuffle; the only wide step is
     * the (cell, dim) partial agg, whose K×Dim result rows collect back to
     * the driver. Empty cells drop out deterministically in both engines.
     * Output: the trained codebook, one row per (cell, dimension). */
@@ -695,10 +695,11 @@ object SimilarityOps {
     * drops the quantization and accumulates doubles (same plan); BIGINT
     * headroom here is documented to N ≈ 4·10⁸ rows.
     *
-    * Plan/scale: one scan → ONE Generate (the 4096-struct outer-product
-    * array, flattened) → (i,j)-key partial agg (map-side combine does
-    * almost all the reduction: 4096 cells × 32 tasks cross the wire) →
-    * 4096 rows to the driver. Nothing else is distributed; the returned
+    * Plan/scale: one scan → ONE Generate (the upper-triangle outer-product
+    * array, flattened — 2080 structs per row; G is symmetric, the mirror
+    * is exact driver work) → (i,j)-key partial agg (map-side combine does
+    * almost all the reduction: ≤ 2080 cells × 32 tasks cross the wire) →
+    * 2080 rows to the driver. Nothing else is distributed; the returned
     * frame is a LocalTableScan. */
   def powerIter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -707,8 +708,11 @@ object SimilarityOps {
         s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))")
         .as("e"))
       .select(explode(expr(
-        """flatten(transform(e, (vi, i) -> transform(e, (vj, j) ->
-             named_struct('i', i, 'j', j, 'p', vi * vj))))""")).as("t"))
+        // upper triangle only — G is symmetric; the mirror is exact and
+        // free on the driver, and the Generate fan-out halves (2080 vs
+        // 4096 structs per row)
+        """flatten(transform(e, (vi, i) -> transform(slice(e, i + 1, 64), (vj, dj) ->
+             named_struct('i', i, 'j', i + dj, 'p', vi * vj))))""")).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("g"))
       .collect()
@@ -717,7 +721,10 @@ object SimilarityOps {
       return Seq.empty[(Long, Long, Double, Double)]
         .toDF("dim", "loading_fp", "loading", "lambda")
     val G = Array.ofDim[Long](Dim, Dim)
-    gRows.foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    gRows.foreach { r =>
+      G(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      G(r.getInt(1))(r.getInt(0)) = r.getLong(2)
+    }
     def matvec(x: Array[Long]): Array[Long] =
       Array.tabulate(Dim)(i =>
         (0 until Dim).foldLeft(0L)((a, j) => a + G(i)(j) * x(j)))

@@ -173,7 +173,7 @@ class PlanSnapshotSpec extends SparkSpec {
     "s_power_iter" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // shingle pass → (doc,sh) agg → sh window → covered-pos re-explode →
     // doc agg, joined onto a second pruned scan for the reconstruct
-    "d_span_rewrite" -> "scan=2 xhash=4 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=3 win=1 wgl=0",
+    "d_span_rewrite" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=3 win=1 wgl=0",
     // scoring stream: three token-key windows + one doc-key agg; the
     // (N_b, V_2) constants are the only second pass (straight into a
     // partial agg — the unigramLm shape), broadcast as a 1-row NLJ
