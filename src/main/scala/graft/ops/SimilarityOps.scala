@@ -744,6 +744,68 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Per-label centroid DRIFT between two corpus halves (vec_id parity
+    * stands in for the before/after snapshot split) — the embedding-space
+    * health check a pipeline runs on every re-embed: if a label's
+    * centroid moved, the encoder changed under that slice and every
+    * stored ANN structure over it ([[ivfTopk]]'s cells, [[pqEncode]]'s
+    * codebooks) is stale for that slice.
+    *
+    * Exactness: per-(label, half, dim) sums are quantized-BIGINT (the
+    * [[powerIter]] grid), so both halves' centroid numerators are exact;
+    * the per-dim squared difference is formed over the common denominator
+    * — dd = (s1·n2 − s2·n1)/(1000·n1·n2), all-BIGINT numerator — and the
+    * 64 dd² terms cross the label agg as scaled BIGINTs
+    * (order-independent), with one sqrt at the end.
+    *
+    * Plan/scale: ONE scan, ONE Generate, ONE (label, dim)-key partial
+    * agg (both halves fold in the same pass via conditional sums — no
+    * self-join, no second scan), then a catalog-sized label agg. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(expr(
+          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))"))
+          .as(Seq("dim", "sv")))
+      .groupBy("label", "dim")
+      .agg(
+        sum(when(col("half") === 0, col("sv"))).as("s1"),
+        count(when(col("half") === 0, lit(1))).as("n1"),
+        sum(when(col("half") === 1, col("sv"))).as("s2"),
+        count(when(col("half") === 1, lit(1))).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("dd", expr(
+        s"CAST(s1 * n2 - s2 * n1 AS DOUBLE) / ($PiS.0e0 * n1 * n2)"))
+      .groupBy("label")
+      .agg(max(col("n1")).as("n_base"), max(col("n2")).as("n_cur"),
+        sum(expr("CAST(round(dd * dd * 1.0e15) AS BIGINT)")).as("sfp"))
+      .select(col("label").cast("long").as("label"), col("n_base"),
+        col("n_cur"), expr("sqrt(sfp / 1.0e15)").as("l2_drift"))
+      .orderBy("label")
+  }
+
+  private def centroidDriftOracle: String = s"""
+      WITH qe AS (SELECT label::BIGINT AS label, vec_id % 2 AS half,
+               list_transform(embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT)) AS se
+             FROM embeddings),
+      x AS (SELECT label, half, i - 1 AS dim, se[i] AS sv
+            FROM qe, generate_series(1, $Dim) t(i)),
+      g AS (SELECT label, dim,
+              sum(CASE WHEN half = 0 THEN sv END)::BIGINT AS s1,
+              count(CASE WHEN half = 0 THEN 1 END)::BIGINT AS n1,
+              sum(CASE WHEN half = 1 THEN sv END)::BIGINT AS s2,
+              count(CASE WHEN half = 1 THEN 1 END)::BIGINT AS n2
+            FROM x GROUP BY 1, 2),
+      t AS (SELECT label, n1, n2,
+              CAST(s1 * n2 - s2 * n1 AS DOUBLE) / ($PiS.0e0 * n1 * n2) AS dd
+            FROM g WHERE n1 > 0 AND n2 > 0),
+      a AS (SELECT label, max(n1)::BIGINT AS n_base, max(n2)::BIGINT AS n_cur,
+              sum(CAST(round(dd * dd * 1.0e15) AS BIGINT))::BIGINT AS sfp
+            FROM t GROUP BY 1)
+      SELECT label, n_base, n_cur, sqrt(sfp / 1.0e15) AS l2_drift
+      FROM a ORDER BY label"""
+
   /** Unrolled-CTE replay of [[powerIter]] — same integer steps, same
     * truncating division, same final double divisions. */
   private def powerIterOracle: String = {
@@ -777,6 +839,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_power_iter" -> powerIter,
+    "s_centroid_drift" -> centroidDrift,
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
@@ -791,6 +854,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "s_power_iter" -> powerIterOracle,
+    "s_centroid_drift" -> centroidDriftOracle,
     "s_mmr" -> mmrOracle,
     "s_range_search" -> s"""
       SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $cosineSql AS cosine

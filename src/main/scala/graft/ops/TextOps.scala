@@ -583,6 +583,28 @@ object TextOps {
     * [[DetMath]]'s deterministic exp, so the doubles hash-match DuckDB's
     * replay of the same steps. Plan identical to [[unigramLm]] plus four
     * narrow codegen'd columns. */
+  /** Tokenizer FERTILITY by language — tokens emitted per word under the
+    * trained BPE merge table ([[bpeApply]]'s encoding), rolled up to the
+    * language grain: the tokenizer-fairness number multilingual pipelines
+    * audit (a tokenizer trained on English-heavy data "taxes" other
+    * languages with higher fertility, which silently skews an equal-token
+    * budget away from them — the readout [[CorpusOps]]' budget allocator
+    * would consume). All tallies are exact BIGINT sums; the single
+    * division happens once per language row.
+    *
+    * Plan/scale: [[bpeApply]]'s vocabulary-sized encode + doc rollup,
+    * then one doc-key join against the pruned (doc_id, lang) projection
+    * and a catalog-sized language agg. */
+  def fertilityByLang(s: SparkSession, d: String): DataFrame =
+    bpeApply(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_syms_after")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("n_tokens / n_words").as("fertility"))
+      .orderBy("lang")
+
   /** Per-document mean log-probability under a Jelinek-Mercer
     * INTERPOLATED BIGRAM LM (λ = 1/2) — the next model up from
     * [[unigramLm]]'s perplexity proxy, and the score that actually
@@ -940,6 +962,7 @@ object TextOps {
     "t_bpe_tokens" -> bpeTokens,
     "t_bpe_train" -> bpeTrain,
     "t_bpe_apply" -> bpeApply,
+    "t_fertility_by_lang" -> fertilityByLang,
     "t_repetition" -> repetition,
     "t_cms_topk" -> cmsTopk,
     "t_pipeline" -> pipeline)
@@ -988,6 +1011,24 @@ object TextOps {
   /** [[bpeApply]] oracle: the train chain extended by the encoded-
     * vocabulary lengths (`s0` before / `s$BpeMerges` after) joined onto
     * each document's exploded words. */
+  /** [[fertilityByLang]] oracle: the apply-oracle's per-doc rollup joined
+    * onto the language column and re-aggregated. */
+  private def fertilityOracle: String = s"""
+      WITH $bpeChainCtes,
+      wl AS (SELECT s0.word, len(s$BpeMerges.syms)::BIGINT AS n_after
+             FROM s0 JOIN s$BpeMerges ON s0.word = s$BpeMerges.word),
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      pd AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+               sum(n_after)::BIGINT AS n_tokens
+             FROM dw JOIN wl ON dw.word = wl.word GROUP BY 1)
+      SELECT d.lang, count(*)::BIGINT AS n_docs,
+             sum(pd.n_words)::BIGINT AS n_words,
+             sum(pd.n_tokens)::BIGINT AS n_tokens,
+             sum(pd.n_tokens)::BIGINT / sum(pd.n_words)::BIGINT AS fertility
+      FROM pd JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY lang"""
+
   private def bpeApplyOracle: String = s"""
       WITH $bpeChainCtes,
       wl AS (SELECT s0.word, len(s0.syms)::BIGINT AS n_before,
@@ -1081,6 +1122,7 @@ object TextOps {
       FROM j GROUP BY 1 ORDER BY doc_id""",
     "t_bpe_train" -> bpeTrainOracle,
     "t_bpe_apply" -> bpeApplyOracle,
+    "t_fertility_by_lang" -> fertilityOracle,
     "t_token_stats" -> """
       WITH t AS (SELECT doc_id, text,
                    len(string_split(text,' '))::BIGINT nt,

@@ -177,7 +177,13 @@ class PlanSnapshotSpec extends SparkSpec {
     // scoring stream: three token-key windows + one doc-key agg; the
     // (N_b, V_2) constants are the only second pass (straight into a
     // partial agg — the unigramLm shape), broadcast as a 1-row NLJ
-    "t_bigram_lm" -> "scan=2 xhash=4 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=2 win=3 wgl=0")
+    "t_bigram_lm" -> "scan=2 xhash=4 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=2 win=3 wgl=0",
+    // ONE scan + Generate; both halves fold in one (label,dim) partial
+    // agg via conditional sums, then the catalog-sized label agg
+    "s_centroid_drift" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // bpeApply's encode/rollup + a doc-key join onto the pruned
+    // (doc_id, lang) projection and a language-grain agg
+    "t_fertility_by_lang" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
