@@ -744,6 +744,64 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Multi-probe LSH top-k — [[annLsh]] with the standard recall dial
+    * turned one notch: each query probes its own bucket PLUS the
+    * [[NumPlanes]] Hamming-1 neighbor buckets (the sign bits most likely
+    * to have flipped near a hyperplane), recovering most of the recall a
+    * single-bucket probe loses while still touching only 9/256ths of the
+    * corpus — the multi-probe tradeoff every production LSH service ships
+    * ([[annRecall]] is the loop that justifies the dial setting).
+    *
+    * Plan/scale: the corpus side is the same narrow codegen'd bucket
+    * assignment; the probe side is query-set × 9 rows, broadcast; one
+    * hash join on the bucket key and the per-query top-k window
+    * (WindowGroupLimit below the shuffle). Probe buckets are distinct by
+    * construction, so no candidate dedup pass is needed. */
+  def annMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"),
+        expr(bucketExpr).cast("long").as("bucket"))
+    val probes = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("home"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("home"),
+        explode(expr(s"""transform(sequence(0, $NumPlanes),
+            k -> CASE WHEN k = 0 THEN home
+                 ELSE home ^ shiftleft(CAST(1 AS BIGINT), k - 1) END)"""))
+          .as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes)
+      .join(v, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("home"), col("vec_id"),
+        expr(s"(${Vec.dot("q_emb", "embedding")}) / (q_nrm * nrm)")
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("home"), col("rank"), col("vec_id"),
+        col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def annMultiprobeOracle: String = s"""
+      WITH b AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
+                 FROM embeddings),
+      pr AS (SELECT vec_id, embedding, bucket AS home,
+               unnest(list_prepend(bucket,
+                 list_transform(generate_series(0, ${NumPlanes - 1}),
+                   k -> xor(bucket, (1::BIGINT << k))))) AS probe
+             FROM b WHERE vec_id < 5),
+      ranked AS (
+        SELECT q.vec_id q_id, q.home home, c.vec_id vec_id,
+               $cosineSql AS cosine,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY $cosineSql DESC, c.vec_id) AS rank
+        FROM pr q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id)
+      SELECT q_id, home, rank::INT AS rank, vec_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Per-label centroid DRIFT between two corpus halves (vec_id parity
     * stands in for the before/after snapshot split) — the embedding-space
     * health check a pipeline runs on every re-embed: if a label's
@@ -843,6 +901,7 @@ object SimilarityOps {
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
+    "s_ann_multiprobe" -> annMultiprobe,
     "s_knn_graph" -> knnGraph,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
@@ -855,6 +914,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "s_power_iter" -> powerIterOracle,
     "s_centroid_drift" -> centroidDriftOracle,
+    "s_ann_multiprobe" -> annMultiprobeOracle,
     "s_mmr" -> mmrOracle,
     "s_range_search" -> s"""
       SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $cosineSql AS cosine

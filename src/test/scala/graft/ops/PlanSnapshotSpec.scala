@@ -183,7 +183,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "s_centroid_drift" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // bpeApply's encode/rollup + a doc-key join onto the pruned
     // (doc_id, lang) projection and a language-grain agg
-    "t_fertility_by_lang" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0")
+    "t_fertility_by_lang" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    // broadcast 9-probe query fan-out onto the narrow bucket assignment;
+    // top-k below the shuffle (wgl partial+final)
+    "s_ann_multiprobe" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=2")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
