@@ -478,6 +478,38 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Hour-of-day SEASONAL volume baseline + outliers — the upgrade of
+    * [[ValidationOps.anomaly]] real monitoring needs: traffic has a daily
+    * shape, so "is 3 AM volume anomalous" must be judged against OTHER
+    * 3 AM cells, not the all-hours mean (which flags every night as an
+    * outage and every noon as an incident). Each (type, day, hour) cell
+    * is z-scored against the same (type, hour) slot across days, with the
+    * same exact-BIGINT verdict device: dev² > 4·varnum compares scaled
+    * integers — the 2σ flag can never flip on float rounding; the
+    * reported z is the only double and is derived, not compared.
+    *
+    * Plan/scale: one scan → (type, day, hour) partial agg → ONE
+    * (type, hour)-key window serving all three moment sums. Cells are
+    * catalog × days × 24 — tiny at any corpus size. */
+  def qSeasonal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "hour")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sn", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .withColumn("dev", col("k") * col("n") - col("sn"))
+      .withColumn("varnum", col("k") * col("sq") - col("sn") * col("sn"))
+      .select(col("event_type"), col("hour"), col("day"), col("n"),
+        expr("""CASE WHEN varnum = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE cast(dev as double) / sqrt(cast(varnum as double)) END""")
+          .as("z"),
+        (col("dev") * col("dev") > lit(4L) * col("varnum")).as("is_anomaly"))
+      .orderBy("event_type", "hour", "day")
+  }
+
   /** Incremental aggregate maintenance — the nightly-ingest pattern: the
     * standing per-type aggregate is kept as MERGEABLE partials (count,
     * exact scaled-integer value sum, max, first/last ts) and a new
@@ -517,6 +549,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_incr_agg" -> qIncrAgg,
+    "e_seasonal" -> qSeasonal,
     "e_markov" -> qMarkov,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
@@ -536,6 +569,26 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_seasonal" -> """
+      WITH g AS (SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   hour(CAST(ts AS TIMESTAMP))::BIGINT AS hour,
+                   count(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2, 3),
+      w AS (SELECT event_type, hour, day, n,
+              count(*) OVER (PARTITION BY event_type, hour)::BIGINT AS k,
+              sum(n) OVER (PARTITION BY event_type, hour)::BIGINT AS sn,
+              sum(n * n) OVER (PARTITION BY event_type, hour)::BIGINT AS sq
+            FROM g),
+      t AS (SELECT event_type, hour, day, n,
+              k * n - sn AS dev, k * sq - sn * sn AS varnum
+            FROM w)
+      SELECT event_type, hour, day, n,
+             CASE WHEN varnum = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)) END
+               AS z,
+             dev * dev > 4 * varnum AS is_anomaly
+      FROM t ORDER BY event_type, hour, day""",
     // the full recompute — equality proves the incremental merge
     "e_incr_agg" -> s"""
       SELECT event_type, count(*)::BIGINT AS n,
