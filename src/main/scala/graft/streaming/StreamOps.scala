@@ -36,6 +36,22 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming mergeable histogram sketch — the streaming arm of
+    * ValidationOps.quantileSketch's production path: per (event_type,
+    * bin) counts maintained incrementally (same 256-bin, width-2 grid).
+    * Per-bin counts form a commutative monoid, so micro-batch arrival
+    * order cannot change the result — the spec proves stream-merged ==
+    * batch-recomputed over the same rows — and quantiles read off the
+    * cumulative crossing bin exactly as quantileSketch documents. State
+    * is ≤ 256 rows per type: catalog-sized, watermark-free, runs
+    * forever. */
+  def histogramSketchStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("bin", expr(
+        "least(CAST(floor(value / 2.0D) AS BIGINT), CAST(255 AS BIGINT))"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

@@ -40,6 +40,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((3600L * 1000L, "b", 1L, 3.0)))
   }
 
+  test("histogramSketchStream merges micro-batches into the batch histogram") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Double)]
+    val events = in.toDF().toDF("event_type", "value")
+    val q = StreamOps.histogramSketchStream(events)
+      .writeStream.format("memory").queryName("hist")
+      .outputMode("complete").start()
+    in.addData(("a", 1.0), ("a", 3.0), ("b", 600.0))
+    q.processAllAvailable()
+    in.addData(("a", 3.5), ("b", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("hist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // merged across both micro-batches == one batch pass over all 5 rows;
+    // 600 caps into the overflow bin 255
+    assert(rows == Set(("a", 0L, 1L), ("a", 1L, 2L),
+      ("b", 1L, 1L), ("b", 255L, 1L)))
+  }
+
   test("enrichStream decorates a fact stream from a broadcast static dim") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
