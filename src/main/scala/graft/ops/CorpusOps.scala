@@ -333,6 +333,61 @@ object CorpusOps {
         expr(GateKeepExpr).as("keep_doc"): _*)
       .orderBy("doc_id")
 
+  /** Naive-Bayes quality classifier bootstrapped from the rule gate — the
+    * learned-filter stage real curation pipelines distill their heuristic
+    * gate into (a la the GPT-3/CCNet quality classifier, trained there on
+    * curated-vs-crawl): class labels come from [[GateKeepExpr]] (the SAME
+    * predicate the gate applies, so the training signal cannot drift from
+    * the deployed rules), the model is add-one-smoothed multinomial NB
+    * over tokens, and every document gets a smooth mean log-odds score —
+    * the graded signal the binary gate can't give (for thresholding,
+    * curriculum, or mixture reweighting).
+    *
+    * Per token w:  llr(w) = ln((c_pos(w)+1)·(N_neg+V)) − ln((c_neg(w)+1)·(N_pos+V))
+    * Per doc:      nb_logodds = Σ_occurrences llr / n_tokens,  nb_keep = Σ > 0
+    *
+    * Exactness: counts are exact BIGINTs, both ln arguments are single
+    * BIGINT products through [[DetMath]]'s cross-engine-deterministic ln,
+    * per-token terms are 1e-9-scaled BIGINTs so the per-doc sum is
+    * order-independent, and the verdict compares the exact integer sum
+    * (not the rounded double). The product form keeps one ln per side;
+    * its BIGINT ceiling (c·(N+V) < 2⁶³, i.e. ~3·10⁹ tokens per class at
+    * equal counts) is far above any single-job shard — beyond that, split
+    * into ln(c+1)+ln(N+V) at double the ln cost.
+    *
+    * Plan/scale: ONE documents scan feeds the token stream; the model is
+    * one uniform token-key partial-agg shuffle down to a vocabulary-sized
+    * relation (+ a 1-row constants broadcast); scoring re-joins tokens to
+    * the model on the same uniform key (at 100 TB the DF-capped model is
+    * a broadcast candidate) and aggregates once per doc_id. No driver
+    * loop, no UDF — every expression codegens. */
+  def nbQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = gateFlags(documents(s, d).select(col("doc_id"), col("text")))
+      .withColumn("keep", expr(GateKeepExpr))
+      .select(col("doc_id"), col("keep"), explode(col("toks")).as("tok"))
+    val ct = toks.groupBy("tok").agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("cn"))
+    val consts = ct.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val scored = ct.crossJoin(broadcast(consts))
+      .withColumn("num", expr("(cp + 1) * (nn + v)"))
+      .withColumn("den", expr("(cn + 1) * (np + v)"))
+    val terms = DetMath.withLn(DetMath.withLn(scored, "num", "ln1"), "den", "ln2")
+      .withColumn("term", expr(
+        """cast(round(ln1_ln * 1.0e9) as bigint)
+           - cast(round(ln2_ln * 1.0e9) as bigint)"""))
+      .select(col("tok"), col("term"))
+    toks.join(terms, "tok")
+      .groupBy("doc_id")
+      .agg(max(col("keep")).as("keep_label"), count(lit(1)).as("n_tokens"),
+        sum(col("term")).as("sl"))
+      .select(col("doc_id"), col("keep_label"), col("n_tokens"),
+        expr("(sl / 1.0e9) / n_tokens").as("nb_logodds"),
+        expr("sl > 0").as("nb_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk window width / stride (tokens). Stride < width → overlapping
     * windows, the standard RAG-embedding layout. */
   val ChunkW = 64
@@ -476,6 +531,7 @@ object CorpusOps {
     "t_pii_scrub" -> piiScrub,
     "t_mix_weights" -> mixWeights,
     "t_quality_gate" -> qualityGate,
+    "t_nb_quality" -> nbQuality,
     "t_chunk_windows" -> chunkWindows,
     "t_budget_alloc" -> budgetAlloc)
 
@@ -574,6 +630,46 @@ object CorpusOps {
         (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
          AND sh >= 2 AND 8*mc <= nt) AS keep_doc
       FROM s ORDER BY doc_id""",
+    "t_nb_quality" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, toks, len(toks)::BIGINT nt,
+              len(list_distinct(toks))::BIGINT nd,
+              (length(text) - len(toks) + 1)::BIGINT nc,
+              ${TextOps.hitsSql(TextOps.EnglishStops)}::BIGINT sh,
+              list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
+            FROM t),
+      lab AS (SELECT doc_id,
+                (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
+                 AND sh >= 2 AND 8*mc <= nt) AS keep, toks
+              FROM s),
+      tok AS (SELECT doc_id, keep, unnest(toks) AS tok FROM lab),
+      ct AS (SELECT tok,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT cp,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT cn
+             FROM tok GROUP BY 1),
+      k AS (SELECT sum(cp)::BIGINT np, sum(cn)::BIGINT nn,
+              count(*)::BIGINT v
+            FROM ct),
+      sc AS (SELECT tok, ((cp + 1) * (nn + v))::BIGINT num,
+               ((cn + 1) * (np + v))::BIGINT den
+             FROM ct CROSS JOIN k),
+      l1 AS (SELECT tok, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT tok, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      w AS (SELECT tok,
+              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
+            FROM l2),
+      ag AS (SELECT t.doc_id, max(t.keep) AS keep_label,
+               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
+             FROM tok t JOIN w USING (tok) GROUP BY 1)
+      SELECT doc_id, keep_label, n_tokens,
+        (sl / 1.0e9) / n_tokens AS nb_logodds, sl > 0 AS nb_keep
+      FROM ag ORDER BY doc_id""",
     "t_budget_alloc" -> s"""
       WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs
                   FROM documents GROUP BY 1),
