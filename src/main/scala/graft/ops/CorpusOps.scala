@@ -365,9 +365,15 @@ object CorpusOps {
     val toks = gateFlags(documents(s, d).select(col("doc_id"), col("text")))
       .withColumn("keep", expr(GateKeepExpr))
       .select(col("doc_id"), col("keep"), explode(col("toks")).as("tok"))
+    // Vocabulary-sized model relation, materialized ONCE (the
+    // [[DedupOps.dedupClusters]] localCheckpoint pattern): both the 1-row
+    // constants agg and the scored join consume it, and without the
+    // checkpoint Spark re-derives each branch from its own documents scan
+    // + token shuffle.
     val ct = toks.groupBy("tok").agg(
       sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("cn"))
+      .localCheckpoint()
     val consts = ct.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
       count(lit(1)).as("v"))
     val scored = ct.crossJoin(broadcast(consts))
