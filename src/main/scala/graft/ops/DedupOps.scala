@@ -389,6 +389,55 @@ object DedupOps {
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
+  /** The (bands × rows-per-band) factorizations of the 16-perm MinHash
+    * signature whose s-curves [[lshTuning]] prices. All powers of two, so
+    * the detection-probability powers are exact squaring chains. */
+  private[ops] val LshConfigs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** x^n as a repeated-squaring expression string (n a power of two) —
+    * plain `*` nesting, so the SAME text is a valid, bit-identically
+    * evaluated expression in Spark and DuckDB. */
+  private def pw(e: String, n: Int): String =
+    if (n == 1) e else { val h = pw(e, n / 2); s"($h * $h)" }
+
+  /** LSH dial tuning: the banding s-curve 1 − (1 − s^r)^b evaluated for
+    * every (b, r) factorization of the 16-perm signature AGAINST THE
+    * OBSERVED candidate-pair similarity distribution — the measurement
+    * that justifies [[minhashLsh]]'s 4×4 choice the way [[annRecall]]
+    * justifies the ANN tier's dial. Per config: the pair count, the
+    * expected number of pairs LSH would surface (Σp), and the count with
+    * detection probability ≥ 0.5 — read together, the collision-cost vs
+    * recall trade of each dial setting.
+    *
+    * Exactness: s = inter/(|A|+|B|−inter) is one double division of exact
+    * BIGINTs; each s-curve is a fixed squaring chain (identical text in
+    * both engines → identical IEEE doubles); Σp rides a 1e-9-scaled
+    * BIGINT sum so it is order-independent; the ≥ 0.5 verdict compares
+    * bit-identical doubles, so it cannot straddle the engines.
+    *
+    * Plan/scale: the report rides [[pairCounts]] unchanged — one shingle
+    * -key shuffle, DF-capped output-sensitive pair enumeration — then ONE
+    * narrow 5-way struct explode and a 5-key partial-agg shuffle.
+    * Evaluating all dial settings costs one extra Generate over the pairs
+    * already enumerated, never a second corpus pass per config. */
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    val structs = LshConfigs.map { case (b, r) =>
+      val p = s"1.0e0 - ${pw(s"(1.0e0 - ${pw("sim", r)})", b)}"
+      s"named_struct('bands', $b, 'rows_per_band', $r, 'p', $p)"
+    }.mkString(", ")
+    pairCounts(s, d, maxDf = DefaultMaxDf)
+      .withColumn("sim", expr("inter / (n_a + n_b - inter)"))
+      .select(explode(expr(s"array($structs)")).as("c"))
+      .groupBy(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(round(c.p * 1.0e9) as bigint)")).as("sd"),
+        sum(expr("case when c.p >= 0.5e0 then 1L else 0L end")).as("n_detected"))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        expr("sd / 1.0e9").as("exp_detected"), col("n_detected"))
+      .orderBy("bands")
+  }
+
   /** MinHash via 16 arithmetic permutations of ONE base hash per shingle:
     * m_i = min over shingles of (a_i * (h60(sh) mod P) + b_i) mod P.
     * One md5 per shingle (vs 16 with per-seed hashing) and the per-seed
@@ -1069,6 +1118,7 @@ object DedupOps {
     "d_triangle_count" -> triangleCount,
     "d_span_rewrite" -> spanRewrite,
     "d_ngram_jaccard" -> ngramJaccard,
+    "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_est_quality" -> minhashEstQuality,
     "d_simhash" -> simhash,
@@ -1392,6 +1442,22 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
+    "d_lsh_tuning" -> {
+      val selects = LshConfigs.map { case (b, r) =>
+        val p = s"1.0e0 - ${pw(s"(1.0e0 - ${pw("sim", r)})", b)}"
+        s"SELECT $b AS bands, $r AS rows_per_band, $p AS p FROM pr"
+      }.mkString("\n            UNION ALL ")
+      s"""
+      WITH $JaccardCappedCtes,
+      pr AS (SELECT inter / (ca.n_sh + cb.n_sh - inter) AS sim
+             FROM i JOIN c ca ON a_id = ca.doc_id
+                    JOIN c cb ON b_id = cb.doc_id),
+      u AS ($selects)
+      SELECT bands, rows_per_band, count(*)::BIGINT AS n_pairs,
+        sum(CAST(round(p * 1.0e9) AS BIGINT))::BIGINT / 1.0e9 AS exp_detected,
+        sum(CASE WHEN p >= 0.5e0 THEN 1 ELSE 0 END)::BIGINT AS n_detected
+      FROM u GROUP BY 1, 2 ORDER BY bands"""
+    },
     "d_containment" -> s"""
       WITH $JaccardCappedCtes
       SELECT a_id, b_id, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,

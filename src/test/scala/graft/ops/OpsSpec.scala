@@ -15,7 +15,7 @@ class OpsSpec extends SparkSpec {
   private val mayBeEmpty = Set("d_ngram_jaccard", "d_ngram_jaccard_uncapped",
     "d_minhash_lsh", "d_minhash_lsh_uncapped", "d_minhash_est_quality",
     "d_simhash_pairs", "d_simhash_pairs_uncapped", "d_embedding_neardup",
-    "d_containment", "d_pagerank", "d_triangle_count", "m_phash_pairs",
+    "d_containment", "d_lsh_tuning", "d_pagerank", "d_triangle_count", "m_phash_pairs",
     "q_anti_join", "d_dedup_clusters", "t_decontaminate", "d_hot_spans")
 
   SparkEntry.queries.foreach { case (name, fn) =>
