@@ -394,6 +394,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR feature-space size: hashed unigram buckets. Tiny here so every
+    * bucket is exercised at test scale; production uses 10k–100k. The
+    * POINT of the hashed space is that the model is O(B) regardless of
+    * vocabulary — always broadcastable. */
+  private val DsirBuckets = 64
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much more
+    * likely its hashed-unigram bag is under a TARGET distribution (here
+    * the `src0` source, standing in for the curated corpus) than under
+    * the RAW corpus distribution — the resampling weight that tilts a
+    * 100 TB crawl toward a curated domain without training a model.
+    * Unlike [[nbQuality]] (vocabulary-sized model, gate-derived labels)
+    * the feature space is [[DsirBuckets]] hash buckets, so the model is
+    * fixed-size and the add-one smoothing covers the whole space.
+    *
+    *   lw(bkt) = ln((c_tgt+1)·(N_raw+B)) − ln((c_raw+1)·(N_tgt+B))
+    *   dsir_logw = Σ_occurrences lw(bucket(tok))
+    *
+    * Exactness: same ledger as [[nbQuality]] — exact BIGINT counts, one
+    * BIGINT-product [[DetMath]] ln per side, 1e-9-scaled BIGINT terms so
+    * the per-doc sum is order-independent; the bucket hash is the repo's
+    * md5-derived h60 (bit-identical in both engines).
+    *
+    * Plan/scale: ONE documents scan → narrow hash+explode; the model is
+    * a B-key partial-agg shuffle materialized once (localCheckpoint, both
+    * the constants agg and the scoring join read it); scoring is a
+    * BROADCAST join (the model is 64 rows by construction — at any corpus
+    * scale) + one doc-key agg. This is the shape DSIR exists for: the
+    * raw-corpus pass never shuffles anything wider than doc_id. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = DsirBuckets
+    val toks = documents(s, d)
+      .select(col("doc_id"), (col("source") === "src0").as("is_target"),
+        explode(expr(Toks)).as("tok"))
+      .withColumn("bkt", expr(s"${DedupOps.h60("tok")} % $B"))
+    val ct = toks.groupBy("bkt").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+      .localCheckpoint()
+    val consts = ct.agg(sum(col("cnt_t")).as("nt_tot"),
+      sum(col("cnt_r")).as("nr_tot"))
+    val scored = ct.crossJoin(broadcast(consts))
+      .withColumn("num", expr(s"(cnt_t + 1) * (nr_tot + $B)"))
+      .withColumn("den", expr(s"(cnt_r + 1) * (nt_tot + $B)"))
+    val terms = DetMath.withLn(DetMath.withLn(scored, "num", "ln1"), "den", "ln2")
+      .withColumn("term", expr(
+        """cast(round(ln1_ln * 1.0e9) as bigint)
+           - cast(round(ln2_ln * 1.0e9) as bigint)"""))
+      .select(col("bkt"), col("term"))
+    toks.join(broadcast(terms), "bkt")
+      .groupBy("doc_id")
+      .agg(max(col("is_target")).as("is_target"),
+        count(lit(1)).as("n_tokens"), sum(col("term")).as("sl"))
+      .select(col("doc_id"), col("is_target"), col("n_tokens"),
+        expr("sl / 1.0e9").as("dsir_logw"),
+        expr("(sl / 1.0e9) / n_tokens").as("mean_logw"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk window width / stride (tokens). Stride < width → overlapping
     * windows, the standard RAG-embedding layout. */
   val ChunkW = 64
@@ -538,6 +598,7 @@ object CorpusOps {
     "t_mix_weights" -> mixWeights,
     "t_quality_gate" -> qualityGate,
     "t_nb_quality" -> nbQuality,
+    "t_dsir" -> dsirWeights,
     "t_chunk_windows" -> chunkWindows,
     "t_budget_alloc" -> budgetAlloc)
 
@@ -675,6 +736,38 @@ object CorpusOps {
              FROM tok t JOIN w USING (tok) GROUP BY 1)
       SELECT doc_id, keep_label, n_tokens,
         (sl / 1.0e9) / n_tokens AS nb_logodds, sl > 0 AS nb_keep
+      FROM ag ORDER BY doc_id""",
+    "t_dsir" -> s"""
+      WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
+                   unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      b AS (SELECT doc_id, is_target,
+              ${DedupOps.h60Sql("tok")} % $DsirBuckets AS bkt
+            FROM t),
+      ct AS (SELECT bkt,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT cnt_t,
+               count(*)::BIGINT cnt_r
+             FROM b GROUP BY 1),
+      k AS (SELECT sum(cnt_t)::BIGINT nt_tot, sum(cnt_r)::BIGINT nr_tot
+            FROM ct),
+      sc AS (SELECT bkt, ((cnt_t + 1) * (nr_tot + $DsirBuckets))::BIGINT num,
+               ((cnt_r + 1) * (nt_tot + $DsirBuckets))::BIGINT den
+             FROM ct CROSS JOIN k),
+      l1 AS (SELECT bkt, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT bkt, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      w AS (SELECT bkt,
+              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
+            FROM l2),
+      ag AS (SELECT b.doc_id, max(b.is_target) AS is_target,
+               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
+             FROM b JOIN w USING (bkt) GROUP BY 1)
+      SELECT doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,
+        (sl / 1.0e9) / n_tokens AS mean_logw
       FROM ag ORDER BY doc_id""",
     "t_budget_alloc" -> s"""
       WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs
