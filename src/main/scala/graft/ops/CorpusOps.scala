@@ -454,6 +454,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val/test split report: assignment is a pure
+    * function of the CONTENT hash (8/1/1 by h60(text) mod 10), so
+    * byte-identical duplicates land in the same split by construction —
+    * the property that keeps test data out of training when the corpus
+    * still carries exact dupes. The report counts docs and distinct
+    * content hashes per split AND verifies the invariant: per-hash
+    * distinct-split counts roll up to `n_leaked_hashes`, which must be 0
+    * for any content-keyed assignment (and immediately is not if someone
+    * re-keys the split on doc_id or a random() — the regression this
+    * report exists to catch).
+    *
+    * Plan/scale: one scan → narrow hash + split assign; ONE uniform
+    * md5-key shuffle to hash grain; the split rollup is a 3-key agg.
+    * Nothing driver-side; the same two-shuffle shape as [[DedupOps
+    * .exactDedup]]. */
+  def dataSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("bkt", expr(s"${DedupOps.h60("text")} % 10"))
+      .withColumn("sp", expr(
+        "CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val' ELSE 'test' END"))
+      .groupBy("h").agg(max(col("sp")).as("sp"), count(lit(1)).as("nd"),
+        count_distinct(col("sp")).as("nsp"))
+      .groupBy("sp").agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_hashes"),
+        sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked_hashes"))
+      .select(col("sp").as("split"), col("n_docs"), col("n_hashes"),
+        col("n_leaked_hashes"))
+      .orderBy("split")
+
   /** Chunk window width / stride (tokens). Stride < width → overlapping
     * windows, the standard RAG-embedding layout. */
   val ChunkW = 64
@@ -599,6 +629,7 @@ object CorpusOps {
     "t_quality_gate" -> qualityGate,
     "t_nb_quality" -> nbQuality,
     "t_dsir" -> dsirWeights,
+    "t_data_split" -> dataSplit,
     "t_chunk_windows" -> chunkWindows,
     "t_budget_alloc" -> budgetAlloc)
 
@@ -769,6 +800,20 @@ object CorpusOps {
       SELECT doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,
         (sl / 1.0e9) / n_tokens AS mean_logw
       FROM ag ORDER BY doc_id""",
+    "t_data_split" -> s"""
+      WITH a AS (SELECT md5(text) h, ${DedupOps.h60Sql("text")} % 10 AS bkt
+                 FROM documents),
+      b AS (SELECT h, CASE WHEN bkt < 8 THEN 'train'
+                           WHEN bkt = 8 THEN 'val'
+                           ELSE 'test' END sp
+            FROM a),
+      c AS (SELECT h, max(sp) sp, count(*)::BIGINT nd,
+              count(DISTINCT sp)::BIGINT nsp
+            FROM b GROUP BY 1)
+      SELECT sp AS split, sum(nd)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_hashes,
+        sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaked_hashes
+      FROM c GROUP BY 1 ORDER BY split""",
     "t_budget_alloc" -> s"""
       WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs
                   FROM documents GROUP BY 1),
