@@ -454,6 +454,27 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** NB-vs-gate confusion matrix — the measurement loop for
+    * [[nbQuality]], as `s_ann_recall` is for the ANN tier and
+    * `d_minhash_est_quality` for MinHash: how often the learned
+    * classifier's verdict agrees with the rule gate that trained it,
+    * per (label, prediction) cell with corpus shares. The off-diagonal
+    * cells are the docs where the smooth model generalizes past (or
+    * fails) its own training rule — the number a curator reads before
+    * swapping the gate for the classifier.
+    *
+    * Plan/scale: [[nbQuality]]'s plan (single source of truth — the
+    * confusion is GROUP BY over its output, so model and report can
+    * never diverge) plus a 4-key agg; the share window runs over the
+    * 4-row matrix, scale-free. */
+  def nbConfusion(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    nbQuality(s, d)
+      .groupBy("keep_label", "nb_keep").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / sum(col("n")).over(w.partitionBy()))
+      .orderBy("keep_label", "nb_keep")
+  }
+
   /** Leakage-free train/val/test split report: assignment is a pure
     * function of the CONTENT hash (8/1/1 by h60(text) mod 10), so
     * byte-identical duplicates land in the same split by construction —
@@ -630,10 +651,51 @@ object CorpusOps {
     "t_nb_quality" -> nbQuality,
     "t_dsir" -> dsirWeights,
     "t_data_split" -> dataSplit,
+    "t_nb_confusion" -> nbConfusion,
     "t_chunk_windows" -> chunkWindows,
     "t_budget_alloc" -> budgetAlloc)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
+
+  /** The [[nbQuality]] oracle's CTE chain up to the per-doc `ag` relation
+    * (doc_id, keep_label, n_tokens, sl) — shared by the t_nb_quality and
+    * t_nb_confusion oracles so the two checks replay ONE model. */
+  private val NbCtes = s"""t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, toks, len(toks)::BIGINT nt,
+              len(list_distinct(toks))::BIGINT nd,
+              (length(text) - len(toks) + 1)::BIGINT nc,
+              ${TextOps.hitsSql(TextOps.EnglishStops)}::BIGINT sh,
+              list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
+            FROM t),
+      lab AS (SELECT doc_id,
+                (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
+                 AND sh >= 2 AND 8*mc <= nt) AS keep, toks
+              FROM s),
+      tok AS (SELECT doc_id, keep, unnest(toks) AS tok FROM lab),
+      ct AS (SELECT tok,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT cp,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT cn
+             FROM tok GROUP BY 1),
+      k AS (SELECT sum(cp)::BIGINT np, sum(cn)::BIGINT nn,
+              count(*)::BIGINT v
+            FROM ct),
+      sc AS (SELECT tok, ((cp + 1) * (nn + v))::BIGINT num,
+               ((cn + 1) * (np + v))::BIGINT den
+             FROM ct CROSS JOIN k),
+      l1 AS (SELECT tok, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT tok, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      w AS (SELECT tok,
+              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
+            FROM l2),
+      ag AS (SELECT t.doc_id, max(t.keep) AS keep_label,
+               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
+             FROM tok t JOIN w USING (tok) GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
     // the quality subquery IS the t_quality oracle text — one source of
@@ -729,45 +791,17 @@ object CorpusOps {
          AND sh >= 2 AND 8*mc <= nt) AS keep_doc
       FROM s ORDER BY doc_id""",
     "t_nb_quality" -> s"""
-      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
-      s AS (SELECT doc_id, toks, len(toks)::BIGINT nt,
-              len(list_distinct(toks))::BIGINT nd,
-              (length(text) - len(toks) + 1)::BIGINT nc,
-              ${TextOps.hitsSql(TextOps.EnglishStops)}::BIGINT sh,
-              list_max(list_transform(list_distinct(toks),
-                t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
-            FROM t),
-      lab AS (SELECT doc_id,
-                (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
-                 AND sh >= 2 AND 8*mc <= nt) AS keep, toks
-              FROM s),
-      tok AS (SELECT doc_id, keep, unnest(toks) AS tok FROM lab),
-      ct AS (SELECT tok,
-               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT cp,
-               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT cn
-             FROM tok GROUP BY 1),
-      k AS (SELECT sum(cp)::BIGINT np, sum(cn)::BIGINT nn,
-              count(*)::BIGINT v
-            FROM ct),
-      sc AS (SELECT tok, ((cp + 1) * (nn + v))::BIGINT num,
-               ((cn + 1) * (np + v))::BIGINT den
-             FROM ct CROSS JOIN k),
-      l1 AS (SELECT tok, den,
-               ${DetMath.lnDuckSelect("num", "ln1")}
-             FROM sc),
-      l2 AS (SELECT tok, ln1_ln,
-               ${DetMath.lnDuckSelect("den", "ln2")}
-             FROM l1),
-      w AS (SELECT tok,
-              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
-              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
-            FROM l2),
-      ag AS (SELECT t.doc_id, max(t.keep) AS keep_label,
-               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
-             FROM tok t JOIN w USING (tok) GROUP BY 1)
+      WITH $NbCtes
       SELECT doc_id, keep_label, n_tokens,
         (sl / 1.0e9) / n_tokens AS nb_logodds, sl > 0 AS nb_keep
       FROM ag ORDER BY doc_id""",
+    "t_nb_confusion" -> s"""
+      WITH $NbCtes,
+      cm AS (SELECT keep_label, sl > 0 AS nb_keep, count(*)::BIGINT AS n
+             FROM ag GROUP BY 1, 2)
+      SELECT keep_label, nb_keep, n,
+        n / (SELECT sum(n)::BIGINT FROM cm) AS share
+      FROM cm ORDER BY keep_label, nb_keep""",
     "t_dsir" -> s"""
       WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
                    unnest(string_split(text, ' ')) AS tok
