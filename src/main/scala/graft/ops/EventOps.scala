@@ -547,7 +547,43 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the activity
+    * dashboard every event warehouse serves. WAU's "distinct users in
+    * [d−6, d]" is NOT computed with a count-distinct-over-range window
+    * (unsupported, and a per-day re-scan at any scale); instead each
+    * active (user, day) row fans out to the 7 future days it keeps the
+    * user "weekly-active" for, and WAU falls out of a plain distinct +
+    * count — the standard shuffle-friendly rewrite.
+    *
+    * Exactness: integer day numbers from [[qGapsIslands]]'s datediff
+    * anchor; counts exact BIGINT; stickiness = dau/wau is the single
+    * double division.
+    *
+    * Plan/scale: one scan → (user, day) distinct (THE corpus-scale
+    * shuffle, uniform composite key); the 7× Generate rides that output
+    * (activity-sized, not event-sized) into a second uniform distinct;
+    * everything after is calendar-sized. No range join, no per-day
+    * re-aggregation. */
+  def qDauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("dayn"))
+      .distinct()
+    val dau = ud.groupBy("dayn").agg(count(lit(1)).as("n_dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(dayn, dayn + 6)")).as("tday"))
+      .distinct()
+      .groupBy("tday").agg(count(lit(1)).as("n_wau"))
+    dau.join(wau, dau("dayn") === wau("tday"))
+      .select(
+        expr("date_add(cast('2024-01-01' as date), cast(dayn as int))").as("day"),
+        col("n_dau"), col("n_wau"), expr("n_dau / n_wau").as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_dau_wau" -> qDauWau,
     "e_incr_agg" -> qIncrAgg,
     "e_seasonal" -> qSeasonal,
     "e_markov" -> qMarkov,
@@ -569,6 +605,20 @@ object EventOps {
     "q_lead_lag" -> qLeadLag)
 
   val oracles: Map[String, String] = Map(
+    "e_dau_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+              date_diff('day', DATE '2024-01-01',
+                CAST(CAST(ts AS TIMESTAMP) AS DATE))::BIGINT AS dayn
+            FROM events),
+      dau AS (SELECT dayn, count(*)::BIGINT AS n_dau FROM ud GROUP BY 1),
+      x AS (SELECT DISTINCT user_id, dayn + k AS tday
+            FROM ud CROSS JOIN
+              (SELECT unnest(generate_series(0::BIGINT, 6::BIGINT)) AS k)),
+      wau AS (SELECT tday, count(*)::BIGINT AS n_wau FROM x GROUP BY 1)
+      SELECT (DATE '2024-01-01' + dau.dayn::INT) AS day, dau.n_dau,
+        wau.n_wau, dau.n_dau / wau.n_wau AS stickiness
+      FROM dau JOIN wau ON dau.dayn = wau.tday
+      ORDER BY day""",
     "e_seasonal" -> """
       WITH g AS (SELECT event_type,
                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
