@@ -570,6 +570,10 @@ object EventOps {
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("long").as("dayn"))
       .distinct()
+      // activity-sized relation consumed by BOTH branches — materialized
+      // once ([[DedupOps.dedupClusters]] pattern) so the DAU and WAU
+      // sides don't each re-derive it from their own events scan
+      .localCheckpoint()
     val dau = ud.groupBy("dayn").agg(count(lit(1)).as("n_dau"))
     val wau = ud
       .select(col("user_id"), explode(expr("sequence(dayn, dayn + 6)")).as("tday"))

@@ -186,7 +186,20 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_fertility_by_lang" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     // broadcast 9-probe query fan-out onto the narrow bucket assignment;
     // top-k below the shuffle (wgl partial+final)
-    "s_ann_multiprobe" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=2")
+    "s_ann_multiprobe" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=2",
+    // gate-labeled token stream + checkpointed vocab model (the model
+    // aggs read the materialized relation, not a second corpus scan)
+    "t_nb_quality" -> "scan=1 xhash=1 xrange=1 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=0 wgl=0",
+    // nbQuality's plan + the 4-row confusion agg and share window
+    "t_nb_confusion" -> "scan=1 xhash=2 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=1 wgl=0",
+    // hash+explode stream; 64-row model checkpointed, broadcast back
+    "t_dsir" -> "scan=1 xhash=1 xrange=1 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=0 wgl=0",
+    // capped inverted-index pair core + ONE 5-way struct explode
+    "d_lsh_tuning" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=4 win=0 wgl=0",
+    // one scan -> md5-key agg -> 3-key split rollup
+    "t_data_split" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // two uniform distincts (user-day, user-tday) + calendar-sized join
+    "e_dau_wau" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
