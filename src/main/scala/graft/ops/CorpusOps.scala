@@ -361,16 +361,24 @@ object CorpusOps {
     * the model on the same uniform key (at 100 TB the DF-capped model is
     * a broadcast candidate) and aggregates once per doc_id. No driver
     * loop, no UDF — every expression codegens. */
-  def nbQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = gateFlags(documents(s, d).select(col("doc_id"), col("text")))
+  /** The gate-labeled token stream [[nbQuality]] trains and scores on. */
+  private def nbToks(s: SparkSession, d: String): DataFrame =
+    gateFlags(documents(s, d).select(col("doc_id"), col("text")))
       .withColumn("keep", expr(GateKeepExpr))
       .select(col("doc_id"), col("keep"), explode(col("toks")).as("tok"))
-    // Vocabulary-sized model relation, materialized ONCE (the
-    // [[DedupOps.dedupClusters]] localCheckpoint pattern): both the 1-row
-    // constants agg and the scored join consume it, and without the
-    // checkpoint Spark re-derives each branch from its own documents scan
-    // + token shuffle.
-    val ct = toks.groupBy("tok").agg(
+
+  /** The TRAINED model of [[nbQuality]]: one (tok, term) row per
+    * vocabulary token, term = the 1e-9-scaled-BIGINT log-likelihood
+    * ratio. Exposed so the streaming serve path
+    * ([[graft.streaming.StreamOps.nbScoredIngestStream]]) broadcasts the
+    * SAME relation the batch query trains — one definition, no
+    * train/serve skew. The vocabulary-sized count relation is
+    * materialized ONCE (the [[DedupOps.dedupClusters]] localCheckpoint
+    * pattern): both the 1-row constants agg and the term projection
+    * consume it, and without the checkpoint Spark re-derives each branch
+    * from its own documents scan + token shuffle. */
+  def nbModel(s: SparkSession, d: String): DataFrame = {
+    val ct = nbToks(s, d).groupBy("tok").agg(
       sum(when(col("keep"), 1L).otherwise(0L)).as("cp"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("cn"))
       .localCheckpoint()
@@ -379,12 +387,31 @@ object CorpusOps {
     val scored = ct.crossJoin(broadcast(consts))
       .withColumn("num", expr("(cp + 1) * (nn + v)"))
       .withColumn("den", expr("(cn + 1) * (np + v)"))
-    val terms = DetMath.withLn(DetMath.withLn(scored, "num", "ln1"), "den", "ln2")
+    DetMath.withLn(DetMath.withLn(scored, "num", "ln1"), "den", "ln2")
       .withColumn("term", expr(
         """cast(round(ln1_ln * 1.0e9) as bigint)
            - cast(round(ln2_ln * 1.0e9) as bigint)"""))
       .select(col("tok"), col("term"))
-    toks.join(terms, "tok")
+  }
+
+  /** Rows of `docs` the NB `model` keeps (Σ term > 0), original schema
+    * preserved — the filter form of [[nbQuality]], applied to ANY
+    * (doc_id, text, …) relation: batch or streaming micro-batch. Tokens
+    * outside the model vocabulary contribute nothing (dropped by the
+    * join) — unseen evidence stays at its smoothed prior. Serve loops
+    * should pass a MATERIALIZED model (localCheckpoint) so each
+    * micro-batch broadcasts the trained relation instead of retraining
+    * it. */
+  def nbKept(docs: DataFrame, model: DataFrame): DataFrame = {
+    val keep = docs.select(col("doc_id"), explode(expr(Toks)).as("tok"))
+      .join(broadcast(model), "tok")
+      .groupBy("doc_id").agg(sum(col("term")).as("sl"))
+      .filter(col("sl") > 0).select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  def nbQuality(s: SparkSession, d: String): DataFrame =
+    nbToks(s, d).join(nbModel(s, d), "tok")
       .groupBy("doc_id")
       .agg(max(col("keep")).as("keep_label"), count(lit(1)).as("n_tokens"),
         sum(col("term")).as("sl"))
@@ -392,7 +419,6 @@ object CorpusOps {
         expr("(sl / 1.0e9) / n_tokens").as("nb_logodds"),
         expr("sl > 0").as("nb_keep"))
       .orderBy("doc_id")
-  }
 
   /** DSIR feature-space size: hashed unigram buckets. Tiny here so every
     * bucket is exercised at test scale; production uses 10k–100k. The

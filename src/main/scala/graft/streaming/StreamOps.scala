@@ -246,6 +246,28 @@ object StreamOps {
       }
       .start()
 
+  /** NB-scored ingest — the SERVE side of the classifier's train/serve
+    * loop: each micro-batch keeps only documents the batch-trained
+    * [[graft.ops.CorpusOps.nbModel]] scores positive
+    * ([[graft.ops.CorpusOps.nbKept]] — ONE shared definition with the
+    * batch query, so the stream filter cannot skew from the trained
+    * model). The per-batch work is a broadcast join of the vocabulary
+    * model onto the batch's token explode plus a batch-local doc agg —
+    * no state store, no watermark; pass a MATERIALIZED model
+    * (localCheckpoint) so micro-batches broadcast it instead of
+    * retraining. The upgrade path from [[gatedIngestStream]]'s rule
+    * gate: same ingest contract, learned verdicts. */
+  def nbScoredIngestStream(spark: SparkSession, docs: DataFrame,
+      model: DataFrame, corpusDir: String, manifestDir: String,
+      checkpoint: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, graft.ops.CorpusOps.nbKept(batch, model), batchId,
+          corpusDir, manifestDir)
+      }
+      .start()
+
   /** One ingest micro-batch (exposed so the retry contract is testable:
     * running the same (queryId, batchId) twice must be a no-op the second
     * time, whatever the first attempt managed to write).

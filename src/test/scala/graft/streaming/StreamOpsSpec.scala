@@ -333,6 +333,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(manifest).count() == 1)
   }
 
+  test("nb-scored ingest keeps exactly the batch classifier's keep set") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // train once (batch), serve the same corpus as a stream: the landed
+    // set must equal the batch query's nb_keep set — the train/serve
+    // parity proof (every stream token is in the training vocabulary, so
+    // the OOV-drop rule cannot diverge the two paths here)
+    val model = graft.ops.CorpusOps.nbModel(spark, sfDir).localCheckpoint()
+    val batchKeep = graft.ops.CorpusOps.nbQuality(spark, sfDir)
+      .filter(col("nb_keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val docsIn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = tmp("graft_corpus_nb") + "/docs"
+    val manifest = tmp("graft_manifest_nb") + "/hashes"
+    val ckpt = tmp("graft_nb_ckpt")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.nbScoredIngestStream(spark, docs, model, corpus,
+      manifest, ckpt)
+    try {
+      in.addData(docsIn: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == batchKeep,
+      s"stream kept ${landed.size} docs, batch classifier keeps " +
+        s"${batchKeep.size}; diff=${(landed diff batchKeep) ++ (batchKeep diff landed)}")
+    assert(batchKeep.nonEmpty, "vacuous parity: classifier kept nothing")
+  }
+
   test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
     import spark.implicits._
     // 1) manifest dir exists but holds only a crashed first attempt's
