@@ -450,7 +450,19 @@ object CorpusOps {
     * BROADCAST join (the model is 64 rows by construction — at any corpus
     * scale) + one doc-key agg. This is the shape DSIR exists for: the
     * raw-corpus pass never shuffles anything wider than doc_id. */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirScored(s, d)
+      .select(col("doc_id"), col("is_target"), col("n_tokens"),
+        expr("sl / 1.0e9").as("dsir_logw"),
+        expr("(sl / 1.0e9) / n_tokens").as("mean_logw"))
+      .orderBy("doc_id")
+
+  /** The exact-BIGINT core of [[dsirWeights]]: one `(doc_id, is_target,
+    * n_tokens, sl)` row per document, `sl` the 1e-9-scaled log importance
+    * weight. Kept in the scaled-integer ledger (no division back to
+    * double) so downstream consumers — [[gumbelSample]]'s sampling keys —
+    * stay order-independent and engine-exact. */
+  private def dsirScored(s: SparkSession, d: String): DataFrame = {
     val B = DsirBuckets
     val toks = documents(s, d)
       .select(col("doc_id"), (col("source") === "src0").as("is_target"),
@@ -474,10 +486,57 @@ object CorpusOps {
       .groupBy("doc_id")
       .agg(max(col("is_target")).as("is_target"),
         count(lit(1)).as("n_tokens"), sum(col("term")).as("sl"))
-      .select(col("doc_id"), col("is_target"), col("n_tokens"),
-        expr("sl / 1.0e9").as("dsir_logw"),
-        expr("(sl / 1.0e9) / n_tokens").as("mean_logw"))
-      .orderBy("doc_id")
+  }
+
+  /** Sample size for [[gumbelSample]]. Tiny here; production sets the
+    * token/document budget the resampled corpus should hit. */
+  private val GumbelK = 50
+
+  /** `ln(2^60 + 1)` and `ln(1e9)` operands as integer literals — both
+    * engines run the same [[DetMath]] ln over them, so the constants can
+    * never diverge by a ulp the way a precomputed double literal could. */
+  private val U60 = "1152921504606846977"
+
+  /** Gumbel-top-k importance RESAMPLING — the step DSIR exists for:
+    * draw [[GumbelK]] documents without replacement with probability
+    * proportional to `exp(dsir_logw)` (Xie et al. 2023's resampling;
+    * Gumbel-max top-k trick). Each doc gets
+    *
+    *   samp_key = logw + g,   g = −ln(−ln u) ~ Gumbel(0,1)
+    *
+    * and the top-k keys ARE the weighted sample. The noise is
+    * hash-deterministic (reproducible pipelines re-run identically):
+    * `u = (h60('gs' || doc_id) + 1) / (2^60 + 1)`, and every transcendental
+    * step stays in the cross-engine-exact ledger — `−ln u` via two integer
+    * [[DetMath]] lns, quantized to 1e-9-scaled BIGINT (floored at 1), then
+    * `g = ln(1e9) − ln(X)` via two more. The key is a pure BIGINT sum of
+    * the scaled logw and scaled noise, so ordering is bit-identical in
+    * both engines.
+    *
+    * Plan/scale: [[dsirScored]]'s plan (one documents scan, broadcast
+    * 64-row model) → a narrow all-codegen key projection → global top-k
+    * via TakeOrdered (never a full sort); the rank window runs over the
+    * K-row result only (the [[tokenBudget]] pattern). */
+  def gumbelSample(s: SparkSession, d: String): DataFrame = {
+    val base = dsirScored(s, d).withColumn("h1",
+      expr(s"${DedupOps.h60("concat('gs', cast(doc_id as string))")} + 1"))
+    val lns = DetMath.withLn(DetMath.withLn(base, "h1", "lh"), U60, "lc")
+      .withColumn("xs", expr(
+        "greatest(cast(round((lc_ln - lh_ln) * 1.0e9) as bigint), 1)"))
+    val keyed = DetMath.withLn(DetMath.withLn(lns, "xs", "lx"),
+        "1000000000", "l9")
+      .withColumn("gs", expr("cast(round((l9_ln - lx_ln) * 1.0e9) as bigint)"))
+      .withColumn("samp_key", expr("sl + gs"))
+      .select("doc_id", "is_target", "n_tokens", "sl", "gs", "samp_key")
+    val top = keyed.orderBy(col("samp_key").desc, col("doc_id")).limit(GumbelK)
+    top.select(
+      expr("cast(row_number() over (order by samp_key desc, doc_id) as bigint)")
+        .as("rank"),
+      col("doc_id"), col("is_target"), col("n_tokens"),
+      expr("sl / 1.0e9").as("dsir_logw"),
+      expr("gs / 1.0e9").as("gumbel"),
+      col("samp_key"))
+      .orderBy("rank")
   }
 
   /** NB-vs-gate confusion matrix — the measurement loop for
@@ -679,9 +738,43 @@ object CorpusOps {
     "t_data_split" -> dataSplit,
     "t_nb_confusion" -> nbConfusion,
     "t_chunk_windows" -> chunkWindows,
-    "t_budget_alloc" -> budgetAlloc)
+    "t_budget_alloc" -> budgetAlloc,
+    "t_gumbel_sample" -> gumbelSample)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
+
+  /** The [[dsirScored]] oracle CTE chain up to the per-doc `ag` relation
+    * (doc_id, is_target, n_tokens, sl) — shared by the t_dsir and
+    * t_gumbel_sample oracles so the weight model and the sample drawn
+    * from it replay ONE definition. */
+  private val DsirCtes = s"""t AS (SELECT doc_id, source = 'src0' AS is_target,
+                   unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      b AS (SELECT doc_id, is_target,
+              ${DedupOps.h60Sql("tok")} % $DsirBuckets AS bkt
+            FROM t),
+      ct AS (SELECT bkt,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT cnt_t,
+               count(*)::BIGINT cnt_r
+             FROM b GROUP BY 1),
+      k AS (SELECT sum(cnt_t)::BIGINT nt_tot, sum(cnt_r)::BIGINT nr_tot
+            FROM ct),
+      sc AS (SELECT bkt, ((cnt_t + 1) * (nr_tot + $DsirBuckets))::BIGINT num,
+               ((cnt_r + 1) * (nt_tot + $DsirBuckets))::BIGINT den
+             FROM ct CROSS JOIN k),
+      l1 AS (SELECT bkt, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT bkt, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      w AS (SELECT bkt,
+              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
+            FROM l2),
+      ag AS (SELECT b.doc_id, max(b.is_target) AS is_target,
+               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
+             FROM b JOIN w USING (bkt) GROUP BY 1)"""
 
   /** The [[nbQuality]] oracle's CTE chain up to the per-doc `ag` relation
     * (doc_id, keep_label, n_tokens, sl) — shared by the t_nb_quality and
@@ -829,37 +922,37 @@ object CorpusOps {
         n / (SELECT sum(n)::BIGINT FROM cm) AS share
       FROM cm ORDER BY keep_label, nb_keep""",
     "t_dsir" -> s"""
-      WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
-                   unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-      b AS (SELECT doc_id, is_target,
-              ${DedupOps.h60Sql("tok")} % $DsirBuckets AS bkt
-            FROM t),
-      ct AS (SELECT bkt,
-               sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT cnt_t,
-               count(*)::BIGINT cnt_r
-             FROM b GROUP BY 1),
-      k AS (SELECT sum(cnt_t)::BIGINT nt_tot, sum(cnt_r)::BIGINT nr_tot
-            FROM ct),
-      sc AS (SELECT bkt, ((cnt_t + 1) * (nr_tot + $DsirBuckets))::BIGINT num,
-               ((cnt_r + 1) * (nt_tot + $DsirBuckets))::BIGINT den
-             FROM ct CROSS JOIN k),
-      l1 AS (SELECT bkt, den,
-               ${DetMath.lnDuckSelect("num", "ln1")}
-             FROM sc),
-      l2 AS (SELECT bkt, ln1_ln,
-               ${DetMath.lnDuckSelect("den", "ln2")}
-             FROM l1),
-      w AS (SELECT bkt,
-              CAST(round(ln1_ln * 1.0e9) AS BIGINT)
-              - CAST(round(ln2_ln * 1.0e9) AS BIGINT) AS term
-            FROM l2),
-      ag AS (SELECT b.doc_id, max(b.is_target) AS is_target,
-               count(*)::BIGINT AS n_tokens, sum(w.term)::BIGINT AS sl
-             FROM b JOIN w USING (bkt) GROUP BY 1)
+      WITH $DsirCtes
       SELECT doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,
         (sl / 1.0e9) / n_tokens AS mean_logw
       FROM ag ORDER BY doc_id""",
+    "t_gumbel_sample" -> s"""
+      WITH $DsirCtes,
+      gh AS (SELECT doc_id, is_target, n_tokens, sl,
+               ${DedupOps.h60Sql("'gs' || doc_id::VARCHAR")} + 1 AS h1
+             FROM ag),
+      g1 AS (SELECT *, ${DetMath.lnDuckSelect("h1", "lh")} FROM gh),
+      g2 AS (SELECT doc_id, is_target, n_tokens, sl, lh_ln,
+               ${DetMath.lnDuckSelect(U60, "lc")}
+             FROM g1),
+      g3 AS (SELECT doc_id, is_target, n_tokens, sl,
+               greatest(CAST(round((lc_ln - lh_ln) * 1.0e9) AS BIGINT),
+                 1::BIGINT) AS xs
+             FROM g2),
+      g4 AS (SELECT *, ${DetMath.lnDuckSelect("xs", "lx")} FROM g3),
+      g5 AS (SELECT doc_id, is_target, n_tokens, sl, lx_ln,
+               ${DetMath.lnDuckSelect("1000000000", "l9")}
+             FROM g4),
+      g6 AS (SELECT doc_id, is_target, n_tokens, sl,
+               CAST(round((l9_ln - lx_ln) * 1.0e9) AS BIGINT) AS gs
+             FROM g5),
+      g7 AS (SELECT *, (sl + gs)::BIGINT AS samp_key FROM g6),
+      tk AS (SELECT * FROM g7 ORDER BY samp_key DESC, doc_id LIMIT $GumbelK)
+      SELECT row_number() OVER (ORDER BY samp_key DESC, doc_id)::BIGINT
+          AS rank,
+        doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,
+        gs / 1.0e9 AS gumbel, samp_key
+      FROM tk ORDER BY rank""",
     "t_data_split" -> s"""
       WITH a AS (SELECT md5(text) h, ${DedupOps.h60Sql("text")} % 10 AS bkt
                  FROM documents),

@@ -170,6 +170,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("gumbel sample: k rows, key = scaled logw + noise, weight-tilted, deterministic") {
+    val rows = CorpusOps.gumbelSample(spark, sf).collect()
+    assert(rows.length == 50, s"expected K=50 sampled docs, got ${rows.length}")
+    // ranks are 1..K in strictly descending key order
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 50L),
+      "ranks are not 1..K in order")
+    val keys = rows.map(_.getLong(6))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "samp_key not non-increasing down the ranks")
+    // the key decomposes exactly: samp_key = round(logw*1e9) + round(gumbel*1e9)
+    rows.foreach { r =>
+      val sl = math.round(r.getDouble(4) * 1e9)
+      val gs = math.round(r.getDouble(5) * 1e9)
+      assert(sl + gs == r.getLong(6),
+        s"doc ${r.getLong(1)}: key ${r.getLong(6)} != $sl + $gs")
+    }
+    // sampling ∝ exp(logw) must tilt the sample's mean logw above the
+    // corpus mean (500 docs, 50 drawn — astronomically unlikely to fail
+    // by chance if the keys actually use the weights)
+    val corpusMean = CorpusOps.dsirWeights(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("dsir_logw")).head.getDouble(0)
+    val sampleMean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean logw $sampleMean not above corpus mean $corpusMean")
+    // hash-derived noise: a second run is bit-identical
+    val again = CorpusOps.gumbelSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "resample is not deterministic")
+  }
+
   test("pii scrub: deny-list terms are gone from clean_text, counts match") {
     val rows = CorpusOps.piiScrub(spark, sf).collect()
     assert(rows.exists(_.getLong(3) > 0), "no deny-list hits in test corpus")
