@@ -488,6 +488,34 @@ object CorpusOps {
         count(lit(1)).as("n_tokens"), sum(col("term")).as("sl"))
   }
 
+  /** Power-of-2 length-bucketed batching report — the padding-waste dial
+    * for fixed-shape training batches: bucket each document at the
+    * smallest power-of-two sequence length that holds it (the dynamic-
+    * batching ladder), then price the padding a bucketed batcher pays
+    * (`cap − n_tokens` per doc). Everything is integer-exact — the bucket
+    * cap comes from the binary bit length, never a float log2 — and the
+    * waste fraction is one division of exact BIGINTs at the end.
+    *
+    * Plan/scale: ONE pruned documents scan → narrow all-codegen bucket
+    * assignment → a partial-agg shuffle over ≤ ~30 bucket keys. Nothing
+    * wider than the bucket id ever crosses the wire. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(expr(s"cast(size($Toks) as bigint)").as("nt"))
+      .withColumn("k", expr("length(bin(nt)) - 1"))
+      .withColumn("cap", expr(
+        """case when nt = shiftleft(cast(1 as bigint), cast(k as int))
+           then nt else shiftleft(cast(1 as bigint), cast(k + 1 as int))
+           end"""))
+      .groupBy("cap").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"))
+      .select(col("cap").as("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        expr("cap * n_docs - sum_tokens").as("pad_tokens"),
+        expr("""cast(cap * n_docs - sum_tokens as double)
+                / cast(cap * n_docs as double)""").as("waste_frac"))
+      .orderBy("bucket_cap")
+
   /** Sample size for [[gumbelSample]]. Tiny here; production sets the
     * token/document budget the resampled corpus should hit. */
   private val GumbelK = 50
@@ -739,7 +767,8 @@ object CorpusOps {
     "t_nb_confusion" -> nbConfusion,
     "t_chunk_windows" -> chunkWindows,
     "t_budget_alloc" -> budgetAlloc,
-    "t_gumbel_sample" -> gumbelSample)
+    "t_gumbel_sample" -> gumbelSample,
+    "t_length_buckets" -> lengthBuckets)
 
   private val H60DocId = DedupOps.h60Sql("doc_id::VARCHAR")
 
@@ -953,6 +982,20 @@ object CorpusOps {
         doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,
         gs / 1.0e9 AS gumbel, samp_key
       FROM tk ORDER BY rank""",
+    "t_length_buckets" -> """
+      WITH t AS (SELECT len(string_split(text, ' '))::BIGINT nt
+                 FROM documents),
+      kk AS (SELECT nt, length(bin(nt)) - 1 AS k FROM t),
+      c AS (SELECT nt, CASE WHEN nt = (1::BIGINT << k) THEN nt
+                            ELSE (1::BIGINT << (k + 1)) END AS cap
+            FROM kk),
+      a AS (SELECT cap, count(*)::BIGINT n_docs, sum(nt)::BIGINT sum_tokens
+            FROM c GROUP BY 1)
+      SELECT cap AS bucket_cap, n_docs, sum_tokens,
+        (cap * n_docs - sum_tokens)::BIGINT AS pad_tokens,
+        CAST(cap * n_docs - sum_tokens AS DOUBLE)
+          / CAST(cap * n_docs AS DOUBLE) AS waste_frac
+      FROM a ORDER BY bucket_cap""",
     "t_data_split" -> s"""
       WITH a AS (SELECT md5(text) h, ${DedupOps.h60Sql("text")} % 10 AS bkt
                  FROM documents),

@@ -200,6 +200,24 @@ class CorpusOpsSpec extends SparkSpec {
       "resample is not deterministic")
   }
 
+  test("length buckets: caps are powers of two, docs fit, totals reconcile") {
+    val rows = CorpusOps.lengthBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cap, nDocs, sumTok, pad) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((cap & (cap - 1)) == 0 && cap >= 1, s"cap $cap not a power of 2")
+      assert(pad == cap * nDocs - sumTok && pad >= 0)
+      // every doc in the bucket exceeds the next cap down (else it would
+      // have landed there): sum_tokens > (cap/2) * n_docs
+      if (cap > 1) assert(sumTok > (cap / 2) * nDocs,
+        s"bucket $cap holds docs that fit a smaller cap")
+      assert(math.abs(r.getDouble(4) - pad.toDouble / (cap * nDocs)) == 0.0)
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bucket doc counts != corpus")
+  }
+
   test("pii scrub: deny-list terms are gone from clean_text, counts match") {
     val rows = CorpusOps.piiScrub(spark, sf).collect()
     assert(rows.exists(_.getLong(3) > 0), "no deny-list hits in test corpus")
