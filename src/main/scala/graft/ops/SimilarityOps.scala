@@ -353,6 +353,40 @@ object SimilarityOps {
       .orderBy("a_id", "rk")
   }
 
+  /** IVF cell-occupancy balance — the index-skew dial: per-cell vector
+    * counts with corpus share, the corpus-level imbalance factor
+    * (max/mean occupancy), and a per-cell overload verdict (cell holds
+    * more than 2× the mean). A skewed cell is the IVF failure mode at
+    * scale — probes into it scan far more than `N/K` vectors — and this
+    * report is the decision input for re-training the codebook (or
+    * splitting hot cells). The verdict is a pure BIGINT comparison
+    * (`n_vecs · K > 2 · n_tot`), immune to float rounding; the doubles
+    * are derived from the same exact counts through identical trees.
+    *
+    * Plan/scale: the same narrow codegen'd assignment as [[ivfTopk]]
+    * (nothing but `(vec_id, cell)` leaves the scan), one K-key agg
+    * shuffle, then the corpus totals as an empty-frame WINDOW over the
+    * K-row cell relation — not a constants self-join, which would
+    * re-derive the whole corpus subtree for a second scan (the
+    * [[graft.ops.ValidationOps]] drift-report shape; the single
+    * partition holds K rows, documented safe). Cells with zero vectors
+    * produce no row — itself a finding. */
+  def cellBalance(s: SparkSession, d: String): DataFrame = {
+    val assigned = embeddings(s, d)
+      .select(col("vec_id") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+      .select(col("vec_id"), expr(argmaxCells).as("cell"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_tot", expr("sum(n_vecs) over ()"))
+      .withColumn("n_max", expr("max(n_vecs) over ()"))
+      .select(col("cell"), col("n_vecs"),
+        expr("cast(n_vecs as double) / cast(n_tot as double)").as("share"),
+        expr(s"cast(n_max as double) * $NumCells / cast(n_tot as double)")
+          .as("imbalance"),
+        expr(s"n_vecs * $NumCells > 2 * n_tot").as("overloaded"))
+      .orderBy("cell")
+  }
+
   /** IVF ANN: assign every vector to its nearest codebook cell (narrow,
     * codegen'd argmax over K inlined centroids), probe the NProbe best
     * cells per query, exact-cosine re-rank inside the probed cells. */
@@ -909,7 +943,8 @@ object SimilarityOps {
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
     "s_ivfpq_topk" -> ivfPqTopk,
-    "s_mmr" -> mmrSelect)
+    "s_mmr" -> mmrSelect,
+    "s_cell_balance" -> cellBalance)
 
   val oracles: Map[String, String] = Map(
     "s_power_iter" -> powerIterOracle,
@@ -1041,6 +1076,28 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
     },
     "s_kmeans" -> kmeansOracle,
+    "s_cell_balance" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      s"""
+      WITH scored AS (SELECT vec_id, $scoreCols FROM embeddings),
+      assigned AS (SELECT vec_id, ($caseSql)::BIGINT AS cell FROM scored),
+      bc AS (SELECT cell, count(*)::BIGINT n_vecs FROM assigned GROUP BY 1),
+      w AS (SELECT cell, n_vecs,
+              sum(n_vecs) OVER ()::BIGINT AS n_tot,
+              max(n_vecs) OVER ()::BIGINT AS n_max
+            FROM bc)
+      SELECT cell, n_vecs,
+        CAST(n_vecs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS share,
+        CAST(n_max AS DOUBLE) * $NumCells / CAST(n_tot AS DOUBLE)
+          AS imbalance,
+        n_vecs * $NumCells > 2 * n_tot AS overloaded
+      FROM w ORDER BY cell"""
+    },
     "s_ivfpq_topk" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
