@@ -28,7 +28,7 @@ object SimilarityOps {
   import Tables._
 
   private val NumPlanes = 8
-  private val Dim = 64
+  private[ops] val Dim = 64
 
   /** 60-bit integer from the first 15 hex chars of md5 — same value as the
     * SQL-side fold used elsewhere (DedupOps.h60Sql). */

@@ -357,6 +357,32 @@ object ValidationOps {
       .orderBy("event_type")
   }
 
+  /** Per-dimension embedding-column profile — the QA pass a pipeline
+    * runs on a vector column BEFORE spending a cluster pass building an
+    * index over it: component count, exact order-independent mean (a
+    * dead dimension or a collapsed encoder shows up here first),
+    * min/max range, and exact zero counts (sparsity / truncated-write
+    * detector). The mean rides [[Exact.dsum]]'s micro-unit BIGINT
+    * accumulator — float components widen to double exactly, so both
+    * engines sum identical integers in any order; min/max/zero involve
+    * no arithmetic at all.
+    *
+    * Plan/scale: one pruned scan → posexplode (Dim-fold fan-out,
+    * inherent to the per-dimension grain) → one Dim-key partial-agg
+    * shuffle. Nothing but `(dim_idx, component)` leaves the scan. */
+  def embProfile(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim_idx", "comp")))
+      .select(col("dim_idx").cast("long").as("dim_idx"),
+        col("comp").cast("double").as("c"))
+      .groupBy("dim_idx").agg(
+        count(lit(1)).as("n"),
+        Exact.davg(col("c")).as("mean_comp"),
+        min(col("c")).as("min_comp"),
+        max(col("c")).as("max_comp"),
+        sum(when(col("c") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy("dim_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_quantile_sketch" -> quantileSketch,
     "v_referential" -> referential,
@@ -366,7 +392,8 @@ object ValidationOps {
     "v_profile" -> profile,
     "v_constraints" -> constraints,
     "v_drift" -> drift,
-    "v_kl_sources" -> klSources)
+    "v_kl_sources" -> klSources,
+    "v_emb_profile" -> embProfile)
 
   /** One UNION ALL branch of the v_referential oracle — mirrors `fk`'s
     * (key → count) ⟕ distinct-parent shape so both engines aggregate the
@@ -383,6 +410,16 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_emb_profile" -> s"""
+      WITH u AS (SELECT j AS dim_idx, CAST(embedding[j + 1] AS DOUBLE) AS c
+                 FROM embeddings,
+                   generate_series(0, ${SimilarityOps.Dim} - 1) gs(j)
+                 WHERE j < len(embedding))
+      SELECT dim_idx::BIGINT AS dim_idx, count(*)::BIGINT AS n,
+        ${Exact.davgSql("c")} AS mean_comp,
+        min(c) AS min_comp, max(c) AS max_comp,
+        sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+      FROM u GROUP BY 1 ORDER BY dim_idx""",
     "v_quantile_sketch" -> """
       WITH bv AS (SELECT event_type, value, count(*)::BIGINT AS cnt
                   FROM events GROUP BY 1, 2),

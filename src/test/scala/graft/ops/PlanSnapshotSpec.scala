@@ -201,6 +201,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_length_buckets" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE scan (corpus totals via K-row window, not a constants join)
     "s_cell_balance" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // one pruned scan → posexplode → Dim-key partial agg
+    "v_emb_profile" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // capped inverted-index pair core + ONE 5-way struct explode
     "d_lsh_tuning" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=4 win=0 wgl=0",
     // one scan -> md5-key agg -> 3-key split rollup
