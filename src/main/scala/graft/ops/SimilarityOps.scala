@@ -371,11 +371,18 @@ object SimilarityOps {
     * [[graft.ops.ValidationOps]] drift-report shape; the single
     * partition holds K rows, documented safe). Cells with zero vectors
     * produce no row — itself a finding. */
-  def cellBalance(s: SparkSession, d: String): DataFrame = {
-    val assigned = embeddings(s, d)
-      .select(col("vec_id") +:
+  /** The narrow `(vec_id, cell)` IVF assignment of [[cellBalance]] /
+    * [[ivfTopk]], over ANY (vec_id, embedding) relation — batch or
+    * streaming micro-batch. ONE definition, so the streaming occupancy
+    * monitor ([[graft.streaming.StreamOps.cellOccupancyStream]]) can
+    * never skew from the batch report. */
+  private[graft] def assignCells(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id") +:
         (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
       .select(col("vec_id"), expr(argmaxCells).as("cell"))
+
+  def cellBalance(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignCells(embeddings(s, d))
     assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .withColumn("n_tot", expr("sum(n_vecs) over ()"))
       .withColumn("n_max", expr("max(n_vecs) over ()"))

@@ -52,6 +52,22 @@ object StreamOps {
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming IVF cell-occupancy monitor — the index-maintenance arm of
+    * [[graft.ops.SimilarityOps.cellBalance]]: as embedding vectors land,
+    * maintain per-cell occupancy counts incrementally (the signal that a
+    * cell has gone hot and the codebook needs retraining — caught DURING
+    * ingest, not at the next full-corpus audit). The assignment is ONE
+    * shared definition with the batch report
+    * ([[graft.ops.SimilarityOps.assignCells]]), so the monitor cannot
+    * skew from it; per-cell counts form a commutative monoid (the
+    * [[histogramSketchStream]] argument), so micro-batch arrival order
+    * cannot change the result. State is K rows — catalog-sized,
+    * watermark-free, runs forever. */
+  def cellOccupancyStream(emb: DataFrame): DataFrame =
+    graft.ops.SimilarityOps.assignCells(emb)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

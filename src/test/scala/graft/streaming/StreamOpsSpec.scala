@@ -367,6 +367,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(batchKeep.nonEmpty, "vacuous parity: classifier kept nothing")
   }
 
+  test("cell-occupancy monitor matches the batch balance report per cell") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.ops.SimilarityOps.cellBalance(spark, sfDir)
+      .select("cell", "n_vecs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val emb = in.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.cellOccupancyStream(emb)
+      .writeStream.format("memory").queryName("cellocc")
+      .outputMode("complete").start()
+    try {
+      // two batches: occupancy must accumulate across micro-batches
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      in.addData(a: _*)
+      q.processAllAvailable()
+      in.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cellocc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"stream occupancy $streamed != batch report $batch")
+    assert(batch.values.sum == vecs.length)
+  }
+
   test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
     import spark.implicits._
     // 1) manifest dir exists but holds only a crashed first attempt's
