@@ -801,6 +801,15 @@ object DedupOps {
       .groupBy((keys :+ "bucket").map(col): _*).agg(max(col("rho")).as("m"))
   }
 
+  /** [[hllRegisters]] keyed by language over a raw `(lang, text, …)`
+    * document relation — batch or streaming micro-batch. ONE definition
+    * shared with [[hllByLang]]'s scan side, so the streaming cardinality
+    * monitor ([[graft.streaming.StreamOps.hllRegisterStream]]) maintains
+    * exactly the registers the batch sketch computes. */
+  private[graft] def hllLangRegisters(docs: DataFrame): DataFrame =
+    hllRegisters(
+      docs.select(col("lang"), explode(expr(Toks)).as("tok")), Seq("lang"))
+
   def hllDistinct(s: SparkSession, d: String): DataFrame =
     hllRegisters(
       documents(s, d).select(explode(expr(Toks)).as("tok")), Nil)
@@ -818,9 +827,7 @@ object DedupOps {
     * absent bucket contributes 1/2^0 = 1.0 to the harmonic sum, added as
     * `(16 - n_buckets) * 1.0` in both engines. */
   def hllByLang(s: SparkSession, d: String): DataFrame =
-    hllRegisters(
-      documents(s, d).select(col("lang"), explode(expr(Toks)).as("tok")),
-      Seq("lang"))
+    hllLangRegisters(documents(s, d))
       .groupBy("lang")
       .agg(expr(HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
       .select(col("lang"), col("n_buckets"),

@@ -68,6 +68,19 @@ object StreamOps {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** Streaming per-language HLL cardinality monitor — the streaming arm
+    * of DedupOps.hllByLang: maintain the 16 max-rho registers per
+    * language incrementally as documents land. `max` per (lang, bucket)
+    * is the sketch's native merge — a commutative, idempotent monoid —
+    * so micro-batch arrival order (and even replayed batches) cannot
+    * change the state, and the registers equal the batch sketch over the
+    * same rows at every point in time. The register relation IS the
+    * mergeable artifact a 100 TB dashboard stores; the estimate is the
+    * same K-row harmonic fold hllByLang applies. State is 16 rows per
+    * language — catalog-sized, watermark-free, runs forever. */
+  def hllRegisterStream(docs: DataFrame): DataFrame =
+    graft.ops.DedupOps.hllLangRegisters(docs)
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

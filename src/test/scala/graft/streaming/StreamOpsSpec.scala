@@ -397,6 +397,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.values.sum == vecs.length)
   }
 
+  test("hll register stream merges to the batch sketch and its estimates") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docsIn = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val in = MemoryStream[(String, String)]
+    val docs = in.toDF().toDF("lang", "text")
+    val q = StreamOps.hllRegisterStream(docs)
+      .writeStream.format("memory").queryName("hllreg")
+      .outputMode("complete").start()
+    try {
+      // two batches: max-merge across micro-batches must equal batch
+      val (a, b) = docsIn.splitAt(docsIn.length / 2)
+      in.addData(a: _*)
+      q.processAllAvailable()
+      in.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hllreg")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // estimates derived from the streamed registers equal the
+    // oracle-checked batch query's (same sorted-bucket harmonic fold)
+    val batchEst = graft.ops.DedupOps.hllByLang(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val byLang = streamed.groupBy(_._1._1)
+    assert(byLang.keySet == batchEst.keySet)
+    byLang.foreach { case (lang, regs) =>
+      val sorted = regs.toSeq.map { case ((_, b), m) => (b, m) }.sortBy(_._1)
+      val harm = sorted.foldLeft(0.0) { case (acc, (_, m)) =>
+        acc + 1.0 / (1L << m).toDouble
+      }
+      val est = 0.673 * 256.0 / (harm + (16 - sorted.length).toDouble * 1.0)
+      val (nb, be) = batchEst(lang)
+      assert(sorted.length == nb, s"$lang: ${sorted.length} buckets != $nb")
+      assert(math.abs(est - be) < 1e-12,
+        s"$lang: streamed-register estimate $est != batch $be")
+    }
+  }
+
   test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
     import spark.implicits._
     // 1) manifest dir exists but holds only a crashed first attempt's
