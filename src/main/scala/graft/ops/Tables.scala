@@ -21,15 +21,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default; with `spark.sql.legacy.parquet.nanosAsLong` (set by
-    * GraftSession.init) it arrives as raw nanos, converted here with exact
-    * integer division (floor) — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS → TIMESTAMP, so both engines see identical microsecond
-    * values. */
-  def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  /** Schema-adaptive events reader: the driver has shipped `events.ts` in
+    * different physical shapes across testdata generations, and a real
+    * engine reads what's there rather than hard-assuming one. Dispatch on
+    * the loaded dtype:
+    *   - LongType — TIMESTAMP(NANOS) parquet under
+    *     `spark.sql.legacy.parquet.nanosAsLong` (GraftSession.init) arrives
+    *     as raw nanos; convert with exact integer division (floor), the
+    *     same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    *   - TimestampNTZType — TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    *     cast to TIMESTAMP under the UTC session, bit-equal to DuckDB's
+    *     naive `CAST(ts AS TIMESTAMP)` already present in every oracle.
+    *   - TimestampType — already the engine's working type; pass through.
+    * Any other dtype fails loudly here (one named error) instead of as
+    * dozens of unrelated analysis failures downstream. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (dir=$d); expected " +
+          "nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
