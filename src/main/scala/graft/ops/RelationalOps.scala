@@ -541,35 +541,90 @@ object RelationalOps {
 
   /** RFM customer segmentation: per customer, recency (last order date),
     * frequency (order count) and monetary (exact total spend), each
-    * mapped to a 1–5 quintile score by ntile (5 = most recent / most
-    * frequent / highest spend), plus the concatenated "rfm" segment
-    * string. Every ORDER BY ends on the unique custkey, so bucket
-    * assignment is total-order deterministic in both engines.
+    * mapped to a 1–5 quintile score (5 = most recent / most frequent /
+    * highest spend, i.e. the oracle's ascending `ntile(5)`), plus the
+    * concatenated "rfm" segment string. Every ordering ends on the
+    * unique custkey, so bucket assignment is total-order deterministic
+    * in both engines.
     *
     * Plan/scale: the per-customer rollup is one partial-agg shuffle on
-    * the uniform o_custkey. The three ntiles are single-partition
-    * windows over the CUSTOMER-grain relation — exact quintiles need a
-    * total order, and exact is what the oracle can replay bit-for-bit.
-    * At 100 TB swap them for approx_percentile thresholds computed in
-    * the same aggregate pass and broadcast: the segmentation becomes a
-    * narrow map, scores move only at bucket edges, and the rollup shape
-    * is unchanged. */
+    * the uniform o_custkey. Each exact quintile is then the
+    * [[CorpusOps.curriculum]] bucket decomposition — NOT a
+    * single-partition ntile window: a monotone fixed-width binning of
+    * the dimension, a bucket-local row_number, and a broadcast
+    * prefix-sum base table (catalog-sized: days / distinct counts /
+    * $1k spend bins), from which the SQL-spec ntile bucket is computed
+    * arithmetically from (global rank, n). Identical output to the
+    * oracle's global ntile, but every window is partitioned, so a
+    * weeks-of-users RFM at 100 TB never funnels through one task; the
+    * three dimension passes reuse one rollup exchange (ReuseExchange —
+    * identical subtrees). */
   def qRfm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    orders(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+    val per = orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("spend"))
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("last_order"), col("custkey"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("n_orders"), col("custkey"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("spend"), col("custkey"))))
+
+    // Monotone fixed-width bucket per dimension (equal dims share a
+    // bucket, so the bucket-local (dim, custkey) sort is a true
+    // refinement of the global order), all three assigned in one narrow
+    // projection, with the three bucket-local row_numbers chained on the
+    // SAME relation — windows compose without intervening joins.
+    val dims = Seq( // (kind, bucket expr, local order column)
+      ("r", "datediff(last_order, DATE'1992-01-01')", "last_order"),
+      ("f", "n_orders", "n_orders"),
+      ("m", "CAST(floor(spend / 1000.0e0) AS BIGINT)", "spend"))
+    val withB = dims.foldLeft(per) { case (df, (k, bktE, dim)) =>
+      df.withColumn(s"${k}_bkt", expr(bktE))
+        .withColumn(s"${k}_lr", row_number().over(
+          w.partitionBy(col(s"${k}_bkt"))
+            .orderBy(col(dim), col("custkey"))).cast("bigint"))
+    }
+    // ONE melted aggregation pass builds all three prefix-sum base
+    // tables ((kind, bkt) grain, catalog-sized: days / distinct counts /
+    // $1k bins), so the rollup subtree appears exactly twice in the plan
+    // and its shuffle is reused. Both bases windows partition by kind —
+    // nothing in the plan is an unpartitioned window.
+    val bases = withB
+      .select(explode(expr(
+        """array(struct('r' AS kind, r_bkt AS bkt),
+                 struct('f' AS kind, f_bkt AS bkt),
+                 struct('m' AS kind, m_bkt AS bkt))""")).as("kb"))
+      .groupBy(col("kb.kind").as("kind"), col("kb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(
+        sum(col("cnt")).over(w.partitionBy(col("kind")).orderBy(col("bkt"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_tot",
+        sum(col("cnt")).over(w.partitionBy(col("kind"))))
+      .select(col("kind"), col("bkt"), col("base"), col("n_tot"))
+
+    // SQL-spec ntile from the exact global rank (base + local
+    // row_number): the first n%5 buckets take ceil(n/5) rows, the rest
+    // floor(n/5) — pure arithmetic, no global sort anywhere.
+    def ntile5(rank: String, n: String) =
+      s"""CAST(CASE
+            WHEN $rank <= ($n % 5) * ($n DIV 5 + 1)
+            THEN ($rank - 1) DIV ($n DIV 5 + 1) + 1
+            ELSE ($n % 5) +
+              ($rank - 1 - ($n % 5) * ($n DIV 5 + 1)) DIV ($n DIV 5) + 1
+          END AS INT)"""
+
+    val scored = dims.foldLeft(withB) { case (df, (k, _, _)) =>
+      df.join(broadcast(bases.filter(col("kind") === k)
+          .select(col("bkt").as(s"${k}_bkt"), col("base").as(s"${k}_base"),
+            col("n_tot").as(s"${k}_n"))), s"${k}_bkt")
+        .withColumn(s"${k}_score",
+          expr(ntile5(s"${k}_base + ${k}_lr", s"${k}_n")))
+    }
+    scored
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
+      .select("custkey", "last_order", "n_orders", "spend",
+        "r_score", "f_score", "m_score", "segment")
       .orderBy("custkey")
   }
 

@@ -151,7 +151,13 @@ class PlanSnapshotSpec extends SparkSpec {
     // ONE explode pass; argmax + head totals in one window pair; top-20
     "t_bigram_next" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=1",
     // one custkey agg shuffle; three exact-quintile global windows
-    "e_rfm" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
+    // bucket-decomposed exact quintiles: every window partitioned (the
+    // old shape was 3 single-partition ntile sorts, win=3 over xhash=1).
+    // Static counts show the bases branch tripled, but the branches are
+    // canonically identical and AQE's ReuseExchange collapses them at
+    // runtime: 1 orders scan, 1 rollup shuffle, 1 melted-bases shuffle,
+    // 3 catalog-sized broadcasts (verified post-exec: ReusedExchange=3)
+    "e_rfm" -> "scan=4 xhash=13 xrange=1 bcast=3 smj=0 bhj=3 shj=0 bnlj=0 cart=0 gen=3 win=9 wgl=0",
     // one narrow scan; count + recall on the catalog-sized K² grid
     "t_lang_confusion" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // corpus copy-count window on the md5 key, then source roll-up
