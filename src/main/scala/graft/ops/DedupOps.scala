@@ -188,9 +188,16 @@ object DedupOps {
     * + one uniform-key agg — the canonical distributed PageRank shape.
     * The node count is a driver scalar (one count of a checkpointed
     * relation), inlined into the update as a literal. */
-  def pagerank(s: SparkSession, d: String): DataFrame = {
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** PageRank over a caller-supplied undirected edge list (a_id, b_id) —
+    * the production consumer form over a materialized pair relation (see
+    * [[pairCounts]]). The edge list is localCheckpoint'd here so the
+    * iterations never re-expand the caller's lineage. */
+  def pagerankFrom(pairRelation: DataFrame): DataFrame = {
     val Scale = 1000000000L
-    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
@@ -242,8 +249,14 @@ object DedupOps {
     * the degree table; the wedge self-join and the closure probe are
     * uniform-key hash joins on (node) and (v, w) respectively. Output
     * rows = graph nodes. */
-  def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+  def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCountFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** Triangle counting over a caller-supplied undirected edge list
+    * (a_id, b_id) — the production consumer form over a materialized pair
+    * relation (see [[pairCounts]]). */
+  def triangleCountFrom(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
@@ -341,8 +354,28 @@ object DedupOps {
   /** Shared candidate-pair intersection counts (a_id, b_id, n_a, n_b,
     * inter) — the inverted-index pair enumeration used by the Jaccard AND
     * containment queries (one definition, so a cap/threshold change moves
-    * every consumer in lockstep). */
-  private def pairCounts(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    * every consumer in lockstep).
+    *
+    * PRODUCTION COMPOSITION (materialize once, consume many): the gate
+    * queries each build this relation standalone so every oracle replay
+    * is self-contained, but a real curation run computes it ONCE and
+    * feeds every consumer from the materialized relation:
+    * {{{
+    *   val pairs = DedupOps.pairCounts(spark, dir, maxDf)
+    *   pairs.write.parquet(pairsPath)           // or .persist() in-session
+    *   val cached = spark.read.parquet(pairsPath)
+    *   DedupOps.jaccardFrom(cached)             // near-dup pairs
+    *   DedupOps.containmentFrom(cached)         // subset duplication
+    *   DedupOps.lshTuningFrom(cached)           // band-dial s-curves
+    *   val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
+    *   DedupOps.pagerankFrom(edges)             // duplication hubs
+    *   DedupOps.triangleCountFrom(edges)        // copy-clique structure
+    * }}}
+    * One shingle-key shuffle total, instead of one per consumer; at
+    * 100 TB the pair relation is output-sensitive (DF-capped) and
+    * typically orders of magnitude smaller than the corpus, so the
+    * re-reads are cheap. */
+  def pairCounts(s: SparkSession, d: String, maxDf: Int = DefaultMaxDf): DataFrame =
     documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
@@ -366,7 +399,13 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
 
   private def ngramJaccardImpl(s: SparkSession, d: String, maxDf: Int): DataFrame =
-    pairCounts(s, d, maxDf)
+    jaccardFrom(pairCounts(s, d, maxDf))
+
+  /** Jaccard scoring over a (pre-materialized) [[pairCounts]] relation —
+    * the production consumer form (see the composition in [[pairCounts]]).
+    * Narrow: one division + filter + output ordering. */
+  def jaccardFrom(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter / (n_a + n_b - inter)").as("jaccard"))
       .filter(col("jaccard") >= JaccardMin)
@@ -382,7 +421,12 @@ object DedupOps {
     * shuffle on the shingle key, output-sensitive pair enumeration inside
     * DF-capped posting lists); only the final scoring differs. */
   def containment(s: SparkSession, d: String): DataFrame =
-    pairCounts(s, d, maxDf = DefaultMaxDf)
+    containmentFrom(pairCounts(s, d, maxDf = DefaultMaxDf))
+
+  /** Containment scoring over a (pre-materialized) [[pairCounts]]
+    * relation — the production consumer form. Narrow. */
+  def containmentFrom(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
         expr("inter / n_a").as("cont_a_in_b"),
         expr("inter / n_b").as("cont_b_in_a"))
@@ -420,12 +464,18 @@ object DedupOps {
     * narrow 5-way struct explode and a 5-key partial-agg shuffle.
     * Evaluating all dial settings costs one extra Generate over the pairs
     * already enumerated, never a second corpus pass per config. */
-  def lshTuning(s: SparkSession, d: String): DataFrame = {
+  def lshTuning(s: SparkSession, d: String): DataFrame =
+    lshTuningFrom(pairCounts(s, d, maxDf = DefaultMaxDf))
+
+  /** The s-curve dial report over a (pre-materialized) [[pairCounts]]
+    * relation — the production consumer form: one narrow 5-way struct
+    * explode and a 5-key partial-agg shuffle over the pairs. */
+  def lshTuningFrom(pairs: DataFrame): DataFrame = {
     val structs = LshConfigs.map { case (b, r) =>
       val p = s"1.0e0 - ${pw(s"(1.0e0 - ${pw("sim", r)})", b)}"
       s"named_struct('bands', $b, 'rows_per_band', $r, 'p', $p)"
     }.mkString(", ")
-    pairCounts(s, d, maxDf = DefaultMaxDf)
+    pairs
       .withColumn("sim", expr("inter / (n_a + n_b - inter)"))
       .select(explode(expr(s"array($structs)")).as("c"))
       .groupBy(col("c.bands").as("bands"),

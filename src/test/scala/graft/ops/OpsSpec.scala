@@ -540,4 +540,26 @@ class OpsSpec extends SparkSpec {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("pairCounts materialize-once composition matches the standalone queries") {
+    // the production pattern documented on DedupOps.pairCounts: one pair
+    // relation, many consumers — each *From consumer must equal its
+    // standalone (gate-shaped) twin exactly
+    val cached = DedupOps.pairCounts(spark, sf).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(DedupOps.jaccardFrom(cached)) ==
+        rows(DedupOps.ngramJaccard(spark, sf)))
+      assert(rows(DedupOps.containmentFrom(cached)) ==
+        rows(DedupOps.containment(spark, sf)))
+      assert(rows(DedupOps.lshTuningFrom(cached)) ==
+        rows(DedupOps.lshTuning(spark, sf)))
+      val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
+      assert(rows(DedupOps.pagerankFrom(edges)) ==
+        rows(DedupOps.pagerank(spark, sf)))
+      assert(rows(DedupOps.triangleCountFrom(edges)) ==
+        rows(DedupOps.triangleCount(spark, sf)))
+    } finally cached.unpersist()
+  }
 }

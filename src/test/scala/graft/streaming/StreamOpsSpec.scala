@@ -209,6 +209,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, "itemA", "itemA")))
   }
 
+  test("watermarked tumbling counts agree with the batch dual on real events") {
+    // batch/stream timestamp-semantics parity over the ADAPTIVE events
+    // loader (Tables.events): both sides consume the exact same ts values,
+    // so a loader change that shifted timestamp interpretation (the r7
+    // nanos→NTZ regeneration) would break this parity, not just batch.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ops.EventOps.qTumbling(spark, sf)
+      .select(expr("unix_micros(hour_start)"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val evs = graft.ops.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val in = MemoryStream[(Long, String, Double)]
+    val events = in.toDF().toDF("ts_us", "event_type", "value")
+      .select(expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_type"), col("value"))
+    val q = StreamOps.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_parity")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.toSeq)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real
+      // window so append mode emits them all; its own window stays open
+      in.addData((evs.map(_._1).max + 365L * 86400 * 1000000, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tumbling_parity").collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming sessionize agrees with the batch sessionize on real events") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
