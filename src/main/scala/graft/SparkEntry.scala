@@ -22,10 +22,10 @@ object SparkEntry {
     * contract surface works on any caller-provided session; the ops
     * builders themselves never touch session state (library purity). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (ParityOps.queries ++ RelationalOps.queries ++ EventOps.queries ++
-      TextOps.queries ++ CorpusOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ Skipping.queries ++
-      ValidationOps.queries)
+    (ParityOps.queries ++ RelationalOps.queries ++ SubqueryOps.queries ++
+      EventOps.queries ++ TextOps.queries ++ CorpusOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      Skipping.queries ++ ValidationOps.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(GraftSession.init(s), dir))
       }
@@ -33,8 +33,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityOps.oracles ++ RelationalOps.oracles ++ EventOps.oracles ++
-      TextOps.oracles ++ CorpusOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles ++ Skipping.oracles ++
-      ValidationOps.oracles
+    ParityOps.oracles ++ RelationalOps.oracles ++ SubqueryOps.oracles ++
+      EventOps.oracles ++ TextOps.oracles ++ CorpusOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      Skipping.oracles ++ ValidationOps.oracles
 }

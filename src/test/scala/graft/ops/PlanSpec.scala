@@ -183,4 +183,27 @@ class PlanSpec extends SparkSpec {
       s"stats row not broadcast:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("correlated subqueries decorrelate to joins — never cartesians") {
+    // the SubqueryOps contract: Catalyst rewrites every correlated
+    // sub-select into aggregate-plus-join / semi / anti joins; a
+    // CartesianProduct (or any surviving per-row subquery shape) here
+    // means decorrelation failed and the query is n² at scale
+    for (q <- SubqueryOps.queries.keys) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      // CORRELATED sub-selects must become joins; uncorrelated scalar
+      // subqueries (q_share_having's global total, q_top_supplier's max)
+      // correctly stay one-shot Subquery nodes instead
+      assert(p.contains("Join") || p.contains("Subquery"),
+        s"$q has neither a join nor a scalar subquery node")
+    }
+    for (q <- Seq("q_corr_min", "q_corr_avg", "q_corr_exists", "q_corr_in",
+        "q_rich_idle"))
+      assert(plan(q).contains("Join"), s"$q not decorrelated to a join")
+    // the predicate-subquery family must become semi/anti joins
+    assert(plan("q_corr_exists").contains("LeftSemi"), "EXISTS not a semi join")
+    assert(plan("q_corr_in").contains("LeftSemi"), "IN not a semi join")
+    assert(plan("q_rich_idle").contains("LeftAnti"), "NOT EXISTS not an anti join")
+  }
 }
