@@ -608,6 +608,23 @@ object SimilarityOps {
     * Output: the trained codebook, one row per (cell, dimension). */
   def kmeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val cents = kmeansCentroids(s, d)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("cell", "n_members", "dim_idx", "component")
+    // codebook is K×Dim by construction — materialize on the driver
+    cents.flatMap { case (cell, comps, n) =>
+      comps.zipWithIndex.map { case (comp, i) => (cell, n, i.toLong, comp) }
+    }.toDF("cell", "n_members", "dim_idx", "component")
+      .orderBy("cell", "dim_idx")
+  }
+
+  /** The [[kmeans]] training loop, returning the final driver-held
+    * codebook (cell, components, n_members) — shared by the codebook
+    * query and the [[silhouette]] quality report so both score the SAME
+    * trained centroids. */
+  private[ops] def kmeansCentroids(
+      s: SparkSession, d: String): Seq[(Long, IndexedSeq[Double], Long)] = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     // (cell, components, n_members), ascending cell — float→double is exact
     var cents: Seq[(Long, IndexedSeq[Double], Long)] =
@@ -619,9 +636,7 @@ object SimilarityOps {
         .sortBy(_._1)
     // no seed vectors (empty table): an empty codebook, same as the
     // crossJoin formulation produced — not an error
-    if (cents.isEmpty)
-      return Seq.empty[(Long, Long, Long, Double)]
-        .toDF("cell", "n_members", "dim_idx", "component")
+    if (cents.isEmpty) return cents
     for (_ <- 0 until KmIters) {
       // one distributed pass per iteration: narrow assignment → one
       // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
@@ -641,11 +656,58 @@ object SimilarityOps {
         (cell, comps, byPos.head.getLong(3))
       }.sortBy(_._1)
     }
-    // codebook is K×Dim by construction — materialize on the driver
-    cents.flatMap { case (cell, comps, n) =>
-      comps.zipWithIndex.map { case (comp, i) => (cell, n, i.toLong, comp) }
-    }.toDF("cell", "n_members", "dim_idx", "component")
-      .orderBy("cell", "dim_idx")
+    cents
+  }
+
+  /** Per-cell simplified (centroid-based) silhouette over the trained
+    * [[kmeans]] codebook — the clustering-quality measurement loop:
+    * for each vector, a = distance to its assigned centroid, b = distance
+    * to the nearest OTHER centroid, s = (b − a) / max(a, b); reported as
+    * the per-cell mean with member counts. Low cell silhouette = that
+    * cell's region is entangled with a neighbor → retrain with higher K
+    * or re-seed (the same dial [[cellBalance]] reads from the occupancy
+    * angle). The centroid-based form is the one that scales: it needs K
+    * distances per vector, not the O(n) pairwise distances of the
+    * textbook silhouette — at 100 TB the pairwise form is a corpus²
+    * non-starter.
+    *
+    * Oracle-exactness: the full distance sqrt(|x|² − 2·x·c + |c|²) is
+    * computed with |x|² as a `vec_dot` self-fold, the dot as `vec_dot`
+    * against centroid literals (exact bits via `lit`), and |c|² as a
+    * driver left-fold — every term the same association order as the
+    * oracle's `list_reduce`; assignment ties go to the lowest cell via
+    * struct ordering (array_sort) = the oracle's ORDER BY dist, cell.
+    * The per-cell mean rides [[Exact.davg]].
+    *
+    * Plan/scale: ONE narrow codegen'd pass (K dists per row, K
+    * broadcast as literals) → sort of a K-element in-row array → one
+    * cell-key partial-agg shuffle. Nothing wider than (cell, sil)
+    * crosses the wire. */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = kmeansCentroids(s, d)
+    if (cents.size < 2)
+      return Seq.empty[(Long, Long, Double)].toDF("cell", "n_members", "avg_sil")
+    val en = call_function("vec_dot", col("embedding"), col("embedding"))
+    val scored = cents.map { case (cell, comps, _) =>
+      val cn = comps.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = call_function("vec_dot", col("embedding"),
+        array(comps.map(lit): _*))
+      struct(
+        sqrt(greatest(en - lit(2.0) * dot + lit(cn), lit(0.0))).as("dist"),
+        lit(cell).as("cell"))
+    }
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), array_sort(array(scored: _*)).as("sd"))
+      .select(col("vec_id"),
+        col("sd").getItem(0).getField("cell").as("cell"),
+        col("sd").getItem(0).getField("dist").as("da"),
+        col("sd").getItem(1).getField("dist").as("db"))
+      .withColumn("sil", expr(
+        "CASE WHEN greatest(da, db) > 0.0 THEN (db - da) / greatest(da, db) ELSE 0.0 END"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), Exact.davg(col("sil")).as("avg_sil"))
+      .orderBy("cell")
   }
 
   /** The narrow Lloyd assignment pass: per row, score the driver-held
@@ -676,11 +738,15 @@ object SimilarityOps {
       array_min(array(scored: _*)).getField("cell").as("cell"))
   }
 
-  /** DuckDB replay of [[kmeans]]: [[KmIters]] unrolled Lloyd iterations as
-    * a generated CTE chain — same fold orders, same quantized update. */
-  private def kmeansOracle: String = {
-    def fold(body: String) =
-      s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+  private def oracleFold(body: String) =
+    s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+
+  /** The [[kmeans]] training replay as a DuckDB CTE chain ending at
+    * `c$KmIters` (cell, c components, cn = |c|², n_members) — shared by
+    * the codebook oracle and the [[silhouette]] oracle, exactly as
+    * [[kmeansCentroids]] is shared on the Spark side. */
+  private def kmeansCtes: String = {
+    def fold = oracleFold _
     def distSql(c: String) =
       s"""cn - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})"""
     def iter(i: Int): String = s"""
@@ -700,16 +766,50 @@ object SimilarityOps {
                 ${fold("list_transform(c, x -> x * x)")} AS cn,
                 max(cnt) AS n_members
               FROM g$i GROUP BY cell)"""
-    s"""
-      WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
       c0 AS (SELECT vec_id::BIGINT cell,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
                ${fold("list_transform(c, x -> x * x)")} AS cn
              FROM embeddings WHERE vec_id < $KmK),
-      ${(1 to KmIters).map(iter).mkString(",")}
+      ${(1 to KmIters).map(iter).mkString(",")}"""
+  }
+
+  /** DuckDB replay of [[kmeans]]: [[KmIters]] unrolled Lloyd iterations as
+    * a generated CTE chain — same fold orders, same quantized update. */
+  private def kmeansOracle: String = s"""
+      WITH $kmeansCtes
       SELECT cell, n_members, (i - 1)::BIGINT AS dim_idx, c[i] AS component
       FROM c$KmIters, generate_series(1, $Dim) gs(i)
       ORDER BY cell, dim_idx"""
+
+  /** DuckDB replay of [[silhouette]]: the shared [[kmeansCtes]] training
+    * chain, then the FULL distance sqrt(|x|² − 2·x·c + |c|²) per
+    * (vector, cell) with the same fold orders and operation order as the
+    * Spark side, rank-1/rank-2 split by (dist, cell), and the exact
+    * scaled per-cell mean. */
+  private def silhouetteOracle: String = {
+    val en = oracleFold(
+      "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val dot = oracleFold(
+      "list_transform(list_zip(embedding, ct.c), q -> CAST(q[1] AS DOUBLE) * q[2])")
+    s"""
+      WITH $kmeansCtes,
+      da AS (SELECT e.vec_id, ct.cell,
+               sqrt(greatest($en - 2.0 * ($dot) + ct.cn, 0.0)) AS dist
+             FROM emb e CROSS JOIN c$KmIters ct),
+      r AS (SELECT vec_id, cell, dist,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+            FROM da),
+      p AS (SELECT a.vec_id, a.cell, a.dist AS d1, b.dist AS d2
+            FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rn = 2
+            WHERE a.rn = 1),
+      sil AS (SELECT vec_id, cell,
+                CASE WHEN greatest(d1, d2) > 0.0
+                     THEN (d2 - d1) / greatest(d1, d2) ELSE 0.0 END AS s
+              FROM p)
+      SELECT cell, count(*)::BIGINT AS n_members,
+             ${Exact.davgSql("s")} AS avg_sil
+      FROM sil GROUP BY cell ORDER BY cell"""
   }
 
   private val PiS = 1000L     // component quantization for the exact Gramian
@@ -946,6 +1046,7 @@ object SimilarityOps {
     "s_knn_graph" -> knnGraph,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
+    "s_silhouette" -> silhouette,
     "s_ann_recall" -> annRecall,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
@@ -1083,6 +1184,7 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
     },
     "s_kmeans" -> kmeansOracle,
+    "s_silhouette" -> silhouetteOracle,
     "s_cell_balance" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

@@ -541,6 +541,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: values in [-1,1], cells and counts match the codebook") {
+    val sil = SimilarityOps.silhouette(spark, sf).collect()
+    assert(sil.nonEmpty)
+    sil.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0,
+      s"silhouette out of range: $r"))
+    // the report scores the SAME codebook kmeans trains: cell ids match.
+    // (member counts need NOT: the codebook's n_members is the last
+    // UPDATE step's assignment; silhouette re-assigns to the FINAL
+    // centroids — one Lloyd step later.) Every vector lands somewhere.
+    val km = SimilarityOps.kmeans(spark, sf).collect()
+      .map(_.getLong(0)).distinct.sorted.toSeq
+    assert(sil.map(_.getLong(0)).sorted.toSeq == km)
+    val n = graft.ops.Tables.embeddings(spark, sf).count()
+    assert(sil.map(_.getLong(1)).sum == n)
+  }
+
   test("pairCounts materialize-once composition matches the standalone queries") {
     // the production pattern documented on DedupOps.pairCounts: one pair
     // relation, many consumers — each *From consumer must equal its
