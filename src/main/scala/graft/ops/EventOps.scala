@@ -59,6 +59,29 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap sessions via Spark's NATIVE session_window operator (the same
+    * 30-minute-gap semantics as [[qSessionize]]'s lag/sum formulation,
+    * with the operator's end = last event + gap convention). Batch and
+    * Structured Streaming share this exact operator — the query is the
+    * batch twin of a streaming watermarked session aggregation, which is
+    * why it exists alongside qSessionize: one engine mechanism, two
+    * execution modes.
+    *
+    * Plan/scale: Catalyst plans SessionWindow + merging aggregation over
+    * ONE user_id-keyed exchange with a partition-local sort — the same
+    * single-shuffle shape as the window formulation; sessions never
+    * straddle users, so the key is uniform. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** As-of join: for every click, the most recent view by the same user at
     * or before it. Spark has no native ASOF; the scalable formulation is
     * union + window carry-forward — ONE shuffle on user_id and a sorted
@@ -603,6 +626,7 @@ object EventOps {
     "e_quality_report" -> qQualityReport,
     "q_tumbling_window" -> qTumbling,
     "q_sessionize" -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_skew_salted" -> qSkewSalted,
@@ -846,6 +870,25 @@ object EventOps {
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
              event_type, count(*) AS n, ${dsumSql("value")} AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_session_window" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tus,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      sess AS (
+        SELECT user_id, event_id, tus,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(tus) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id,
+             min(tus) AS session_start,
+             max(tus) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""",
     "q_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tus,

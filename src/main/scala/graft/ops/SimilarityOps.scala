@@ -515,6 +515,43 @@ object SimilarityOps {
     .map(m => s"element_at(lut$m, CAST(code$m AS INT) + 1)")
     .mkString(" + ")
 
+  /** PQ reconstruction-error report: per (subspace, code), how many
+    * vectors quantize to the codeword and their mean squared
+    * reconstruction error ||x_m − c_code||² — the dial that decides
+    * whether M/K are adequate (a code with high n AND high error is an
+    * overloaded region: raise K or retrain that subspace's codebook;
+    * [[silhouette]] is the same loop one level up, for the IVF cells).
+    * The error adds the sub-vector's own |x_m|² to the [[pqCodeCols]]
+    * assignment score (which drops it as a per-row constant), making the
+    * full squared distance.
+    *
+    * Plan/scale: one pruned scan, narrow fully-codegen'd M-way struct
+    * explode (M rows per vector carrying only (m, code, err)), one
+    * catalog-sized (m, code) partial-agg shuffle — the measurement rides
+    * beside the encode pass at any corpus size. */
+  def pqRecon(s: SparkSession, d: String): DataFrame = {
+    val structs = (0 until PqM).map { m =>
+      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+      val scored = (0 until PqK).map { j =>
+        val comps = pqCents(m)(j)
+          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+        s"""named_struct('dist',
+              CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+                - 2.0D * vec_dot($sub, array($comps)),
+            'code', ${j}L)"""
+      }.mkString(", ")
+      s"""named_struct('m', ${m}L,
+           'code', array_min(array($scored)).code,
+           'err', array_min(array($scored)).dist + vec_dot($sub, $sub))"""
+    }.mkString(", ")
+    embeddings(s, d)
+      .select(explode(expr(s"array($structs)")).as("t"))
+      .groupBy(col("t.m").as("subspace"), col("t.code").as("code"))
+      .agg(count(lit(1)).as("n_vectors"),
+        Exact.davg(expr("t.err")).as("avg_err"))
+      .orderBy("subspace", "code")
+  }
+
   def pqAdc(s: SparkSession, d: String): DataFrame = {
     val queries = embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id") +: pqLutCols: _*)
@@ -1050,6 +1087,7 @@ object SimilarityOps {
     "s_ann_recall" -> annRecall,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
+    "s_pq_recon" -> pqRecon,
     "s_ivfpq_topk" -> ivfPqTopk,
     "s_mmr" -> mmrSelect,
     "s_cell_balance" -> cellBalance)
@@ -1260,6 +1298,23 @@ object SimilarityOps {
         $codeCols
       FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
     },
+    "s_pq_recon" -> s"""
+      WITH $pqBaseCtes,
+      en AS (SELECT vec_id, m,
+               list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(
+                   embedding[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (a, v) -> a + v) AS e2
+             FROM embeddings, generate_series(0, ${PqM - 1}) gs(m)),
+      best AS (SELECT d.vec_id, d.m, d.j AS code, d.dist
+               FROM d JOIN r ON r.vec_id = d.vec_id AND r.m = d.m AND r.j = d.j
+               WHERE r.rn = 1),
+      errs AS (SELECT b.vec_id, b.m, b.code, b.dist + e.e2 AS err
+               FROM best b JOIN en e ON e.vec_id = b.vec_id AND e.m = b.m)
+      SELECT m::BIGINT AS subspace, code::BIGINT AS code,
+             count(*)::BIGINT AS n_vectors, ${Exact.davgSql("err")} AS avg_err
+      FROM errs GROUP BY 1, 2 ORDER BY subspace, code""",
     "s_pq_adc" -> {
       val adcTerms = (0 until PqM)
         .map(m => s"max(CASE WHEN qd.m = $m THEN qd.dist END)")
