@@ -609,11 +609,103 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Absorption fixed-point scale and iteration count for
+    * [[qMarkovRemoval]] — both engines run the SAME truncating-integer
+    * recurrence, so the report is bit-exact. */
+  private val MrScale = 1000000000L
+  private val MrIters = 12
+  private val MrChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov removal-effect attribution — the step past [[qMarkov]]'s raw
+    * transition matrix: which channel actually DRIVES conversion. Per
+    * user, the journey is the event sequence up to and including the
+    * first purchase (START → touches → CONV, or → NULL if none); the
+    * model is the first-order Markov chain over those transitions. A
+    * channel's removal effect is 1 − P(conv | chain with all transitions
+    * into that channel deleted) / P(conv | full chain) — the standard
+    * data-driven alternative to last-touch heuristics ([[qAttribution]])
+    * — and attribution is each channel's share of the summed removal
+    * effects.
+    *
+    * Oracle-exactness: transition probabilities are truncating
+    * fixed-point integers (n·1e9 div out-degree) and absorption runs a
+    * FIXED [[MrIters]]-step integer recurrence
+    * a_{t+1}(s) = (Σ_{s'} p(s,s')·a_t(s')) div 1e9 with a(CONV) pinned —
+    * exact-integer sums (≤6e18, no overflow), one truncating division
+    * per state per step, identical in Scala and DuckDB's HUGEINT
+    * arithmetic; every reported double is a single division of exact
+    * integers.
+    *
+    * Plan/scale: one scan → ONE user-key shuffle serving all three
+    * windows (prior-purchase gate, rank, lead) → a single-pass struct
+    * explode into transitions → a catalog-sized (from, to) agg
+    * (≤ (K+2)² rows) collected to the driver; the chain solve is
+    * driver arithmetic on a ≤7-state matrix, the [[SimilarityOps.kmeans]]
+    * driver-loop pattern. Corpus size only affects the one scan+shuffle. */
+  def qMarkovRemoval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_p",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .withColumn("prior_p", coalesce(
+        sum(col("is_p")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("prior_p") === 0)
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("nxt", lead(col("state"), 1).over(byUser))
+      .select(explode(expr(
+        """filter(array(
+             IF(rn = 1, named_struct('f', 'START', 't', state),
+                CAST(NULL AS STRUCT<f: STRING, t: STRING>)),
+             IF(nxt IS NOT NULL, named_struct('f', state, 't', nxt),
+                IF(state <> 'CONV', named_struct('f', state, 't', 'NULL'),
+                   CAST(NULL AS STRUCT<f: STRING, t: STRING>)))),
+           x -> x IS NOT NULL)""")).as("tr"))
+      .groupBy(col("tr.f").as("from_s"), col("tr.t").as("to_s"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val deg = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val pfp = counts.map { case ((f, t), n) => (f, t) -> n * MrScale / deg(f) }
+    def absorb(excluded: Option[String]): Long = {
+      var a = Map("CONV" -> MrScale).withDefaultValue(0L)
+      for (_ <- 0 until MrIters) {
+        val next = pfp.toSeq
+          .filter { case ((_, t), _) => !excluded.contains(t) }
+          .groupBy(_._1._1)
+          .map { case (f, rows) =>
+            f -> rows.map { case ((_, t), p) => p * a(t) }.sum / MrScale }
+        a = (next + ("CONV" -> MrScale)).withDefaultValue(0L)
+      }
+      a("START")
+    }
+    val base = absorb(None)
+    val res = MrChannels.map { c =>
+      val re = base - absorb(Some(c))
+      (c, re)
+    }
+    val tot = res.map(_._2).sum
+    res.map { case (c, re) =>
+      (c,
+        base.toDouble / MrScale.toDouble,
+        if (base == 0) 0.0 else re.toDouble / base.toDouble,
+        if (tot == 0) 0.0 else re.toDouble / tot.toDouble)
+    }.toDF("channel", "conv_base", "removal_effect", "attribution")
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_dau_wau" -> qDauWau,
     "e_incr_agg" -> qIncrAgg,
     "e_seasonal" -> qSeasonal,
     "e_markov" -> qMarkov,
+    "e_markov_removal" -> qMarkovRemoval,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -632,7 +724,79 @@ object EventOps {
     "q_skew_salted" -> qSkewSalted,
     "q_lead_lag" -> qLeadLag)
 
+  /** DuckDB replay of [[qMarkovRemoval]]: same journey windows, same
+    * truncating fixed-point transition matrix, [[MrIters]] unrolled
+    * integer absorption steps per variant (base + one per removed
+    * channel) — HUGEINT sums make every intermediate exact, like the
+    * Scala driver's Long arithmetic. */
+  private def markovRemovalOracle: String = {
+    val vals = ("base" +: MrChannels).map(v => s"('$v')").mkString(", ")
+    def iter(i: Int) = s"""
+      a$i AS (
+        SELECT pv.variant, pv.from_s AS s,
+               CAST(sum(pv.p_fp * coalesce(a.av, 0)) // $MrScale AS BIGINT) AS av
+        FROM pv LEFT JOIN a${i - 1} a
+          ON a.variant = pv.variant AND a.s = pv.to_s
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT variant, 'CONV', $MrScale::BIGINT FROM variants)"""
+    s"""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events),
+      w1 AS (
+        SELECT *, coalesce(sum(is_p) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_p
+        FROM ev),
+      kept AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS state
+        FROM w1 WHERE prior_p = 0),
+      seq AS (
+        SELECT user_id, state,
+               row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+               lead(state) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt
+        FROM kept),
+      tr AS (
+        SELECT 'START' AS from_s, state AS to_s FROM seq WHERE rn = 1
+        UNION ALL SELECT state, nxt FROM seq WHERE nxt IS NOT NULL
+        UNION ALL SELECT state, 'NULL' FROM seq
+          WHERE nxt IS NULL AND state <> 'CONV'),
+      cnt AS (SELECT from_s, to_s, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+      p AS (SELECT from_s, to_s,
+              CAST((n * $MrScale::BIGINT) //
+                   sum(n) OVER (PARTITION BY from_s) AS BIGINT) AS p_fp
+            FROM cnt),
+      variants AS (SELECT * FROM (VALUES $vals) v(variant)),
+      pv AS (SELECT v.variant, p.from_s, p.to_s, p.p_fp
+             FROM p CROSS JOIN variants v
+             WHERE v.variant = 'base' OR p.to_s <> v.variant),
+      a0 AS (SELECT variant, 'CONV' AS s, $MrScale::BIGINT AS av FROM variants),
+      ${(1 to MrIters).map(iter).mkString(",")},
+      basev AS (SELECT coalesce((SELECT av FROM a$MrIters
+                  WHERE variant = 'base' AND s = 'START'), 0) AS b),
+      re AS (SELECT v.variant AS channel,
+               (SELECT b FROM basev) - coalesce(a.av, 0) AS re
+             FROM variants v LEFT JOIN a$MrIters a
+               ON a.variant = v.variant AND a.s = 'START'
+             WHERE v.variant <> 'base'),
+      tot AS (SELECT CAST(sum(re) AS BIGINT) AS t FROM re)
+      SELECT channel,
+             CAST((SELECT b FROM basev) AS DOUBLE) / $MrScale.0 AS conv_base,
+             CASE WHEN (SELECT b FROM basev) = 0 THEN 0.0
+                  ELSE CAST(re AS DOUBLE) /
+                       CAST((SELECT b FROM basev) AS DOUBLE) END AS removal_effect,
+             CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
+                  ELSE CAST(re AS DOUBLE) /
+                       CAST((SELECT t FROM tot) AS DOUBLE) END AS attribution
+      FROM re ORDER BY channel"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "e_markov_removal" -> markovRemovalOracle,
     "e_dau_wau" -> """
       WITH ud AS (SELECT DISTINCT user_id,
               date_diff('day', DATE '2024-01-01',
