@@ -457,13 +457,20 @@ object TextOps {
     * vocab and probed with `element_at` (the [[DedupOps.bloomPrune]]
     * shape) — constant-depth, zero per-row joins, no corpus-scale join
     * anywhere. */
-  def cmsTopk(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
-    val cells = toks
+  /** The CMS counter grid over a `tok` relation: per (row, position)
+    * cell counts — a commutative monoid, so the SAME definition serves
+    * the batch sketch and [[graft.streaming.StreamOps.cmsCellStream]]'s
+    * incremental maintenance (spec-proven merge == batch). */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame =
+    toks
       .select(explode(array((0 until CmsDepth).map(r =>
         struct(lit(r).as("r"), expr(cmsPos(r)).as("p"))): _*)).as("rp"))
       .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
       .agg(count(lit(1)).as("c"))
+
+  def cmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(expr(Toks)).as("tok"))
+    val cells = cmsCells(toks)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
     // flat cell key r*width+p — an int map key probes with element_at
     val gridRow = cells.agg(map_from_entries(collect_list(struct(

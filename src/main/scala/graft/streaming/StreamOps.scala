@@ -36,6 +36,19 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming Count-Min-Sketch cell maintenance — the streaming arm of
+    * [[graft.ops.TextOps.cmsTopk]]: the CmsDepth×CmsWidth counter grid
+    * maintained incrementally over a document stream, ONE shared
+    * definition with the batch sketch (TextOps.cmsCells), so heavy-hitter
+    * estimates read off the streamed grid exactly as the batch query
+    * documents. Per-cell counts are a commutative monoid — micro-batch
+    * arrival order cannot change the result (spec proves stream-merged ==
+    * batch-recomputed) — and state is ≤ Depth×Width rows: catalog-sized,
+    * watermark-free, runs forever. */
+  def cmsCellStream(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.cmsCells(
+      docs.select(explode(split(col("text"), " ")).as("tok")))
+
   /** Streaming mergeable histogram sketch — the streaming arm of
     * ValidationOps.quantileSketch's production path: per (event_type,
     * bin) counts maintained incrementally (same 256-bin, width-2 grid).

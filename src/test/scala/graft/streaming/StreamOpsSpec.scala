@@ -61,6 +61,35 @@ class StreamOpsSpec extends SparkSpec {
       ("b", 1L, 1L), ("b", 255L, 1L)))
   }
 
+  test("cmsCellStream merges micro-batches into the batch CMS grid on real docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.cmsCellStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_cells").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // the monoid proof: stream-merged grid == one batch pass over all docs
+    val batch = graft.ops.TextOps.cmsCells(
+      graft.ops.Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("tok"))).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("enrichStream decorates a fact stream from a broadcast static dim") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
