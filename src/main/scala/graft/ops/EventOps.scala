@@ -533,6 +533,40 @@ object EventOps {
       .orderBy("event_type", "hour", "day")
   }
 
+  /** Exponentially-weighted daily-volume baseline (EWMA, decay 1/2 per
+    * observed day, trailing-30 window, renormalized over the observed
+    * weights) per event type — the smoothing baseline ops dashboards
+    * plot against raw volume, complementing [[qSeasonal]]'s
+    * same-hour-slot z-scores: EWMA answers "what does RECENT volume say
+    * today should look like", seasonality answers "what does this HOUR
+    * usually look like".
+    *
+    * Oracle-exactness device: with decay exactly 1/2, the weighted
+    * numerator over the trailing frame is the INTEGER Horner fold
+    * 2·acc + x over the reversed value list (newest gets 2^(m−1)) and
+    * the weight mass is 2^m − 1 — all BIGINT, so the reported EWMA is
+    * one division of exact integers, bit-identical in both engines.
+    * BIGINT headroom: max daily volume × 2³⁰ ≈ 8·10⁹ days-volume before
+    * overflow — far past any real per-type daily count.
+    *
+    * Plan/scale: one scan → (type, day) partial agg (catalog × days
+    * rows) → ONE type-key window; the collected frame is ≤ 30 BIGINTs
+    * per row, and everything downstream of the scan is catalog-sized. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("vals",
+        collect_list(col("n")).over(w.rowsBetween(-29, 0)))
+      .withColumn("num",
+        expr("aggregate(reverse(vals), 0L, (a, x) -> 2L * a + x)"))
+      .withColumn("den", expr("shiftleft(1L, size(vals)) - 1L"))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma30"))
+      .orderBy("event_type", "day")
+  }
+
   /** Incremental aggregate maintenance — the nightly-ingest pattern: the
     * standing per-type aggregate is kept as MERGEABLE partials (count,
     * exact scaled-integer value sum, max, first/last ts) and a new
@@ -706,6 +740,7 @@ object EventOps {
     "e_seasonal" -> qSeasonal,
     "e_markov" -> qMarkov,
     "e_markov_removal" -> qMarkovRemoval,
+    "e_ewma" -> qEwma,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -797,6 +832,25 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
+    "e_ewma" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vals
+        FROM daily),
+      sc AS (
+        SELECT event_type, day, n,
+               list_reduce(list_prepend(0::BIGINT, list_reverse(vals)),
+                           (a, x) -> 2 * a + x) AS num,
+               (1::BIGINT << len(vals)) - 1 AS den
+        FROM wd)
+      SELECT event_type, day, n AS n_events,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
+      FROM sc ORDER BY event_type, day""",
     "e_dau_wau" -> """
       WITH ud AS (SELECT DISTINCT user_id,
               date_diff('day', DATE '2024-01-01',
