@@ -214,7 +214,30 @@ class PlanSnapshotSpec extends SparkSpec {
     // one scan -> md5-key agg -> 3-key split rollup
     "t_data_split" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // two uniform distincts (user-day, user-tday) + calendar-sized join
-    "e_dau_wau" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
+    "e_dau_wau" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // the correlated-subquery pack: every correlated sub-select must stay
+    // a decorrelated broadcast/hash join over partial aggregates — a
+    // CartesianProduct or a lost broadcast here is the n² failure mode
+    "q_corr_min" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "q_corr_exists" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "q_corr_in" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "q_corr_avg" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // uncorrelated scalar subqueries are separate one-shot plans — the
+    // main plan stays a single agg + filter (no join operators at all)
+    "q_share_having" -> "scan=2 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "q_top_supplier" -> "scan=3 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "q_rich_idle" -> "scan=4 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // native SessionWindow rides ONE uniform user-key exchange
+    "q_session_window" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // ONE narrow assignment pass (centroids are literals) + cell agg
+    "s_silhouette" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // narrow M-way struct explode + catalog-sized (m, code) agg
+    "s_pq_recon" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // driver chain solve: the returned frame is the collected result
+    // (LocalTableScan) — corpus lineage must never leak into it
+    "e_markov_removal" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // one scan → (type, day) agg → ONE type-key window
+    "e_ewma" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
