@@ -433,6 +433,34 @@ object DedupOps {
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
+  /** Cross-source NEAR-dup contamination matrix: for every near-dup pair
+    * (capped Jaccard ≥ 0.8), the unordered source pair it straddles,
+    * rolled up to (source_a, source_b) counts — the near-dup complement
+    * of [[sourceOverlap]]'s exact-hash view. Off-diagonal cells are
+    * cross-crawl contamination (the same template scraped twice);
+    * diagonal cells are within-crawl duplication. Reads as the
+    * "which pairs of crawls share content" heat map a curator prices
+    * dedup budget with.
+    *
+    * Plan/scale: rides the shared [[pairCounts]] core (one shingle-key
+    * shuffle, DF-capped output-sensitive pairs), then two uniform
+    * doc-key joins onto the pruned (doc_id, source) projection and a
+    * catalog²-sized aggregate. In the production composition this is
+    * `jaccardFrom(cachedPairs)` + the two source joins. */
+  def nearOverlap(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardFrom(pairCounts(s, d, DefaultMaxDf))
+      .select(col("a_id"), col("b_id"))
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_near_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The (bands × rows-per-band) factorizations of the 16-perm MinHash
     * signature whose s-curves [[lshTuning]] prices. All powers of two, so
     * the detection-probability powers are exact squaring chains. */
@@ -1195,6 +1223,7 @@ object DedupOps {
     "d_paragraph_dedup" -> paragraphDedup,
     "d_semantic_dedup" -> semanticDedup,
     "d_containment" -> containment,
+    "d_near_overlap" -> nearOverlap,
     "d_source_overlap" -> sourceOverlap)
 
   private val SimhashSql =
@@ -1499,6 +1528,18 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
+    "d_near_overlap" -> s"""
+      WITH $JaccardCappedCtes,
+      jp AS (SELECT a_id, b_id
+             FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ds AS (SELECT doc_id, source FROM documents)
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             count(*)::BIGINT AS n_near_pairs
+      FROM jp JOIN ds sa ON jp.a_id = sa.doc_id
+              JOIN ds sb ON jp.b_id = sb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "d_lsh_tuning" -> {
       val selects = LshConfigs.map { case (b, r) =>
         val p = s"1.0e0 - ${pw(s"(1.0e0 - ${pw("sim", r)})", b)}"

@@ -230,6 +230,47 @@ object ValidationOps {
       .orderBy("event_type", "day")
   }
 
+  /** Robust (median/MAD) daily-volume outliers per event type — the
+    * heavy-tail-safe twin of [[anomaly]]'s mean/σ z-score: one genuine
+    * outage day inflates the variance and can mask a second outage, but
+    * it moves the median and MAD by at most one rank. Median is the
+    * DISCRETE lower median via the value-histogram + cumulative-window
+    * device ([[RelationalOps.qMedianDisc]]), so median, absolute
+    * deviations, and MAD are all exact BIGINTs and the outlier verdict
+    * `dev > 3·MAD` is a pure integer comparison — immune to float
+    * rounding on both engines (a MAD of 0 — over half the days
+    * identical — flags ANY deviation, the standard degenerate-MAD
+    * convention; documented rather than fudged).
+    *
+    * Plan/scale: one scan → (type, day) partial agg; everything after is
+    * catalog × days sized (two rounds of the histogram device + one
+    * broadcast join back). */
+  def madAnomaly(s: SparkSession, d: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(valueCol)
+      df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("tot", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(expr("cum >= (tot + 1) DIV 2"), col(valueCol))).as(out))
+    }
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = lowerMedian(daily, "n", "median_n")
+    val withDev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("median_n")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        col("median_n"), col("dev"), col("mad"),
+        (col("dev") > lit(3L) * col("mad")).as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
   /** Shuffle-key skew diagnosis: for each candidate partition key of
     * `events` (user_id, event_type, calendar day), the key cardinality,
     * the hottest key's row count, the mean rows per key, and the skew
@@ -388,6 +429,7 @@ object ValidationOps {
     "v_referential" -> referential,
     "v_skew" -> skew,
     "v_anomaly" -> anomaly,
+    "v_mad_anomaly" -> madAnomaly,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
     "v_constraints" -> constraints,
@@ -410,6 +452,38 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_mad_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      h1 AS (SELECT event_type, n, count(*)::BIGINT AS cnt
+             FROM daily GROUP BY 1, 2),
+      c1 AS (SELECT event_type, n,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY n
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS tot
+             FROM h1),
+      med AS (SELECT event_type,
+                min(CASE WHEN cum >= (tot + 1) // 2 THEN n END) AS median_n
+              FROM c1 GROUP BY 1),
+      wd AS (SELECT d.event_type, d.day, d.n, m.median_n,
+               abs(d.n - m.median_n) AS dev
+             FROM daily d JOIN med m USING (event_type)),
+      h2 AS (SELECT event_type, dev, count(*)::BIGINT AS cnt
+             FROM wd GROUP BY 1, 2),
+      c2 AS (SELECT event_type, dev,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS tot
+             FROM h2),
+      mad AS (SELECT event_type,
+                min(CASE WHEN cum >= (tot + 1) // 2 THEN dev END) AS mad
+              FROM c2 GROUP BY 1)
+      SELECT w.event_type, w.day, w.n AS n_events, w.median_n, w.dev,
+             a.mad, w.dev > 3 * a.mad AS is_outlier
+      FROM wd w JOIN mad a USING (event_type)
+      ORDER BY w.event_type, w.day""",
     "v_emb_profile" -> s"""
       WITH u AS (SELECT j AS dim_idx, CAST(embedding[j + 1] AS DOUBLE) AS c
                  FROM embeddings,
