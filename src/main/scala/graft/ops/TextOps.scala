@@ -689,6 +689,98 @@ object TextOps {
     * aggregate; its count-only scan reads zero parquet columns. The
     * window's top-k gets the WindowGroupLimit partial/final pushdown
     * (rank ≤ 3 filtered below the shuffle) on Spark 4. */
+  /** Fixed query-term set for [[bm25]] — inlined as literals into both
+    * engines (drawn from the synthetic vocabulary so tf/df are
+    * exercised, not degenerate). */
+  private val Bm25Terms = Seq("spark", "join", "scan")
+
+  /** BM25 relevance top-10 for a fixed 3-term query — the IR ranking
+    * function ([[tfidf]]'s production successor: tf saturation via k1,
+    * length normalization via b):
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t) = ln((N−df+0.5)/(df+0.5)) = ln(2N−2df+1) − ln(2df+1)
+    *
+    * — the half-offsets clear by doubling, so both logs take ODD INTEGER
+    * inputs and ride [[DetMath]] (bit-identical across engines); k1=1.2,
+    * b=0.75 are shared exponent-form double literals; the 3-term sum is
+    * a FIXED left-associated text, so every double is deterministic and
+    * the ranking cannot straddle engines.
+    *
+    * Plan/scale: per-term tf is a narrow `size(filter(toks))` projection
+    * — no explode, no token shuffle anywhere; corpus stats (N, Σdl, df
+    * per term) partial-agg to ONE row, get their 6 ln chains there, and
+    * broadcast back; top-10 is TakeOrdered (per-partition heap + driver
+    * merge — no global sort). The whole query is one corpus scan plus a
+    * 1-row broadcast. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val tfCols = Bm25Terms.map(t =>
+      expr(s"size(filter($Toks, x -> x = '$t'))").cast("long").as(s"tf_$t"))
+    val base = documents(s, d).select(
+      col("doc_id") +: expr(s"size($Toks)").cast("long").as("dl") +: tfCols: _*)
+    val aggs = sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    var stats = base.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    for (t <- Bm25Terms) {
+      stats = DetMath.dropLnTmp(
+        DetMath.withLn(stats, s"2 * n_docs - 2 * df_$t + 1", s"ia_$t"), s"ia_$t")
+      stats = DetMath.dropLnTmp(
+        DetMath.withLn(stats, s"2 * df_$t + 1", s"ib_$t"), s"ib_$t")
+    }
+    stats = stats.withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val score = Bm25Terms.map(t =>
+      s"""CASE WHEN tf_$t = 0 THEN 0.0e0
+            ELSE (ia_${t}_ln - ib_${t}_ln) * (tf_$t * 2.2e0) /
+                 (tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))) END""")
+      .mkString(" + ")
+    base.crossJoin(broadcast(stats))
+      .withColumn("bm25", expr(score))
+      .select(col("doc_id") +: col("dl") +:
+        Bm25Terms.map(t => col(s"tf_$t")) :+ col("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** DuckDB replay of [[bm25]]: identical narrow tf projections, the
+    * same 1-row stats with [[DetMath]] ln chains, the same fixed-order
+    * score text. */
+  private def bm25Oracle: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(",\n               ")
+    val dfCols = Bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
+      .mkString(",\n               ")
+    val lnCols = Bm25Terms.map(t =>
+      DetMath.lnDuckSelect(s"2 * n_docs - 2 * df_$t + 1", s"ia_$t") + ",\n             " +
+        DetMath.lnDuckSelect(s"2 * df_$t + 1", s"ib_$t"))
+      .mkString(",\n             ")
+    val score = Bm25Terms.map(t =>
+      s"""CASE WHEN tf_$t = 0 THEN 0.0e0
+            ELSE (ia_${t}_ln - ib_${t}_ln) * (tf_$t * 2.2e0) /
+                 (tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))) END""")
+      .mkString(" + ")
+    val tfOut = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+               $tfCols
+        FROM documents),
+      st AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+               $dfCols
+        FROM base),
+      st2 AS (
+        SELECT *,
+             $lnCols,
+             sum_dl / n_docs AS avgdl
+        FROM st)
+      SELECT doc_id, dl, $tfOut, $score AS bm25
+      FROM base CROSS JOIN st2
+      ORDER BY bm25 DESC, doc_id LIMIT 10"""
+  }
+
   def tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = documents(s, d)
@@ -957,6 +1049,7 @@ object TextOps {
     "t_bigram_lm" -> bigramLm,
     "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
+    "t_bm25" -> bm25,
     "t_pmi" -> pmi,
     "t_winnow" -> winnow,
     "t_token_stats" -> tokenStats,
@@ -1344,6 +1437,7 @@ object TextOps {
             FROM u)
       SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
       FROM e ORDER BY doc_id""",
+    "t_bm25" -> bm25Oracle,
     "t_tfidf" -> s"""
       WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
