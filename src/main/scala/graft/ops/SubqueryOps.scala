@@ -165,7 +165,31 @@ object SubqueryOps {
       .replace("%ORD%", "gsq_orders").replace("%CAST%", ""))
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers
+    * by account balance per nation — the "top-N per group as the user
+    * writes it" frontend. Catalyst's DecorrelateInnerQuery rewrites the
+    * per-row LIMIT into a c_nationkey-partitioned row_number window +
+    * rank filter under a broadcast join — the exact plan a hand-written
+    * top-N-per-group would build, with no per-outer-row re-execution
+    * anywhere. Ties break on c_custkey, so the top-2 is total-order
+    * deterministic in both engines. */
+  private val qLateralTopkSql = """
+    SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+    FROM %NAT% n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM %CUST% c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    ORDER BY n.n_nationkey, t.c_custkey"""
+
+  def qLateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("gsq_nation")
+    views(s, d)
+    s.sql(qLateralTopkSql.replace("%NAT%", "gsq_nation")
+      .replace("%CUST%", "gsq_customer"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_topk" -> qLateralTopk,
     "q_corr_min" -> qCorrMin,
     "q_corr_exists" -> qCorrExists,
     "q_corr_in" -> qCorrIn,
@@ -175,6 +199,8 @@ object SubqueryOps {
     "q_rich_idle" -> qRichIdle)
 
   val oracles: Map[String, String] = Map(
+    "q_lateral_topk" -> qLateralTopkSql.replace("%NAT%", "nation")
+      .replace("%CUST%", "customer"),
     "q_corr_min" -> qCorrMinSql.replace("%LI%", "lineitem"),
     "q_corr_exists" -> qCorrExistsSql.replace("%ORD%", "orders")
       .replace("%LI%", "lineitem").replace("%CAST%", "::BIGINT"),

@@ -201,6 +201,11 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_corr_min", "q_corr_avg", "q_corr_exists", "q_corr_in",
         "q_rich_idle"))
       assert(plan(q).contains("Join"), s"$q not decorrelated to a join")
+    // the lateral ORDER BY+LIMIT must become a partitioned window rank
+    // filter (top-N per group), never per-outer-row re-execution
+    val lat = plan("q_lateral_topk")
+    assert(lat.contains("Window") && lat.contains("Join"),
+      s"lateral top-2 not decorrelated to window+join:\n${lat.take(1200)}")
     // the predicate-subquery family must become semi/anti joins
     assert(plan("q_corr_exists").contains("LeftSemi"), "EXISTS not a semi join")
     assert(plan("q_corr_in").contains("LeftSemi"), "IN not a semi join")
