@@ -230,6 +230,25 @@ object ValidationOps {
       .orderBy("event_type", "day")
   }
 
+  /** k-anonymity audit over a quasi-identifier set — the governance
+    * check a dataset clears before release: every (nationkey,
+    * mktsegment) equivalence class of `customer` with its member count
+    * and a below-k flag (k = 5). A class of size < k means those rows
+    * are re-identifiable by the quasi-identifiers alone — the
+    * complement of [[graft.ops.CorpusOps]]'s PII scrub (scrub removes
+    * direct identifiers; k-anonymity measures indirect ones).
+    *
+    * Plan/scale: one pruned scan → one partial-agg shuffle on the
+    * catalog-sized class key. Pure integer counting — trivially
+    * oracle-exact. */
+  def kanon(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("below_k", col("class_size") < 5)
+      .orderBy("nationkey", "mktsegment")
+
   /** Robust (median/MAD) daily-volume outliers per event type — the
     * heavy-tail-safe twin of [[anomaly]]'s mean/σ z-score: one genuine
     * outage day inflates the variance and can mask a second outage, but
@@ -430,6 +449,7 @@ object ValidationOps {
     "v_skew" -> skew,
     "v_anomaly" -> anomaly,
     "v_mad_anomaly" -> madAnomaly,
+    "v_kanon" -> kanon,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
     "v_constraints" -> constraints,
@@ -452,6 +472,11 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_kanon" -> """
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             count(*)::BIGINT AS class_size,
+             count(*) < 5 AS below_k
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
     "v_mad_anomaly" -> """
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
