@@ -433,6 +433,63 @@ object DedupOps {
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
+  /** Expected chunk length dial for [[cdcChunks]]: a boundary fires when
+    * the pair-hash is ≡ 0 mod this, so chunks average ~CdcDiv tokens. */
+  private val CdcDiv = 8L
+
+  /** Content-defined chunking (CDC) dedup report — the restic/LBFS
+    * technique at token grain: chunk boundaries fire where a LOCAL hash
+    * (of the adjacent token pair) hits 0 mod [[CdcDiv]], so boundaries
+    * depend only on content, not position — an insertion early in a
+    * document shifts every fixed-window shingle but leaves all later
+    * CDC boundaries (and so their chunk hashes) intact. That
+    * shift-resistance is why storage dedup uses CDC rather than the
+    * fixed blocks of [[paragraphDedup]]. Per doc: chunk count, token
+    * count, and how many chunks/tokens are duplicated ANYWHERE in the
+    * corpus (corpus-wide copies via one uniform md5-key window).
+    *
+    * Plan/scale: chunking is entirely in-row array work (boundary
+    * filter → span transform → one posexplode whose output totals the
+    * document's own size — no quadratic carry of `toks` per chunk);
+    * the only shuffles are the uniform chunk-hash window and the doc
+    * roll-up. The boundary hash runs inside a HOF lambda (interpreted);
+    * at 100 TB move it to posexplode + codegen'd hash + one doc-key
+    * prefix-sum window — same output, traded for one extra shuffle. */
+  /** The (doc_id, chunk_hash, chunk_tokens) CDC chunk relation over a
+    * caller-supplied (doc_id, text) relation — exposed so the
+    * shift-resistance property is spec-testable on constructed inputs. */
+  private[ops] def cdcChunkRelation(docs: DataFrame): DataFrame = {
+    val cut = h60("concat(element_at(toks, i), '|', element_at(toks, i + 1))")
+    docs
+      .select(col("doc_id"), expr(Toks).as("toks"))
+      .withColumn("ends", expr(
+        s"filter(sequence(1, size(toks)), i -> i = size(toks) OR ($cut) % $CdcDiv = 0)"))
+      .withColumn("chunks", expr(
+        """transform(ends, (e, j) -> named_struct(
+             'len', CAST(e AS BIGINT) -
+                    CASE WHEN j = 0 THEN 0L ELSE CAST(element_at(ends, j) AS BIGINT) END,
+             'txt', concat_ws(' ', slice(toks,
+                      CASE WHEN j = 0 THEN 1 ELSE element_at(ends, j) + 1 END,
+                      CAST(e - CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END AS INT)))))"""))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("ci", "c")))
+      .select(col("doc_id"), md5(col("c.txt").cast("binary")).as("chunk_hash"),
+        col("c.len").as("chunk_tokens"))
+  }
+
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cdcChunkRelation(documents(s, d))
+      .withColumn("copies",
+        count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("copies") > 1, col("chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source NEAR-dup contamination matrix: for every near-dup pair
     * (capped Jaccard ≥ 0.8), the unordered source pair it straddles,
     * rolled up to (source_a, source_b) counts — the near-dup complement
@@ -1224,6 +1281,7 @@ object DedupOps {
     "d_semantic_dedup" -> semanticDedup,
     "d_containment" -> containment,
     "d_near_overlap" -> nearOverlap,
+    "d_cdc_chunks" -> cdcChunks,
     "d_source_overlap" -> sourceOverlap)
 
   private val SimhashSql =
@@ -1528,6 +1586,33 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
+    "d_cdc_chunks" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      e AS (SELECT doc_id, toks,
+              list_filter(generate_series(1, len(toks)),
+                i -> i = len(toks) OR
+                  (${h60Sql("concat(toks[i], '|', toks[i + 1])")}) % $CdcDiv = 0) AS ends
+            FROM t),
+      c AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ends)), j ->
+                {'len': (ends[j] -
+                     CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)::BIGINT,
+                 'txt': array_to_string(
+                     toks[CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END :
+                          ends[j]], ' ')})) AS q
+            FROM e),
+      ch AS (SELECT doc_id, md5(q.txt) AS chunk_hash,
+               q.len AS chunk_tokens
+             FROM c),
+      w AS (SELECT doc_id, chunk_tokens,
+              count(*) OVER (PARTITION BY chunk_hash)::BIGINT AS copies
+            FROM ch)
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+             sum(chunk_tokens)::BIGINT AS n_tokens,
+             coalesce(sum(CASE WHEN copies > 1 THEN 1 END), 0)::BIGINT AS dup_chunks,
+             coalesce(sum(CASE WHEN copies > 1 THEN chunk_tokens END), 0)::BIGINT
+               AS dup_tokens
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
     "d_near_overlap" -> s"""
       WITH $JaccardCappedCtes,
       jp AS (SELECT a_id, b_id

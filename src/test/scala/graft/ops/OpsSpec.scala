@@ -557,6 +557,28 @@ class OpsSpec extends SparkSpec {
     assert(sil.map(_.getLong(1)).sum == n)
   }
 
+  test("CDC chunking is shift-resistant: early insertion preserves later chunks") {
+    import spark.implicits._
+    // 200 deterministic tokens; doc 2 inserts one token at the front —
+    // every fixed-window shingle after position 0 shifts, but CDC
+    // boundaries re-synchronize at the first post-insertion cut, so the
+    // two docs must share most chunk hashes
+    val toks = (1 to 200).map(i => s"w${graft.ops.Hash60(s"cdc_$i") % 50}")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, ("INSERTED" +: toks).mkString(" "))).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunkRelation(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val shared = (ch(1L) & ch(2L)).size
+    assert(shared >= ch(1L).size / 2,
+      s"only $shared of ${ch(1L).size} chunks survived a 1-token shift")
+    // sanity: chunk token counts partition the document
+    val lens = DedupOps.cdcChunkRelation(docs).collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(2)).sum
+    assert(lens == 200L, s"chunk lengths sum to $lens, not 200")
+  }
+
   test("pairCounts materialize-once composition matches the standalone queries") {
     // the production pattern documented on DedupOps.pairCounts: one pair
     // relation, many consumers — each *From consumer must equal its
