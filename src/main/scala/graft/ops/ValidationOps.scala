@@ -230,6 +230,40 @@ object ValidationOps {
       .orderBy("event_type", "day")
   }
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-numbers screen: naturally-occurring money amounts follow
+    * P(d) = ln(1+1/d)/ln(10), synthetic or tampered ones usually don't.
+    * Per leading digit: observed count, observed share, the Benford
+    * expectation, and the deviation. Expected shares are computed IN THE
+    * PLAN as (ln(d+1) − ln(d)) / ln(10) over [[DetMath]]'s deterministic
+    * integer-input ln, so every reported double is bit-identical across
+    * engines (shares are single divisions of exact BIGINTs).
+    *
+    * Plan/scale: one pruned scan → a ≤9-key partial agg → 9-row window
+    * for the total. Catalog-sized after the scan. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    var digits = orders(s, d)
+      .select(substring(
+        floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("total", sum(col("n_obs")).over(w))
+    digits = DetMath.dropLnTmp(
+      DetMath.withLn(digits, "CAST(digit AS BIGINT)", "ld"), "ld")
+    digits = DetMath.dropLnTmp(
+      DetMath.withLn(digits, "CAST(digit AS BIGINT) + 1", "ld1"), "ld1")
+    digits = DetMath.dropLnTmp(DetMath.withLn(digits, "10", "l10"), "l10")
+    digits
+      .withColumn("share", col("n_obs") / col("total"))
+      .withColumn("benford_expected",
+        expr("(ld1_ln - ld_ln) / l10_ln"))
+      .select(col("digit"), col("n_obs"), col("share"),
+        col("benford_expected"),
+        expr("share - benford_expected").as("deviation"))
+      .orderBy("digit")
+  }
+
   /** k-anonymity audit over a quasi-identifier set — the governance
     * check a dataset clears before release: every (nationkey,
     * mktsegment) equivalence class of `customer` with its member count
@@ -450,6 +484,7 @@ object ValidationOps {
     "v_anomaly" -> anomaly,
     "v_mad_anomaly" -> madAnomaly,
     "v_kanon" -> kanon,
+    "v_benford" -> benford,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
     "v_constraints" -> constraints,
@@ -472,6 +507,22 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_benford" -> s"""
+      WITH dg AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit,
+               count(*)::BIGINT AS n_obs
+        FROM orders GROUP BY 1),
+      t AS (SELECT digit, n_obs, sum(n_obs) OVER ()::BIGINT AS total FROM dg),
+      l AS (SELECT *,
+             ${DetMath.lnDuckSelect("CAST(digit AS BIGINT)", "ld")},
+             ${DetMath.lnDuckSelect("CAST(digit AS BIGINT) + 1", "ld1")},
+             ${DetMath.lnDuckSelect("10", "l10")}
+            FROM t)
+      SELECT digit, n_obs, n_obs / total AS share,
+             (ld1_ln - ld_ln) / l10_ln AS benford_expected,
+             n_obs / total - (ld1_ln - ld_ln) / l10_ln AS deviation
+      FROM l ORDER BY digit""",
     "v_kanon" -> """
       SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
              count(*)::BIGINT AS class_size,
