@@ -222,6 +222,31 @@ object StreamOps {
         col("view_ts"), col("view_item"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every view, decorated with
+    * the click that followed it within the interval — or nulls if none
+    * ever came. The outer semantics are what the inner
+    * [[intervalJoinStream]] cannot answer ("which impressions
+    * converted, AND which didn't"): an unmatched view can only be
+    * emitted once the watermark proves no matching click can still
+    * arrive, so null-padded rows surface exactly one watermark horizon
+    * after their interval closes. State is the same
+    * interval-bounded window as the inner join — rows age out of the
+    * store at the watermark, so it runs forever. */
+  def intervalJoinOuterStream(views: DataFrame, clicks: DataFrame,
+      watermark: String = "1 hour", intervalMinutes: Int = 10): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("item").as("view_item")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("item").as("click_item")).withWatermark("click_ts", watermark)
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $intervalMinutes MINUTES"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_ts"), col("view_item"),
+        col("click_ts"), col("click_item"))
+  }
+
   /** Stream-static dimension enrichment: left-join a streaming fact
     * frame to a static (catalog-sized) dimension with an explicit
     * broadcast hint — the standard "decorate events with account

@@ -238,6 +238,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, "itemA", "itemA")))
   }
 
+  test("outer interval join emits unmatched views with nulls after the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val vIn = MemoryStream[(Long, Long, String)]
+    val cIn = MemoryStream[(Long, Long, String)]
+    def df(m: MemoryStream[(Long, Long, String)]) = m.toDF()
+      .toDF("user_id", "ts_us", "item")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"), col("item"))
+    val q = StreamOps.intervalJoinOuterStream(df(vIn), df(cIn), "1 hour", 10)
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      vIn.addData((1L, dayUs, "itemA"), (2L, dayUs, "itemC"))
+      cIn.addData((1L, dayUs + 5 * min, "itemA")) // within 10 min → joins
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the interval + horizon so the
+      // store must give up on user 2's view and emit it null-padded
+      vIn.addData((9L, dayUs + 600 * min, "later"))
+      cIn.addData((9L, dayUs + 600 * min, "later"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivjo").collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.getString(4))))
+      .toSet
+    assert(rows.contains((1L, "itemA", Some("itemA"))), s"matched row missing: $rows")
+    assert(rows.contains((2L, "itemC", None)), s"null-padded row missing: $rows")
+  }
+
   test("watermarked tumbling counts agree with the batch dual on real events") {
     // batch/stream timestamp-semantics parity over the ADAPTIVE events
     // loader (Tables.events): both sides consume the exact same ts values,
