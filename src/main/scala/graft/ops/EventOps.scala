@@ -567,6 +567,24 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Week-over-week growth per event type — the other dashboard staple
+    * beside [[qEwma]]: weekly volumes with the prior week's count, the
+    * absolute delta, and the growth ratio. All counting is exact BIGINT;
+    * the ratio is one division of exact integers (NULL on the first
+    * week). ONE type-key window over the catalog × weeks aggregate. */
+  def qWow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("week")
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n").as("n_events"),
+        col("prev_n"),
+        (col("n") - col("prev_n")).as("wow_delta"),
+        (col("n") / col("prev_n")).as("wow_ratio"))
+      .orderBy("event_type", "week")
+  }
+
   /** Incremental aggregate maintenance — the nightly-ingest pattern: the
     * standing per-type aggregate is kept as MERGEABLE partials (count,
     * exact scaled-integer value sum, max, first/last ts) and a new
@@ -741,6 +759,7 @@ object EventOps {
     "e_markov" -> qMarkov,
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
+    "e_wow" -> qWow,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -832,6 +851,20 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
+    "e_wow" -> """
+      WITH wk AS (
+        SELECT event_type,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 AS week,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, week, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        FROM wk)
+      SELECT event_type, week, n AS n_events, prev_n,
+             n - prev_n AS wow_delta, n / prev_n AS wow_ratio
+      FROM l ORDER BY event_type, week""",
     "e_ewma" -> """
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
