@@ -163,6 +163,37 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Recall CURVE of the LSH tier: recall@k for k ∈ {1, 3, 5}, macro-
+    * aggregated across queries — [[annRecall]]'s single dial reading
+    * extended to the shape every ANN evaluation actually plots (high
+    * recall@5 with poor recall@1 means the tier finds the neighborhood
+    * but misorders its head — a re-rank problem, not a bucketing
+    * problem; the reverse means lost candidates — a probe problem).
+    *
+    * Plan/scale: both sides reuse the existing top-5 relations (exact
+    * broadcast pass + bucketed LSH pass); the curve itself is a 3-way
+    * melt of the joined rank pairs and a 3-key aggregate — catalog-sized
+    * work after the candidate passes. Counting exact; recall one
+    * division. */
+  def recallCurve(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"))
+    val approx = annLsh(s, d)
+      .select(col("q_id"), col("rank").as("a_rank"), col("vec_id"))
+    exact
+      .join(approx, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rank"),
+        coalesce(col("a_rank"), lit(999)).as("a_rank"),
+        explode(expr("array(1, 3, 5)")).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_rank") <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("k"), col("n_exact"), col("n_hit"),
+        expr("n_hit / n_exact").as("recall"))
+      .orderBy("k")
+  }
+
   // ---- MMR (maximal marginal relevance) selection ------------------------
   private val MmrPoolK = 20
   private val MmrSelK = 5
@@ -1085,6 +1116,7 @@ object SimilarityOps {
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
     "s_ann_recall" -> annRecall,
+    "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
     "s_pq_recon" -> pqRecon,
@@ -1111,6 +1143,34 @@ object SimilarityOps {
         WHERE q.vec_id < 5)
       SELECT q_id, rank::INT AS rank, vec_id, cosine FROM ranked
       WHERE rank <= 10 ORDER BY q_id, rank""",
+    "s_recall_curve" -> s"""
+      WITH exact AS (
+        SELECT q_id, vec_id, rank FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      b2 AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
+             FROM embeddings),
+      approx AS (
+        SELECT q_id, vec_id, rank AS a_rank FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      m AS (SELECT e.q_id, e.rank, coalesce(a.a_rank, 999) AS a_rank
+            FROM exact e LEFT JOIN approx a
+              ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+      x AS (SELECT m.*, t.k FROM m, unnest([1, 3, 5]) AS t(k)
+            WHERE m.rank <= t.k)
+      SELECT k::BIGINT AS k, count(*)::BIGINT AS n_exact,
+             sum(CASE WHEN a_rank <= k THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+             sum(CASE WHEN a_rank <= k THEN 1 ELSE 0 END) / count(*) AS recall
+      FROM x GROUP BY 1 ORDER BY 1""",
     "s_ann_recall" -> s"""
       WITH exact AS (
         SELECT q_id, vec_id FROM (
