@@ -237,7 +237,22 @@ class PlanSnapshotSpec extends SparkSpec {
     // (LocalTableScan) — corpus lineage must never leak into it
     "e_markov_removal" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // one scan → (type, day) agg → ONE type-key window
-    "e_ewma" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0")
+    "e_ewma" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // weekly agg + ONE type-key lag window
+    "e_wow" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // 9-key digit agg + 9-row total window; DetMath is pure projection
+    "v_benford" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    "v_kanon" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // in-row chunking (one Generate, output = corpus size) + hash window
+    "d_cdc_chunks" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
+    // shared pairCounts core + two uniform doc-key source joins
+    "d_near_overlap" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    // exact + LSH candidate passes, 3-way melt, 3-key agg
+    "s_recall_curve" -> "scan=4 xhash=5 xrange=1 bcast=2 smj=1 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=2 wgl=4",
+    // ONE corpus scan (narrow tf projections) + 1-row broadcast stats NLJ
+    "t_bm25" -> "scan=2 xhash=0 xrange=0 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0",
+    // lateral LIMIT decorrelated: partitioned window (wgl) + broadcast join
+    "q_lateral_topk" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=3")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
