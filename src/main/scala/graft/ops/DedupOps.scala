@@ -518,6 +518,39 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** NEAR-dup leakage across the train/val/test split — the risk
+    * [[graft.ops.CorpusOps.dataSplit]]'s content-hash keying provably
+    * eliminates for EXACT duplicates but cannot for near-duplicates: a
+    * lightly-edited copy of a training document landing in test inflates
+    * eval scores exactly like exact leakage does. Every capped-Jaccard
+    * near-dup pair is classified by the (ordered) split pair it
+    * straddles using the SAME h60-mod-10 rule as the split itself —
+    * off-diagonal cells, especially (test, train), are the leakage a
+    * curator must clean (route near-dup CLUSTERS, not documents, to
+    * splits — e.g. key the split on the cluster min-id from
+    * [[dedupClusters]]).
+    *
+    * Plan/scale: rides the shared [[pairCounts]] core + two uniform
+    * doc-key joins onto a narrow (doc_id, split) projection and a
+    * 9-cell aggregate. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardFrom(pairCounts(s, d, DefaultMaxDf))
+      .select(col("a_id"), col("b_id"))
+    val sp = documents(s, d).select(col("doc_id"),
+      expr(s"""CASE WHEN ${h60("text")} % 10 < 8 THEN 'train'
+                    WHEN ${h60("text")} % 10 = 8 THEN 'val'
+                    ELSE 'test' END""").as("sp"))
+    pairs
+      .join(sp.select(col("doc_id").as("a_id"), col("sp").as("sp_a")), "a_id")
+      .join(sp.select(col("doc_id").as("b_id"), col("sp").as("sp_b")), "b_id")
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_near_pairs"))
+      .withColumn("is_leakage", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** The (bands × rows-per-band) factorizations of the 16-perm MinHash
     * signature whose s-curves [[lshTuning]] prices. All powers of two, so
     * the detection-probability powers are exact squaring chains. */
@@ -1281,6 +1314,7 @@ object DedupOps {
     "d_semantic_dedup" -> semanticDedup,
     "d_containment" -> containment,
     "d_near_overlap" -> nearOverlap,
+    "d_split_leakage" -> splitLeakage,
     "d_cdc_chunks" -> cdcChunks,
     "d_source_overlap" -> sourceOverlap)
 
@@ -1613,6 +1647,23 @@ object DedupOps {
              coalesce(sum(CASE WHEN copies > 1 THEN chunk_tokens END), 0)::BIGINT
                AS dup_tokens
       FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "d_split_leakage" -> s"""
+      WITH $JaccardCappedCtes,
+      jp AS (SELECT a_id, b_id
+             FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      sp AS (SELECT doc_id,
+               CASE WHEN (${h60Sql("text")}) % 10 < 8 THEN 'train'
+                    WHEN (${h60Sql("text")}) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS sp
+             FROM documents)
+      SELECT least(sa.sp, sb.sp) AS split_a,
+             greatest(sa.sp, sb.sp) AS split_b,
+             count(*)::BIGINT AS n_near_pairs,
+             least(sa.sp, sb.sp) <> greatest(sa.sp, sb.sp) AS is_leakage
+      FROM jp JOIN sp sa ON jp.a_id = sa.doc_id
+              JOIN sp sb ON jp.b_id = sb.doc_id
+      GROUP BY 1, 2, 4 ORDER BY 1, 2""",
     "d_near_overlap" -> s"""
       WITH $JaccardCappedCtes,
       jp AS (SELECT a_id, b_id
