@@ -51,4 +51,23 @@ class TestdataShapeSpec extends SparkSpec {
       assert(dt == TimestampType,
         s"events.ts loaded as $dt at $sf — Tables.events dispatch needs a new case")
     }
+
+  test("adaptive events loader: legacy nanos-as-long branch converts exactly") {
+    // the branch real testdata no longer exercises (pre-r7 generations
+    // shipped TIMESTAMP(NANOS), read as raw longs under nanosAsLong):
+    // synthesize a long-typed ts and assert the floor-division conversion
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val nanos = Seq(
+      (1L, 1700000000123456789L), // 1700000000.123456 s + 789 ns (floored)
+      (2L, 999L),                 // sub-microsecond → epoch
+      (3L, 0L))
+    nanos.toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == TimestampType)
+    val us = got.selectExpr("event_id", "unix_micros(ts)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(us == Map(1L -> 1700000000123456L, 2L -> 0L, 3L -> 0L), s"got $us")
+  }
 }
