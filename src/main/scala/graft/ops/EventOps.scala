@@ -567,6 +567,27 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** New-vs-returning daily actives — the growth-accounting split every
+    * activity dashboard pairs with DAU: per day, how many active users
+    * saw their FIRST-ever event that day vs earlier. First-seen day is a
+    * per-user window min over the (user, day) distinct relation, so the
+    * whole report is ONE uniform user-key shuffle + a calendar-sized
+    * day aggregate; all counting exact BIGINT. */
+  def qNewReturning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("first_day", min(col("day")).over(w))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .orderBy("day")
+  }
+
   /** Week-over-week growth per event type — the other dashboard staple
     * beside [[qEwma]]: weekly volumes with the prior week's count, the
     * absolute delta, and the growth ratio. All counting is exact BIGINT;
@@ -760,6 +781,7 @@ object EventOps {
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
     "e_wow" -> qWow,
+    "e_new_returning" -> qNewReturning,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -851,6 +873,20 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
+    "e_new_returning" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      f AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day
+        FROM ud)
+      SELECT day, count(*)::BIGINT AS dau,
+             sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+               AS new_users,
+             sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT
+               AS returning_users
+      FROM f GROUP BY 1 ORDER BY day""",
     "e_wow" -> """
       WITH wk AS (
         SELECT event_type,

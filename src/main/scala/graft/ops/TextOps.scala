@@ -689,6 +689,36 @@ object TextOps {
     * aggregate; its count-only scan reads zero parquet columns. The
     * window's top-k gets the WindowGroupLimit partial/final pushdown
     * (rank ≤ 3 filtered below the shuffle) on Spark 4. */
+  /** Vocabulary-growth (Heaps' law) curve: distinct-token count after
+    * the first 64 / 128 / … / 8192 documents (by doc_id) — the
+    * corpus-health curve that says whether new data still brings new
+    * vocabulary (a flattening curve means diminishing returns; a curve
+    * that never flattens means noise/PII-like token churn). Each token
+    * contributes through its FIRST document only (min doc_id), so the
+    * whole curve reads off one token-key aggregate melted against the
+    * checkpoint list — never one pass per checkpoint.
+    *
+    * Plan/scale: one scan → explode → (tok) partial agg (min doc_id) →
+    * an 8-way checkpoint melt → 8-key agg. The doc-count side rides the
+    * same melt over the pruned doc_id projection. */
+  def heaps(s: SparkSession, d: String): DataFrame = {
+    val cps = Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)
+    val cpArr = cps.mkString("array(", "L, ", "L)")
+    val firstDoc = documents(s, d)
+      .select(col("doc_id"), explode(expr(Toks)).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      .select(explode(expr(s"filter($cpArr, c -> first_doc < c)")).as("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_vocab"))
+    val docs = documents(s, d)
+      .select(col("doc_id"))
+      .select(explode(expr(s"filter($cpArr, c -> doc_id < c)")).as("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_docs"))
+    docs.join(firstDoc, Seq("cp"), "left")
+      .select(col("cp").as("checkpoint"), col("n_docs"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+      .orderBy("checkpoint")
+  }
+
   /** Fixed query-term set for [[bm25]] — inlined as literals into both
     * engines (drawn from the synthetic vocabulary so tf/df are
     * exercised, not degenerate). */
@@ -1050,6 +1080,7 @@ object TextOps {
     "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
     "t_bm25" -> bm25,
+    "t_heaps" -> heaps,
     "t_pmi" -> pmi,
     "t_winnow" -> winnow,
     "t_token_stats" -> tokenStats,
@@ -1438,6 +1469,21 @@ object TextOps {
       SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
       FROM e ORDER BY doc_id""",
     "t_bm25" -> bm25Oracle,
+    "t_heaps" -> """
+      WITH fd AS (
+        SELECT tok, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1),
+      cps AS (SELECT unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192]) AS cp),
+      v AS (SELECT c.cp, count(*)::BIGINT AS n_vocab
+            FROM fd f JOIN cps c ON f.first_doc < c.cp GROUP BY 1),
+      nd AS (SELECT c.cp, count(*)::BIGINT AS n_docs
+             FROM documents d JOIN cps c ON d.doc_id < c.cp GROUP BY 1)
+      SELECT nd.cp::BIGINT AS checkpoint, nd.n_docs,
+             coalesce(v.n_vocab, 0)::BIGINT AS n_vocab
+      FROM nd LEFT JOIN v ON nd.cp = v.cp
+      ORDER BY checkpoint""",
     "t_tfidf" -> s"""
       WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS c
                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
