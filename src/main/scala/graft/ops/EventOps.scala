@@ -567,6 +567,58 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Session-level market-basket pairs: items (the `props.k` id) that
+    * co-occur in the same 30-minute gap session, with support and exact
+    * lift — the association-mining readout behind "viewed together"
+    * features. Support counts sessions containing BOTH items (session-
+    * distinct, so repeats don't inflate); lift = n_both·N / (n_a·n_b)
+    * is one division of exact BIGINT products.
+    *
+    * Plan/scale: sessionized item sets are materialized once
+    * (localCheckpoint — three consumers: total, per-item counts, pair
+    * enumeration); pairs are enumerated INSIDE each session's sorted
+    * item array (posexplode + slice, the [[graft.ops.DedupOps]]
+    * inverted-index device at session grain) — output-sensitive, never
+    * a corpus self-join; per-item counts are catalog-sized and
+    * broadcast. Support ≥ 2 bounds the output (the synthetic
+    * sessions are short; production raises the floor). */
+  def qBasket(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sess = events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_id"), col("k")).distinct()
+      .localCheckpoint()
+    val nSessions = sess.select("user_id", "session_id").distinct().count()
+    val itemCounts = sess.groupBy("k").agg(count(lit(1)).as("n_item"))
+    sess
+      .groupBy("user_id", "session_id")
+      .agg(expr("array_sort(collect_list(k))").as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(posexplode(col("items")).as(Seq("i", "a")), col("items"))
+      .select(col("a"), explode(expr("slice(items, i + 2, size(items))")).as("b"))
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+      .join(broadcast(itemCounts.select(col("k").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("k").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        expr(s"CAST(n_both * ${nSessions}L AS DOUBLE) / " +
+          "CAST(n_a * n_b AS DOUBLE)").as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** New-vs-returning daily actives — the growth-accounting split every
     * activity dashboard pairs with DAU: per day, how many active users
     * saw their FIRST-ever event that day vs earlier. First-seen day is a
@@ -782,6 +834,7 @@ object EventOps {
     "e_ewma" -> qEwma,
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
+    "e_basket" -> qBasket,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -873,6 +926,39 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
+    "e_basket" -> """
+      WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tus,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      flagged AS (
+        SELECT *, lag(epoch_us(tus))
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_us
+        FROM base),
+      sess AS (
+        SELECT user_id, k,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(tus) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM flagged),
+      sd AS (SELECT DISTINCT user_id, session_id, k FROM sess),
+      ns AS (SELECT count(*)::BIGINT AS n
+             FROM (SELECT DISTINCT user_id, session_id FROM sd)),
+      ic AS (SELECT k, count(*)::BIGINT AS n_item FROM sd GROUP BY 1),
+      pr AS (SELECT a.k AS item_a, b.k AS item_b, count(*)::BIGINT AS n_both
+             FROM sd a JOIN sd b
+               ON a.user_id = b.user_id AND a.session_id = b.session_id
+                  AND a.k < b.k
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT p.item_a, p.item_b, p.n_both,
+             ia.n_item AS n_a, ib.n_item AS n_b,
+             CAST(p.n_both * (SELECT n FROM ns) AS DOUBLE) /
+               CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      FROM pr p JOIN ic ia ON p.item_a = ia.k JOIN ic ib ON p.item_b = ib.k
+      ORDER BY p.item_a, p.item_b""",
     "e_new_returning" -> """
       WITH ud AS (
         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

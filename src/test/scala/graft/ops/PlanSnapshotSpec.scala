@@ -249,6 +249,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "d_near_overlap" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
     // same shape, split projection instead of source
     "d_split_leakage" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    // session item sets checkpointed (scan=0: pairs read the materialized
+    // relation); in-array pair enumeration + 2 catalog-sized broadcasts
+    "e_basket" -> "scan=0 xhash=4 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     // exact + LSH candidate passes, 3-way melt, 3-key agg
     "s_recall_curve" -> "scan=4 xhash=5 xrange=1 bcast=2 smj=1 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=2 wgl=4",
     // ONE corpus scan (narrow tf projections) + 1-row broadcast stats NLJ
