@@ -1245,13 +1245,21 @@ object DedupOps {
     * rounds — components are star-like, so an extra self-join per round
     * would cost more than it saves. Revisit only if a corpus shows deep
     * chain components. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** Connected-components clustering over a caller-supplied undirected
+    * pair relation (a_id, b_id) — the production consumer form over a
+    * materialized [[pairCounts]]-derived edge list (see the composition
+    * in [[pairCounts]]; also accepts simhash / phash / embedding pair
+    * outputs, which share the (a_id, b_id) shape). */
+  def dedupClustersFrom(pairRelation: DataFrame): DataFrame = {
     // checkpoint BEFORE the symmetric union so both branches read the
     // materialized pairs by construction (previously this leaned on
     // exchange reuse to avoid running the Jaccard pipeline per branch —
     // wall-clock equal, but reuse is an optimizer courtesy, not a
     // guarantee, and the flipped projection is free off a checkpoint)
-    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")

@@ -567,6 +567,27 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Normalized cohort retention — [[qCohort]]'s counts divided by each
+    * cohort's week-0 size (the form a retention chart actually plots:
+    * "what fraction of the users acquired in week W were still active
+    * N weeks later"). The week-0 base rides a cohort-key window over
+    * the catalog-sized cohort grid; the rate is one division of exact
+    * BIGINTs. Same single user-key shuffle as qCohort. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val wc = Window.partitionBy("cohort_week")
+    events(s, d)
+      .withColumn("cw", date_trunc("week", min(col("ts")).over(wu)))
+      .withColumn("ew", date_trunc("week", col("ts")))
+      .groupBy(col("cw").as("cohort_week"),
+        expr("cast(datediff(ew, cw) as bigint) DIV 7").as("week_n"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_n") === 0, col("n_active"))).over(wc))
+      .withColumn("retention", col("n_active") / col("cohort_size"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   /** Session-level market-basket pairs: items (the `props.k` id) that
     * co-occur in the same 30-minute gap session, with support and exact
     * lift — the association-mining readout behind "viewed together"
@@ -835,6 +856,7 @@ object EventOps {
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
+    "e_retention" -> qRetention,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -1146,6 +1168,22 @@ object EventOps {
       SELECT user_id, sum(len)::BIGINT AS n_active_days,
              count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
       FROM i GROUP BY 1 ORDER BY user_id""",
+    "e_retention" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      cw AS (SELECT user_id,
+               date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cw,
+               date_trunc('week', ts) AS ew
+             FROM ev),
+      g AS (SELECT cw::TIMESTAMP AS cohort_week,
+              (date_diff('day', cw, ew) // 7)::BIGINT AS week_n,
+              count(DISTINCT user_id)::BIGINT AS n_active
+            FROM cw GROUP BY 1, 2)
+      SELECT cohort_week, week_n, n_active,
+             max(CASE WHEN week_n = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week)::BIGINT AS cohort_size,
+             n_active / max(CASE WHEN week_n = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week) AS retention
+      FROM g ORDER BY cohort_week, week_n""",
     "e_cohort" -> """
       WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       cw AS (SELECT user_id,

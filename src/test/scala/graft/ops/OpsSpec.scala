@@ -599,6 +599,8 @@ class OpsSpec extends SparkSpec {
         rows(DedupOps.pagerank(spark, sf)))
       assert(rows(DedupOps.triangleCountFrom(edges)) ==
         rows(DedupOps.triangleCount(spark, sf)))
+      assert(rows(DedupOps.dedupClustersFrom(edges)) ==
+        rows(DedupOps.dedupClusters(spark, sf)))
     } finally cached.unpersist()
   }
 }

@@ -114,6 +114,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_zipf" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
     // one scan: cohort week is a per-user window min, then one agg
     "e_cohort" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // e_cohort + the week-0 base window over the catalog-sized grid
+    "e_retention" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // one scan -> per-user conditional mins -> 1-row agg -> stack
     "e_event_funnel" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // one scan; carry-forward window on user_id + touch-type-sized agg
