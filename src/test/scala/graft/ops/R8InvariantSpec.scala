@@ -37,6 +37,30 @@ class R8InvariantSpec extends SparkSpec {
     assert(tot == 0.0 || math.abs(tot - 1.0) < 1e-9, s"shares sum to $tot")
   }
 
+  test("e_retention: week-0 rate is exactly 1, later weeks never exceed it") {
+    graft.GraftSession.init(spark)
+    val rows = EventOps.qRetention(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (weekN, rate) =>
+      if (weekN == 0L) assert(rate == 1.0, s"week-0 rate $rate")
+      else assert(rate > 0.0 && rate <= 1.0, s"week $weekN rate $rate")
+    }
+  }
+
+  test("e_basket: pairs are oriented, support consistent, lift positive") {
+    graft.GraftSession.init(spark)
+    // sf0.01: sf0.001 has no pair reaching the support floor
+    val rows = EventOps.qBasket(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"unoriented pair: $r")
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+        s"support exceeds an item count: $r")
+      assert(r.getDouble(5) > 0.0, s"non-positive lift: $r")
+    }
+  }
+
   test("e_ewma: within [min, max] of its trailing window and exact at m=1") {
     graft.GraftSession.init(spark)
     val rows = EventOps.qEwma(spark, sf).collect()
