@@ -532,6 +532,17 @@ object MultimodalOps {
     * rows (cap 64); the exact bit_count(xor) ≤ 3 filter runs on
     * candidates only. Never n²; hot bands are dropped by the cap, and
     * only (id, hash) pairs ever shuffle — payloads stay in the scan. */
+  /** Perceptual near-dup CLUSTERS: connected components over the
+    * [[phashPairs]] Hamming-≤3 graph via the shared
+    * [[DedupOps.dedupClustersFrom]] — one photo re-encoded five ways
+    * becomes one cluster with one canonical (min-id) representative,
+    * the actionable grouping the pairwise view stops short of. Same
+    * scale shape: banded pair enumeration + the iterative CC over a
+    * checkpointed edge list. */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    DedupOps.dedupClustersFrom(
+      phashPairs(s, d).select(col("a_id"), col("b_id")))
+
   def phashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val maxBand = 64
@@ -563,6 +574,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_phash_pairs" -> phashPairs,
+    "m_phash_clusters" -> phashClusters,
     "m_phash" -> phash,
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
@@ -613,6 +625,26 @@ object MultimodalOps {
       SELECT a_id, b_id, bit_count(xor(pa, pb))::BIGINT AS hamming
       FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
       ORDER BY a_id, b_id""",
+    "m_phash_clusters" -> s"""
+      WITH RECURSIVE $PhashCtes,
+      ch AS (SELECT doc_id, ph, j AS band_idx,
+               (ph >> (15 * j)) & 32767 AS band
+             FROM h, generate_series(0, 3) gs(j)),
+      keep AS (SELECT band_idx, band FROM ch GROUP BY 1, 2
+               HAVING count(*) BETWEEN 2 AND 64),
+      pp AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                  a.ph pa, b.ph pb
+             FROM ch a JOIN ch b ON a.band_idx = b.band_idx
+               AND a.band = b.band AND a.doc_id < b.doc_id
+             JOIN keep k ON a.band_idx = k.band_idx AND a.band = k.band),
+      p AS (SELECT a_id, b_id FROM pp WHERE bit_count(xor(pa, pb)) <= 3),
+      ed AS (SELECT a_id AS u, b_id AS v FROM p
+             UNION SELECT b_id, a_id FROM p),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
+      SELECT u AS doc_id, min(v) AS cluster_id FROM r
+      GROUP BY u ORDER BY doc_id""",
     "m_blob_meta" -> """
       SELECT doc_id, octet_length(CAST(text AS BLOB))::BIGINT AS n_bytes,
              sha256(text) AS content_sha
