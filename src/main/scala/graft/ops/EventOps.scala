@@ -533,9 +533,20 @@ object EventOps {
       .orderBy("event_type", "hour", "day")
   }
 
+  /** Trailing window width (days) for [[qEwma]] — the ONE constant both
+    * the frame bound (`rowsBetween(-(EwmaWindowDays - 1), 0)`) and the
+    * 2^m exactness arithmetic derive from, in the Spark query AND the
+    * DuckDB oracle. The require pins the BIGINT headroom: the Horner
+    * numerator is ≤ max-daily-volume × (2^w − 1) and the weight mass is
+    * 2^w − 1, so w ≤ 32 keeps both exact for daily volumes up to 2³⁰. */
+  private val EwmaWindowDays = 30
+  require(EwmaWindowDays >= 1 && EwmaWindowDays <= 32,
+    s"EwmaWindowDays = $EwmaWindowDays outruns qEwma's 2^m BIGINT headroom" +
+      " (numerator bound max-daily-volume x (2^w - 1) must stay < 2^63)")
+
   /** Exponentially-weighted daily-volume baseline (EWMA, decay 1/2 per
-    * observed day, trailing-30 window, renormalized over the observed
-    * weights) per event type — the smoothing baseline ops dashboards
+    * observed day, trailing-[[EwmaWindowDays]] window, renormalized over
+    * the observed weights) per event type — the smoothing baseline ops dashboards
     * plot against raw volume, complementing [[qSeasonal]]'s
     * same-hour-slot z-scores: EWMA answers "what does RECENT volume say
     * today should look like", seasonality answers "what does this HOUR
@@ -546,19 +557,24 @@ object EventOps {
     * 2·acc + x over the reversed value list (newest gets 2^(m−1)) and
     * the weight mass is 2^m − 1 — all BIGINT, so the reported EWMA is
     * one division of exact integers, bit-identical in both engines.
-    * BIGINT headroom: max daily volume × 2³⁰ ≈ 8·10⁹ days-volume before
-    * overflow — far past any real per-type daily count.
+    * BIGINT headroom: the Horner numerator is bounded by
+    * max-daily-volume × (2^[[EwmaWindowDays]] − 1), so with the 30-day
+    * window any per-type daily count below ~8·10⁹ is exact — and the
+    * frame bound and the 2^m arithmetic are COUPLED through the one
+    * [[EwmaWindowDays]] constant (guarded by a require), so widening
+    * the window can't silently outrun the headroom.
     *
     * Plan/scale: one scan → (type, day) partial agg (catalog × days
-    * rows) → ONE type-key window; the collected frame is ≤ 30 BIGINTs
-    * per row, and everything downstream of the scan is catalog-sized. */
+    * rows) → ONE type-key window; the collected frame is ≤
+    * [[EwmaWindowDays]] BIGINTs per row, and everything downstream of
+    * the scan is catalog-sized. */
   def qEwma(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
     events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("vals",
-        collect_list(col("n")).over(w.rowsBetween(-29, 0)))
+        collect_list(col("n")).over(w.rowsBetween(-(EwmaWindowDays - 1), 0)))
       .withColumn("num",
         expr("aggregate(reverse(vals), 0L, (a, x) -> 2L * a + x)"))
       .withColumn("den", expr("shiftleft(1L, size(vals)) - 1L"))
@@ -588,6 +604,13 @@ object EventOps {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Strict signed-integer shape for [[qBasket]]'s `props.k` id: up to
+    * 18 digits keeps every accepted value inside BIGINT range, so the
+    * subsequent CAST can never fail or wrap in either engine. Applied
+    * to the RAW extracted string in BOTH the Spark query and the DuckDB
+    * oracle — textual, engine-independent drop rule. */
+  private val BasketItemRe = "^-?[0-9]{1,18}$"
+
   /** Session-level market-basket pairs: items (the `props.k` id) that
     * co-occur in the same 30-minute gap session, with support and exact
     * lift — the association-mining readout behind "viewed together"
@@ -602,14 +625,23 @@ object EventOps {
     * inverted-index device at session grain) — output-sensitive, never
     * a corpus self-join; per-item counts are catalog-sized and
     * broadcast. Support ≥ 2 bounds the output (the synthetic
-    * sessions are short; production raises the floor). */
+    * sessions are short; production raises the floor).
+    *
+    * Item-id parsing parity: the `props.k` filter matches the RAW
+    * extracted string against [[BasketItemRe]] (a strict signed-integer
+    * regex, length-bounded under BIGINT range) and only then CASTs —
+    * so both engines drop non-numeric, fractional, or out-of-range k
+    * values by the SAME textual rule instead of each engine's
+    * cast-failure semantics (Spark truncates '12.5', DuckDB rounds it;
+    * ANSI mode would error — none of that is reachable now). */
   def qBasket(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
     val sess = events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .filter(col("k").isNotNull)
+      .withColumn("kraw", get_json_object(col("props"), "$.k"))
+      .filter(col("kraw").rlike(BasketItemRe))
+      .withColumn("k", col("kraw").cast("long"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -760,7 +792,6 @@ object EventOps {
     * recurrence, so the report is bit-exact. */
   private val MrScale = 1000000000L
   private val MrIters = 12
-  private val MrChannels = Seq("click", "error", "signup", "view")
 
   /** Markov removal-effect attribution — the step past [[qMarkov]]'s raw
     * transition matrix: which channel actually DRIVES conversion. Per
@@ -832,7 +863,17 @@ object EventOps {
       a("START")
     }
     val base = absorb(None)
-    val res = MrChannels.map { c =>
+    // Channel catalog DERIVED from the observed transition states (any
+    // state that is not the START/CONV/NULL bookkeeping triple) — a new
+    // event type in regenerated testdata gets its removal-effect row
+    // automatically instead of silently missing attribution. The DuckDB
+    // oracle derives its variants list from its own cnt CTE by the same
+    // rule, so the two catalogs cannot drift.
+    val channels = counts.keysIterator
+      .flatMap { case (f, t) => Iterator(f, t) }
+      .filterNot(Set("START", "CONV", "NULL"))
+      .toSeq.distinct.sorted
+    val res = channels.map { c =>
       val re = base - absorb(Some(c))
       (c, re)
     }
@@ -879,9 +920,12 @@ object EventOps {
     * truncating fixed-point transition matrix, [[MrIters]] unrolled
     * integer absorption steps per variant (base + one per removed
     * channel) — HUGEINT sums make every intermediate exact, like the
-    * Scala driver's Long arithmetic. */
+    * Scala driver's Long arithmetic. The variants list is DERIVED from
+    * the observed transition states (everything but START/CONV/NULL),
+    * the same rule the Scala driver applies to its collected matrix —
+    * the unrolled absorption steps are channel-count-independent, so
+    * no part of the SQL needs a static catalog. */
   private def markovRemovalOracle: String = {
-    val vals = ("base" +: MrChannels).map(v => s"('$v')").mkString(", ")
     def iter(i: Int) = s"""
       a$i AS (
         SELECT pv.variant, pv.from_s AS s,
@@ -921,7 +965,12 @@ object EventOps {
               CAST((n * $MrScale::BIGINT) //
                    sum(n) OVER (PARTITION BY from_s) AS BIGINT) AS p_fp
             FROM cnt),
-      variants AS (SELECT * FROM (VALUES $vals) v(variant)),
+      variants AS (
+        SELECT 'base' AS variant
+        UNION ALL
+        SELECT DISTINCT s AS variant FROM (
+          SELECT from_s AS s FROM cnt UNION ALL SELECT to_s FROM cnt)
+        WHERE s NOT IN ('START', 'CONV', 'NULL')),
       pv AS (SELECT v.variant, p.from_s, p.to_s, p.p_fp
              FROM p CROSS JOIN variants v
              WHERE v.variant = 'base' OR p.to_s <> v.variant),
@@ -948,12 +997,13 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
-    "e_basket" -> """
+    "e_basket" -> s"""
       WITH base AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tus,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
         FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        WHERE regexp_matches(json_extract_string(props, '$$.k'),
+                             '$BasketItemRe')),
       flagged AS (
         SELECT *, lag(epoch_us(tus))
                  OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_us
@@ -1009,7 +1059,7 @@ object EventOps {
       SELECT event_type, week, n AS n_events, prev_n,
              n - prev_n AS wow_delta, n / prev_n AS wow_ratio
       FROM l ORDER BY event_type, week""",
-    "e_ewma" -> """
+    "e_ewma" -> s"""
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                count(*)::BIGINT AS n
@@ -1017,7 +1067,8 @@ object EventOps {
       wd AS (
         SELECT event_type, day, n,
                list(n) OVER (PARTITION BY event_type ORDER BY day
-                             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vals
+                             ROWS BETWEEN ${EwmaWindowDays - 1} PRECEDING
+                             AND CURRENT ROW) AS vals
         FROM daily),
       sc AS (
         SELECT event_type, day, n,

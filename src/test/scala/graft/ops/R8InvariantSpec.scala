@@ -28,7 +28,15 @@ class R8InvariantSpec extends SparkSpec {
   test("e_markov_removal: effects in [0,1], attribution sums to ~1") {
     graft.GraftSession.init(spark)
     val rows = EventOps.qMarkovRemoval(spark, sf).collect()
-    assert(rows.length == 4)
+    // one attribution row per observed non-purchase event type — the
+    // channel catalog is DERIVED from the data (ADVICE r8), so compute
+    // the expectation from the same events table, not a hardcoded 4
+    val expected = Tables.events(spark, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).filterNot(_ == "purchase").sorted
+    assert(rows.map(_.getString(0)).toSeq == expected.toSeq,
+      s"channels ${rows.map(_.getString(0)).mkString(",")} != observed " +
+        s"${expected.mkString(",")}")
     rows.foreach { r =>
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, s"effect: $r")
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"share: $r")
