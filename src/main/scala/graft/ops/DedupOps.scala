@@ -460,10 +460,16 @@ object DedupOps {
     * shift-resistance property is spec-testable on constructed inputs. */
   private[ops] def cdcChunkRelation(docs: DataFrame): DataFrame = {
     val cut = h60("concat(element_at(toks, i), '|', element_at(toks, i + 1))")
+    // The i >= 1 guard covers the degenerate empty-toks case: Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0] (not empty like DuckDB's
+    // generate_series(1, 0)), and without the guard its i = 0 element
+    // satisfies i = size(toks) and emits a phantom zero-length chunk.
+    // Unreachable via split(text, ' '), but this relation accepts any
+    // caller-supplied docs, so agree with the oracle on empty arrays.
     docs
       .select(col("doc_id"), expr(Toks).as("toks"))
       .withColumn("ends", expr(
-        s"filter(sequence(1, size(toks)), i -> i = size(toks) OR ($cut) % $CdcDiv = 0)"))
+        s"filter(sequence(1, size(toks)), i -> i >= 1 AND (i = size(toks) OR ($cut) % $CdcDiv = 0))"))
       .withColumn("chunks", expr(
         """transform(ends, (e, j) -> named_struct(
              'len', CAST(e AS BIGINT) -
@@ -549,6 +555,79 @@ object DedupOps {
       .agg(count(lit(1)).as("n_near_pairs"))
       .withColumn("is_leakage", col("split_a") =!= col("split_b"))
       .orderBy("split_a", "split_b")
+  }
+
+  /** Per-document CLUSTER-keyed split assignment — the cure for the
+    * near-dup leakage [[splitLeakage]] diagnoses: every document is
+    * routed by its near-dup cluster REPRESENTATIVE (the component
+    * min-id from [[dedupClustersFrom]]; singletons represent
+    * themselves), and the bucket is the representative's CONTENT hash
+    * (h60(rep.text) % 10, the same 8/1/1 rule as
+    * [[graft.ops.CorpusOps.dataSplit]]). Consequences, both by
+    * construction: (1) every near-dup pair has both endpoints in one
+    * cluster → one representative → one split, so [[splitLeakage]]
+    * re-keyed on this rule has ZERO off-diagonal cells; (2) exact
+    * duplicates — even ones the DF-capped pair graph missed — share
+    * text, hence h60, hence bucket when they are singletons, and share
+    * a representative when they are not, so exact leakage stays zero
+    * too. Content-keying the representative (not its doc_id) is what
+    * closes that second hole and keeps unclustered docs' assignment
+    * identical to [[graft.ops.CorpusOps.dataSplit]]'s.
+    *
+    * Plan/scale: rides the shared [[pairCounts]] core + the
+    * [[dedupClustersFrom]] label propagation (cluster relation is
+    * pair-graph-sized, far smaller than the corpus), then one LEFT
+    * join docs→labels and one uniform rep-key join to fetch the
+    * representative's bucket. Exposed separately so the zero-leakage
+    * invariant is spec-testable pair-by-pair. */
+  private[ops] def clusterSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clusters = dedupClustersFrom(
+      jaccardFrom(pairCounts(s, d, DefaultMaxDf)).select(col("a_id"), col("b_id")))
+    val repBkt = docs.select(col("doc_id").as("rep_id"),
+      expr(s"${h60("text")} % 10").as("bkt"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .join(repBkt, "rep_id")
+      .select(col("doc_id"), col("rep_id"), expr(
+        """CASE WHEN bkt < 8 THEN 'train'
+                WHEN bkt = 8 THEN 'val'
+                ELSE 'test' END""").as("sp"))
+  }
+
+  /** Cluster-keyed train/val/test split report — the leakage-FREE
+    * counterpart of [[graft.ops.CorpusOps.dataSplit]], keyed per
+    * [[clusterSplitAssign]]. Per split: docs, distinct content hashes,
+    * distinct near-dup clusters, and BOTH leakage gauges — exact
+    * (hashes spanning >1 split) and near-dup (clusters spanning >1
+    * split) — each provably zero under this keying; the columns exist
+    * so the report itself catches a future re-keying regression, the
+    * same role `n_leaked_hashes` plays in the content-hash split.
+    *
+    * Plan/scale: [[clusterSplitAssign]] + one doc-key join to attach
+    * the content hash, then two grain rollups (hash, cluster) joined
+    * on the 3-row split key. */
+  def dataSplitCluster(s: SparkSession, d: String): DataFrame = {
+    val withH = documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(clusterSplitAssign(s, d), "doc_id")
+      .localCheckpoint()
+    val hashRoll = withH
+      .groupBy("h").agg(max(col("sp")).as("sp"), count(lit(1)).as("nd"),
+        count_distinct(col("sp")).as("nsp"))
+      .groupBy("sp").agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_hashes"),
+        sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked_hashes"))
+    val clusterRoll = withH
+      .groupBy("rep_id").agg(max(col("sp")).as("sp"),
+        count_distinct(col("sp")).as("nsp"))
+      .groupBy("sp").agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked_clusters"))
+    hashRoll.join(broadcast(clusterRoll), "sp")
+      .select(col("sp").as("split"), col("n_docs"), col("n_hashes"),
+        col("n_clusters"), col("n_leaked_hashes"), col("n_leaked_clusters"))
+      .orderBy("split")
   }
 
   /** The (bands × rows-per-band) factorizations of the 16-perm MinHash
@@ -1323,6 +1402,7 @@ object DedupOps {
     "d_containment" -> containment,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
+    "t_data_split_cluster" -> dataSplitCluster,
     "d_cdc_chunks" -> cdcChunks,
     "d_source_overlap" -> sourceOverlap)
 
@@ -1672,6 +1752,44 @@ object DedupOps {
       FROM jp JOIN sp sa ON jp.a_id = sa.doc_id
               JOIN sp sb ON jp.b_id = sb.doc_id
       GROUP BY 1, 2, 4 ORDER BY 1, 2""",
+    "t_data_split_cluster" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      jp AS (SELECT a_id, b_id
+             FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ed AS (SELECT a_id AS u, b_id AS v FROM jp
+             UNION SELECT b_id, a_id FROM jp),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v),
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+      rep AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      rb AS (SELECT doc_id AS rep_id, (${h60Sql("text")}) % 10 AS bkt
+             FROM documents),
+      a AS (SELECT rep.doc_id, rep.rep_id,
+              CASE WHEN rb.bkt < 8 THEN 'train'
+                   WHEN rb.bkt = 8 THEN 'val'
+                   ELSE 'test' END AS sp
+            FROM rep JOIN rb ON rep.rep_id = rb.rep_id),
+      wh AS (SELECT a.doc_id, md5(d.text) AS h, a.rep_id, a.sp
+             FROM a JOIN documents d ON a.doc_id = d.doc_id),
+      bh AS (SELECT h, max(sp) AS sp, count(*)::BIGINT AS nd,
+               count(DISTINCT sp)::BIGINT AS nsp
+             FROM wh GROUP BY 1),
+      hr AS (SELECT sp, sum(nd)::BIGINT AS n_docs, count(*)::BIGINT AS n_hashes,
+               sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_leaked_hashes
+             FROM bh GROUP BY 1),
+      bc AS (SELECT rep_id, max(sp) AS sp, count(DISTINCT sp)::BIGINT AS nsp
+             FROM wh GROUP BY 1),
+      cr AS (SELECT sp, count(*)::BIGINT AS n_clusters,
+               sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_leaked_clusters
+             FROM bc GROUP BY 1)
+      SELECT hr.sp AS split, n_docs, n_hashes, n_clusters,
+             n_leaked_hashes, n_leaked_clusters
+      FROM hr JOIN cr ON hr.sp = cr.sp ORDER BY split""",
     "d_near_overlap" -> s"""
       WITH $JaccardCappedCtes,
       jp AS (SELECT a_id, b_id
