@@ -129,10 +129,23 @@ object DedupOps {
     * restricted to survivors by two semi-join-style inner joins on the
     * uniform id). The stage aggregates are 1-row frames broadcast-stacked
     * at the end. A production run materializes each survivor set instead
-    * of re-deriving lineage — the COUNTS and the shapes are identical. */
-  def dedupFunnel(s: SparkSession, d: String): DataFrame = {
+    * of re-deriving lineage — the COUNTS and the shapes are identical.
+    *
+    * Gate form: builds its stage-3 pair relation standalone so the
+    * oracle replay is self-contained. The production composition is
+    * [[dedupFunnelFrom]] over a materialized [[pairCounts]] relation —
+    * same counts (OpsSpec-proven), one shingle shuffle shared with
+    * every other pair consumer. */
+  def dedupFunnel(s: SparkSession, d: String): DataFrame =
+    dedupFunnelFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** The staged dedup funnel over a caller-supplied documents relation
+    * and a (pre-materialized) [[pairCounts]] relation — the production
+    * consumer form (see the composition in [[pairCounts]]): stage 3
+    * scores the shared pair relation with [[jaccardFrom]] instead of
+    * re-running the shingle shuffle the standalone gate query pays. */
+  def dedupFunnelFrom(docs: DataFrame, pairRelation: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
     // each survivor set is materialized (the [[pagerank]]/[[dedupClusters]]
     // checkpoint pattern) — its lineage is consumed by BOTH the next stage
     // and a count branch, and Catalyst would re-expand the whole upstream
@@ -148,7 +161,7 @@ object DedupOps {
       .withColumn("k2", min(col("doc_id")).over(w.partitionBy("h2")))
     val surv2 = s2.filter(col("doc_id") === col("k2")).select(col("doc_id"))
       .localCheckpoint()
-    val pairs = ngramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val pairs = jaccardFrom(pairRelation).select(col("a_id"), col("b_id"))
     val removed3 = pairs
       .join(surv2.withColumnRenamed("doc_id", "a_id"), "a_id")
       .join(surv2.withColumnRenamed("doc_id", "b_id"), "b_id")
@@ -367,6 +380,7 @@ object DedupOps {
     *   DedupOps.jaccardFrom(cached)             // near-dup pairs
     *   DedupOps.containmentFrom(cached)         // subset duplication
     *   DedupOps.lshTuningFrom(cached)           // band-dial s-curves
+    *   DedupOps.dedupFunnelFrom(docs, cached)   // staged removal report
     *   val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
     *   DedupOps.pagerankFrom(edges)             // duplication hubs
     *   DedupOps.triangleCountFrom(edges)        // copy-clique structure

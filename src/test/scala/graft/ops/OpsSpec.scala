@@ -601,6 +601,8 @@ class OpsSpec extends SparkSpec {
         rows(DedupOps.triangleCount(spark, sf)))
       assert(rows(DedupOps.dedupClustersFrom(edges)) ==
         rows(DedupOps.dedupClusters(spark, sf)))
+      assert(rows(DedupOps.dedupFunnelFrom(Tables.documents(spark, sf), cached)) ==
+        rows(DedupOps.dedupFunnel(spark, sf)))
     } finally cached.unpersist()
   }
 }
