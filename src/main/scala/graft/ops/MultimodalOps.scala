@@ -18,9 +18,12 @@ import graft.zip.ZipExtract
   * m_* oracle queries exercise: the testdata corpus carries ASCII text as
   * the payload column, and DuckDB cannot decode images — so the oracle
   * checks the stand-in arithmetic while the scalatest suite checks the
-  * real decode on in-fixture PNGs. AUDIO/VIDEO remain stubbed (no JDK
-  * codec); only the byte-extraction stand-in would change with a real
-  * demuxer, not the plan shapes.
+  * real decode on in-fixture PNGs. AUDIO decodes real PCM for sniffed
+  * WAV via `javax.sound.sampled`; VIDEO decodes real frames for Y4M
+  * (pure-JVM demux) and multi-frame GIF (imageio sequence reader) —
+  * other containers (MP4/MKV/WebM) have no JDK codec and stay on the
+  * byte-extraction stand-in; only that stand-in would change with a
+  * real demuxer, not the plan shapes.
   *
   * Scale: mapPartitions keeps per-task state (a decoder context) allocated
   * once per partition, not per row — the same batch shape as an Arrow-batch
@@ -254,12 +257,132 @@ object Multimodal {
       out
     }
 
-  /** STUB — real implementation would demux the container and decode every
-    * k-th video frame (no JDK video codec exists). Stand-in: sample every
-    * 32nd byte as the "frame". */
+  /** True when the payload opens with the Y4M stream magic
+    * (`YUV4MPEG2 ` — the raw-video interchange format every yuv toolchain
+    * writes). Signature-gated like [[looksLikeImage]], for the same
+    * determinism reason. */
+  def looksLikeY4m(body: Array[Byte]): Boolean =
+    body.length >= 10 && "YUV4MPEG2 ".zipWithIndex.forall {
+      case (ch, i) => body(i) == ch.toByte
+    }
+
+  private def looksLikeGif(body: Array[Byte]): Boolean =
+    body.length >= 6 && body(0) == 'G' && body(1) == 'I' && body(2) == 'F' &&
+      body(3) == '8' && (body(4) == '7' || body(4) == '9') && body(5) == 'a'
+
+  /** Real Y4M demux: header `YUV4MPEG2 W<w> H<h> ... [C<cs>]\n`, then per
+    * frame a `FRAME[ params]\n` marker followed by raw planar YUV. Frame
+    * byte size follows the colorspace (4:2:0 → 3·Y/2, 4:2:2 → 2·Y,
+    * 4:4:4 → 3·Y, mono → Y; default C420jpeg per spec). Emits one
+    * (frame_idx, mean-luma) row per frame — mean over the Y plane in
+    * truncating integer division, so the statistic is exact and
+    * engine-replayable. None on any malformed header/frame (sniffed-but-
+    * broken payloads fall back to the byte stand-in, the
+    * [[decodeImage]] convention). */
+  def y4mFrameMeans(body: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    if (!looksLikeY4m(body)) return None
+    val nlAt = body.indexOf('\n'.toByte)
+    if (nlAt < 0) return None
+    val params = new String(body, 0, nlAt, "US-ASCII").split(' ').drop(1)
+    def num(tag: Char): Option[Int] =
+      params.collectFirst { case p if p.nonEmpty && p.head == tag =>
+        p.tail.toIntOption }.flatten
+    val cs = params.collectFirst { case p if p.nonEmpty && p.head == 'C' =>
+      p.tail }.getOrElse("420jpeg")
+    (num('W'), num('H')) match {
+      case (Some(w), Some(h)) if w > 0 && h > 0 =>
+        val ySize = w.toLong * h
+        val frameSize = cs match {
+          case c if c.startsWith("420") => ySize * 3 / 2
+          case c if c.startsWith("422") => ySize * 2
+          case c if c.startsWith("444") => ySize * 3
+          case "mono"                   => ySize
+          case _                        => return None
+        }
+        if (ySize > Int.MaxValue) return None
+        val frames = Seq.newBuilder[(Int, Int)]
+        var pos = nlAt + 1
+        var idx = 0
+        while (pos < body.length) {
+          // FRAME marker, optional parameters up to the newline
+          if (pos + 5 > body.length ||
+            !"FRAME".zipWithIndex.forall { case (c, i) => body(pos + i) == c.toByte })
+            return None
+          val eol = body.indexOf('\n'.toByte, pos + 5)
+          if (eol < 0 || eol + frameSize > body.length) return None
+          var sum = 0L
+          var i = eol + 1
+          val yEnd = eol + 1 + ySize.toInt
+          while (i < yEnd) { sum += body(i) & 0xff; i += 1 }
+          frames += ((idx, (sum / ySize).toInt))
+          idx += 1
+          pos = eol + 1 + frameSize.toInt
+        }
+        val out = frames.result()
+        if (out.isEmpty) None else Some(out)
+      case _ => None
+    }
+  }
+
+  private def meanLuma(img: BufferedImage): Int = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    (sum / (img.getWidth.toLong * img.getHeight)).toInt
+  }
+
+  /** Real multi-frame GIF decode via the JDK's imageio sequence reader —
+    * EVERY frame, not just the first one [[decodeImage]] returns. Emits
+    * (frame_idx, mean-BT.601-luma) per frame, the same per-frame
+    * statistic as [[y4mFrameMeans]]. None when the payload is not a GIF
+    * or the reader fails (fall back to the byte stand-in). */
+  def gifFrameMeans(body: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    if (!looksLikeGif(body)) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(body))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        r.setInput(iis)
+        try {
+          val n = r.getNumImages(true)
+          if (n < 1) None
+          else Some((0 until n).map(i => (i, meanLuma(r.read(i)))))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-frame sampling — the video analogue of [[audioSamples]]'
+    * codec boundary. REAL demux paths: Y4M ([[y4mFrameMeans]] — pure-JVM
+    * header+raw-frames parse) and multi-frame GIF ([[gifFrameMeans]] —
+    * imageio sequence reader), each emitting one (frame_idx, mean-luma)
+    * row per actual container frame. Anything else keeps the
+    * deterministic byte stand-in (every `stride`-th byte as the
+    * "frame"), which is also the oracle path: the testdata corpus is
+    * ASCII text DuckDB replays with substr/unicode, while the scalatest
+    * suite drives the real demux on in-fixture Y4M/GIF payloads.
+    * Remaining containers (MP4/MKV/WebM) have no JDK demuxer — they
+    * stay on the stand-in, documented, until a real codec dependency is
+    * allowed. */
   def sampleFrames(body: Array[Byte], stride: Int = 32): Iterator[(Int, Int)] =
-    Iterator.range(0, body.length, stride).zipWithIndex.map {
-      case (pos, idx) => (idx, body(pos) & 0xff)
+    y4mFrameMeans(body).orElse(gifFrameMeans(body)) match {
+      case Some(frames) => frames.iterator
+      case None =>
+        Iterator.range(0, body.length, stride).zipWithIndex.map {
+          case (pos, idx) => (idx, body(pos) & 0xff)
+        }
     }
 
   /** Perceptual difference-hash (dHash), 60-bit: resample to an 11×6
@@ -357,8 +480,12 @@ object MultimodalOps {
       .orderBy("doc_id", "bin")
   }
 
-  /** Frame sampling: one output row per sampled "frame" with its position
-    * and value — the flatMap (1 row → N rows) shape of a video pipeline. */
+  /** Frame sampling: one output row per sampled frame with its index and
+    * per-frame value — the flatMap (1 row → N rows) shape of a video
+    * pipeline. The decode is the codec boundary ([[Multimodal
+    * .sampleFrames]]): REAL per-frame mean luma for sniffed Y4M and
+    * multi-frame GIF containers, the byte stand-in otherwise (the
+    * oracle path over the ASCII corpus — DuckDB cannot demux video). */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)

@@ -89,6 +89,68 @@ class FixtureGateSpec extends SparkSpec {
       12L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"clusters: $cl")
   }
 
+  /** Hand-assembled Y4M: header + FRAME-marked raw 4:2:0 planes, each
+    * frame's Y plane a constant — the known mean. */
+  private def y4mBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    for (l <- lumas) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill(w * h)(l.toByte))          // Y plane
+      out.write(Array.fill(w * h / 2)(128.toByte))    // U + V at 4:2:0
+    }
+    out.toByteArray
+  }
+
+  /** Animated GIF via the imageio sequence writer; each frame a uniform
+    * gray — uniform colors survive GIF palette quantization exactly. */
+  private def gifBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (l <- lumas) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("m_frame_sample: real Y4M and animated-GIF frames through the query path") {
+    graft.GraftSession.init(spark)
+    // doc 0: 3-frame Y4M; doc 1: 2-frame GIF; doc 2: plain bytes
+    // (stand-in: every 32nd byte). All three dispatch paths in one run.
+    val y4m = y4mBytes(4, 2, Seq(10, 200, 77))
+    val gif = gifBytes(3, 3, Seq(0, 255))
+    val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
+    // codec-level truth first (unit check of the two new decoders)
+    assert(Multimodal.y4mFrameMeans(y4m).get == Seq((0, 10), (1, 200), (2, 77)))
+    assert(Multimodal.gifFrameMeans(gif).get == Seq((0, 0), (1, 255)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_y4m_fix").toString
+    val rows = Seq((0L, y4m), (1L, gif), (2L, raw))
+      .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("m_frame_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val want = Seq(
+      (0L, 0, 10), (0L, 1, 200), (0L, 2, 77), // Y4M per-frame mean luma
+      (1L, 0, 0), (1L, 1, 255),               // GIF per-frame mean luma
+      (2L, 0, 0), (2L, 1, 96), (2L, 2, 192))  // byte stand-in, stride 32
+    assert(got == want, s"got $got")
+  }
+
   test("d_hot_spans: a seeded boilerplate span crosses the DF cap and surfaces") {
     graft.GraftSession.init(spark)
     // DefaultMaxDf = 20 → 25 copies of one 3-token span is HOT; every
