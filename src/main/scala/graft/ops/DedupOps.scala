@@ -389,8 +389,13 @@ object DedupOps {
     * 100 TB the pair relation is output-sensitive (DF-capped) and
     * typically orders of magnitude smaller than the corpus, so the
     * re-reads are cheap. */
-  def pairCounts(s: SparkSession, d: String, maxDf: Int = DefaultMaxDf): DataFrame =
-    documents(s, d)
+  /** (sh, doc_id, n) — one row per distinct shingle per document,
+    * carrying the doc's total distinct-shingle count. ONE definition
+    * shared by [[pairCounts]] and the streaming pair maintenance
+    * ([[graft.streaming.StreamOps.pairDeltaStream]]), so the batch and
+    * streaming arms can never disagree on what a posting is. */
+  private[graft] def shinglePostings(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
       // each posting carries its doc's shingle count, so |A| and |B| ride
@@ -398,6 +403,9 @@ object DedupOps {
       // counts relation at any scale
       .select(col("doc_id"), size(col("shs")).cast("bigint").as("n"),
         explode(col("shs")).as("sh"))
+
+  def pairCounts(s: SparkSession, d: String, maxDf: Int = DefaultMaxDf): DataFrame =
+    shinglePostings(documents(s, d))
       .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
       // enumerate exactly the C(f,2) position pairs (i < j) via slice —

@@ -202,6 +202,82 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One (shingle → document) posting for the streaming pair state. */
+  case class ShinglePosting(sh: String, docId: Long, n: Long)
+  /** Signed near-dup candidate-pair increment: `delta` = +1 when a new
+    * co-occurrence is observed on some shingle, −1 per retracted pair
+    * when that shingle crosses the df cap. Summing deltas per
+    * (aId, bId, nA, nB) reproduces batch [[graft.ops.DedupOps
+    * .pairCounts]]'s `inter` exactly — hot shingles net to zero. */
+  case class PairDelta(aId: Long, bId: Long, nA: Long, nB: Long, delta: Long)
+  /** Public: the state encoder's generated code must construct it.
+    * `saturated` shingles keep NO postings — the state row shrinks to
+    * one boolean the moment the cap trips. */
+  case class PostingListState(docIds: Seq[Long], ns: Seq[Long], saturated: Boolean)
+
+  /** Streaming near-dup candidate-pair maintenance — the streaming arm
+    * of [[graft.ops.DedupOps.pairCounts]] (the near-dup complement of
+    * [[dedupStream]]'s exact-hash dedup): per-shingle capped posting
+    * lists in keyed state, new candidate pairs emitted per micro-batch
+    * as they co-occur. Shingling is the SAME
+    * [[graft.ops.DedupOps.shinglePostings]] definition the batch query
+    * compiles, so the two arms cannot drift.
+    *
+    * The df cap is handled by RETRACTION, not omission: when a
+    * shingle's (maxDf+1)-th document arrives, the op emits delta=−1
+    * for every pair it previously credited to that shingle and marks
+    * the key saturated. Downstream `sum(delta)` per pair therefore
+    * equals the batch relation EXACTLY — hot shingles net to zero,
+    * just as the batch filter drops them — which is the spec's
+    * merge==batch proof, saturation mid-stream included. (A
+    * tolerate-overcount consumer can simply ignore negative deltas.)
+    *
+    * State/scale: per live shingle ≤ maxDf (docId, n) postings;
+    * saturated keys collapse to one boolean forever (hot shingles are
+    * the corpus's boilerplate — the aggregate state for them is O(1),
+    * not O(df)). Keys are uniform shingle hashes across executors. Key
+    * COUNT is the distinct-shingle domain; a production deployment
+    * bounds it with a processing-time TTL (the [[dedupStream]]
+    * watermark trade: pairs further apart than the horizon fall to the
+    * batch job) — left off here so the parity spec is exact. */
+  def pairDeltaStream(docs: DataFrame,
+      maxDf: Int = graft.ops.DedupOps.DefaultMaxDf): Dataset[PairDelta] = {
+    import docs.sparkSession.implicits._
+
+    def update(sh: String, rows: Iterator[ShinglePosting],
+        state: GroupState[PostingListState]): Iterator[PairDelta] = {
+      var st = state.getOption.getOrElse(PostingListState(Nil, Nil, false))
+      val out = List.newBuilder[PairDelta]
+      def pair(a: Long, na: Long, b: Long, nb: Long, d: Long): PairDelta =
+        if (a < b) PairDelta(a, b, na, nb, d) else PairDelta(b, a, nb, na, d)
+      // docId order within the batch: deterministic emission regardless
+      // of shuffle arrival order
+      rows.toSeq.sortBy(_.docId).foreach { r =>
+        if (!st.saturated && !st.docIds.contains(r.docId)) {
+          if (st.docIds.size + 1 > maxDf) {
+            // cap crossed: retract every pair this shingle credited
+            // (pairs with r were never emitted — nothing to retract)
+            for (i <- st.docIds.indices; j <- (i + 1) until st.docIds.size)
+              out += pair(st.docIds(i), st.ns(i), st.docIds(j), st.ns(j), -1L)
+            st = PostingListState(Nil, Nil, saturated = true)
+          } else {
+            for (i <- st.docIds.indices)
+              out += pair(st.docIds(i), st.ns(i), r.docId, r.n, 1L)
+            st = PostingListState(st.docIds :+ r.docId, st.ns :+ r.n, false)
+          }
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    graft.ops.DedupOps.shinglePostings(docs)
+      .select(col("sh"), col("doc_id").as("docId"), col("n")).as[ShinglePosting]
+      .groupByKey(_.sh)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Stream-stream interval join: each click pairs with the same user's
     * view at most `intervalMinutes` earlier. Both sides carry watermarks
     * and the join condition bounds event time on both ends, so Spark can

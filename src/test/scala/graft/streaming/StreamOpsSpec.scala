@@ -559,6 +559,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("flat"), s"unexpected message: ${e.getMessage}")
   }
 
+  test("pairDeltaStream: summed deltas == batch pairCounts, saturation included") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // maxDf = 3; "alpha beta gamma" is shared by all 5 docs (goes HOT
+    // mid-stream and must net to zero via retraction); docs 1-2 and 3-4
+    // each share one cold span that must survive with inter = 1
+    def txt(i: Int, span: String) = s"alpha beta gamma u$i v$i $span"
+    val docs = Map(
+      1L -> txt(1, "delta eps zeta"), 2L -> txt(2, "delta eps zeta"),
+      3L -> txt(3, "eta theta iota"), 4L -> txt(4, "eta theta iota"),
+      5L -> txt(5, "solo five tail"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pairDeltaStream(
+        in.toDF().toDF("doc_id", "text"), maxDf = 3)
+      .writeStream.format("memory").queryName("pairdelta")
+      .outputMode("append").start()
+    // batch 1: docs 1,2 → +1 pairs on BOTH shared shingles; batch 2:
+    // doc 3 fills the hot shingle to the cap; batch 3: doc 4 crosses it
+    // (retraction fires), doc 5 arrives after saturation (ignored)
+    in.addData((1L, docs(1L)), (2L, docs(2L)))
+    q.processAllAvailable()
+    in.addData((3L, docs(3L)))
+    q.processAllAvailable()
+    in.addData((4L, docs(4L)), (5L, docs(5L)))
+    q.processAllAvailable()
+    val deltas = spark.table("pairdelta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    q.stop()
+    assert(deltas.exists(_._5 == -1L), "retraction path never fired")
+    val merged = deltas
+      .groupBy(d => (d._1, d._2, d._3, d._4))
+      .map { case (k, ds) => (k._1, k._2, k._3, k._4, ds.map(_._5).sum) }
+      .filter(_._5 > 0).toSet
+    // batch truth over the same corpus through the same shingle def
+    val dir = tmp("graft_pairstream")
+    docs.toSeq.toDF("doc_id", "text").repartition(2)
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.DedupOps.pairCounts(spark, dir, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(merged == batch,
+      s"stream-merged ${merged.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    // and the cold spans did survive — the equality above is non-vacuous
+    assert(batch.exists(p => p._1 == 1L && p._2 == 2L && p._5 == 1L))
+    assert(batch.exists(p => p._1 == 3L && p._2 == 4L && p._5 == 1L))
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"
