@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison (judge advice r8 #7).
+
+  python3 tools/bench_diff.py <prev.json> <cur.json> [--threshold 1.5]
+
+Each input is any of:
+  - a Bench per-query artifact (target/bench.json or BENCH_rN_queries.json):
+    one JSON object per line; the LAST line carrying a "queries" map wins,
+    so an appended drift line supersedes the full run for its queries.
+  - a driver BENCH_rN.json: {"parsed": {...}} (falls back to parsed.queries
+    when present).
+
+Prints one row per query present in both files — prev, cur, ratio —
+sorted by ratio descending, and flags |ratio| beyond the threshold.
+Exit code 1 when any flagged regression exists (ratio > threshold), so
+the dev loop can gate on it.
+"""
+import json
+import sys
+
+
+def load_queries(path):
+    queries = {}
+    with open(path) as f:
+        text = f.read()
+    # whole-file JSON (driver artifact) or line-delimited (Bench artifact)
+    try:
+        obj = json.loads(text)
+        objs = [obj]
+    except json.JSONDecodeError:
+        objs = []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                objs.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    for obj in objs:
+        if isinstance(obj.get("parsed"), dict):
+            obj = obj["parsed"]
+        q = obj.get("queries")
+        if isinstance(q, dict):
+            queries.update(q)  # later lines (drift re-times) supersede
+    if not queries:
+        sys.exit(f"no per-query map found in {path}")
+    return queries
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    prev, cur = load_queries(args[0]), load_queries(args[1])
+    both = sorted(set(prev) & set(cur),
+                  key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))
+    only_prev, only_cur = set(prev) - set(cur), set(cur) - set(prev)
+    flagged = []
+    print(f"{'query':34} {'prev':>8} {'cur':>8} {'ratio':>7}")
+    for q in both:
+        if prev[q] <= 0 or cur[q] < 0:
+            mark = "  ERR"
+            flagged.append(q)
+            ratio = float("nan")
+        else:
+            ratio = cur[q] / prev[q]
+            mark = "  REGRESSED" if ratio > thr else (
+                "  improved" if ratio < 1 / thr else "")
+            if ratio > thr:
+                flagged.append(q)
+        print(f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}{mark}")
+    ps = sum(v for v in prev.values() if v > 0)
+    cs = sum(v for v in cur.values() if v > 0)
+    print(f"\n{'TOTAL (shared queries)':34} {ps:8.1f} {cs:8.1f} "
+          f"{(cs / ps if ps else 0):7.2f}")
+    if only_cur:
+        print(f"new in cur ({len(only_cur)}): {', '.join(sorted(only_cur))}")
+    if only_prev:
+        print(f"gone from cur ({len(only_prev)}): {', '.join(sorted(only_prev))}")
+    if flagged:
+        print(f"\nFLAGGED (> {thr}x or error): {', '.join(flagged)}")
+        print("isolate with: SPARK_GRAFT_DRIFT=" + ",".join(flagged)
+              + " sbt 'runMain graft.Bench'")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
