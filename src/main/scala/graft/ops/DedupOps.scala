@@ -381,6 +381,7 @@ object DedupOps {
     *   DedupOps.containmentFrom(cached)         // subset duplication
     *   DedupOps.lshTuningFrom(cached)           // band-dial s-curves
     *   DedupOps.dedupFunnelFrom(docs, cached)   // staged removal report
+    *   DedupOps.dataSplitClusterFrom(docs, cached) // leakage-free split
     *   val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
     *   DedupOps.pagerankFrom(edges)             // duplication hubs
     *   DedupOps.triangleCountFrom(edges)        // copy-clique structure
@@ -602,10 +603,16 @@ object DedupOps {
     * join docs→labels and one uniform rep-key join to fetch the
     * representative's bucket. Exposed separately so the zero-leakage
     * invariant is spec-testable pair-by-pair. */
-  private[ops] def clusterSplitAssign(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  private[ops] def clusterSplitAssign(s: SparkSession, d: String): DataFrame =
+    clusterSplitAssignFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** [[clusterSplitAssign]] over a caller-supplied documents relation
+    * and (pre-materialized) [[pairCounts]] relation — the production
+    * consumer form (see the composition in [[pairCounts]]). */
+  private[ops] def clusterSplitAssignFrom(docs: DataFrame,
+      pairRelation: DataFrame): DataFrame = {
     val clusters = dedupClustersFrom(
-      jaccardFrom(pairCounts(s, d, DefaultMaxDf)).select(col("a_id"), col("b_id")))
+      jaccardFrom(pairRelation).select(col("a_id"), col("b_id")))
     val repBkt = docs.select(col("doc_id").as("rep_id"),
       expr(s"${h60("text")} % 10").as("bkt"))
     docs.select(col("doc_id"))
@@ -629,11 +636,19 @@ object DedupOps {
     *
     * Plan/scale: [[clusterSplitAssign]] + one doc-key join to attach
     * the content hash, then two grain rollups (hash, cluster) joined
-    * on the 3-row split key. */
-  def dataSplitCluster(s: SparkSession, d: String): DataFrame = {
-    val withH = documents(s, d)
+    * on the 3-row split key. Gate form; the production composition is
+    * [[dataSplitClusterFrom]] over a materialized [[pairCounts]]
+    * relation (OpsSpec-proven equal). */
+  def dataSplitCluster(s: SparkSession, d: String): DataFrame =
+    dataSplitClusterFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** [[dataSplitCluster]] over a caller-supplied documents relation and
+    * (pre-materialized) [[pairCounts]] relation — the production
+    * consumer form (see the composition in [[pairCounts]]). */
+  def dataSplitClusterFrom(docs: DataFrame, pairRelation: DataFrame): DataFrame = {
+    val withH = docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(clusterSplitAssign(s, d), "doc_id")
+      .join(clusterSplitAssignFrom(docs, pairRelation), "doc_id")
       .localCheckpoint()
     val hashRoll = withH
       .groupBy("h").agg(max(col("sp")).as("sp"), count(lit(1)).as("nd"),

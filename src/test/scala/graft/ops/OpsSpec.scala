@@ -603,6 +603,8 @@ class OpsSpec extends SparkSpec {
         rows(DedupOps.dedupClusters(spark, sf)))
       assert(rows(DedupOps.dedupFunnelFrom(Tables.documents(spark, sf), cached)) ==
         rows(DedupOps.dedupFunnel(spark, sf)))
+      assert(rows(DedupOps.dataSplitClusterFrom(Tables.documents(spark, sf), cached)) ==
+        rows(DedupOps.dataSplitCluster(spark, sf)))
     } finally cached.unpersist()
   }
 }
