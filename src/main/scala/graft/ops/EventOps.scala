@@ -672,6 +672,69 @@ object EventOps {
       .orderBy("item_a", "item_b")
   }
 
+  /** Kaplan-Meier survival (churn) curve over user lifetimes in weeks —
+    * the censoring-aware statistic behind every "how long do users
+    * stay" chart, complementing [[qRetention]]'s cohort rates: a user
+    * still active in the corpus's final observed week has not churned,
+    * only been OBSERVED so far (right-censored), and naive retention
+    * treats them as gone. Lifetime = weeks between a user's first and
+    * last event week; death at that week unless censored. Per observed
+    * lifetime week t: the at-risk count n_t (users whose observation
+    * reached t), deaths d_t, censored c_t, and the product-limit
+    * estimate S(t) = Π_{i≤t} (n_i − d_i)/n_i.
+    *
+    * Oracle-exactness: n/d/c are exact BIGINT; each factor's log
+    * ln(n_i − d_i) − ln(n_i) is the cross-engine-deterministic
+    * [[DetMath]] ln of BIGINTs, QUANTIZED to 1e-9 units and summed as
+    * an exact-integer running window (order-independent, the
+    * scaled-BIGINT ledger device), then one [[DetMath]] exp — so the
+    * curve is bit-identical in both engines. A week where every
+    * at-risk user dies sends S to exactly 0.0 thereafter (flag column,
+    * no ln(0) anywhere).
+    *
+    * Plan/scale: one scan → ONE user-key partial agg (first/last ts) →
+    * a weeks-sized lifetime grid; the running windows are
+    * partition-less but over the catalog-sized (≤ observed weeks) grid
+    * — never data-sized. */
+  def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.orderBy("t")
+    val users = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("fw"),
+        to_date(date_trunc("week", max(col("ts")))).as("lw"))
+      // user-count-sized relation consumed by BOTH the max-week scalar
+      // and the lifetime grid — materialized once so the corpus scan +
+      // user-key agg run once, not per consumer
+      .localCheckpoint()
+    val mx = users.agg(max(col("lw")).as("mw"), count(lit(1)).as("total"))
+    val byT = users.crossJoin(broadcast(mx))
+      .select(expr("CAST(datediff(lw, fw) AS BIGINT) DIV 7").as("t"),
+        (col("lw") === col("mw")).as("cens"), col("total"))
+      .groupBy("t").agg(max(col("total")).as("total"),
+        sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+    val risk = byT
+      .withColumn("ends_before", coalesce(sum(col("d") + col("c"))
+        .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("total") - col("ends_before"))
+      .withColumn("surv", col("n_risk") - col("d"))
+      .withColumn("zr", (col("surv") === 0L).cast("long"))
+    val lns = DetMath.withLn(
+      DetMath.withLn(risk, "CASE WHEN surv = 0 THEN 1 ELSE surv END", "ls"),
+      "n_risk", "lr")
+      .withColumn("ql", expr("CASE WHEN surv = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(round((ls_ln - lr_ln) * 1.0e9) AS BIGINT) END"))
+      .withColumn("cum",
+        sum(col("ql")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("zcum",
+        sum(col("zr")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+    DetMath.withExp(lns, "CAST(cum AS DOUBLE) / 1.0e9", "se")
+      .select(col("t").as("week_n"), col("n_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"),
+        expr("CASE WHEN zcum > 0 THEN 0.0e0 ELSE se_exp END").as("survival"))
+      .orderBy("week_n")
+  }
+
   /** New-vs-returning daily actives — the growth-accounting split every
     * activity dashboard pairs with DAU: per day, how many active users
     * saw their FIRST-ever event that day vs earlier. First-seen day is a
@@ -898,6 +961,7 @@ object EventOps {
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
     "e_retention" -> qRetention,
+    "e_survival" -> qSurvival,
     "e_funnel_time" -> qFunnelTime,
     "e_ab_test" -> qAbTest,
     "e_attribution" -> qAttribution,
@@ -1031,6 +1095,48 @@ object EventOps {
                CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
       FROM pr p JOIN ic ia ON p.item_a = ia.k JOIN ic ib ON p.item_b = ib.k
       ORDER BY p.item_a, p.item_b""",
+    "e_survival" -> s"""
+      WITH u AS (SELECT user_id,
+               CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+                 AS fw,
+               CAST(date_trunc('week', max(CAST(ts AS TIMESTAMP))) AS DATE)
+                 AS lw
+             FROM events GROUP BY 1),
+      mx AS (SELECT max(lw) AS mw, count(*)::BIGINT AS total FROM u),
+      bt AS (SELECT (date_diff('day', fw, lw) // 7)::BIGINT AS t,
+               max(total)::BIGINT AS total,
+               sum(CASE WHEN lw = mw THEN 0 ELSE 1 END)::BIGINT AS d,
+               sum(CASE WHEN lw = mw THEN 1 ELSE 0 END)::BIGINT AS c
+             FROM u CROSS JOIN mx GROUP BY 1),
+      rk AS (SELECT *,
+               (total - coalesce(sum(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_risk
+             FROM bt),
+      s1 AS (SELECT *, (n_risk - d)::BIGINT AS surv FROM rk),
+      l1 AS (SELECT *,
+               ${DetMath.lnDuckSelect(
+                 "CASE WHEN surv = 0 THEN 1 ELSE surv END", "ls")},
+               ${DetMath.lnDuckSelect("n_risk", "lr")}
+             FROM s1),
+      q1 AS (SELECT *,
+               CASE WHEN surv = 0 THEN 0::BIGINT
+                    ELSE CAST(round((ls_ln - lr_ln) * 1.0e9) AS BIGINT)
+               END AS ql,
+               CASE WHEN surv = 0 THEN 1 ELSE 0 END AS zr
+             FROM l1),
+      c1 AS (SELECT *,
+               CAST(sum(ql) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(zr) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS zcum
+             FROM q1),
+      e1 AS (SELECT *,
+               ${DetMath.expDuckSelect("CAST(cum AS DOUBLE) / 1.0e9", "se")}
+             FROM c1)
+      SELECT t AS week_n, n_risk, d AS n_deaths, c AS n_censored,
+             CASE WHEN zcum > 0 THEN 0.0e0 ELSE se_exp END AS survival
+      FROM e1 ORDER BY week_n""",
     "e_new_returning" -> """
       WITH ud AS (
         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -477,7 +477,56 @@ object ValidationOps {
         sum(when(col("c") === 0.0, 1L).otherwise(0L)).as("n_zero"))
       .orderBy("dim_idx")
 
+  /** Chi-square independence audit over the (source, lang) contingency
+    * grid — "is language balanced across crawls, or does some crawl
+    * carry a language skew the mixture weights must correct?" — the
+    * categorical complement of [[drift]]'s numeric PSI. Per cell:
+    * observed count (INCLUDING structurally-zero cells — the densified
+    * grid is what makes the statistic right), the expected count under
+    * independence r·c/n, and the cell's X² contribution
+    * (o·n − r·c)²/(n·r·c); the summary columns carry the exact total X²
+    * and degrees of freedom (n_sources−1)(n_langs−1) for the lookup.
+    *
+    * Oracle-exactness: diff = o·n − r·c is exact BIGINT; each cell's
+    * contribution is cast-square-divide of the same exact integers in a
+    * FIXED operation order (bit-identical in both engines); the total
+    * rides [[Exact.dsum]]'s micro-unit accumulator so the sum is
+    * order-independent. At 100 TB the n·r·c BIGINT product approaches
+    * Int64 range around n ≈ 2·10⁶ per-cell mass cubed — switch the
+    * denominator to DOUBLE products there (the verdict tolerates it;
+    * the diff stays exact).
+    *
+    * Plan/scale: one scan → ONE (source, lang) partial-agg shuffle;
+    * everything after runs on the catalog²-sized cell grid
+    * (checkpointed once, three consumers) with broadcast 1-row
+    * totals. */
+  def chisq(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowT = cells.groupBy("source").agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy("lang").agg(sum(col("o")).as("c"))
+    val nT = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("source")).as("ns"),
+      count_distinct(col("lang")).as("nl"))
+    val dense = rowT.crossJoin(colT)
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(nT))
+      .withColumn("diff", expr("o * n - r * c"))
+      .withColumn("expected", expr("CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("contrib", expr(
+        "(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)) / CAST(n * r * c AS DOUBLE)"))
+      .localCheckpoint()
+    dense.crossJoin(broadcast(dense.agg(Exact.dsum(col("contrib")).as("chi2"))))
+      .select(col("source"), col("lang"), col("o").as("n_obs"),
+        col("expected"), col("contrib"),
+        expr("CAST((ns - 1) * (nl - 1) AS BIGINT)").as("dof"), col("chi2"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_chisq" -> chisq,
     "v_quantile_sketch" -> quantileSketch,
     "v_referential" -> referential,
     "v_skew" -> skew,
@@ -507,6 +556,31 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_chisq" -> s"""
+      WITH cells AS (SELECT source, lang, count(*)::BIGINT AS o
+                     FROM documents GROUP BY 1, 2),
+      rt AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+      ct AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+      nt AS (SELECT sum(o)::BIGINT AS n,
+               count(DISTINCT source)::BIGINT AS ns,
+               count(DISTINCT lang)::BIGINT AS nl
+             FROM cells),
+      dense AS (SELECT rt.source, ct.lang, coalesce(cells.o, 0)::BIGINT AS o,
+                  rt.r, ct.c, nt.n, nt.ns, nt.nl
+                FROM rt CROSS JOIN ct
+                LEFT JOIN cells
+                  ON cells.source = rt.source AND cells.lang = ct.lang
+                CROSS JOIN nt),
+      x AS (SELECT *, (o * n - r * c)::BIGINT AS diff FROM dense),
+      y AS (SELECT *,
+              CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+              (CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE))
+                / CAST(n * r * c AS DOUBLE) AS contrib
+            FROM x),
+      tot AS (SELECT ${Exact.dsumSql("contrib")} AS chi2 FROM y)
+      SELECT source, lang, o AS n_obs, expected, contrib,
+             ((ns - 1) * (nl - 1))::BIGINT AS dof, tot.chi2
+      FROM y CROSS JOIN tot ORDER BY source, lang""",
     "v_benford" -> s"""
       WITH dg AS (
         SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),

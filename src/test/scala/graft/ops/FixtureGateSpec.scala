@@ -151,6 +151,40 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("e_survival: Kaplan-Meier matches a hand-computed curve with censoring") {
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // anchored on Monday 2024-01-01; lifetimes in weeks from first to
+    // last event. 10 users: deaths at w1 (x2), w2, w3; 6 censored at the
+    // final observed week (w5). Hand K-M: S(1)=8/10, S(2)=.8*7/8=.7,
+    // S(3)=.7*6/7=.6, S(5)=.6 (censoring moves no mass).
+    def ev(id: Long, day: String) =
+      (id * 100, id, "view", java.sql.Timestamp.valueOf(s"$day 12:00:00"))
+    val rows = Seq(
+      ev(1, "2024-01-01"), ev(1, "2024-01-08"),
+      ev(2, "2024-01-01"), ev(2, "2024-01-08"),
+      ev(3, "2024-01-01"), ev(3, "2024-01-15"),
+      ev(4, "2024-01-01"), ev(4, "2024-01-22")) ++
+      (5L to 10L).flatMap(i => Seq(ev(i, "2024-01-01"), ev(i, "2024-02-05")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("props", lit("{}"))
+      .repartition(2).write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("e_survival")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = Seq((1L, 10L, 2L, 0L, 0.8), (2L, 8L, 1L, 0L, 0.7),
+      (3L, 7L, 1L, 0L, 0.6), (5L, 6L, 0L, 6L, 0.6))
+    assert(got.length == want.length, s"got ${got.toSeq}")
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4) == ((w._1, w._2, w._3, w._4)), s"$g != $w")
+      // the DetMath ln/exp ledger quantizes logs at 1e-9 — curve agrees
+      // with the closed form to well under 1e-6
+      assert(math.abs(g._5 - w._5) < 1e-6, s"S(${g._1}) = ${g._5}, want ${w._5}")
+    }
+  }
+
   test("d_hot_spans: a seeded boilerplate span crosses the DF cap and surfaces") {
     graft.GraftSession.init(spark)
     // DefaultMaxDf = 20 → 25 copies of one 3-token span is HOT; every

@@ -262,7 +262,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "q_lateral_topk" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=3",
     // clustering + assignment run eagerly (localCheckpoint); the final
     // frame is the two grain rollups joined on the 3-row split key
-    "t_data_split_cluster" -> "scan=0 xhash=6 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "t_data_split_cluster" -> "scan=0 xhash=6 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "v_chisq" -> "scan=0 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0",
+    "e_survival" -> "scan=0 xhash=1 xrange=0 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=2 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
