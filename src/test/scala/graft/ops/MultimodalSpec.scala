@@ -127,6 +127,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want, s"missed pairs: ${want.diff(got)}")
   }
 
+  test("y4m demux property: corrupted payloads parse or reject, never throw") {
+    // Strict-or-fallback is the contract: any mutation of a valid stream
+    // must yield Some(frames) or None — an exception here would fail a
+    // Spark task instead of falling back to the byte stand-in. Truncation
+    // at a frame boundary must yield exactly the surviving prefix.
+    def y4m(lumas: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      for (l <- lumas) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(Array.fill(8)(l.toByte)); out.write(Array.fill(4)(128.toByte))
+      }
+      out.toByteArray
+    }
+    val base = y4m(Seq(10, 20, 30))
+    val header = base.indexOf('\n'.toByte) + 1
+    val frameLen = 6 + 12 // FRAME\n + 4:2:0 payload at 4x2
+    val rnd = new scala.util.Random(7411)
+    for (_ <- 1 to 200) {
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // bit flips anywhere (header, marker, payload)
+          for (_ <- 0 to rnd.nextInt(4)) {
+            val at = rnd.nextInt(b.length)
+            b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          assert(Multimodal.y4mFrameMeans(b).forall(_.nonEmpty)) // no throw
+        case 1 => // truncation at an arbitrary byte: Some(prefix) or None
+          val cut = b.take(1 + rnd.nextInt(b.length - 1))
+          Multimodal.y4mFrameMeans(cut) match {
+            case Some(fs) => assert(fs == Seq((0, 10), (1, 20), (2, 30)).take(fs.size))
+            case None => ()
+          }
+        case 2 => // truncation at an exact frame boundary: exact prefix
+          val k = rnd.nextInt(3)
+          val cut = b.take(header + k * frameLen)
+          val got = Multimodal.y4mFrameMeans(cut)
+          if (k == 0) assert(got.isEmpty) // zero frames → None by contract
+          else assert(got.get == Seq((0, 10), (1, 20), (2, 30)).take(k))
+      }
+    }
+  }
+
   test("magic sniff: only real image signatures reach the decoder") {
     // perf + determinism gate: the real-decode path is whitelisted by
     // signature, not by decoder success (ADVICE r5)

@@ -607,6 +607,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.exists(p => p._1 == 3L && p._2 == 4L && p._5 == 1L))
   }
 
+  test("pairDeltaStream property: merge == batch on random corpora and batch splits") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // The retraction state machine is the subtle part — exercise it on
+    // seeded random corpora (small token alphabet → dense shingle
+    // collisions → frequent cap crossings) with random micro-batch
+    // splits and a tiny cap. Pinned seed: a failure replays exactly.
+    val rnd = new scala.util.Random(1913)
+    for (trial <- 1 to 6) {
+      val nDocs = 5 + rnd.nextInt(5)
+      val docs = (0 until nDocs).map { i =>
+        val toks = Seq.fill(3 + rnd.nextInt(6))(s"w${rnd.nextInt(6)}")
+        (i.toLong, toks.mkString(" "))
+      }
+      val maxDf = 2 + rnd.nextInt(2)
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = docs.groupBy(_ => rnd.nextInt(nBatches)).values.toSeq
+      val in = MemoryStream[(Long, String)]
+      val qname = s"pairfuzz$trial"
+      val q = StreamOps.pairDeltaStream(
+          in.toDF().toDF("doc_id", "text"), maxDf = maxDf)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val merged = spark.table(qname).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .groupBy(d => (d._1, d._2, d._3, d._4))
+        .map { case (k, ds) => (k._1, k._2, k._3, k._4, ds.map(_._5).sum) }
+        .filter(_._5 != 0).toSet
+      q.stop()
+      val dir = tmp(s"graft_pairfuzz$trial")
+      docs.toDF("doc_id", "text").repartition(2)
+        .write.parquet(s"$dir/documents.parquet")
+      val batch = graft.ops.DedupOps.pairCounts(spark, dir, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(merged == batch,
+        s"trial $trial (maxDf=$maxDf, ${batches.map(_.size).mkString("+")} " +
+          s"batches, docs=$docs): stream ${merged.toSeq.sorted} != " +
+          s"batch ${batch.toSeq.sorted}")
+    }
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"
