@@ -783,6 +783,18 @@ object DedupOps {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshImpl(s, d, maxBand = DefaultMaxBand).orderBy("a_id", "b_id")
 
+  /** Near-dup CLUSTERS over the MinHash-LSH candidate graph — the
+    * sketch-tier clustering path: at 100 TB a pipeline clusters the
+    * banded candidate pairs directly (capped, output-sensitive — no
+    * exact-Jaccard pass over all pairs exists at that scale), accepting
+    * the sketch's ≥ 0.5 estimated-similarity edge semantics.
+    * [[dedupClusters]] is the exact-Jaccard twin; both ride the shared
+    * [[dedupClustersFrom]] label propagation, so the decision machinery
+    * is identical and only the edge evidence differs — exactly the
+    * exact-vs-sketch trade [[minhashEstQuality]] prices. */
+  def minhashClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersFrom(minhashLsh(s, d).select(col("a_id"), col("b_id")))
+
   /** MinHash ESTIMATE-QUALITY report — the [[graft.ops.SimilarityOps
     * .annRecall]] pattern applied to the dedup tier: every capped LSH
     * candidate pair's 16-permutation agreement estimate next to its EXACT
@@ -1419,6 +1431,7 @@ object DedupOps {
     "d_ngram_jaccard" -> ngramJaccard,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
+    "d_minhash_clusters" -> minhashClusters,
     "d_minhash_est_quality" -> minhashEstQuality,
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
@@ -1909,6 +1922,18 @@ object DedupOps {
                / CAST(count(*) AS DOUBLE) AS dup_frac
       FROM c GROUP BY doc_id ORDER BY doc_id""",
     "d_minhash_lsh" -> minhashOracle(capped = true),
+    "d_minhash_clusters" -> s"""
+      WITH RECURSIVE ${minhashPairCtes(capped = true)},
+      mp AS (SELECT a_id, b_id FROM pairs
+             WHERE len(list_filter(list_zip(siga, sigb),
+                     p -> p[1] = p[2])) / 16.0 >= 0.5),
+      ed AS (SELECT a_id AS u, b_id AS v FROM mp
+             UNION SELECT b_id, a_id FROM mp),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
+      SELECT u AS doc_id, min(v) AS cluster_id FROM r
+      GROUP BY u ORDER BY doc_id""",
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_minhash_est_quality" -> minhashEstQualityOracle,
     "d_simhash" -> s"""
