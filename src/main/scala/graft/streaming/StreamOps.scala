@@ -231,6 +231,11 @@ object StreamOps {
     * just as the batch filter drops them — which is the spec's
     * merge==batch proof, saturation mid-stream included. (A
     * tolerate-overcount consumer can simply ignore negative deltas.)
+    * Because the summed relation carries [[graft.ops.DedupOps
+    * .pairCounts]]'s exact (a_id, b_id, n_a, n_b, inter) shape, the
+    * whole batch consumer set (`jaccardFrom` → clusters / funnel /
+    * graph passes) runs UNCHANGED on stream-maintained evidence —
+    * spec-proven (stream-fed clusters == batch clusters).
     *
     * State/scale: per live shingle ≤ maxDf (docId, n) postings;
     * saturated keys collapse to one boolean forever (hot shingles are

@@ -607,6 +607,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.exists(p => p._1 == 3L && p._2 == 4L && p._5 == 1L))
   }
 
+  test("streamed pair relation is a drop-in pairCounts for the *From consumers") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the summed delta relation has pairCounts' exact (a_id, b_id, n_a,
+    // n_b, inter) shape — so the whole batch consumer set (jaccardFrom,
+    // dedupClustersFrom, ...) runs unchanged on pairs maintained by the
+    // STREAM: near-dup clusters over streamed evidence == batch clusters.
+    // Two near-identical 12-token pairs (one trailing-token edit →
+    // Jaccard 9/11 ≥ 0.8) + one unrelated doc.
+    def body(g: Int) = (1 to 11).map(k => s"g${g}t$k").mkString(" ")
+    val docs = Map(
+      1L -> s"${body(1)} end1a", 2L -> s"${body(1)} end1b",
+      3L -> s"${body(2)} end2a", 4L -> s"${body(2)} end2b",
+      5L -> (1 to 12).map(k => s"solo$k").mkString(" "))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pairDeltaStream(
+        in.toDF().toDF("doc_id", "text"), maxDf = 3)
+      .writeStream.format("memory").queryName("pairdropin")
+      .outputMode("append").start()
+    docs.toSeq.sortBy(_._1).grouped(2).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    val streamedPairs = spark.table("pairdropin")
+      .groupBy(col("aId").as("a_id"), col("bId").as("b_id"),
+        col("nA").as("n_a"), col("nB").as("n_b"))
+      .agg(sum(col("delta")).as("inter"))
+      .filter(col("inter") > 0)
+      .localCheckpoint()
+    q.stop()
+    val viaStream = graft.ops.DedupOps.dedupClustersFrom(
+      graft.ops.DedupOps.jaccardFrom(streamedPairs)
+        .select(col("a_id"), col("b_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = tmp("graft_pairdropin")
+    docs.toSeq.toDF("doc_id", "text").repartition(2)
+      .write.parquet(s"$dir/documents.parquet")
+    val viaBatch = graft.ops.DedupOps.dedupClustersFrom(
+      graft.ops.DedupOps.jaccardFrom(
+        graft.ops.DedupOps.pairCounts(spark, dir, maxDf = 3))
+        .select(col("a_id"), col("b_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStream == viaBatch && viaStream.nonEmpty,
+      s"stream-fed clusters $viaStream != batch clusters $viaBatch")
+  }
+
   test("pairDeltaStream property: merge == batch on random corpora and batch splits") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
