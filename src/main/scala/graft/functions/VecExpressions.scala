@@ -106,6 +106,93 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The fused shingling kernel behind [[Shingles3]] — one static method so
+  * generated code calls straight into it from inside whole-stage codegen
+  * (the `StaticInvoke` pattern) instead of falling out of the span. */
+object ShingleUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct 3-token shingles of a single-space-tokenized string, in one
+    * pass over the bytes. Exactly `array_distinct(transform(sequence(...),
+    * i -> concat(tok_i, ' ', tok_i+1, ' ', tok_i+2)))` over
+    * `split(text, ' ')`: field-splitting on the 0x20 byte keeps leading /
+    * consecutive / trailing empty tokens (Java regex-split with limit −1
+    * semantics, incl. `"" → [""]`), so the token stream — and therefore
+    * every shingle — is byte-identical to the SQL chain (spec-proven);
+    * 0x20 never occurs inside a multi-byte UTF-8 sequence, so byte
+    * splitting is codepoint-safe. Distinct keeps first occurrence, like
+    * `array_distinct`. */
+  def shingles3(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    // field split: n delimiters → n+1 fields
+    var nToks = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nToks += 1; i += 1 }
+    if (nToks < 3) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](nToks)
+    var start = 0
+    var t = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        toks(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](nToks * 2)
+    var k = 0
+    while (k + 2 < nToks) {
+      seen.add(UTF8String.concat(toks(k), Space, toks(k + 1), Space, toks(k + 2)))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native fused shingling — `shingles3(text)`: split on single spaces,
+  * emit the distinct 3-token shingles, all in one primitive pass.
+  *
+  * Why a custom `Expression` (same §7.4 reasoning as [[VecDot]]): the SQL
+  * formulation `array_distinct(transform(sequence(1, size(toks) - 2),
+  * i -> concat(...)))` evaluates its lambda INTERPRETED per element — per
+  * token, per document, on the hottest path the engine has (every member
+  * of the pairCounts dedup family starts with this projection). The fused
+  * kernel tokenizes, shingles, and dedups in one pass and is invoked as a
+  * static call from inside whole-stage codegen. Semantics are proven
+  * byte-identical to the SQL chain in OpsSpec (so every DuckDB oracle
+  * stays valid unchanged). */
+case class Shingles3(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles3(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleUtil.shingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
 /** Registration for the engine's native functions: available both as a
   * `SparkSessionExtensions` injection (`spark.sql.extensions=
   * graft.functions.GraftExtensions`) and as an imperative
@@ -118,7 +205,10 @@ object GraftFunctions {
   val all: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (children: Seq[Expression]) => Shingles3(children(0))))
 
   /** Idempotent: re-registering replaces the previous entry. */
   def register(spark: SparkSession): Unit = {

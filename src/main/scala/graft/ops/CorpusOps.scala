@@ -22,15 +22,14 @@ object CorpusOps {
   // must stay bit-identical across the whole oracle surface, so they
   // live in one place.
   private val Toks = DedupOps.Toks
-  private val ShinglesOfToks = DedupOps.ShinglesOfToks
+  private val ShinglesOfText = DedupOps.ShinglesOfText
   private val ShinglesSql = DedupOps.ShinglesSql
 
   /** (doc_id, n_sh, sh) — one row per distinct shingle per document,
     * carrying the doc's shingle count (no join-back later). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), expr(ShinglesOfText).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_sh"),
         explode(col("shs")).as("sh"))
 

@@ -44,11 +44,20 @@ object DedupOps {
                         ' ', element_at(toks, i + 2)))
         ELSE array() END)"""
 
+  /** The hot-path form of the shingle projection: the fused native
+    * [[graft.functions.Shingles3]] kernel over the raw text column —
+    * tokenize + shingle + distinct in ONE primitive pass invoked from
+    * inside whole-stage codegen, replacing the interpreted per-element
+    * lambda of the `transform(...)` chain on the busiest projection in
+    * the engine. Output is byte-identical to Toks→[[ShinglesOfToks]]
+    * (OpsSpec-proven, incl. empty/short/multi-space/unicode edges), so
+    * every DuckDB oracle built on [[ShinglesSql]] is untouched. */
+  private[ops] val ShinglesOfText = "shingles3(text)"
+
   /** (doc_id, sh) — one row per distinct 3-shingle per document. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), expr(ShinglesOfText).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
   private[ops] val ShinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3 THEN
@@ -397,8 +406,7 @@ object DedupOps {
     * streaming arms can never disagree on what a posting is. */
   private[graft] def shinglePostings(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), expr(ShinglesOfText).as("shs"))
       // each posting carries its doc's shingle count, so |A| and |B| ride
       // the posting lists into the pair rows — no join back to a per-doc
       // counts relation at any scale
@@ -810,8 +818,7 @@ object DedupOps {
     * to avoid corpus-wide. */
   def minhashEstQuality(s: SparkSession, d: String): DataFrame = {
     val shs = documents(s, d)
-      .select(col("doc_id"), expr(Toks).as("toks"))
-      .select(col("doc_id"), expr(ShinglesOfToks).as("shs"))
+      .select(col("doc_id"), expr(ShinglesOfText).as("shs"))
     minhashLshImpl(s, d, maxBand = DefaultMaxBand)
       .join(shs.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
       .join(shs.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
@@ -1025,8 +1032,7 @@ object DedupOps {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val keys = documents(s, d)
-      .select(col("source"), expr(Toks).as("toks"))
-      .select(col("source"), explode(expr(ShinglesOfToks)).as("sh"))
+      .select(col("source"), explode(expr(ShinglesOfText)).as("sh"))
       .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("ss"))
       .select(explode(expr(
         """concat(

@@ -580,6 +580,32 @@ class OpsSpec extends SparkSpec {
     assert(lens == 200L, s"chunk lengths sum to $lens, not 200")
   }
 
+  test("shingles3 fused kernel == the SQL transform chain, edges included") {
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // constructed edges: empties, sub-shingle lengths, leading/trailing/
+    // consecutive spaces (empty tokens are REAL tokens under split),
+    // duplicate shingles (distinct keeps first occurrence), multi-byte
+    // UTF-8 (0x20 never appears inside a sequence). NOTE: on a NULL
+    // input the SQL chain yields array() while shingles3 yields NULL —
+    // text is non-null across the corpus, so the kernel keeps standard
+    // null propagation.
+    val edges = Seq("", " ", "  ", "   ", "a", "a b", "a b c", "a b c d",
+      "a  b c", " a b c ", "a b c a b c d", "héllo wörld ünïcode ütf",
+      "a b c  a b", ("tok " * 50).trim).toDF("text")
+    val corpus = Tables.documents(spark, sf).select("text")
+    for (df <- Seq(edges, corpus)) {
+      val diff = df
+        .withColumn("toks", expr(DedupOps.Toks))
+        .withColumn("a", expr(DedupOps.ShinglesOfToks))
+        .withColumn("b", expr("shingles3(text)"))
+        .filter(not(col("a") <=> col("b")))
+      assert(diff.count() == 0,
+        s"kernel diverges: ${diff.select("text", "a", "b").take(3).toSeq}")
+    }
+  }
+
   test("pairCounts materialize-once composition matches the standalone queries") {
     // the production pattern documented on DedupOps.pairCounts: one pair
     // relation, many consumers — each *From consumer must equal its
