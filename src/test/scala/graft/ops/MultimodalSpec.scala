@@ -170,6 +170,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gif demux property: corrupted payloads parse or reject, never throw") {
+    // same contract as the y4m fuzz: the imageio sequence reader sits
+    // behind the sniff + NonFatal guard, so any mutation must yield
+    // Some(nonempty frames) or None — never a task-killing throw
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (l <- Seq(40, 200)) {
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    val base = bos.toByteArray
+    assert(Multimodal.gifFrameMeans(base).get == Seq((0, 40), (1, 200)))
+    val rnd = new scala.util.Random(5507)
+    for (_ <- 1 to 150) {
+      val b = base.clone()
+      if (rnd.nextBoolean()) {
+        for (_ <- 0 to rnd.nextInt(4)) {
+          val at = rnd.nextInt(b.length)
+          b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        assert(Multimodal.gifFrameMeans(b).forall(_.nonEmpty))
+      } else {
+        val cut = b.take(1 + rnd.nextInt(b.length - 1))
+        assert(Multimodal.gifFrameMeans(cut).forall(_.nonEmpty))
+      }
+    }
+  }
+
   test("magic sniff: only real image signatures reach the decoder") {
     // perf + determinism gate: the real-decode path is whitelisted by
     // signature, not by decoder success (ADVICE r5)
