@@ -981,6 +981,20 @@ object DedupOps {
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d).orderBy("a_id", "b_id")
 
+  /** Near-dup CLUSTERS at the EMBEDDING tier — the SemDeDup decision
+    * grain, completing the clustering ladder (text-exact
+    * [[dedupClusters]], text-sketch [[minhashClusters]], perceptual
+    * [[graft.ops.MultimodalOps.phashClusters]], and now semantic):
+    * connected components over the blocked cosine-similarity pair graph,
+    * one canonical (min-id) vector per component — what
+    * [[semanticDedup]]'s edge-based drop rule stops short of (it drops
+    * every non-minimal member of a chain even when nothing kept
+    * resembles it; the component view keeps exactly one per transitive
+    * group). Same shared [[dedupClustersFrom]] machinery. */
+  def embeddingClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersFrom(nearDupPairs(s, d).select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** SemDeDup-style semantic dedup: within each block (label here; the
     * embedding's coarse cluster id in production), a vector is a duplicate
     * iff some LOWER-id vector in the block is cosine-similar above the
@@ -1442,6 +1456,7 @@ object DedupOps {
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
+    "d_embedding_clusters" -> embeddingClusters,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -2011,6 +2026,28 @@ object DedupOps {
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
       SELECT a_id, b_id, "label", cosine FROM p
       WHERE cosine >= 0.4 ORDER BY a_id, b_id""",
+    "d_embedding_clusters" -> """
+      WITH RECURSIVE v AS (SELECT vec_id, label, embedding FROM embeddings),
+      p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+              list_reduce(list_prepend(0::DOUBLE,
+                list_transform(list_zip(a.embedding, b.embedding),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
+                (acc, x) -> acc + x) /
+              (sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) *
+               sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x))) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+      jp AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.4),
+      ed AS (SELECT a_id AS u, b_id AS v FROM jp
+             UNION SELECT b_id, a_id FROM jp),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
+      SELECT u AS vec_id, min(v) AS cluster_id FROM r
+      GROUP BY u ORDER BY vec_id""",
     "d_semantic_dedup" -> """
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       p AS (SELECT a.vec_id a_id, b.vec_id b_id,

@@ -50,6 +50,7 @@ class PlanSnapshotSpec extends SparkSpec {
     // accidentally drags corpus lineage into the result fails here
     "d_dedup_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "d_minhash_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_embedding_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_bpe_train" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // vocab side broadcast onto exploded doc words, one per-doc agg
     "t_bpe_apply" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
