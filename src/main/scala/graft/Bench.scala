@@ -2,6 +2,46 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Session construction shared by the full run and drift mode — one
+    * definition so the two protocols measure under identical confs. */
+  private def buildSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Untimed warmup: the first timed query otherwise absorbs session
+    * init (codegen compiler, parquet footer cache, broadcast infra) —
+    * ~5s of constant cost unrelated to any query's plan. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit =
+    try {
+      SparkEntry.queries("q5_star_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+  /** The ONE timing protocol (GC fence → reps × noop-sink run → sorted
+    * times), shared by the full run and drift mode so the two kinds of
+    * numbers stay comparable — the noop sink forces full computation of
+    * every output column (count() would let Catalyst prune the
+    * projections being measured), and the GC fence keeps one query's
+    * JIT/GC debris out of the next query's wall-clock (r6:
+    * t_ngram_freq benched 1.73s after t_bpe_train vs 0.58s isolated). */
+  private def timeQuery(spark: SparkSession, sfDir: String, name: String,
+      reps: Int): Vector[Double] = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc()
+    Iterator.continually(once()).take(reps).toVector.sorted
+  }
+
   /** Drift-verify mode (judge advice r8 #8): re-time the named queries,
     * each in a FRESH SparkSession (new codegen cache / broadcast infra /
     * AQE stats — the state a long full run accumulates), and APPEND the
@@ -18,25 +58,10 @@ object Bench {
     require(unknown.isEmpty,
       s"SPARK_GRAFT_DRIFT names unknown queries: ${unknown.mkString(", ")}")
     val results = names.sorted.map { name =>
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = buildSession(cpus)
       try {
-        try { // same untimed warmup as the full run
-          SparkEntry.queries("q5_star_join")(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        System.gc()
-        val times = Iterator.continually(once()).take(reps).toVector.sorted
+        warmup(spark, sfDir)
+        val times = timeQuery(spark, sfDir, name, reps)
         name -> times(times.size / 2)
       } finally {
         spark.stop()
@@ -72,19 +97,8 @@ object Bench {
         return
       case None => ()
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: the first timed query otherwise absorbs session init
-    // (codegen compiler, parquet footer cache, broadcast infra) — ~5s of
-    // constant cost unrelated to any query's plan.
-    try {
-      SparkEntry.queries("q5_star_join")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    val spark = buildSession(cpus)
+    warmup(spark, sfDir)
     var errors = List.empty[(String, String)]
     // Noise hardening: run queries in sorted-name order (Map iteration
     // order made round-over-round numbers incomparable) and time REPS runs
@@ -103,21 +117,9 @@ object Bench {
     }
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink forces full computation of every output column —
-      // count() would let Catalyst prune the projections being measured.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Heavy multi-action queries (persist/collect loops) leave JIT/GC
-      // debris that bleeds into the NEXT query's wall-clock — r6's
-      // t_ngram_freq benched 1.73s after t_bpe_train vs 0.58s isolated.
-      // A GC fence between queries keeps per-query numbers comparable.
-      System.gc()
+    val results = selected.keys.toSeq.sorted.map { name =>
       val times =
-        try Iterator.continually(once()).take(reps).toVector.sorted
+        try timeQuery(spark, sfDir, name, reps)
         catch { case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name FAILED: $e")

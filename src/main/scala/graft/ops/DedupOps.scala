@@ -1619,6 +1619,42 @@ object DedupOps {
             JOIN keep k ON a.sh1 = k.sh1
             GROUP BY 1, 2)"""
 
+  /** The min-label transitive-closure CTE pair over an (a_id, b_id)
+    * pair CTE — the SQL replay of [[dedupClustersFrom]], stated ONCE so
+    * the four clustering oracles (exact-Jaccard, sketch, semantic, and
+    * the cluster-keyed split) cannot drift from each other or from the
+    * shared Spark-side machinery. Requires WITH RECURSIVE. */
+  private def ccClosureCtes(pairsCte: String): String = s"""
+      ed AS (SELECT a_id AS u, b_id AS v FROM $pairsCte
+             UNION SELECT b_id, a_id FROM $pairsCte),
+      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
+                  UNION
+                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)"""
+
+  /** Terminal min-label cluster select over the closure relation. */
+  private def ccClusterSql(idCol: String): String =
+    s"""SELECT u AS $idCol, min(v) AS cluster_id FROM r
+      GROUP BY u ORDER BY $idCol"""
+
+  /** The blocked cosine pair relation over `embeddings` — v + p CTEs
+    * shared by the three embedding-tier oracles (near-dup pairs,
+    * semantic dedup, semantic clusters); exact sequential-fold cosine
+    * matching [[graft.functions.VecDot]]'s accumulation order. */
+  private val EmbCosinePairsCtes = """
+      v AS (SELECT vec_id, label, embedding FROM embeddings),
+      p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",
+              list_reduce(list_prepend(0::DOUBLE,
+                list_transform(list_zip(a.embedding, b.embedding),
+                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
+                (acc, x) -> acc + x) /
+              (sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x)) *
+               sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x))) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)"""
+
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -1828,11 +1864,7 @@ object DedupOps {
       jp AS (SELECT a_id, b_id
              FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
              WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
-      ed AS (SELECT a_id AS u, b_id AS v FROM jp
-             UNION SELECT b_id, a_id FROM jp),
-      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
-                  UNION
-                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v),
+      ${ccClosureCtes("jp")},
       cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
       rep AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
               FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
@@ -1902,13 +1934,8 @@ object DedupOps {
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
-      ed AS (SELECT a_id AS u, b_id AS v FROM p
-             UNION SELECT b_id, a_id FROM p),
-      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
-                  UNION
-                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
-      SELECT u AS doc_id, min(v) AS cluster_id FROM r
-      GROUP BY u ORDER BY doc_id""",
+      ${ccClosureCtes("p")}
+      ${ccClusterSql("doc_id")}""",
     "d_hot_spans" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql shs FROM t),
@@ -1948,13 +1975,8 @@ object DedupOps {
       mp AS (SELECT a_id, b_id FROM pairs
              WHERE len(list_filter(list_zip(siga, sigb),
                      p -> p[1] = p[2])) / 16.0 >= 0.5),
-      ed AS (SELECT a_id AS u, b_id AS v FROM mp
-             UNION SELECT b_id, a_id FROM mp),
-      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
-                  UNION
-                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
-      SELECT u AS doc_id, min(v) AS cluster_id FROM r
-      GROUP BY u ORDER BY doc_id""",
+      ${ccClosureCtes("mp")}
+      ${ccClusterSql("doc_id")}""",
     "d_minhash_lsh_uncapped" -> minhashOracle(capped = false),
     "d_minhash_est_quality" -> minhashEstQualityOracle,
     "d_simhash" -> s"""
@@ -2010,59 +2032,18 @@ object DedupOps {
       WHERE doc_id >= 400
       ORDER BY doc_id"""
     },
-    "d_embedding_neardup" -> """
-      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
-      p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.label AS "label",
-              list_reduce(list_prepend(0::DOUBLE,
-                list_transform(list_zip(a.embedding, b.embedding),
-                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
-                (acc, x) -> acc + x) /
-              (sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x)) *
-               sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x))) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+    "d_embedding_neardup" -> s"""
+      WITH $EmbCosinePairsCtes
       SELECT a_id, b_id, "label", cosine FROM p
-      WHERE cosine >= 0.4 ORDER BY a_id, b_id""",
-    "d_embedding_clusters" -> """
-      WITH RECURSIVE v AS (SELECT vec_id, label, embedding FROM embeddings),
-      p AS (SELECT a.vec_id a_id, b.vec_id b_id,
-              list_reduce(list_prepend(0::DOUBLE,
-                list_transform(list_zip(a.embedding, b.embedding),
-                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
-                (acc, x) -> acc + x) /
-              (sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x)) *
-               sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x))) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
-      jp AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.4),
-      ed AS (SELECT a_id AS u, b_id AS v FROM jp
-             UNION SELECT b_id, a_id FROM jp),
-      r(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ed) du
-                  UNION
-                  SELECT ed.u, r.v FROM ed JOIN r ON r.u = ed.v)
-      SELECT u AS vec_id, min(v) AS cluster_id FROM r
-      GROUP BY u ORDER BY vec_id""",
-    "d_semantic_dedup" -> """
-      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
-      p AS (SELECT a.vec_id a_id, b.vec_id b_id,
-              list_reduce(list_prepend(0::DOUBLE,
-                list_transform(list_zip(a.embedding, b.embedding),
-                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
-                (acc, x) -> acc + x) /
-              (sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x)) *
-               sqrt(list_reduce(list_prepend(0::DOUBLE,
-                 list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                 (acc, x) -> acc + x))) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
-      dr AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cosine >= 0.4)
+      WHERE cosine >= $NearDupCos ORDER BY a_id, b_id""",
+    "d_embedding_clusters" -> s"""
+      WITH RECURSIVE $EmbCosinePairsCtes,
+      jp AS (SELECT a_id, b_id FROM p WHERE cosine >= $NearDupCos),
+      ${ccClosureCtes("jp")}
+      ${ccClusterSql("vec_id")}""",
+    "d_semantic_dedup" -> s"""
+      WITH $EmbCosinePairsCtes,
+      dr AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cosine >= $NearDupCos)
       SELECT v.vec_id, v.label, (dr.vec_id IS NOT NULL) AS is_dup
       FROM v LEFT JOIN dr ON v.vec_id = dr.vec_id
       ORDER BY v.vec_id""",

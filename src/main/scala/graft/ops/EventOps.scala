@@ -608,8 +608,13 @@ object EventOps {
     * 18 digits keeps every accepted value inside BIGINT range, so the
     * subsequent CAST can never fail or wrap in either engine. Applied
     * to the RAW extracted string in BOTH the Spark query and the DuckDB
-    * oracle — textual, engine-independent drop rule. */
-  private val BasketItemRe = "^-?[0-9]{1,18}$"
+    * oracle — textual, engine-independent drop rule. Anchored with
+    * \\A..\\z (absolute ends, supported by Java regex AND RE2) rather
+    * than ^..$: Java's $ also matches BEFORE a trailing line
+    * terminator, so '123\n' would pass Spark's rlike while DuckDB's
+    * RE2 rejects it — exactly the engine divergence this regex exists
+    * to rule out. */
+  private val BasketItemRe = """\A-?[0-9]{1,18}\z"""
 
   /** Session-level market-basket pairs: items (the `props.k` id) that
     * co-occur in the same 30-minute gap session, with support and exact

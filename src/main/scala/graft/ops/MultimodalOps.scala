@@ -358,7 +358,18 @@ object Multimodal {
         try {
           val n = r.getNumImages(true)
           if (n < 1) None
-          else Some((0 until n).map(i => (i, meanLuma(r.read(i)))))
+          else {
+            // Reject absurd DECLARED dimensions from the header before
+            // read() allocates the raster: a crafted/corrupt payload
+            // claiming 65535x65535 would OOM the task, and
+            // OutOfMemoryError is an Error the NonFatal guard below
+            // deliberately does not swallow. 16 Mpx ≈ a 64 MB raster —
+            // far above any real fixture, far below task memory.
+            val maxPixels = 16L * 1024 * 1024
+            if ((0 until n).exists(i =>
+                r.getWidth(i).toLong * r.getHeight(i) > maxPixels)) None
+            else Some((0 until n).map(i => (i, meanLuma(r.read(i)))))
+          }
         } finally r.dispose()
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -89,36 +89,7 @@ class FixtureGateSpec extends SparkSpec {
       12L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"clusters: $cl")
   }
 
-  /** Hand-assembled Y4M: header + FRAME-marked raw 4:2:0 planes, each
-    * frame's Y plane a constant — the known mean. */
-  private def y4mBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
-    for (l <- lumas) {
-      out.write("FRAME\n".getBytes("US-ASCII"))
-      out.write(Array.fill(w * h)(l.toByte))          // Y plane
-      out.write(Array.fill(w * h / 2)(128.toByte))    // U + V at 4:2:0
-    }
-    out.toByteArray
-  }
-
-  /** Animated GIF via the imageio sequence writer; each frame a uniform
-    * gray — uniform colors survive GIF palette quantization exactly. */
-  private def gifBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    wr.setOutput(ios)
-    wr.prepareWriteSequence(null)
-    for (l <- lumas) {
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w)
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
-      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-    }
-    wr.endWriteSequence(); wr.dispose(); ios.close()
-    bos.toByteArray
-  }
+  import MediaFixtures.{y4mBytes, gifBytes}
 
   test("m_frame_sample: real Y4M and animated-GIF frames through the query path") {
     graft.GraftSession.init(spark)

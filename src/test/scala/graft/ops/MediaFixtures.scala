@@ -1,0 +1,40 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+
+/** Shared media-container builders for the multimodal specs — ONE
+  * definition of each synthetic container so the end-to-end fixture
+  * suite and the fuzz suites always test the same byte layout. */
+object MediaFixtures {
+
+  /** Hand-assembled Y4M: header + FRAME-marked raw 4:2:0 planes, each
+    * frame's Y plane a constant — the known mean. */
+  def y4mBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    for (l <- lumas) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill(w * h)(l.toByte))          // Y plane
+      out.write(Array.fill(w * h / 2)(128.toByte))    // U + V at 4:2:0
+    }
+    out.toByteArray
+  }
+
+  /** Animated GIF via the imageio sequence writer; each frame a uniform
+    * gray — uniform colors survive GIF palette quantization exactly. */
+  def gifBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (l <- lumas) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    bos.toByteArray
+  }
+}

@@ -132,16 +132,7 @@ class MultimodalSpec extends SparkSpec {
     // must yield Some(frames) or None — an exception here would fail a
     // Spark task instead of falling back to the byte stand-in. Truncation
     // at a frame boundary must yield exactly the surviving prefix.
-    def y4m(lumas: Seq[Int]): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
-      for (l <- lumas) {
-        out.write("FRAME\n".getBytes("US-ASCII"))
-        out.write(Array.fill(8)(l.toByte)); out.write(Array.fill(4)(128.toByte))
-      }
-      out.toByteArray
-    }
-    val base = y4m(Seq(10, 20, 30))
+    val base = MediaFixtures.y4mBytes(4, 2, Seq(10, 20, 30))
     val header = base.indexOf('\n'.toByte) + 1
     val frameLen = 6 + 12 // FRAME\n + 4:2:0 payload at 4x2
     val rnd = new scala.util.Random(7411)
@@ -174,19 +165,7 @@ class MultimodalSpec extends SparkSpec {
     // same contract as the y4m fuzz: the imageio sequence reader sits
     // behind the sniff + NonFatal guard, so any mutation must yield
     // Some(nonempty frames) or None — never a task-killing throw
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    wr.setOutput(ios)
-    wr.prepareWriteSequence(null)
-    for (l <- Seq(40, 200)) {
-      val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 3; x <- 0 until 4)
-        img.setRGB(x, y, (l << 16) | (l << 8) | l)
-      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-    }
-    wr.endWriteSequence(); wr.dispose(); ios.close()
-    val base = bos.toByteArray
+    val base = MediaFixtures.gifBytes(4, 3, Seq(40, 200))
     assert(Multimodal.gifFrameMeans(base).get == Seq((0, 40), (1, 200)))
     val rnd = new scala.util.Random(5507)
     for (_ <- 1 to 150) {

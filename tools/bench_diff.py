@@ -49,12 +49,21 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.5
-    for a in sys.argv[1:]:
+    args = []
+    raw = sys.argv[1:]
+    i = 0
+    while i < len(raw):
+        a = raw[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:  # space-separated form: consume the next token as value
+                i += 1
+                thr = float(raw[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     prev, cur = load_queries(args[0]), load_queries(args[1])
@@ -75,8 +84,10 @@ def main():
             if ratio > thr:
                 flagged.append(q)
         print(f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}{mark}")
-    ps = sum(v for v in prev.values() if v > 0)
-    cs = sum(v for v in cur.values() if v > 0)
+    # totals over the SHARED set only, matching the label — summing each
+    # file's full map would skew the ratio whenever the query sets differ
+    ps = sum(prev[q] for q in both if prev[q] > 0)
+    cs = sum(cur[q] for q in both if cur[q] > 0)
     print(f"\n{'TOTAL (shared queries)':34} {ps:8.1f} {cs:8.1f} "
           f"{(cs / ps if ps else 0):7.2f}")
     if only_cur:
