@@ -464,6 +464,62 @@ object DedupOps {
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
+  /** Loose shingle-Jaccard pre-filter for the edit-distance tier: a pair
+    * must share at least half its shingles before the O(len²) DP runs. */
+  private val FuzzyPreJaccard = 0.5
+
+  /** Normalized edit-similarity threshold for [[fuzzyPairs]]. */
+  private val FuzzySimMin = 0.8
+
+  /** Edit-distance near-dup tier: Levenshtein refinement of the shingle
+    * candidate pairs. Character-level edit distance catches what
+    * token-shingle Jaccard structurally cannot — heavy in-token edits
+    * (typos, OCR noise, diff-sized whitespace runs) perturb EVERY
+    * 3-shingle that crosses the edited token, so a character-98%-identical
+    * pair can score arbitrarily low Jaccard; the DP sees it as a handful
+    * of cheap edits. The inverse also holds (token reorders are cheap for
+    * Jaccard, expensive for Levenshtein), which is why this is a separate
+    * TIER, not a replacement.
+    *
+    * Blocking: the full DP is O(|a|·|b|) per pair, so it never runs on a
+    * corpus cross product — candidates come from the SAME DF-capped
+    * [[pairCounts]] inverted index as every other pair family, pre-gated
+    * at shingle-Jaccard ≥ [[FuzzyPreJaccard]] (a loose structural filter;
+    * the DP is the precise scorer). Wide text joins in AFTER the gate, so
+    * only surviving-pair texts cross the pair-sized (output-sensitive)
+    * shuffle.
+    *
+    * sim = (maxlen − lev) / maxlen over [[FuzzySimMin]]. Engine parity
+    * note: Spark's `levenshtein` counts UTF-16 code-unit edits while
+    * DuckDB's counts byte edits — identical on ASCII corpora (this one,
+    * asserted in TestdataShapeSpec's charset canary territory); production
+    * guidance for non-ASCII corpora is to normalize (NFC + accent fold,
+    * as [[normDedup]] does) before the DP. */
+  def fuzzyPairs(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsFrom(documents(s, d), pairCounts(s, d, maxDf = DefaultMaxDf))
+
+  /** Edit-distance scoring over a (pre-materialized) [[pairCounts]]
+    * relation — the production consumer form. Two uniform doc-id joins
+    * to fetch pair texts, then one narrow codegen'd DP per candidate. */
+  def fuzzyPairsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    pairs
+      .filter(expr(s"inter / (n_a + n_b - inter) >= $FuzzyPreJaccard"))
+      .select(col("a_id"), col("b_id"))
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta"),
+        col("n_chars").as("ca")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb"),
+        col("n_chars").as("cb")), "b_id")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      // (maxlen - lev) / maxlen: BIGINT operands on both engines, so the
+      // one double division produces bit-identical output cross-engine
+      .withColumn("sim",
+        expr("(greatest(ca, cb) - lev) / greatest(ca, cb)"))
+      .filter(col("sim") >= FuzzySimMin)
+      .select(col("a_id"), col("b_id"), col("lev"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Expected chunk length dial for [[cdcChunks]]: a boundary fires when
     * the pair-hash is ≡ 0 mod this, so chunks average ~CdcDiv tokens. */
   private val CdcDiv = 8L
@@ -1440,6 +1496,28 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size histogram over the near-dup components — the dedup
+    * impact report a curation run reads before acting: how many pairs /
+    * triples / giant components exist, and how many documents each size
+    * class holds (docs − clusters = removals under keep-one-per-cluster).
+    * Only docs participating in a near-dup pair appear (singletons never
+    * enter the pair graph); size ≥ 2 always.
+    *
+    * Plan/scale: rides [[dedupClusters]]; the two rollups are a uniform
+    * cluster-key agg then a histogram-sized agg — nothing new at 100 TB. */
+  def clusterStats(s: SparkSession, d: String): DataFrame =
+    clusterStatsFrom(dedupClusters(s, d))
+
+  /** Histogram over any (doc_id, cluster_id) labeling — the production
+    * consumer form (works unchanged on [[minhashClusters]] /
+    * [[embeddingClusters]] output). */
+  def clusterStatsFrom(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy("size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_dup_rate_by_source" -> dupRateBySource,
@@ -1471,6 +1549,8 @@ object DedupOps {
     "d_paragraph_dedup" -> paragraphDedup,
     "d_semantic_dedup" -> semanticDedup,
     "d_containment" -> containment,
+    "d_fuzzy_pairs" -> fuzzyPairs,
+    "d_cluster_stats" -> clusterStats,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
     "t_data_split_cluster" -> dataSplitCluster,
@@ -1936,6 +2016,30 @@ object DedupOps {
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
       ${ccClosureCtes("p")}
       ${ccClusterSql("doc_id")}""",
+    "d_fuzzy_pairs" -> s"""
+      WITH $JaccardCappedCtes,
+      cand AS (SELECT a_id, b_id FROM i
+               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
+      sc AS (SELECT cand.a_id, cand.b_id,
+               levenshtein(da.text, db.text)::BIGINT AS lev,
+               greatest(da.n_chars, db.n_chars) AS mx
+             FROM cand JOIN documents da ON cand.a_id = da.doc_id
+                       JOIN documents db ON cand.b_id = db.doc_id)
+      SELECT a_id, b_id, lev, (mx - lev) / mx AS sim
+      FROM sc WHERE (mx - lev) / mx >= $FuzzySimMin
+      ORDER BY a_id, b_id""",
+    "d_cluster_stats" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ${ccClosureCtes("p")},
+      cl AS (${ccClusterSql("doc_id")}),
+      cz AS (SELECT cluster_id, count(*)::BIGINT AS size FROM cl GROUP BY 1)
+      SELECT size, count(*)::BIGINT AS n_clusters,
+             (size * count(*))::BIGINT AS n_docs
+      FROM cz GROUP BY size ORDER BY size""",
     "d_hot_spans" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql shs FROM t),

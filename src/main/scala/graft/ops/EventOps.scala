@@ -59,6 +59,44 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session path mining: frequency of every event-type TRIGRAM walked
+    * inside one 30-minute-gap session (the [[qSessionize]] rule) — the
+    * "what do users actually do" report behind funnel design; [[qMarkov]]
+    * models first-order transitions, this surfaces the raw higher-order
+    * paths the Markov assumption smooths away. A trigram counts only when
+    * all three events share a session: session ids are nondecreasing in
+    * event order, so `lead(session_id, 2) = session_id` alone proves all
+    * three rows co-sessioned. Output is the full path histogram (the
+    * event-type catalog cubed bounds it — catalog-sized, no top-k cutoff
+    * needed), count-desc with a path tie-break.
+    *
+    * Plan/scale: the sessionize windows and BOTH leads share one
+    * user_id-keyed sort — deliberately NOT `partitionBy(user_id,
+    * session_id)`, which would demand a second exchange on the wider key;
+    * Catalyst plans ONE shuffle + sort and stacks all four window
+    * functions over it. The histogram agg is catalog-sized with map-side
+    * partial aggregation. */
+  def qPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("s3", lead(col("session_id"), 2).over(byUser))
+      .filter(col("s3") === col("session_id"))
+      .select(concat(col("event_type"), lit(">"), col("t2"), lit(">"),
+        col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
   /** Gap sessions via Spark's NATIVE session_window operator (the same
     * 30-minute-gap semantics as [[qSessionize]]'s lag/sum formulation,
     * with the operator's end = last event + gap convention). Batch and
@@ -980,6 +1018,7 @@ object EventOps {
     "q_tumbling_window" -> qTumbling,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
+    "e_paths" -> qPaths,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_skew_salted" -> qSkewSalted,
@@ -1479,6 +1518,31 @@ object EventOps {
              min(tus) AS session_start, max(tus) AS session_end
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
+    "e_paths" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tus,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      sess AS (
+        SELECT user_id, event_id, event_type, tus,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(tus) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged),
+      led AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3,
+               lead(session_id, 2) OVER w AS s3,
+               session_id
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*)::BIGINT AS n
+      FROM led WHERE s3 = session_id
+      GROUP BY 1 ORDER BY n DESC, path""",
     "q_asof_join" -> """
       WITH ev AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -1104,7 +1104,92 @@ object SimilarityOps {
       FROM x$PiIters, rq ORDER BY dim"""
   }
 
+  /** Quantization scale for [[diversity]]'s unit-vector components: six
+    * fractional digits survive into the exact-BIGINT ledger. */
+  private val DivS = "1e6"
+
+  /** Within-label embedding diversity — exact MEAN PAIRWISE COSINE per
+    * label WITHOUT enumerating pairs, via the sum-vector identity over
+    * unit vectors: Σ_{i≠j} uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², so
+    * mean = (‖S‖² − Σ‖uᵢ‖²) / (n(n−1)). The diversity audit a
+    * data-mixing run reads per source/topic shard: low diversity (high
+    * mean cosine) marks a shard whose marginal sample adds little — the
+    * continuous, group-level complement of the pairwise
+    * [[embeddingNearDup]] cut. O(N·Dim) total — no pair relation exists
+    * at ANY scale, which is the point: exact pairwise-mean over 10¹¹
+    * vectors costs 10²² pairs enumerated, and one narrow pass composed
+    * this way.
+    *
+    * Oracle-exactness: each vector is normalized (norm = the shared
+    * sequential-fold `vec_dot` self-product) then FLOOR-quantized to
+    * [[DivS]] micro-units — floor, not round, because the engines'
+    * double→int round rules differ at .5 while floor is bit-identical.
+    * From there every sum is exact integer arithmetic (BIGINT per
+    * component, DECIMAL(38)/HUGEINT for ‖S‖²), order-independent, and
+    * the two final divisions are fixed-order doubles — bit-identical
+    * cross-engine.
+    *
+    * Plan/scale: one narrow normalize+quantize pass, posexplode to
+    * (label, dim) — Dim rows per vector — then two stacked aggs with
+    * map-side partial aggregation on uniform catalog-sized keys. No
+    * joins, no shuffle of the embedding payload beyond the Dim-row
+    * ledger. */
+  def diversity(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("nsq", expr(Vec.normSq("embedding")))
+      .filter(col("nsq") > 0)
+      .withColumn("q", expr(
+        s"""transform(embedding,
+              x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT))"""))
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("label", "pos")
+      .agg(sum(col("qv")).as("spos"),
+        sum(col("qv") * col("qv")).as("sqpos"),
+        count(lit(1)).as("nv"))
+      .groupBy("label")
+      .agg(
+        sum(col("spos").cast("decimal(38,0)") * col("spos")).as("s2"),
+        sum(col("sqpos")).as("sq"),
+        max(col("nv")).as("n_vecs"))
+      .filter(col("n_vecs") >= 2)
+      .withColumn("mean_cos", expr(
+        "CAST(s2 - sq AS DOUBLE) / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e12"))
+      .withColumn("diversity", expr("CAST(1 AS DOUBLE) - mean_cos"))
+      .select(col("label"), col("n_vecs"), col("mean_cos"), col("diversity"))
+      .orderBy("label")
+
+  private val DiversityOracle: String = s"""
+      WITH v AS (
+        SELECT label,
+          list_reduce(list_prepend(0::DOUBLE,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (acc, x) -> acc + x) AS nsq,
+          embedding
+        FROM embeddings),
+      q AS (
+        SELECT label,
+          list_transform(embedding,
+            x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT)) AS q
+        FROM v WHERE nsq > 0),
+      e AS (SELECT label, i AS pos, q[i] AS qv
+            FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i
+                  FROM q) z),
+      g1 AS (SELECT label, pos, sum(qv)::BIGINT AS spos,
+               sum(qv * qv)::BIGINT AS sqpos, count(*)::BIGINT AS nv
+             FROM e GROUP BY 1, 2),
+      g2 AS (SELECT label, sum(spos::HUGEINT * spos) AS s2,
+               sum(sqpos)::HUGEINT AS sq, max(nv) AS n_vecs
+             FROM g1 GROUP BY 1)
+      SELECT label, n_vecs,
+             CAST(s2 - sq AS DOUBLE)
+               / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e12 AS mean_cos,
+             CAST(1 AS DOUBLE) -
+               CAST(s2 - sq AS DOUBLE)
+                 / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e12 AS diversity
+      FROM g2 WHERE n_vecs >= 2 ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_diversity" -> diversity,
     "s_power_iter" -> powerIter,
     "s_centroid_drift" -> centroidDrift,
     "s_range_search" -> rangeSearch,
@@ -1125,6 +1210,7 @@ object SimilarityOps {
     "s_cell_balance" -> cellBalance)
 
   val oracles: Map[String, String] = Map(
+    "s_diversity" -> DiversityOracle,
     "s_power_iter" -> powerIterOracle,
     "s_centroid_drift" -> centroidDriftOracle,
     "s_ann_multiprobe" -> annMultiprobeOracle,

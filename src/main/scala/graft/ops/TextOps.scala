@@ -1070,7 +1070,40 @@ object TextOps {
       .orderBy(col("rank_fp").desc, col("word"))
   }
 
+  /** First-occurrence n-gram novelty: per document, the fraction of its
+    * distinct 3-shingles whose corpus-wide FIRST occurrence (min doc_id
+    * over the shingle's postings) is this document. A curriculum /
+    * diversity-sampling signal: in an id-ordered (e.g. crawl-ordered)
+    * corpus, low-novelty documents restate earlier content and can be
+    * down-weighted before near-dup thresholds ever fire — novelty is the
+    * continuous dial where dedup is the binary cut. Shingle definition is
+    * shared with the whole dedup family ([[DedupOps.shinglePostings]] —
+    * the fused native `shingles3` kernel), so "content the corpus has
+    * seen" means exactly what the dedup tiers mean by it. Documents with
+    * zero shingles (< 3 tokens) have no postings and are absent, as in
+    * the oracle.
+    *
+    * Plan/scale: one shuffle on the shingle key for the per-key min
+    * window, one uniform doc-key agg. A skew-conscious variant replaces
+    * the window with groupBy(sh).min + join to re-enable map-side partial
+    * aggregation on hot boilerplate shingles; at the DF profile of this
+    * corpus the single-shuffle window wins. */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    DedupOps.shinglePostings(documents(s, d))
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      // BIGINT / BIGINT → one double division, bit-identical cross-engine
+      .withColumn("novelty", col("n_novel") / col("n_sh"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_novelty" -> novelty,
     "t_textrank" -> textrank,
     "t_oov_rate" -> oovRate,
     "t_zipf" -> zipfFit,
@@ -1196,6 +1229,19 @@ object TextOps {
       FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln"""
 
   val oracles: Map[String, String] = Map(
+    "t_novelty" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, ${DedupOps.ShinglesSql} sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
+      w AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY sh1) AS first_id
+            FROM e)
+      SELECT doc_id, count(*)::BIGINT AS n_sh,
+             sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+             sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)::BIGINT
+               / count(*) AS novelty
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
     // the d_pagerank unrolled-iteration replay, re-keyed to vocabulary
     // words with adjacency edges
     "t_textrank" -> """
