@@ -59,6 +59,43 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gini coefficient of per-user activity — the concentration one-number
+    * behind "1% of users generate half the events" (and, on a corpus, "is
+    * this source a few mega-contributors or a long tail"): G = (2·Σᵢ i·xᵢ
+    * − (n+1)·Σx) / (n·Σx) over ascending-sorted per-user counts.
+    *
+    * The global rank never materializes: within a tie block of count
+    * value x (n_c users, B_c users below), the rank-weighted sum is
+    * x·(n_c·B_c + n_c(n_c+1)/2) in closed form — so the plan is a
+    * uniform user-key agg, a distinct-count-value agg, and a prefix-sum
+    * window over the DISTINCT-VALUES relation (support-sized, hundreds
+    * of rows at any corpus scale — the same catalog-window argument as
+    * e_ewma). The e_rfm bucket machinery without the per-row rank.
+    * Ties make the formula well-defined: any within-tie order gives the
+    * same sum. Σ i·x rides a DECIMAL(38)/HUGEINT ledger (BIGINT overflows
+    * at ~10⁹ users × wide counts); everything else exact BIGINT, one
+    * double division at the end. */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val byCount = events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nc"))
+    val pref = byCount.withColumn("b",
+      coalesce(sum(col("nc")).over(
+        Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    pref
+      .agg(
+        sum(col("nc")).as("n_users"),
+        sum(col("x") * col("nc")).as("n_events"),
+        // 2·Σ i·x, tie-block closed form (×2 keeps the /2 integral)
+        sum(expr("CAST(x AS DECIMAL(38,0)) * (2 * nc * b + nc * (nc + 1))"))
+          .as("s2"))
+      .withColumn("gini", expr(
+        """CAST(s2 - (CAST(n_users AS DECIMAL(38,0)) + 1) * n_events AS DOUBLE)
+           / CAST(CAST(n_users AS DECIMAL(38,0)) * n_events AS DOUBLE)"""))
+      .select(col("n_users"), col("n_events"), col("gini"))
+  }
+
   /** Session path mining: frequency of every event-type TRIGRAM walked
     * inside one 30-minute-gap session (the [[qSessionize]] rule) — the
     * "what do users actually do" report behind funnel design; [[qMarkov]]
@@ -1019,6 +1056,7 @@ object EventOps {
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "e_paths" -> qPaths,
+    "e_gini" -> qGini,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_skew_salted" -> qSkewSalted,
@@ -1518,6 +1556,23 @@ object EventOps {
              min(tus) AS session_start, max(tus) AS session_end
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
+    "e_gini" -> """
+      WITH pu AS (SELECT user_id, count(*)::BIGINT AS x
+                  FROM events GROUP BY 1),
+      bc AS (SELECT x, count(*)::BIGINT AS nc FROM pu GROUP BY 1),
+      pr AS (SELECT x, nc,
+               coalesce(sum(nc) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS b
+             FROM bc),
+      a AS (SELECT sum(nc)::BIGINT AS n_users,
+              sum(x * nc)::BIGINT AS n_events,
+              sum(x::HUGEINT * (2 * nc * b + nc * (nc + 1))) AS s2
+            FROM pr)
+      SELECT n_users, n_events,
+             CAST(s2 - (n_users::HUGEINT + 1) * n_events AS DOUBLE)
+               / CAST(n_users::HUGEINT * n_events AS DOUBLE) AS gini
+      FROM a""",
     "e_paths" -> """
       WITH flagged AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tus,

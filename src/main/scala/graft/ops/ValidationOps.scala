@@ -525,7 +525,40 @@ object ValidationOps {
       .orderBy("source", "lang")
   }
 
+  /** Per-source language-mix entropy + effective language count — the
+    * mixing audit a multilingual curation run reads per crawl/source:
+    * H(s) = ln(N_s) − (Σ_l c_l·ln(c_l))/N_s over the source's language
+    * counts, and exp(H) — the "effective number of languages" (perplexity
+    * of the mix: 3.0 means "as diverse as 3 equally-sized languages").
+    * The continuous companion of [[chisq]]'s independence verdict: chisq
+    * says WHETHER sources differ in language mix, this says how
+    * concentrated each one is.
+    *
+    * Oracle-exactness: both engines compute ln over exact BIGINT counts
+    * via DetMath, the Σ c·ln(c) term through the 1e-9-quantized BIGINT
+    * ledger (order-independent), and exp(H) through DetMath's
+    * deterministic exp — bit-identical end to end.
+    *
+    * Plan/scale: one scan → (source, lang) catalog-sized agg →
+    * source-sized agg; ln/exp are narrow in-row chains. */
+  def langEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val terms = DetMath.withLn(cells, "c", "lc")
+      .withColumn("term", expr("cast(round((c * lc_ln) * 1.0e9) as bigint)"))
+    val agg = terms.groupBy("source")
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("term")).as("sl"))
+    val ent = DetMath.withLn(agg, "n_docs", "lnn")
+      .withColumn("entropy", expr("lnn_ln - (sl / 1.0e9) / n_docs"))
+    DetMath.withExp(ent, "entropy", "eff")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("entropy"), col("eff_exp").as("eff_langs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_lang_entropy" -> langEntropy,
     "v_chisq" -> chisq,
     "v_quantile_sketch" -> quantileSketch,
     "v_referential" -> referential,
@@ -556,6 +589,25 @@ object ValidationOps {
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
   val oracles: Map[String, String] = Map(
+    "v_lang_entropy" -> s"""
+      WITH cells AS (SELECT source, lang, count(*)::BIGINT AS c
+                     FROM documents GROUP BY 1, 2),
+      t AS (SELECT source, c,
+             ${DetMath.lnDuckSelect("c", "lc")},
+             round((c * lc_ln) * 1.0e9)::BIGINT AS term
+            FROM cells),
+      a AS (SELECT source, sum(c)::BIGINT AS n_docs,
+              count(*)::BIGINT AS n_langs, sum(term)::BIGINT AS sl
+            FROM t GROUP BY 1),
+      f AS (SELECT source, n_docs, n_langs,
+             ${DetMath.lnDuckSelect("n_docs", "lnn")},
+             lnn_ln - (sl / 1.0e9) / n_docs AS entropy
+            FROM a),
+      g AS (SELECT source, n_docs, n_langs, entropy,
+             ${DetMath.expDuckSelect("entropy", "eff")}
+            FROM f)
+      SELECT source, n_docs, n_langs, entropy, eff_exp AS eff_langs
+      FROM g ORDER BY source""",
     "v_chisq" -> s"""
       WITH cells AS (SELECT source, lang, count(*)::BIGINT AS o
                      FROM documents GROUP BY 1, 2),

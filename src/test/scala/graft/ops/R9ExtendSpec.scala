@@ -126,6 +126,35 @@ class R9ExtendSpec extends SparkSpec {
     assert(total > 0, "vacuous: no in-session trigrams at this SF")
   }
 
+  test("e_gini: tie-block closed form equals the brute-force rank formula") {
+    graft.GraftSession.init(spark)
+    val xs = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sorted
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum
+    val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val want = (BigInt(2) * s1 - (n + 1) * sx).toDouble / (n * sx).toDouble
+    val r = EventOps.qGini(spark, sf).collect()(0)
+    assert(r.getLong(0) == xs.length && r.getLong(1) == sx.toLong)
+    assert(r.getDouble(2) == want, s"gini ${r.getDouble(2)} != brute $want")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("v_lang_entropy: bounds and conservation") {
+    graft.GraftSession.init(spark)
+    val rows = ValidationOps.langEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "doc conservation")
+    rows.foreach { r =>
+      val (nl, h, eff) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // 0 ≤ H ≤ ln(n_langs); 1 ≤ exp(H) ≤ n_langs — DetMath ln/exp and
+      // the 1e-9 term ledger are within ~1e-9 of the real values
+      assert(h >= -1e-9 && h <= math.log(nl.toDouble) + 1e-9, s"H bounds: $r")
+      assert(eff >= 1.0 - 1e-9 && eff <= nl.toDouble + 1e-6, s"eff bounds: $r")
+    }
+  }
+
   test("s_diversity: identity equals brute-force pairwise mean cosine") {
     graft.GraftSession.init(spark)
     // brute force over the SAME floor-quantized unit vectors, exact BigInt
