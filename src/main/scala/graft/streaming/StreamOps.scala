@@ -152,6 +152,31 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
   }
 
+  /** Native streaming session windows: the SAME `session_window`
+    * operator [[graft.ops.EventOps.qSessionWindow]] runs in batch,
+    * executed as a watermarked streaming aggregation — the literal "one
+    * engine mechanism, two execution modes" the batch query's scaladoc
+    * claims, now exercised in both. Complements [[sessionize]] (the
+    * flatMapGroupsWithState formulation, which exists for CUSTOM session
+    * state and timeout policy); when plain gap-session aggregates are all
+    * that's needed the native operator is the right tool — the engine
+    * maintains and MERGES open session state per user key (a session
+    * extended across micro-batches is one output row, not two), and the
+    * watermark both bounds state and decides emission (append mode: a
+    * session emits once the watermark proves no event can reopen it).
+    *
+    * Scale: state is O(open sessions) keyed by the uniform user_id;
+    * eviction is the engine's own watermark machinery — no custom
+    * timeout bookkeeping to get wrong. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   case class TouchOut(userId: Long, purchaseTsMicros: Long, touchType: String,
     value: Double)
   /** Public: the state encoder's generated code must construct it. */

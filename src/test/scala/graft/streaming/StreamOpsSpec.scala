@@ -130,6 +130,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 10 * min, 2L)))
   }
 
+  test("sessionWindowStream: native session windows merge to the batch operator") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val events = in.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"))
+    val q = StreamOps.sessionWindowStream(events)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    val m = 60L * 1000000L
+    // user 1: two sessions (40-min gap); user 2: ONE session extended
+    // ACROSS micro-batches — the engine-side state-merge case the
+    // flatMapGroupsWithState spec can't show
+    val b1 = Seq((1L, 0L), (1L, 10 * m), (2L, 5 * m))
+    val b2 = Seq((2L, 25 * m), (1L, 120 * m))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    in.addData((9L, 100000 * m)) // advance the watermark: close users 1, 2
+    q.processAllAvailable()
+    val got = spark.table("sess_win").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    // the batch twin: the SAME operator over the same closed-user rows
+    val want = (b1 ++ b2).toDF("user_id", "ts_us")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(want.nonEmpty && got == want,
+      s"stream $got != batch $want")
+    // the cross-batch extension really merged: user 2 is ONE session of 2
+    assert(got.count(_._1 == 2L) == 1 && got.find(_._1 == 2L).get._4 == 2L)
+  }
+
   test("attributionStream credits purchases to the last prior touch across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
