@@ -409,15 +409,127 @@ object CorpusOps {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  def nbQuality(s: SparkSession, d: String): DataFrame =
+  /** The per-doc scored relation (doc_id, keep_label, n_tokens, sl) —
+    * the single core [[nbQuality]], [[nbAuc]] and [[nbCalibration]] all
+    * consume, so the score definition and every metric computed over it
+    * move in lockstep. `sl` is the exact 1e-9-scaled BIGINT log-odds sum
+    * (order-independent), `n_tokens` counts only in-vocabulary
+    * occurrences (the inner model join — unseen tokens stay at the
+    * smoothed prior and contribute no evidence). */
+  private[ops] def nbScored(s: SparkSession, d: String): DataFrame =
     nbToks(s, d).join(nbModel(s, d), "tok")
       .groupBy("doc_id")
       .agg(max(col("keep")).as("keep_label"), count(lit(1)).as("n_tokens"),
         sum(col("term")).as("sl"))
+
+  def nbQuality(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d)
       .select(col("doc_id"), col("keep_label"), col("n_tokens"),
         expr("(sl / 1.0e9) / n_tokens").as("nb_logodds"),
         expr("sl > 0").as("nb_keep"))
       .orderBy("doc_id")
+
+  /** Exact ROC-AUC of the NB quality classifier against its own gate
+    * labels — THE threshold-free number a curator reads before picking a
+    * keep cutoff on [[nbQuality]]'s smooth score (the confusion matrix
+    * [[nbConfusion]] is one operating point; this integrates all of
+    * them). The ranking score is the LENGTH-NORMALIZED mean log-odds
+    * (`nb_logodds` — the graded signal downstream consumers threshold,
+    * and the same axis [[nbCalibration]] bins), quantized to exact
+    * integer micro-units per token (⌊sl/(1000·n_tokens)⌋ of the 1e-9
+    * ledger = 1e-6 log-odds units) so tie blocks have an exact
+    * cross-engine key; 1e-6 is far below any meaningful score
+    * distinction, and the quantized AUC is itself exactly defined.
+    * Mann–Whitney form with the standard tie treatment:
+    * AUC = (#{pos > neg pairs} + ½·#{tied pairs}) / (n_pos·n_neg).
+    *
+    * The positive-negative pair count never materializes: within a tie
+    * block of score m (p positives, q negatives, Q negatives strictly
+    * below), the block contributes p·(2Q + q) to the ×2 ledger — so the
+    * whole statistic is tie-block closed form (the [[EventOps.qGini]]
+    * device), and Q itself decomposes bucket-locally: a window
+    * PARTITIONED by fixed-width score bucket (0.001 log-odds units —
+    * ≤ 88k buckets by the |llr| < 44 bound, ~hundreds populated where
+    * the mean concentrates) plus a broadcast prefix-sum base over the
+    * bucket-sized relation (the [[curriculum]] two-phase shape) — no
+    * unpartitioned window ever touches a data-sized frame. The ledger
+    * rides DECIMAL(38,0) (p·Q overflows BIGINT at ~10¹⁰ docs per
+    * class); one double division at the end, identical in both engines
+    * on the same exact integers.
+    *
+    * Plan/scale: the [[nbScored]] pass (one scan + token shuffle +
+    * checkpointed model), one (bucket, mkey) partial agg, one
+    * partitioned prefix window, one bounded bases pass, one 1-row final
+    * agg. */
+  def nbAuc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // shifted truncating division == floor (numerator kept positive by
+    // the +64e6-bin offset; |mean llr| < 44 ≪ 64); truncation toward
+    // zero is monotone, so bucket order refines score order and equal
+    // scores share a bucket by construction
+    val tb = nbScored(s, d)
+      .withColumn("mkey", expr(
+        "(sl + 64000000000L * n_tokens) DIV (1000 * n_tokens) - 64000000"))
+      .withColumn("bkt", expr("mkey DIV 1000"))
+      .groupBy("bkt", "mkey")
+      .agg(sum(when(col("keep_label"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("keep_label"), 0L).otherwise(1L)).as("q"))
+    val local = tb.withColumn("qloc", coalesce(
+      sum(col("q")).over(w.partitionBy(col("bkt")).orderBy(col("mkey"))
+        .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    val bases = tb.groupBy("bkt").agg(sum(col("q")).as("qb"))
+      .withColumn("qbase", coalesce(
+        sum(col("qb")).over(w.orderBy(col("bkt"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("qbase"))
+    local.join(broadcast(bases), "bkt")
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        // ×2 ledger: 2·p·(negatives strictly below) + p·q ties
+        sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * (qbase + qloc) + q)"))
+          .as("s2"))
+      .select(col("n_pos"), col("n_neg"), expr(
+        """CAST(s2 AS DOUBLE)
+           / CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DOUBLE)""")
+        .as("auc"))
+  }
+
+  /** Calibration (reliability) bins for the NB score: documents bucketed
+    * by MEAN per-token log-odds in 0.005-unit bins, each bin reporting
+    * its empirical keep rate beside its corpus share — the curve that
+    * says whether a higher score actually means "kept more often" before
+    * anyone trusts the score as a sampling weight
+    * ([[dsirWeights]]-style) rather than a ranking. Bins are fine
+    * because the signal is: individual token evidence is weak, so the
+    * per-token MEAN concentrates near zero on any real corpus.
+    *
+    * The bin is an EXACT integer floor division of the 1e-9 BIGINT
+    * ledger — bin = ⌊(sl/1e9/n_tokens)/0.005⌋ = ⌊2·sl/(1e7·n_tokens)⌋
+    * computed as a shifted truncating division (numerator offset +16384
+    * bins keeps it positive, where truncation equals floor in both
+    * engines; |mean llr| < 44 → |bin| < 8800 < 16384 guarantees the
+    * shift suffices, and the shifted numerator stays under 2⁶³ for docs
+    * up to ~3·10⁷ tokens) — so bin identity is bit-exact cross-engine,
+    * no double ever decides a boundary.
+    *
+    * Plan/scale: the [[nbScored]] pass + one narrow bin projection + a
+    * bounded bin agg (≤ ~17.6k bins by the llr bound; tens populated in
+    * practice — the mean concentrates) with map-side partials; the share
+    * window runs over the bin relation, scale-free. */
+  def nbCalibration(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    nbScored(s, d)
+      .withColumn("bin", expr(
+        "(2 * sl + 163840000000L * n_tokens) DIV (10000000L * n_tokens) - 16384"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_label"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("share",
+        col("n_docs") / sum(col("n_docs")).over(w.partitionBy()))
+      .select(col("bin"), expr("CAST(bin AS DOUBLE) * 0.005e0").as("bin_lo"),
+        col("n_docs"), col("n_keep"),
+        (col("n_keep") / col("n_docs")).as("keep_rate"), col("share"))
+      .orderBy("bin")
+  }
 
   /** DSIR feature-space size: hashed unigram buckets. Tiny here so every
     * bucket is exercised at test scale; production uses 10k–100k. The
@@ -761,6 +873,8 @@ object CorpusOps {
     "t_mix_weights" -> mixWeights,
     "t_quality_gate" -> qualityGate,
     "t_nb_quality" -> nbQuality,
+    "t_auc" -> nbAuc,
+    "t_calibration" -> nbCalibration,
     "t_dsir" -> dsirWeights,
     "t_data_split" -> dataSplit,
     "t_nb_confusion" -> nbConfusion,
@@ -949,6 +1063,37 @@ object CorpusOps {
       SELECT keep_label, nb_keep, n,
         n / (SELECT sum(n)::BIGINT FROM cm) AS share
       FROM cm ORDER BY keep_label, nb_keep""",
+    // the oracle replays the rank-sum directly (one global window — fine
+    // at oracle scale; the Spark side decomposes it, see nbAuc)
+    "t_auc" -> s"""
+      WITH $NbCtes,
+      tb AS (SELECT (sl + 64000000000 * n_tokens)
+                      // (1000 * n_tokens) - 64000000 AS mkey,
+               sum(CASE WHEN keep_label THEN 1 ELSE 0 END)::BIGINT p,
+               sum(CASE WHEN keep_label THEN 0 ELSE 1 END)::BIGINT q
+             FROM ag GROUP BY 1),
+      pr AS (SELECT p, q,
+               coalesce(sum(q) OVER (ORDER BY mkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT qb
+             FROM tb)
+      SELECT sum(p)::BIGINT AS n_pos, sum(q)::BIGINT AS n_neg,
+        CAST(sum(p::HUGEINT * (2 * qb + q)) AS DOUBLE)
+          / CAST(2 * sum(p)::HUGEINT * sum(q)::HUGEINT AS DOUBLE) AS auc
+      FROM pr""",
+    "t_calibration" -> s"""
+      WITH $NbCtes,
+      b AS (SELECT (2 * sl + 163840000000 * n_tokens)
+                     // (10000000 * n_tokens) - 16384 AS bin,
+              keep_label
+            FROM ag),
+      g AS (SELECT bin, count(*)::BIGINT n_docs,
+              sum(CASE WHEN keep_label THEN 1 ELSE 0 END)::BIGINT n_keep
+            FROM b GROUP BY 1)
+      SELECT bin, CAST(bin AS DOUBLE) * 0.005 AS bin_lo, n_docs, n_keep,
+        n_keep / n_docs AS keep_rate,
+        n_docs / (SELECT sum(n_docs)::BIGINT FROM g) AS share
+      FROM g ORDER BY bin""",
     "t_dsir" -> s"""
       WITH $DsirCtes
       SELECT doc_id, is_target, n_tokens, sl / 1.0e9 AS dsir_logw,

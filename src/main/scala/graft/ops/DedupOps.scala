@@ -389,6 +389,7 @@ object DedupOps {
     *   DedupOps.jaccardFrom(cached)             // near-dup pairs
     *   DedupOps.containmentFrom(cached)         // subset duplication
     *   DedupOps.lshTuningFrom(cached)           // band-dial s-curves
+    *   DedupOps.thresholdSweepFrom(docs, cached) // removal-rate dial
     *   DedupOps.dedupFunnelFrom(docs, cached)   // staged removal report
     *   DedupOps.dataSplitClusterFrom(docs, cached) // leakage-free split
     *   val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
@@ -463,6 +464,74 @@ object DedupOps {
         expr("inter / n_b").as("cont_b_in_a"))
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
+
+  /** Jaccard-percent grid for [[thresholdSweep]] (ascending, step 10). */
+  val SweepGrid: Seq[Long] = Seq(50L, 60L, 70L, 80L, 90L)
+
+  /** Dedup aggressiveness dial: for each Jaccard threshold in
+    * [[SweepGrid]], how many candidate pairs clear it, how many documents
+    * the pair-greedy rule removes (a doc is removed when it is the
+    * GREATER id of any clearing pair — the keep-min-of-each-pair rule;
+    * an upper bound on cluster-canonical removal, and after it no
+    * clearing pair survives intact), and how many documents survive.
+    * The survivors-vs-threshold curve is what a curator reads to pick
+    * [[JaccardMin]] — [[lshTuning]] dials the sketch's CANDIDATE recall,
+    * this dials the EXACT tier's removal rate.
+    *
+    * Exactness: thresholds compare as integers — pct = ⌊100·inter/union⌋
+    * and ⌊100i/u⌋ ≥ t ⇔ 100i ≥ t·u for integer t — no double boundary.
+    *
+    * Plan/scale: rides the shared [[pairCounts]] relation (one shingle
+    * shuffle, or zero against a materialized pair store via
+    * [[thresholdSweepFrom]]); everything after is output-sensitive or
+    * catalog-sized — a ≤101-value pct histogram and a doc-key max-pct
+    * agg, each exploded to the ≤5 grid levels it clears (equi-joins onto
+    * a literal 5-row spine; no theta join, no cartesian), plus one 1-row
+    * corpus count broadcast. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame =
+    thresholdSweepFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** Sweep over a (pre-materialized) [[pairCounts]] relation — the
+    * production consumer form (see the composition in [[pairCounts]]). */
+  def thresholdSweepFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lo = SweepGrid.head
+    val hi = SweepGrid.last
+    // pair-sized and narrow (pct, b_id) — materialized ONCE so the pair
+    // histogram and the per-doc max both read it instead of re-running
+    // the pair enumeration per consumer (the e_basket checkpoint device)
+    val j = pairs.select(
+      expr("(100 * inter) DIV (n_a + n_b - inter)").as("pct"), col("b_id"))
+      .localCheckpoint()
+    // histogram rows fan out to every grid level they clear (≤5 each),
+    // then sum per level — counts arrive at the spine via equi-join
+    def levels(hist: DataFrame, out: String) = hist
+      .filter(col("pct_max") >= lo)
+      .select(explode(expr(
+        s"sequence(${lo}L, least(pct_max DIV 10 * 10, ${hi}L), 10L)"))
+        .as("threshold"), col("c"))
+      .groupBy("threshold").agg(sum(col("c")).as(out))
+    val pairLv = levels(
+      j.groupBy(col("pct").as("pct_max")).agg(count(lit(1)).as("c")),
+      "n_pairs")
+    val docLv = levels(
+      j.groupBy("b_id").agg(max(col("pct")).as("pct_max"))
+        .groupBy("pct_max").agg(count(lit(1)).as("c")),
+      "n_flagged")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.sparkSession.range(SweepGrid.size)
+      .select((lit(lo) + col("id") * 10L).as("threshold"))
+      .join(pairLv, Seq("threshold"), "left")
+      .join(docLv, Seq("threshold"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (col("n_docs") - coalesce(col("n_flagged"), lit(0L)))
+          .as("n_survivors"),
+        (coalesce(col("n_flagged"), lit(0L)) / col("n_docs"))
+          .as("removal_rate"))
+      .orderBy("threshold")
+  }
 
   /** Loose shingle-Jaccard pre-filter for the edit-distance tier: a pair
     * must share at least half its shingles before the O(len²) DP runs. */
@@ -1527,6 +1596,7 @@ object DedupOps {
     "d_triangle_count" -> triangleCount,
     "d_span_rewrite" -> spanRewrite,
     "d_ngram_jaccard" -> ngramJaccard,
+    "d_threshold_sweep" -> thresholdSweep,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_clusters" -> minhashClusters,
@@ -1895,6 +1965,28 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin
       ORDER BY a_id, b_id""",
+    // the oracle replays the sweep with theta joins onto the grid —
+    // fine at oracle scale; the Spark side fans histogram rows onto a
+    // spine with equi-joins only (see thresholdSweepFrom)
+    "d_threshold_sweep" -> s"""
+      WITH $JaccardCappedCtes,
+      j AS (SELECT i.b_id,
+              (100 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS pct
+            FROM i JOIN c ca ON i.a_id = ca.doc_id
+                   JOIN c cb ON i.b_id = cb.doc_id),
+      grid AS (SELECT unnest([50, 60, 70, 80, 90])::BIGINT AS threshold),
+      np AS (SELECT g.threshold, count(j.pct)::BIGINT AS n_pairs
+             FROM grid g LEFT JOIN j ON j.pct >= g.threshold GROUP BY 1),
+      bm AS (SELECT b_id, max(pct) AS mp FROM j GROUP BY 1),
+      nf AS (SELECT g.threshold, count(bm.b_id)::BIGINT AS n_flagged
+             FROM grid g LEFT JOIN bm ON bm.mp >= g.threshold GROUP BY 1),
+      nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+      SELECT g.threshold, np.n_pairs, nf.n_flagged,
+        nd.n_docs - nf.n_flagged AS n_survivors,
+        nf.n_flagged / nd.n_docs AS removal_rate
+      FROM grid g JOIN np USING (threshold) JOIN nf USING (threshold)
+      CROSS JOIN nd
+      ORDER BY threshold""",
     "d_cdc_chunks" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       e AS (SELECT doc_id, toks,

@@ -635,15 +635,21 @@ object TextOps {
     * (w1,w2), w1, w2; the hot-token caveat and remedies are
     * [[unigramLm]]'s), the (N_b, V_2) constants broadcast from a 1-row
     * agg, and the per-doc mean is one partial-agg shuffle. */
-  def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val bg = documents(s, d)
+  /** The (doc_id, w1, w2) adjacent-bigram stream — ONE definition shared
+    * by [[bigramLm]] and [[knLm]], so the two LMs score exactly the same
+    * events and differ only in smoothing. */
+  private def bigramStream(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), explode(expr(
         """transform(filter(sequence(0, size(toks) - 1), p -> p + 1 < size(toks)),
              p -> named_struct('w1', element_at(toks, p + 1),
                                'w2', element_at(toks, p + 2)))""")).as("u"))
       .select(col("doc_id"), col("u.w1").as("w1"), col("u.w2").as("w2"))
+
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bg = bigramStream(s, d)
     val consts = bg.agg(count(lit(1)).as("nb"),
         count_distinct(col("w2")).as("v2"))
       .select((col("nb") + col("v2")).as("nv"))
@@ -654,6 +660,64 @@ object TextOps {
       .crossJoin(broadcast(consts))
       .withColumn("num", expr("cb * nv + (c2 + 1) * c1"))
       .withColumn("den", expr("2 * c1 * nv"))
+    DetMath.withLn(DetMath.withLn(counted, "num", "ln1"), "den", "ln2")
+      .withColumn("term", expr(
+        """cast(round(ln1_ln * 1.0e9) as bigint)
+           - cast(round(ln2_ln * 1.0e9) as bigint)"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(sl / 1.0e9) / n_bigrams").as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document mean log-probability under an interpolated KNESER-NEY
+    * bigram LM (absolute discount D = ½) — the smoothing that actually
+    * ships in production n-gram LMs: the lower-order distribution is the
+    * CONTINUATION probability (in how many distinct left contexts does
+    * w2 appear) rather than raw frequency, which stops high-count but
+    * context-bound tokens (the "Francisco" problem) from inflating
+    * backoff scores the way [[bigramLm]]'s JM unigram interpolation does.
+    *
+    *   p_KN(w2|w1) = (c(w1w2) − ½)/c(w1·) + (½·N1+(w1·)/c(w1·))·p_cont(w2)
+    *   p_cont(w2)  = N1+(·w2) / N_t      (N_t = distinct bigram types)
+    *
+    * Σ_w2 p_KN(w2|w1) = 1 exactly (the discount mass ½·N1+(w1·) is what
+    * the continuation term redistributes), and every scored bigram
+    * occurs in the corpus (c ≥ 1) so the discounted term never clips
+    * and p > 0. As ONE exact rational:
+    *   num = (2·c_b − 1)·N_t + N1+(w1·)·N1+(·w2),   den = 2·c_1·N_t —
+    * all BIGINT window/type counts; the only floating point is
+    * ln(num) − ln(den) via [[DetMath]], and the per-doc mean rides the
+    * scaled-BIGINT accumulator. Headroom: num ≤ 2·N_b·N_t ≤ 2·N_b² —
+    * exact to N_b ≈ 2·10⁹ bigrams; production beyond that drops to
+    * double logs (same plan).
+    *
+    * Plan/scale: the shared bigram stream + its distinct-TYPE relation;
+    * continuation counts are two windows over the type relation (uniform
+    * w1 / w2 keys, type-sized — smaller than the stream); the stream
+    * joins the types on the same uniform (w1, w2) hash the c_b window
+    * uses, so the window stacks over the join exchange; N_t broadcasts
+    * from a 1-row agg; the per-doc mean is one partial-agg shuffle. The
+    * hot-token caveat and remedies are [[unigramLm]]'s. */
+  def knLm(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bg = bigramStream(s, d)
+    // the distinct-type relation is materialized ONCE (the nbModel
+    // checkpoint device): the N_t constant, both continuation windows,
+    // and the scoring join all read it — not three distinct shuffles
+    val ty = bg.select("w1", "w2").distinct().localCheckpoint()
+    val types = ty
+      .withColumn("n1w1", count(lit(1)).over(w.partitionBy("w1")))
+      .withColumn("nc2", count(lit(1)).over(w.partitionBy("w2")))
+    val nt = ty.agg(count(lit(1)).as("nt"))
+    val counted = bg
+      .join(types, Seq("w1", "w2"))
+      .withColumn("cb", count(lit(1)).over(w.partitionBy("w1", "w2")))
+      .withColumn("c1", count(lit(1)).over(w.partitionBy("w1")))
+      .crossJoin(broadcast(nt))
+      .withColumn("num", expr("(2 * cb - 1) * nt + n1w1 * nc2"))
+      .withColumn("den", expr("2 * c1 * nt"))
     DetMath.withLn(DetMath.withLn(counted, "num", "ln1"), "den", "ln2")
       .withColumn("term", expr(
         """cast(round(ln1_ln * 1.0e9) as bigint)
@@ -1110,6 +1174,7 @@ object TextOps {
     "t_entropy" -> entropy,
     "t_unigram_lm" -> unigramLm,
     "t_bigram_lm" -> bigramLm,
+    "t_kn_lm" -> knLm,
     "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
     "t_bm25" -> bm25,
@@ -1495,6 +1560,38 @@ object TextOps {
       sc AS (SELECT doc_id, (cb * nv + (c2 + 1) * c1)::BIGINT AS num,
                     (2 * c1 * nv)::BIGINT AS den
              FROM wd CROSS JOIN ct),
+      l1 AS (SELECT doc_id, den,
+               ${DetMath.lnDuckSelect("num", "ln1")}
+             FROM sc),
+      l2 AS (SELECT doc_id, ln1_ln,
+               ${DetMath.lnDuckSelect("den", "ln2")}
+             FROM l1),
+      ag AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(CAST(round(ln1_ln * 1.0e9) AS BIGINT)
+                   - CAST(round(ln2_ln * 1.0e9) AS BIGINT))::BIGINT AS sl
+             FROM l2 GROUP BY 1)
+      SELECT doc_id, n_bigrams, (sl / 1.0e9) / n_bigrams AS avg_logprob
+      FROM ag ORDER BY doc_id""",
+    "t_kn_lm" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM t) z),
+      ty AS (SELECT DISTINCT w1, w2 FROM bg),
+      tw AS (SELECT w1, w2,
+               count(*) OVER (PARTITION BY w1)::BIGINT AS n1w1,
+               count(*) OVER (PARTITION BY w2)::BIGINT AS nc2
+             FROM ty),
+      k AS (SELECT count(*)::BIGINT AS nt FROM ty),
+      wd AS (SELECT doc_id,
+               count(*) OVER (PARTITION BY b.w1, b.w2)::BIGINT AS cb,
+               count(*) OVER (PARTITION BY b.w1)::BIGINT AS c1,
+               tw.n1w1, tw.nc2
+             FROM bg b JOIN tw USING (w1, w2)),
+      sc AS (SELECT doc_id, ((2 * cb - 1) * nt + n1w1 * nc2)::BIGINT AS num,
+                    (2 * c1 * nt)::BIGINT AS den
+             FROM wd CROSS JOIN k),
       l1 AS (SELECT doc_id, den,
                ${DetMath.lnDuckSelect("num", "ln1")}
              FROM sc),

@@ -273,6 +273,18 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_paths" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
     "s_diversity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     "e_gini" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // scored core + bases branch (canonically identical subtrees — AQE
+    // ReuseExchange collapses them at runtime, the e_rfm argument); both
+    // prefix windows partitioned or bucket-sized
+    "t_auc" -> "scan=2 xhash=6 xrange=0 bcast=5 smj=0 bhj=3 shj=0 bnlj=2 cart=0 gen=2 win=2 wgl=0",
+    // scored core + narrow bin projection; share window over the bin grid
+    "t_calibration" -> "scan=1 xhash=2 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=1 wgl=0",
+    // checkpointed (pct, b_id) pair relation read by both consumers; the
+    // grid spine joins are broadcast; bnlj is the 1-row corpus count
+    "d_threshold_sweep" -> "scan=1 xhash=5 xrange=1 bcast=3 smj=0 bhj=2 shj=0 bnlj=1 cart=0 gen=2 win=0 wgl=0",
+    // ONE scan; checkpointed type relation feeds N_t, both continuation
+    // windows, and the scoring join; per-doc mean is the last exchange
+    "t_kn_lm" -> "scan=1 xhash=4 xrange=1 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=4 wgl=0",
     "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-9 classifier-evaluation curves (t_auc, t_calibration) and the
+  * dedup threshold sweep (d_threshold_sweep): the decomposed/closed-form
+  * gate computations proven against brute force on data small enough to
+  * enumerate, plus constructed-input discrimination for the sweep (the
+  * testdata pair graph is bimodal, so the gate curve is legitimately
+  * flat there — the unit corpus is where the dial visibly moves). */
+class R9CurveSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t_auc equals brute-force pairwise AUC on the real corpus") {
+    graft.GraftSession.init(spark)
+    // the same quantized mean key the query ranks on, recomputed from
+    // the shared scored core
+    val sc = CorpusOps.nbScored(spark, sf)
+      .withColumn("mkey", expr(
+        "(sl + 64000000000L * n_tokens) DIV (1000 * n_tokens) - 64000000"))
+      .select("keep_label", "mkey").collect()
+    val pos = sc.filter(_.getBoolean(0)).map(_.getLong(1))
+    val neg = sc.filterNot(_.getBoolean(0)).map(_.getLong(1))
+    assert(pos.nonEmpty && neg.nonEmpty, "vacuous: one-class corpus")
+    var num2 = BigInt(0)
+    for (p <- pos; n <- neg)
+      num2 += (if (p > n) 2 else if (p == n) 1 else 0)
+    val brute = num2.toDouble / (2.0 * pos.length * neg.length)
+    val got = CorpusOps.nbAuc(spark, sf).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == pos.length && got(0).getLong(1) == neg.length)
+    // both sides divide the same exact integers (< 2^53 here) — the
+    // doubles must be BIT-identical, not approximately equal
+    assert(got(0).getDouble(2) == brute,
+      s"auc ${got(0).getDouble(2)} != brute $brute")
+  }
+
+  test("t_calibration bins are the exact per-doc histogram of nbScored") {
+    graft.GraftSession.init(spark)
+    val sc = CorpusOps.nbScored(spark, sf)
+      .select("keep_label", "n_tokens", "sl").collect()
+    // the shifted truncating division, replayed in Scala (numerator is
+    // positive, so / == floor division)
+    def bin(nt: Long, sl: Long): Long =
+      (2 * sl + 163840000000L * nt) / (10000000L * nt) - 16384
+    val want = sc.groupBy(r => bin(r.getLong(1), r.getLong(2)))
+      .map { case (b, rs) =>
+        b -> (rs.length.toLong, rs.count(_.getBoolean(0)).toLong)
+      }
+    val got = CorpusOps.nbCalibration(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (nd, nk) = want(r.getLong(0))
+      assert(r.getLong(2) == nd && r.getLong(3) == nk, s"bin mismatch: $r")
+      assert(r.getDouble(1) == r.getLong(0).toDouble * 0.005)
+      assert(r.getDouble(4) == nk.toDouble / nd)
+    }
+    assert(got.map(_.getLong(2)).sum == sc.length,
+      "bins must partition the scored corpus")
+    assert(math.abs(got.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+  }
+
+  test("d_threshold_sweep discriminates on a constructed pair relation") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L, 10L, 10L, 10L), // jaccard 1.0   -> pct 100
+      (3L, 4L, 10L, 10L, 8L),  // 8/12  = 0.66… -> pct 66
+      (5L, 6L, 10L, 10L, 6L),  // 6/14  = 0.42… -> pct 42 (below grid)
+      (7L, 8L, 12L, 8L, 7L),   // 7/13  = 0.53… -> pct 53
+      (2L, 9L, 10L, 10L, 9L)   // 9/11  = 0.81… -> pct 81
+    ).toDF("a_id", "b_id", "n_a", "n_b", "inter")
+    val got = DedupOps.thresholdSweepFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (50L, 4L, 4L, 6L), // b-side flagged: 2, 4, 8, 9
+      (60L, 3L, 3L, 7L), // 2, 4, 9
+      (70L, 2L, 2L, 8L), // 2, 9
+      (80L, 2L, 2L, 8L),
+      (90L, 1L, 1L, 9L)), s"sweep rows: ${got.toSeq}")
+  }
+
+  test("t_kn_lm matches a brute-force Kneser-Ney recompute") {
+    graft.GraftSession.init(spark)
+    // split(text, ' ') replayed with Java's -1-limit split (keeps empty
+    // trailing strings, like Spark's)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val types = cb.keySet
+    val n1w1 = types.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nc2 = types.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = types.size.toLong
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, b) =>
+        val num = (2L * cb(b) - 1L) * nt + n1w1(b._1) * nc2(b._2)
+        val den = 2L * c1(b._1) * nt
+        math.log(num.toDouble) - math.log(den.toDouble)
+      }
+      id -> (bs.size.toLong, terms.sum / bs.size)
+    }
+    val got = TextOps.knLm(spark, sf).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (nb, alp) = want(r.getLong(0))
+      assert(r.getLong(1) == nb, s"bigram count for doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - alp) < 1e-6,
+        s"doc ${r.getLong(0)}: ${r.getDouble(2)} vs $alp")
+      assert(r.getDouble(2) <= 1e-12, "p_KN must never exceed 1")
+    }
+  }
+
+  test("d_threshold_sweep gate-path invariants on the real corpus") {
+    graft.GraftSession.init(spark)
+    val rows = DedupOps.thresholdSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == DedupOps.SweepGrid)
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == nDocs, s"doc conservation: $r")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / nDocs)
+    }
+    // both counts are nonincreasing in the threshold
+    assert(rows.map(_.getLong(1)).toSeq.sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_.getLong(2)).toSeq.sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+    // pct >= 80 is EXACTLY d_ngram_jaccard's >= 0.8 gate: ⌊100i/u⌋ ≥ 80
+    // ⇔ 100i ≥ 80u ⇔ i/u ≥ 4/5, and the double compare can only disagree
+    // within half an ulp of 0.8 — unreachable for rationals with the
+    // denominators this corpus produces
+    val at80 = rows.find(_.getLong(0) == 80L).get.getLong(1)
+    assert(at80 == DedupOps.ngramJaccard(spark, sf).count())
+  }
+}
