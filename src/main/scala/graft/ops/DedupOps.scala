@@ -250,6 +250,64 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Synchronous label-propagation iterations for [[lpaCommunities]].
+    * Fixed (not run-to-convergence) so the output is deterministic even
+    * on oscillating structures — after K rounds every label is a K-hop
+    * neighborhood consensus. */
+  val LpaIters = 4
+
+  /** Label-propagation COMMUNITIES over the near-dup graph — the
+    * dense-core refinement [[dedupClusters]]'s connected components
+    * can't give: one boilerplate bridge document chains two unrelated
+    * template farms into a single CC cluster, but majority label
+    * propagation keeps each dense core its own community (the spec pins
+    * exactly that: two triangles joined by a bridge edge stay two
+    * communities under LPA while CC merges them). Curators read this
+    * where cluster-keep-one is too blunt: pick one survivor per
+    * COMMUNITY, then review the bridges.
+    *
+    * Rule (fully deterministic): lab₀(v) = v; labₖ(v) = the SMALLEST
+    * label among the modal labels of v's neighbors at k−1 — pure
+    * integer counts and mins, so both engines agree exactly; ties
+    * break identically everywhere. Every graph node has ≥ 1 neighbor
+    * by construction (it came from an edge), so labels stay total.
+    *
+    * Plan/scale: edge list materialized ONCE (localCheckpoint — the
+    * [[pagerank]] pattern); each of the [[LpaIters]] rounds is one
+    * uniform src-key join (labels are node-sized), one (dst, label)
+    * partial agg, one node-partitioned max window, one node-key min agg
+    * — per-round cost O(edges), the canonical distributed LPA shape.
+    * Hot hubs contribute degree-many rows, bounded by the DF-capped
+    * pair relation. */
+  def lpaCommunities(s: SparkSession, d: String): DataFrame =
+    lpaCommunitiesFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** LPA over a caller-supplied undirected edge list (a_id, b_id) — the
+    * production consumer form over a materialized pair relation (see
+    * [[pairCounts]]). */
+  def lpaCommunitiesFrom(pairRelation: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mx", max(col("n")).over(w.partitionBy(col("node"))))
+        .filter(col("n") === col("mx"))
+        .groupBy("node").agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("community_id"))
+      .orderBy("doc_id")
+  }
+
   /** Degree-oriented triangle counting + local clustering coefficient
     * over the near-dup graph — the community-structure readout PageRank
     * doesn't give: a high clustering coefficient means a document sits in
@@ -395,6 +453,7 @@ object DedupOps {
     *   val edges = DedupOps.jaccardFrom(cached).select("a_id", "b_id")
     *   DedupOps.pagerankFrom(edges)             // duplication hubs
     *   DedupOps.triangleCountFrom(edges)        // copy-clique structure
+    *   DedupOps.lpaCommunitiesFrom(edges)       // dense-core communities
     * }}}
     * One shingle-key shuffle total, instead of one per consumer; at
     * 100 TB the pair relation is output-sensitive (DF-capped) and
@@ -1597,6 +1656,7 @@ object DedupOps {
     "d_span_rewrite" -> spanRewrite,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_threshold_sweep" -> thresholdSweep,
+    "d_lpa_communities" -> lpaCommunities,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_clusters" -> minhashClusters,
@@ -1805,7 +1865,32 @@ object DedupOps {
                  (acc, x) -> acc + x))) AS cosine
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)"""
 
+  /** The [[lpaCommunities]] oracle: [[LpaIters]] synchronous rounds
+    * unrolled as CTE pairs (neighbor-label counts → min-modal label),
+    * generated from the same constant so an iteration-count change moves
+    * both engines together (the d_pagerank unrolling device). */
+  private def lpaOracleIters: String = (1 to LpaIters).map { k =>
+    s"""k${k}c AS (SELECT ed.dst AS node, l${k - 1}.lab, count(*)::BIGINT AS n
+             FROM ed JOIN l${k - 1} ON ed.src = l${k - 1}.node GROUP BY 1, 2),
+      l$k AS (SELECT node, min(lab) AS lab
+              FROM (SELECT node, lab, n,
+                      max(n) OVER (PARTITION BY node) AS mx
+                    FROM k${k}c) z
+              WHERE n = mx GROUP BY 1)"""
+  }.mkString(",\n      ")
+
   val oracles: Map[String, String] = Map(
+    "d_lpa_communities" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ed AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+      $lpaOracleIters
+      SELECT node AS doc_id, lab AS community_id
+      FROM l$LpaIters ORDER BY doc_id""",
     "d_exact_dedup" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups

@@ -285,6 +285,10 @@ class PlanSnapshotSpec extends SparkSpec {
     // ONE scan; checkpointed type relation feeds N_t, both continuation
     // windows, and the scoring join; per-doc mean is the last exchange
     "t_kn_lm" -> "scan=1 xhash=4 xrange=1 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=4 wgl=0",
+    // iterations read checkpointed relations (d_pagerank shape) — the
+    // returned frame is label lineage off the last checkpoint, zero
+    // parquet re-scans
+    "d_lpa_communities" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>

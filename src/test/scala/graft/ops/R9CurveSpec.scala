@@ -117,6 +117,48 @@ class R9CurveSpec extends SparkSpec {
     }
   }
 
+  test("d_lpa_communities: a bridge edge does NOT merge two dense cores") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined only by the bridge 3-4:
+    // connected components put all six in ONE cluster; majority label
+    // propagation must keep two communities (hand-traced: labels
+    // converge to 1 and 3 after round 3, stable in round 4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = DedupOps.lpaCommunitiesFrom(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"labels: $got")
+    // the CC baseline really does merge them — otherwise the split above
+    // proves nothing about LPA vs components
+    val cc = DedupOps.dedupClustersFrom(pairs).collect()
+      .map(_.getLong(1)).distinct
+    assert(cc.length == 1, s"CC should give one component, got $cc")
+  }
+
+  test("d_lpa_communities refine dedup clusters on the real pair graph") {
+    graft.GraftSession.init(spark)
+    // sf0.01: the sf0.001 pair graph is too sparse to be non-vacuous
+    val sf1 = "/root/testdata/sf0.01"
+    val edges = DedupOps
+      .jaccardFrom(DedupOps.pairCounts(spark, sf1, DedupOps.DefaultMaxDf))
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    assert(edges.count() > 0, "vacuous: no near-dup edges at this SF")
+    val lpa = DedupOps.lpaCommunitiesFrom(edges)
+      .withColumnRenamed("community_id", "cm")
+    val cc = DedupOps.dedupClustersFrom(edges)
+      .withColumnRenamed("cluster_id", "cl")
+    val joined = lpa.join(cc, "doc_id")
+    assert(joined.count() == lpa.count(), "same node set")
+    // labels only ever propagate along edges, so a community can never
+    // straddle two connected components
+    val split = joined.groupBy("cm")
+      .agg(countDistinct(col("cl")).as("ncl"))
+      .filter(col("ncl") > 1)
+    assert(split.count() == 0, s"community spans components: ${split.take(3).toSeq}")
+  }
+
   test("d_threshold_sweep gate-path invariants on the real corpus") {
     graft.GraftSession.init(spark)
     val rows = DedupOps.thresholdSweep(spark, sf).collect()
