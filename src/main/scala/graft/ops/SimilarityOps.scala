@@ -194,6 +194,58 @@ object SimilarityOps {
       .orderBy("k")
   }
 
+  /** Integer discount ledger for [[ndcgLsh]]: w(pos) =
+    * round(1e9 / log₂(pos+1)) for pos 1..5, emitted as SHARED literals
+    * into both engines' SQL — so every DCG term is a pure BIGINT product
+    * rel·w and no in-plan transcendental exists to disagree on. */
+  private val NdcgW: Seq[Long] =
+    (1 to 5).map(p => math.round(1.0e9 * math.log(2.0) / math.log(p + 1.0)))
+
+  /** CASE mapping a 1-based position column to its [[NdcgW]] weight
+    * (0 — and so a zero term — for NULL/miss). */
+  private def ndcgWSql(pos: String): String =
+    NdcgW.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+      .mkString(s"CASE $pos ", " ", " ELSE 0L END")
+  private def ndcgWDuck(pos: String): String =
+    NdcgW.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(s"CASE $pos ", " ", " ELSE 0 END")
+
+  /** NDCG@5 of the LSH tier against the exact ranking — the
+    * position-aware quality number [[annRecall]]'s set-overlap recall
+    * can't give: two tiers with identical recall@5 differ sharply when
+    * one returns the true best neighbor first and the other buries it at
+    * rank 5. Graded relevance is the exact tier's own ordering
+    * (rel = 6 − exact rank for the true top-5, 0 otherwise);
+    * DCG = Σ rel(item at ANN pos i)/log₂(i+1), normalized by the ideal.
+    *
+    * Exactness: with the discounts as shared 1e-9-ledger integer
+    * constants, DCG and IDCG are exact BIGINT sums of rel·w products;
+    * ndcg is one double division of exact integers.
+    *
+    * Plan/scale: reuses the two existing top-5 relations (broadcast
+    * exact pass + bucketed LSH pass); everything after is a query-set-
+    * sized join and agg. Like [[annRecall]], an opt-in measurement path:
+    * its cost is the brute-force tier's. */
+  def ndcgLsh(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"))
+    val approx = annLsh(s, d)
+      .select(col("q_id"), col("rank").as("a_rank"), col("vec_id"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"),
+        expr("CAST(6 - rank AS BIGINT)").as("rel"),
+        expr(ndcgWSql("rank")).as("wi"),
+        // a miss (NULL a_rank) matches no WHEN → ELSE 0 → zero term
+        expr(ndcgWSql("a_rank")).as("wa"))
+      .groupBy("q_id")
+      .agg(sum(when(col("wa") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(expr("rel * wa")).as("dcg_fp"),
+        sum(expr("rel * wi")).as("idcg_fp"))
+      .select(col("q_id"), col("n_hit"), col("dcg_fp"), col("idcg_fp"),
+        expr("dcg_fp / idcg_fp").as("ndcg"))
+      .orderBy("q_id")
+  }
+
   // ---- MMR (maximal marginal relevance) selection ------------------------
   private val MmrPoolK = 20
   private val MmrSelK = 5
@@ -1201,6 +1253,7 @@ object SimilarityOps {
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
     "s_ann_recall" -> annRecall,
+    "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
@@ -1257,6 +1310,37 @@ object SimilarityOps {
              sum(CASE WHEN a_rank <= k THEN 1 ELSE 0 END)::BIGINT AS n_hit,
              sum(CASE WHEN a_rank <= k THEN 1 ELSE 0 END) / count(*) AS recall
       FROM x GROUP BY 1 ORDER BY 1""",
+    "s_ndcg" -> s"""
+      WITH exact AS (
+        SELECT q_id, vec_id, rank FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      b2 AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
+             FROM embeddings),
+      approx AS (
+        SELECT q_id, vec_id, rank AS a_rank FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM b2 q JOIN b2 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      j AS (SELECT e.q_id, (6 - e.rank)::BIGINT AS rel,
+              (${ndcgWDuck("e.rank")})::BIGINT AS wi,
+              (${ndcgWDuck("a.a_rank")})::BIGINT AS wa
+            FROM exact e LEFT JOIN approx a
+              ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+      g AS (SELECT q_id,
+              sum(CASE WHEN wa > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+              sum(rel * wa)::BIGINT AS dcg_fp,
+              sum(rel * wi)::BIGINT AS idcg_fp
+            FROM j GROUP BY 1)
+      SELECT q_id, n_hit, dcg_fp, idcg_fp, dcg_fp / idcg_fp AS ndcg
+      FROM g ORDER BY q_id""",
     "s_ann_recall" -> s"""
       WITH exact AS (
         SELECT q_id, vec_id FROM (

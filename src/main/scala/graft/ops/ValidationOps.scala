@@ -557,7 +557,62 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** The numeric lineitem columns [[corrMatrix]] correlates: (name,
+    * exact BIGINT projection). Cents/basis-point scaling only preserves
+    * exactness — Pearson r is scale-invariant. */
+  private val CorrCols = Seq(
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"))
+
+  /** All ordered column pairs (x < y alphabetically) of [[CorrCols]]. */
+  private val CorrPairs = for {
+    (a, i) <- CorrCols.map(_._1).zipWithIndex
+    b <- CorrCols.map(_._1).drop(i + 1)
+  } yield (a, b)
+
+  /** Pairwise Pearson correlation MATRIX over the fact table's numeric
+    * columns — the multivariate step up from `q_stats_exact`'s single
+    * pair, and the profiling readout that catches accidentally-coupled
+    * columns (a price that silently encodes quantity, a tax column that
+    * is a constant multiple of discount) before anyone trains on
+    * "independent" features.
+    *
+    * Exactness is [[RelationalOps.qStatsExact]]'s device: every moment
+    * is an exact integer sum (values as BIGINT cents/basis points,
+    * per-row products fit BIGINT, the sums ride DECIMAL(38,0)), and each
+    * r comes from ONE fixed-shape double formula — no accumulation-order
+    * doubles anywhere.
+    *
+    * Plan/scale: ONE scan → a single partial-aggregated row holding all
+    * 4 sums + 4 square-sums + 6 cross-sums (map-side combined, shuffle
+    * volume = one row) → a 6-way stack melt. Adding columns grows the
+    * agg quadratically but the data pass stays single-scan one-row. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d)
+      .select(CorrCols.map { case (n2, e) => expr(e).as(n2) }: _*)
+    val aggs =
+      CorrCols.map { case (n2, _) => sum(col(n2)).as(s"s_$n2") } ++
+      CorrCols.map { case (n2, _) =>
+        sum(expr(s"CAST($n2 * $n2 AS DECIMAL(38,0))")).as(s"ss_$n2") } ++
+      CorrPairs.map { case (a, b) =>
+        sum(expr(s"CAST($a * $b AS DECIMAL(38,0))")).as(s"sp_${a}_$b") }
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def corr(a: String, b: String) =
+      s"""(n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+          (sqrt(n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+           sqrt(n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    val branches = CorrPairs
+      .map { case (a, b) => s"'$a', '$b', ${corr(a, b)}" }.mkString(",\n")
+    m.select(col("n"), expr(
+      s"stack(${CorrPairs.size}, $branches) AS (x, y, corr)"))
+      .select(col("x"), col("y"), col("n"), col("corr"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_corr_matrix" -> corrMatrix,
     "v_lang_entropy" -> langEntropy,
     "v_chisq" -> chisq,
     "v_quantile_sketch" -> quantileSketch,
@@ -588,7 +643,35 @@ object ValidationOps {
       FROM (SELECT $ck AS k, count(*)::BIGINT AS cnt FROM $child GROUP BY 1) c
       LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
 
+  /** The [[corrMatrix]] oracle, generated from the SAME column/pair
+    * constants so a column-set change moves both engines together. */
+  private def corrMatrixOracle: String = {
+    val proj = CorrCols.map { case (n2, e) => s"$e AS $n2" }.mkString(", ")
+    val sums = (
+      CorrCols.map { case (n2, _) => s"sum($n2)::BIGINT AS s_$n2" } ++
+      CorrCols.map { case (n2, _) =>
+        s"sum(CAST($n2 * $n2 AS DECIMAL(38,0))) AS ss_$n2" } ++
+      CorrPairs.map { case (a, b) =>
+        s"sum(CAST($a * $b AS DECIMAL(38,0))) AS sp_${a}_$b" })
+      .mkString(",\n              ")
+    def corr(a: String, b: String) =
+      s"""(n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+          (sqrt(n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+           sqrt(n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    val branches = CorrPairs.map { case (a, b) =>
+      s"SELECT '$a' AS x, '$b' AS y, n, ${corr(a, b)} AS corr FROM m" }
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH t AS (SELECT $proj FROM lineitem),
+      m AS (SELECT count(*)::BIGINT AS n,
+              $sums
+            FROM t)
+      $branches
+      ORDER BY x, y"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "v_corr_matrix" -> corrMatrixOracle,
     "v_lang_entropy" -> s"""
       WITH cells AS (SELECT source, lang, count(*)::BIGINT AS c
                      FROM documents GROUP BY 1, 2),

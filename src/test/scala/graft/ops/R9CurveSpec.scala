@@ -117,6 +117,58 @@ class R9CurveSpec extends SparkSpec {
     }
   }
 
+  test("v_corr_matrix matches a brute-force Pearson recompute") {
+    graft.GraftSession.init(spark)
+    val rows = Tables.lineitem(spark, sf).select(
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax")).collect()
+    val byName = Map(
+      "disc" -> rows.map(_.getLong(0)), "price" -> rows.map(_.getLong(1)),
+      "qty" -> rows.map(_.getLong(2)), "tax" -> rows.map(_.getLong(3)))
+    def pearson(xs: Array[Long], ys: Array[Long]): Double = {
+      val n = xs.length.toLong
+      val sx = BigInt(xs.sum); val sy = BigInt(ys.sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+         math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    val got = ValidationOps.corrMatrix(spark, sf).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getLong(2) == rows.length)
+      val want = pearson(byName(r.getString(0)), byName(r.getString(1)))
+      assert(math.abs(r.getDouble(3) - want) < 1e-12,
+        s"${r.getString(0)}/${r.getString(1)}: ${r.getDouble(3)} vs $want")
+    }
+  }
+
+  test("s_ndcg: ledger constants, ideal mass, and recall consistency") {
+    graft.GraftSession.init(spark)
+    // the shared discount constants really are round(1e9/log2(pos+1))
+    val w = (1 to 5).map(p =>
+      math.round(1.0e9 * math.log(2.0) / math.log(p + 1.0)))
+    val idealFp = (1 to 5).map(p => (6L - p) * w(p - 1)).sum
+    val got = SimilarityOps.ndcgLsh(spark, sf).collect()
+    val rec = SimilarityOps.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.length == rec.size)
+    got.foreach { r =>
+      assert(r.getLong(3) == idealFp, s"idcg drifted: $r")
+      assert(r.getLong(1) == rec(r.getLong(0)),
+        "n_hit must agree with s_ann_recall on the same tiers")
+      val ndcg = r.getDouble(4)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      assert(ndcg == r.getLong(2).toDouble / r.getLong(3))
+      // a perfect-order tier is exactly 1 — and only then
+      assert((ndcg == 1.0) == (r.getLong(2) == idealFp))
+    }
+  }
+
   test("d_lpa_communities: a bridge edge does NOT merge two dense cores") {
     graft.GraftSession.init(spark)
     import spark.implicits._
