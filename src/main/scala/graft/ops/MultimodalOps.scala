@@ -497,7 +497,11 @@ object MultimodalOps {
     * .sampleFrames]]): REAL per-frame mean luma for sniffed Y4M and
     * multi-frame GIF containers, the byte stand-in otherwise (the
     * oracle path over the ASCII corpus — DuckDB cannot demux video). */
-  def frameSample(s: SparkSession, d: String): DataFrame = {
+  /** The unsorted (doc_id, frame_idx, byte_val) frame stream shared by
+    * [[frameSample]] and [[keyframes]] — the consumer decides the final
+    * ordering, so the keyframe lag window doesn't pay for an
+    * intermediate output sort. */
+  private def frameRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
       .filter(col("doc_id") < 100)
@@ -507,6 +511,38 @@ object MultimodalOps {
         Multimodal.sampleFrames(body).map { case (idx, v) => (id, idx, v) }
       }
       .toDF("doc_id", "frame_idx", "byte_val")
+  }
+
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    frameRows(s, d).orderBy("doc_id", "frame_idx")
+
+  /** Scene-cut threshold for [[keyframes]] (mean-luma / stand-in byte
+    * units): a frame opens a new shot when it jumps at least this far
+    * from its predecessor. */
+  val KeyframeDelta = 16
+
+  /** Keyframe (scene-cut) selection over the sampled frame stream — the
+    * shot-boundary pass a video curation pipeline runs so captioning /
+    * embedding sees one frame per shot instead of thirty near-identical
+    * ones per second: a frame is a keyframe when it opens the stream or
+    * its value jumps ≥ [[KeyframeDelta]] from the previous frame. Values
+    * come through the SAME [[Multimodal.sampleFrames]] codec boundary as
+    * `m_frame_sample` — REAL per-frame mean luma for Y4M / animated GIF,
+    * the deterministic byte stand-in otherwise (the oracle path over the
+    * ASCII corpus).
+    *
+    * Plan/scale: the frameSample decode (payload never crosses a
+    * shuffle; only (doc_id, idx, value) rows do) + ONE uniform doc-key
+    * lag window + filter; output is keyframe-count-sensitive. */
+  def keyframes(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameRows(s, d)
+      .withColumn("prev", lag(col("byte_val"), 1).over(w))
+      .withColumn("delta",
+        expr("CAST(abs(byte_val - coalesce(prev, byte_val)) AS BIGINT)"))
+      .filter(col("prev").isNull || col("delta") >= KeyframeDelta)
+      .select(col("doc_id"), col("frame_idx"), col("byte_val"), col("delta"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -717,6 +753,7 @@ object MultimodalOps {
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
     "m_frame_sample" -> frameSample,
+    "m_keyframes" -> keyframes,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
     "m_color_stats" -> colorStatsStage,
@@ -801,6 +838,22 @@ object MultimodalOps {
       SELECT doc_id, ((pos - 1) // 32)::INT AS frame_idx,
              unicode(substr(text, pos, 1)) AS byte_val
       FROM p ORDER BY doc_id, frame_idx""",
+    "m_keyframes" -> s"""
+      WITH p AS (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text), 32)) pos
+                 FROM documents WHERE doc_id < 100),
+      f AS (SELECT doc_id, ((pos - 1) // 32)::INT AS frame_idx,
+              unicode(substr(text, pos, 1)) AS byte_val
+            FROM p),
+      l AS (SELECT doc_id, frame_idx, byte_val,
+              lag(byte_val) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) AS prev
+            FROM f)
+      SELECT doc_id, frame_idx, byte_val,
+             abs(byte_val - coalesce(prev, byte_val))::BIGINT AS delta
+      FROM l
+      WHERE prev IS NULL OR abs(byte_val - prev) >= ${KeyframeDelta}
+      ORDER BY doc_id, frame_idx""",
     "m_audio_windows" -> """
       WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
                  FROM documents WHERE doc_id < 100),

@@ -122,6 +122,35 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("m_keyframes: shot cuts detected on real frames through the query path") {
+    graft.GraftSession.init(spark)
+    // doc 0: Y4M with a steady head (10→12), a hard cut (→200), a
+    // near-still (→205), a second cut (→90); doc 1: 2-frame GIF hard
+    // cut; doc 2: raw bytes on the stand-in path (values 0, 96, 192 at
+    // stride 32 — every step is a cut)
+    val y4m = MediaFixtures.y4mBytes(4, 2, Seq(10, 12, 200, 205, 90))
+    val gif = MediaFixtures.gifBytes(3, 3, Seq(0, 255))
+    val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kf_fix").toString
+    val rows = Seq((0L, y4m), (1L, gif), (2L, raw))
+      .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("m_keyframes")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (0L, 0, 10, 0L), (0L, 2, 200, 188L), (0L, 4, 90, 115L), // frames 1, 3 steady
+      (1L, 0, 0, 0L), (1L, 1, 255, 255L),
+      (2L, 0, 0, 0L), (2L, 1, 96, 96L), (2L, 2, 192, 96L))
+    assert(got == want, s"got ${got.toList}")
+  }
+
   test("e_survival: Kaplan-Meier matches a hand-computed curve with censoring") {
     import org.apache.spark.sql.functions._
     graft.GraftSession.init(spark)

@@ -294,6 +294,8 @@ class PlanSnapshotSpec extends SparkSpec {
     // exact + LSH top-5 passes joined on the query-set-sized keys — the
     // s_recall_curve shape minus the melt; discounts are literals
     "s_ndcg" -> "scan=4 xhash=5 xrange=1 bcast=2 smj=1 bhj=1 shj=0 bnlj=1 cart=0 gen=0 win=2 wgl=4",
+    // shared unsorted frame stream + ONE doc-key lag window + filter
+    "m_keyframes" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
