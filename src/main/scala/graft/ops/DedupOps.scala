@@ -592,6 +592,54 @@ object DedupOps {
       .orderBy("threshold")
   }
 
+  /** TOKEN-weighted [[thresholdSweep]]: per Jaccard threshold, how many
+    * TOKENS the pair-greedy rule removes and how many survive — the
+    * budget view a curator actually decides on (removing 5% of docs that
+    * hold 40% of tokens is a very different dial setting than the doc
+    * count suggests; long boilerplate templates are exactly the docs
+    * near-dup removal hits). Same grid, same removal rule, same exact
+    * integer-percent comparisons.
+    *
+    * Plan/scale: the shared pair relation → per-doc max-pct agg → ONE
+    * uniform doc-key join to the narrow (doc_id, n_tokens) projection →
+    * token-weighted pct histogram (≤101 rows) fanned onto the grid
+    * spine (equi-joins only) + a 1-row corpus token total broadcast. */
+  def thresholdTokens(s: SparkSession, d: String): DataFrame =
+    thresholdTokensFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** Token sweep over a (pre-materialized) [[pairCounts]] relation — the
+    * production consumer form (see the composition in [[pairCounts]]). */
+  def thresholdTokensFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lo = SweepGrid.head
+    val hi = SweepGrid.last
+    val toks = docs.select(col("doc_id").as("b_id"),
+      expr(s"CAST(size($Toks) AS BIGINT)").as("nt"))
+    val hist = pairs
+      .select(expr("(100 * inter) DIV (n_a + n_b - inter)").as("pct"),
+        col("b_id"))
+      .groupBy("b_id").agg(max(col("pct")).as("pct_max"))
+      .join(toks, "b_id")
+      .groupBy("pct_max").agg(sum(col("nt")).as("c"))
+    val lv = hist.filter(col("pct_max") >= lo)
+      .select(explode(expr(
+        s"sequence(${lo}L, least(pct_max DIV 10 * 10, ${hi}L), 10L)"))
+        .as("threshold"), col("c"))
+      .groupBy("threshold").agg(sum(col("c")).as("tokens_flagged"))
+    val tot = toks.agg(sum(col("nt")).as("tokens_total"))
+    docs.sparkSession.range(SweepGrid.size)
+      .select((lit(lo) + col("id") * 10L).as("threshold"))
+      .join(lv, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("tokens_flagged"), lit(0L)).as("tokens_flagged"),
+        col("tokens_total"),
+        (col("tokens_total") - coalesce(col("tokens_flagged"), lit(0L)))
+          .as("tokens_survivors"),
+        (coalesce(col("tokens_flagged"), lit(0L)) / col("tokens_total"))
+          .as("token_removal_rate"))
+      .orderBy("threshold")
+  }
+
   /** Loose shingle-Jaccard pre-filter for the edit-distance tier: a pair
     * must share at least half its shingles before the O(len²) DP runs. */
   private val FuzzyPreJaccard = 0.5
@@ -1656,6 +1704,7 @@ object DedupOps {
     "d_span_rewrite" -> spanRewrite,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_threshold_sweep" -> thresholdSweep,
+    "d_threshold_tokens" -> thresholdTokens,
     "d_lpa_communities" -> lpaCommunities,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
@@ -2071,6 +2120,29 @@ object DedupOps {
         nf.n_flagged / nd.n_docs AS removal_rate
       FROM grid g JOIN np USING (threshold) JOIN nf USING (threshold)
       CROSS JOIN nd
+      ORDER BY threshold""",
+    "d_threshold_tokens" -> s"""
+      WITH $JaccardCappedCtes,
+      j AS (SELECT i.b_id,
+              (100 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS pct
+            FROM i JOIN c ca ON i.a_id = ca.doc_id
+                   JOIN c cb ON i.b_id = cb.doc_id),
+      bm AS (SELECT b_id, max(pct) AS mp FROM j GROUP BY 1),
+      tk AS (SELECT doc_id AS b_id,
+               len(string_split(text, ' '))::BIGINT AS nt
+             FROM documents),
+      grid AS (SELECT unnest([50, 60, 70, 80, 90])::BIGINT AS threshold),
+      fl AS (SELECT g.threshold,
+               coalesce(sum(x.nt), 0)::BIGINT AS tokens_flagged
+             FROM grid g LEFT JOIN
+               (SELECT bm.mp, tk.nt FROM bm JOIN tk USING (b_id)) x
+               ON x.mp >= g.threshold
+             GROUP BY 1),
+      tot AS (SELECT sum(nt)::BIGINT AS tokens_total FROM tk)
+      SELECT g.threshold, fl.tokens_flagged, tot.tokens_total,
+        tot.tokens_total - fl.tokens_flagged AS tokens_survivors,
+        fl.tokens_flagged / tot.tokens_total AS token_removal_rate
+      FROM grid g JOIN fl USING (threshold) CROSS JOIN tot
       ORDER BY threshold""",
     "d_cdc_chunks" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -296,6 +296,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "s_ndcg" -> "scan=4 xhash=5 xrange=1 bcast=2 smj=1 bhj=1 shj=0 bnlj=1 cart=0 gen=0 win=2 wgl=4",
     // shared unsorted frame stream + ONE doc-key lag window + filter
     "m_keyframes" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // pair core + doc-key token join + token-weighted histogram onto the
+    // grid spine; 3 scans: shingle core, token projection, corpus total
+    "d_threshold_tokens" -> "scan=3 xhash=5 xrange=1 bcast=3 smj=0 bhj=2 shj=0 bnlj=1 cart=0 gen=4 win=0 wgl=0",
     "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>

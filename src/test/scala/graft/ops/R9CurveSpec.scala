@@ -211,6 +211,32 @@ class R9CurveSpec extends SparkSpec {
     assert(split.count() == 0, s"community spans components: ${split.take(3).toSeq}")
   }
 
+  test("d_threshold_tokens weighs the same removals in tokens") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // same pair relation as the sweep discrimination test; docs carry
+    // known token counts (doc i has i tokens)
+    val docs = (1L to 10L)
+      .map(i => (i, (1L to i).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L, 10L, 10L, 10L), // pct 100 -> flags doc 2 (2 tokens)
+      (3L, 4L, 10L, 10L, 8L),  // pct 66  -> flags doc 4 (4 tokens)
+      (5L, 6L, 10L, 10L, 6L),  // pct 42  -> below grid
+      (7L, 8L, 12L, 8L, 7L),   // pct 53  -> flags doc 8 (8 tokens)
+      (2L, 9L, 10L, 10L, 9L)   // pct 81  -> flags doc 9 (9 tokens)
+    ).toDF("a_id", "b_id", "n_a", "n_b", "inter")
+    val total = (1L to 10L).sum // 55
+    val got = DedupOps.thresholdTokensFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (50L, 2L + 4 + 8 + 9, total, total - 23),
+      (60L, 2L + 4 + 9, total, total - 15),
+      (70L, 2L + 9, total, total - 11),
+      (80L, 2L + 9, total, total - 11),
+      (90L, 2L, total, total - 2)), s"rows: ${got.toSeq}")
+  }
+
   test("d_threshold_sweep gate-path invariants on the real corpus") {
     graft.GraftSession.init(spark)
     val rows = DedupOps.thresholdSweep(spark, sf).collect()
