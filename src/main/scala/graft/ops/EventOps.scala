@@ -658,6 +658,84 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Trailing window width (days) for [[qHolt]]. Coefficients grow as
+    * 4^(w−1), so the require below pins the BIGINT headroom through the
+    * actual generated table rather than a formula that could drift. */
+  private val HoltWindowDays = 14
+
+  /** Integer coefficient table for [[qHolt]]: for window length m
+    * (1-based index m−1), the BIGINT coefficients of each window value
+    * y_i in the 4^(m−1)-scaled level L_m and trend B_m. Generated by
+    * running the Holt recurrence once per unit input — the SAME table is
+    * emitted into the Spark expression and the DuckDB oracle, so the two
+    * engines cannot disagree on a weight. */
+  private val HoltCoefs: Vector[(Vector[Long], Vector[Long])] =
+    (1 to HoltWindowDays).map { m =>
+      var L = Array.tabulate(m)(i => if (i == 0) 1L else 0L)
+      var B = Array.fill(m)(0L)
+      for (t <- 2 to m) {
+        val nL = Array.tabulate(m)(i => 2 * L(i) + 2 * B(i))
+        val nB = Array.tabulate(m)(i => -L(i) + 3 * B(i))
+        nL(t - 1) += 1L << (2 * t - 3)
+        nB(t - 1) += 1L << (2 * t - 4)
+        L = nL; B = nB
+      }
+      (L.toVector, B.toVector)
+    }.toVector
+  require(HoltCoefs.forall { case (l, b) =>
+    l.map(math.abs).sum + b.map(math.abs).sum < (1L << 33) },
+    "Holt coefficient mass outruns BIGINT headroom for 2^30 daily volumes")
+
+  /** CASE over the observed window length: Σ coef·element — emitted for
+    * both engines from the one [[HoltCoefs]] table. `at(i)` renders the
+    * dialect's 1-based list access. */
+  private def holtNumSql(lenExpr: String, at: Int => String,
+      pick: ((Vector[Long], Vector[Long])) => Vector[Long]): String =
+    (1 to HoltWindowDays).map { m =>
+      val terms = pick(HoltCoefs(m - 1)).zipWithIndex
+        .map { case (c, i) => s"($c) * ${at(i + 1)}" }.mkString(" + ")
+      s"WHEN $m THEN $terms"
+    }.mkString(s"CASE $lenExpr ", " ", " ELSE NULL END")
+
+  /** Holt linear-trend smoothing (level + trend, α = β = ½) of daily
+    * volume per event type over a trailing [[HoltWindowDays]]-day frame —
+    * the next model up from [[qEwma]]'s level-only EWMA: a steadily
+    * growing series reads as "on trend" here instead of perpetually
+    * "above baseline", and the one-step forecast level+trend is the
+    * number a capacity dashboard actually plots. Init l₁ = y₁, b₁ = 0;
+    * update l = (y + l′ + b′)/2, b = (l − l′ + b′)/2.
+    *
+    * Oracle-exactness device: the recurrence is LINEAR, so the
+    * 4^(m−1)-scaled level and trend are exact integer dot products of
+    * the window values with a coefficient table generated ONCE in Scala
+    * ([[HoltCoefs]]) and emitted into both engines — integer sums are
+    * order-free, the single division by the exact power-of-4 scale is
+    * the only double op. Headroom pinned by the require over the actual
+    * table (daily volumes to 2³⁰ are exact at w = 14).
+    *
+    * Plan/scale: [[qEwma]]'s shape — one scan → (type, day) partial agg
+    * → ONE type-key window collecting ≤ 14 BIGINTs per row; the CASE
+    * dot product is a narrow codegen'd projection. */
+  def qHolt(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("vals",
+        collect_list(col("n")).over(w.rowsBetween(-(HoltWindowDays - 1), 0)))
+      .withColumn("num_l", expr(
+        holtNumSql("size(vals)", i => s"element_at(vals, $i)", _._1)))
+      .withColumn("num_b", expr(
+        holtNumSql("size(vals)", i => s"element_at(vals, $i)", _._2)))
+      .withColumn("den",
+        expr("CAST(shiftleft(1L, 2 * (size(vals) - 1)) AS DOUBLE)"))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        expr("CAST(num_l AS DOUBLE) / den").as("holt_level"),
+        expr("CAST(num_b AS DOUBLE) / den").as("holt_trend"),
+        expr("CAST(num_l + num_b AS DOUBLE) / den").as("holt_next"))
+      .orderBy("event_type", "day")
+  }
+
   /** Normalized cohort retention — [[qCohort]]'s counts divided by each
     * cohort's week-0 size (the form a retention chart actually plots:
     * "what fraction of the users acquired in week W were still active
@@ -1037,6 +1115,7 @@ object EventOps {
     "e_markov" -> qMarkov,
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
+    "e_holt" -> qHolt,
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
@@ -1266,6 +1345,30 @@ object EventOps {
         FROM wd)
       SELECT event_type, day, n AS n_events,
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
+      FROM sc ORDER BY event_type, day""",
+    "e_holt" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN ${HoltWindowDays - 1} PRECEDING
+                             AND CURRENT ROW) AS vals
+        FROM daily),
+      sc AS (
+        SELECT event_type, day, n,
+               (${holtNumSql("len(vals)", i => s"vals[$i]", _._1)})::BIGINT
+                 AS num_l,
+               (${holtNumSql("len(vals)", i => s"vals[$i]", _._2)})::BIGINT
+                 AS num_b,
+               CAST(1::BIGINT << (2 * (len(vals) - 1)) AS DOUBLE) AS den
+        FROM wd)
+      SELECT event_type, day, n AS n_events,
+             CAST(num_l AS DOUBLE) / den AS holt_level,
+             CAST(num_b AS DOUBLE) / den AS holt_trend,
+             CAST(num_l + num_b AS DOUBLE) / den AS holt_next
       FROM sc ORDER BY event_type, day""",
     "e_dau_wau" -> """
       WITH ud AS (SELECT DISTINCT user_id,

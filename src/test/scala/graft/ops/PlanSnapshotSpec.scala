@@ -242,6 +242,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_markov_removal" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // one scan → (type, day) agg → ONE type-key window
     "e_ewma" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // the e_ewma shape; the coefficient dot product is pure projection
+    "e_holt" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // weekly agg + ONE type-key lag window
     "e_wow" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // 9-key digit agg + 9-row total window; DetMath is pure projection

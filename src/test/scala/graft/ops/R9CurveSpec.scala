@@ -237,6 +237,39 @@ class R9CurveSpec extends SparkSpec {
       (90L, 2L, total, total - 2)), s"rows: ${got.toSeq}")
   }
 
+  test("e_holt matches the sequential Holt recurrence") {
+    graft.GraftSession.init(spark)
+    import org.apache.spark.sql.expressions.Window
+    // replay the per-(type, day) windows exactly as the query builds them
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("vals", collect_list(col("n")).over(
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)))
+      .select("event_type", "day", "vals").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getSeq[Long](2)))
+    def holt(ys: Seq[Long]): (Double, Double) = {
+      var l = ys.head.toDouble; var b = 0.0
+      ys.tail.foreach { y =>
+        val l2 = (y + l + b) / 2; b = (l2 - l + b) / 2; l = l2
+      }
+      (l, b)
+    }
+    val got = EventOps.qHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(daily.nonEmpty && got.size == daily.length)
+    daily.foreach { case (ty, day, vals) =>
+      val (l, b) = holt(vals)
+      val (gl, gb, gn) = got((ty, day))
+      // the dyadic recurrence is exact in doubles at these magnitudes —
+      // both paths compute the same rationals
+      assert(math.abs(gl - l) < 1e-6 && math.abs(gb - b) < 1e-6,
+        s"($ty, $day): ($gl, $gb) vs ($l, $b)")
+      assert(math.abs(gn - (l + b)) < 1e-6)
+    }
+  }
+
   test("d_threshold_sweep gate-path invariants on the real corpus") {
     graft.GraftSession.init(spark)
     val rows = DedupOps.thresholdSweep(spark, sf).collect()
