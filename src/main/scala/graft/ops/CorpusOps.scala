@@ -862,7 +862,42 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-budget curve: cumulative docs/tokens retained when keeping
+    * everything scoring ABOVE each bin — the dial a curator reads to
+    * pick the keep threshold on [[nbQuality]]'s score ("a cutoff at
+    * +0.01 keeps 46% of tokens"), exactly as [[DedupOps
+    * .thresholdSweep]] is the dial for the dedup tier. Same exact
+    * integer binning as [[nbCalibration]] (one rule, both queries);
+    * cumulation runs top-down so each row IS a candidate cutoff's
+    * retained mass. `n_tokens` is the full per-doc token count: the
+    * model's vocabulary is built from this corpus, so every occurrence
+    * survives the scoring join.
+    *
+    * Plan/scale: the [[nbScored]] pass + a bin-sized agg; both
+    * cumulative sums ride ONE descending window over the bin relation
+    * (bounded by the llr bound — the catalog-window argument), and the
+    * token total is a window over the same relation. */
+  def qualityBudget(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wDesc = w.orderBy(col("bin").desc)
+      .rowsBetween(w.unboundedPreceding, 0)
+    nbScored(s, d)
+      .withColumn("bin", expr(
+        "(2 * sl + 163840000000L * n_tokens) DIV (10000000L * n_tokens) - 16384"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wDesc))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wDesc))
+      .withColumn("cum_token_share",
+        col("cum_tokens") / sum(col("n_tokens")).over(w.partitionBy()))
+      .select(col("bin"), expr("CAST(bin AS DOUBLE) * 0.005e0").as("bin_lo"),
+        col("n_docs"), col("n_tokens"), col("cum_docs"), col("cum_tokens"),
+        col("cum_token_share"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality_budget" -> qualityBudget,
     "t_curriculum" -> curriculum,
     "t_decontaminate" -> decontaminate,
     "t_seq_pack" -> seqPack,
@@ -1081,6 +1116,28 @@ object CorpusOps {
         CAST(sum(p::HUGEINT * (2 * qb + q)) AS DOUBLE)
           / CAST(2 * sum(p)::HUGEINT * sum(q)::HUGEINT AS DOUBLE) AS auc
       FROM pr""",
+    "t_quality_budget" -> s"""
+      WITH $NbCtes,
+      b AS (SELECT (2 * sl + 163840000000 * n_tokens)
+                     // (10000000 * n_tokens) - 16384 AS bin,
+              n_tokens
+            FROM ag),
+      g AS (SELECT bin, count(*)::BIGINT n_docs,
+              sum(n_tokens)::BIGINT n_tokens
+            FROM b GROUP BY 1),
+      c AS (SELECT bin, n_docs, n_tokens,
+              sum(n_docs) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS cum_docs,
+              sum(n_tokens) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS cum_tokens
+            FROM g)
+      SELECT bin, CAST(bin AS DOUBLE) * 0.005 AS bin_lo, n_docs, n_tokens,
+        cum_docs, cum_tokens,
+        cum_tokens / (SELECT sum(n_tokens)::BIGINT FROM g)
+          AS cum_token_share
+      FROM c ORDER BY bin""",
     "t_calibration" -> s"""
       WITH $NbCtes,
       b AS (SELECT (2 * sl + 163840000000 * n_tokens)

@@ -576,7 +576,10 @@ object MultimodalOps {
     * stays relational: posexplode over the sample array + integer
     * arithmetic + one partial-aggregated shuffle on (doc, window) — all
     * whole-stage codegen, unchanged whichever decode path fired. */
-  def audioWindows(s: SparkSession, d: String): DataFrame = {
+  /** The unsorted per-(doc, window) energy relation shared by
+    * [[audioWindows]] and [[silence]] — the consumer decides the final
+    * ordering/rollup. */
+  private def audioWindowRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
       .filter(col("doc_id") < 100)
@@ -591,10 +594,41 @@ object MultimodalOps {
       .groupBy(col("doc_id"), col("win"))
       .agg(count(lit(1)).as("n_samples"),
         sum(expr("v * v")).as("energy"))
+  }
+
+  def audioWindows(s: SparkSession, d: String): DataFrame =
+    audioWindowRows(s, d)
       .select(col("doc_id"), col("win"), col("n_samples"), col("energy"),
         expr("energy / n_samples").as("mean_energy"))
       .orderBy("doc_id", "win")
-  }
+
+  /** Mean-energy floor below which a window counts as silent in
+    * [[silence]]. Real PCM silence sits near 0; the ASCII byte stand-in
+    * never goes below printable-character energy, so the gate corpus
+    * reports zero silent windows — the real path is driven by the
+    * FixtureGateSpec WAV with actual silent segments. */
+  val SilenceFloor = 2000L
+
+  /** Per-clip silence report: silent-window count and the
+    * first/last sounded window — the trim points a speech pipeline cuts
+    * leading/trailing silence at before transcription or embedding, and
+    * the "is this clip dead air" verdict. A window is silent when its
+    * exact mean energy is below [[SilenceFloor]] — compared as
+    * energy < floor·n_samples, pure BIGINTs, so the verdict can never
+    * flip on a float rounding.
+    *
+    * Plan/scale: the [[audioWindows]] decode + window agg (payloads
+    * never cross a shuffle) + one uniform doc-key rollup. One row per
+    * clip by construction — never vacuous. */
+  def silence(s: SparkSession, d: String): DataFrame =
+    audioWindowRows(s, d)
+      .withColumn("quiet", expr(s"energy < ${SilenceFloor}L * n_samples"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("quiet"), 1L).otherwise(0L)).as("n_silent"),
+        min(when(!col("quiet"), col("win"))).as("first_sound"),
+        max(when(!col("quiet"), col("win"))).as("last_sound"))
+      .orderBy("doc_id")
 
   /** Per-image color statistics: channel sample counts, exact integer
     * channel sums, and mean intensity per RGB channel — the "is this
@@ -754,6 +788,7 @@ object MultimodalOps {
     "m_byte_histogram" -> byteHistogram,
     "m_frame_sample" -> frameSample,
     "m_keyframes" -> keyframes,
+    "m_silence" -> silence,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
     "m_color_stats" -> colorStatsStage,
@@ -864,6 +899,23 @@ object MultimodalOps {
              sum(v * v)::BIGINT AS energy,
              sum(v * v)::BIGINT / count(*) AS mean_energy
       FROM v GROUP BY doc_id, win ORDER BY doc_id, win""",
+    "m_silence" -> s"""
+      WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
+                 FROM documents WHERE doc_id < 100),
+      v AS (SELECT doc_id, ((pos - 1) // 64)::INT AS win,
+              unicode(substr(text, pos, 1))::BIGINT AS v
+            FROM p),
+      g AS (SELECT doc_id, win, count(*)::BIGINT AS n_samples,
+              sum(v * v)::BIGINT AS energy
+            FROM v GROUP BY 1, 2),
+      q AS (SELECT doc_id, win,
+              energy < $SilenceFloor * n_samples AS quiet
+            FROM g)
+      SELECT doc_id, count(*)::BIGINT AS n_windows,
+        sum(CASE WHEN quiet THEN 1 ELSE 0 END)::BIGINT AS n_silent,
+        min(CASE WHEN NOT quiet THEN win END) AS first_sound,
+        max(CASE WHEN NOT quiet THEN win END) AS last_sound
+      FROM q GROUP BY 1 ORDER BY doc_id""",
     // ASCII ⇒ byte i == codepoint of char i+1; channel = position mod 3.
     // LEFT JOIN from documents keeps a zero-row for an empty payload (the
     // Spark side always emits one row per doc).

@@ -151,6 +151,38 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got ${got.toList}")
   }
 
+  test("m_silence: trim points on a real WAV with silent segments") {
+    graft.GraftSession.init(spark)
+    // doc 0: WAV of 64 silent + 64 loud + 64 silent samples → windows
+    // (silent, sound, silent); doc 1: all-silent WAV (dead air — no
+    // sound window, NULL trim points); doc 2: raw bytes on the stand-in
+    // path (printable-range energy, never silent)
+    val wav = MediaFixtures.wavBytes(
+      Array.fill[Short](64)(0) ++ Array.fill[Short](64)(3000) ++
+        Array.fill[Short](64)(0))
+    val dead = MediaFixtures.wavBytes(Array.fill[Short](128)(1))
+    val raw = Array.tabulate[Byte](100)(i => (65 + i % 26).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sil_fix").toString
+    val rows = Seq((0L, wav), (1L, dead), (2L, raw))
+      .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("m_silence")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSeq
+    val want = Seq(
+      (0L, 3L, 2L, Some(1), Some(1)),
+      (1L, 2L, 2L, None, None),
+      (2L, 2L, 0L, Some(0), Some(1)))
+    assert(got == want, s"got ${got.toList}")
+  }
+
   test("e_survival: Kaplan-Meier matches a hand-computed curve with censoring") {
     import org.apache.spark.sql.functions._
     graft.GraftSession.init(spark)

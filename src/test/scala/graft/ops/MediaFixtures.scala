@@ -20,6 +20,23 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** In-memory WAV: 16-bit signed little-endian PCM via the same
+    * pure-JDK `javax.sound.sampled` stack the decoder uses. */
+  def wavBytes(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Animated GIF via the imageio sequence writer; each frame a uniform
     * gray — uniform colors survive GIF palette quantization exactly. */
   def gifBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {

@@ -244,6 +244,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_ewma" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // the e_ewma shape; the coefficient dot product is pure projection
     "e_holt" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
+    // scored core + bin agg; both cums + total ride bin-sized windows
+    "t_quality_budget" -> "scan=1 xhash=2 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=2 wgl=0",
+    // decode + (doc, win) agg + doc-key rollup; verdict pure BIGINT
+    "m_silence" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // weekly agg + ONE type-key lag window
     "e_wow" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // 9-key digit agg + 9-row total window; DetMath is pure projection

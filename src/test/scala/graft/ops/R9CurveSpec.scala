@@ -237,6 +237,29 @@ class R9CurveSpec extends SparkSpec {
       (90L, 2L, total, total - 2)), s"rows: ${got.toSeq}")
   }
 
+  test("t_quality_budget: same bins as calibration, monotone retention") {
+    graft.GraftSession.init(spark)
+    val cal = CorpusOps.nbCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = CorpusOps.qualityBudget(spark, sf).collect()
+    assert(got.nonEmpty && got.map(_.getLong(0)).toSet == cal.keySet,
+      "one binning rule, two queries")
+    got.foreach(r => assert(r.getLong(2) == cal(r.getLong(0))))
+    // ascending bins ⇒ descending cumulative mass; lowest bin holds all
+    val byBin = got.sortBy(_.getLong(0))
+    assert(byBin.map(_.getLong(4)).toSeq ==
+      byBin.map(_.getLong(4)).toSeq.sorted.reverse)
+    assert(byBin.head.getLong(4) == got.map(_.getLong(2)).sum)
+    assert(byBin.head.getLong(5) == got.map(_.getLong(3)).sum)
+    assert(byBin.head.getDouble(6) == 1.0)
+    // full token conservation: the scored token mass is the corpus's —
+    // every corpus token is in the trained vocabulary
+    val toks = Tables.documents(spark, sf)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("nt"))
+      .agg(sum(col("nt"))).collect()(0).getLong(0)
+    assert(byBin.head.getLong(5) == toks)
+  }
+
   test("e_holt matches the sequential Holt recurrence") {
     graft.GraftSession.init(spark)
     import org.apache.spark.sql.expressions.Window
