@@ -467,6 +467,9 @@ object CorpusOps {
     // the +64e6-bin offset; |mean llr| < 44 ≪ 64); truncation toward
     // zero is monotone, so bucket order refines score order and equal
     // scores share a bucket by construction
+    // tie blocks materialized ONCE (the nbModel checkpoint device): the
+    // in-bucket prefix window and the bucket-bases branch both read the
+    // distinct-score relation instead of re-running the scored core
     val tb = nbScored(s, d)
       .withColumn("mkey", expr(
         "(sl + 64000000000L * n_tokens) DIV (1000 * n_tokens) - 64000000"))
@@ -474,6 +477,7 @@ object CorpusOps {
       .groupBy("bkt", "mkey")
       .agg(sum(when(col("keep_label"), 1L).otherwise(0L)).as("p"),
         sum(when(col("keep_label"), 0L).otherwise(1L)).as("q"))
+      .localCheckpoint()
     val local = tb.withColumn("qloc", coalesce(
       sum(col("q")).over(w.partitionBy(col("bkt")).orderBy(col("mkey"))
         .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))

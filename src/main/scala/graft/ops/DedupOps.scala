@@ -524,8 +524,44 @@ object DedupOps {
       .filter(expr("greatest(inter / n_a, inter / n_b) >= 0.9"))
       .orderBy("a_id", "b_id")
 
-  /** Jaccard-percent grid for [[thresholdSweep]] (ascending, step 10). */
+  /** Jaccard-percent grid for [[thresholdSweep]] / [[thresholdTokens]]:
+    * ascending, UNIFORM step (required below — the fan-out arithmetic,
+    * the spine construction, and the generated oracle literal all derive
+    * from this ONE constant, so a grid edit moves every consumer in both
+    * engines together). */
   val SweepGrid: Seq[Long] = Seq(50L, 60L, 70L, 80L, 90L)
+  private val SweepStep: Long = SweepGrid(1) - SweepGrid.head
+  require(SweepGrid.size >= 2 && SweepStep > 0 &&
+    SweepGrid.sliding(2).forall(w => w(1) - w(0) == SweepStep),
+    s"SweepGrid must ascend with one uniform step, got $SweepGrid")
+
+  /** The grid rendered as the DuckDB `grid` CTE — generated from
+    * [[SweepGrid]] so the oracle literal can never desync. */
+  private def sweepGridSql: String =
+    s"SELECT unnest([${SweepGrid.mkString(", ")}])::BIGINT AS threshold"
+
+  /** Histogram rows fan out to every grid level they clear (≤ grid-size
+    * each), then sum per level — counts arrive at the spine via
+    * equi-join, never a theta join. Shared by both sweeps. `hist` must
+    * carry (pct_max, c). */
+  private def sweepLevels(hist: DataFrame, out: String): DataFrame = {
+    val lo = SweepGrid.head
+    val hi = SweepGrid.last
+    hist
+      .filter(col("pct_max") >= lo)
+      .select(explode(expr(
+        s"""sequence(${lo}L,
+              least((pct_max - ${lo}L) DIV ${SweepStep}L * ${SweepStep}L
+                      + ${lo}L, ${hi}L),
+              ${SweepStep}L)""")).as("threshold"), col("c"))
+      .groupBy("threshold").agg(sum(col("c")).as(out))
+  }
+
+  /** The literal grid spine as a DataFrame. */
+  private def sweepSpine(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SweepGrid.toDF("threshold")
+  }
 
   /** Dedup aggressiveness dial: for each Jaccard threshold in
     * [[SweepGrid]], how many candidate pairs clear it, how many documents
@@ -553,32 +589,21 @@ object DedupOps {
   /** Sweep over a (pre-materialized) [[pairCounts]] relation — the
     * production consumer form (see the composition in [[pairCounts]]). */
   def thresholdSweepFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val lo = SweepGrid.head
-    val hi = SweepGrid.last
     // pair-sized and narrow (pct, b_id) — materialized ONCE so the pair
     // histogram and the per-doc max both read it instead of re-running
     // the pair enumeration per consumer (the e_basket checkpoint device)
     val j = pairs.select(
       expr("(100 * inter) DIV (n_a + n_b - inter)").as("pct"), col("b_id"))
       .localCheckpoint()
-    // histogram rows fan out to every grid level they clear (≤5 each),
-    // then sum per level — counts arrive at the spine via equi-join
-    def levels(hist: DataFrame, out: String) = hist
-      .filter(col("pct_max") >= lo)
-      .select(explode(expr(
-        s"sequence(${lo}L, least(pct_max DIV 10 * 10, ${hi}L), 10L)"))
-        .as("threshold"), col("c"))
-      .groupBy("threshold").agg(sum(col("c")).as(out))
-    val pairLv = levels(
+    val pairLv = sweepLevels(
       j.groupBy(col("pct").as("pct_max")).agg(count(lit(1)).as("c")),
       "n_pairs")
-    val docLv = levels(
+    val docLv = sweepLevels(
       j.groupBy("b_id").agg(max(col("pct")).as("pct_max"))
         .groupBy("pct_max").agg(count(lit(1)).as("c")),
       "n_flagged")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    docs.sparkSession.range(SweepGrid.size)
-      .select((lit(lo) + col("id") * 10L).as("threshold"))
+    sweepSpine(docs.sparkSession)
       .join(pairLv, Seq("threshold"), "left")
       .join(docLv, Seq("threshold"), "left")
       .crossJoin(broadcast(nDocs))
@@ -610,24 +635,18 @@ object DedupOps {
   /** Token sweep over a (pre-materialized) [[pairCounts]] relation — the
     * production consumer form (see the composition in [[pairCounts]]). */
   def thresholdTokensFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val lo = SweepGrid.head
-    val hi = SweepGrid.last
     val toks = docs.select(col("doc_id").as("b_id"),
       expr(s"CAST(size($Toks) AS BIGINT)").as("nt"))
-    val hist = pairs
-      .select(expr("(100 * inter) DIV (n_a + n_b - inter)").as("pct"),
-        col("b_id"))
-      .groupBy("b_id").agg(max(col("pct")).as("pct_max"))
-      .join(toks, "b_id")
-      .groupBy("pct_max").agg(sum(col("nt")).as("c"))
-    val lv = hist.filter(col("pct_max") >= lo)
-      .select(explode(expr(
-        s"sequence(${lo}L, least(pct_max DIV 10 * 10, ${hi}L), 10L)"))
-        .as("threshold"), col("c"))
-      .groupBy("threshold").agg(sum(col("c")).as("tokens_flagged"))
+    val lv = sweepLevels(
+      pairs
+        .select(expr("(100 * inter) DIV (n_a + n_b - inter)").as("pct"),
+          col("b_id"))
+        .groupBy("b_id").agg(max(col("pct")).as("pct_max"))
+        .join(toks, "b_id")
+        .groupBy("pct_max").agg(sum(col("nt")).as("c")),
+      "tokens_flagged")
     val tot = toks.agg(sum(col("nt")).as("tokens_total"))
-    docs.sparkSession.range(SweepGrid.size)
-      .select((lit(lo) + col("id") * 10L).as("threshold"))
+    sweepSpine(docs.sparkSession)
       .join(lv, Seq("threshold"), "left")
       .crossJoin(broadcast(tot))
       .select(col("threshold"),
@@ -2108,7 +2127,7 @@ object DedupOps {
               (100 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS pct
             FROM i JOIN c ca ON i.a_id = ca.doc_id
                    JOIN c cb ON i.b_id = cb.doc_id),
-      grid AS (SELECT unnest([50, 60, 70, 80, 90])::BIGINT AS threshold),
+      grid AS ($sweepGridSql),
       np AS (SELECT g.threshold, count(j.pct)::BIGINT AS n_pairs
              FROM grid g LEFT JOIN j ON j.pct >= g.threshold GROUP BY 1),
       bm AS (SELECT b_id, max(pct) AS mp FROM j GROUP BY 1),
@@ -2131,7 +2150,7 @@ object DedupOps {
       tk AS (SELECT doc_id AS b_id,
                len(string_split(text, ' '))::BIGINT AS nt
              FROM documents),
-      grid AS (SELECT unnest([50, 60, 70, 80, 90])::BIGINT AS threshold),
+      grid AS ($sweepGridSql),
       fl AS (SELECT g.threshold,
                coalesce(sum(x.nt), 0)::BIGINT AS tokens_flagged
              FROM grid g LEFT JOIN

@@ -698,8 +698,13 @@ object EventOps {
     }.mkString(s"CASE $lenExpr ", " ", " ELSE NULL END")
 
   /** Holt linear-trend smoothing (level + trend, α = β = ½) of daily
-    * volume per event type over a trailing [[HoltWindowDays]]-day frame —
-    * the next model up from [[qEwma]]'s level-only EWMA: a steadily
+    * volume per event type over a trailing frame of the last
+    * [[HoltWindowDays]] OBSERVED days (rows, not calendar days — the
+    * same frame semantics as [[qEwma]]; a sparse type's gaps compress,
+    * and the trend step is "per observed day", so holt_next forecasts
+    * the NEXT OBSERVED day — densify the daily grid first if calendar
+    * extrapolation is wanted) — the next model up from [[qEwma]]'s
+    * level-only EWMA: a steadily
     * growing series reads as "on trend" here instead of perpetually
     * "above baseline", and the one-step forecast level+trend is the
     * number a capacity dashboard actually plots. Init l₁ = y₁, b₁ = 0;

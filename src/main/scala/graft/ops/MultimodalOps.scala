@@ -618,17 +618,27 @@ object MultimodalOps {
     * flip on a float rounding.
     *
     * Plan/scale: the [[audioWindows]] decode + window agg (payloads
-    * never cross a shuffle) + one uniform doc-key rollup. One row per
-    * clip by construction — never vacuous. */
-  def silence(s: SparkSession, d: String): DataFrame =
-    audioWindowRows(s, d)
+    * never cross a shuffle) + one uniform doc-key rollup, LEFT-joined
+    * from the pruned doc-id projection so a clip whose payload yields
+    * ZERO samples (empty blob, dead container) still reports a
+    * (0, 0, NULL, NULL) row — one row per clip unconditionally, the
+    * m_color_stats census convention. */
+  def silence(s: SparkSession, d: String): DataFrame = {
+    val rolled = audioWindowRows(s, d)
       .withColumn("quiet", expr(s"energy < ${SilenceFloor}L * n_samples"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("quiet"), 1L).otherwise(0L)).as("n_silent"),
         min(when(!col("quiet"), col("win"))).as("first_sound"),
         max(when(!col("quiet"), col("win"))).as("last_sound"))
+    documents(s, d).filter(col("doc_id") < 100).select("doc_id")
+      .join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        col("first_sound"), col("last_sound"))
       .orderBy("doc_id")
+  }
 
   /** Per-image color statistics: channel sample counts, exact integer
     * channel sums, and mean intensity per RGB channel — the "is this
@@ -910,12 +920,18 @@ object MultimodalOps {
             FROM v GROUP BY 1, 2),
       q AS (SELECT doc_id, win,
               energy < $SilenceFloor * n_samples AS quiet
-            FROM g)
-      SELECT doc_id, count(*)::BIGINT AS n_windows,
-        sum(CASE WHEN quiet THEN 1 ELSE 0 END)::BIGINT AS n_silent,
-        min(CASE WHEN NOT quiet THEN win END) AS first_sound,
-        max(CASE WHEN NOT quiet THEN win END) AS last_sound
-      FROM q GROUP BY 1 ORDER BY doc_id""",
+            FROM g),
+      r AS (SELECT doc_id, count(*)::BIGINT AS n_windows,
+              sum(CASE WHEN quiet THEN 1 ELSE 0 END)::BIGINT AS n_silent,
+              min(CASE WHEN NOT quiet THEN win END) AS first_sound,
+              max(CASE WHEN NOT quiet THEN win END) AS last_sound
+            FROM q GROUP BY 1)
+      SELECT d.doc_id, coalesce(r.n_windows, 0)::BIGINT AS n_windows,
+        coalesce(r.n_silent, 0)::BIGINT AS n_silent,
+        r.first_sound, r.last_sound
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      LEFT JOIN r USING (doc_id)
+      ORDER BY d.doc_id""",
     // ASCII ⇒ byte i == codepoint of char i+1; channel = position mod 3.
     // LEFT JOIN from documents keeps a zero-row for an empty payload (the
     // Spark side always emits one row per doc).

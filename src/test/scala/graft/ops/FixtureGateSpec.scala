@@ -162,8 +162,10 @@ class FixtureGateSpec extends SparkSpec {
         Array.fill[Short](64)(0))
     val dead = MediaFixtures.wavBytes(Array.fill[Short](128)(1))
     val raw = Array.tabulate[Byte](100)(i => (65 + i % 26).toByte)
+    // doc 3: EMPTY payload — zero windows, but the census must still
+    // report the clip (0, 0, NULL, NULL), not silently drop it
     val dir = java.nio.file.Files.createTempDirectory("graft_sil_fix").toString
-    val rows = Seq((0L, wav), (1L, dead), (2L, raw))
+    val rows = Seq((0L, wav), (1L, dead), (2L, raw), (3L, Array.empty[Byte]))
       .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -179,7 +181,8 @@ class FixtureGateSpec extends SparkSpec {
     val want = Seq(
       (0L, 3L, 2L, Some(1), Some(1)),
       (1L, 2L, 2L, None, None),
-      (2L, 2L, 0L, Some(0), Some(1)))
+      (2L, 2L, 0L, Some(0), Some(1)),
+      (3L, 0L, 0L, None, None))
     assert(got == want, s"got ${got.toList}")
   }
 

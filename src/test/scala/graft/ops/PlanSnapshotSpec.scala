@@ -246,8 +246,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_holt" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // scored core + bin agg; both cums + total ride bin-sized windows
     "t_quality_budget" -> "scan=1 xhash=2 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=2 wgl=0",
-    // decode + (doc, win) agg + doc-key rollup; verdict pure BIGINT
-    "m_silence" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // decode + (doc, win) agg + doc-key rollup, LEFT-joined from the
+    // pruned id projection (census row per clip); verdict pure BIGINT
+    "m_silence" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // weekly agg + ONE type-key lag window
     "e_wow" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // 9-key digit agg + 9-row total window; DetMath is pure projection
@@ -279,10 +280,9 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_paths" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
     "s_diversity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     "e_gini" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
-    // scored core + bases branch (canonically identical subtrees — AQE
-    // ReuseExchange collapses them at runtime, the e_rfm argument); both
-    // prefix windows partitioned or bucket-sized
-    "t_auc" -> "scan=2 xhash=6 xrange=0 bcast=5 smj=0 bhj=3 shj=0 bnlj=2 cart=0 gen=2 win=2 wgl=0",
+    // tie blocks checkpointed: the scored core runs ONCE; the prefix
+    // window and bases branch both read the materialized relation
+    "t_auc" -> "scan=0 xhash=2 xrange=0 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // scored core + narrow bin projection; share window over the bin grid
     "t_calibration" -> "scan=1 xhash=2 xrange=0 bcast=2 smj=0 bhj=1 shj=0 bnlj=1 cart=0 gen=1 win=1 wgl=0",
     // checkpointed (pct, b_id) pair relation read by both consumers; the
