@@ -659,6 +659,45 @@ object DedupOps {
       .orderBy("threshold")
   }
 
+  /** Shingle document-frequency profile — the EVIDENCE behind the
+    * [[DefaultMaxDf]] cap every pair family relies on: shingles bucketed
+    * by power-of-two df (bucket k holds df ∈ [2^k, 2^{k+1})), each
+    * bucket reporting its shingle count, total postings, the C(f,2)
+    * candidate-pair mass it would generate UNCAPPED, and the part of
+    * that mass the cap actually enumerates. The uncapped-vs-capped pair
+    * columns are the cost the f² blowup argument claims boilerplate
+    * shingles carry — measured, not asserted; a curator reads this
+    * before moving the cap.
+    *
+    * Exactness: df and postings are exact BIGINTs; the pair masses ride
+    * DECIMAL(38,0)/HUGEINT ledgers (one corpus-wide shingle at f = 10⁹
+    * alone contributes ~5·10¹⁷ pairs — near the BIGINT edge, so the sum
+    * gets headroom); f·(f−1) is even, so halving stays integral. The
+    * bucket id is length(bin(f)) − 1 — the [[DetMath]] power-of-two
+    * device, bit-equal in both engines.
+    *
+    * Plan/scale: ONE shingle-key partial-agg shuffle to df grain (the
+    * same first shuffle as [[pairCounts]]), then a ≤64-bucket agg —
+    * nothing downstream is data-sized. */
+  def shingleProfile(s: SparkSession, d: String): DataFrame =
+    shinglePostings(documents(s, d))
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+      .withColumn("bkt", expr("CAST(length(bin(f)) - 1 AS INT)"))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("f")).as("n_postings"),
+        // f goes DECIMAL before the product — f·(f−1) would overflow
+        // BIGINT first at f ≈ 3·10⁹
+        sum(expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).as("p2"),
+        sum(expr(
+          s"""CASE WHEN f <= $DefaultMaxDf
+              THEN CAST(f AS DECIMAL(38,0)) * (f - 1)
+              ELSE CAST(0 AS DECIMAL(38,0)) END""")).as("p2c"))
+      .select(col("bkt"), col("n_shingles"), col("n_postings"),
+        expr("CAST(p2 / 2 AS DECIMAL(38,0))").as("pairs_uncapped"),
+        expr("CAST(p2c / 2 AS DECIMAL(38,0))").as("pairs_capped"))
+      .orderBy("bkt")
+
   /** Loose shingle-Jaccard pre-filter for the edit-distance tier: a pair
     * must share at least half its shingles before the O(len²) DP runs. */
   private val FuzzyPreJaccard = 0.5
@@ -1724,6 +1763,7 @@ object DedupOps {
     "d_ngram_jaccard" -> ngramJaccard,
     "d_threshold_sweep" -> thresholdSweep,
     "d_threshold_tokens" -> thresholdTokens,
+    "d_shingle_profile" -> shingleProfile,
     "d_lpa_communities" -> lpaCommunities,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
@@ -1948,6 +1988,23 @@ object DedupOps {
   }.mkString(",\n      ")
 
   val oracles: Map[String, String] = Map(
+    "d_shingle_profile" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
+      df AS (SELECT sh1, count(*)::BIGINT AS f FROM e GROUP BY 1),
+      b AS (SELECT (length(bin(f)) - 1)::INT AS bkt, f FROM df),
+      g AS (SELECT bkt, count(*)::BIGINT AS n_shingles,
+              sum(f)::BIGINT AS n_postings,
+              sum(f::DECIMAL(38,0) * (f - 1)) AS p2,
+              sum(CASE WHEN f <= $DefaultMaxDf
+                    THEN f::DECIMAL(38,0) * (f - 1)
+                    ELSE 0::DECIMAL(38,0) END) AS p2c
+            FROM b GROUP BY 1)
+      SELECT bkt, n_shingles, n_postings,
+        (p2 / 2)::DECIMAL(38,0) AS pairs_uncapped,
+        (p2c / 2)::DECIMAL(38,0) AS pairs_capped
+      FROM g ORDER BY bkt""",
     "d_lpa_communities" -> s"""
       WITH $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

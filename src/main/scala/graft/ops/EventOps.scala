@@ -431,6 +431,44 @@ object EventOps {
       .orderBy("touch_type")
   }
 
+  /** Attribution lookback window (days) for [[qAttrWindow]]. */
+  private val AttrWindowDays = 7
+
+  /** TIME-WINDOWED last-touch attribution — [[qAttribution]] with the
+    * industry-standard lookback: a purchase is credited to the most
+    * recent prior non-purchase touch only if that touch happened within
+    * [[AttrWindowDays]] days; older touches report as 'expired' and
+    * purchases with no prior touch at all as 'none' (two distinct
+    * buckets — "we never reached them" and "we reached them too long
+    * ago" demand different marketing responses). The verdict is a pure
+    * integer microsecond comparison — no calendar arithmetic, no float.
+    *
+    * Plan/scale: [[qAttribution]]'s single carry-forward window (the
+    * SAME user-key sort now carries the touch timestamp beside the
+    * type — zero extra shuffles) + the touch-type-sized agg. */
+  def qAttrWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val winUs = AttrWindowDays * 86400L * 1000000L
+    events(s, d)
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("touch",
+        last(when(col("is_p") === 0, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("is_p") === 0, unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .withColumn("credited", expr(
+        s"""CASE WHEN touch IS NULL THEN 'none'
+                 WHEN unix_micros(ts) - touch_us > ${winUs}L THEN 'expired'
+                 ELSE touch END"""))
+      .groupBy(col("credited").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy("touch_type")
+  }
+
   /** Gaps-and-islands: per-user runs of CONSECUTIVE active calendar days —
     * the engagement-streak report. Calendar grain makes it distinct from
     * [[qSessionize]]'s 30-minute-gap grain. The classic row_number trick:
@@ -1121,6 +1159,7 @@ object EventOps {
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
     "e_holt" -> qHolt,
+    "e_attr_window" -> qAttrWindow,
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
@@ -1502,6 +1541,29 @@ object EventOps {
              count(*)::BIGINT AS n_purchases,
              ${dsumSql("value")} AS attributed_value
       FROM w WHERE is_p = 1 GROUP BY 1 ORDER BY touch_type""",
+    "e_attr_window" -> s"""
+      WITH ev AS (SELECT user_id, event_id, "value", event_type,
+                    CAST(ts AS TIMESTAMP) AS ts,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+                  FROM events),
+      w AS (SELECT *,
+              last_value(CASE WHEN is_p = 0 THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch,
+              last_value(CASE WHEN is_p = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS touch_us
+            FROM ev),
+      c AS (SELECT CASE WHEN touch IS NULL THEN 'none'
+                        WHEN epoch_us(ts) - touch_us > ${AttrWindowDays * 86400L * 1000000L}
+                          THEN 'expired'
+                        ELSE touch END AS touch_type,
+              "value"
+            FROM w WHERE is_p = 1)
+      SELECT touch_type, count(*)::BIGINT AS n_purchases,
+             ${dsumSql("value")} AS attributed_value
+      FROM c GROUP BY 1 ORDER BY touch_type""",
     "q_gaps_islands" -> """
       WITH d AS (SELECT DISTINCT user_id,
                    date_diff('day', DATE '2024-01-01',

@@ -186,6 +186,34 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got ${got.toList}")
   }
 
+  test("e_attr_window: stale touches expire, recent ones credit") {
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // user 1: click then purchase next day  -> credited to click
+    // user 2: click then purchase 10 days later -> expired (> 7 days)
+    // user 3: purchase with no prior touch -> none
+    // user 4: view day 0, click day 1, purchase day 8 -> click is the
+    //         LAST touch and is exactly 7 days old -> still credited
+    def ev(id: Long, user: Long, ty: String, day: Int, v: Double) =
+      (id, user, ty, java.sql.Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 12:00:00"), v)
+    val rows = Seq(
+      ev(1, 1, "click", 0, 0.0), ev(2, 1, "purchase", 1, 10.0),
+      ev(3, 2, "click", 0, 0.0), ev(4, 2, "purchase", 10, 20.0),
+      ev(5, 3, "purchase", 0, 40.0),
+      ev(6, 4, "view", 0, 0.0), ev(7, 4, "click", 1, 0.0),
+      ev(8, 4, "purchase", 8, 80.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("props", lit("{}"))
+      .repartition(2).write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("e_attr_window")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("click", 2L, 90.0), ("expired", 1L, 20.0),
+      ("none", 1L, 40.0)), s"got $got")
+  }
+
   test("e_survival: Kaplan-Meier matches a hand-computed curve with censoring") {
     import org.apache.spark.sql.functions._
     graft.GraftSession.init(spark)

@@ -249,6 +249,10 @@ class PlanSnapshotSpec extends SparkSpec {
     // decode + (doc, win) agg + doc-key rollup, LEFT-joined from the
     // pruned id projection (census row per clip); verdict pure BIGINT
     "m_silence" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // ONE shingle-key shuffle to df grain + ≤64-bucket agg
+    "d_shingle_profile" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
+    // e_attribution's single carry-forward sort, now carrying touch ts
+    "e_attr_window" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // weekly agg + ONE type-key lag window
     "e_wow" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=0",
     // 9-key digit agg + 9-row total window; DetMath is pure projection

@@ -260,6 +260,24 @@ class R9CurveSpec extends SparkSpec {
     assert(byBin.head.getLong(5) == toks)
   }
 
+  test("d_shingle_profile: capped pair mass equals what pairCounts enumerates") {
+    graft.GraftSession.init(spark)
+    val prof = DedupOps.shingleProfile(spark, sf).collect()
+    assert(prof.nonEmpty)
+    // Σ_sh C(f,2) over df-capped shingles is exactly the intersection
+    // mass the inverted index enumerates: Σ inter over pairCounts
+    val cappedMass = prof.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
+    val enumerated = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
+      .agg(sum(col("inter"))).collect()(0).getLong(0)
+    assert(cappedMass == BigInt(enumerated),
+      s"profile says $cappedMass, pairCounts enumerates $enumerated")
+    // bucket arithmetic: postings ≥ shingles, uncapped ≥ capped
+    prof.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1))
+      assert(r.getDecimal(3).compareTo(r.getDecimal(4)) >= 0)
+    }
+  }
+
   test("e_holt matches the sequential Holt recurrence") {
     graft.GraftSession.init(spark)
     import org.apache.spark.sql.expressions.Window
