@@ -431,6 +431,38 @@ object EventOps {
       .orderBy("touch_type")
   }
 
+  /** Inter-event time histogram: the distribution of gaps between a
+    * user's consecutive events, bucketed by power-of-two seconds
+    * (bucket k holds gaps in [2^k − 1, 2^{k+1} − 1) via
+    * ⌊log₂(gap+1)⌋) — the burstiness fingerprint behind every timeout
+    * constant in this file: the 30-minute session gap and the
+    * [[qAttrWindow]] lookback are defensible exactly where this
+    * histogram shows a valley. Bucket id via length(bin(n)) — the
+    * [[DetMath]] power-of-two device, bit-equal cross-engine; share is
+    * one division of exact BIGINTs.
+    *
+    * Plan/scale: ONE user-key lag window (the [[qSessionize]] sort) →
+    * ≤40-bucket agg with map-side partials; the share window runs over
+    * the bucket relation. */
+  def qInterEvent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - prev_us) DIV 1000000L"))
+      .withColumn("bkt",
+        expr("CAST(length(bin(gap_s + 1)) - 1 AS INT)"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_gaps"))
+      .withColumn("gap_lo_s", expr("shiftleft(1L, bkt) - 1L"))
+      .withColumn("share",
+        col("n_gaps") / sum(col("n_gaps")).over(wAll))
+      .select(col("bkt"), col("gap_lo_s"), col("n_gaps"), col("share"))
+      .orderBy("bkt")
+  }
+
   /** Attribution lookback window (days) for [[qAttrWindow]]. */
   private val AttrWindowDays = 7
 
@@ -1160,6 +1192,7 @@ object EventOps {
     "e_ewma" -> qEwma,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
+    "e_inter_event" -> qInterEvent,
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
@@ -1541,6 +1574,20 @@ object EventOps {
              count(*)::BIGINT AS n_purchases,
              ${dsumSql("value")} AS attributed_value
       FROM w WHERE is_p = 1 GROUP BY 1 ORDER BY touch_type""",
+    "e_inter_event" -> """
+      WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+      g AS (SELECT epoch_us(ts) AS us,
+              lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_us
+            FROM ev),
+      b AS (SELECT (length(bin((us - prev_us) // 1000000 + 1)) - 1)::INT
+                     AS bkt
+            FROM g WHERE prev_us IS NOT NULL),
+      h AS (SELECT bkt, count(*)::BIGINT AS n_gaps FROM b GROUP BY 1)
+      SELECT bkt, (1::BIGINT << bkt) - 1 AS gap_lo_s, n_gaps,
+             n_gaps / (SELECT sum(n_gaps)::BIGINT FROM h) AS share
+      FROM h ORDER BY bkt""",
     "e_attr_window" -> s"""
       WITH ev AS (SELECT user_id, event_id, "value", event_type,
                     CAST(ts AS TIMESTAMP) AS ts,

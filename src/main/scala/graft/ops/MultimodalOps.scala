@@ -463,6 +463,34 @@ object Multimodal {
 object MultimodalOps {
   import Tables._
 
+  /** Per-payload dimension census: REAL (width, height) for payloads
+    * that decode as images (the tiny-image / extreme-aspect-ratio
+    * filter every vision curation pipeline runs before embedding;
+    * CLIP-style recipes drop anything under a pixel floor), the
+    * (byte-length, 1) stand-in otherwise — the oracle path over the
+    * ASCII corpus. One row per payload unconditionally (an empty blob
+    * reports (0, 1, 0)).
+    *
+    * Plan/scale: one narrow mapPartitions through the codec boundary —
+    * payloads never cross a shuffle, three small columns leave the
+    * scan; no exchange before the presentation sort. */
+  def dims(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) =>
+        Multimodal.decodeImage(b) match {
+          case Some(img) => (id, img.getWidth, img.getHeight)
+          case None => (id, b.length, 1)
+        }
+      })
+      .toDF("doc_id", "width", "height")
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST(width AS BIGINT) * height").as("n_pixels"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata projection over an opaque binary column: byte length +
     * content hash — pure column ops, no decode. */
   def blobMeta(s: SparkSession, d: String): DataFrame =
@@ -799,6 +827,7 @@ object MultimodalOps {
     "m_frame_sample" -> frameSample,
     "m_keyframes" -> keyframes,
     "m_silence" -> silence,
+    "m_dims" -> dims,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
     "m_color_stats" -> colorStatsStage,
@@ -909,6 +938,10 @@ object MultimodalOps {
              sum(v * v)::BIGINT AS energy,
              sum(v * v)::BIGINT / count(*) AS mean_energy
       FROM v GROUP BY doc_id, win ORDER BY doc_id, win""",
+    "m_dims" -> """
+      SELECT doc_id, length(text)::INT AS width, 1::INT AS height,
+             length(text)::BIGINT AS n_pixels
+      FROM documents ORDER BY doc_id""",
     "m_silence" -> s"""
       WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
                  FROM documents WHERE doc_id < 100),

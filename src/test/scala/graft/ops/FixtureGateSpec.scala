@@ -186,6 +186,28 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got ${got.toList}")
   }
 
+  test("m_dims: real image dimensions through the query path") {
+    graft.GraftSession.init(spark)
+    // doc 0: 5x3 GIF (real decode); doc 1: raw bytes (stand-in: len x 1);
+    // doc 2: empty payload (census row, 0 x 1)
+    val gif = MediaFixtures.gifBytes(5, 3, Seq(128))
+    val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim_fix").toString
+    val rows = Seq((0L, gif), (1L, raw), (2L, Array.empty[Byte]))
+      .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("m_dims")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 5, 3, 15L), (1L, 70, 1, 70L), (2L, 0, 1, 0L)),
+      s"got $got")
+  }
+
   test("e_attr_window: stale touches expire, recent ones credit") {
     import org.apache.spark.sql.functions._
     graft.GraftSession.init(spark)
