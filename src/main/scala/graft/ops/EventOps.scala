@@ -811,6 +811,63 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** One-step forecast BACKTEST: [[qEwma]] vs [[qHolt]] as predictors of
+    * the next observed day's volume, per event type — the evidence for
+    * choosing a baseline model instead of asserting one (trend-less
+    * traffic should pick EWMA; drifting traffic Holt; this query says
+    * which, with the same walk-forward protocol a forecasting team
+    * uses). Day d is predicted by each model's state at the PREVIOUS
+    * observed day; the report is each model's mean absolute error over
+    * all scored days and the winner per type.
+    *
+    * Exactness: both predictions are rationals of exact BIGINTs; the
+    * per-day absolute error is one deterministic double (|y − num/den|,
+    * correctly-rounded IEEE ops on identical integers in both engines)
+    * quantized to a 1e-6 BIGINT ledger, so the per-type sums are
+    * order-free and the winner verdict compares exact integers — it can
+    * never flip on accumulation order. MAE is one division at the end.
+    *
+    * Plan/scale: ONE scan → (type, day) partial agg → both models'
+    * frames ride ONE type-key sort (two collect_list windows + two
+    * lags stack over the same exchange) → catalog-sized type agg. */
+  def qBacktest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val scored = daily
+      .withColumn("evals",
+        collect_list(col("n")).over(w.rowsBetween(-(EwmaWindowDays - 1), 0)))
+      .withColumn("hvals",
+        collect_list(col("n")).over(w.rowsBetween(-(HoltWindowDays - 1), 0)))
+      // EWMA one-step prediction = the smoothed level itself
+      .withColumn("e_pred", expr(
+        """CAST(aggregate(reverse(evals), 0L, (a, x) -> 2L * a + x) AS DOUBLE)
+           / CAST(shiftleft(1L, size(evals)) - 1L AS DOUBLE)"""))
+      // Holt one-step prediction = level + trend
+      .withColumn("h_pred", expr(
+        s"""CAST((${holtNumSql("size(hvals)", i => s"element_at(hvals, $i)", _._1)})
+                 + (${holtNumSql("size(hvals)", i => s"element_at(hvals, $i)", _._2)})
+                 AS DOUBLE)
+            / CAST(shiftleft(1L, 2 * (size(hvals) - 1)) AS DOUBLE)"""))
+      .withColumn("e_prev", lag(col("e_pred"), 1).over(w))
+      .withColumn("h_prev", lag(col("h_pred"), 1).over(w))
+      .filter(col("e_prev").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(abs(n - e_prev) * 1.0e6) AS BIGINT)").as("e_err"),
+        expr("CAST(round(abs(n - h_prev) * 1.0e6) AS BIGINT)").as("h_err"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e_err")).as("se"), sum(col("h_err")).as("sh"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(se AS DOUBLE) / 1.0e6 / n_days").as("mae_ewma"),
+        expr("CAST(sh AS DOUBLE) / 1.0e6 / n_days").as("mae_holt"),
+        expr("""CASE WHEN sh < se THEN 'holt'
+                     WHEN se < sh THEN 'ewma'
+                     ELSE 'tie' END""").as("winner"))
+      .orderBy("event_type")
+  }
+
   /** Normalized cohort retention — [[qCohort]]'s counts divided by each
     * cohort's week-0 size (the form a retention chart actually plots:
     * "what fraction of the users acquired in week W were still active
@@ -1193,6 +1250,7 @@ object EventOps {
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
+    "e_backtest" -> qBacktest,
     "e_wow" -> qWow,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
@@ -1574,6 +1632,54 @@ object EventOps {
              count(*)::BIGINT AS n_purchases,
              ${dsumSql("value")} AS attributed_value
       FROM w WHERE is_p = 1 GROUP BY 1 ORDER BY touch_type""",
+    "e_backtest" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN ${EwmaWindowDays - 1} PRECEDING
+                             AND CURRENT ROW) AS evals,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN ${HoltWindowDays - 1} PRECEDING
+                             AND CURRENT ROW) AS hvals
+        FROM daily),
+      p AS (
+        SELECT event_type, day, n,
+               CAST(list_reduce(list_prepend(0::BIGINT, list_reverse(evals)),
+                                (a, x) -> 2 * a + x) AS DOUBLE)
+                 / CAST((1::BIGINT << len(evals)) - 1 AS DOUBLE) AS e_pred,
+               CAST((${holtNumSql("len(hvals)", i => s"hvals[$i]", _._1)})
+                    + (${holtNumSql("len(hvals)", i => s"hvals[$i]", _._2)})
+                    AS DOUBLE)
+                 / CAST(1::BIGINT << (2 * (len(hvals) - 1)) AS DOUBLE)
+                 AS h_pred
+        FROM wd),
+      l AS (
+        SELECT event_type, n,
+               lag(e_pred) OVER (PARTITION BY event_type ORDER BY day)
+                 AS e_prev,
+               lag(h_pred) OVER (PARTITION BY event_type ORDER BY day)
+                 AS h_prev
+        FROM p),
+      e AS (
+        SELECT event_type,
+               CAST(round(abs(n - e_prev) * 1.0e6) AS BIGINT) AS e_err,
+               CAST(round(abs(n - h_prev) * 1.0e6) AS BIGINT) AS h_err
+        FROM l WHERE e_prev IS NOT NULL),
+      g AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(e_err)::BIGINT AS se, sum(h_err)::BIGINT AS sh
+        FROM e GROUP BY 1)
+      SELECT event_type, n_days,
+             CAST(se AS DOUBLE) / 1.0e6 / n_days AS mae_ewma,
+             CAST(sh AS DOUBLE) / 1.0e6 / n_days AS mae_holt,
+             CASE WHEN sh < se THEN 'holt'
+                  WHEN se < sh THEN 'ewma'
+                  ELSE 'tie' END AS winner
+      FROM g ORDER BY event_type""",
     "e_inter_event" -> """
       WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                   FROM events),

@@ -208,6 +208,35 @@ class FixtureGateSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("e_backtest: a linear-trend series is won by Holt, not EWMA") {
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // daily volume grows 10/day for 25 days: Holt locks onto the trend
+    // (near-zero one-step error), level-only EWMA lags it every day —
+    // the discrimination the gate corpus (trendless noise, EWMA wins
+    // everywhere) cannot show
+    var eid = 0L
+    val rows = (1 to 25).flatMap { day =>
+      (1 to day * 10).map { _ =>
+        eid += 1
+        (eid, (eid % 7) + 1, "view", java.sql.Timestamp.valueOf(
+          f"2024-01-$day%02d 12:00:00"), 1.0)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bt_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("props", lit("{}"))
+      .repartition(2).write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("e_backtest")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "view" && r.getLong(1) == 24)
+    assert(r.getDouble(3) < r.getDouble(2),
+      s"holt mae ${r.getDouble(3)} should beat ewma mae ${r.getDouble(2)}")
+    assert(r.getString(4) == "holt")
+  }
+
   test("e_attr_window: stale touches expire, recent ones credit") {
     import org.apache.spark.sql.functions._
     graft.GraftSession.init(spark)

@@ -255,6 +255,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_attr_window" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // ONE user-key lag sort + bucket agg + bucket-sized share window
     "e_inter_event" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // both models' frames + both lags ride ONE type-key sort
+    "e_backtest" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // narrow decode map — payload never shuffles; only the output sort
     "m_dims" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // weekly agg + ONE type-key lag window
