@@ -190,9 +190,27 @@ object StreamOps {
     * by the uniform user key — the same O(active users) bound as
     * [[sessionize]]. Within a micro-batch rows apply in event-time order
     * with purchases after touches at the same instant, matching the batch
-    * window's (ts, is_p) sort. */
-  def attributionStream(events: Dataset[Event]): Dataset[TouchOut] = {
+    * window's (ts, is_p) sort.
+    *
+    * `lookbackDays` (the streaming dual of
+    * [[graft.ops.EventOps]]'s `e_attr_window`): when set, a touch older
+    * than the lookback at purchase time credits as 'expired' instead —
+    * the same CASE the batch query applies, on the SAME state the
+    * unlimited mode already carries (TouchState stores the touch
+    * timestamp), so the windowed mode costs nothing extra. None keeps
+    * the unlimited last-touch semantics. */
+  def attributionStream(events: Dataset[Event],
+      lookbackDays: Option[Int] = None): Dataset[TouchOut] = {
     import events.sparkSession.implicits._
+    val winUs = lookbackDays.map(_ * 86400L * 1000000L)
+    def credit(st: Option[TouchState], purchaseUs: Long): String =
+      st match {
+        case None => "none"
+        case Some(t) => winUs match {
+          case Some(w) if purchaseUs - t.tsMicros > w => "expired"
+          case _ => t.touch
+        }
+      }
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[TouchState]): Iterator[TouchOut] = {
       val sorted = rows.toSeq.sortBy(e =>
@@ -201,8 +219,7 @@ object StreamOps {
       var out = List.empty[TouchOut]
       sorted.foreach { e =>
         if (e.eventType == "purchase")
-          out ::= TouchOut(userId, e.tsMicros,
-            st.map(_.touch).getOrElse("none"), e.value)
+          out ::= TouchOut(userId, e.tsMicros, credit(st, e.tsMicros), e.value)
         else st = Some(TouchState(e.eventType, e.tsMicros))
       }
       st.foreach(state.update)

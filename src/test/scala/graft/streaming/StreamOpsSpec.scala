@@ -202,6 +202,36 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.TouchOut(1L, 50L, "click", 11.0)))
   }
 
+  test("attributionStream(lookback): stale touches expire across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    val in = MemoryStream[StreamOps.Event]
+    val q = StreamOps.attributionStream(in.toDS(), lookbackDays = Some(7))
+      .writeStream.format("memory").queryName("touches_wnd")
+      .outputMode("append").start()
+    // batch 1: click day 0, purchase day 1 -> credited
+    in.addData(
+      StreamOps.Event(1L, 0L, "click", 0.0),
+      StreamOps.Event(1L, 1 * day, "purchase", 10.0))
+    q.processAllAvailable()
+    // batch 2: the SAME persisted touch is now 10 days old -> expired
+    // (the batch e_attr_window CASE, applied to cross-batch state);
+    // exactly-7-days still credits
+    in.addData(
+      StreamOps.Event(1L, 10 * day, "purchase", 20.0),
+      StreamOps.Event(2L, 0L, "view", 0.0),
+      StreamOps.Event(2L, 7 * day, "purchase", 40.0))
+    q.processAllAvailable()
+    val rows = spark.table("touches_wnd").as[StreamOps.TouchOut].collect()
+      .sortBy(r => (r.userId, r.purchaseTsMicros))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      StreamOps.TouchOut(1L, 1 * day, "click", 10.0),
+      StreamOps.TouchOut(1L, 10 * day, "expired", 20.0),
+      StreamOps.TouchOut(2L, 7 * day, "view", 40.0)))
+  }
+
   test("sessionize(idleTimeout) flushes an idle session without a successor event") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
