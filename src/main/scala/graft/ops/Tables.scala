@@ -117,6 +117,30 @@ object Exact {
   def dsumSql(expr: String): String =
     s"(CAST(sum(CAST(round(($expr) * $Scale) AS BIGINT)) AS DOUBLE) / $Scale.0)"
 
+  /** 2^30 — the limb width of the split-sum device below. */
+  val Limb = 1073741824L
+
+  /** LIMB-SPLIT exact summation: a Σ of nonnegative BIGINT terms that
+    * overflows 2^53 cannot be handed to either engine's native
+    * wide-integer→DOUBLE cast — Spark (BigDecimal) and DuckDB (int128)
+    * disagree by 1 ulp on rare values (observed at sf0.1 on a ~6·10¹⁹
+    * sum of squared cents), and DECIMAL division/`//` in DuckDB routes
+    * through DOUBLE, so no decimal-side split is sound either. Instead
+    * the SUM itself is carried as two BIGINT accumulators —
+    * h = Σ (t DIV 2^30), l = Σ (t % 2^30) — and recombined as
+    *   (h + l DIV 2^30) · 2^30 + (l % 2^30)
+    * with pure BIGINT ops plus two IEEE ops on identical sub-2^53
+    * operands: bit-equal across engines by construction. Bounds: terms
+    * t < 2^53 and row count < 2^33 per aggregation group (beyond that,
+    * add a third limb). [[limbDbl]] / [[limbDblDuck]] render the
+    * recombiner in each dialect (integer division spells DIV / //). */
+  def limbDbl(h: String, l: String): String =
+    s"""(CAST(($h) + ($l) DIV $Limb AS DOUBLE) * ${Limb}.0e0
+         + CAST(($l) % $Limb AS DOUBLE))"""
+  def limbDblDuck(h: String, l: String): String =
+    s"""(CAST(($h) + ($l) // $Limb AS DOUBLE) * ${Limb}.0e0
+         + CAST(($l) % $Limb AS DOUBLE))"""
+
   /** Exact mean: the exact scaled sum, converted once, divided by count. */
   def davg(c: Column): Column =
     dsum(c) / count(lit(1))

@@ -579,30 +579,35 @@ object ValidationOps {
     * is a constant multiple of discount) before anyone trains on
     * "independent" features.
     *
-    * Exactness is [[RelationalOps.qStatsExact]]'s device: every moment
-    * is an exact integer sum (values as BIGINT cents/basis points,
-    * per-row products fit BIGINT, the sums ride DECIMAL(38,0)), and each
-    * r comes from ONE fixed-shape double formula — no accumulation-order
-    * doubles anywhere.
+    * Exactness: every moment is an exact integer sum — values as BIGINT
+    * cents/basis points, per-row products fit BIGINT, and each
+    * square/cross sum is carried as a LIMB-SPLIT BIGINT pair
+    * ([[Exact.limbDbl]]: native wide-integer→DOUBLE casts disagree by
+    * 1 ulp between engines above 2^53, observed at sf0.1) — so each r
+    * comes from ONE fixed-shape double formula on bit-identical inputs.
     *
     * Plan/scale: ONE scan → a single partial-aggregated row holding all
-    * 4 sums + 4 square-sums + 6 cross-sums (map-side combined, shuffle
+    * 4 sums + 10 limb-pair moment sums (map-side combined, shuffle
     * volume = one row) → a 6-way stack melt. Adding columns grows the
     * agg quadratically but the data pass stays single-scan one-row. */
   def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val L = Exact.Limb
     val base = lineitem(s, d)
       .select(CorrCols.map { case (n2, e) => expr(e).as(n2) }: _*)
+    def limbAggs(term: String, p: String) = Seq(
+      sum(expr(s"($term) DIV ${L}L")).as(s"${p}_h"),
+      sum(expr(s"($term) % ${L}L")).as(s"${p}_l"))
     val aggs =
       CorrCols.map { case (n2, _) => sum(col(n2)).as(s"s_$n2") } ++
-      CorrCols.map { case (n2, _) =>
-        sum(expr(s"CAST($n2 * $n2 AS DECIMAL(38,0))")).as(s"ss_$n2") } ++
-      CorrPairs.map { case (a, b) =>
-        sum(expr(s"CAST($a * $b AS DECIMAL(38,0))")).as(s"sp_${a}_$b") }
+      CorrCols.flatMap { case (n2, _) => limbAggs(s"$n2 * $n2", s"ss_$n2") } ++
+      CorrPairs.flatMap { case (a, b) => limbAggs(s"$a * $b", s"sp_${a}_$b") }
     val m = base.agg(count(lit(1)).as("n"), aggs: _*)
-    def corr(a: String, b: String) =
-      s"""(n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
-          (sqrt(n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
-           sqrt(n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    def corr(a: String, b: String) = {
+      def dd(p: String) = Exact.limbDbl(s"${p}_h", s"${p}_l")
+      s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+          (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+           sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    }
     val branches = CorrPairs
       .map { case (a, b) => s"'$a', '$b', ${corr(a, b)}" }.mkString(",\n")
     m.select(col("n"), expr(
@@ -646,18 +651,24 @@ object ValidationOps {
   /** The [[corrMatrix]] oracle, generated from the SAME column/pair
     * constants so a column-set change moves both engines together. */
   private def corrMatrixOracle: String = {
+    val L = Exact.Limb
     val proj = CorrCols.map { case (n2, e) => s"$e AS $n2" }.mkString(", ")
+    def limbSums(term: String, p: String) = Seq(
+      s"sum(($term) // $L)::BIGINT AS ${p}_h",
+      s"sum(($term) % $L)::BIGINT AS ${p}_l")
     val sums = (
       CorrCols.map { case (n2, _) => s"sum($n2)::BIGINT AS s_$n2" } ++
-      CorrCols.map { case (n2, _) =>
-        s"sum(CAST($n2 * $n2 AS DECIMAL(38,0))) AS ss_$n2" } ++
-      CorrPairs.map { case (a, b) =>
-        s"sum(CAST($a * $b AS DECIMAL(38,0))) AS sp_${a}_$b" })
+      CorrCols.flatMap { case (n2, _) =>
+        limbSums(s"$n2 * $n2", s"ss_$n2") } ++
+      CorrPairs.flatMap { case (a, b) =>
+        limbSums(s"$a * $b", s"sp_${a}_$b") })
       .mkString(",\n              ")
-    def corr(a: String, b: String) =
-      s"""(n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
-          (sqrt(n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
-           sqrt(n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    def corr(a: String, b: String) = {
+      def dd(p: String) = Exact.limbDblDuck(s"${p}_h", s"${p}_l")
+      s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+          (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+           sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+    }
     val branches = CorrPairs.map { case (a, b) =>
       s"SELECT '$a' AS x, '$b' AS y, n, ${corr(a, b)} AS corr FROM m" }
       .mkString("\n      UNION ALL ")
