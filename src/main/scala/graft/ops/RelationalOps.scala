@@ -341,10 +341,14 @@ object RelationalOps {
   /** Variance / stddev / correlation with oracle-exact determinism: the
     * built-in var_samp/corr accumulate doubles in partition order (non-
     * reproducible bit-level), so the moments are assembled from EXACT
-    * integer sums — cents as BIGINT, squared cents summed in DECIMAL(38,0)
-    * (cents² ~1e14 × 6e5 rows overflows BIGINT) — then one fixed-shape
-    * double formula. Same single-shuffle partial-agg plan as any sum. */
-  def qStatsExact(s: SparkSession, d: String): DataFrame =
+    * integer sums — cents as BIGINT, squared cents as a LIMB-SPLIT
+    * BIGINT pair ([[Exact.limbDbl]]: cents² ~1e14 × 6e5 rows overflows
+    * 2^53 and NO native wide-integer→DOUBLE cast is bit-identical
+    * across engines up there) — then one fixed-shape double formula.
+    * Same single-shuffle partial-agg plan as any sum. */
+  def qStatsExact(s: SparkSession, d: String): DataFrame = {
+    val L = Exact.Limb
+    val scc = Exact.limbDbl("scc_h", "scc_l")
     lineitem(s, d)
       .select(col("l_returnflag"),
         col("l_quantity").cast("long").as("q"),
@@ -355,18 +359,20 @@ object RelationalOps {
         sum(col("q")).as("sq"),
         sum(col("q") * col("q")).as("sqq"),
         sum(col("c")).as("sc"),
-        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("scc"),
+        sum(expr(s"(c * c) DIV ${L}L")).as("scc_h"),
+        sum(expr(s"(c * c) % ${L}L")).as("scc_l"),
         sum(col("q") * col("c")).as("sqc"))
       .select(col("l_returnflag"), col("n"),
         expr("(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)")
           .as("var_qty"),
-        expr("sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0")
+        expr(s"sqrt(($scc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0")
           .as("stddev_price"),
-        expr("""(n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE)) /
+        expr(s"""(n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE)) /
                 (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
-                 sqrt(n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))""")
+                 sqrt(n * $scc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))""")
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
+  }
 
   /** Exact distributed quantiles (discrete median + p90) in histogram
     * two-phase form — the shape that survives skewed group keys: phase 1
@@ -899,24 +905,26 @@ object RelationalOps {
       WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
       ORDER BY l_returnflag, l_orderkey, l_linenumber""",
-    "q_stats_exact" -> """
+    "q_stats_exact" -> s"""
       WITH t AS (SELECT l_returnflag,
                    CAST(l_quantity AS BIGINT) AS q,
                    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
                  FROM lineitem),
       m AS (SELECT l_returnflag, count(*) AS n,
               sum(q) AS sq, sum(q * q) AS sqq,
-              sum(c) AS sc, sum(CAST(c * c AS DECIMAL(38,0))) AS scc,
+              sum(c) AS sc,
+              sum((c * c) // ${Exact.Limb})::BIGINT AS scc_h,
+              sum((c * c) % ${Exact.Limb})::BIGINT AS scc_l,
               sum(q * c) AS sqc
             FROM t GROUP BY 1)
       SELECT l_returnflag, n,
              (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)
                AS var_qty,
-             sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0
+             sqrt((${Exact.limbDblDuck("scc_h", "scc_l")} - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)) / 100.0
                AS stddev_price,
              (n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE)) /
              (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
-              sqrt(n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+              sqrt(n * ${Exact.limbDblDuck("scc_h", "scc_l")} - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
                AS corr_qty_price
       FROM m ORDER BY l_returnflag""",
     "q_median_disc" -> """
