@@ -260,6 +260,32 @@ class R9CurveSpec extends SparkSpec {
     assert(byBin.head.getLong(5) == toks)
   }
 
+  test("Exact.limbDbl: split sums recombine deterministically and exactly") {
+    graft.GraftSession.init(spark)
+    val L = Exact.Limb
+    val rnd = new scala.util.Random(9)
+    val cases = (1 to 200).map { _ =>
+      // random nonnegative BIGINT terms up to ~1e14 (the squared-cents
+      // shape), list lengths up to 5000
+      Seq.fill(1 + rnd.nextInt(5000))(math.abs(rnd.nextLong()) % 100000000000000L)
+    }
+    cases.foreach { terms =>
+      val h = terms.map(_ / L).sum
+      val l = terms.map(_ % L).sum
+      val total = terms.map(BigInt(_)).sum
+      // Spark evaluates the very fragment the queries embed
+      val got = spark.range(1)
+        .selectExpr(s"${Exact.limbDbl(s"${h}L", s"${l}L")} AS d")
+        .collect()(0).getDouble(0)
+      // the Scala replay of the same two IEEE ops
+      val ref = (h + l / L).toDouble * L.toDouble + (l % L).toDouble
+      assert(got == ref, s"engine $got != reference $ref")
+      // below 2^53 the recombination must equal the exact total
+      if (total < BigInt(1L << 53))
+        assert(got == total.toDouble, s"inexact under 2^53: $got vs $total")
+    }
+  }
+
   test("d_shingle_profile: capped pair mass equals what pairCounts enumerates") {
     graft.GraftSession.init(spark)
     val prof = DedupOps.shingleProfile(spark, sf).collect()
