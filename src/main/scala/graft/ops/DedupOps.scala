@@ -308,6 +308,42 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Bridge documents: the ACTIONABLE review list [[lpaCommunities]]'s
+    * scaladoc promises — documents with at least one near-dup edge into
+    * a DIFFERENT community. These are the boilerplate connectors that
+    * chain otherwise-unrelated dense cores into one CC cluster; a
+    * curator keeps one survivor per community and hand-reviews exactly
+    * these rows. Reports each bridge's own community, its cross-
+    * community edge count, and how many distinct neighbor communities
+    * it touches (own included — ≥ 2 by construction here).
+    *
+    * Plan/scale: the LPA labels (checkpointed driver loop) + two
+    * uniform node-key joins of the edge list to the node-sized label
+    * relation + one doc-key agg; output is bridge-count-sensitive. */
+  def bridgeDocs(s: SparkSession, d: String): DataFrame =
+    bridgeDocsFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** Bridge report over a caller-supplied undirected edge list — the
+    * production consumer form (see [[pairCounts]]). */
+  def bridgeDocsFrom(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val labels = lpaCommunitiesFrom(pairs)
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+    edges
+      .join(labels.select(col("doc_id").as("src"),
+        col("community_id").as("c_src")), "src")
+      .join(labels.select(col("doc_id").as("dst"),
+        col("community_id").as("c_dst")), "dst")
+      .groupBy(col("src").as("doc_id"), col("c_src").as("community_id"))
+      .agg(sum(when(col("c_src") =!= col("c_dst"), 1L).otherwise(0L))
+        .as("n_foreign_edges"),
+        countDistinct(col("c_dst")).as("n_nbr_communities"))
+      .filter(col("n_foreign_edges") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Degree-oriented triangle counting + local clustering coefficient
     * over the near-dup graph — the community-structure readout PageRank
     * doesn't give: a high clustering coefficient means a document sits in
@@ -1765,6 +1801,7 @@ object DedupOps {
     "d_threshold_tokens" -> thresholdTokens,
     "d_shingle_profile" -> shingleProfile,
     "d_lpa_communities" -> lpaCommunities,
+    "d_bridge_docs" -> bridgeDocs,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_clusters" -> minhashClusters,
@@ -2016,6 +2053,26 @@ object DedupOps {
       $lpaOracleIters
       SELECT node AS doc_id, lab AS community_id
       FROM l$LpaIters ORDER BY doc_id""",
+    "d_bridge_docs" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ed AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+      $lpaOracleIters,
+      j AS (SELECT ed.src AS doc_id, ls.lab AS community_id,
+              ld.lab AS c_dst
+            FROM ed JOIN l$LpaIters ls ON ed.src = ls.node
+                    JOIN l$LpaIters ld ON ed.dst = ld.node),
+      g AS (SELECT doc_id, community_id,
+              sum(CASE WHEN community_id <> c_dst THEN 1 ELSE 0 END)::BIGINT
+                AS n_foreign_edges,
+              count(DISTINCT c_dst)::BIGINT AS n_nbr_communities
+            FROM j GROUP BY 1, 2)
+      SELECT doc_id, community_id, n_foreign_edges, n_nbr_communities
+      FROM g WHERE n_foreign_edges > 0 ORDER BY doc_id""",
     "d_exact_dedup" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups

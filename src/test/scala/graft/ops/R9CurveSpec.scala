@@ -189,6 +189,19 @@ class R9CurveSpec extends SparkSpec {
     assert(cc.length == 1, s"CC should give one component, got $cc")
   }
 
+  test("d_bridge_docs: exactly the two endpoints of the bridge edge") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = DedupOps.bridgeDocsFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // communities are {1,2,3}→1 and {4,5,6}→3 (hand-traced in the LPA
+    // test); only the bridge endpoints see a foreign community
+    assert(got.toSeq == Seq((3L, 1L, 1L, 2L), (4L, 3L, 1L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("d_lpa_communities refine dedup clusters on the real pair graph") {
     graft.GraftSession.init(spark)
     // sf0.01: the sf0.001 pair graph is too sparse to be non-vacuous
