@@ -267,10 +267,22 @@ object DedupOps {
     * COMMUNITY, then review the bridges.
     *
     * Rule (fully deterministic): lab₀(v) = v; labₖ(v) = the SMALLEST
-    * label among the modal labels of v's neighbors at k−1 — pure
-    * integer counts and mins, so both engines agree exactly; ties
+    * label among the modal labels of v's neighbors at k−1 PLUS v's own
+    * label at k−1 (a self-vote, realized as one self-loop per node) —
+    * pure integer counts and mins, so both engines agree exactly; ties
     * break identically everywhere. Every graph node has ≥ 1 neighbor
     * by construction (it came from an edge), so labels stay total.
+    *
+    * The self-vote is load-bearing, not a tie-break nicety: synchronous
+    * LPA without it OSCILLATES on bipartite cores — an isolated
+    * near-dup pair (the most common duplicate topology) swaps labels
+    * every round and an even iteration count leaves it as TWO singleton
+    * communities, so the keep-one-per-community workflow keeps both
+    * copies of a plain duplicate. With the self-vote a 2-clique's round
+    * one vote is a tie broken to the min label and the pair converges
+    * to one community, while dense-core separation is unaffected (a
+    * core member's neighbors outvote its single self-vote whenever they
+    * agree — the spec pins the bridged-triangles split unchanged).
     *
     * Plan/scale: edge list materialized ONCE (localCheckpoint — the
     * [[pagerank]] pattern); each of the [[LpaIters]] rounds is one
@@ -282,6 +294,19 @@ object DedupOps {
   def lpaCommunities(s: SparkSession, d: String): DataFrame =
     lpaCommunitiesFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
 
+  /** The LPA vote graph: both directions of every pair edge PLUS one
+    * self-loop per node (the self-vote — see [[lpaCommunitiesFrom]]'s
+    * scaladoc for why it is load-bearing). Shared by the community pass
+    * and the bridge report so the two can never disagree on the graph;
+    * the oracle's `ed` CTE ([[lpaEdgeCtes]]) is the same shape. */
+  private def lpaEdges(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("a_id").as("src"))
+      .union(pairs.select(col("b_id"))).distinct()
+    pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .union(nodes.select(col("src"), col("src")))
+  }
+
   /** LPA over a caller-supplied undirected edge list (a_id, b_id) — the
     * production consumer form over a materialized pair relation (see
     * [[pairCounts]]). */
@@ -289,8 +314,7 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window
     val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").localCheckpoint()
+    val edges = lpaEdges(pairs).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
@@ -315,7 +339,11 @@ object DedupOps {
     * curator keeps one survivor per community and hand-reviews exactly
     * these rows. Reports each bridge's own community, its cross-
     * community edge count, and how many distinct neighbor communities
-    * it touches (own included — ≥ 2 by construction here).
+    * it touches. The count runs over the SAME self-looped vote graph as
+    * [[lpaCommunitiesFrom]], so the bridge's own community is counted
+    * explicitly via its self-loop — n_nbr_communities ≥ 2 by
+    * construction (own + at least one foreign), with no reliance on a
+    * same-community neighbor existing.
     *
     * Plan/scale: the LPA labels (checkpointed driver loop) + two
     * uniform node-key joins of the edge list to the node-sized label
@@ -329,8 +357,7 @@ object DedupOps {
     val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val labels = lpaCommunitiesFrom(pairs)
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst")
+    val edges = lpaEdges(pairs)
     edges
       .join(labels.select(col("doc_id").as("src"),
         col("community_id").as("c_src")), "src")
@@ -708,9 +735,17 @@ object DedupOps {
     * Exactness: df and postings are exact BIGINTs; the pair masses ride
     * DECIMAL(38,0)/HUGEINT ledgers (one corpus-wide shingle at f = 10⁹
     * alone contributes ~5·10¹⁷ pairs — near the BIGINT edge, so the sum
-    * gets headroom); f·(f−1) is even, so halving stays integral. The
-    * bucket id is length(bin(f)) − 1 — the [[DetMath]] power-of-two
-    * device, bit-equal in both engines.
+    * gets headroom). C(f,2) is halved PER TERM before the decimal sum —
+    * f or f−1 is even, so the integer half-then-multiply is exact and no
+    * DECIMAL division ever runs (DuckDB routes decimal `/` and `//`
+    * through DOUBLE). The gate renders the two pair masses as exact
+    * decimal STRINGS: both engines print a scale-0 decimal as plain
+    * digits, so the value crosses the result boundary byte-identically —
+    * a DECIMAL(38,0) output column hashed differently between Spark's
+    * parquet decimal128 and DuckDB's int128 at the driver even with
+    * equal values (the round-9 red cell). The bucket id is
+    * length(bin(f)) − 1 — the [[DetMath]] power-of-two device, bit-equal
+    * in both engines.
     *
     * Plan/scale: ONE shingle-key partial-agg shuffle to df grain (the
     * same first shuffle as [[pairCounts]]), then a ≤64-bucket agg —
@@ -719,19 +754,23 @@ object DedupOps {
     shinglePostings(documents(s, d))
       .groupBy("sh").agg(count(lit(1)).as("f"))
       .withColumn("bkt", expr("CAST(length(bin(f)) - 1 AS INT)"))
+      // C(f,2) with the even factor halved first: exact at any f, and
+      // the product goes DECIMAL — f·(f−1)/2 would overflow BIGINT
+      // first at f ≈ 4·10⁹
+      .withColumn("cf2", expr(
+        """CASE WHEN f % 2 = 0
+            THEN CAST(f DIV 2 AS DECIMAL(38,0)) * (f - 1)
+            ELSE CAST(f AS DECIMAL(38,0)) * ((f - 1) DIV 2) END"""))
       .groupBy("bkt")
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("f")).as("n_postings"),
-        // f goes DECIMAL before the product — f·(f−1) would overflow
-        // BIGINT first at f ≈ 3·10⁹
-        sum(expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).as("p2"),
+        sum(col("cf2")).as("p2"),
         sum(expr(
-          s"""CASE WHEN f <= $DefaultMaxDf
-              THEN CAST(f AS DECIMAL(38,0)) * (f - 1)
+          s"""CASE WHEN f <= $DefaultMaxDf THEN cf2
               ELSE CAST(0 AS DECIMAL(38,0)) END""")).as("p2c"))
       .select(col("bkt"), col("n_shingles"), col("n_postings"),
-        expr("CAST(p2 / 2 AS DECIMAL(38,0))").as("pairs_uncapped"),
-        expr("CAST(p2c / 2 AS DECIMAL(38,0))").as("pairs_capped"))
+        expr("CAST(p2 AS STRING)").as("pairs_uncapped"),
+        expr("CAST(p2c AS STRING)").as("pairs_capped"))
       .orderBy("bkt")
 
   /** Loose shingle-Jaccard pre-filter for the edit-distance tier: a pair
@@ -2010,6 +2049,18 @@ object DedupOps {
                  (acc, x) -> acc + x))) AS cosine
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)"""
 
+  /** The oracle's LPA vote graph + identity init — the [[lpaEdges]]
+    * shape (both edge directions + one self-loop per node) over a `p`
+    * CTE of (a_id, b_id) pairs; shared by every LPA-consuming oracle so
+    * the graph can never desync between them. */
+  private val lpaEdgeCtes: String = """
+      ed AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p
+             UNION ALL SELECT node, node
+                       FROM (SELECT a_id AS node FROM p
+                             UNION SELECT b_id FROM p) nn),
+      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed)"""
+
   /** The [[lpaCommunities]] oracle: [[LpaIters]] synchronous rounds
     * unrolled as CTE pairs (neighbor-label counts → min-modal label),
     * generated from the same constant so an iteration-count change moves
@@ -2030,26 +2081,27 @@ object DedupOps {
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),
       e AS (SELECT doc_id, unnest(sh) sh1 FROM s),
       df AS (SELECT sh1, count(*)::BIGINT AS f FROM e GROUP BY 1),
-      b AS (SELECT (length(bin(f)) - 1)::INT AS bkt, f FROM df),
+      b AS (SELECT (length(bin(f)) - 1)::INT AS bkt, f,
+              CASE WHEN f % 2 = 0
+                THEN (f // 2)::DECIMAL(38,0) * (f - 1)
+                ELSE f::DECIMAL(38,0) * ((f - 1) // 2) END AS cf2
+            FROM df),
       g AS (SELECT bkt, count(*)::BIGINT AS n_shingles,
               sum(f)::BIGINT AS n_postings,
-              sum(f::DECIMAL(38,0) * (f - 1)) AS p2,
-              sum(CASE WHEN f <= $DefaultMaxDf
-                    THEN f::DECIMAL(38,0) * (f - 1)
-                    ELSE 0::DECIMAL(38,0) END) AS p2c
+              sum(cf2)::DECIMAL(38,0) AS p2,
+              sum(CASE WHEN f <= $DefaultMaxDf THEN cf2
+                    ELSE 0::DECIMAL(38,0) END)::DECIMAL(38,0) AS p2c
             FROM b GROUP BY 1)
       SELECT bkt, n_shingles, n_postings,
-        (p2 / 2)::DECIMAL(38,0) AS pairs_uncapped,
-        (p2c / 2)::DECIMAL(38,0) AS pairs_capped
+        CAST(p2 AS VARCHAR) AS pairs_uncapped,
+        CAST(p2c AS VARCHAR) AS pairs_capped
       FROM g ORDER BY bkt""",
     "d_lpa_communities" -> s"""
       WITH $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
-      ed AS (SELECT a_id AS src, b_id AS dst FROM p
-             UNION ALL SELECT b_id, a_id FROM p),
-      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+      $lpaEdgeCtes,
       $lpaOracleIters
       SELECT node AS doc_id, lab AS community_id
       FROM l$LpaIters ORDER BY doc_id""",
@@ -2058,9 +2110,7 @@ object DedupOps {
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
-      ed AS (SELECT a_id AS src, b_id AS dst FROM p
-             UNION ALL SELECT b_id, a_id FROM p),
-      l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+      $lpaEdgeCtes,
       $lpaOracleIters,
       j AS (SELECT ed.src AS doc_id, ls.lab AS community_id,
               ld.lab AS c_dst

@@ -17,7 +17,12 @@ class OpsSpec extends SparkSpec {
     "d_simhash_pairs", "d_simhash_pairs_uncapped", "d_embedding_neardup",
     "d_containment", "d_lsh_tuning", "d_pagerank", "d_triangle_count", "m_phash_pairs",
     "q_anti_join", "d_dedup_clusters", "t_decontaminate", "d_hot_spans",
-    "e_basket", "d_near_overlap", "d_split_leakage", "m_phash_clusters")
+    "e_basket", "d_near_overlap", "d_split_leakage", "m_phash_clusters",
+    // r10: with the LPA self-vote fix the testdata pair graph has no
+    // genuine cross-community edges — the round-9 "bridges" were
+    // bipartite-oscillation artifacts. Non-vacuity is pinned by the
+    // bridged-triangles fixture in R9CurveSpec instead.
+    "d_bridge_docs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {

@@ -306,7 +306,9 @@ class PlanSnapshotSpec extends SparkSpec {
     // parquet re-scans
     "d_lpa_communities" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // checkpointed edges + LPA labels; two node-key label joins + agg
-    "d_bridge_docs" -> "scan=0 xhash=4 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: +1 xhash — the self-looped vote graph's node-set distinct
+    // (the LPA self-vote fix; node-sized, not corpus-sized)
+    "d_bridge_docs" -> "scan=0 xhash=5 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE scan → one-row moment agg → 6-way stack; no data shuffle
     "v_corr_matrix" -> "scan=1 xhash=0 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // exact + LSH top-5 passes joined on the query-set-sized keys — the

@@ -174,14 +174,15 @@ class R9CurveSpec extends SparkSpec {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} joined only by the bridge 3-4:
     // connected components put all six in ONE cluster; majority label
-    // propagation must keep two communities (hand-traced: labels
-    // converge to 1 and 3 after round 3, stable in round 4)
+    // propagation must keep two communities (hand-traced with the
+    // self-vote: l1 = 1,1,1,3,4,4; l2 = 1,1,1,4,4,4; stable from l2 —
+    // node 4's neighbors {1,4,4} plus its own vote outweigh the bridge)
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
     val got = DedupOps.lpaCommunitiesFrom(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 3L, 5L -> 3L, 6L -> 3L), s"labels: $got")
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"labels: $got")
     // the CC baseline really does merge them — otherwise the split above
     // proves nothing about LPA vs components
     val cc = DedupOps.dedupClustersFrom(pairs).collect()
@@ -196,10 +197,26 @@ class R9CurveSpec extends SparkSpec {
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
     val got = DedupOps.bridgeDocsFrom(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // communities are {1,2,3}→1 and {4,5,6}→3 (hand-traced in the LPA
+    // communities are {1,2,3}→1 and {4,5,6}→4 (hand-traced in the LPA
     // test); only the bridge endpoints see a foreign community
-    assert(got.toSeq == Seq((3L, 1L, 1L, 2L), (4L, 3L, 1L, 2L)),
+    assert(got.toSeq == Seq((3L, 1L, 1L, 2L), (4L, 4L, 1L, 2L)),
       s"got ${got.toSeq}")
+  }
+
+  test("d_lpa_communities: an isolated near-dup pair converges to ONE community") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // the most common duplicate topology — a single pair. Synchronous
+    // LPA WITHOUT the self-vote oscillates here (labels swap every
+    // round; an even iteration count reports two singleton communities
+    // and keep-one-per-community keeps both copies). The self-vote
+    // breaks the round-1 tie to the min label and the pair stays put.
+    val pairs = Seq((7L, 9L)).toDF("a_id", "b_id")
+    val got = DedupOps.lpaCommunitiesFrom(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 9L -> 7L), s"labels: $got")
+    // and therefore no bridge rows: one community, zero foreign edges
+    assert(DedupOps.bridgeDocsFrom(pairs).collect().isEmpty)
   }
 
   test("d_lpa_communities refine dedup clusters on the real pair graph") {
@@ -305,7 +322,7 @@ class R9CurveSpec extends SparkSpec {
     assert(prof.nonEmpty)
     // Σ_sh C(f,2) over df-capped shingles is exactly the intersection
     // mass the inverted index enumerates: Σ inter over pairCounts
-    val cappedMass = prof.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
+    val cappedMass = prof.map(r => BigInt(r.getString(4))).sum
     val enumerated = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
       .agg(sum(col("inter"))).collect()(0).getLong(0)
     assert(cappedMass == BigInt(enumerated),
@@ -313,7 +330,10 @@ class R9CurveSpec extends SparkSpec {
     // bucket arithmetic: postings ≥ shingles, uncapped ≥ capped
     prof.foreach { r =>
       assert(r.getLong(2) >= r.getLong(1))
-      assert(r.getDecimal(3).compareTo(r.getDecimal(4)) >= 0)
+      assert(BigInt(r.getString(3)) >= BigInt(r.getString(4)))
+      // the string rendering is plain digits — parseable, no sign, no
+      // exponent, no scale marks (the representation the gate hashes)
+      assert(r.getString(3).matches("[0-9]+") && r.getString(4).matches("[0-9]+"))
     }
   }
 
