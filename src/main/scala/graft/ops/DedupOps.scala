@@ -356,9 +356,14 @@ object DedupOps {
   def bridgeDocsFrom(pairRelation: DataFrame): DataFrame = {
     val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
-    val labels = lpaCommunitiesFrom(pairs)
-    val edges = lpaEdges(pairs)
-    edges
+    bridgeReport(pairs, lpaCommunitiesFrom(pairs)).orderBy("doc_id")
+  }
+
+  /** The bridge computation over pre-computed LPA labels — shared by
+    * [[bridgeDocsFrom]] and [[communityDedupFrom]] so the latter never
+    * re-runs the label loop for its review routing. Unordered. */
+  private def bridgeReport(pairs: DataFrame, labels: DataFrame): DataFrame =
+    lpaEdges(pairs)
       .join(labels.select(col("doc_id").as("src"),
         col("community_id").as("c_src")), "src")
       .join(labels.select(col("doc_id").as("dst"),
@@ -368,6 +373,49 @@ object DedupOps {
         .as("n_foreign_edges"),
         countDistinct(col("c_dst")).as("n_nbr_communities"))
       .filter(col("n_foreign_edges") > 0)
+
+  /** Community-grain dedup emitter — the ACTIONABLE closer for the LPA
+    * ladder: the keep-one-per-COMMUNITY decision [[lpaCommunities]]'s
+    * scaladoc tells curators to make, emitted as a full-corpus routing
+    * (what [[spanRewrite]] does for spans). Every document gets a
+    * status:
+    *   - `keep`   — not in the pair graph at all (singleton), or the
+    *                smallest-id NON-BRIDGE member of its community;
+    *   - `review` — a [[bridgeDocs]] row (an edge into a foreign
+    *                community): excluded from the keep/drop decision
+    *                and routed to human review, because its community
+    *                assignment is exactly the contested one;
+    *   - `drop`   — every other community member.
+    * A community whose members are ALL bridges emits only reviews — no
+    * survivor is auto-picked from a fully contested community.
+    *
+    * Plan/scale: LPA labels (node-sized checkpointed loop) + the shared
+    * [[bridgeReport]] + one community-key min agg + three uniform
+    * doc-key LEFT joins onto the corpus scan; nothing data-sized beyond
+    * the corpus pass itself. */
+  def communityDedup(s: SparkSession, d: String): DataFrame =
+    communityDedupFrom(documents(s, d),
+      ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** Community dedup over a caller-supplied pair relation — the
+    * production consumer form (see [[pairCounts]]). */
+  def communityDedupFrom(docs: DataFrame, pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val labels = lpaCommunitiesFrom(pairs)
+    val bridges = bridgeReport(pairs, labels)
+      .select(col("doc_id"), lit(true).as("is_bridge"))
+    val keepers = labels.join(bridges, Seq("doc_id"), "left_anti")
+      .groupBy("community_id").agg(min(col("doc_id")).as("keep_id"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(bridges, Seq("doc_id"), "left")
+      .join(keepers, Seq("community_id"), "left")
+      .select(col("doc_id"), col("community_id"),
+        when(col("community_id").isNull, "keep")
+          .when(col("is_bridge"), "review")
+          .when(col("doc_id") === col("keep_id"), "keep")
+          .otherwise("drop").as("status"))
       .orderBy("doc_id")
   }
 
@@ -1841,6 +1889,7 @@ object DedupOps {
     "d_shingle_profile" -> shingleProfile,
     "d_lpa_communities" -> lpaCommunities,
     "d_bridge_docs" -> bridgeDocs,
+    "d_community_dedup" -> communityDedup,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_clusters" -> minhashClusters,
@@ -2123,6 +2172,32 @@ object DedupOps {
             FROM j GROUP BY 1, 2)
       SELECT doc_id, community_id, n_foreign_edges, n_nbr_communities
       FROM g WHERE n_foreign_edges > 0 ORDER BY doc_id""",
+    "d_community_dedup" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      $lpaEdgeCtes,
+      $lpaOracleIters,
+      lab AS (SELECT node AS doc_id, lab AS community_id FROM l$LpaIters),
+      j AS (SELECT ed.src AS doc_id, ls.lab AS community_id,
+              ld.lab AS c_dst
+            FROM ed JOIN l$LpaIters ls ON ed.src = ls.node
+                    JOIN l$LpaIters ld ON ed.dst = ld.node),
+      br AS (SELECT doc_id FROM j GROUP BY doc_id, community_id
+             HAVING sum(CASE WHEN community_id <> c_dst THEN 1 ELSE 0 END) > 0),
+      km AS (SELECT community_id, min(doc_id) AS keep_id FROM lab
+             WHERE doc_id NOT IN (SELECT doc_id FROM br) GROUP BY 1)
+      SELECT d.doc_id, lab.community_id,
+        CASE WHEN lab.community_id IS NULL THEN 'keep'
+             WHEN br.doc_id IS NOT NULL THEN 'review'
+             WHEN d.doc_id = km.keep_id THEN 'keep'
+             ELSE 'drop' END AS status
+      FROM documents d
+      LEFT JOIN lab ON d.doc_id = lab.doc_id
+      LEFT JOIN br ON d.doc_id = br.doc_id
+      LEFT JOIN km ON lab.community_id = km.community_id
+      ORDER BY d.doc_id""",
     "d_exact_dedup" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_dups

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 invariants. Centerpiece: the community-grain dedup emitter
+  * is safe BY MEASUREMENT — no near-dup pair inside one community ever
+  * survives with both endpoints kept, and a community auto-picks a
+  * survivor exactly when it has a non-bridge member. */
+class R10InvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("d_community_dedup: fixture routing on the bridged-triangles graph") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // two triangles joined by the 3-4 bridge (the R9CurveSpec LPA
+    // fixture: communities {1,2,3}→1 and {4,5,6}→4; bridges 3 and 4)
+    // plus two docs outside the pair graph entirely
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
+    val docs = (1L to 8L).toDF("doc_id")
+    val got = DedupOps.communityDedupFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    // community 1: non-bridge members {1,2} → keep min 1, drop 2,
+    // review bridge 3; community 4: non-bridge {5,6} → keep 5, drop 6,
+    // review bridge 4; singletons 7,8 keep with NULL community
+    assert(got.toSeq == Seq(
+      (1L, 1L, "keep"), (2L, 1L, "drop"), (3L, 1L, "review"),
+      (4L, 4L, "review"), (5L, 4L, "keep"), (6L, 4L, "drop"),
+      (7L, -1L, "keep"), (8L, -1L, "keep")), s"got ${got.toSeq}")
+  }
+
+  test("d_community_dedup: a fully-contested community auto-picks NO survivor") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // path 1-2-3 with 4 iterations converges to one community here, so
+    // build a contested middle: two 2-cliques {1,2} {5,6} bridged via a
+    // chain long enough that LPA keeps them separate is hard at this
+    // size — instead construct directly: triangle {1,2,3} where EVERY
+    // member also has a foreign edge into triangle {4,5,6} — all six
+    // are bridges, so both communities emit only reviews
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (1L, 4L), (2L, 5L), (3L, 6L)).toDF("a_id", "b_id")
+    val docs = (1L to 6L).toDF("doc_id")
+    val rows = DedupOps.communityDedupFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val labels = DedupOps.lpaCommunitiesFrom(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (labels.values.toSet.size > 1) {
+      // the graph really is contested two ways: every node has a
+      // foreign edge → all review, nothing kept or dropped
+      assert(rows.forall(_._2 == "review"), s"got ${rows.toSeq}")
+    } else {
+      // LPA merged everything: then there are no foreign edges and the
+      // single community keeps exactly its min member
+      assert(rows.count(_._2 == "keep") == 1 &&
+        rows.count(_._2 == "review") == 0, s"got ${rows.toSeq}")
+    }
+  }
+
+  test("d_community_dedup invariant: no same-community near-dup pair is double-kept") {
+    graft.GraftSession.init(spark)
+    val pairs = DedupOps
+      .jaccardFrom(DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    assert(pairs.count() > 0, "vacuous: no near-dup pairs at this SF")
+    val routed = DedupOps.communityDedup(spark, sf).localCheckpoint()
+    val doubleKept = pairs
+      .join(routed.select(col("doc_id").as("a_id"), col("community_id").as("ca"),
+        col("status").as("sa")), "a_id")
+      .join(routed.select(col("doc_id").as("b_id"), col("community_id").as("cb"),
+        col("status").as("sb")), "b_id")
+      .filter(col("ca") === col("cb") &&
+        col("sa") === "keep" && col("sb") === "keep")
+    assert(doubleKept.count() == 0,
+      s"double-kept near-dup pairs: ${doubleKept.take(3).toSeq}")
+    // per-community keep census: exactly one survivor where any
+    // non-bridge member exists, zero where the community is all bridges
+    val labeled = routed.filter(col("community_id").isNotNull)
+    val bad = labeled.groupBy("community_id")
+      .agg(sum(when(col("status") === "keep", 1L).otherwise(0L)).as("nk"),
+        sum(when(col("status") =!= "review", 1L).otherwise(0L)).as("nonBridge"))
+      .filter((col("nonBridge") > 0 && col("nk") =!= 1L) ||
+        (col("nonBridge") === 0 && col("nk") =!= 0L))
+    assert(bad.count() == 0, s"keep census violated: ${bad.take(3).toSeq}")
+    // and every document is routed exactly once
+    assert(routed.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("d_community_dedup composes over a materialized pair store") {
+    graft.GraftSession.init(spark)
+    val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
+      .localCheckpoint()
+    val composed = DedupOps.communityDedupFrom(
+      Tables.documents(spark, sf),
+      DedupOps.jaccardFrom(pc).select(col("a_id"), col("b_id")))
+    val standalone = DedupOps.communityDedup(spark, sf)
+    assert(composed.exceptAll(standalone).isEmpty &&
+      standalone.exceptAll(composed).isEmpty,
+      "composed != standalone")
+  }
+}
