@@ -678,8 +678,12 @@ object DedupOps {
     * [[SweepGrid]], how many candidate pairs clear it, how many documents
     * the pair-greedy rule removes (a doc is removed when it is the
     * GREATER id of any clearing pair — the keep-min-of-each-pair rule;
-    * an upper bound on cluster-canonical removal, and after it no
-    * clearing pair survives intact), and how many documents survive.
+    * a LOWER bound on cluster-canonical removal, since a doc flagged as
+    * the greater end of a pair is never its component's minimum, so
+    * flagged ⊆ cluster-removed — edges (1,4),(3,4) flag only {4} while
+    * cluster dedup removes {3,4}; equivalently n_survivors is an UPPER
+    * bound on cluster survivors. After removal no clearing pair
+    * survives intact), and how many documents survive.
     * The survivors-vs-threshold curve is what a curator reads to pick
     * [[JaccardMin]] — [[lshTuning]] dials the sketch's CANDIDATE recall,
     * this dials the EXACT tier's removal rate.

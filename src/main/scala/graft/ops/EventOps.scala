@@ -72,9 +72,27 @@ object EventOps {
     * of rows at any corpus scale — the same catalog-window argument as
     * e_ewma). The e_rfm bucket machinery without the per-row rank.
     * Ties make the formula well-defined: any within-tie order gives the
-    * same sum. Σ i·x rides a DECIMAL(38)/HUGEINT ledger (BIGINT overflows
-    * at ~10⁹ users × wide counts); everything else exact BIGINT, one
-    * double division at the end. */
+    * same sum.
+    *
+    * Exactness at EXTREME scale (the round-9 latent risk, closed):
+    * 2·Σ i·x used to ride a DECIMAL(38)/HUGEINT ledger whose final
+    * DECIMAL→DOUBLE cast diverges across engines by 1 ulp once the sum
+    * clears 2^53 (the exact bug class [[Exact.limbDbl]] fixed for
+    * v_corr_matrix). The limb device could not be applied directly
+    * because the per-term product x·c (c = the tie-block factor
+    * 2·nc·b + nc·(nc+1)) itself outgrows BIGINT — so the TERM is
+    * limb-split BEFORE the multiply: with xh/xl and ch/cl the 2^30
+    * halves of x and c, the product is xh·ch·2^60 + (xh·cl + xl·ch)·2^30
+    * + xl·cl, and each weight class accumulates in BIGINT (the two low
+    * classes through their own DIV/% pair, since e.g. Σ xl·cl alone can
+    * clear 2^63 when x and c both sit just under the limb). The three
+    * recombined limbs go through [[Exact.limb3Dbl]] — identical IEEE op
+    * chains in both engines. Documented envelope, guarded IN-PLAN
+    * (throws identically in both engines rather than desyncing):
+    * n_users < 2^30 (beyond that c overflows BIGINT) and
+    * n_events < 2^53; within it every accumulator stays under 2^62
+    * (worst-case: Σ xh·cl ≤ Σ x = E; Σ xl·ch ≤ 2^30·Σc/2^30 ≤ 2^61;
+    * per-class DIV/% sums ≤ support·2^33 with support ≤ √(2E) < 2^27). */
   def qGini(s: SparkSession, d: String): DataFrame = {
     val byCount = events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
@@ -83,16 +101,37 @@ object EventOps {
       coalesce(sum(col("nc")).over(
         Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
+    giniFromSupport(pref)
+  }
+
+  /** The gini ledger over a (x, nc, b) support relation — factored so
+    * the overflow-regime spec can drive constructed wide counts through
+    * the EXACT production expression without materializing 2^53 events. */
+  private[ops] def giniFromSupport(pref: DataFrame): DataFrame = {
+    val L = Exact.Limb
+    val mid = s"(x DIV ${L}L) * (c % ${L}L) + (x % ${L}L) * (c DIV ${L}L)"
+    val low = s"(x % ${L}L) * (c % ${L}L)"
+    val s2d = Exact.limb3Dbl("s_a + s_mh", "s_ml + s_ch", "s_cl")
+    val subd = Exact.limbDbl(
+      s"(n_users + 1) * (n_events DIV ${L}L)",
+      s"(n_users + 1) * (n_events % ${L}L)")
+    val dend = Exact.limbDbl(
+      s"n_users * (n_events DIV ${L}L)",
+      s"n_users * (n_events % ${L}L)")
     pref
+      .withColumn("c", expr("2 * nc * b + nc * (nc + 1)"))
       .agg(
         sum(col("nc")).as("n_users"),
         sum(col("x") * col("nc")).as("n_events"),
-        // 2·Σ i·x, tie-block closed form (×2 keeps the /2 integral)
-        sum(expr("CAST(x AS DECIMAL(38,0)) * (2 * nc * b + nc * (nc + 1))"))
-          .as("s2"))
-      .withColumn("gini", expr(
-        """CAST(s2 - (CAST(n_users AS DECIMAL(38,0)) + 1) * n_events AS DOUBLE)
-           / CAST(CAST(n_users AS DECIMAL(38,0)) * n_events AS DOUBLE)"""))
+        sum(expr(s"(x DIV ${L}L) * (c DIV ${L}L)")).as("s_a"),
+        sum(expr(s"($mid) DIV ${L}L")).as("s_mh"),
+        sum(expr(s"($mid) % ${L}L")).as("s_ml"),
+        sum(expr(s"($low) DIV ${L}L")).as("s_ch"),
+        sum(expr(s"($low) % ${L}L")).as("s_cl"))
+      .withColumn("gini", expr(Exact.guarded(
+        s"n_users >= ${1L << 30}L OR n_events >= ${1L << 53}L",
+        "e_gini ledger envelope exceeded (n_users >= 2^30 or n_events >= 2^53)",
+        s"(($s2d) - ($subd)) / ($dend)")))
       .select(col("n_users"), col("n_events"), col("gini"))
   }
 
@@ -1879,7 +1918,11 @@ object EventOps {
              min(tus) AS session_start, max(tus) AS session_end
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
-    "e_gini" -> """
+    "e_gini" -> {
+      val L = Exact.Limb
+      val mid = s"(x // $L) * (c % $L) + (x % $L) * (c // $L)"
+      val low = s"(x % $L) * (c % $L)"
+      s"""
       WITH pu AS (SELECT user_id, count(*)::BIGINT AS x
                   FROM events GROUP BY 1),
       bc AS (SELECT x, count(*)::BIGINT AS nc FROM pu GROUP BY 1),
@@ -1888,14 +1931,28 @@ object EventOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0)::BIGINT AS b
              FROM bc),
+      t AS (SELECT x, nc, (2 * nc * b + nc * (nc + 1))::BIGINT AS c FROM pr),
       a AS (SELECT sum(nc)::BIGINT AS n_users,
               sum(x * nc)::BIGINT AS n_events,
-              sum(x::HUGEINT * (2 * nc * b + nc * (nc + 1))) AS s2
-            FROM pr)
+              sum((x // $L) * (c // $L))::BIGINT AS s_a,
+              sum(($mid) // $L)::BIGINT AS s_mh,
+              sum(($mid) % $L)::BIGINT AS s_ml,
+              sum(($low) // $L)::BIGINT AS s_ch,
+              sum(($low) % $L)::BIGINT AS s_cl
+            FROM t)
       SELECT n_users, n_events,
-             CAST(s2 - (n_users::HUGEINT + 1) * n_events AS DOUBLE)
-               / CAST(n_users::HUGEINT * n_events AS DOUBLE) AS gini
-      FROM a""",
+        ${Exact.guardedDuck(
+          s"n_users >= ${1L << 30} OR n_events >= ${1L << 53}",
+          "e_gini ledger envelope exceeded (n_users >= 2^30 or n_events >= 2^53)",
+          s"""((${Exact.limb3DblDuck("s_a + s_mh", "s_ml + s_ch", "s_cl")})
+              - (${Exact.limbDblDuck(
+                  s"(n_users + 1) * (n_events // $L)",
+                  s"(n_users + 1) * (n_events % $L)")}))
+             / (${Exact.limbDblDuck(
+                  s"n_users * (n_events // $L)",
+                  s"n_users * (n_events % $L)")})""")} AS gini
+      FROM a"""
+    },
     "e_paths" -> """
       WITH flagged AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tus,

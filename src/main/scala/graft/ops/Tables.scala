@@ -141,6 +141,45 @@ object Exact {
     s"""(CAST(($h) + ($l) // $Limb AS DOUBLE) * ${Limb}.0e0
          + CAST(($l) % $Limb AS DOUBLE))"""
 
+  /** THREE-limb recombiner for sums whose per-term values outgrow
+    * BIGINT: value = h2·2^60 + h1·2^30 + h0 with possibly denormalized
+    * BIGINT accumulators (each a sum of bounded nonnegative terms).
+    * Normalization (carry h0 into h1, h1 into h2) runs in pure BIGINT;
+    * the final Horner chain is three exact sub-2^53 casts plus four
+    * IEEE ops evaluated in the same order by both engines. Bounds:
+    * normalized h2 < 2^53 (value < 2^113) and every accumulator
+    * nonnegative — negative operands break DIV/% parity (Spark
+    * truncates, DuckDB floors); see [[negCount]]. */
+  def limb3Dbl(h2: String, h1: String, h0: String): String = {
+    val c1 = s"(($h1) + ($h0) DIV $Limb)"
+    s"""((CAST(($h2) + $c1 DIV $Limb AS DOUBLE) * ${Limb}.0e0
+          + CAST($c1 % $Limb AS DOUBLE)) * ${Limb}.0e0
+          + CAST(($h0) % $Limb AS DOUBLE))"""
+  }
+  def limb3DblDuck(h2: String, h1: String, h0: String): String = {
+    val c1 = s"(($h1) + ($h0) // $Limb)"
+    s"""((CAST(($h2) + $c1 // $Limb AS DOUBLE) * ${Limb}.0e0
+          + CAST($c1 % $Limb AS DOUBLE)) * ${Limb}.0e0
+          + CAST(($h0) % $Limb AS DOUBLE))"""
+  }
+
+  /** Precondition guards for the limb devices. The limb contract
+    * requires NONNEGATIVE terms (Spark's DIV truncates toward zero
+    * while DuckDB's // floors, so one negative term silently desyncs
+    * the bit-exact cross-engine recombination instead of failing) plus
+    * caller-specific magnitude envelopes. Callers that rely on data
+    * conventions (e.g. TPC-H money columns — a credit/return row would
+    * go negative) aggregate a [[negCount]] sentinel beside the limbs
+    * and wrap the recombined readout in [[guarded]]/[[guardedDuck]]:
+    * the query then THROWS on the offending input in either engine —
+    * the same failure surface on both sides — instead of desyncing. */
+  def negCount(cond: String): String =
+    s"sum(CASE WHEN ($cond) THEN 1 ELSE 0 END)"
+  def guarded(cond: String, msg: String, value: String): String =
+    s"CASE WHEN ($cond) THEN raise_error('$msg') ELSE ($value) END"
+  def guardedDuck(cond: String, msg: String, value: String): String =
+    s"CASE WHEN ($cond) THEN error('$msg') ELSE ($value) END"
+
   /** Exact mean: the exact scaled sum, converted once, divided by count. */
   def davg(c: Column): Column =
     dsum(c) / count(lit(1))

@@ -600,13 +600,21 @@ object ValidationOps {
     val aggs =
       CorrCols.map { case (n2, _) => sum(col(n2)).as(s"s_$n2") } ++
       CorrCols.flatMap { case (n2, _) => limbAggs(s"$n2 * $n2", s"ss_$n2") } ++
-      CorrPairs.flatMap { case (a, b) => limbAggs(s"$a * $b", s"sp_${a}_$b") }
+      CorrPairs.flatMap { case (a, b) => limbAggs(s"$a * $b", s"sp_${a}_$b") } :+
+      // ADVICE r9: the cross-product limb terms are nonnegative only by
+      // TPC-H data convention (a credit/return row would flip a sign and
+      // silently desync the DIV/% recombination between engines) — so a
+      // negative input fails LOUDLY, identically on both sides
+      expr(Exact.negCount(
+        s"least(${CorrCols.map(_._1).mkString(", ")}) < 0")).as("n_neg")
     val m = base.agg(count(lit(1)).as("n"), aggs: _*)
     def corr(a: String, b: String) = {
       def dd(p: String) = Exact.limbDbl(s"${p}_h", s"${p}_l")
-      s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
-          (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
-           sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+      Exact.guarded("n_neg > 0",
+        "v_corr_matrix: negative input breaks the limb-device contract",
+        s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+            (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+             sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""")
     }
     val branches = CorrPairs
       .map { case (a, b) => s"'$a', '$b', ${corr(a, b)}" }.mkString(",\n")
@@ -661,13 +669,17 @@ object ValidationOps {
       CorrCols.flatMap { case (n2, _) =>
         limbSums(s"$n2 * $n2", s"ss_$n2") } ++
       CorrPairs.flatMap { case (a, b) =>
-        limbSums(s"$a * $b", s"sp_${a}_$b") })
+        limbSums(s"$a * $b", s"sp_${a}_$b") } :+
+      s"""${Exact.negCount(
+        s"least(${CorrCols.map(_._1).mkString(", ")}) < 0")}::BIGINT AS n_neg""")
       .mkString(",\n              ")
     def corr(a: String, b: String) = {
       def dd(p: String) = Exact.limbDblDuck(s"${p}_h", s"${p}_l")
-      s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
-          (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
-           sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"""
+      Exact.guardedDuck("n_neg > 0",
+        "v_corr_matrix: negative input breaks the limb-device contract",
+        s"""(n * ${dd(s"sp_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+            (sqrt(n * ${dd(s"ss_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+             sqrt(n * ${dd(s"ss_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""")
     }
     val branches = CorrPairs.map { case (a, b) =>
       s"SELECT '$a' AS x, '$b' AS y, n, ${corr(a, b)} AS corr FROM m" }

@@ -92,6 +92,94 @@ class R10InvariantSpec extends SparkSpec {
     assert(routed.count() == Tables.documents(spark, sf).count())
   }
 
+  /** Scala replay of giniFromSupport's EXACT op chain: BIGINT limb
+    * accumulation, limb3/limb2 normalization, then the same IEEE
+    * double Horner/subtract/divide order. Long arithmetic in Scala has
+    * the same truncating DIV/% as Spark SQL on nonnegative operands. */
+  private def replayGini(rows: Seq[(Long, Long, Long)]): (Long, Long, Double) = {
+    val L = Exact.Limb
+    var nU, nE, sa, smh, sml, sch, scl = 0L
+    for ((x, nc, b) <- rows) {
+      val c = 2 * nc * b + nc * (nc + 1)
+      val (xh, xl, ch, cl) = (x / L, x % L, c / L, c % L)
+      nU += nc; nE += x * nc
+      sa += xh * ch
+      val mid = xh * cl + xl * ch
+      smh += mid / L; sml += mid % L
+      val low = xl * cl
+      sch += low / L; scl += low % L
+    }
+    val (h2, h1, h0) = (sa + smh, sml + sch, scl)
+    val c1 = h1 + h0 / L
+    val c2 = h2 + c1 / L
+    val s2d = (c2.toDouble * L.toDouble + (c1 % L).toDouble) * L.toDouble +
+      (h0 % L).toDouble
+    def limb2(h: Long, l: Long) =
+      (h + l / L).toDouble * L.toDouble + (l % L).toDouble
+    val subd = limb2((nU + 1) * (nE / L), (nU + 1) * (nE % L))
+    val dend = limb2(nU * (nE / L), nU * (nE % L))
+    (nU, nE, (s2d - subd) / dend)
+  }
+
+  private def giniOf(rows: Seq[(Long, Long, Long)]): (Long, Long, Double) = {
+    import spark.implicits._
+    val r = EventOps.giniFromSupport(rows.toDF("x", "nc", "b")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("e_gini ledger: sub-2^53 regime is EXACT (matches the integer rational)") {
+    graft.GraftSession.init(spark)
+    // ascending counts 1,2,5 with ties; b = prefix users below
+    val rows = Seq((1L, 3L, 0L), (2L, 2L, 3L), (5L, 1L, 5L))
+    val (n, e, g) = giniOf(rows)
+    assert((n, e) == (6L, 12L))
+    // exact: s2 = 2*sum(i*x_i) over ascending order 1,1,1,2,2,5
+    val s2 = BigInt(2) * Seq(1L, 1L, 1L, 2L, 2L, 5L).zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * x }.sum
+    val num = (s2 - BigInt(n + 1) * e).toDouble
+    assert(g == num / (n.toDouble * e), s"gini $g")
+    assert(g == replayGini(rows)._3, "engine != Scala replay")
+  }
+
+  test("e_gini ledger: overflow regime (s2 >> 2^53, per-term x*c > 2^63) is IEEE-deterministic") {
+    graft.GraftSession.init(spark)
+    // wide counts: x ~ 2^40..2^42, tie blocks of thousands, deep prefix
+    // masses — s2 ~ 2^68, per-term x*c ~ 2^66 (would overflow a naive
+    // BIGINT product), n_events ~ 2^52 just inside the envelope
+    val rows = Seq(
+      (1099511627776L, 1021L, 0L),            // 2^40
+      (2199023255552L, 907L, 1021L),          // 2^41
+      (3298534883328L, 811L, 1928L),          // 1.5·2^41
+      (4398046511104L, 499L, 2739L))          // 2^42
+    val (n, e, g) = giniOf(rows)
+    val (rn, re, rg) = replayGini(rows)
+    assert((n, e) == ((rn, re)))
+    assert(java.lang.Double.doubleToLongBits(g) ==
+      java.lang.Double.doubleToLongBits(rg),
+      s"bit divergence: engine $g vs replay $rg")
+    assert(g > 0.0 && g < 1.0)
+    // and the ledger really is beyond the naive regimes
+    val s2exact = rows.map { case (x, nc, b) =>
+      BigInt(x) * (BigInt(2) * nc * b + BigInt(nc) * (nc + 1)) }.sum
+    assert(s2exact > BigInt(1L << 53) && s2exact > BigInt(Long.MaxValue))
+    // accuracy: the double chain sits within relative 1e-12 of the
+    // exact rational (it is NOT exact up here — only deterministic)
+    val exact = BigDecimal(s2exact - BigInt(n + 1) * e) / BigDecimal(BigInt(n) * e)
+    assert((BigDecimal(g) - exact).abs / exact < 1e-12)
+  }
+
+  test("e_gini ledger: envelope breach fails LOUDLY, not silently") {
+    graft.GraftSession.init(spark)
+    val tooManyEvents = Seq((1L << 53, 1L, 0L))
+    val ex = intercept[Exception] {
+      giniOf(tooManyEvents)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("e_gini ledger envelope")),
+      s"wrong failure: $ex")
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
