@@ -208,7 +208,34 @@ object GraftFunctions {
       (children: Seq[Expression]) => VecDot(children(0), children(1))),
     (FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
-      (children: Seq[Expression]) => Shingles3(children(0))))
+      (children: Seq[Expression]) => Shingles3(children(0))),
+    // Spark's own bounded top-k aggregate (the engine behind pandas-API
+    // nsmallest), surfaced as `top_k(expr, k, reverse)`: each partial
+    // buffer holds AT MOST k values (a bounded priority queue), so the
+    // exchange ships k rows per map task per group instead of feeding a
+    // corpus-sized sort partition to a rank window. reverse=true keeps
+    // the k SMALLEST under the child type's natural ordering (struct
+    // children compare field-by-field, so (dist, id) ties break to the
+    // lowest id — exactly row_number() OVER (ORDER BY dist, id) <= k).
+    // Result array order is engine-internal: wrap in array_sort.
+    (FunctionIdentifier("top_k"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK]
+          .getName, "top_k"),
+      (children: Seq[Expression]) => {
+        // the companion's literal extractors are package-private, so the
+        // k / reverse literals are folded here (registry builders only
+        // ever see resolved literal arguments from call_function)
+        def lit(i: Int): Any = children(i) match {
+          case e if e.foldable => e.eval()
+          case e => throw new IllegalArgumentException(
+            s"top_k argument ${i + 1} must be a literal, got $e")
+        }
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          children(0),
+          lit(1).asInstanceOf[Number].intValue(),
+          lit(2).asInstanceOf[Boolean], 0, 0)
+      }))
 
   /** Idempotent: re-registering replaces the previous entry. */
   def register(spark: SparkSession): Unit = {

@@ -264,7 +264,17 @@ object SimilarityOps {
     * after is catalog-sized: a K×K pairwise similarity relation and
     * SelK greedy steps, each a 1-row argmax collect over ≤K candidate
     * rows (the Lloyd/BPE driver-loop shape). The returned frame is the
-    * SelK collected winners — k rows by construction. */
+    * SelK collected winners — k rows by construction.
+    *
+    * The bounded `top_k` aggregate treatment ([[pqAdc]], r10) was
+    * evaluated for the pool's rank window and DECLINED: execution is
+    * already two-stage here (WindowGroupLimit's partial mode keeps
+    * ≤ PoolK rows per map task ahead of the exchange, so no partition
+    * ever sorts corpus-sized input), the embedding payload would have
+    * to ride the aggregation buffers for zero additional shuffle
+    * reduction, and emulating `rel DESC` via negation introduces a
+    * −0.0/0.0 double-ordering parity hazard against the oracle's
+    * window. */
   def mmrSelect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = embeddings(s, d)
@@ -635,20 +645,35 @@ object SimilarityOps {
       .orderBy("subspace", "code")
   }
 
+  /** Exhaustive ADC ranking (the PQ correctness baseline the
+    * output-sensitive [[ivfPqTopk]] is measured against): every corpus
+    * code scored against each query's broadcast lookup tables, exact
+    * top-5 per query.
+    *
+    * Top-k shape (r9 verdict #2): NOT a rank window — with a handful of
+    * fixed queries, `row_number() OVER (PARTITION BY q_id)` funnels the
+    * whole scored corpus into one sort partition per query at any
+    * cluster size. Instead the native bounded `top_k` aggregate (see
+    * [[graft.functions.GraftFunctions]]) keeps ≤ 5 (dist, id) structs
+    * per map task per query, the exchange ships only those, and the
+    * final merge per query touches 5·tasks rows. Struct ordering makes
+    * ties break to the lowest vec_id — bit-identical to the old
+    * window's (adc_dist, vec_id) order, spec-pinned. */
   def pqAdc(s: SparkSession, d: String): DataFrame = {
     val queries = embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id") +: pqLutCols: _*)
     val codes = pqEncode(s, d)
     val adc = adcSumExpr
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_dist"), col("vec_id"))
     broadcast(queries)
       .crossJoin(codes)
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), expr(adc).as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .groupBy("q_id")
+      .agg(call_function("top_k",
+        struct(col("adc_dist"), col("vec_id")), lit(5), lit(true)).as("tk"))
+      .select(col("q_id"), posexplode(array_sort(col("tk"))))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.adc_dist").as("adc_dist"))
       .orderBy("q_id", "rank")
   }
 

@@ -54,8 +54,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_bpe_train" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // vocab side broadcast onto exploded doc words, one per-doc agg
     "t_bpe_apply" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
-    // broadcast LUT NLJ over codes; top-k pushed below the shuffle (wgl)
-    "s_pq_adc" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=1 wgl=2",
+    // broadcast LUT NLJ over codes; r10: the rank window replaced by the
+    // bounded top_k aggregate (<=5 structs per map task per query cross
+    // the exchange; no per-query sort partition) + posexplode (gen)
+    "s_pq_adc" -> "scan=2 xhash=1 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=1 win=0 wgl=0",
     // one pruned scan, narrow codegen'd assignment — no exchange but order
     "s_pq_encode" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE scan; kind-tagged single Generate + pair Generate; two windows

@@ -180,6 +180,33 @@ class R10InvariantSpec extends SparkSpec {
       s"wrong failure: $ex")
   }
 
+  test("top_k bounded aggregate == rank window, bit-for-bit (ties, multi-partition)") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // coarse distances force heavy ties so the struct tie-break (lowest
+    // id) is actually exercised; 8 input partitions force real partial
+    // buffers + a merge
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 50) / 10.0, i.toLong))
+    val df = rows.toDF("g", "d", "id").repartition(8).localCheckpoint()
+    val viaAgg = df.groupBy("g")
+      .agg(call_function("top_k",
+        struct(col("d"), col("id")), lit(5), lit(true)).as("tk"))
+      .select(col("g"), posexplode(array_sort(col("tk"))))
+      .select(col("g"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.d").as("d"), col("col.id").as("id"))
+    val w = Window.partitionBy("g").orderBy(col("d"), col("id"))
+    val viaWin = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("d"), col("id"))
+    assert(viaAgg.exceptAll(viaWin).isEmpty &&
+      viaWin.exceptAll(viaAgg).isEmpty,
+      "bounded top_k disagrees with the rank window")
+    assert(viaAgg.count() == 35)
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
