@@ -20,10 +20,11 @@ import graft.zip.ZipExtract
   * checks the stand-in arithmetic while the scalatest suite checks the
   * real decode on in-fixture PNGs. AUDIO decodes real PCM for sniffed
   * WAV via `javax.sound.sampled`; VIDEO decodes real frames for Y4M
-  * (pure-JVM demux) and multi-frame GIF (imageio sequence reader) —
-  * other containers (MP4/MKV/WebM) have no JDK codec and stay on the
-  * byte-extraction stand-in; only that stand-in would change with a
-  * real demuxer, not the plan shapes.
+  * (pure-JVM demux), multi-frame GIF (imageio sequence reader), and
+  * AVI/MJPEG (pure-JVM RIFF walk + per-frame imageio JPEG decode) —
+  * the remaining containers (MP4/MKV/WebM) have no JDK codec and stay
+  * on the byte-extraction stand-in; only that stand-in would change
+  * with a real demuxer, not the plan shapes.
   *
   * Scale: mapPartitions keeps per-task state (a decoder context) allocated
   * once per partition, not per row — the same batch shape as an Arrow-batch
@@ -375,20 +376,105 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** True when the payload opens with the RIFF/AVI signature
+    * (`RIFF....AVI `). Signature-gated like [[looksLikeY4m]]. */
+  def looksLikeAvi(body: Array[Byte]): Boolean =
+    body.length >= 12 && body(0) == 'R' && body(1) == 'I' &&
+      body(2) == 'F' && body(3) == 'F' && body(8) == 'A' &&
+      body(9) == 'V' && body(10) == 'I' && body(11) == ' '
+
+  /** One MJPEG frame: JPEG-signature gate, header-declared dimension
+    * ceiling BEFORE the raster allocates (the [[gifFrameMeans]] OOM
+    * guard), then one imageio decode to mean BT.601 luma. */
+  private def jpegFrameMean(payload: Array[Byte]): Option[Int] = {
+    if (payload.length < 3 || (payload(0) & 0xff) != 0xff ||
+      (payload(1) & 0xff) != 0xd8 || (payload(2) & 0xff) != 0xff) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        r.setInput(iis)
+        try {
+          val maxPixels = 16L * 1024 * 1024
+          if (r.getWidth(0).toLong * r.getHeight(0) > maxPixels) None
+          else Some(meanLuma(r.read(0)))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real AVI/MJPEG demux — the RIFF chunk walk (the WAV container's
+    * sibling: AVI is RIFF('AVI ') wrapping LIST chunks; reference
+    * formats catalogued at SURVEY.md §1) down to the `movi` LIST, then
+    * one [[jpegFrameMean]] per video frame chunk (`##dc`/`##db`,
+    * `rec `-nested lists included). LE u32 sizes, even padding. Frame
+    * statistic and strictness match [[y4mFrameMeans]]: one
+    * (frame_idx, mean-luma) per frame in file order; None on ANY
+    * malformed chunk or undecodable frame, so sniffed-but-broken
+    * payloads fall back to the byte stand-in instead of half-parsing. */
+  def aviFrameMeans(body: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    if (!looksLikeAvi(body)) return None
+    def u32(at: Int): Long =
+      (body(at) & 0xffL) | ((body(at + 1) & 0xffL) << 8) |
+        ((body(at + 2) & 0xffL) << 16) | ((body(at + 3) & 0xffL) << 24)
+    def fourcc(at: Int): String = new String(body, at, 4, "US-ASCII")
+    val riffEnd = math.min(body.length.toLong, 8L + u32(4))
+    val frames = Seq.newBuilder[(Int, Int)]
+    var idx = 0
+    def isFrameChunk(fc: String): Boolean =
+      fc(0).isDigit && fc(1).isDigit && fc(2) == 'd' &&
+        (fc(3) == 'c' || fc(3) == 'b')
+    // strict walk: false = malformed somewhere → reject the whole file
+    def walk(from: Long, to: Long, inMovi: Boolean): Boolean = {
+      var pos = from
+      while (pos < to) {
+        if (pos + 8 > to) return false
+        val fc = fourcc(pos.toInt)
+        val sz = u32(pos.toInt + 4)
+        val dataStart = pos + 8
+        val dataEnd = dataStart + sz
+        if (dataEnd > to) return false
+        if (fc == "LIST") {
+          if (sz < 4) return false
+          val lt = fourcc(dataStart.toInt)
+          if (!walk(dataStart + 4, dataEnd,
+            inMovi || lt == "movi" || lt == "rec ")) return false
+        } else if (inMovi && isFrameChunk(fc)) {
+          val payload = java.util.Arrays.copyOfRange(
+            body, dataStart.toInt, dataEnd.toInt)
+          jpegFrameMean(payload) match {
+            case Some(m) => frames += ((idx, m)); idx += 1
+            case None => return false
+          }
+        }
+        pos = dataEnd + (sz % 2)
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
   /** Per-frame sampling — the video analogue of [[audioSamples]]'
     * codec boundary. REAL demux paths: Y4M ([[y4mFrameMeans]] — pure-JVM
-    * header+raw-frames parse) and multi-frame GIF ([[gifFrameMeans]] —
-    * imageio sequence reader), each emitting one (frame_idx, mean-luma)
-    * row per actual container frame. Anything else keeps the
-    * deterministic byte stand-in (every `stride`-th byte as the
-    * "frame"), which is also the oracle path: the testdata corpus is
-    * ASCII text DuckDB replays with substr/unicode, while the scalatest
-    * suite drives the real demux on in-fixture Y4M/GIF payloads.
-    * Remaining containers (MP4/MKV/WebM) have no JDK demuxer — they
-    * stay on the stand-in, documented, until a real codec dependency is
-    * allowed. */
+    * header+raw-frames parse), multi-frame GIF ([[gifFrameMeans]] —
+    * imageio sequence reader), and AVI/MJPEG ([[aviFrameMeans]] — RIFF
+    * chunk walk + per-frame imageio JPEG decode), each emitting one
+    * (frame_idx, mean-luma) row per actual container frame. Anything
+    * else keeps the deterministic byte stand-in (every `stride`-th byte
+    * as the "frame"), which is also the oracle path: the testdata
+    * corpus is ASCII text DuckDB replays with substr/unicode, while the
+    * scalatest suite drives the real demux on in-fixture Y4M/GIF/AVI
+    * payloads. Remaining containers (MP4/MKV/WebM) have no JDK demuxer
+    * — they stay on the stand-in, documented, until a real codec
+    * dependency is allowed. */
   def sampleFrames(body: Array[Byte], stride: Int = 32): Iterator[(Int, Int)] =
-    y4mFrameMeans(body).orElse(gifFrameMeans(body)) match {
+    y4mFrameMeans(body).orElse(gifFrameMeans(body))
+      .orElse(aviFrameMeans(body)) match {
       case Some(frames) => frames.iterator
       case None =>
         Iterator.range(0, body.length, stride).zipWithIndex.map {
@@ -555,8 +641,8 @@ object MultimodalOps {
     * ones per second: a frame is a keyframe when it opens the stream or
     * its value jumps ≥ [[KeyframeDelta]] from the previous frame. Values
     * come through the SAME [[Multimodal.sampleFrames]] codec boundary as
-    * `m_frame_sample` — REAL per-frame mean luma for Y4M / animated GIF,
-    * the deterministic byte stand-in otherwise (the oracle path over the
+    * `m_frame_sample` — REAL per-frame mean luma for Y4M / animated GIF /
+    * AVI-MJPEG, the deterministic byte stand-in otherwise (the oracle path over the
     * ASCII corpus).
     *
     * Plan/scale: the frameSample decode (payload never crosses a

@@ -151,6 +151,59 @@ class FixtureGateSpec extends SparkSpec {
     assert(got == want, s"got ${got.toList}")
   }
 
+  test("m_frame_sample + m_keyframes: real AVI/MJPEG frames through the query path") {
+    graft.GraftSession.init(spark)
+    // doc 0: 3-frame MJPEG AVI (steady-cut-steady by construction);
+    // doc 1: raw bytes on the stand-in path. JPEG is lossy, so the
+    // expected means are DERIVED by decoding the very frame payloads
+    // with the same integer BT.601 mean — no brittle luma constants.
+    val frames = Seq(MediaFixtures.jpegBytes(8, 8, 20),
+      MediaFixtures.jpegBytes(8, 8, 210), MediaFixtures.jpegBytes(8, 8, 212))
+    def mean(jpeg: Array[Byte]): Int = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+      }
+      (sum / (img.getWidth.toLong * img.getHeight)).toInt
+    }
+    val means = frames.map(mean)
+    // the fixture must actually exercise the cut rule: a hard cut into
+    // frame 1 and a steady frame 2 (JPEG wobble on uniform gray is far
+    // below the 16-luma threshold)
+    assert(math.abs(means(1) - means(0)) >= 16 &&
+      math.abs(means(2) - means(1)) < 16, s"fixture degenerate: $means")
+    val avi = MediaFixtures.aviMjpegBytes(frames)
+    assert(Multimodal.aviFrameMeans(avi).get == means.zipWithIndex.map(_.swap))
+
+    val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi_fix").toString
+    val rows = Seq((0L, avi), (1L, raw))
+      .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("m_frame_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val want = means.zipWithIndex.map { case (m, i) => (0L, i, m) } ++
+      Seq((1L, 0, 0), (1L, 1, 96), (1L, 2, 192))
+    assert(got == want, s"got $got")
+
+    val kf = SparkEntry.queries("m_keyframes")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // keyframes: frame 0 always, frame 1 (the cut); frame 2 steady.
+    // stand-in doc: stride-32 bytes 0, 96, 192 — every step a cut
+    assert(kf == Seq((0L, 0), (0L, 1), (1L, 0), (1L, 1), (1L, 2)),
+      s"keyframes: $kf")
+  }
+
   test("m_silence: trim points on a real WAV with silent segments") {
     graft.GraftSession.init(spark)
     // doc 0: WAV of 64 silent + 64 loud + 64 silent samples → windows

@@ -37,6 +37,44 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  private def u32le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** One RIFF chunk: fourcc + LE u32 size + data, padded to even. */
+  private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(fourcc.getBytes("US-ASCII"))
+    bos.write(u32le(data.length))
+    bos.write(data)
+    if (data.length % 2 == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** A uniform-gray JPEG frame via the imageio writer — the payload a
+    * real MJPEG encoder would drop into a '00dc' chunk. */
+  def jpegBytes(w: Int, h: Int, luma: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (luma << 16) | (luma << 8) | luma)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Hand-assembled AVI/MJPEG: RIFF('AVI ') wrapping a minimal hdrl
+    * LIST (zeroed avih — the demuxer ignores it) and a movi LIST of
+    * '00dc' JPEG frame chunks; LE sizes, even padding — exactly the
+    * layout [[MultimodalOps.aviFrameMeans]] walks. */
+  def aviMjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      riffChunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+    val hdrl = list("hdrl", riffChunk("avih", new Array[Byte](56)))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => riffChunk("00dc", f)))
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
   /** Animated GIF via the imageio sequence writer; each frame a uniform
     * gray — uniform colors survive GIF palette quantization exactly. */
   def gifBytes(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {

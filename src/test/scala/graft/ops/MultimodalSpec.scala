@@ -161,6 +161,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi/mjpeg demux property: corrupted payloads parse or reject, never throw") {
+    // same strict-or-fallback contract as the y4m fuzz: the RIFF walk
+    // plus the per-frame imageio decode must yield Some(nonempty) or
+    // None on ANY mutation — never a task-killing throw. Bit flips hit
+    // chunk sizes, fourccs, and compressed JPEG entropy data alike.
+    val f1 = MediaFixtures.jpegBytes(8, 8, 30)
+    val f2 = MediaFixtures.jpegBytes(8, 8, 220)
+    val base = MediaFixtures.aviMjpegBytes(Seq(f1, f2))
+    assert(Multimodal.aviFrameMeans(base).get.map(_._1) == Seq(0, 1))
+    val rnd = new scala.util.Random(9103)
+    for (_ <- 1 to 200) {
+      val b = base.clone()
+      if (rnd.nextBoolean()) {
+        for (_ <- 0 to rnd.nextInt(4)) {
+          val at = rnd.nextInt(b.length)
+          b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        assert(Multimodal.aviFrameMeans(b).forall(_.nonEmpty))
+      } else {
+        val cut = b.take(1 + rnd.nextInt(b.length - 1))
+        assert(Multimodal.aviFrameMeans(cut).forall(_.nonEmpty))
+      }
+    }
+  }
+
   test("gif demux property: corrupted payloads parse or reject, never throw") {
     // same contract as the y4m fuzz: the imageio sequence reader sits
     // behind the sniff + NonFatal guard, so any mutation must yield
