@@ -283,23 +283,46 @@ object StreamOps {
     * saturated keys collapse to one boolean forever (hot shingles are
     * the corpus's boilerplate — the aggregate state for them is O(1),
     * not O(df)). Keys are uniform shingle hashes across executors. Key
-    * COUNT is the distinct-shingle domain; a production deployment
-    * bounds it with a processing-time TTL (the [[dedupStream]]
-    * watermark trade: pairs further apart than the horizon fall to the
-    * batch job) — left off here so the parity spec is exact. */
+    * COUNT is the distinct-shingle domain — unbounded here ON PURPOSE
+    * so the merge==batch parity is exact; the production deployment
+    * runs [[pairDeltaStreamTtl]], which bounds keys with a
+    * processing-time TTL at the documented cross-horizon cost. */
   def pairDeltaStream(docs: DataFrame,
       maxDf: Int = graft.ops.DedupOps.DefaultMaxDf): Dataset[PairDelta] = {
     import docs.sparkSession.implicits._
 
     def update(sh: String, rows: Iterator[ShinglePosting],
         state: GroupState[PostingListState]): Iterator[PairDelta] = {
-      var st = state.getOption.getOrElse(PostingListState(Nil, Nil, false))
+      val (st, out) = advancePostings(
+        state.getOption.getOrElse(PostingListState(Nil, Nil, false)),
+        rows.toSeq, maxDf)
+      state.update(st)
+      out.iterator
+    }
+
+    graft.ops.DedupOps.shinglePostings(docs)
+      .select(col("sh"), col("doc_id").as("docId"), col("n")).as[ShinglePosting]
+      .groupByKey(_.sh)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** The shared posting-list advance behind both pair-maintenance arms:
+    * fold one micro-batch's postings for one shingle into the state,
+    * crediting +1 per new co-occurrence and firing the −1 retraction
+    * wave the moment the df cap trips. docId order within the batch
+    * keeps emission deterministic regardless of shuffle arrival order.
+    * A nested Serializable module, not an outer-object method — the
+    * state-update closures ship to executors and must not drag the
+    * whole (non-serializable) StreamOps object along. */
+  private object advancePostings extends Serializable {
+    def apply(st0: PostingListState, rows: Seq[ShinglePosting],
+        maxDf: Int): (PostingListState, List[PairDelta]) = {
+      var st = st0
       val out = List.newBuilder[PairDelta]
       def pair(a: Long, na: Long, b: Long, nb: Long, d: Long): PairDelta =
         if (a < b) PairDelta(a, b, na, nb, d) else PairDelta(b, a, nb, na, d)
-      // docId order within the batch: deterministic emission regardless
-      // of shuffle arrival order
-      rows.toSeq.sortBy(_.docId).foreach { r =>
+      rows.sortBy(_.docId).foreach { r =>
         if (!st.saturated && !st.docIds.contains(r.docId)) {
           if (st.docIds.size + 1 > maxDf) {
             // cap crossed: retract every pair this shingle credited
@@ -314,15 +337,67 @@ object StreamOps {
           }
         }
       }
-      state.update(st)
-      out.result().iterator
+      (st, out.result())
+    }
+  }
+
+  /** [[PostingListState]] plus the epoch's last processing-time touch —
+    * public for the state encoder, like [[PostingListState]]. */
+  case class PostingListStateTtl(docIds: Seq[Long], ns: Seq[Long],
+      saturated: Boolean, lastMs: Long)
+
+  /** PRODUCTION arm of [[pairDeltaStream]]: the same retraction state
+    * machine under a processing-time TTL, making the key-count bound
+    * the exact arm defers mechanical. Two mechanisms, one horizon:
+    *
+    *   - a shingle whose state went untouched for `ttlMs` and receives
+    *     NEW postings starts a FRESH epoch (stale postings dropped
+    *     before the advance — checked against the state's own
+    *     last-touch stamp, so expiry semantics do not depend on when
+    *     the engine happens to fire timeouts);
+    *   - a shingle that never receives data again is physically removed
+    *     by the engine's ProcessingTimeTimeout — state size is bounded
+    *     by the shingle domain of the LAST `ttlMs` of stream, not of
+    *     the stream's lifetime.
+    *
+    * The trade is exactly [[dedupStream]]'s watermark trade: a pair
+    * whose two documents arrive more than one horizon apart is LOST
+    * here and falls to the periodic batch backfill — and ONLY those
+    * pairs are lost. The spec pins it: with every shingle's documents
+    * confined to one epoch except a deliberate cross-horizon span,
+    * stream ∪ cross-horizon-pairs == full batch [[graft.ops.DedupOps
+    * .pairCounts]]. One honest asymmetry is inherent to horizons: the
+    * df cap counts per epoch, so a shingle whose documents straddle
+    * epochs can stay under a cap it would cross globally — the backfill
+    * job re-caps globally, which is why retention dials live there. */
+  def pairDeltaStreamTtl(docs: DataFrame, ttlMs: Long,
+      maxDf: Int = graft.ops.DedupOps.DefaultMaxDf): Dataset[PairDelta] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    import docs.sparkSession.implicits._
+
+    def update(sh: String, rows: Iterator[ShinglePosting],
+        state: GroupState[PostingListStateTtl]): Iterator[PairDelta] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val now = state.getCurrentProcessingTimeMs()
+        val live = state.getOption
+          .filter(s => now - s.lastMs <= ttlMs)
+          .map(s => PostingListState(s.docIds, s.ns, s.saturated))
+          .getOrElse(PostingListState(Nil, Nil, saturated = false))
+        val (st, out) = advancePostings(live, rows.toSeq, maxDf)
+        state.update(PostingListStateTtl(st.docIds, st.ns, st.saturated, now))
+        state.setTimeoutDuration(ttlMs)
+        out.iterator
+      }
     }
 
     graft.ops.DedupOps.shinglePostings(docs)
       .select(col("sh"), col("doc_id").as("docId"), col("n")).as[ShinglePosting]
       .groupByKey(_.sh)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update)
+        GroupStateTimeout.ProcessingTimeTimeout())(update)
   }
 
   /** Stream-stream interval join: each click pairs with the same user's

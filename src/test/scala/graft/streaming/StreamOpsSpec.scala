@@ -679,6 +679,77 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.exists(p => p._1 == 3L && p._2 == 4L && p._5 == 1L))
   }
 
+  test("pairDeltaStreamTtl: expiry loses ONLY cross-horizon pairs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Two epochs separated by a sleep LONGER than the TTL, so every
+    // key's state is stale when epoch 2 arrives (staleness is checked
+    // against the state's own last-touch stamp — deterministic given
+    // sleep > ttl, independent of when the engine fires timeouts).
+    // Shingle layout: every span's documents live in ONE epoch except
+    // the deliberate cross-horizon span "ca cb cc" (docs 1,2 | 3), and
+    // the epoch-2 hot span "h1 h2 h3" (docs 3,4,5,6 > maxDf 3) fires
+    // the retraction wave inside the TTL arm.
+    val epoch1 = Seq(
+      1L -> "u1a ca cb cc u1b d1 d2 d3 u1c",
+      2L -> "u2a ca cb cc u2b d1 d2 d3 u2c")
+    val epoch2 = Seq(
+      3L -> "u3a ca cb cc u3b e1 e2 e3 u3c h1 h2 h3 u3d",
+      4L -> "u4a e1 e2 e3 u4b h1 h2 h3 u4c",
+      5L -> "u5a h1 h2 h3 u5b x5 y5 z5",
+      6L -> "u6a h1 h2 h3 u6b x6 y6 z6")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pairDeltaStreamTtl(
+        in.toDF().toDF("doc_id", "text"), ttlMs = 400L, maxDf = 3)
+      .writeStream.format("memory").queryName("pairttl")
+      .outputMode("append").start()
+    // processAllAvailable() CANNOT be used under ProcessingTimeTimeout:
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true
+    // there (the engine keeps running no-data batches to fire timers),
+    // so the no-new-data signal the call waits on never arrives. Poll
+    // the sink for the hand-traced row count instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000L * 1000 * 1000
+      while (spark.table("pairttl").count() < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out at ${spark.table("pairttl").count()}/$n delta rows")
+        Thread.sleep(100)
+      }
+      Thread.sleep(500) // and NO extra rows trickle in after the target
+      assert(spark.table("pairttl").count() == n, "unexpected extra deltas")
+    }
+    in.addData(epoch1)
+    awaitRows(2)       // (1,2) via the ca- and d-spans
+    Thread.sleep(1500) // > ttl: epoch boundary
+    in.addData(epoch2)
+    awaitRows(2 + 7)   // e:+1; h: 3 credits then the 3-pair retraction
+    val deltas = spark.table("pairttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    q.stop()
+    assert(deltas.exists(_._5 == -1L), "retraction never fired in the TTL arm")
+    val merged = deltas
+      .groupBy(d => (d._1, d._2, d._3, d._4))
+      .map { case (k, ds) => (k._1, k._2, k._3, k._4, ds.map(_._5).sum) }
+      .filter(_._5 > 0).toSet
+    // full batch truth over all six docs through the same shingle def
+    val dir = tmp("graft_pairttl")
+    (epoch1 ++ epoch2).toDF("doc_id", "text").repartition(2)
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.DedupOps.pairCounts(spark, dir, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val epoch1Ids = epoch1.map(_._1).toSet
+    val (cross, within) = batch.partition(p =>
+      epoch1Ids.contains(p._1) != epoch1Ids.contains(p._2))
+    // the contract, exactly: the stream lost the cross-horizon pairs
+    // and NOTHING else — a batch backfill of `cross` restores parity
+    assert(cross.nonEmpty && within.nonEmpty, "fixture degenerate")
+    assert(merged == within,
+      s"stream ${merged.toSeq.sorted} != within-horizon ${within.toSeq.sorted}")
+    assert((merged ++ cross) == batch, "stream + backfill != full batch")
+  }
+
   test("streamed pair relation is a drop-in pairCounts for the *From consumers") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
