@@ -1879,6 +1879,22 @@ object DedupOps {
       .withColumn("n_docs", col("size") * col("n_clusters"))
       .orderBy("size")
 
+  /** Community-size histogram — [[clusterStats]]'s community-grain
+    * twin, and the one-look answer to "did LPA actually refine the
+    * components or just relabel them": read beside `d_cluster_stats`,
+    * a shift of mass from giant sizes to smaller ones is exactly the
+    * dense-core refinement, while identical histograms mean the pair
+    * graph has no community structure beyond its components (the
+    * honest testdata readout). Rides the shared [[clusterStatsFrom]]
+    * rollup over [[lpaCommunities]] labels.
+    *
+    * Plan/scale: the LPA label loop (node-sized, checkpointed) + one
+    * community-key agg + one histogram-sized agg — nothing new. */
+  def communityStats(s: SparkSession, d: String): DataFrame =
+    clusterStatsFrom(
+      lpaCommunities(s, d)
+        .select(col("doc_id"), col("community_id").as("cluster_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> exactDedup,
     "d_dup_rate_by_source" -> dupRateBySource,
@@ -1894,6 +1910,7 @@ object DedupOps {
     "d_lpa_communities" -> lpaCommunities,
     "d_bridge_docs" -> bridgeDocs,
     "d_community_dedup" -> communityDedup,
+    "d_community_stats" -> communityStats,
     "d_lsh_tuning" -> lshTuning,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_clusters" -> minhashClusters,
@@ -2548,6 +2565,18 @@ object DedupOps {
       ${ccClosureCtes("p")},
       cl AS (${ccClusterSql("doc_id")}),
       cz AS (SELECT cluster_id, count(*)::BIGINT AS size FROM cl GROUP BY 1)
+      SELECT size, count(*)::BIGINT AS n_clusters,
+             (size * count(*))::BIGINT AS n_docs
+      FROM cz GROUP BY size ORDER BY size""",
+    "d_community_stats" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      $lpaEdgeCtes,
+      $lpaOracleIters,
+      cz AS (SELECT lab, count(*)::BIGINT AS size
+             FROM l$LpaIters GROUP BY 1)
       SELECT size, count(*)::BIGINT AS n_clusters,
              (size * count(*))::BIGINT AS n_docs
       FROM cz GROUP BY size ORDER BY size""",

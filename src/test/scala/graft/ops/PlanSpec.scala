@@ -159,13 +159,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "inlined codebook scores missing")
   }
 
-  test("s_pq_adc broadcasts the query LUTs and prunes top-k before the shuffle") {
+  test("s_pq_adc broadcasts the query LUTs and bounds top-k before the shuffle") {
     val p = plan("s_pq_adc")
     assert(p.contains("BroadcastExchange"), s"query LUTs not broadcast:\n${p.take(1500)}")
-    // WindowGroupLimit(Partial) caps each task's output at k rows before
-    // the q_id exchange — the rank filter never shuffles the full cross
-    assert(p.contains("WindowGroupLimit"),
-      s"top-k pruning missing below the window:\n${p.take(1500)}")
+    // r10: the rank window is gone entirely — the bounded top_k
+    // aggregate keeps <= k structs per map task (partial_top_k below
+    // the q_id exchange), so no sort partition ever sees corpus-sized
+    // input and no Window/WindowGroupLimit operator exists at all
+    assert(p.contains("partial_collect_top_k") && !p.contains("Window"),
+      s"bounded top-k partial aggregation missing:\n${p.take(1500)}")
     // pqEncode's oracle ordering must be optimized away under the join
     val sorts = "rangepartitioning".r.findAllMatchIn(p).size
     assert(sorts == 1, s"a redundant global sort survived:\n${p.take(1500)}")

@@ -207,6 +207,23 @@ class R10InvariantSpec extends SparkSpec {
     assert(viaAgg.count() == 35)
   }
 
+  test("d_community_stats: mass conservation and grain vs cluster stats") {
+    graft.GraftSession.init(spark)
+    val stats = DedupOps.communityStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    stats.foreach { case (size, nc, nd) => assert(nd == size * nc) }
+    // every labeled node appears in exactly one community
+    val nodes = DedupOps.lpaCommunities(spark, sf).count()
+    assert(stats.map(_._3).sum == nodes, "histogram loses/duplicates docs")
+    // communities refine components: at least as many communities as
+    // CC clusters on the same pair graph
+    val nComms = stats.map(_._2).sum
+    val nClusters = DedupOps.clusterStats(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(nComms >= nClusters, s"$nComms communities < $nClusters clusters")
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
