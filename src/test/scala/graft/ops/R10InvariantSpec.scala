@@ -207,6 +207,46 @@ class R10InvariantSpec extends SparkSpec {
     assert(viaAgg.count() == 35)
   }
 
+  test("v_corr_matrix: a negative input fails LOUDLY, not by desync") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // a credit/return-style row: negative extendedprice breaks the
+    // cross-product limb terms' nonnegativity precondition — the
+    // sentinel must raise, not silently produce engine-divergent bits
+    val dir = java.nio.file.Files.createTempDirectory("graft_neg").toString
+    Seq((0.05, -101.50, 3L, 0.02), (0.00, 55.25, 1L, 0.04))
+      .toDF("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val ex = intercept[Exception] {
+      ValidationOps.corrMatrix(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative input")), s"wrong failure: $ex")
+    // and the all-nonnegative twin still computes
+    val ok = java.nio.file.Files.createTempDirectory("graft_pos").toString
+    Seq((0.05, 101.50, 3L, 0.02), (0.00, 55.25, 1L, 0.04))
+      .toDF("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .write.parquet(s"$ok/lineitem.parquet")
+    assert(ValidationOps.corrMatrix(spark, ok).collect().length == 6)
+  }
+
+  test("top_k device edges: k exceeding the group and single-row groups") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val df = Seq((1L, 3.0, 10L), (1L, 1.0, 11L), (2L, 9.0, 12L))
+      .toDF("g", "d", "id")
+    val got = df.groupBy("g")
+      .agg(call_function("top_k",
+        struct(col("d"), col("id")), lit(5), lit(true)).as("tk"))
+      .select(col("g"), posexplode(array_sort(col("tk"))))
+      .select(col("g"), col("pos"), col("col.d"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // groups smaller than k yield exactly their rows, sorted
+    assert(got.toSet == Set((1L, 0, 1.0, 11L), (1L, 1, 3.0, 10L),
+      (2L, 0, 9.0, 12L)), s"got ${got.toSeq}")
+  }
+
   test("d_community_stats: mass conservation and grain vs cluster stats") {
     graft.GraftSession.init(spark)
     val stats = DedupOps.communityStats(spark, sf).collect()
