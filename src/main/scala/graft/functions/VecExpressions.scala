@@ -223,18 +223,37 @@ object GraftFunctions {
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK]
           .getName, "top_k"),
       (children: Seq[Expression]) => {
-        // the companion's literal extractors are package-private, so the
-        // k / reverse literals are folded here (registry builders only
-        // ever see resolved literal arguments from call_function)
-        def lit(i: Int): Any = children(i) match {
-          case e if e.foldable => e.eval()
+        // The registry exposes top_k to arbitrary SQL, so the builder
+        // validates arity and both literals explicitly — the
+        // companion's own extractors are package-private. Errors here
+        // surface as analysis-time failures with the function's name,
+        // never an IndexOutOfBounds/NPE from a malformed call.
+        if (children.size != 3) throw new IllegalArgumentException(
+          s"top_k requires exactly 3 arguments (expr, k, reverse), got ${children.size}")
+        def lit(i: Int, what: String): Any = children(i) match {
+          case e if e.foldable =>
+            val v = e.eval()
+            if (v == null) throw new IllegalArgumentException(
+              s"top_k: $what must be a non-null literal")
+            v
           case e => throw new IllegalArgumentException(
-            s"top_k argument ${i + 1} must be a literal, got $e")
+            s"top_k: $what must be a literal, got $e")
+        }
+        val k = lit(1, "k (argument 2)") match {
+          case n: java.lang.Integer => n.intValue()
+          case n: java.lang.Long if n >= 1 && n <= Int.MaxValue => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"top_k: k must be an INT literal, got $other")
+        }
+        if (k < 1) throw new IllegalArgumentException(
+          s"top_k: k must be >= 1, got $k")
+        val rev = lit(2, "reverse (argument 3)") match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"top_k: reverse must be a BOOLEAN literal, got $other")
         }
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
-          children(0),
-          lit(1).asInstanceOf[Number].intValue(),
-          lit(2).asInstanceOf[Boolean], 0, 0)
+          children(0), k, rev, 0, 0)
       }))
 
   /** Idempotent: re-registering replaces the previous entry. */

@@ -310,11 +310,17 @@ object DedupOps {
   /** LPA over a caller-supplied undirected edge list (a_id, b_id) — the
     * production consumer form over a materialized pair relation (see
     * [[pairCounts]]). */
-  def lpaCommunitiesFrom(pairRelation: DataFrame): DataFrame = {
+  def lpaCommunitiesFrom(pairRelation: DataFrame): DataFrame =
+    lpaLabelsOver(lpaEdges(
+      pairRelation.select(col("a_id"), col("b_id")).localCheckpoint())
+      .localCheckpoint())
+
+  /** The label loop over a PRE-MATERIALIZED vote graph — factored so
+    * [[bridgeDocsFrom]] / [[communityDedupFrom]] build the self-looped
+    * edge list (and its node-set distinct) exactly once and share the
+    * checkpoint between the label pass and the bridge report. */
+  private def lpaLabelsOver(edges: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val pairs = pairRelation.select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    val edges = lpaEdges(pairs).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
@@ -354,16 +360,18 @@ object DedupOps {
   /** Bridge report over a caller-supplied undirected edge list — the
     * production consumer form (see [[pairCounts]]). */
   def bridgeDocsFrom(pairRelation: DataFrame): DataFrame = {
-    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+    val edges = lpaEdges(
+      pairRelation.select(col("a_id"), col("b_id")).localCheckpoint())
       .localCheckpoint()
-    bridgeReport(pairs, lpaCommunitiesFrom(pairs)).orderBy("doc_id")
+    bridgeReport(edges, lpaLabelsOver(edges)).orderBy("doc_id")
   }
 
-  /** The bridge computation over pre-computed LPA labels — shared by
-    * [[bridgeDocsFrom]] and [[communityDedupFrom]] so the latter never
-    * re-runs the label loop for its review routing. Unordered. */
-  private def bridgeReport(pairs: DataFrame, labels: DataFrame): DataFrame =
-    lpaEdges(pairs)
+  /** The bridge computation over the (checkpointed) vote graph and its
+    * LPA labels — shared by [[bridgeDocsFrom]] and
+    * [[communityDedupFrom]] so neither the label loop nor the edge
+    * list (with its node-set distinct) is ever built twice. Unordered. */
+  private def bridgeReport(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
       .join(labels.select(col("doc_id").as("src"),
         col("community_id").as("c_src")), "src")
       .join(labels.select(col("doc_id").as("dst"),
@@ -400,10 +408,11 @@ object DedupOps {
   /** Community dedup over a caller-supplied pair relation — the
     * production consumer form (see [[pairCounts]]). */
   def communityDedupFrom(docs: DataFrame, pairRelation: DataFrame): DataFrame = {
-    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+    val edges = lpaEdges(
+      pairRelation.select(col("a_id"), col("b_id")).localCheckpoint())
       .localCheckpoint()
-    val labels = lpaCommunitiesFrom(pairs)
-    val bridges = bridgeReport(pairs, labels)
+    val labels = lpaLabelsOver(edges)
+    val bridges = bridgeReport(edges, labels)
       .select(col("doc_id"), lit(true).as("is_bridge"))
     val keepers = labels.join(bridges, Seq("doc_id"), "left_anti")
       .groupBy("community_id").agg(min(col("doc_id")).as("keep_id"))

@@ -104,6 +104,17 @@ object EventOps {
     giniFromSupport(pref)
   }
 
+  /** Per-row ceiling on nc and b inside [[giniFromSupport]]'s tie-block
+    * factor: ⌊2^30.5⌋, so 2·nc·b + nc·(nc+1) < 2^63 whenever both pass
+    * — the factor is computed ONLY behind this gate, which means the
+    * envelope message fires BEFORE either engine can hit its native
+    * BIGINT-overflow error (different text, different code) in the
+    * c product. Never fires inside the documented envelope: there
+    * nc ≤ n_users < 2^30 and b < 2^30. (The one regime left to native
+    * errors is Σ x·nc ≥ 2^63 — more events than BIGINT counts — where
+    * the sum itself overflows before any guard can aggregate.) */
+  private val GiniRowLimit = 1518500249L
+
   /** The gini ledger over a (x, nc, b) support relation — factored so
     * the overflow-regime spec can drive constructed wide counts through
     * the EXACT production expression without materializing 2^53 events. */
@@ -119,7 +130,10 @@ object EventOps {
       s"n_users * (n_events DIV ${L}L)",
       s"n_users * (n_events % ${L}L)")
     pref
-      .withColumn("c", expr("2 * nc * b + nc * (nc + 1)"))
+      .withColumn("c", expr(Exact.guarded(
+        s"nc > ${GiniRowLimit}L OR b > ${GiniRowLimit}L",
+        "e_gini ledger envelope exceeded (n_users >= 2^30 or n_events >= 2^53)",
+        "2 * nc * b + nc * (nc + 1)")))
       .agg(
         sum(col("nc")).as("n_users"),
         sum(col("x") * col("nc")).as("n_events"),
@@ -1931,7 +1945,12 @@ object EventOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0)::BIGINT AS b
              FROM bc),
-      t AS (SELECT x, nc, (2 * nc * b + nc * (nc + 1))::BIGINT AS c FROM pr),
+      t AS (SELECT x, nc,
+              ${Exact.guardedDuck(
+                s"nc > $GiniRowLimit OR b > $GiniRowLimit",
+                "e_gini ledger envelope exceeded (n_users >= 2^30 or n_events >= 2^53)",
+                "(2 * nc * b + nc * (nc + 1))::BIGINT")} AS c
+            FROM pr),
       a AS (SELECT sum(nc)::BIGINT AS n_users,
               sum(x * nc)::BIGINT AS n_events,
               sum((x // $L) * (c // $L))::BIGINT AS s_a,

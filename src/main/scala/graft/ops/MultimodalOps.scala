@@ -427,8 +427,14 @@ object Multimodal {
     def isFrameChunk(fc: String): Boolean =
       fc(0).isDigit && fc(1).isDigit && fc(2) == 'd' &&
         (fc(3) == 'c' || fc(3) == 'b')
-    // strict walk: false = malformed somewhere → reject the whole file
-    def walk(from: Long, to: Long, inMovi: Boolean): Boolean = {
+    // strict walk: false = malformed somewhere → reject the whole file.
+    // Real AVI nests at most RIFF → movi → rec (depth 2 below the top);
+    // the explicit depth ceiling keeps a crafted chain of
+    // self-consistent LIST headers from recursing to StackOverflowError
+    // — a FATAL error no NonFatal guard would catch — in a scan task.
+    val maxListDepth = 8
+    def walk(from: Long, to: Long, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > maxListDepth) return false
       var pos = from
       while (pos < to) {
         if (pos + 8 > to) return false
@@ -441,7 +447,7 @@ object Multimodal {
           if (sz < 4) return false
           val lt = fourcc(dataStart.toInt)
           if (!walk(dataStart + 4, dataEnd,
-            inMovi || lt == "movi" || lt == "rec ")) return false
+            inMovi || lt == "movi" || lt == "rec ", depth + 1)) return false
         } else if (inMovi && isFrameChunk(fc)) {
           val payload = java.util.Arrays.copyOfRange(
             body, dataStart.toInt, dataEnd.toInt)
@@ -454,7 +460,7 @@ object Multimodal {
       }
       true
     }
-    if (!walk(12, riffEnd, inMovi = false)) return None
+    if (!walk(12, riffEnd, inMovi = false, depth = 0)) return None
     val out = frames.result()
     if (out.isEmpty) None else Some(out)
   }

@@ -186,6 +186,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi demux: a deeply nested LIST chain is rejected, not recursed to SOE") {
+    // self-consistent sizes at every level, so only the depth ceiling
+    // stops the walk — without it this recurses once per level and a
+    // few-MB payload of 12-byte LIST headers would StackOverflowError
+    // (fatal, uncatchable by NonFatal) inside a scan task
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val sz = data.length
+      fourcc.getBytes("US-ASCII") ++ Array(
+        (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+        ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte) ++
+        data ++ (if (sz % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    var payload = chunk("avih", new Array[Byte](8))
+    for (_ <- 1 to 50)
+      payload = chunk("LIST", "rec ".getBytes("US-ASCII") ++ payload)
+    val bomb = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ payload)
+    assert(Multimodal.looksLikeAvi(bomb))
+    assert(Multimodal.aviFrameMeans(bomb).isEmpty) // rejected, no throw
+    // and a legitimately rec-nested frame still decodes (depth 2)
+    val frame = chunk("00dc", MediaFixtures.jpegBytes(4, 4, 77))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++ frame))
+    val ok = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    assert(Multimodal.aviFrameMeans(ok).exists(_.size == 1))
+  }
+
   test("gif demux property: corrupted payloads parse or reject, never throw") {
     // same contract as the y4m fuzz: the imageio sequence reader sits
     // behind the sniff + NonFatal guard, so any mutation must yield

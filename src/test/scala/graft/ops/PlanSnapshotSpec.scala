@@ -308,13 +308,14 @@ class PlanSnapshotSpec extends SparkSpec {
     // parquet re-scans
     "d_lpa_communities" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // checkpointed edges + LPA labels; two node-key label joins + agg
-    // r10: +1 xhash — the self-looped vote graph's node-set distinct
-    // (the LPA self-vote fix; node-sized, not corpus-sized)
-    "d_bridge_docs" -> "scan=0 xhash=5 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: the self-looped vote graph (LPA self-vote fix) is built and
+    // checkpointed ONCE and shared between the label pass and the
+    // bridge report — one edge materialization feeds both
+    "d_bridge_docs" -> "scan=0 xhash=4 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: LPA labels (driver-checkpointed) + bridge report + keeper
     // min + three doc-key LEFT joins onto the corpus scan; the smj's
     // join node-sized relations (labels/bridges/keepers), not corpus
-    "d_community_dedup" -> "scan=1 xhash=15 xrange=1 bcast=2 smj=6 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_community_dedup" -> "scan=1 xhash=13 xrange=1 bcast=2 smj=6 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // label loop is driver-held; the two stats rollups only
     "d_community_stats" -> "scan=0 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // ONE scan → one-row moment agg → 6-way stack; no data shuffle

@@ -36,30 +36,27 @@ class R10InvariantSpec extends SparkSpec {
   test("d_community_dedup: a fully-contested community auto-picks NO survivor") {
     graft.GraftSession.init(spark)
     import spark.implicits._
-    // path 1-2-3 with 4 iterations converges to one community here, so
-    // build a contested middle: two 2-cliques {1,2} {5,6} bridged via a
-    // chain long enough that LPA keeps them separate is hard at this
-    // size — instead construct directly: triangle {1,2,3} where EVERY
-    // member also has a foreign edge into triangle {4,5,6} — all six
-    // are bridges, so both communities emit only reviews
+    // triangle {1,2,3}, triangle {4,5,6}, and EVERY member of triangle 1
+    // wired to node 4. Hand-traced with the self-vote: l1 = 1,1,1,1,4,4
+    // (node 4's six votes all tie, min 1; 5 and 6 follow 4), l2 stable —
+    // communities {1,2,3,4}→1 and {5,6}→4. Node 4 bridges into {5,6};
+    // nodes 5 and 6 each have a foreign edge back to 4 — so community 4
+    // is ALL bridges and must emit only reviews, no auto-picked
+    // survivor; community 1 keeps its min non-bridge member 1.
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L),
-      (1L, 4L), (2L, 5L), (3L, 6L)).toDF("a_id", "b_id")
-    val docs = (1L to 6L).toDF("doc_id")
-    val rows = DedupOps.communityDedupFrom(docs, pairs).collect()
-      .map(r => (r.getLong(0), r.getString(2)))
+      (1L, 4L), (2L, 4L), (3L, 4L)).toDF("a_id", "b_id")
     val labels = DedupOps.lpaCommunitiesFrom(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (labels.values.toSet.size > 1) {
-      // the graph really is contested two ways: every node has a
-      // foreign edge → all review, nothing kept or dropped
-      assert(rows.forall(_._2 == "review"), s"got ${rows.toSeq}")
-    } else {
-      // LPA merged everything: then there are no foreign edges and the
-      // single community keeps exactly its min member
-      assert(rows.count(_._2 == "keep") == 1 &&
-        rows.count(_._2 == "review") == 0, s"got ${rows.toSeq}")
-    }
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 4L, 6L -> 4L), s"fixture drifted: $labels")
+    val docs = (1L to 6L).toDF("doc_id")
+    val rows = DedupOps.communityDedupFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "keep"), (2L, 1L, "drop"), (3L, 1L, "drop"),
+      (4L, 1L, "review"), (5L, 4L, "review"), (6L, 4L, "review")),
+      s"got ${rows.toSeq}")
   }
 
   test("d_community_dedup invariant: no same-community near-dup pair is double-kept") {
@@ -245,6 +242,32 @@ class R10InvariantSpec extends SparkSpec {
     // groups smaller than k yield exactly their rows, sorted
     assert(got.toSet == Set((1L, 0, 1.0, 11L), (1L, 1, 3.0, 10L),
       (2L, 0, 9.0, 12L)), s"got ${got.toSeq}")
+  }
+
+  test("top_k builder rejects malformed calls with clear errors") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("g", "d")
+    def err(agg: => org.apache.spark.sql.DataFrame): String = {
+      val ex = intercept[Exception] { agg.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      msgs(ex).mkString("; ")
+    }
+    // wrong arity — registry SQL can reach the builder directly
+    assert(err(df.selectExpr("top_k(d)")).contains("exactly 3 arguments"))
+    // NULL k
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(null).cast("int"), lit(true)))).contains("non-null literal"))
+    // k = 0
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(0), lit(true)))).contains("k must be >= 1"))
+    // a LONG k beyond Int range must be an error, not a silent truncation
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(6000000000L), lit(true)))).contains("k must be an INT"))
+    // non-boolean reverse
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(3), lit("yes")))).contains("reverse must be a BOOLEAN"))
   }
 
   test("d_community_stats: mass conservation and grain vs cluster stats") {
