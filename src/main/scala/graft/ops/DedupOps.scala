@@ -890,6 +890,43 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over the EDIT-DISTANCE tier's pair graph —
+    * the FIFTH arm of the clustering ladder (exact / sketch /
+    * perceptual / semantic / fuzzy), closing the one pair family that
+    * had pairs but no cluster view: these are the groups a curator
+    * dedups when the duplication mode is typo/OCR noise, which
+    * character-level Levenshtein catches and token-shingle Jaccard
+    * structurally cannot (see [[fuzzyPairs]]). Shared
+    * [[dedupClustersFrom]] min-label machinery — same checkpointed CC,
+    * same min-id canonical, recursive-CTE oracle. */
+  def fuzzyClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersFrom(fuzzyPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** Keep/drop verdict at the EDIT-DISTANCE tier — the corpus emitter
+    * over [[fuzzyClusters]], completing the tier the way
+    * [[semanticDedup]] does for embeddings and `d_community_dedup` does
+    * for LPA communities: full-corpus coverage (every document, not just
+    * pair endpoints), one survivor per fuzzy cluster. Deliberately the
+    * CLUSTER-CANONICAL rule (drop everything but the component min-id)
+    * rather than [[semanticDedup]]'s edge-based rule — exactly the
+    * variant that scaladoc tells callers to reach for when they want one
+    * survivor per TRANSITIVE group; having both rules in the inventory,
+    * one per tier, keeps the trade inspectable side by side.
+    *
+    * Plan/scale: rides the shared pair index + pair-graph-sized CC, then
+    * ONE uniform doc-id left join back to the corpus; no new shuffle
+    * class over [[fuzzyClusters]]. */
+  def fuzzyDedup(s: SparkSession, d: String): DataFrame = {
+    val dropped = fuzzyClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Expected chunk length dial for [[cdcChunks]]: a boundary fires when
     * the pair-hash is ≡ 0 mod this, so chunks average ~CdcDiv tokens. */
   private val CdcDiv = 8L
@@ -1943,6 +1980,8 @@ object DedupOps {
     "d_semantic_dedup" -> semanticDedup,
     "d_containment" -> containment,
     "d_fuzzy_pairs" -> fuzzyPairs,
+    "d_fuzzy_clusters" -> fuzzyClusters,
+    "d_fuzzy_dedup" -> fuzzyDedup,
     "d_cluster_stats" -> clusterStats,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
@@ -2566,6 +2605,38 @@ object DedupOps {
       SELECT a_id, b_id, lev, (mx - lev) / mx AS sim
       FROM sc WHERE (mx - lev) / mx >= $FuzzySimMin
       ORDER BY a_id, b_id""",
+    "d_fuzzy_clusters" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      cand AS (SELECT a_id, b_id FROM i
+               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
+      sc AS (SELECT cand.a_id, cand.b_id,
+               levenshtein(da.text, db.text)::BIGINT AS lev,
+               greatest(da.n_chars, db.n_chars) AS mx
+             FROM cand JOIN documents da ON cand.a_id = da.doc_id
+                       JOIN documents db ON cand.b_id = db.doc_id),
+      fp AS (SELECT a_id, b_id FROM sc
+             WHERE (mx - lev) / mx >= $FuzzySimMin),
+      ${ccClosureCtes("fp")}
+      ${ccClusterSql("doc_id")}""",
+    "d_fuzzy_dedup" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      cand AS (SELECT a_id, b_id FROM i
+               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
+      sc AS (SELECT cand.a_id, cand.b_id,
+               levenshtein(da.text, db.text)::BIGINT AS lev,
+               greatest(da.n_chars, db.n_chars) AS mx
+             FROM cand JOIN documents da ON cand.a_id = da.doc_id
+                       JOIN documents db ON cand.b_id = db.doc_id),
+      fp AS (SELECT a_id, b_id FROM sc
+             WHERE (mx - lev) / mx >= $FuzzySimMin),
+      ${ccClosureCtes("fp")},
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+      SELECT d.doc_id, d.source,
+             coalesce(cl.doc_id <> cl.cluster_id, FALSE) AS is_dup
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      ORDER BY d.doc_id""",
     "d_cluster_stats" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

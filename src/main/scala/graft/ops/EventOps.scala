@@ -781,6 +781,60 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM decision threshold in units of the per-type mean daily
+    * volume: a level shift flags once the cumulative excursion exceeds
+    * CusumH × mean — i.e. the series has drifted by a whole day's
+    * average volume [[CusumH]] times over. Integer so the scaled
+    * comparison stays exact BIGINT. */
+  private val CusumH = 5L
+
+  /** CUSUM changepoint detection over per-type daily volumes — the
+    * monitoring-side complement to [[qEwma]]'s smoothing and
+    * `e_seasonal`'s pointwise z-score: a POINT anomaly spikes one day
+    * and a z-score catches it, but a sustained LEVEL SHIFT (a source
+    * silently doubling or halving its feed) moves every day a little —
+    * CUSUM accumulates those small deviations until they clear a
+    * threshold, which is exactly the drift mode a pointwise test is
+    * blind to (Page 1954).
+    *
+    * Exact-integer device: the textbook recurrence S⁺_d = max(0,
+    * S⁺_{d−1} + (n_d − μ)) looks inherently sequential, but
+    * max-of-running-min unrolls it: S⁺_d = P_d − min(0, min_{j≤d} P_j)
+    * where P is the prefix sum of residuals (and symmetrically S⁻ from
+    * the prefix MAX) — two cumulative windows, no recursion. Residuals
+    * are scaled by the day count D (r_d = D·n_d − T) so the mean never
+    * becomes a rational: every comparison and both excursions are exact
+    * BIGINT in both engines, and the decision S > h·μ·D reduces to
+    * S_scaled > h·T. The only doubles are the two final readout
+    * divisions (one op each, bit-identical cross-engine). Exact while
+    * D·T < 2⁶³ per type — e.g. 3 years of daily grain admits ~8·10¹⁵
+    * events per type before the ledger could wrap.
+    *
+    * Plan/scale: one scan → (type, day) partial agg (map-side combine
+    * collapses the data-sized input to catalog × days rows) → three
+    * type-key windows over that catalog-sized relation. Nothing
+    * data-sized crosses a window. */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wPre = Window.partitionBy("event_type").orderBy("day")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dcnt", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("p", sum(col("dcnt") * col("n") - col("tot")).over(wPre))
+      .withColumn("pmin", min(least(col("p"), lit(0L))).over(wPre))
+      .withColumn("pmax", max(greatest(col("p"), lit(0L))).over(wPre))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        ((col("p") - col("pmin")).cast("double") / col("dcnt").cast("double"))
+          .as("cusum_pos"),
+        ((col("pmax") - col("p")).cast("double") / col("dcnt").cast("double"))
+          .as("cusum_neg"),
+        (col("p") - col("pmin") > lit(CusumH) * col("tot")).as("shift_up"),
+        (col("pmax") - col("p") > lit(CusumH) * col("tot")).as("shift_down"))
+      .orderBy("event_type", "day")
+  }
+
   /** Trailing window width (days) for [[qHolt]]. Coefficients grow as
     * 4^(w−1), so the require below pins the BIGINT headroom through the
     * actual generated table rather than a formula that could drift. */
@@ -1300,6 +1354,7 @@ object EventOps {
     "e_markov" -> qMarkov,
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
+    "e_cusum" -> qCusum,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
@@ -1514,6 +1569,34 @@ object EventOps {
       SELECT event_type, week, n AS n_events, prev_n,
              n - prev_n AS wow_delta, n / prev_n AS wow_ratio
       FROM l ORDER BY event_type, week""",
+    "e_cusum" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, n,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS dcnt,
+               sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot
+        FROM daily),
+      p AS (
+        SELECT event_type, day, n, dcnt, tot,
+               sum(dcnt * n - tot)
+                 OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS pp
+        FROM t),
+      m AS (
+        SELECT event_type, day, n, dcnt, tot, pp,
+               min(least(pp, 0))
+                 OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS pmin,
+               max(greatest(pp, 0))
+                 OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS pmax
+        FROM p)
+      SELECT event_type, day, n AS n_events,
+             CAST(pp - pmin AS DOUBLE) / CAST(dcnt AS DOUBLE) AS cusum_pos,
+             CAST(pmax - pp AS DOUBLE) / CAST(dcnt AS DOUBLE) AS cusum_neg,
+             (pp - pmin) > $CusumH * tot AS shift_up,
+             (pmax - pp) > $CusumH * tot AS shift_down
+      FROM m ORDER BY event_type, day""",
     "e_ewma" -> s"""
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

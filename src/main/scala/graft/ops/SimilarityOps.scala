@@ -804,6 +804,47 @@ object SimilarityOps {
     cents
   }
 
+  /** Per-cell PURITY of the trained [[kmeans]] codebook against the
+    * embeddings' ground-truth label — the EXTERNAL validation criterion
+    * beside [[silhouette]]'s internal one: silhouette says whether the
+    * geometry separated, purity says whether the separation recovered
+    * the labels a curator cares about (a clustering can ace one and
+    * flunk the other; reading both per cell is the diagnostic). Output
+    * per cell: member count, the majority label (ties to the
+    * lexicographically lowest, deterministically), its count, and
+    * purity = n_top / n_members.
+    *
+    * Exactness: assignment is the shared [[kmeansAssign]] device (same
+    * trained centroids, same tie rule as every other kmeans consumer);
+    * everything after it is BIGINT counting, the majority pick is a
+    * struct-min over (−count, label) — no doubles until the single
+    * readout division.
+    *
+    * Plan/scale: ONE scan, ONE narrow codegen'd assignment pass (the
+    * label rides beside the embedding through [[kmeansAssign]] — no
+    * corpus re-join to fetch it) → (cell, label) partial-agg shuffle
+    * (K×labels rows) → K-row final agg. Nothing wider than
+    * (cell, label, count) crosses the wire. */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = kmeansCentroids(s, d)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, String, Long, Double)]
+        .toDF("cell", "n_members", "top_label", "n_top", "purity")
+    kmeansAssign(
+        embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")),
+        cents.map(c => (c._1, c._2)))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("nl"))
+      .groupBy(col("cell"))
+      .agg(sum(col("nl")).as("n_members"),
+        min(struct((-col("nl")).as("neg"), col("label"))).as("t"))
+      .select(col("cell"), col("n_members"),
+        col("t.label").as("top_label"), (-col("t.neg")).as("n_top"),
+        ((-col("t.neg")).cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+      .orderBy("cell")
+  }
+
   /** Per-cell simplified (centroid-based) silhouette over the trained
     * [[kmeans]] codebook — the clustering-quality measurement loop:
     * for each vector, a = distance to its assigned centroid, b = distance
@@ -879,8 +920,10 @@ object SimilarityOps {
           array(comps.map(lit): _*))).as("dist"),
         lit(cell).as("cell"))
     }
-    emb.select(col("vec_id"), col("embedding"),
-      array_min(array(scored: _*)).getField("cell").as("cell"))
+    // withColumn (not a select) so passthrough columns survive — lets a
+    // consumer carry, e.g., the label beside the assignment in ONE scan
+    // instead of re-joining the corpus for it ([[clusterPurity]])
+    emb.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
   }
 
   private def oracleFold(body: String) =
@@ -955,6 +998,33 @@ object SimilarityOps {
       SELECT cell, count(*)::BIGINT AS n_members,
              ${Exact.davgSql("s")} AS avg_sil
       FROM sil GROUP BY cell ORDER BY cell"""
+  }
+
+  /** DuckDB replay of [[clusterPurity]]: the shared [[kmeansCtes]]
+    * training chain, one more assignment pass against `c$KmIters` (same
+    * dist form and (dist, cell) tie rule as every `a$i`), then pure
+    * integer counting with the majority pick as `ORDER BY nl DESC,
+    * label` — the SQL statement of the Spark side's struct-min. */
+  private def purityOracle: String = {
+    val dot = oracleFold(
+      "list_transform(list_zip(embedding, ct.c), q -> CAST(q[1] AS DOUBLE) * q[2])")
+    s"""
+      WITH $kmeansCtes,
+      df AS (SELECT e.vec_id, ct.cell, ct.cn - 2.0 * ($dot) AS dist
+             FROM emb e CROSS JOIN c$KmIters ct),
+      af AS (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+             FROM df),
+      j AS (SELECT af.cell, em.label FROM af
+            JOIN embeddings em ON af.vec_id = em.vec_id WHERE af.rn = 1),
+      g AS (SELECT cell, label, count(*)::BIGINT AS nl FROM j GROUP BY 1, 2),
+      t AS (SELECT cell, label, nl,
+              row_number() OVER (PARTITION BY cell ORDER BY nl DESC, label) rn,
+              sum(nl) OVER (PARTITION BY cell)::BIGINT AS nm
+            FROM g)
+      SELECT cell, nm AS n_members, label AS top_label, nl AS n_top,
+             CAST(nl AS DOUBLE) / CAST(nm AS DOUBLE) AS purity
+      FROM t WHERE rn = 1 ORDER BY cell"""
   }
 
   private val PiS = 1000L     // component quantization for the exact Gramian
@@ -1277,6 +1347,7 @@ object SimilarityOps {
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
+    "s_purity" -> clusterPurity,
     "s_ann_recall" -> annRecall,
     "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
@@ -1478,6 +1549,7 @@ object SimilarityOps {
     },
     "s_kmeans" -> kmeansOracle,
     "s_silhouette" -> silhouetteOracle,
+    "s_purity" -> purityOracle,
     "s_cell_balance" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

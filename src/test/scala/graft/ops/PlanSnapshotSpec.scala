@@ -328,7 +328,20 @@ class PlanSnapshotSpec extends SparkSpec {
     // pair core + doc-key token join + token-weighted histogram onto the
     // grid spine; 3 scans: shingle core, token projection, corpus total
     "d_threshold_tokens" -> "scan=3 xhash=5 xrange=1 bcast=3 smj=0 bhj=2 shj=0 bnlj=1 cart=0 gen=4 win=0 wgl=0",
-    "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: CC over the fuzzy tier — driver-loop result lineage, the
+    // d_dedup_clusters shape (zero parquet re-scans)
+    "d_fuzzy_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: fuzzy CC labels (driver-held node-sized relation) + one
+    // doc-key LEFT join onto the corpus scan
+    "d_fuzzy_dedup" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: one scan -> (type, day) partial agg -> per-type windows over
+    // the catalog x days grid; no data-sized window
+    "e_cusum" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=4 wgl=0",
+    // r10: ONE scan, label rides beside the embedding through the
+    // codegen'd assignment (centroids are literals) -> two catalog-sized
+    // aggs; no join, no window, no cart
+    "s_purity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

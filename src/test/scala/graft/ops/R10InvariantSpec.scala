@@ -287,6 +287,92 @@ class R10InvariantSpec extends SparkSpec {
     assert(nComms >= nClusters, s"$nComms communities < $nClusters clusters")
   }
 
+  test("d_fuzzy_clusters: CC exactly over the fuzzy pair graph, min-id canonical") {
+    graft.GraftSession.init(spark)
+    val pairs = DedupOps.fuzzyPairs(spark, sf)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    assert(pairs.count() > 0, "vacuous: no fuzzy pairs at this SF")
+    val cl = DedupOps.fuzzyClusters(spark, sf).localCheckpoint()
+    // node set == the pair graph's endpoints, nothing more or less
+    val nodes = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id"))).distinct()
+    assert(cl.select("doc_id").exceptAll(nodes).isEmpty &&
+      nodes.exceptAll(cl.select("doc_id")).isEmpty)
+    // canonical is the component minimum: every cluster_id labels itself
+    val selfLabeled = cl.filter(col("doc_id") === col("cluster_id")).count()
+    assert(selfLabeled == cl.select("cluster_id").distinct().count())
+    // and no fuzzy pair straddles two clusters
+    val straddle = pairs
+      .join(cl.select(col("doc_id").as("a_id"), col("cluster_id").as("ca")), "a_id")
+      .join(cl.select(col("doc_id").as("b_id"), col("cluster_id").as("cb")), "b_id")
+      .filter(col("ca") =!= col("cb"))
+    assert(straddle.count() == 0)
+  }
+
+  test("d_fuzzy_dedup: full coverage, one survivor per cluster, dups == non-canonicals") {
+    graft.GraftSession.init(spark)
+    val docs = Tables.documents(spark, sf)
+    val dd = DedupOps.fuzzyDedup(spark, sf).localCheckpoint()
+    assert(dd.count() == docs.count(), "not full-corpus coverage")
+    val cl = DedupOps.fuzzyClusters(spark, sf).localCheckpoint()
+    // the dup set is EXACTLY the non-canonical cluster members
+    val dups = dd.filter(col("is_dup")).select("doc_id")
+    val nonCanon = cl.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(dups.exceptAll(nonCanon).isEmpty && nonCanon.exceptAll(dups).isEmpty)
+    assert(dups.count() > 0, "vacuous: no fuzzy dups at this SF")
+    // per cluster: exactly one kept member (the canonical)
+    val kept = dd.filter(!col("is_dup")).select("doc_id")
+      .join(cl, "doc_id").groupBy("cluster_id").count()
+    assert(kept.filter(col("count") =!= 1L).count() == 0)
+  }
+
+  test("e_cusum: windows replay the sequential max(0, S+r) recurrence exactly") {
+    graft.GraftSession.init(spark)
+    val got = EventOps.qCusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(got.nonEmpty && got.exists(_._4 > 0.0),
+      "vacuous: cusum_pos never positive")
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_._2)
+      val d = seq.length.toLong
+      val tot = seq.map(_._3).sum
+      var sPos = 0L; var sNeg = 0L
+      seq.foreach { case (_, _, n, gotPos, gotNeg, up, down) =>
+        val r = d * n - tot
+        sPos = math.max(0L, sPos + r)
+        sNeg = math.max(0L, sNeg - r)
+        // readout is the single scaled-BIGINT-over-D division — exact
+        // double equality, not approx (ledger < 2^53 at this SF)
+        assert(gotPos == sPos.toDouble / d.toDouble &&
+          gotNeg == sNeg.toDouble / d.toDouble, "excursion mismatch")
+        assert(up == (sPos > 5L * tot) && down == (sNeg > 5L * tot))
+      }
+    }
+  }
+
+  test("s_purity: full coverage, majority maximal, ties to lowest label") {
+    graft.GraftSession.init(spark)
+    val pur = SimilarityOps.clusterPurity(spark, sf).localCheckpoint()
+    assert(pur.agg(sum("n_members")).head.getLong(0) ==
+      Tables.embeddings(spark, sf).count())
+    assert(pur.filter(col("n_top") > col("n_members") ||
+      col("n_top") < 1L || col("purity") <= 0.0 || col("purity") > 1.0)
+      .count() == 0)
+    // independent recount: no (cell, label) beats the reported majority,
+    // and anything tying it sorts at-or-after the reported label
+    val counts = SimilarityOps.kmeansAssign(
+        Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+        SimilarityOps.kmeansCentroids(spark, sf).map(c => (c._1, c._2)))
+      .join(Tables.embeddings(spark, sf).select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy("cell", "label").count()
+    val bad = counts.join(pur, "cell")
+      .filter(col("count") > col("n_top") ||
+        (col("count") === col("n_top") && col("label") < col("top_label")))
+    assert(bad.count() == 0)
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
