@@ -1560,8 +1560,10 @@ object DedupOps {
       " WHEN substring(rest, 1, 1) IN ('2','3') THEN 2L ELSE 3L END) + 1L END"
 
   /** Harmonic fold of 1/2^M over the collected (bucket, m) registers, in
-    * sorted bucket order so the double addition order is fixed. */
-  private val HarmFoldExpr =
+    * sorted bucket order so the double addition order is fixed.
+    * private[ops]: [[graft.ops.EventOps]] reuses the whole register
+    * device for its daily-uniques sketch. */
+  private[ops] val HarmFoldExpr =
     """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
          (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))"""
 
@@ -1569,7 +1571,7 @@ object DedupOps {
     * per group — over a token stream with columns keys* + `tok`. The
     * shared core of [[hllDistinct]] and [[hllByLang]]: this groupBy is the
     * mergeable 16-registers-per-group aggregation. */
-  private def hllRegisters(toks: DataFrame, keys: Seq[String]): DataFrame = {
+  private[ops] def hllRegisters(toks: DataFrame, keys: Seq[String]): DataFrame = {
     val ks = keys.map(col)
     toks
       .select(ks :+ expr("substring(md5(tok), 1, 15)").as("hx"): _*)
@@ -2002,10 +2004,19 @@ object DedupOps {
   /** DuckDB replay of [[hllRegisters]]: the toks→hx→br→rho→mx CTE chain,
     * optionally keyed by lang — shared by both HLL oracles so the
     * bit-exact rho extraction lives in ONE SQL text. */
-  private def hllRegistersCtes(keyed: Boolean): String = {
-    val k = if (keyed) "lang, " else ""
-    val grp = if (keyed) "GROUP BY 1, 2" else "GROUP BY 1"
-    s"""toks AS (SELECT ${k}unnest(string_split(text, ' ')) tok FROM documents),
+  private def hllRegistersCtes(keyed: Boolean): String =
+    hllOracleCtes(
+      s"SELECT ${if (keyed) "lang, " else ""}unnest(string_split(text, ' ')) tok FROM documents",
+      if (keyed) Seq("lang") else Nil)
+
+  /** The register chain over ANY `(keys*, tok)` source CTE — the
+    * generalized form behind [[hllRegistersCtes]], private[ops] so the
+    * events-side daily-uniques oracle replays the exact same rho
+    * extraction SQL instead of restating it. */
+  private[ops] def hllOracleCtes(tokSrcSql: String, keys: Seq[String]): String = {
+    val k = keys.map(_ + ", ").mkString
+    val grp = "GROUP BY " + (1 to keys.size + 1).mkString(", ")
+    s"""toks AS ($tokSrcSql),
       hx AS (SELECT ${k}substr(md5(tok), 1, 15) AS h FROM toks),
       br AS (SELECT $k(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT AS bucket,
                     ltrim(substr(h, 2, 14), '0') AS rest
@@ -2022,7 +2033,7 @@ object DedupOps {
   }
 
   /** DuckDB replay of [[HarmFoldExpr]] over the mx CTE. */
-  private val HarmFoldSql =
+  private[ops] val HarmFoldSql =
     """list_reduce(list_prepend(0.0::DOUBLE,
          list_transform(list(m ORDER BY bucket),
            mm -> 1.0 / ((1::BIGINT << mm)::DOUBLE))),

@@ -781,6 +781,33 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Daily unique users as mergeable HLL sketches — the classic
+    * 100 TB dashboard cardinality: exact daily distinct users (what
+    * `e_dau_wau` computes, and calibrates this against at test scale)
+    * needs a user-key shuffle of every event; the sketch collapses each
+    * day to 16 registers that merge across any partitioning, across
+    * days into weekly/monthly uniques, and across incremental ingest —
+    * no re-shuffle of history, ever. Reuses the ONE register device
+    * ([[DedupOps.hllRegisters]], same rho extraction, same fixed-order
+    * harmonic fold) so the documents-side and events-side sketches can
+    * never drift; small days can leave buckets empty, handled as in
+    * `d_hll_by_lang` (absent bucket ⇒ 1/2⁰ = 1.0 added per engine).
+    *
+    * Plan/scale: one scan → (day, bucket) partial agg — map-side
+    * combine collapses the data-sized input to days × 16 rows — then a
+    * days-sized final agg. Nothing data-sized crosses the wire. */
+  def qHllUsersDaily(s: SparkSession, d: String): DataFrame =
+    DedupOps.hllRegisters(
+        events(s, d).select(to_date(col("ts")).as("day"),
+          col("user_id").cast("string").as("tok")),
+        Seq("day"))
+      .groupBy("day")
+      .agg(expr(DedupOps.HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
+      .select(col("day"), col("n_buckets"),
+        expr("0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)")
+          .as("hll_estimate"))
+      .orderBy("day")
+
   /** CUSUM decision threshold in units of the per-type mean daily
     * volume: a level shift flags once the cumulative excursion exceeds
     * CusumH × mean — i.e. the series has drifted by a whole day's
@@ -1355,6 +1382,7 @@ object EventOps {
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
     "e_cusum" -> qCusum,
+    "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
@@ -1569,6 +1597,18 @@ object EventOps {
       SELECT event_type, week, n AS n_events, prev_n,
              n - prev_n AS wow_delta, n / prev_n AS wow_ratio
       FROM l ORDER BY event_type, week""",
+    "e_hll_users_daily" -> s"""
+      WITH ${DedupOps.hllOracleCtes(
+        "SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+          "user_id::VARCHAR AS tok FROM events",
+        Seq("day"))},
+      agg AS (SELECT day, count(*)::BIGINT AS n_buckets,
+                ${DedupOps.HarmFoldSql} AS occ
+              FROM mx GROUP BY day)
+      SELECT day, n_buckets,
+             0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0)
+               AS hll_estimate
+      FROM agg ORDER BY day""",
     "e_cusum" -> s"""
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -341,7 +341,11 @@ class PlanSnapshotSpec extends SparkSpec {
     // r10: ONE scan, label rides beside the embedding through the
     // codegen'd assignment (centroids are literals) -> two catalog-sized
     // aggs; no join, no window, no cart
-    "s_purity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "s_purity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: one scan -> (day, bucket) partial agg (days x 16 rows) ->
+    // days-sized final agg; no join, no window, nothing data-sized
+    // past the first exchange
+    "e_hll_users_daily" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

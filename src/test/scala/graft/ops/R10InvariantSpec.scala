@@ -373,6 +373,33 @@ class R10InvariantSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("e_hll_users_daily: registers merge exactly across splits; estimate near exact") {
+    graft.GraftSession.init(spark)
+    val ev = Tables.events(spark, sf)
+    def regs(df: org.apache.spark.sql.DataFrame) = DedupOps.hllRegisters(
+      df.select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("tok")), Seq("day"))
+    // the whole point of the sketch: per-split register states merged by
+    // MAX equal the full-data state — incremental ingest never rescans
+    val full = regs(ev)
+    val merged = regs(ev.filter(col("event_id") % 2 === 0))
+      .union(regs(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy("day", "bucket").agg(max(col("m")).as("m"))
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+    // calibration vs the exact per-day distinct (e_dau_wau's dau):
+    // 16 registers -> standard error ~26%; deterministic data, loose 2.5x
+    val est = EventOps.qHllUsersDaily(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(2))).toMap
+    val exact = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val rel = math.abs(est(day) - n.toDouble) / n.toDouble
+      assert(rel < 0.65, s"$day: est=${est(day)} exact=$n rel=$rel")
+    }
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
