@@ -1861,6 +1861,30 @@ object DedupOps {
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     dedupClustersFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
 
+  /** Near-dup clusters that span MULTIPLE sources — the provenance-
+    * contamination report at CLUSTER grain: [[nearOverlap]] counts
+    * cross-source PAIRS, but the curator's review unit is the cluster
+    * (one vendor document resold through three crawls is ONE incident,
+    * not three pair rows). Emits every [[dedupClusters]] component whose
+    * members come from ≥ 2 distinct sources, with the member count and
+    * the sorted source list — the worklist that catches one corpus
+    * silently containing another BEFORE both are ingested at full
+    * weight (the d_source_overlap dial, made actionable per incident).
+    *
+    * Plan/scale: rides the shared pair index + pair-graph-sized CC,
+    * then ONE uniform doc-id join and a cluster-key agg whose
+    * collect_set is bounded by the SOURCE CATALOG (tens–hundreds),
+    * never by cluster size. */
+  def crossSourceClusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .filter(col("n_sources") >= 2)
+      .orderBy("cluster_id")
+
   /** Connected-components clustering over a caller-supplied undirected
     * pair relation (a_id, b_id) — the production consumer form over a
     * materialized [[pairCounts]]-derived edge list (see the composition
@@ -1984,6 +2008,7 @@ object DedupOps {
     "d_fuzzy_pairs" -> fuzzyPairs,
     "d_fuzzy_clusters" -> fuzzyClusters,
     "d_fuzzy_dedup" -> fuzzyDedup,
+    "d_cross_source_clusters" -> crossSourceClusters,
     "d_cluster_stats" -> clusterStats,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
@@ -2648,6 +2673,21 @@ object DedupOps {
              coalesce(cl.doc_id <> cl.cluster_id, FALSE) AS is_dup
       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
       ORDER BY d.doc_id""",
+    "d_cross_source_clusters" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ${ccClosureCtes("p")},
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+      g AS (SELECT cl.cluster_id, count(*)::BIGINT AS n_docs,
+              count(DISTINCT d.source)::BIGINT AS n_sources,
+              list_aggregate(list_sort(list(DISTINCT d.source)), 'string_agg', ',')
+                AS sources
+            FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+            GROUP BY 1)
+      SELECT cluster_id, n_docs, n_sources, sources FROM g
+      WHERE n_sources >= 2 ORDER BY cluster_id""",
     "d_cluster_stats" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

@@ -158,6 +158,40 @@ object TextOps {
       s" * element_at($small, CAST(($k) % $PowChunk AS INT) + 1)) % $P"
   }
 
+  /** Hash-bucket count for [[featureHash]] — 64 dims keeps the gate
+    * output readable; production would use 2¹⁸⁺ (the trick's accuracy
+    * scales with dims, its cost does not). */
+  private val FhDims = 64L
+
+  /** Hashing-trick document featurization (Weinberger et al. 2009) —
+    * the featurize step that gives every document a fixed-width sparse
+    * vector with NO vocabulary pass: dim = token-hash mod [[FhDims]],
+    * value = Σ of a second hash bit mapped to ±1 (the sign hash that
+    * makes collisions cancel in expectation instead of biasing
+    * upward). Emitted SPARSE — (doc_id, dim, val) rows, zero
+    * coordinates dropped — which is both the storage convention at
+    * scale and what keeps the gate comparison exact-integer.
+    *
+    * Why it matters at 100 TB: every vocabulary-based featurizer (BoW,
+    * TF-IDF) needs a corpus-wide vocabulary build + broadcast per run;
+    * the hashing trick is a pure per-row map — no shuffle before the
+    * per-doc agg, no state, trivially incremental. Both hashes derive
+    * from the ONE shared 60-bit md5 device ([[DedupOps.h60]]): sign =
+    * bit 0, dim = the next 6 bits — one md5 per token, and h ≥ 0 so
+    * DIV/% cross-engine sign conventions never engage.
+    *
+    * Plan/scale: one scan → explode → codegen'd hash map → (doc_id,
+    * dim) partial agg (map-side combine collapses token repeats). */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(expr(DedupOps.Toks)).as("tok"))
+      .select(col("doc_id"), expr(DedupOps.h60("tok")).as("h"))
+      .select(col("doc_id"), expr(s"(h DIV 2) % $FhDims").as("dim"),
+        expr("CASE WHEN h % 2 = 0 THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("val"))
+      .filter(col("val") =!= 0L)
+      .orderBy("doc_id", "dim")
+
   /** Document fingerprints: a char-level 31-base rolling hash and a
     * token-sequence hash chaining md5-derived token ids — both mod 1e9+7
     * (classic Rabin-Karp). The defining fold `acc = (acc*b + h) % P` is
@@ -1186,6 +1220,7 @@ object TextOps {
     "t_lang_confusion" -> langConfusion,
     "t_quality" -> quality,
     "t_fingerprint" -> fingerprint,
+    "t_feature_hash" -> featureHash,
     "t_ngram_freq" -> ngramFreq,
     "t_bigram_next" -> bigramNext,
     "t_bpe_tokens" -> bpeTokens,
@@ -1409,6 +1444,15 @@ object TextOps {
              ((nd / nt) * 0.5 + (sh / nt) * 0.3) + (((length(text) - nt + 1) / nt) / 8.0) * 0.2
                AS quality_score
       FROM t ORDER BY doc_id""",
+    "t_feature_hash" -> s"""
+      WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+                 FROM documents),
+      h AS (SELECT doc_id, ${DedupOps.h60Sql("tok")} AS h FROM e),
+      g AS (SELECT doc_id, ((h // 2) % $FhDims)::BIGINT AS dim,
+              sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS val
+            FROM h GROUP BY 1, 2)
+      SELECT doc_id, dim, val FROM g WHERE val <> 0
+      ORDER BY doc_id, dim""",
     "t_fingerprint" -> """
       SELECT doc_id,
              list_reduce(list_prepend(0::BIGINT,

@@ -345,7 +345,13 @@ class PlanSnapshotSpec extends SparkSpec {
     // r10: one scan -> (day, bucket) partial agg (days x 16 rows) ->
     // days-sized final agg; no join, no window, nothing data-sized
     // past the first exchange
-    "e_hll_users_daily" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "e_hll_users_daily" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: CC labels (driver-held) + one doc-key join onto the corpus
+    // scan + cluster-key agg (collect_set bounded by the source catalog)
+    "d_cross_source_clusters" -> "scan=1 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r10: one scan -> explode (gen) -> codegen'd hash -> (doc, dim)
+    // partial agg; no vocabulary pass, no join
+    "t_feature_hash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -400,6 +400,55 @@ class R10InvariantSpec extends SparkSpec {
     }
   }
 
+  test("d_cross_source_clusters: exactly the >=2-source components, lists sized right") {
+    graft.GraftSession.init(spark)
+    val got = DedupOps.crossSourceClusters(spark, sf).localCheckpoint()
+    assert(got.count() > 0, "vacuous: no cross-source clusters at this SF")
+    // independent recount off the cluster relation
+    val want = DedupOps.dedupClusters(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("source")).as("ns"))
+      .filter(col("ns") >= 2).select("cluster_id")
+    assert(got.select("cluster_id").exceptAll(want).isEmpty &&
+      want.exceptAll(got.select("cluster_id")).isEmpty)
+    // the rendered list agrees with the count; sources never outnumber
+    // members
+    assert(got.filter(size(split(col("sources"), ",")) =!= col("n_sources") ||
+      col("n_sources") > col("n_docs")).count() == 0)
+  }
+
+  test("t_feature_hash: Scala replay of the signed hashing trick; mass bound") {
+    graft.GraftSession.init(spark)
+    val fh = TextOps.featureHash(spark, sf).localCheckpoint()
+    assert(fh.count() > 0)
+    // per-doc Σ|val| can never exceed the token count
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val bad = fh.groupBy("doc_id").agg(sum(abs(col("val"))).as("s"))
+      .join(toks, "doc_id").filter(col("s") > col("n"))
+    assert(bad.count() == 0)
+    // bit-exact replay of dim/sign extraction for the first three docs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Tables.documents(spark, sf).filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .foreach { case (id, text) =>
+        val exp = scala.collection.mutable.Map.empty[Long, Long]
+        text.split(" ", -1).foreach { tok =>
+          val hex = md.digest(tok.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          val h = java.lang.Long.parseLong(hex, 16)
+          val dim = (h / 2) % 64
+          exp(dim) = exp.getOrElse(dim, 0L) + (if (h % 2 == 0) 1L else -1L)
+        }
+        val got = fh.filter(col("doc_id") === id).collect()
+          .map(r => r.getLong(1) -> r.getLong(2)).toMap
+        assert(got == exp.filter(_._2 != 0L).toMap, s"doc $id")
+      }
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
