@@ -283,6 +283,39 @@ object ValidationOps {
       .withColumn("below_k", col("class_size") < 5)
       .orderBy("nationkey", "mktsegment")
 
+  /** l-diversity over the same quasi-identifier classes as [[kanon]] —
+    * the disclosure check k-anonymity misses: a class can hold k ≥ 5
+    * members and still leak, if every member shares the SENSITIVE value
+    * (the attacker learns it without re-identifying anyone). Sensitive
+    * attribute here: the account-balance band (negative / low / high);
+    * a class is flagged when fewer than 2 distinct bands appear.
+    * Reading `below_k` and `below_l` side by side is the release
+    * decision — suppress or generalize classes failing either.
+    *
+    * Exactness: band edges compare the SAME doubles both engines read
+    * from parquet (no arithmetic before the comparison); everything
+    * after is integer counting.
+    *
+    * Plan/scale: one pruned scan → one partial-agg shuffle on the
+    * catalog-sized class key, distinct-count riding the same shuffle. */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    lDiversityFrom(customer(s, d))
+
+  /** [[lDiversity]] over a caller-supplied customer relation — the
+    * testable core (neither flag fires on the well-mixed testdata, so
+    * the flag path is proven on a constructed class instead). */
+  private[ops] def lDiversityFrom(cust: DataFrame): DataFrame =
+    cust
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        expr("CASE WHEN c_acctbal < 0.0D THEN 'neg' " +
+          "WHEN c_acctbal < 5000.0D THEN 'low' ELSE 'high' END").as("band"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("below_l", col("l_distinct") < 2)
+      .orderBy("nationkey", "mktsegment")
+
   /** Robust (median/MAD) daily-volume outliers per event type — the
     * heavy-tail-safe twin of [[anomaly]]'s mean/σ z-score: one genuine
     * outage day inflates the variance and can mask a second outage, but
@@ -634,6 +667,7 @@ object ValidationOps {
     "v_anomaly" -> anomaly,
     "v_mad_anomaly" -> madAnomaly,
     "v_kanon" -> kanon,
+    "v_ldiversity" -> lDiversity,
     "v_benford" -> benford,
     "v_histogram" -> histogram,
     "v_profile" -> profile,
@@ -759,6 +793,16 @@ object ValidationOps {
       SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
              count(*)::BIGINT AS class_size,
              count(*) < 5 AS below_k
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+    "v_ldiversity" -> """
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             count(*)::BIGINT AS class_size,
+             count(DISTINCT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+               WHEN c_acctbal < 5000.0 THEN 'low' ELSE 'high' END)::BIGINT
+               AS l_distinct,
+             count(DISTINCT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+               WHEN c_acctbal < 5000.0 THEN 'low' ELSE 'high' END) < 2
+               AS below_l
       FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
     "v_mad_anomaly" -> """
       WITH daily AS (

@@ -449,6 +449,32 @@ class R10InvariantSpec extends SparkSpec {
       }
   }
 
+  test("v_ldiversity: flag fires on a uniform-band class, recount matches") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // class (1, A): 6 members, all 'high' band -> k-anonymous (>= 5)
+    // yet below_l; class (2, B): 2 members in 2 bands -> diverse
+    val cust = (Seq.fill(6)((1, "A", 9000.0)) ++
+      Seq((2, "B", -10.0), (2, "B", 100.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = ValidationOps.lDiversityFrom(cust).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq((1, "A", 6L, 1L, true), (2, "B", 2L, 2L, false)),
+      s"got ${got.toSeq}")
+    // and on the real table: l_distinct agrees with an independent recount
+    val real = ValidationOps.lDiversity(spark, sf)
+    val re = Tables.customer(spark, sf)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        when(col("c_acctbal") < 0.0, "neg")
+          .when(col("c_acctbal") < 5000.0, "low").otherwise("high").as("b"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(countDistinct(col("b")).as("l2"))
+    assert(real.join(re, Seq("nationkey", "mktsegment"))
+      .filter(col("l_distinct") =!= col("l2")).count() == 0)
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
