@@ -1567,6 +1567,17 @@ object DedupOps {
     """aggregate(array_sort(collect_list(struct(bucket, m))), 0.0D,
          (acc, x) -> acc + 1.0D / CAST(shiftleft(1L, CAST(x.m AS INT)) AS DOUBLE))"""
 
+  /** Keyed-sketch estimate readout 0.673·16²/(occ + empty·2⁰) over an
+    * aggregate exposing `occ` (harmonic fold of occupied buckets) and
+    * `n_buckets` — ONE text per engine, shared by every keyed consumer
+    * ([[hllByLang]], [[graft.ops.EventOps]]'s daily-uniques) so a
+    * recalibration (e.g. a small-range correction) can never reach one
+    * sketch and miss another. */
+  private[ops] val HllEstExpr =
+    "0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)"
+  private[ops] val HllEstSql =
+    "0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0)"
+
   /** HLL register state (keys*, bucket, m) — max rho per md5-prefix bucket
     * per group — over a token stream with columns keys* + `tok`. The
     * shared core of [[hllDistinct]] and [[hllByLang]]: this groupBy is the
@@ -1612,8 +1623,7 @@ object DedupOps {
       .groupBy("lang")
       .agg(expr(HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
       .select(col("lang"), col("n_buckets"),
-        expr("0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)")
-          .as("hll_estimate"))
+        expr(HllEstExpr).as("hll_estimate"))
       .orderBy("lang")
 
   /** Opt-in validation twin of [[hllDistinct]]: the EXACT global distinct
@@ -2167,6 +2177,24 @@ object DedupOps {
             JOIN keep k ON a.sh1 = k.sh1
             GROUP BY 1, 2)"""
 
+  /** The fuzzy (edit-distance) tier's scoring chain over the
+    * [[JaccardCappedCtes]] index — candidate gate (`cand`), Levenshtein
+    * scores (`sc`), surviving pairs (`fp`) — stated ONCE so the three
+    * fuzzy oracles (pairs, clusters, dedup) cannot drift from each
+    * other, the same rule [[JaccardCappedCtes]]/[[ccClosureCtes]]
+    * enforce for their families. */
+  private val FuzzyScoreCtes = s"""
+      cand AS (SELECT a_id, b_id FROM i
+               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
+      sc AS (SELECT cand.a_id, cand.b_id,
+               levenshtein(da.text, db.text)::BIGINT AS lev,
+               greatest(da.n_chars, db.n_chars) AS mx
+             FROM cand JOIN documents da ON cand.a_id = da.doc_id
+                       JOIN documents db ON cand.b_id = db.doc_id),
+      fp AS (SELECT a_id, b_id FROM sc
+             WHERE (mx - lev) / mx >= $FuzzySimMin)"""
+
   /** The min-label transitive-closure CTE pair over an (a_id, b_id)
     * pair CTE — the SQL replay of [[dedupClustersFrom]], stated ONCE so
     * the four clustering oracles (exact-Jaccard, sketch, semantic, and
@@ -2630,43 +2658,18 @@ object DedupOps {
       ${ccClusterSql("doc_id")}""",
     "d_fuzzy_pairs" -> s"""
       WITH $JaccardCappedCtes,
-      cand AS (SELECT a_id, b_id FROM i
-               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
-      sc AS (SELECT cand.a_id, cand.b_id,
-               levenshtein(da.text, db.text)::BIGINT AS lev,
-               greatest(da.n_chars, db.n_chars) AS mx
-             FROM cand JOIN documents da ON cand.a_id = da.doc_id
-                       JOIN documents db ON cand.b_id = db.doc_id)
+      $FuzzyScoreCtes
       SELECT a_id, b_id, lev, (mx - lev) / mx AS sim
       FROM sc WHERE (mx - lev) / mx >= $FuzzySimMin
       ORDER BY a_id, b_id""",
     "d_fuzzy_clusters" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
-      cand AS (SELECT a_id, b_id FROM i
-               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
-      sc AS (SELECT cand.a_id, cand.b_id,
-               levenshtein(da.text, db.text)::BIGINT AS lev,
-               greatest(da.n_chars, db.n_chars) AS mx
-             FROM cand JOIN documents da ON cand.a_id = da.doc_id
-                       JOIN documents db ON cand.b_id = db.doc_id),
-      fp AS (SELECT a_id, b_id FROM sc
-             WHERE (mx - lev) / mx >= $FuzzySimMin),
+      $FuzzyScoreCtes,
       ${ccClosureCtes("fp")}
       ${ccClusterSql("doc_id")}""",
     "d_fuzzy_dedup" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
-      cand AS (SELECT a_id, b_id FROM i
-               JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
-               WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $FuzzyPreJaccard),
-      sc AS (SELECT cand.a_id, cand.b_id,
-               levenshtein(da.text, db.text)::BIGINT AS lev,
-               greatest(da.n_chars, db.n_chars) AS mx
-             FROM cand JOIN documents da ON cand.a_id = da.doc_id
-                       JOIN documents db ON cand.b_id = db.doc_id),
-      fp AS (SELECT a_id, b_id FROM sc
-             WHERE (mx - lev) / mx >= $FuzzySimMin),
+      $FuzzyScoreCtes,
       ${ccClosureCtes("fp")},
       cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
       SELECT d.doc_id, d.source,
@@ -2770,8 +2773,7 @@ object DedupOps {
       WITH ${hllRegistersCtes(keyed = true)},
       agg AS (SELECT lang, count(*) AS n_buckets, $HarmFoldSql AS occ
               FROM mx GROUP BY lang)
-      SELECT lang, n_buckets,
-             0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0) AS hll_estimate
+      SELECT lang, n_buckets, $HllEstSql AS hll_estimate
       FROM agg ORDER BY lang""",
     "d_exact_distinct" -> """
       SELECT count(DISTINCT tok) AS n_exact

@@ -804,8 +804,7 @@ object EventOps {
       .groupBy("day")
       .agg(expr(DedupOps.HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
       .select(col("day"), col("n_buckets"),
-        expr("0.673D * 256.0D / (occ + CAST(16 - n_buckets AS DOUBLE) * 1.0D)")
-          .as("hll_estimate"))
+        expr(DedupOps.HllEstExpr).as("hll_estimate"))
       .orderBy("day")
 
   /** CUSUM decision threshold in units of the per-type mean daily
@@ -837,16 +836,43 @@ object EventOps {
     * D·T < 2⁶³ per type — e.g. 3 years of daily grain admits ~8·10¹⁵
     * events per type before the ledger could wrap.
     *
+    * Zero-volume days are REAL rows: the daily grid is densified over
+    * each type's calendar span (a dead feed emits no events — which is
+    * exactly the level shift CUSUM must see; without the grid the
+    * prefix sum would simply stop advancing and an outage could never
+    * fire shift_down). The gap fixture in R10InvariantSpec proves the
+    * outage path.
+    *
     * Plan/scale: one scan → (type, day) partial agg (map-side combine
-    * collapses the data-sized input to catalog × days rows) → three
-    * type-key windows over that catalog-sized relation. Nothing
-    * data-sized crosses a window. */
-  def qCusum(s: SparkSession, d: String): DataFrame = {
+    * collapses the data-sized input to catalog × days rows) → a
+    * catalog-sized span agg + calendar explode + one uniform
+    * (type, day) left join → three type-key windows. Everything past
+    * the first agg is catalog × days sized. */
+  def qCusum(s: SparkSession, d: String): DataFrame =
+    cusumFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qCusum]] over a caller-supplied (event_type, ts) relation — the
+    * testable core (the real feed has no calendar gaps, so the outage
+    * path is proven on a constructed one). */
+  private[ops] def cusumFrom(ev: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wPre = Window.partitionBy("event_type").orderBy("day")
-    events(s, d)
+    // checkpointed: the span agg AND the grid join both read this
+    // catalog × days relation — without the checkpoint each branch
+    // re-derives it from its own pruned lineage, i.e. TWO full scans
+    // of the data-sized input (exchange reuse doesn't apply because
+    // column pruning makes the branches structurally different)
+    val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
       .withColumn("dcnt", count(lit(1)).over(wAll))
       .withColumn("tot", sum(col("n")).over(wAll))
       .withColumn("p", sum(col("dcnt") * col("n") - col("tot")).over(wPre))
@@ -1605,20 +1631,27 @@ object EventOps {
       agg AS (SELECT day, count(*)::BIGINT AS n_buckets,
                 ${DedupOps.HarmFoldSql} AS occ
               FROM mx GROUP BY day)
-      SELECT day, n_buckets,
-             0.673 * 256.0 / (occ + (16 - n_buckets)::DOUBLE * 1.0)
-               AS hll_estimate
+      SELECT day, n_buckets, ${DedupOps.HllEstSql} AS hll_estimate
       FROM agg ORDER BY day""",
     "e_cusum" -> s"""
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                count(*)::BIGINT AS n
         FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type,
+               unnest(generate_series(min(day), max(day),
+                 INTERVAL 1 DAY))::DATE AS day
+        FROM daily GROUP BY 1),
+      dense AS (
+        SELECT g.event_type, g.day, coalesce(daily.n, 0::BIGINT) AS n
+        FROM grid g LEFT JOIN daily
+          ON g.event_type = daily.event_type AND g.day = daily.day),
       t AS (
         SELECT event_type, day, n,
                count(*) OVER (PARTITION BY event_type)::BIGINT AS dcnt,
                sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot
-        FROM daily),
+        FROM dense),
       p AS (
         SELECT event_type, day, n, dcnt, tot,
                sum(dcnt * n - tot)

@@ -335,9 +335,15 @@ class PlanSnapshotSpec extends SparkSpec {
     // r10: fuzzy CC labels (driver-held node-sized relation) + one
     // doc-key LEFT join onto the corpus scan
     "d_fuzzy_dedup" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
-    // r10: one scan -> (type, day) partial agg -> per-type windows over
-    // the catalog x days grid; no data-sized window
-    "e_cusum" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=4 wgl=0",
+    // r10: one scan -> (type, day) partial agg -> catalog-sized span
+    // agg + calendar explode (gen) + one uniform left join (the
+    // zero-day densification) -> per-type windows; no data-sized window
+    // result lineage reads the checkpointed catalog x days daily agg
+    // (the one events scan happens materializing it), so scan=0 here
+    "e_cusum" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=4 wgl=0",
+    // r10: one pruned scan -> one class-key partial agg (distinct-count
+    // rides the same shuffle)
+    "v_ldiversity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: ONE scan, label rides beside the embedding through the
     // codegen'd assignment (centroids are literals) -> two catalog-sized
     // aggs; no join, no window, no cart

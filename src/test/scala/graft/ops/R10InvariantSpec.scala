@@ -351,6 +351,25 @@ class R10InvariantSpec extends SparkSpec {
     }
   }
 
+  test("e_cusum: a dead feed is zero-volume rows and fires shift_down") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // type A: 1 event/day on Jan 1-3, silence through Jan 19, 1 event
+    // Jan 20 — D=20 days, T=4 events. Hand trace (scaled by D): active
+    // residual 20·1−4=16, gap residual −4; p peaks at 48 after Jan 3,
+    // then falls 4/day, so pmax−p > 5·T=20 from the 6th gap day on.
+    val ev = (Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-20"))
+      .map(d => ("A", java.sql.Timestamp.valueOf(d + " 12:00:00")))
+      .toDF("event_type", "ts")
+    val got = EventOps.cusumFrom(ev).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getBoolean(6)))
+    assert(got.length == 20, s"grid not densified: ${got.length} rows")
+    assert(got.count(_._2 == 0L) == 16, "gap days missing or nonzero")
+    val downDays = got.filter(_._3).map(_._1)
+    assert(downDays.nonEmpty && downDays.head == "2024-01-09" &&
+      downDays.contains("2024-01-19"), s"shift_down wrong: ${downDays.toSeq}")
+  }
+
   test("s_purity: full coverage, majority maximal, ties to lowest label") {
     graft.GraftSession.init(spark)
     val pur = SimilarityOps.clusterPurity(spark, sf).localCheckpoint()
