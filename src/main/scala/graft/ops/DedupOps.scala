@@ -900,7 +900,14 @@ object DedupOps {
     * [[dedupClustersFrom]] min-label machinery — same checkpointed CC,
     * same min-id canonical, recursive-CTE oracle. */
   def fuzzyClusters(s: SparkSession, d: String): DataFrame =
-    dedupClustersFrom(fuzzyPairs(s, d).select(col("a_id"), col("b_id")))
+    fuzzyClustersFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** [[fuzzyClusters]] over pre-materialized inputs — joins the
+    * materialize-once consumer set (one [[pairCounts]] relation feeds
+    * every pair family; see the composition note in [[pairCounts]]). */
+  def fuzzyClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupClustersFrom(
+      fuzzyPairsFrom(docs, pairs).select(col("a_id"), col("b_id")))
 
   /** Keep/drop verdict at the EDIT-DISTANCE tier — the corpus emitter
     * over [[fuzzyClusters]], completing the tier the way
@@ -916,11 +923,16 @@ object DedupOps {
     * Plan/scale: rides the shared pair index + pair-graph-sized CC, then
     * ONE uniform doc-id left join back to the corpus; no new shuffle
     * class over [[fuzzyClusters]]. */
-  def fuzzyDedup(s: SparkSession, d: String): DataFrame = {
-    val dropped = fuzzyClusters(s, d)
+  def fuzzyDedup(s: SparkSession, d: String): DataFrame =
+    fuzzyDedupFrom(documents(s, d), pairCounts(s, d, DefaultMaxDf))
+
+  /** [[fuzzyDedup]] over pre-materialized inputs — the production
+    * consumer form (same contract as [[fuzzyClustersFrom]]). */
+  def fuzzyDedupFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropped = fuzzyClustersFrom(docs, pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id")).withColumn("is_dup", lit(true))
-    documents(s, d).select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))

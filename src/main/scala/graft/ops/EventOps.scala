@@ -797,15 +797,24 @@ object EventOps {
     * combine collapses the data-sized input to days × 16 rows — then a
     * days-sized final agg. Nothing data-sized crosses the wire. */
   def qHllUsersDaily(s: SparkSession, d: String): DataFrame =
-    DedupOps.hllRegisters(
-        events(s, d).select(to_date(col("ts")).as("day"),
-          col("user_id").cast("string").as("tok")),
-        Seq("day"))
+    hllUserDayRegisters(events(s, d))
       .groupBy("day")
       .agg(expr(DedupOps.HarmFoldExpr).as("occ"), count(lit(1)).as("n_buckets"))
       .select(col("day"), col("n_buckets"),
         expr(DedupOps.HllEstExpr).as("hll_estimate"))
       .orderBy("day")
+
+  /** The (day, bucket, m) register relation behind [[qHllUsersDaily]]
+    * over a raw `(ts, user_id, …)` event relation — batch or streaming
+    * micro-batch. ONE definition shared with the streaming monitor
+    * ([[graft.streaming.StreamOps.hllUserDayStream]]), exactly as
+    * `hllLangRegisters` is for the documents-side sketch, so the stream
+    * maintains precisely the registers the batch query computes. */
+  private[graft] def hllUserDayRegisters(ev: DataFrame): DataFrame =
+    DedupOps.hllRegisters(
+      ev.select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("tok")),
+      Seq("day"))
 
   /** CUSUM decision threshold in units of the per-type mean daily
     * volume: a level shift flags once the cumulative excursion exceeds

@@ -94,6 +94,18 @@ object StreamOps {
   def hllRegisterStream(docs: DataFrame): DataFrame =
     graft.ops.DedupOps.hllLangRegisters(docs)
 
+  /** Streaming arm of EventOps.qHllUsersDaily: per-day user-cardinality
+    * registers maintained incrementally as events land — the same
+    * max-per-(day, bucket) monoid as [[hllRegisterStream]] (commutative
+    * AND idempotent, so micro-batch order and replays cannot corrupt
+    * the state), over the SAME shared register definition
+    * (`EventOps.hllUserDayRegisters`), so the stream's state equals the
+    * batch query's relation over the same rows at every point in time.
+    * State is 16 rows per day — calendar-sized, runs forever; expire
+    * closed days downstream if the horizon must be bounded. */
+  def hllUserDayStream(events: DataFrame): DataFrame =
+    graft.ops.EventOps.hllUserDayRegisters(events)
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

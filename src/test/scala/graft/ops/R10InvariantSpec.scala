@@ -494,6 +494,16 @@ class R10InvariantSpec extends SparkSpec {
       .filter(col("l_distinct") =!= col("l2")).count() == 0)
   }
 
+  test("d_fuzzy_dedup composes over a materialized pair store") {
+    graft.GraftSession.init(spark)
+    val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)
+      .localCheckpoint()
+    val composed = DedupOps.fuzzyDedupFrom(Tables.documents(spark, sf), pc)
+    val standalone = DedupOps.fuzzyDedup(spark, sf)
+    assert(composed.exceptAll(standalone).isEmpty &&
+      standalone.exceptAll(composed).isEmpty, "composed != standalone")
+  }
+
   test("d_community_dedup composes over a materialized pair store") {
     graft.GraftSession.init(spark)
     val pc = DedupOps.pairCounts(spark, sf, DedupOps.DefaultMaxDf)

@@ -604,6 +604,49 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("user-day hll stream merges to the batch sketch and its estimates") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val evIn = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp"), col("user_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val ev = in.toDF().toDF("ts", "user_id")
+    val q = StreamOps.hllUserDayStream(ev)
+      .writeStream.format("memory").queryName("hlluserday")
+      .outputMode("complete").start()
+    try {
+      // two batches: max-merge across micro-batches must equal batch
+      val (a, b) = evIn.splitAt(evIn.length / 2)
+      in.addData(a: _*)
+      q.processAllAvailable()
+      in.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hlluserday")
+      .collect().map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2)))
+      .toMap
+    // estimates derived from the streamed registers equal the
+    // oracle-checked batch query's (same sorted-bucket harmonic fold)
+    val batchEst = graft.ops.EventOps.qHllUsersDaily(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val byDay = streamed.groupBy(_._1._1)
+    assert(byDay.keySet == batchEst.keySet)
+    byDay.foreach { case (day, regs) =>
+      val sorted = regs.toSeq.map { case ((_, b), m) => (b, m) }.sortBy(_._1)
+      val harm = sorted.foldLeft(0.0) { case (acc, (_, m)) =>
+        acc + 1.0 / (1L << m).toDouble
+      }
+      val est = 0.673 * 256.0 / (harm + (16 - sorted.length).toDouble * 1.0)
+      val (nb, be) = batchEst(day)
+      assert(sorted.length == nb, s"$day: ${sorted.length} buckets != $nb")
+      assert(math.abs(est - be) < 1e-12,
+        s"$day: streamed-register estimate $est != batch $be")
+    }
+  }
+
   test("readManifest startup edges: crashed-attempt dir is empty, flat layout rejects") {
     import spark.implicits._
     // 1) manifest dir exists but holds only a crashed first attempt's
