@@ -21,10 +21,13 @@ import graft.zip.ZipExtract
   * real decode on in-fixture PNGs. AUDIO decodes real PCM for sniffed
   * WAV via `javax.sound.sampled`; VIDEO decodes real frames for Y4M
   * (pure-JVM demux), multi-frame GIF (imageio sequence reader), and
-  * AVI/MJPEG (pure-JVM RIFF walk + per-frame imageio JPEG decode) —
-  * the remaining containers (MP4/MKV/WebM) have no JDK codec and stay
-  * on the byte-extraction stand-in; only that stand-in would change
-  * with a real demuxer, not the plan shapes.
+  * AVI/MJPEG (pure-JVM RIFF walk + per-frame imageio JPEG decode);
+  * ISO-BMFF (MP4/MOV) gets real METADATA demux — a pure-JVM box walk
+  * for brand/tracks/duration/dimensions (`m_mp4_meta`, and `m_dims`
+  * routes tkhd presentation dims) — while its FRAMES stay on the byte
+  * stand-in (no H.264/H.265/VP9 decoder ships with the JDK), as do
+  * MKV/WebM entirely; only those stand-ins would change with a real
+  * codec dependency, not the plan shapes.
   *
   * Scale: mapPartitions keeps per-task state (a decoder context) allocated
   * once per partition, not per row — the same batch shape as an Arrow-batch
@@ -465,6 +468,96 @@ object Multimodal {
     if (out.isEmpty) None else Some(out)
   }
 
+  /** ISO-BMFF signature: a top-level `ftyp` box first, its declared
+    * size sane. Covers MP4/MOV/3GP/HEIF — everything the BMFF family
+    * ships as. */
+  def looksLikeMp4(body: Array[Byte]): Boolean =
+    body.length >= 16 && body(4) == 'f' && body(5) == 't' &&
+      body(6) == 'y' && body(7) == 'p'
+
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Real ISO-BMFF (MP4/MOV) METADATA demux — a pure-JVM box walk.
+    * Frame DECODE remains out of reach in-policy (the JDK ships no
+    * H.264/H.265/VP9 decoder, so MP4 frames stay on the byte stand-in —
+    * see [[sampleFrames]]), but the container is plain length-prefixed
+    * boxes, and the metadata a 100 TB curator actually filters on —
+    * dimensions, duration, track count, brand — needs no codec at all:
+    * `mvhd` carries timescale+duration, each `trak`'s `tkhd` carries
+    * 16.16 fixed-point presentation width/height (nonzero exactly for
+    * visual tracks). Returns (major_brand, n_tracks, duration_ms,
+    * width, height) — width/height 0 for audio-only files.
+    *
+    * Strictness matches the other demuxers ([[y4mFrameMeans]] /
+    * [[aviFrameMeans]]): every box is bounds-checked (64-bit largesize
+    * and size-0 run-to-end handled), version fields outside {0, 1}
+    * reject, any malformed box rejects the WHOLE payload, container
+    * recursion is depth-capped so a crafted chain of self-consistent
+    * headers cannot StackOverflowError a scan task, and
+    * parse-or-reject-never-throw is fuzz-proven. */
+  def mp4Meta(body: Array[Byte]): Option[(String, Int, Long, Int, Int)] = {
+    if (!looksLikeMp4(body)) return None
+    def u32(i: Int): Long =
+      ((body(i) & 0xffL) << 24) | ((body(i + 1) & 0xffL) << 16) |
+        ((body(i + 2) & 0xffL) << 8) | (body(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    var brand = ""; var nTracks = 0; var durMs = -1L; var w = 0; var h = 0
+    var ok = true
+    val maxBoxDepth = 8
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var p = start
+      while (ok && p < end) {
+        if (p + 8 > end) { ok = false; return }
+        val sz0 = u32(p.toInt)
+        val typ = new String(body, p.toInt + 4, 4, "ISO-8859-1")
+        var hdr = 8L; var sz = sz0
+        if (sz0 == 1L) {
+          if (p + 16 > end) { ok = false; return }
+          sz = u64(p.toInt + 8); hdr = 16L
+        } else if (sz0 == 0L) sz = end - p
+        if (sz < hdr || p + sz > end) { ok = false; return }
+        val ps = (p + hdr).toInt; val pLen = (sz - hdr).toInt
+        typ match {
+          case "ftyp" =>
+            if (pLen >= 8) brand = new String(body, ps, 4, "ISO-8859-1")
+            else ok = false
+          case "mvhd" =>
+            (body(ps) & 0xff) match {
+              case 0 if pLen >= 20 =>
+                val ts = u32(ps + 12)
+                if (ts > 0) durMs = u32(ps + 16) * 1000L / ts else ok = false
+              case 1 if pLen >= 32 =>
+                val ts = u32(ps + 20)
+                if (ts > 0) durMs = u64(ps + 24) * 1000L / ts else ok = false
+              case _ => ok = false
+            }
+          case "tkhd" =>
+            nTracks += 1
+            val v = body(ps) & 0xff
+            val (wOff, need) = if (v == 0) (76, 84) else (88, 96)
+            if (v <= 1 && pLen >= need) {
+              val tw = (u32(ps + wOff) >> 16).toInt
+              val th = (u32(ps + wOff + 4) >> 16).toInt
+              // first VISUAL track wins (audio tracks carry 0x0)
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+            } else ok = false
+          case t if Mp4Containers(t) =>
+            if (depth >= maxBoxDepth) ok = false
+            else walk(ps.toLong, p + sz, depth + 1)
+          case _ => () // leaf we don't read (mdat, free, udta, ...)
+        }
+        p += sz
+      }
+    }
+    try {
+      walk(0L, body.length.toLong, 0)
+      // a parse without moov (no mvhd) is a fragment, not metadata
+      if (ok && brand.nonEmpty && durMs >= 0)
+        Some((brand, nTracks, durMs, w, h))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Per-frame sampling — the video analogue of [[audioSamples]]'
     * codec boundary. REAL demux paths: Y4M ([[y4mFrameMeans]] — pure-JVM
     * header+raw-frames parse), multi-frame GIF ([[gifFrameMeans]] —
@@ -475,9 +568,9 @@ object Multimodal {
     * as the "frame"), which is also the oracle path: the testdata
     * corpus is ASCII text DuckDB replays with substr/unicode, while the
     * scalatest suite drives the real demux on in-fixture Y4M/GIF/AVI
-    * payloads. Remaining containers (MP4/MKV/WebM) have no JDK demuxer
-    * — they stay on the stand-in, documented, until a real codec
-    * dependency is allowed. */
+    * payloads. MP4 frames stay on the stand-in (no JDK H.264 decoder —
+    * though [[mp4Meta]] demuxes its METADATA for real), as do MKV/WebM
+    * entirely, documented, until a real codec dependency is allowed. */
   def sampleFrames(body: Array[Byte], stride: Int = 32): Iterator[(Int, Int)] =
     y4mFrameMeans(body).orElse(gifFrameMeans(body))
       .orElse(aviFrameMeans(body)) match {
@@ -558,7 +651,9 @@ object MultimodalOps {
   /** Per-payload dimension census: REAL (width, height) for payloads
     * that decode as images (the tiny-image / extreme-aspect-ratio
     * filter every vision curation pipeline runs before embedding;
-    * CLIP-style recipes drop anything under a pixel floor), the
+    * CLIP-style recipes drop anything under a pixel floor), REAL
+    * presentation dimensions from the `tkhd` box for sniffed ISO-BMFF
+    * video ([[Multimodal.mp4Meta]] — metadata needs no codec), the
     * (byte-length, 1) stand-in otherwise — the oracle path over the
     * ASCII corpus. One row per payload unconditionally (an empty blob
     * reports (0, 1, 0)).
@@ -574,12 +669,42 @@ object MultimodalOps {
       .mapPartitions(it => it.map { case (id, b) =>
         Multimodal.decodeImage(b) match {
           case Some(img) => (id, img.getWidth, img.getHeight)
-          case None => (id, b.length, 1)
+          case None => Multimodal.mp4Meta(b) match {
+            case Some((_, _, _, w, h)) if w > 0 && h > 0 => (id, w, h)
+            case _ => (id, b.length, 1)
+          }
         }
       })
       .toDF("doc_id", "width", "height")
       .select(col("doc_id"), col("width"), col("height"),
         expr("CAST(width AS BIGINT) * height").as("n_pixels"))
+      .orderBy("doc_id")
+  }
+
+  /** ISO-BMFF metadata census: one row per payload that parses as a
+    * whole MP4/MOV — brand, track count, duration, presentation dims
+    * ([[Multimodal.mp4Meta]]'s pure-JVM box walk; no codec involved).
+    * This is the curation pass a video corpus runs FIRST — drop
+    * sub-second clips, absurd aspect ratios, track-less fragments —
+    * and it reads only box headers, never a frame. Rows-empty on the
+    * ASCII testdata corpus (the oracle is the empty relation, the
+    * `d_bridge_docs` convention); the real path is fixture-proven on a
+    * hand-assembled MP4 through THIS declared query.
+    *
+    * Plan/scale: one narrow mapPartitions through the codec boundary —
+    * payloads never cross a shuffle; the emitted rows are five small
+    * columns. */
+  def mp4MetaQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, b) =>
+        Multimodal.mp4Meta(b).map { case (brand, nTracks, durMs, w, h) =>
+          (id, brand, nTracks.toLong, durMs, w, h)
+        }
+      })
+      .toDF("doc_id", "brand", "n_tracks", "duration_ms", "width", "height")
       .orderBy("doc_id")
   }
 
@@ -920,6 +1045,7 @@ object MultimodalOps {
     "m_keyframes" -> keyframes,
     "m_silence" -> silence,
     "m_dims" -> dims,
+    "m_mp4_meta" -> mp4MetaQuery,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
     "m_color_stats" -> colorStatsStage,
@@ -1034,6 +1160,15 @@ object MultimodalOps {
       SELECT doc_id, length(text)::INT AS width, 1::INT AS height,
              length(text)::BIGINT AS n_pixels
       FROM documents ORDER BY doc_id""",
+    // the ASCII corpus contains no ISO-BMFF payload, so the oracle is
+    // the EMPTY relation with the declared schema — hash-exact like any
+    // other entry; the real box walk is fixture-proven in scalatest
+    "m_mp4_meta" -> """
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS brand,
+             CAST(NULL AS BIGINT) AS n_tracks,
+             CAST(NULL AS BIGINT) AS duration_ms,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height
+      FROM documents WHERE FALSE ORDER BY doc_id""",
     "m_silence" -> s"""
       WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
                  FROM documents WHERE doc_id < 100),

@@ -242,11 +242,13 @@ class FixtureGateSpec extends SparkSpec {
   test("m_dims: real image dimensions through the query path") {
     graft.GraftSession.init(spark)
     // doc 0: 5x3 GIF (real decode); doc 1: raw bytes (stand-in: len x 1);
-    // doc 2: empty payload (census row, 0 x 1)
+    // doc 2: empty payload (census row, 0 x 1); doc 3: MP4 (real tkhd
+    // presentation dims via the box walk — no codec involved)
     val gif = MediaFixtures.gifBytes(5, 3, Seq(128))
     val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
+    val mp4 = MediaFixtures.mp4Bytes("mp42", 320, 240, 2500L)
     val dir = java.nio.file.Files.createTempDirectory("graft_dim_fix").toString
-    val rows = Seq((0L, gif), (1L, raw), (2L, Array.empty[Byte]))
+    val rows = Seq((0L, gif), (1L, raw), (2L, Array.empty[Byte]), (3L, mp4))
       .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -257,8 +259,56 @@ class FixtureGateSpec extends SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
     val got = SparkEntry.queries("m_dims")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
-    assert(got == Seq((0L, 5, 3, 15L), (1L, 70, 1, 70L), (2L, 0, 1, 0L)),
-      s"got $got")
+    assert(got == Seq((0L, 5, 3, 15L), (1L, 70, 1, 70L), (2L, 0, 1, 0L),
+      (3L, 320, 240, 76800L)), s"got $got")
+    // the metadata census through ITS declared query: only the MP4
+    // parses; brand/tracks/duration/dims all from the box walk
+    val meta = SparkEntry.queries("m_mp4_meta")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(meta == Seq((3L, "mp42", 2L, 2500L, 320, 240)), s"got $meta")
+  }
+
+  test("mp4Meta: strict-or-reject, never throws (200-seed fuzz + truncations)") {
+    val good = MediaFixtures.mp4Bytes("isom", 64, 48, 1000L)
+    assert(Multimodal.mp4Meta(good).contains(("isom", 2, 1000L, 64, 48)))
+    // every truncation either parses to the same kind of tuple or rejects
+    (0 until good.length).foreach { n =>
+      Multimodal.mp4Meta(java.util.Arrays.copyOf(good, n)) // must not throw
+    }
+    // seeded random corruption: flip bytes anywhere, incl. box sizes —
+    // parse-or-reject-never-throw (StackOverflow guarded by depth cap)
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 8).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      Multimodal.mp4Meta(b) // must not throw
+    }
+    // pure-noise payloads with a forged ftyp sniff must reject cleanly
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](64); rnd.nextBytes(b)
+      b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p'
+      Multimodal.mp4Meta(b) // must not throw
+    }
+    // a crafted chain of self-consistent nested containers must hit the
+    // depth ceiling, not StackOverflowError
+    val bomb = {
+      var inner = MediaFixtures.mp4Bytes("isom", 2, 2, 1L)
+      (0 until 64).foreach { _ =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val sz = 8L + inner.length
+        bos.write(Array(((sz >> 24) & 0xff).toByte, ((sz >> 16) & 0xff).toByte,
+          ((sz >> 8) & 0xff).toByte, (sz & 0xff).toByte))
+        bos.write("moov".getBytes("ISO-8859-1"))
+        bos.write(inner)
+        inner = bos.toByteArray
+      }
+      // the 20-byte ftyp box (8 header + brand/minor/compat) + the chain
+      MediaFixtures.mp4Bytes("isom", 2, 2, 1L).take(20) ++ inner
+    }
+    assert(Multimodal.mp4Meta(bomb).isEmpty) // rejected, no overflow
   }
 
   test("e_backtest: a linear-trend series is won by Holt, not EWMA") {

@@ -37,6 +37,45 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** One ISO-BMFF box: BE u32 size (header included) + fourcc + payload. */
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(u32be(8L + payload.length))
+    bos.write(typ.getBytes("ISO-8859-1"))
+    bos.write(payload)
+    bos.toByteArray
+  }
+
+  /** Hand-assembled minimal MP4: ftyp(brand) + moov[mvhd(v0) +
+    * trak[tkhd video w×h] + trak[tkhd audio 0×0]] + mdat. Durations in
+    * a 1000-unit timescale, so durationUnits == milliseconds. */
+  def mp4Bytes(brand: String, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    require(brand.length == 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    def fixed1616(v: Int): Array[Byte] = u32be(v.toLong << 16)
+    val ftyp = mp4Box("ftyp",
+      brand.getBytes("ISO-8859-1") ++ u32be(0) ++ "isom".getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd",
+      Array.fill[Byte](4)(0) ++            // version 0 + flags
+        u32be(0) ++ u32be(0) ++            // ctime, mtime
+        u32be(1000) ++ u32be(durationMs) ++ // timescale, duration
+        Array.fill[Byte](80)(0))           // rate..next_track_id
+    def tkhd(tw: Int, th: Int) = mp4Box("tkhd",
+      Array.fill[Byte](4)(0) ++            // version 0 + flags
+        u32be(0) ++ u32be(0) ++ u32be(1) ++ u32be(0) ++ u32be(durationMs) ++
+        Array.fill[Byte](52)(0) ++         // reserved..matrix
+        fixed1616(tw) ++ fixed1616(th))
+    val moov = mp4Box("moov",
+      mvhd ++ mp4Box("trak", tkhd(w, h)) ++ mp4Box("trak", tkhd(0, 0)))
+    val mdat = mp4Box("mdat", Array.fill[Byte](16)(0x42))
+    bos.write(ftyp); bos.write(moov); bos.write(mdat)
+    bos.toByteArray
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)

@@ -22,7 +22,10 @@ class OpsSpec extends SparkSpec {
     // genuine cross-community edges — the round-9 "bridges" were
     // bipartite-oscillation artifacts. Non-vacuity is pinned by the
     // bridged-triangles fixture in R9CurveSpec instead.
-    "d_bridge_docs")
+    "d_bridge_docs",
+    // r10: the ASCII corpus holds no ISO-BMFF payload; the real box
+    // walk is driven by FixtureGateSpec's hand-assembled MP4.
+    "m_mp4_meta")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
