@@ -22,12 +22,15 @@ import graft.zip.ZipExtract
   * WAV via `javax.sound.sampled`; VIDEO decodes real frames for Y4M
   * (pure-JVM demux), multi-frame GIF (imageio sequence reader), and
   * AVI/MJPEG (pure-JVM RIFF walk + per-frame imageio JPEG decode);
-  * ISO-BMFF (MP4/MOV) gets real METADATA demux — a pure-JVM box walk
-  * for brand/tracks/duration/dimensions (`m_mp4_meta`, and `m_dims`
-  * routes tkhd presentation dims) — while its FRAMES stay on the byte
-  * stand-in (no H.264/H.265/VP9 decoder ships with the JDK), as do
-  * MKV/WebM entirely; only those stand-ins would change with a real
-  * codec dependency, not the plan shapes.
+  * ISO-BMFF (MP4/MOV) and Matroska (MKV/WebM) get real METADATA demux
+  * — pure-JVM box/EBML walks for brand-or-doctype, tracks, duration,
+  * and dimensions (`m_mp4_meta`/`m_mkv_meta`, and `m_dims` routes
+  * their presentation dims) — so every container a video corpus ships
+  * in now parses its curation metadata for real; only FRAME bytes for
+  * MP4/MKV/WebM stay on the deterministic stand-in (no
+  * H.264/H.265/VP8/VP9 decoder ships with the JDK), and only that
+  * stand-in would change with a real codec dependency, not the plan
+  * shapes.
   *
   * Scale: mapPartitions keeps per-task state (a decoder context) allocated
   * once per partition, not per row — the same batch shape as an Arrow-batch
@@ -558,6 +561,122 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** EBML signature: the 4-byte EBML header element ID that opens every
+    * Matroska-family file (MKV/WebM/MKA). */
+  def looksLikeEbml(body: Array[Byte]): Boolean =
+    body.length >= 8 && (body(0) & 0xff) == 0x1a && (body(1) & 0xff) == 0x45 &&
+      (body(2) & 0xff) == 0xdf && (body(3) & 0xff) == 0xa3
+
+  /** Real Matroska/WebM METADATA demux — a pure-JVM EBML walk, the
+    * [[mp4Meta]] move applied to the other codec-less-parseable family:
+    * elements are (vint id, vint size, payload), so DocType, track
+    * count, duration (Info's float Duration × TimecodeScale), and the
+    * video track's PixelWidth/PixelHeight come straight off the
+    * structure with no VP8/VP9/AV1 decoder involved. Returns
+    * (doc_type, n_tracks, duration_ms, width, height); duration 0 when
+    * the optional Duration element is absent; width/height 0 for
+    * audio-only files.
+    *
+    * Strictness: malformed vints, out-of-bounds payloads, or an
+    * unknown-size element anywhere but Segment (where the spec allows
+    * it for live captures — handled as run-to-end) reject the WHOLE
+    * payload; container recursion is depth-capped; never throws
+    * (fuzz-proven like [[mp4Meta]]). */
+  def mkvMeta(body: Array[Byte]): Option[(String, Int, Long, Int, Int)] = {
+    if (!looksLikeEbml(body)) return None
+    // vint: leading-zero count of the first byte gives the width
+    def vintLen(b0: Int): Int = {
+      var mask = 0x80; var n = 1
+      while (n <= 8 && (b0 & mask) == 0) { mask >>= 1; n += 1 }
+      n
+    }
+    // element id: raw bytes, marker kept (1-4 bytes per spec)
+    def readId(p: Long, end: Long): Option[(Long, Int)] = {
+      if (p >= end) return None
+      val n = vintLen(body(p.toInt) & 0xff)
+      if (n > 4 || p + n > end) return None
+      var v = 0L
+      (0 until n).foreach(i => v = (v << 8) | (body(p.toInt + i) & 0xffL))
+      Some((v, n))
+    }
+    // element size: marker stripped (1-8 bytes); all-ones = unknown
+    def readSize(p: Long, end: Long): Option[(Long, Int)] = {
+      if (p >= end) return None
+      val b0 = body(p.toInt) & 0xff
+      val n = vintLen(b0)
+      if (n > 8 || p + n > end) return None
+      var v = (b0 & (0xff >>> n)).toLong
+      (1 until n).foreach(i => v = (v << 8) | (body(p.toInt + i) & 0xffL))
+      val allOnes = (1L << (7 * n)) - 1
+      Some((if (v == allOnes) -1L else v, n))
+    }
+    def uintAt(p: Int, len: Int): Long = {
+      var v = 0L; (0 until len).foreach(i => v = (v << 8) | (body(p + i) & 0xffL)); v
+    }
+    var docType = ""; var nTracks = 0; var w = 0; var h = 0
+    var scaleNs = 1000000L; var durUnits = -1.0; var inVideo = false
+    var ok = true
+    val containers = Set(0x1a45dfa3L /*EBML*/ , 0x18538067L /*Segment*/ ,
+      0x1549a966L /*Info*/ , 0x1654ae6bL /*Tracks*/ , 0xaeL /*TrackEntry*/ ,
+      0xe0L /*Video*/ )
+    val maxDepth = 8
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var p = start
+      while (ok && p < end) {
+        val id = readId(p, end) match {
+          case Some(x) => x; case None => ok = false; return
+        }
+        val sz = readSize(p + id._2, end) match {
+          case Some(x) => x; case None => ok = false; return
+        }
+        val ps = p + id._2 + sz._2
+        val pe = if (sz._1 < 0) {
+          // unknown size: the spec reserves this for Segment-like
+          // masters (live capture); anywhere else is malformed
+          if (id._1 != 0x18538067L) { ok = false; return } else end
+        } else ps + sz._1
+        if (pe > end) { ok = false; return }
+        val len = (pe - ps).toInt
+        id._1 match {
+          case 0x4282L => // DocType (inside EBML header)
+            docType = new String(body, ps.toInt, len, "ISO-8859-1")
+          case 0x2ad7b1L => // TimecodeScale (ns per timecode unit)
+            if (len >= 1 && len <= 8) scaleNs = uintAt(ps.toInt, len)
+            else ok = false
+          case 0x4489L => // Duration (float, in timecode units)
+            if (len == 4) durUnits =
+              java.lang.Float.intBitsToFloat(uintAt(ps.toInt, 4).toInt).toDouble
+            else if (len == 8) durUnits =
+              java.lang.Double.longBitsToDouble(uintAt(ps.toInt, 8))
+            else ok = false
+          case 0xb0L if inVideo => // PixelWidth
+            if (len >= 1 && len <= 8) { if (w == 0) w = uintAt(ps.toInt, len).toInt }
+            else ok = false
+          case 0xbaL if inVideo => // PixelHeight
+            if (len >= 1 && len <= 8) { if (h == 0) h = uintAt(ps.toInt, len).toInt }
+            else ok = false
+          case 0xaeL =>
+            nTracks += 1
+            if (depth >= maxDepth) ok = false else walk(ps, pe, depth + 1)
+          case 0xe0L =>
+            if (depth >= maxDepth) ok = false
+            else { inVideo = true; walk(ps, pe, depth + 1); inVideo = false }
+          case c if containers(c) =>
+            if (depth >= maxDepth) ok = false else walk(ps, pe, depth + 1)
+          case _ => () // leaf we don't read (Cluster, SeekHead, Cues, ...)
+        }
+        p = pe
+      }
+    }
+    try {
+      walk(0L, body.length.toLong, 0)
+      val durMs =
+        if (durUnits < 0) 0L else (durUnits * scaleNs / 1e6).toLong
+      if (ok && docType.nonEmpty) Some((docType, nTracks, durMs, w, h))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Per-frame sampling — the video analogue of [[audioSamples]]'
     * codec boundary. REAL demux paths: Y4M ([[y4mFrameMeans]] — pure-JVM
     * header+raw-frames parse), multi-frame GIF ([[gifFrameMeans]] —
@@ -669,7 +788,7 @@ object MultimodalOps {
       .mapPartitions(it => it.map { case (id, b) =>
         Multimodal.decodeImage(b) match {
           case Some(img) => (id, img.getWidth, img.getHeight)
-          case None => Multimodal.mp4Meta(b) match {
+          case None => Multimodal.mp4Meta(b).orElse(Multimodal.mkvMeta(b)) match {
             case Some((_, _, _, w, h)) if w > 0 && h > 0 => (id, w, h)
             case _ => (id, b.length, 1)
           }
@@ -705,6 +824,24 @@ object MultimodalOps {
         }
       })
       .toDF("doc_id", "brand", "n_tracks", "duration_ms", "width", "height")
+      .orderBy("doc_id")
+  }
+
+  /** Matroska/WebM twin of [[mp4MetaQuery]]: doc_type, track count,
+    * duration, video pixel dimensions from [[Multimodal.mkvMeta]]'s
+    * pure-JVM EBML walk — same rows-empty-on-ASCII gate convention,
+    * same fixture-proven real path. */
+  def mkvMetaQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, b) =>
+        Multimodal.mkvMeta(b).map { case (dt, nTracks, durMs, w, h) =>
+          (id, dt, nTracks.toLong, durMs, w, h)
+        }
+      })
+      .toDF("doc_id", "doc_type", "n_tracks", "duration_ms", "width", "height")
       .orderBy("doc_id")
   }
 
@@ -1046,6 +1183,7 @@ object MultimodalOps {
     "m_silence" -> silence,
     "m_dims" -> dims,
     "m_mp4_meta" -> mp4MetaQuery,
+    "m_mkv_meta" -> mkvMetaQuery,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
     "m_color_stats" -> colorStatsStage,
@@ -1165,6 +1303,12 @@ object MultimodalOps {
     // other entry; the real box walk is fixture-proven in scalatest
     "m_mp4_meta" -> """
       SELECT doc_id, CAST(NULL AS VARCHAR) AS brand,
+             CAST(NULL AS BIGINT) AS n_tracks,
+             CAST(NULL AS BIGINT) AS duration_ms,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height
+      FROM documents WHERE FALSE ORDER BY doc_id""",
+    "m_mkv_meta" -> """
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS doc_type,
              CAST(NULL AS BIGINT) AS n_tracks,
              CAST(NULL AS BIGINT) AS duration_ms,
              CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height

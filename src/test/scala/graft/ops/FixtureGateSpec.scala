@@ -247,8 +247,10 @@ class FixtureGateSpec extends SparkSpec {
     val gif = MediaFixtures.gifBytes(5, 3, Seq(128))
     val raw = Array.tabulate[Byte](70)(i => (i * 3).toByte)
     val mp4 = MediaFixtures.mp4Bytes("mp42", 320, 240, 2500L)
+    val mkv = MediaFixtures.mkvBytes("webm", 640, 360, 1500L)
     val dir = java.nio.file.Files.createTempDirectory("graft_dim_fix").toString
-    val rows = Seq((0L, gif), (1L, raw), (2L, Array.empty[Byte]), (3L, mp4))
+    val rows = Seq((0L, gif), (1L, raw), (2L, Array.empty[Byte]), (3L, mp4),
+      (4L, mkv))
       .map { case (id, b) => org.apache.spark.sql.Row(id, b) }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -260,13 +262,40 @@ class FixtureGateSpec extends SparkSpec {
     val got = SparkEntry.queries("m_dims")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
     assert(got == Seq((0L, 5, 3, 15L), (1L, 70, 1, 70L), (2L, 0, 1, 0L),
-      (3L, 320, 240, 76800L)), s"got $got")
-    // the metadata census through ITS declared query: only the MP4
-    // parses; brand/tracks/duration/dims all from the box walk
+      (3L, 320, 240, 76800L), (4L, 640, 360, 230400L)), s"got $got")
+    // the metadata censuses through THEIR declared queries: exactly the
+    // matching container parses in each
     val meta = SparkEntry.queries("m_mp4_meta")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4), r.getInt(5))).toSeq
     assert(meta == Seq((3L, "mp42", 2L, 2500L, 320, 240)), s"got $meta")
+    val mkvm = SparkEntry.queries("m_mkv_meta")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(mkvm == Seq((4L, "webm", 2L, 1500L, 640, 360)), s"got $mkvm")
+  }
+
+  test("mkvMeta: strict-or-reject, never throws (200-seed fuzz + truncations)") {
+    val good = MediaFixtures.mkvBytes("matroska", 64, 48, 1000L)
+    assert(Multimodal.mkvMeta(good).contains(("matroska", 2, 1000L, 64, 48)))
+    (0 until good.length).foreach { n =>
+      Multimodal.mkvMeta(java.util.Arrays.copyOf(good, n)) // must not throw
+    }
+    val rnd = new scala.util.Random(43)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 8).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      Multimodal.mkvMeta(b) // must not throw
+    }
+    // pure noise behind a forged EBML sniff must reject cleanly
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](64); rnd.nextBytes(b)
+      b(0) = 0x1a.toByte; b(1) = 0x45.toByte
+      b(2) = 0xdf.toByte; b(3) = 0xa3.toByte
+      Multimodal.mkvMeta(b) // must not throw
+    }
   }
 
   test("mp4Meta: strict-or-reject, never throws (200-seed fuzz + truncations)") {

@@ -76,6 +76,53 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** Shortest EBML size vint for v (marker bit in the first byte). */
+  private def ebmlSize(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+    val out = new Array[Byte](n)
+    var x = v | (1L << (7 * n))
+    (n - 1 to 0 by -1).foreach { i => out(i) = (x & 0xff).toByte; x >>= 8 }
+    out
+  }
+
+  /** One EBML element: raw id bytes + size vint + payload. */
+  private def ebmlElem(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    id ++ ebmlSize(payload.length.toLong) ++ payload
+
+  private def beBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  /** Hand-assembled minimal Matroska/WebM: EBML header with DocType +
+    * Segment[Info[TimecodeScale 1e6 ns, Duration float] Tracks[video
+    * TrackEntry with PixelWidth×PixelHeight + audio TrackEntry]]. With
+    * the 1 ms timecode scale, Duration units == milliseconds. */
+  def mkvBytes(docType: String, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    val id = Map(
+      "EBML" -> Array(0x1a, 0x45, 0xdf, 0xa3), "DocType" -> Array(0x42, 0x82),
+      "Segment" -> Array(0x18, 0x53, 0x80, 0x67),
+      "Info" -> Array(0x15, 0x49, 0xa9, 0x66),
+      "TimecodeScale" -> Array(0x2a, 0xd7, 0xb1), "Duration" -> Array(0x44, 0x89),
+      "Tracks" -> Array(0x16, 0x54, 0xae, 0x6b), "TrackEntry" -> Array(0xae),
+      "TrackType" -> Array(0x83), "Video" -> Array(0xe0),
+      "PixelWidth" -> Array(0xb0), "PixelHeight" -> Array(0xba)
+    ).map { case (k, v) => k -> v.map(_.toByte) }
+    val header = ebmlElem(id("EBML"),
+      ebmlElem(id("DocType"), docType.getBytes("ISO-8859-1")))
+    val info = ebmlElem(id("Info"),
+      ebmlElem(id("TimecodeScale"), beBytes(1000000L, 3)) ++
+        ebmlElem(id("Duration"),
+          beBytes(java.lang.Double.doubleToLongBits(durationMs.toDouble), 8)))
+    val video = ebmlElem(id("Video"),
+      ebmlElem(id("PixelWidth"), beBytes(w.toLong, 2)) ++
+        ebmlElem(id("PixelHeight"), beBytes(h.toLong, 2)))
+    val tracks = ebmlElem(id("Tracks"),
+      ebmlElem(id("TrackEntry"),
+        ebmlElem(id("TrackType"), beBytes(1, 1)) ++ video) ++
+        ebmlElem(id("TrackEntry"), ebmlElem(id("TrackType"), beBytes(2, 1))))
+    header ++ ebmlElem(id("Segment"), info ++ tracks)
+  }
+
   private def u32le(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)

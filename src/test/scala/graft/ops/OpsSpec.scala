@@ -23,9 +23,9 @@ class OpsSpec extends SparkSpec {
     // bipartite-oscillation artifacts. Non-vacuity is pinned by the
     // bridged-triangles fixture in R9CurveSpec instead.
     "d_bridge_docs",
-    // r10: the ASCII corpus holds no ISO-BMFF payload; the real box
-    // walk is driven by FixtureGateSpec's hand-assembled MP4.
-    "m_mp4_meta")
+    // r10: the ASCII corpus holds no ISO-BMFF or EBML payload; the real
+    // walks are driven by FixtureGateSpec's hand-assembled MP4/MKV.
+    "m_mp4_meta", "m_mkv_meta")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {

@@ -360,7 +360,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_feature_hash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // r10: one narrow mapPartitions pass through the codec boundary;
     // payloads never cross a shuffle, no join, no window
-    "m_mp4_meta" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "m_mp4_meta" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "m_mkv_meta" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
