@@ -2204,7 +2204,7 @@ object DedupOps {
                greatest(da.n_chars, db.n_chars) AS mx
              FROM cand JOIN documents da ON cand.a_id = da.doc_id
                        JOIN documents db ON cand.b_id = db.doc_id),
-      fp AS (SELECT a_id, b_id FROM sc
+      fp AS (SELECT a_id, b_id, lev, (mx - lev) / mx AS sim FROM sc
              WHERE (mx - lev) / mx >= $FuzzySimMin)"""
 
   /** The min-label transitive-closure CTE pair over an (a_id, b_id)
@@ -2671,8 +2671,7 @@ object DedupOps {
     "d_fuzzy_pairs" -> s"""
       WITH $JaccardCappedCtes,
       $FuzzyScoreCtes
-      SELECT a_id, b_id, lev, (mx - lev) / mx AS sim
-      FROM sc WHERE (mx - lev) / mx >= $FuzzySimMin
+      SELECT a_id, b_id, lev, sim FROM fp
       ORDER BY a_id, b_id""",
     "d_fuzzy_clusters" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,

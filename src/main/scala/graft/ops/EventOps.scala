@@ -860,9 +860,23 @@ object EventOps {
   def qCusum(s: SparkSession, d: String): DataFrame =
     cusumFrom(events(s, d).select(col("event_type"), col("ts")))
 
+  /** Calendar-span ceiling for [[cusumFrom]]'s densified grid, in days
+    * (~10 years — generous for any daily-grain changepoint monitor,
+    * and tight enough to catch the classic epoch-1970 corruption
+    * against current-day data, ~20k days). One corrupt timestamp would
+    * otherwise stretch a type's min-to-max span and poison every flag
+    * for that type with zero-days — the guard makes corrupt data fail
+    * LOUDLY (the same in-plan envelope discipline as `e_gini`), raising
+    * the identical message in both engines. */
+  private val CusumMaxSpanDays = 3650L
+
   /** [[qCusum]] over a caller-supplied (event_type, ts) relation — the
     * testable core (the real feed has no calendar gaps, so the outage
-    * path is proven on a constructed one). */
+    * path is proven on a constructed one). Null timestamps are excluded
+    * EXPLICITLY (they have no calendar position, so they cannot sit on
+    * the day grid; a feed that ships them should fail `v_constraints`,
+    * not skew a changepoint ledger); spans beyond [[CusumMaxSpanDays]]
+    * raise rather than densify. */
   private[ops] def cusumFrom(ev: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wPre = Window.partitionBy("event_type").orderBy("day")
@@ -872,13 +886,18 @@ object EventOps {
     // of the data-sized input (exchange reuse doesn't apply because
     // column pruning makes the branches structurally different)
     val daily = ev
+      .filter(col("ts").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val grid = daily.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        explode(expr(s"""CASE WHEN datediff(d1, d0) > $CusumMaxSpanDays
+          THEN raise_error(concat('e_cusum: calendar span ',
+            CAST(datediff(d1, d0) AS STRING),
+            ' days exceeds $CusumMaxSpanDays — corrupt timestamp?'))
+          ELSE sequence(d0, d1, interval 1 day) END""")).as("day"))
     grid.join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
@@ -1646,11 +1665,16 @@ object EventOps {
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
                count(*)::BIGINT AS n
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
       grid AS (
         SELECT event_type,
-               unnest(generate_series(min(day), max(day),
-                 INTERVAL 1 DAY))::DATE AS day
+               unnest(CASE
+                 WHEN date_diff('day', min(day), max(day)) > $CusumMaxSpanDays
+                 THEN error('e_cusum: calendar span ' ||
+                   date_diff('day', min(day), max(day))::VARCHAR ||
+                   ' days exceeds $CusumMaxSpanDays — corrupt timestamp?')
+                 ELSE generate_series(min(day), max(day), INTERVAL 1 DAY)
+               END)::DATE AS day
         FROM daily GROUP BY 1),
       dense AS (
         SELECT g.event_type, g.day, coalesce(daily.n, 0::BIGINT) AS n

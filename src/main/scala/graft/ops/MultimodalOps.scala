@@ -489,7 +489,9 @@ object Multimodal {
     * `mvhd` carries timescale+duration, each `trak`'s `tkhd` carries
     * 16.16 fixed-point presentation width/height (nonzero exactly for
     * visual tracks). Returns (major_brand, n_tracks, duration_ms,
-    * width, height) — width/height 0 for audio-only files.
+    * width, height) — width/height 0 for audio-only files, duration 0
+    * when the spec's all-ones "cannot be determined" sentinel is set
+    * (fragmented/live captures).
     *
     * Strictness matches the other demuxers ([[y4mFrameMeans]] /
     * [[aviFrameMeans]]): every box is bounds-checked (64-bit largesize
@@ -525,13 +527,20 @@ object Multimodal {
             if (pLen >= 8) brand = new String(body, ps, 4, "ISO-8859-1")
             else ok = false
           case "mvhd" =>
+            // 14496-12: an all-ones duration means "cannot be
+            // determined" (fragmented/live files) — report 0 (unknown),
+            // never a fake ~13-hour figure from the sentinel bits
             (body(ps) & 0xff) match {
               case 0 if pLen >= 20 =>
-                val ts = u32(ps + 12)
-                if (ts > 0) durMs = u32(ps + 16) * 1000L / ts else ok = false
+                val ts = u32(ps + 12); val dur = u32(ps + 16)
+                if (ts > 0)
+                  durMs = if (dur == 0xffffffffL) 0L else dur * 1000L / ts
+                else ok = false
               case 1 if pLen >= 32 =>
-                val ts = u32(ps + 20)
-                if (ts > 0) durMs = u64(ps + 24) * 1000L / ts else ok = false
+                val ts = u32(ps + 20); val dur = u64(ps + 24)
+                if (ts > 0)
+                  durMs = if (dur == -1L) 0L else dur * 1000L / ts
+                else ok = false
               case _ => ok = false
             }
           case "tkhd" =>
@@ -614,7 +623,10 @@ object Multimodal {
       var v = 0L; (0 until len).foreach(i => v = (v << 8) | (body(p + i) & 0xffL)); v
     }
     var docType = ""; var nTracks = 0; var w = 0; var h = 0
-    var scaleNs = 1000000L; var durUnits = -1.0; var inVideo = false
+    var scaleNs = 1000000L; var durUnits = -1.0
+    // per-Video-element staging so width and height are committed
+    // ATOMICALLY per track — never paired across two different tracks
+    var inVideo = false; var vw = 0; var vh = 0
     var ok = true
     val containers = Set(0x1a45dfa3L /*EBML*/ , 0x18538067L /*Segment*/ ,
       0x1549a966L /*Info*/ , 0x1654ae6bL /*Tracks*/ , 0xaeL /*TrackEntry*/ ,
@@ -650,17 +662,23 @@ object Multimodal {
               java.lang.Double.longBitsToDouble(uintAt(ps.toInt, 8))
             else ok = false
           case 0xb0L if inVideo => // PixelWidth
-            if (len >= 1 && len <= 8) { if (w == 0) w = uintAt(ps.toInt, len).toInt }
-            else ok = false
+            val v = if (len >= 1 && len <= 8) uintAt(ps.toInt, len) else -1L
+            if (v >= 0 && v <= Int.MaxValue) vw = v.toInt else ok = false
           case 0xbaL if inVideo => // PixelHeight
-            if (len >= 1 && len <= 8) { if (h == 0) h = uintAt(ps.toInt, len).toInt }
-            else ok = false
+            val v = if (len >= 1 && len <= 8) uintAt(ps.toInt, len) else -1L
+            if (v >= 0 && v <= Int.MaxValue) vh = v.toInt else ok = false
           case 0xaeL =>
             nTracks += 1
             if (depth >= maxDepth) ok = false else walk(ps, pe, depth + 1)
           case 0xe0L =>
             if (depth >= maxDepth) ok = false
-            else { inVideo = true; walk(ps, pe, depth + 1); inVideo = false }
+            else {
+              inVideo = true; vw = 0; vh = 0
+              walk(ps, pe, depth + 1)
+              inVideo = false
+              // commit only a COMPLETE (width, height) pair, first wins
+              if (ok && vw > 0 && vh > 0 && w == 0 && h == 0) { w = vw; h = vh }
+            }
           case c if containers(c) =>
             if (depth >= maxDepth) ok = false else walk(ps, pe, depth + 1)
           case _ => () // leaf we don't read (Cluster, SeekHead, Cues, ...)
@@ -813,17 +831,24 @@ object MultimodalOps {
     * Plan/scale: one narrow mapPartitions through the codec boundary —
     * payloads never cross a shuffle; the emitted rows are five small
     * columns. */
-  def mp4MetaQuery(s: SparkSession, d: String): DataFrame = {
+  def mp4MetaQuery(s: SparkSession, d: String): DataFrame =
+    containerMetaQuery(s, d, "brand", Multimodal.mp4Meta)
+
+  /** The shared shape of the two container-metadata censuses — ONE
+    * mapPartitions pipeline parameterized by the parser and the name of
+    * its kind column, so the schemas cannot drift. */
+  private def containerMetaQuery(s: SparkSession, d: String, kindCol: String,
+      parse: Array[Byte] => Option[(String, Int, Long, Int, Int)]): DataFrame = {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, b) =>
-        Multimodal.mp4Meta(b).map { case (brand, nTracks, durMs, w, h) =>
-          (id, brand, nTracks.toLong, durMs, w, h)
+        parse(b).map { case (kind, nTracks, durMs, w, h) =>
+          (id, kind, nTracks.toLong, durMs, w, h)
         }
       })
-      .toDF("doc_id", "brand", "n_tracks", "duration_ms", "width", "height")
+      .toDF("doc_id", kindCol, "n_tracks", "duration_ms", "width", "height")
       .orderBy("doc_id")
   }
 
@@ -831,19 +856,8 @@ object MultimodalOps {
     * duration, video pixel dimensions from [[Multimodal.mkvMeta]]'s
     * pure-JVM EBML walk — same rows-empty-on-ASCII gate convention,
     * same fixture-proven real path. */
-  def mkvMetaQuery(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.flatMap { case (id, b) =>
-        Multimodal.mkvMeta(b).map { case (dt, nTracks, durMs, w, h) =>
-          (id, dt, nTracks.toLong, durMs, w, h)
-        }
-      })
-      .toDF("doc_id", "doc_type", "n_tracks", "duration_ms", "width", "height")
-      .orderBy("doc_id")
-  }
+  def mkvMetaQuery(s: SparkSession, d: String): DataFrame =
+    containerMetaQuery(s, d, "doc_type", Multimodal.mkvMeta)
 
   /** Metadata projection over an opaque binary column: byte length +
     * content hash — pure column ops, no decode. */

@@ -275,6 +275,50 @@ class FixtureGateSpec extends SparkSpec {
     assert(mkvm == Seq((4L, "webm", 2L, 1500L, 640, 360)), s"got $mkvm")
   }
 
+  test("mp4Meta: the all-ones duration sentinel reads as unknown (0), not ~13h") {
+    // rebuild the fixture's mvhd with duration = 0xFFFFFFFF (14496-12:
+    // "cannot be determined", fragmented/live captures)
+    val good = MediaFixtures.mp4Bytes("isom", 64, 48, 1000L)
+    val durOff = {
+      // mvhd payload starts after ftyp(20) + moov hdr(8) + mvhd hdr(8);
+      // duration sits at payload offset 16
+      20 + 8 + 8 + 16
+    }
+    val frag = good.clone()
+    (0 until 4).foreach(i => frag(durOff + i) = 0xff.toByte)
+    assert(Multimodal.mp4Meta(frag).contains(("isom", 2, 0L, 64, 48)),
+      s"got ${Multimodal.mp4Meta(frag)}")
+  }
+
+  test("mkvMeta: dims commit atomically per Video element, never cross-track") {
+    import MediaFixtures._
+    val id = Map(
+      "EBML" -> Array(0x1a, 0x45, 0xdf, 0xa3), "DocType" -> Array(0x42, 0x82),
+      "Segment" -> Array(0x18, 0x53, 0x80, 0x67),
+      "Info" -> Array(0x15, 0x49, 0xa9, 0x66),
+      "TimecodeScale" -> Array(0x2a, 0xd7, 0xb1),
+      "Tracks" -> Array(0x16, 0x54, 0xae, 0x6b), "TrackEntry" -> Array(0xae),
+      "Video" -> Array(0xe0),
+      "PixelWidth" -> Array(0xb0), "PixelHeight" -> Array(0xba)
+    ).map { case (k, v) => k -> v.map(_.toByte) }
+    // track 1's Video carries ONLY a height; track 2 is complete 640x360.
+    // The committed dims must be track 2's pair — never (640, 480).
+    val header = ebmlElem(id("EBML"),
+      ebmlElem(id("DocType"), "matroska".getBytes("ISO-8859-1")))
+    val info = ebmlElem(id("Info"),
+      ebmlElem(id("TimecodeScale"), beBytes(1000000L, 3)))
+    val v1 = ebmlElem(id("Video"),
+      ebmlElem(id("PixelHeight"), beBytes(480L, 2)))
+    val v2 = ebmlElem(id("Video"),
+      ebmlElem(id("PixelWidth"), beBytes(640L, 2)) ++
+        ebmlElem(id("PixelHeight"), beBytes(360L, 2)))
+    val tracks = ebmlElem(id("Tracks"),
+      ebmlElem(id("TrackEntry"), v1) ++ ebmlElem(id("TrackEntry"), v2))
+    val body = header ++ ebmlElem(id("Segment"), info ++ tracks)
+    assert(Multimodal.mkvMeta(body).contains(("matroska", 2, 0L, 640, 360)),
+      s"got ${Multimodal.mkvMeta(body)}")
+  }
+
   test("mkvMeta: strict-or-reject, never throws (200-seed fuzz + truncations)") {
     val good = MediaFixtures.mkvBytes("matroska", 64, 48, 1000L)
     assert(Multimodal.mkvMeta(good).contains(("matroska", 2, 1000L, 64, 48)))

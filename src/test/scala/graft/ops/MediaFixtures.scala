@@ -37,12 +37,12 @@ object MediaFixtures {
     bos.toByteArray
   }
 
-  private def u32be(v: Long): Array[Byte] =
+  private[ops] def u32be(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
   /** One ISO-BMFF box: BE u32 size (header included) + fourcc + payload. */
-  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+  private[ops] def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(u32be(8L + payload.length))
     bos.write(typ.getBytes("ISO-8859-1"))
@@ -77,7 +77,7 @@ object MediaFixtures {
   }
 
   /** Shortest EBML size vint for v (marker bit in the first byte). */
-  private def ebmlSize(v: Long): Array[Byte] = {
+  private[ops] def ebmlSize(v: Long): Array[Byte] = {
     var n = 1
     while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
     val out = new Array[Byte](n)
@@ -87,10 +87,10 @@ object MediaFixtures {
   }
 
   /** One EBML element: raw id bytes + size vint + payload. */
-  private def ebmlElem(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+  private[ops] def ebmlElem(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
     id ++ ebmlSize(payload.length.toLong) ++ payload
 
-  private def beBytes(v: Long, n: Int): Array[Byte] =
+  private[ops] def beBytes(v: Long, n: Int): Array[Byte] =
     Array.tabulate[Byte](n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
 
   /** Hand-assembled minimal Matroska/WebM: EBML header with DocType +

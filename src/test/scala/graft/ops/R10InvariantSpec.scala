@@ -370,6 +370,30 @@ class R10InvariantSpec extends SparkSpec {
       downDays.contains("2024-01-19"), s"shift_down wrong: ${downDays.toSeq}")
   }
 
+  test("e_cusum: null ts excluded explicitly; corrupt-span raises, not poisons") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    // a null-ts row changes nothing (it has no calendar position)
+    val clean = Seq(("A", ts("2024-01-01")), ("A", ts("2024-01-02")))
+      .toDF("event_type", "ts")
+    val dirty = clean.union(
+      Seq(("A", null.asInstanceOf[java.sql.Timestamp])).toDF("event_type", "ts"))
+    val a = EventOps.cusumFrom(clean).collect().map(_.toSeq)
+    val b = EventOps.cusumFrom(dirty).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "null-ts row changed the ledger")
+    // one epoch-zero outlier: the span guard raises deterministically
+    // instead of densifying ~20k poison days
+    val corrupt = clean.union(
+      Seq(("A", ts("1970-01-01"))).toDF("event_type", "ts"))
+    val e = intercept[Exception] {
+      EventOps.cusumFrom(corrupt).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("calendar span")), s"wrong error: $e")
+  }
+
   test("s_purity: full coverage, majority maximal, ties to lowest label") {
     graft.GraftSession.init(spark)
     val pur = SimilarityOps.clusterPurity(spark, sf).localCheckpoint()
