@@ -241,7 +241,14 @@ object GraftFunctions {
         }
         val k = lit(1, "k (argument 2)") match {
           case n: java.lang.Integer => n.intValue()
-          case n: java.lang.Long if n >= 1 && n <= Int.MaxValue => n.intValue()
+          // match Long unconditionally so an out-of-range k reports its
+          // actual problem, not the catch-all "must be an INT literal"
+          case n: java.lang.Long =>
+            if (n < 1) throw new IllegalArgumentException( // before intValue
+              s"top_k: k must be >= 1, got $n")            // truncates it
+            if (n > Int.MaxValue) throw new IllegalArgumentException(
+              s"top_k: k must fit in INT (<= ${Int.MaxValue}), got $n")
+            n.intValue()
           case other => throw new IllegalArgumentException(
             s"top_k: k must be an INT literal, got $other")
         }

@@ -473,10 +473,17 @@ object Multimodal {
 
   /** ISO-BMFF signature: a top-level `ftyp` box first, its declared
     * size sane. Covers MP4/MOV/3GP/HEIF — everything the BMFF family
-    * ships as. */
+    * ships as. "Sane" = the u32 at offset 0 fits the payload and holds at
+    * least the 16-byte header+brand+version an ftyp must carry (ftyp is
+    * never the size-1 largesize or size-0 run-to-end form: it is the
+    * first, fixed-layout box). */
   def looksLikeMp4(body: Array[Byte]): Boolean =
     body.length >= 16 && body(4) == 'f' && body(5) == 't' &&
-      body(6) == 'y' && body(7) == 'p'
+      body(6) == 'y' && body(7) == 'p' && {
+        val sz0 = ((body(0) & 0xffL) << 24) | ((body(1) & 0xffL) << 16) |
+          ((body(2) & 0xffL) << 8) | (body(3) & 0xffL)
+        sz0 >= 16L && sz0 <= body.length
+      }
 
   private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
@@ -538,9 +545,15 @@ object Multimodal {
                 else ok = false
               case 1 if pLen >= 32 =>
                 val ts = u32(ps + 20); val dur = u64(ps + 24)
-                if (ts > 0)
-                  durMs = if (dur == -1L) 0L else dur * 1000L / ts
-                else ok = false
+                // dur is raw 64-bit file data: beyond the sentinel, a value
+                // past Long.MaxValue/1000 would WRAP in the millisecond
+                // multiply (a positive wrap passes the durMs >= 0 gate) —
+                // reject like every other malformed field
+                if (ts > 0) {
+                  if (dur == -1L) durMs = 0L
+                  else if (dur < 0L || dur > Long.MaxValue / 1000L) ok = false
+                  else durMs = dur * 1000L / ts
+                } else ok = false
               case _ => ok = false
             }
           case "tkhd" =>

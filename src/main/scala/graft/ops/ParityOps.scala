@@ -153,7 +153,24 @@ object ParityOps {
        "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'fr' " +
        "ORDER BY doc_id"),
     "p_distinct" ->
-      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"
-    // z_zip_extract: no oracle (DuckDB cannot read zip archives) → rows-only.
-  )
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    // DuckDB cannot open zip archives, but both zip queries run over a
+    // DETERMINISTIC in-test fixture whose expected rows are known constants
+    // (three entries with fixed names/bodies) — so the oracle is a VALUES
+    // relation of those constants and the gate gets a full rows+schema+hash
+    // check instead of rows-only. The hex literals are sha256("hello"),
+    // sha256(the 16-byte (i*7) ramp), sha256("") — the same values
+    // ZipExtractSpec pins against java.security.MessageDigest.
+    "z_zip_extract" -> """
+      SELECT * FROM (VALUES
+        ('a.txt', '2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824', 5),
+        ('dir/b.png', 'f7bc6c13e813d37799484d9cd24d1570d3e943fe0fe6e8f64925faabce0af40d', 16),
+        ('dir/sub/c.txt', 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855', 0)
+      ) AS t(name, hash, body_len) ORDER BY name""",
+    // z_zip_dsv2 filters name LIKE '%.txt' and prunes to (name, hash).
+    "z_zip_dsv2" -> """
+      SELECT * FROM (VALUES
+        ('a.txt', '2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824'),
+        ('dir/sub/c.txt', 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855')
+      ) AS t(name, hash) ORDER BY name""")
 }

@@ -264,7 +264,15 @@ class R10InvariantSpec extends SparkSpec {
       lit(0), lit(true)))).contains("k must be >= 1"))
     // a LONG k beyond Int range must be an error, not a silent truncation
     assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
-      lit(6000000000L), lit(true)))).contains("k must be an INT"))
+      lit(6000000000L), lit(true)))).contains("k must fit in INT"))
+    // a LONG k <= 0 reports the range problem, not "must be an INT"
+    // (r10 ADVICE: the Long case fell through to the catch-all message)
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(0L), lit(true)))).contains("k must be >= 1, got 0"))
+    // Long.MinValue must not truncate to 0 before the message renders
+    assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
+      lit(Long.MinValue), lit(true))))
+      .contains(s"k must be >= 1, got ${Long.MinValue}"))
     // non-boolean reverse
     assert(err(df.groupBy("g").agg(call_function("top_k", col("d"),
       lit(3), lit("yes")))).contains("reverse must be a BOOLEAN"))
