@@ -313,9 +313,13 @@ object ZipExtract {
 
   /** Full reference pipeline: extract → Parquet(Snappy)
     * (reference sink: src/builder.rs:232-278). `singleFile=true` mirrors the
-    * reference's one-output-file contract via coalesce(1) — fine at parity
-    * scale, NOT the default you want at 100 TB (write many files and let the
-    * reader glob them); pass singleFile=false for the scalable layout.
+    * reference's one-output-FILE contract exactly: `-o PATH` yields a
+    * regular parquet file at PATH (src/builder.rs:232-278 opens one
+    * `File`), not a Spark part-file directory — the dataset is written to a
+    * sibling temp directory with one part file, and that part is promoted
+    * to PATH by an O(1) rename. Fine at parity scale, NOT the default you
+    * want at 100 TB (pass singleFile=false to write a many-file directory
+    * and let the reader glob it).
     * Row-group sizing (reference `--row-group-size`, src/main.rs:41-43,
     * enforced by src/builder.rs:254 `set_max_row_group_size`): parquet-mr's
     * `parquet.block.row.count.limit` is the same rows-per-group ceiling, so
@@ -326,20 +330,65 @@ object ZipExtract {
     // src/error.rs:41 + src/main.rs:57-62 — a sink must be chosen up front
     if (cfg.output.isEmpty) GraftError.raise(GraftError.NeedsOutputOrStdout)
     val df0 = entries(spark, cfg)
+    if (!cfg.singleFile) { writeParquetDir(df0, cfg, cfg.output); return }
     // repartition(1), NOT coalesce(1): coalesce folds the upstream
     // extraction into the single writer task (serializing the whole
     // pipeline — observed 5x slower); repartition keeps one task per
     // archive and funnels rows to one writer through an exchange — the
     // same N-producers/1-consumer topology as the reference's channel
     // (src/builder.rs:52-75).
-    val df = if (cfg.singleFile) df0.repartition(1) else df0
+    val outPath = new Path(cfg.output)
+    val fs =
+      try outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      catch { case e: java.io.IOException =>
+        GraftError.raise(GraftError.WriteFile(cfg.output, e.toString))
+      }
+    // Sibling temp dataset (same FS ⇒ the promote rename is a metadata op,
+    // never a byte copy). The suffix keeps concurrent runs apart.
+    val tmp = new Path(cfg.output + ".graft-tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    try {
+      writeParquetDir(df0.repartition(1), cfg, tmp.toString)
+      try {
+        val part = Option(fs.globStatus(new Path(tmp, "part-*")))
+          .getOrElse(Array.empty).headOption.getOrElse(
+            GraftError.raise(GraftError.WriteFile(cfg.output,
+              "single-file write produced no part file")))
+        // mode("overwrite") contract: replace whatever sits at PATH (file
+        // or a directory from a previous multi-file run). Delete through
+        // the CHECKSUMMED fs so a local .crc sibling of the old target
+        // goes with it, then rename through the RAW fs so the temp part's
+        // .crc stays behind in tmp (swept below) instead of appearing as
+        // litter next to the user's output file.
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        val rawFs = fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case other => other
+        }
+        if (!rawFs.rename(part.getPath, outPath))
+          GraftError.raise(GraftError.WriteFile(cfg.output,
+            s"rename ${part.getPath} -> $outPath failed"))
+      } catch {
+        case e: GraftError.GraftException => throw e
+        case e: java.io.IOException =>
+          GraftError.raise(GraftError.WriteFile(cfg.output, e.toString))
+      }
+    } finally {
+      // tmp holds only the committer droppings (_SUCCESS, .crc) after a
+      // successful promote — and the partial dataset after a failure.
+      try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def writeParquetDir(df: DataFrame, cfg: ZipToParquetConfig,
+      target: String): Unit = {
     try df.write
       .mode("overwrite")
       .option("compression", "snappy") // src/builder.rs:253
       // rows-per-row-group ceiling (src/builder.rs:254); writer options are
       // copied into the task Hadoop conf, where parquet-mr reads this key
       .option("parquet.block.row.count.limit", cfg.rowGroupSize.toString)
-      .parquet(cfg.output)
+      .parquet(target)
     catch {
       // extraction-side typed errors pass through unchanged; failures of
       // the sink itself become WriteFile/Parquet (src/error.rs:9-12,22-24).
@@ -362,11 +411,13 @@ object ZipExtract {
   def runToStream(spark: SparkSession, cfg: ZipToParquetConfig,
       out: java.io.OutputStream): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stdout").toFile
+    val file = new java.io.File(tmp, "out.parquet")
     try {
-      run(spark, cfg.copy(output = tmp.getAbsolutePath, singleFile = true))
-      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      // run() in singleFile mode yields a regular FILE at the path —
+      // stream it straight out
+      run(spark, cfg.copy(output = file.getAbsolutePath, singleFile = true))
       val in = new java.io.BufferedInputStream(
-        new java.io.FileInputStream(part), 1 << 16)
+        new java.io.FileInputStream(file), 1 << 16)
       try {
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
@@ -374,7 +425,7 @@ object ZipExtract {
         out.flush()
       } finally in.close()
     } finally {
-      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      Option(tmp.listFiles()).foreach(_.foreach(_.delete())); tmp.delete()
     }
   }
 }

@@ -127,9 +127,38 @@ class ZipExtractSpec extends SparkSpec {
     assert(back.count() == 2)
     val r = back.collect().find(_.getAs[String]("name") == "a.txt").get
     assert(r.getAs[Array[Byte]]("body").sameElements(bodyA))
-    // single-file contract (reference writes exactly one file)
-    val parts = new File(out).listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(parts.length == 1)
+    // single-FILE contract (r10 verdict #1): the reference writes exactly
+    // one regular file at -o PATH (src/builder.rs:232-278) — not a Spark
+    // part-file directory. PATH must be a plain file with the 4-col schema.
+    val outFile = new File(out)
+    assert(outFile.isFile, s"-o $out must be a regular FILE, found " +
+      (if (outFile.isDirectory) "a directory" else "nothing"))
+    assert(back.columns.toSeq == Seq("name", "source", "body", "hash"))
+    // and the promote step leaves no litter behind: no temp dataset dirs,
+    // no checksum sibling next to the user's output
+    val siblings = dir.listFiles().map(_.getName)
+    assert(!siblings.exists(_.contains(".graft-tmp-")),
+      s"temp dataset left behind: ${siblings.mkString(", ")}")
+    assert(!siblings.contains(".out.parquet.crc"),
+      "checksum litter next to the output file")
+  }
+
+  test("run(singleFile=false) writes the scalable multi-file directory layout") {
+    val out = new File(dir, "out_multi.parquet").getAbsolutePath
+    ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq(zip1), output = out,
+      singleFile = false))
+    assert(new File(out).isDirectory)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("single-file overwrite replaces a prior directory output at the same path") {
+    val out = new File(dir, "out_swap.parquet").getAbsolutePath
+    ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq(zip1), output = out,
+      singleFile = false))
+    assert(new File(out).isDirectory)
+    ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq(zip1), output = out))
+    assert(new File(out).isFile, "overwrite must replace the old directory")
+    assert(spark.read.parquet(out).count() == 2)
   }
 
   test("runToStream emits a readable parquet byte stream (O10 stdout sink)") {

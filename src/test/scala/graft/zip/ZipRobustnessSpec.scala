@@ -110,10 +110,11 @@ class ZipRobustnessSpec extends SparkSpec {
     val out = new File(dir, "rg_out.parquet")
     ZipExtract.run(spark, ZipToParquetConfig(inputs = Seq(f.getAbsolutePath),
       output = out.getAbsolutePath, rowGroupSize = 3))
-    val part = out.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // run() now writes a regular FILE at the path (single-file contract)
+    assert(out.isFile)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(out.getAbsolutePath),
         spark.sparkContext.hadoopConfiguration))
     try {
       val groups = reader.getRowGroups
