@@ -18,6 +18,39 @@ import graft.zip.{ZipExtract, ZipToParquetConfig}
   */
 object StreamOps {
 
+  /** FQCN of Spark's RocksDB state store provider (ships in spark-sql).
+    * The default HDFSBackedStateStoreProvider keeps every key's state
+    * ON-HEAP in the executor — fine for the catalog-sized states here
+    * (CMS grids, histogram bins, HLL registers) but the wrong shape for
+    * [[pairDeltaStreamTtl]], whose state is the live SHINGLE DOMAIN of
+    * the TTL horizon: at 100 TB that domain is executor-heap-hostile,
+    * and RocksDB keeps it off-heap on local disk with changelog
+    * checkpointing. */
+  val RocksDbStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val StateStoreProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` with the session's state-store provider pinned to
+    * `providerClass`, restoring the previous setting after. The provider
+    * is captured PER QUERY at `.start()` (it rides the query's conf
+    * snapshot and its checkpoint), so wrapping the code that starts the
+    * stream is sufficient and already-running queries are untouched —
+    * which also means a query must keep ONE provider for the life of a
+    * checkpoint directory: flipping the knob on an existing checkpoint
+    * is an engine error, not a silent migration. */
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)
+      (body: => T): T = {
+    val prev = spark.conf.getOption(StateStoreProviderKey)
+    spark.conf.set(StateStoreProviderKey, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(StateStoreProviderKey, v)
+      case None => spark.conf.unset(StateStoreProviderKey)
+    }
+  }
+
   /** Event record for the typed stateful ops (micros since epoch). */
   case class Event(userId: Long, tsMicros: Long, eventType: String, value: Double)
   case class SessionOut(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)

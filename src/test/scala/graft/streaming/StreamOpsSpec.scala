@@ -722,6 +722,66 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.exists(p => p._1 == 3L && p._2 == 4L && p._5 == 1L))
   }
 
+  test("pairDeltaStream on the RocksDB state store: merge == batch holds") {
+    // r10 verdict #5: the production TTL/pair maintenance holds
+    // shingle-domain state — executor-heap-hostile at 100 TB under the
+    // default HDFS-backed (on-heap) provider. The knob must actually
+    // take effect per-query AND preserve the retraction/merge semantics
+    // bit-for-bit: same scenario as the default-provider spec above
+    // (saturation wave included), run under RocksDB, compared to batch
+    // pairCounts, with the engine's own rocksdb metrics proving the
+    // provider was really in use.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def txt(i: Int, span: String) = s"alpha beta gamma u$i v$i $span"
+    val docs = Map(
+      1L -> txt(1, "delta eps zeta"), 2L -> txt(2, "delta eps zeta"),
+      3L -> txt(3, "eta theta iota"), 4L -> txt(4, "eta theta iota"),
+      5L -> txt(5, "solo five tail"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.withStateStoreProvider(
+        spark, StreamOps.RocksDbStateStoreProvider) {
+      StreamOps.pairDeltaStream(
+          in.toDF().toDF("doc_id", "text"), maxDf = 3)
+        .writeStream.format("memory").queryName("pairdelta_rocks")
+        .outputMode("append").start()
+    }
+    in.addData((1L, docs(1L)), (2L, docs(2L)))
+    q.processAllAvailable()
+    in.addData((3L, docs(3L)))
+    q.processAllAvailable()
+    in.addData((4L, docs(4L)), (5L, docs(5L)))
+    q.processAllAvailable()
+    // the provider snapshot rides the query, not the (restored) session
+    // conf — the state operator's custom metrics are rocksdb-prefixed
+    // exactly when RocksDB is the store
+    val metrics = q.lastProgress.stateOperators(0).customMetrics
+    assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+      s"query did not run on RocksDB; metrics: ${metrics.keySet()}")
+    // conf.getOption reports the key's DEFAULT when unset, so "restored"
+    // means "no longer RocksDB", not "empty"
+    assert(!spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass").contains("RocksDB"),
+      "withStateStoreProvider must restore the session conf")
+    val deltas = spark.table("pairdelta_rocks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    q.stop()
+    assert(deltas.exists(_._5 == -1L), "retraction path never fired")
+    val merged = deltas
+      .groupBy(d => (d._1, d._2, d._3, d._4))
+      .map { case (k, ds) => (k._1, k._2, k._3, k._4, ds.map(_._5).sum) }
+      .filter(_._5 > 0).toSet
+    val dir = tmp("graft_pairstream_rocks")
+    docs.toSeq.toDF("doc_id", "text").repartition(2)
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.DedupOps.pairCounts(spark, dir, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(merged == batch,
+      s"RocksDB stream-merged ${merged.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+  }
+
   test("pairDeltaStreamTtl: expiry loses ONLY cross-horizon pairs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
