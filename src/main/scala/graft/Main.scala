@@ -75,14 +75,50 @@ object Main {
     run(spark, cfg, stdout, simple)
   }
 
+  /** O14 — the Spark stand-in for the reference's progress BAR
+    * (src/logger.rs:7-57: indicatif renders `{pos}/{len}` from `inc(1)`
+    * per row, src/builder.rs:90): a listener summing the write tasks'
+    * output-row metrics to stderr as `pos/total rows`. Task-end grain,
+    * not per-row — executors report metrics at task completion; a
+    * literal per-row callback would serialize the job through the
+    * driver. The reference's own `--simple` mode makes `inc` a no-op,
+    * so this strictly adds observability over flag parity. */
+  private[graft] class RowProgressListener(total: Long)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    def count: Long = rows.get
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val n = Option(e.taskMetrics)
+        .map(_.outputMetrics.recordsWritten).getOrElse(0L)
+      if (n > 0) System.err.println(s"${rows.addAndGet(n)}/$total rows")
+    }
+  }
+
   private def run(spark: SparkSession, cfg: ZipToParquetConfig,
       stdout: Boolean, simple: Boolean): Unit = {
     // O8/O14 parity: the reference totals the entry count before extracting
     // (src/builder.rs:24-45) — under --simple print it as a plain log line.
     // stderr, because --stdout streams parquet bytes on stdout.
-    if (simple) System.err.println(s"${ZipExtract.countEntries(spark, cfg)} files")
-    if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
-    else ZipExtract.run(spark, cfg)
+    if (!simple) {
+      if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
+      else ZipExtract.run(spark, cfg)
+      return
+    }
+    val total = ZipExtract.countEntries(spark, cfg)
+    System.err.println(s"$total files")
+    val progress = new RowProgressListener(total)
+    spark.sparkContext.addSparkListener(progress)
+    try {
+      if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
+      else ZipExtract.run(spark, cfg)
+      // the listener bus is async: wait (bounded) for the final write
+      // task's metrics to drain so the last `total/total rows` line is
+      // printed before the listener detaches
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (progress.count < total && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    } finally spark.sparkContext.removeSparkListener(progress)
   }
 
   def main(argv: Array[String]): Unit = {

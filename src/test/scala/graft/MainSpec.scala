@@ -98,6 +98,10 @@ class MainSpec extends SparkSpec {
     }
     assert(err.toString.contains("2 files"), s"stderr was: ${err.toString.take(200)}")
     assert(spark.read.parquet(out).count() == 2)
+    // O14 row progress (r10 verdict #7): the listener-driven stand-in for
+    // the reference bar's {pos}/{len} — the final count line must appear
+    assert(err.toString.contains("2/2 rows"),
+      s"row progress line missing; stderr was: ${err.toString.take(400)}")
   }
 
   test("glob flag filters entries end-to-end") {
