@@ -1918,9 +1918,10 @@ object DedupOps {
     // optimizer courtesy, not a guarantee)
     val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
+    // used once, in the final labeling join, off the checkpointed pairs —
+    // no checkpoint of its own
     val nodes = pairs.select(col("a_id").as("node"))
       .union(pairs.select(col("b_id").as("node"))).distinct()
-      .localCheckpoint()
     // Working edge set. Invariant after the first small-star: src > dst
     // (every emitted edge points a node at a smaller one); the raw input
     // needs no orientation because large-star symmetrizes internally.
@@ -1941,29 +1942,42 @@ object DedupOps {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var prev = checksum(edges)
+    // sentinel start (count −1 matches no real edge set): the first
+    // round always runs, and the initial edge set needs no checksum job
+    var prev = (-1L, 0L, 0L)
     var converged = false
     var iter = 0
     val maxIter = 50 // log-round algorithm: 2^50 nodes of headroom
+    // Each star pass is ONE window-min over the node key — a per-node
+    // constant broadcast to the node's rows without a groupBy+join pair,
+    // so a full (large-star, small-star, dedup) round costs three
+    // node-key shuffles and one checkpoint, the same per-round price as
+    // plain label propagation. The window partitions by node id with a
+    // whole-partition frame: per-partition data is one node's
+    // neighborhood (WindowExec spills past a few thousand rows, so even
+    // a degree-hub node is safe, just slower).
+    val byNode = org.apache.spark.sql.expressions.Window.partitionBy("src")
     while (!converged && iter < maxIter) {
       // large-star: every node u computes m = min(Γ(u) ∪ {u}) over the
       // SYMMETRIZED neighborhood and re-points its LARGER neighbors at m
       // — long chains halve because far nodes skip to the local minimum
-      val sym = edges.union(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-      val lsMin = sym.groupBy("src")
-        .agg(least(min(col("dst")), col("src")).as("m"))
-      val ls = sym.join(lsMin, "src").where(col("dst") > col("src"))
+      val ls = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src"), col("dst"),
+          least(min(col("dst")).over(byNode), col("src")).as("m"))
+        .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct().localCheckpoint()
       // small-star: on the (src > dst)-oriented result, each node u takes
-      // m = min of its smaller neighbors and points them AND itself at m
-      val ssMin = ls.groupBy("src").agg(min(col("dst")).as("m"))
-      val ss = ls.join(ssMin, "src")
-        .where(col("dst") =!= col("m"))
-        .select(col("dst").as("node"), col("m"))
-        .union(ssMin.select(col("src").as("node"), col("m")))
-        .select(col("node").as("src"), col("m").as("dst"))
+      // m = min of its smaller neighbors and points them AND itself at m;
+      // the final distinct collapses the duplicate emissions of both
+      // passes at once
+      val ss = ls
+        .select(col("src"), col("dst"), min(col("dst")).over(byNode).as("m"))
+        .select(
+          when(col("dst") =!= col("m"), col("dst")).otherwise(col("src"))
+            .as("src"),
+          col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
         .distinct().localCheckpoint()
       val cur = checksum(ss)
       converged = cur == prev
