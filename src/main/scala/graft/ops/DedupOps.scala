@@ -2013,6 +2013,37 @@ object DedupOps {
   def clusterStats(s: SparkSession, d: String): DataFrame =
     clusterStatsFrom(dedupClusters(s, d))
 
+  /** SoftDeDup sampling weights: every document keeps a training-sampling
+    * weight of 1/|its near-dup cluster| instead of being dropped — the
+    * soft alternative to keep-one-per-cluster for the regime where
+    * duplicates carry signal (natural popularity, canonical boilerplate)
+    * but must not dominate the gradient by sheer multiplicity. A
+    * 5-member template farm contributes total mass 1 (5 × ⅕), exactly
+    * what a deduped corpus would; singletons (no near-dup edge) weigh 1.
+    * The weight column feeds the sampler directly; Σ weight = the
+    * effective deduplicated corpus size.
+    *
+    * Plan/scale: rides the shared [[dedupClusters]] components — one
+    * uniform doc-key LEFT join of the pair-graph-sized cluster relation
+    * onto the corpus (absent → the doc is its own cluster), then one
+    * cluster-key window count. The weight is ONE double division of
+    * exact BIGINTs, bit-identical cross-engine. At 100 TB nothing here
+    * is new: the join is doc-key uniform and the window partitions are
+    * cluster-sized (the DF cap bounds how large a component's edge list
+    * can get; a pathological mega-cluster degrades to a WindowExec
+    * spill, never a wrong answer). */
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d).select(col("doc_id"))
+      .join(dedupClusters(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    keyed.withColumn("csize", count(lit(1)).over(wc))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        (lit(1.0) / col("csize").cast("double")).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Histogram over any (doc_id, cluster_id) labeling — the production
     * consumer form (works unchanged on [[minhashClusters]] /
     * [[embeddingClusters]] output). */
@@ -2082,6 +2113,7 @@ object DedupOps {
     "d_fuzzy_dedup" -> fuzzyDedup,
     "d_cross_source_clusters" -> crossSourceClusters,
     "d_cluster_stats" -> clusterStats,
+    "d_soft_dedup" -> softDedup,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
     "t_data_split_cluster" -> dataSplitCluster,
@@ -2718,6 +2750,19 @@ object DedupOps {
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
       ${ccClosureCtes("p")}
       ${ccClusterSql("doc_id")}""",
+    "d_soft_dedup" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ${ccClosureCtes("p")},
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+      k AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM k GROUP BY 1)
+      SELECT k.doc_id, k.cluster_id, sz.csize,
+             CAST(1 AS DOUBLE) / CAST(sz.csize AS DOUBLE) AS weight
+      FROM k JOIN sz USING (cluster_id) ORDER BY k.doc_id""",
     "d_fuzzy_pairs" -> s"""
       WITH $JaccardCappedCtes,
       $FuzzyScoreCtes

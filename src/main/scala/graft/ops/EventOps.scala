@@ -877,14 +877,20 @@ object EventOps {
     * the day grid; a feed that ships them should fail `v_constraints`,
     * not skew a changepoint ledger); spans beyond [[CusumMaxSpanDays]]
     * raise rather than densify. */
-  private[ops] def cusumFrom(ev: DataFrame): DataFrame = {
-    val wAll = Window.partitionBy("event_type")
-    val wPre = Window.partitionBy("event_type").orderBy("day")
-    // checkpointed: the span agg AND the grid join both read this
-    // catalog × days relation — without the checkpoint each branch
-    // re-derives it from its own pruned lineage, i.e. TWO full scans
-    // of the data-sized input (exchange reuse doesn't apply because
-    // column pruning makes the branches structurally different)
+  /** Shared device: per-type daily volumes DENSIFIED over each type's
+    * calendar span (zero-volume days as real rows), with the
+    * [[CusumMaxSpanDays]] corrupt-timestamp guard raising the same
+    * `tag`-prefixed message both engines emit ([[denseDailyCtes]] is the
+    * oracle-side twin — ONE definition per side, shared by every
+    * daily-series consumer so the grids cannot drift). Null timestamps
+    * are excluded EXPLICITLY (no calendar position; a feed shipping them
+    * should fail `v_constraints`, not skew a daily series).
+    * Checkpointed: the span agg AND the grid join both read the
+    * catalog × days relation — without the checkpoint each branch
+    * re-derives it from its own pruned lineage, i.e. TWO full scans
+    * of the data-sized input (exchange reuse doesn't apply because
+    * column pruning makes the branches structurally different). */
+  private[ops] def denseDailyFrom(ev: DataFrame, tag: String): DataFrame = {
     val daily = ev
       .filter(col("ts").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -894,13 +900,42 @@ object EventOps {
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),
         explode(expr(s"""CASE WHEN datediff(d1, d0) > $CusumMaxSpanDays
-          THEN raise_error(concat('e_cusum: calendar span ',
+          THEN raise_error(concat('$tag: calendar span ',
             CAST(datediff(d1, d0) AS STRING),
             ' days exceeds $CusumMaxSpanDays — corrupt timestamp?'))
           ELSE sequence(d0, d1, interval 1 day) END""")).as("day"))
     grid.join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Oracle-side twin of [[denseDailyFrom]]: the `daily`/`grid`/`dense`
+    * CTE chain with the same guard message. Splice as
+    * `WITH ${denseDailyCtes("e_x")}, ...`. */
+  private[ops] def denseDailyCtes(tag: String): String = s"""
+      daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*)::BIGINT AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type,
+               unnest(CASE
+                 WHEN date_diff('day', min(day), max(day)) > $CusumMaxSpanDays
+                 THEN error('$tag: calendar span ' ||
+                   date_diff('day', min(day), max(day))::VARCHAR ||
+                   ' days exceeds $CusumMaxSpanDays — corrupt timestamp?')
+                 ELSE generate_series(min(day), max(day), INTERVAL 1 DAY)
+               END)::DATE AS day
+        FROM daily GROUP BY 1),
+      dense AS (
+        SELECT g.event_type, g.day, coalesce(daily.n, 0::BIGINT) AS n
+        FROM grid g LEFT JOIN daily
+          ON g.event_type = daily.event_type AND g.day = daily.day)"""
+
+  private[ops] def cusumFrom(ev: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wPre = Window.partitionBy("event_type").orderBy("day")
+    denseDailyFrom(ev, "e_cusum")
       .withColumn("dcnt", count(lit(1)).over(wAll))
       .withColumn("tot", sum(col("n")).over(wAll))
       .withColumn("p", sum(col("dcnt") * col("n") - col("tot")).over(wPre))
@@ -914,6 +949,120 @@ object EventOps {
         (col("p") - col("pmin") > lit(CusumH) * col("tot")).as("shift_up"),
         (col("pmax") - col("p") > lit(CusumH) * col("tot")).as("shift_down"))
       .orderBy("event_type", "day")
+  }
+
+  /** Deepest ACF lag [[qAutocorr]] reports (a week of daily grain —
+    * enough to read both day-over-day persistence and the weekly
+    * seasonal echo at lag 7). */
+  private val AutocorrMaxLag = 7
+
+  /** Daily-volume autocorrelation function per event type, lags
+    * 1..[[AutocorrMaxLag]] — the seasonality detector that tells a
+    * baseline model ([[qEwma]] vs [[qHolt]] vs [[qSeasonal]]'s
+    * hour-of-day slots) what structure the series actually has: high
+    * r₁ means momentum (EWMA-friendly), a lag-7 spike means weekly
+    * seasonality (the same-weekday baseline is the right comparator),
+    * all-near-zero means white noise (alerting on level is futile).
+    * Computed over the [[denseDailyFrom]] densified grid — a dead-feed
+    * gap is REAL zero-volume days, which is exactly the autocorrelation
+    * a monitor must see, and the same corrupt-timestamp span guard
+    * applies.
+    *
+    * Oracle-exactness device: centering by the rational mean S/D is
+    * cleared by scaling residuals to r_d = D·n_d − S (the [[qCusum]]
+    * ledger), so every product and both sums are exact BIGINT and
+    * acf_k = Σ r_d·r_{d−k} / Σ r_d² is ONE division of exact integers
+    * (int64→double conversion and IEEE division are bit-identical
+    * cross-engine even past 2⁵³, the e_gini precedent). Envelope:
+    * exact while 4·D³·max_n² < 2⁶³ — enforced IN-PLAN with the same
+    * both-engines-raise discipline as `e_gini` (a double-arithmetic
+    * guard with a 2⁶¹ margin, so the check itself cannot overflow); at
+    * the 3650-day span ceiling that admits ~6.8k events/day/type, and
+    * a tighter span buys quadratic headroom. A type with fewer than
+    * k+1 observed days reports acf NULL at lag k (sum over an empty
+    * product set) in both engines; a constant series (den = 0) reads
+    * NULL in both — DuckDB defines x/0 over doubles as NULL (not NaN),
+    * and Spark-side `try_divide` mirrors that exactly (ANSI `/` would
+    * instead raise DIVIDE_BY_ZERO; den = 0 forces num ∈ {0, NULL}, so
+    * no information is lost).
+    *
+    * Plan/scale: the [[qCusum]] shape — one scan → (type, day) partial
+    * agg → catalog-sized span explode + one uniform (type, day) join →
+    * one type-key window pass carrying all 7 lags → a catalog×7-sized
+    * melt + agg. Nothing data-sized past the first agg. */
+  def qAutocorr(s: SparkSession, d: String): DataFrame =
+    autocorrFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** Weekday-vs-weekend volume lift per event type — the calendar-bias
+    * readout a training-data snapshot ships with: a type whose weekend
+    * volume runs at 2× (or ⅕×) its weekday rate will be over/under-
+    * represented in any time-boxed crawl, and the sampler needs the
+    * ratio to correct for it. Computed over the [[denseDailyFrom]]
+    * densified grid (a dead weekend is REAL zero-volume days — exactly
+    * what the ratio must see), weekend = ISO day-of-week ≥ 6 (Spark's
+    * `weekday()+1` == DuckDB's `isodow`, both Monday=1). The lift is
+    * (weekend mean)/(weekday mean) = we_n·wd_days / (wd_n·we_days) —
+    * cross-multiplied so it is ONE division of exact BIGINT products;
+    * a type with zero weekday volume reads NULL lift in both engines
+    * (try_divide == DuckDB's x/0).
+    *
+    * Plan/scale: the [[qCusum]] shape — one scan → (type, day) partial
+    * agg → catalog-sized densify → ONE catalog-sized conditional agg.
+    * Nothing data-sized past the first agg. */
+  def qWeekdayLift(s: SparkSession, d: String): DataFrame =
+    denseDailyFrom(events(s, d).select(col("event_type"), col("ts")),
+        "e_weekday_lift")
+      .withColumn("is_we", expr("weekday(day) + 1 >= 6"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(!col("is_we"), 1L).otherwise(0L)).as("weekday_days"),
+        sum(when(!col("is_we"), col("n")).otherwise(0L)).as("weekday_n"),
+        sum(when(col("is_we"), 1L).otherwise(0L)).as("weekend_days"),
+        sum(when(col("is_we"), col("n")).otherwise(0L)).as("weekend_n"))
+      .withColumn("weekend_lift", expr(
+        """try_divide(CAST(weekend_n * weekday_days AS DOUBLE),
+                      CAST(weekday_n * weekend_days AS DOUBLE))"""))
+      .orderBy("event_type")
+
+  /** [[qAutocorr]] over a caller-supplied (event_type, ts) relation —
+    * the testable core (the gate feed has no deep gaps or overflow
+    * regimes, so those paths are proven on constructed series). */
+  private[ops] def autocorrFrom(ev: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val base = denseDailyFrom(ev, "e_autocorr")
+      .withColumn("dcnt", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("maxn", max(col("n")).over(wAll))
+      // envelope guard BEFORE any product: double arithmetic with a 2^61
+      // margin so the guard itself cannot wrap; identical verdict and
+      // message in both engines
+      .withColumn("r", expr(s"""CASE WHEN
+          4.0D * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE)
+            * CAST(dcnt AS DOUBLE) * CAST(dcnt AS DOUBLE)
+            * CAST(dcnt AS DOUBLE) > POW(2.0D, 61.0D)
+        THEN raise_error('e_autocorr: residual ledger exceeds BIGINT envelope (4*D^3*max_n^2 > 2^61) — shorten the span or shard the type')
+        ELSE dcnt * n - tot END"""))
+    val lagged = (1 to AutocorrMaxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("r"), k).over(wOrd))
+    }
+    val stackExpr = (1 to AutocorrMaxLag)
+      .map(k => s"$k, r * l$k").mkString(s"stack($AutocorrMaxLag, ", ", ", ")")
+    val nums = lagged
+      .select(col("event_type"), expr(s"$stackExpr AS (lag, prod)"))
+      .groupBy("event_type", "lag")
+      .agg(sum(col("prod")).as("num"))
+    val stats = base.groupBy("event_type")
+      .agg(sum(col("r") * col("r")).as("den"), count(lit(1)).as("n_days"))
+    nums.join(broadcast(stats), "event_type")
+      // try_divide, not `/`: ANSI-mode Divide raises DIVIDE_BY_ZERO even
+      // for doubles, while DuckDB defines x/0 as NULL — try_divide is the
+      // Spark spelling of DuckDB's native semantics (den = 0 can only
+      // pair with num ∈ {0, NULL}, so NULL is the whole zero-den story)
+      .select(col("event_type"), col("lag"), col("n_days"),
+        expr("try_divide(CAST(num AS DOUBLE), CAST(den AS DOUBLE))")
+          .as("acf"))
+      .orderBy("event_type", "lag")
   }
 
   /** Trailing window width (days) for [[qHolt]]. Coefficients grow as
@@ -1436,6 +1585,8 @@ object EventOps {
     "e_markov_removal" -> qMarkovRemoval,
     "e_ewma" -> qEwma,
     "e_cusum" -> qCusum,
+    "e_autocorr" -> qAutocorr,
+    "e_weekday_lift" -> qWeekdayLift,
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
@@ -1662,24 +1813,7 @@ object EventOps {
       SELECT day, n_buckets, ${DedupOps.HllEstSql} AS hll_estimate
       FROM agg ORDER BY day""",
     "e_cusum" -> s"""
-      WITH daily AS (
-        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-               count(*)::BIGINT AS n
-        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-      grid AS (
-        SELECT event_type,
-               unnest(CASE
-                 WHEN date_diff('day', min(day), max(day)) > $CusumMaxSpanDays
-                 THEN error('e_cusum: calendar span ' ||
-                   date_diff('day', min(day), max(day))::VARCHAR ||
-                   ' days exceeds $CusumMaxSpanDays — corrupt timestamp?')
-                 ELSE generate_series(min(day), max(day), INTERVAL 1 DAY)
-               END)::DATE AS day
-        FROM daily GROUP BY 1),
-      dense AS (
-        SELECT g.event_type, g.day, coalesce(daily.n, 0::BIGINT) AS n
-        FROM grid g LEFT JOIN daily
-          ON g.event_type = daily.event_type AND g.day = daily.day),
+      WITH ${denseDailyCtes("e_cusum")},
       t AS (
         SELECT event_type, day, n,
                count(*) OVER (PARTITION BY event_type)::BIGINT AS dcnt,
@@ -1703,6 +1837,51 @@ object EventOps {
              (pp - pmin) > $CusumH * tot AS shift_up,
              (pmax - pp) > $CusumH * tot AS shift_down
       FROM m ORDER BY event_type, day""",
+    "e_weekday_lift" -> s"""
+      WITH ${denseDailyCtes("e_weekday_lift")},
+      a AS (
+        SELECT event_type,
+               sum(CASE WHEN isodow(day) >= 6 THEN 0 ELSE 1 END)::BIGINT AS weekday_days,
+               sum(CASE WHEN isodow(day) >= 6 THEN 0 ELSE n END)::BIGINT AS weekday_n,
+               sum(CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END)::BIGINT AS weekend_days,
+               sum(CASE WHEN isodow(day) >= 6 THEN n ELSE 0 END)::BIGINT AS weekend_n
+        FROM dense GROUP BY 1)
+      SELECT event_type, weekday_days, weekday_n, weekend_days, weekend_n,
+             CAST(weekend_n * weekday_days AS DOUBLE) /
+               CAST(weekday_n * weekend_days AS DOUBLE) AS weekend_lift
+      FROM a ORDER BY event_type""",
+    "e_autocorr" -> s"""
+      WITH ${denseDailyCtes("e_autocorr")},
+      b AS (
+        SELECT event_type, day, n,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS dcnt,
+               sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot,
+               max(n) OVER (PARTITION BY event_type)::BIGINT AS maxn
+        FROM dense),
+      res AS (
+        SELECT event_type, day, dcnt,
+               CASE WHEN 4.0 * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE)
+                      * CAST(dcnt AS DOUBLE) * CAST(dcnt AS DOUBLE)
+                      * CAST(dcnt AS DOUBLE) > pow(2.0, 61.0)
+                 THEN error('e_autocorr: residual ledger exceeds BIGINT envelope (4*D^3*max_n^2 > 2^61) — shorten the span or shard the type')
+                 ELSE dcnt * n - tot END AS r
+        FROM b),
+      l AS (
+        SELECT event_type, r,
+               ${(1 to AutocorrMaxLag)
+                 .map(k => s"lag(r, $k) OVER w AS l$k").mkString(", ")}
+        FROM res WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      nums AS (
+        ${(1 to AutocorrMaxLag).map(k =>
+          s"SELECT event_type, $k AS lag, sum(r * l$k) AS num FROM l GROUP BY 1")
+          .mkString("\n        UNION ALL ")}),
+      stats AS (
+        SELECT event_type, sum(r * r) AS den, count(*)::BIGINT AS n_days
+        FROM l GROUP BY 1)
+      SELECT nums.event_type, nums.lag, stats.n_days,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+      FROM nums JOIN stats USING (event_type)
+      ORDER BY event_type, lag""",
     "e_ewma" -> s"""
       WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

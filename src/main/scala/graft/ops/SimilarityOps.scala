@@ -163,6 +163,71 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Prefix dimensions the Matryoshka audit prices, against the full
+    * [[Dim]]-dim exact ordering. */
+  private val MrlPrefixes = Seq(8, 16, 32)
+
+  /** Matryoshka (prefix-dimension) recall audit: brute-force cosine
+    * top-5 using only the FIRST p dims (p ∈ {8, 16, 32}) scored against
+    * the full-64-dim exact top-5 — recall@5 macro-averaged per prefix.
+    * This is the dial an MRL-trained embedding fleet reads before
+    * serving truncated vectors: a 16-dim prefix at recall ≈ 1 means 4×
+    * less index memory and bandwidth for free; a cliff between 16 and
+    * 32 says where the information actually lives. (For non-MRL
+    * embeddings the curve is the evidence AGAINST truncating.)
+    *
+    * Plan/scale: ONE broadcast-query pass computes all prefix cosines
+    * in a single projection (the p-dim dot is a `slice` fed to the
+    * same codegen'd sequential-fold `vec_dot`, so each engine folds
+    * left-to-right over the identical prefix — bit-identical doubles);
+    * a 4-way melt then ONE (q_id, dim)-key window ranks every tier,
+    * and the hit join runs on top-5-sized relations. Like
+    * [[annRecall]], a measurement query: run over a query sample, not
+    * the corpus. try_divide: a theoretical all-zero prefix yields NULL
+    * cosine in both engines (DuckDB defines x/0 as NULL) instead of an
+    * ANSI error. */
+  def mrlRecall(s: SparkSession, d: String): DataFrame =
+    mrlRecallFrom(embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** [[mrlRecall]] over a caller-supplied (vec_id, embedding) relation —
+    * the testable core (the gate corpus is random noise where prefix
+    * recall is legitimately low; the recall==1 contract when the tail
+    * dims carry nothing is proven on a constructed set). */
+  private[ops] def mrlRecallFrom(v: DataFrame): DataFrame = {
+    val dims = MrlPrefixes :+ Dim
+    val q = v.filter(col("vec_id") < 5)
+    val cosCols = dims.map { p =>
+      expr(s"""try_divide(
+        ${Vec.dot(s"slice(`q`.embedding, 1, $p)", s"slice(`c`.embedding, 1, $p)")},
+        sqrt(${Vec.normSq(s"slice(`q`.embedding, 1, $p)")}) *
+        sqrt(${Vec.normSq(s"slice(`c`.embedding, 1, $p)")}))""").as(s"cos$p")
+    }
+    val joined = broadcast(q.as("q"))
+      .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id") +: col("c.vec_id").as("vec_id") +:
+        cosCols: _*)
+    val stackE = dims.map(p => s"$p, cos$p")
+      .mkString(s"stack(${dims.size}, ", ", ", ")")
+    val w = Window.partitionBy("q_id", "dim")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = joined
+      .select(col("q_id"), col("vec_id"), expr(s"$stackE AS (dim, cosine)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val exact = top.filter(col("dim") === Dim).select(col("q_id"), col("vec_id"))
+    val approx = top.filter(col("dim") =!= Dim)
+      .select(col("dim"), col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("n_hit"))
+    approx.groupBy("dim").agg(countDistinct(col("q_id")).as("n_q"))
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"), col("n_q"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          (col("n_q") * 5).cast("double")).as("recall_at5"))
+      .orderBy("dim")
+  }
+
   /** Recall CURVE of the LSH tier: recall@k for k ∈ {1, 3, 5}, macro-
     * aggregated across queries — [[annRecall]]'s single dial reading
     * extended to the shape every ANN evaluation actually plots (high
@@ -721,6 +786,35 @@ object SimilarityOps {
       .select(col("q_id"), col("rank"), col("cell"), col("vec_id"),
         col("adc_dist"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Recall@5 of the composed IVF-PQ read path ([[ivfPqTopk]]) against
+    * the brute-force exact top-5 — the measurement that completes the
+    * ANN quality ladder: [[annRecall]]/[[recallCurve]]/[[ndcg]] price the
+    * LSH tier, but the PRODUCTION index layout is IVF-PQ, and its recall
+    * folds BOTH loss sources (cell-probe misses AND 4-bit code
+    * quantization error) into the one number a deployment actually
+    * gates on. Read beside [[annRecall]]: IVF-PQ ≪ LSH recall at equal
+    * k means the codes are too coarse (raise M/bits); both low means the
+    * probe count is the bottleneck.
+    *
+    * Plan/scale: [[annRecall]]'s exact shape over the two existing
+    * tiers — each broadcast-query-shaped, the corpus never shuffles;
+    * the hit join runs on top-5-sized relations. A measurement query:
+    * run over a query sample, its brute-force arm is the cost the index
+    * exists to avoid. */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopk(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfPqTopk(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit / n_exact").as("recall"))
+      .orderBy("q_id")
   }
 
   private val KmK = 4      // clusters
@@ -1305,6 +1399,135 @@ object SimilarityOps {
       .select(col("label"), col("n_vecs"), col("mean_cos"), col("diversity"))
       .orderBy("label")
 
+  /** Embedding-space outlier audit: the 20 vectors pointing FURTHEST from
+    * the corpus centroid direction (lowest cosine to the mean of the
+    * unit-normalized corpus) — the noise filter every embedding-based
+    * curation pass runs first: encoding failures, empty-input vectors and
+    * off-manifold junk land in this tail, and removing them before
+    * kmeans/IVF training stops them from claiming centroids. Reported
+    * with labels so a SYSTEMATICALLY outlying label (a broken encoder
+    * shard) is visible at a glance.
+    *
+    * Determinism device ([[diversity]]'s quantization): unit vectors are
+    * floor-quantized to [[DivS]] micro-units, so the per-dim centroid
+    * sums are exact BIGINTs (headroom: 10⁶-unit coords × n vectors —
+    * int64 holds past 10¹² vectors); the per-row dot and norms then run
+    * through the same sequential double fold on both engines
+    * (vec_dot / list_reduce), so every cosine is bit-identical and the
+    * top-20 cut is stable. try_divide: a zero centroid (pathological
+    * perfectly-balanced corpus) yields NULL cosines, filtered
+    * identically in both engines rather than ANSI-raising.
+    *
+    * Plan/scale: one quantize+posexplode pass → Dim-sized per-dim agg →
+    * a 1-row array broadcast cross-joined onto the corpus → one narrow
+    * codegen'd scoring pass → TakeOrdered top-20 (no single-partition
+    * sort). Two corpus scans total, nothing data-sized shuffles. */
+  def centroidOutliers(s: SparkSession, d: String): DataFrame =
+    centroidOutliersFrom(embeddings(s, d))
+
+  /** [[centroidOutliers]] over a caller-supplied (vec_id, label,
+    * embedding) relation — the testable core (a constructed corpus with
+    * a known anti-centroid vector pins the ranking). */
+  private[ops] def centroidOutliersFrom(emb: DataFrame): DataFrame = {
+    val v = emb
+      .withColumn("nsq", expr(Vec.normSq("embedding")))
+      .filter(col("nsq") > 0)
+      .withColumn("q", expr(
+        s"""transform(embedding,
+              x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT))"""))
+    val c = v.select(posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy("pos").agg(sum(col("qv")).as("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), z -> z.s)")
+        .as("cvec"))
+    v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("label"),
+        expr(s"""try_divide(${Vec.dot("q", "cvec")},
+          sqrt(${Vec.normSq("q")}) * sqrt(${Vec.normSq("cvec")}))""")
+          .as("cos_centroid"))
+      .filter(col("cos_centroid").isNotNull)
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** The s_ivfpq_topk oracle, factored so [[pqRecall]]'s oracle can wrap
+    * the identical index-read path as a subquery (one definition per
+    * side — the `denseDailyCtes` discipline). */
+  private lazy val IvfPqTopkOracle: String = {
+    val scoreCols = (0 until NumCells)
+      .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+    val caseSql = (0 until NumCells - 1).map { j =>
+      val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+    val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
+    // same fixed left-assoc term order as adcSumExpr
+    val adcTerms = (0 until PqM)
+      .map(m => s"max(CASE WHEN qd.m = $m THEN qd.dist END)")
+      .mkString("\n                + ")
+    s"""
+      WITH $pqBaseCtes,
+      xc AS (SELECT vec_id, m, j AS code FROM r WHERE rn = 1),
+      scored AS (SELECT vec_id, embedding,
+               $scoreCols
+             FROM embeddings),
+      assigned AS (SELECT vec_id, ($caseSql)::BIGINT AS cell FROM scored),
+      probes0 AS (SELECT vec_id AS q_id, j AS probe_cell,
+                    ($sList)[j + 1] AS score
+                  FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
+                  WHERE vec_id < 5),
+      probes AS (SELECT q_id, probe_cell::BIGINT AS cell FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, probe_cell) AS pr
+                   FROM probes0)
+                 WHERE pr <= $NProbe),
+      qd AS (SELECT vec_id q_id, m, j, dist FROM d WHERE vec_id < 5),
+      adc AS (SELECT p.q_id, a.cell, xc.vec_id,
+                $adcTerms AS adc_dist
+              FROM probes p JOIN assigned a ON p.cell = a.cell
+              JOIN xc ON xc.vec_id = a.vec_id
+              JOIN qd ON qd.q_id = p.q_id AND qd.m = xc.m AND qd.j = xc.code
+              WHERE p.q_id <> a.vec_id
+              GROUP BY 1, 2, 3),
+      rk AS (SELECT q_id, cell, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, vec_id) AS rank
+             FROM adc)
+      SELECT q_id, rank::INT AS rank, cell, vec_id, adc_dist
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  private val CentroidOutliersOracle: String = s"""
+      WITH v AS (
+        SELECT vec_id, label, embedding,
+          list_reduce(list_prepend(0::DOUBLE,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (acc, x) -> acc + x) AS nsq
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT)) AS q
+        FROM v WHERE nsq > 0),
+      e AS (SELECT i AS pos, q[i] AS qv
+            FROM (SELECT q, unnest(generate_series(1, len(q))) AS i FROM q) z),
+      c AS (SELECT list(s ORDER BY pos) AS cvec
+            FROM (SELECT pos, sum(qv)::BIGINT AS s FROM e GROUP BY 1) g),
+      sc AS (
+        SELECT vec_id, label,
+          list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(q.q, c.cvec),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (a, x) -> a + x) /
+          (sqrt(list_reduce(list_prepend(0::DOUBLE,
+             list_transform(q.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, x) -> a + x)) *
+           sqrt(list_reduce(list_prepend(0::DOUBLE,
+             list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, x) -> a + x))) AS cos_centroid
+        FROM q, c)
+      SELECT vec_id, label, cos_centroid FROM sc
+      WHERE cos_centroid IS NOT NULL
+      ORDER BY cos_centroid ASC, vec_id LIMIT 20"""
+
   private val DiversityOracle: String = s"""
       WITH v AS (
         SELECT label,
@@ -1337,6 +1560,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_diversity" -> diversity,
+    "s_centroid_outliers" -> centroidOutliers,
     "s_power_iter" -> powerIter,
     "s_centroid_drift" -> centroidDrift,
     "s_range_search" -> rangeSearch,
@@ -1349,17 +1573,20 @@ object SimilarityOps {
     "s_silhouette" -> silhouette,
     "s_purity" -> clusterPurity,
     "s_ann_recall" -> annRecall,
+    "s_mrl_recall" -> mrlRecall,
     "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,
     "s_pq_adc" -> pqAdc,
     "s_pq_recon" -> pqRecon,
     "s_ivfpq_topk" -> ivfPqTopk,
+    "s_pq_recall" -> pqRecall,
     "s_mmr" -> mmrSelect,
     "s_cell_balance" -> cellBalance)
 
   val oracles: Map[String, String] = Map(
     "s_diversity" -> DiversityOracle,
+    "s_centroid_outliers" -> CentroidOutliersOracle,
     "s_power_iter" -> powerIterOracle,
     "s_centroid_drift" -> centroidDriftOracle,
     "s_ann_multiprobe" -> annMultiprobeOracle,
@@ -1437,6 +1664,48 @@ object SimilarityOps {
             FROM j GROUP BY 1)
       SELECT q_id, n_hit, dcg_fp, idcg_fp, dcg_fp / idcg_fp AS ndcg
       FROM g ORDER BY q_id""",
+    "s_mrl_recall" -> {
+      // per-prefix cosine over q/c aliases: the list is sliced FIRST, so
+      // the sequential fold runs over exactly the prefix both engines see
+      def cosP(p: Int): String = s"""
+        list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(q.embedding[1:$p], c.embedding[1:$p]),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (a, x) -> a + x) /
+        (sqrt(list_reduce(list_prepend(0::DOUBLE,
+           list_transform(q.embedding[1:$p], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, x) -> a + x)) *
+         sqrt(list_reduce(list_prepend(0::DOUBLE,
+           list_transform(c.embedding[1:$p], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, x) -> a + x)))"""
+      val dims = MrlPrefixes :+ Dim
+      val j = dims.map(p => s"${cosP(p)} AS cos$p").mkString(",\n             ")
+      val melt = dims.map(p =>
+        s"SELECT q_id, vec_id, $p AS dim, cos$p AS cosine FROM j")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH j AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             $j
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      s AS ($melt),
+      top AS (
+        SELECT q_id, vec_id, dim FROM (
+          SELECT q_id, vec_id, dim,
+                 row_number() OVER (PARTITION BY q_id, dim
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM s)
+        WHERE rank <= 5),
+      ex AS (SELECT q_id, vec_id FROM top WHERE dim = $Dim),
+      ap AS (SELECT dim, q_id, vec_id FROM top WHERE dim <> $Dim),
+      h AS (SELECT dim, count(*)::BIGINT AS n_hit
+            FROM ap JOIN ex USING (q_id, vec_id) GROUP BY 1),
+      b AS (SELECT dim, count(DISTINCT q_id)::BIGINT AS n_q FROM ap GROUP BY 1)
+      SELECT b.dim, b.n_q, coalesce(h.n_hit, 0::BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_q * 5 AS DOUBLE)
+               AS recall_at5
+      FROM b LEFT JOIN h ON b.dim = h.dim ORDER BY b.dim"""
+    },
     "s_ann_recall" -> s"""
       WITH exact AS (
         SELECT q_id, vec_id FROM (
@@ -1572,49 +1841,24 @@ object SimilarityOps {
         n_vecs * $NumCells > 2 * n_tot AS overloaded
       FROM w ORDER BY cell"""
     },
-    "s_ivfpq_topk" -> {
-      val scoreCols = (0 until NumCells)
-        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
-      val caseSql = (0 until NumCells - 1).map { j =>
-        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
-        s"WHEN $geAll THEN $j"
-      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
-      val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
-      // same fixed left-assoc term order as adcSumExpr
-      val adcTerms = (0 until PqM)
-        .map(m => s"max(CASE WHEN qd.m = $m THEN qd.dist END)")
-        .mkString("\n                + ")
-      s"""
-      WITH $pqBaseCtes,
-      xc AS (SELECT vec_id, m, j AS code FROM r WHERE rn = 1),
-      scored AS (SELECT vec_id, embedding,
-               $scoreCols
-             FROM embeddings),
-      assigned AS (SELECT vec_id, ($caseSql)::BIGINT AS cell FROM scored),
-      probes0 AS (SELECT vec_id AS q_id, j AS probe_cell,
-                    ($sList)[j + 1] AS score
-                  FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
-                  WHERE vec_id < 5),
-      probes AS (SELECT q_id, probe_cell::BIGINT AS cell FROM (
-                   SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY score DESC, probe_cell) AS pr
-                   FROM probes0)
-                 WHERE pr <= $NProbe),
-      qd AS (SELECT vec_id q_id, m, j, dist FROM d WHERE vec_id < 5),
-      adc AS (SELECT p.q_id, a.cell, xc.vec_id,
-                $adcTerms AS adc_dist
-              FROM probes p JOIN assigned a ON p.cell = a.cell
-              JOIN xc ON xc.vec_id = a.vec_id
-              JOIN qd ON qd.q_id = p.q_id AND qd.m = xc.m AND qd.j = xc.code
-              WHERE p.q_id <> a.vec_id
-              GROUP BY 1, 2, 3),
-      rk AS (SELECT q_id, cell, vec_id, adc_dist,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY adc_dist, vec_id) AS rank
-             FROM adc)
-      SELECT q_id, rank::INT AS rank, cell, vec_id, adc_dist
-      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
-    },
+    "s_ivfpq_topk" -> IvfPqTopkOracle,
+    "s_pq_recall" -> s"""
+      WITH exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 5),
+      approx AS (SELECT q_id, vec_id FROM ($IvfPqTopkOracle)),
+      j AS (SELECT e.q_id, count(*)::BIGINT n_exact,
+              sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_hit
+            FROM exact e LEFT JOIN approx a
+              ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+            GROUP BY 1)
+      SELECT q_id, n_exact, n_hit, n_hit / n_exact AS recall
+      FROM j ORDER BY q_id""",
     "s_pq_encode" -> {
       val codeCols = (0 until PqM)
         .map(m => s"max(CASE WHEN m = $m THEN j END)::BIGINT AS code$m")

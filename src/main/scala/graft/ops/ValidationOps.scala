@@ -657,7 +657,41 @@ object ValidationOps {
       .orderBy("x", "y")
   }
 
+  /** Stale-feed threshold for [[freshness]]: a type whose newest event
+    * lags the feed head by a full day is flagged. */
+  private val StaleMinutes = 1440L
+
+  /** Data-freshness audit per event type: event count, newest event
+    * timestamp (epoch micros), minutes of lag behind the feed head (the
+    * newest event ANY type shipped), and a stale verdict at
+    * [[StaleMinutes]] — the monitor that catches a silently-dead
+    * upstream producer BEFORE a training snapshot ships with a type
+    * frozen at last week (volume anomaly detectors like [[anomaly]]
+    * need a day of zeros to fire; lag-behind-head fires the moment the
+    * snapshot is cut). All arithmetic is exact BIGINT microseconds; the
+    * lag is one integer floor division, the verdict an integer compare
+    * — no float anywhere. A type whose every `ts` is NULL reports NULL
+    * lag/verdict in both engines (no calendar position, the
+    * [[EventOps.denseDailyFrom]] discipline).
+    *
+    * Plan/scale: one catalog-sized (event_type) partial agg over the
+    * scan, then a broadcast of the 1-row global max onto the
+    * catalog-sized relation — nothing data-sized past the first agg. */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val g = per.agg(max(col("last_us")).as("g_us"))
+    per.crossJoin(broadcast(g))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        expr("(g_us - last_us) DIV 60000000").as("lag_minutes"),
+        (expr("(g_us - last_us) DIV 60000000") >= StaleMinutes).as("is_stale"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_freshness" -> freshness,
     "v_corr_matrix" -> corrMatrix,
     "v_lang_entropy" -> langEntropy,
     "v_chisq" -> chisq,
@@ -728,6 +762,15 @@ object ValidationOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "v_freshness" -> s"""
+      WITH per AS (SELECT event_type, count(*)::BIGINT AS n_events,
+                     max(epoch_us(CAST(ts AS TIMESTAMP)))::BIGINT AS last_us
+                   FROM events GROUP BY 1),
+      g AS (SELECT max(last_us) AS g_us FROM per)
+      SELECT event_type, n_events, last_us,
+             (g_us - last_us) // 60000000 AS lag_minutes,
+             ((g_us - last_us) // 60000000) >= $StaleMinutes AS is_stale
+      FROM per, g ORDER BY event_type""",
     "v_corr_matrix" -> corrMatrixOracle,
     "v_lang_entropy" -> s"""
       WITH cells AS (SELECT source, lang, count(*)::BIGINT AS c

@@ -47,10 +47,16 @@ class PlanSnapshotSpec extends SparkSpec {
   private val expected = Map(
     // driver-loop queries: the returned frame is the driver-held result
     // (LocalTableScan + the oracle ordering) — pinned so a rewrite that
-    // accidentally drags corpus lineage into the result fails here
-    "d_dedup_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
-    "d_minhash_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
-    "d_embedding_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // accidentally drags corpus lineage into the result fails here.
+    // r11 re-pin: star-contraction CC (61896aa) labels nodes through a
+    // real final join off the converged checkpointed edges (nodes ⟕
+    // min-star labels — broadcast at test SF, uniform node-key SMJ at
+    // scale) where the old label-propagation emitted its own fused
+    // relation; every cluster-family consumer gained exactly that one
+    // join, nothing data-sized changed
+    "d_dedup_clusters" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_minhash_clusters" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_embedding_clusters" -> "scan=0 xhash=2 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_bpe_train" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // vocab side broadcast onto exploded doc words, one per-doc agg
     "t_bpe_apply" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
@@ -287,7 +293,7 @@ class PlanSnapshotSpec extends SparkSpec {
     "v_chisq" -> "scan=0 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0",
     "e_survival" -> "scan=0 xhash=1 xrange=0 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=2 wgl=0",
     "d_fuzzy_pairs" -> "scan=3 xhash=2 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
-    "d_cluster_stats" -> "scan=0 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_cluster_stats" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_novelty" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
     "e_paths" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
     "s_diversity" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
@@ -331,10 +337,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "v_lang_entropy" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: CC over the fuzzy tier — driver-loop result lineage, the
     // d_dedup_clusters shape (zero parquet re-scans)
-    "d_fuzzy_clusters" -> "scan=0 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_fuzzy_clusters" -> "scan=0 xhash=2 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: fuzzy CC labels (driver-held node-sized relation) + one
     // doc-key LEFT join onto the corpus scan
-    "d_fuzzy_dedup" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=1 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_fuzzy_dedup" -> "scan=1 xhash=3 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: one scan -> (type, day) partial agg -> catalog-sized span
     // agg + calendar explode (gen) + one uniform left join (the
     // zero-day densification) -> per-type windows; no data-sized window
@@ -354,7 +360,7 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_hll_users_daily" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: CC labels (driver-held) + one doc-key join onto the corpus
     // scan + cluster-key agg (collect_set bounded by the source catalog)
-    "d_cross_source_clusters" -> "scan=1 xhash=2 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    "d_cross_source_clusters" -> "scan=1 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r10: one scan -> explode (gen) -> codegen'd hash -> (doc, dim)
     // partial agg; no vocabulary pass, no join
     "t_feature_hash" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",

