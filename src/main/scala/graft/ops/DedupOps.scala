@@ -2044,6 +2044,75 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Peel-round bound for [[kcore]] — enforced identically in BOTH
+    * engines (the span-guard discipline): peeling needs one round per
+    * chain-depth level, so 8 covers any graph whose longest degree-1
+    * chain is ≤ ~16 nodes; a deeper graph RAISES rather than returning
+    * a silently-unconverged core. */
+  private val KcorePeels = 8
+
+  /** 2-core membership over the near-dup pair graph — the structural
+    * split [[lpaCommunities]] and [[triangleCount]] read pointwise,
+    * taken to its fixpoint: iteratively peel nodes with fewer than 2
+    * surviving neighbors until none remain. What's left (the 2-core) is
+    * exactly the cyclic dense mass — template farms, mirror rings —
+    * while everything peeled is tree-like incidental linkage (chains of
+    * one-off near-matches). A curator reads it as triage: 2-core
+    * members are SYSTEMATIC duplication (fix the pipeline that emits
+    * them), peeled members are one-off (dedup and move on). Emits every
+    * pair-graph node with its verdict and its degree inside the core.
+    *
+    * Determinism/convergence: peeling is confluent (the k-core is
+    * unique regardless of removal order), so both engines reach the
+    * same fixpoint; the ROUND BOUND is the contract — both sides run
+    * exactly [[KcorePeels]] synchronous rounds and RAISE the same
+    * message if the last round still had sub-2-degree nodes (Spark in
+    * the materializing loop, DuckDB via an error() guard CTE), so a
+    * pathological chain-shaped graph fails loudly in both rather than
+    * desyncing.
+    *
+    * Plan/scale: per round, one src-key degree agg + two semi joins of
+    * the edge list against the node-sized survivor set — O(edges) per
+    * round on uniform keys (the DF cap bounds hub degree), rounds
+    * bounded by the constant. Each round localCheckpoints so round r+1
+    * reads materialized edges, never a re-derivation ([[dedupClustersFrom]]
+    * discipline). */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
+
+  /** [[kcore]] over a caller-supplied (a_id, b_id) pair relation — the
+    * production consumer form (and the spec's fixture port: a long
+    * chain proves the convergence guard raises). */
+  private[ops] def kcoreFrom(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    for (_ <- 1 to KcorePeels) {
+      val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("src").as("node"))
+      edges = edges
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    val nRem = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < 2).count()
+    if (nRem > 0) throw new IllegalStateException(
+      s"d_kcore: peel did not converge in $KcorePeels rounds " +
+        s"($nRem sub-2-degree nodes remain) — chain-shaped pair graph?")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    nodes.join(deg.select(col("src").as("doc_id"), col("deg")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg").isNotNull.as("in_2core"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
   /** Histogram over any (doc_id, cluster_id) labeling — the production
     * consumer form (works unchanged on [[minhashClusters]] /
     * [[embeddingClusters]] output). */
@@ -2114,6 +2183,7 @@ object DedupOps {
     "d_cross_source_clusters" -> crossSourceClusters,
     "d_cluster_stats" -> clusterStats,
     "d_soft_dedup" -> softDedup,
+    "d_kcore" -> kcore,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
     "t_data_split_cluster" -> dataSplitCluster,
@@ -2351,7 +2421,44 @@ object DedupOps {
               WHERE n = mx GROUP BY 1)"""
   }.mkString(",\n      ")
 
+  /** The [[kcore]] oracle peel rounds, unrolled from the same constant
+    * as the Spark loop (the [[lpaOracleIters]] device): per round, a
+    * degree-filtered survivor set then the edge list restricted to
+    * survivor endpoints. */
+  private def kcoreOracleIters: String = (1 to KcorePeels).map { r =>
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references e_{r-1} twice (the survivor self-join), so an
+    // unmaterialized chain re-expands e0's document scans 2^rounds times
+    s"""s$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1} GROUP BY src
+             HAVING count(*) >= 2),
+      e$r AS MATERIALIZED (SELECT e${r - 1}.src, e${r - 1}.dst FROM e${r - 1}
+              JOIN s$r a ON e${r - 1}.src = a.node
+              JOIN s$r b ON e${r - 1}.dst = b.node)"""
+  }.mkString(",\n      ")
+
   val oracles: Map[String, String] = Map(
+    "d_kcore" -> s"""
+      WITH $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      e0 AS MATERIALIZED (
+        SELECT a_id AS src, b_id AS dst FROM p WHERE a_id <> b_id
+        UNION SELECT b_id, a_id FROM p WHERE a_id <> b_id),
+      $kcoreOracleIters,
+      chk AS (SELECT count(*) AS nrem FROM (
+                SELECT src FROM e$KcorePeels GROUP BY src
+                HAVING count(*) < 2) z),
+      guard AS (SELECT CASE WHEN nrem > 0 THEN error(
+                  'd_kcore: peel did not converge in $KcorePeels rounds')
+                ELSE 0 END AS g FROM chk),
+      deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+              FROM e$KcorePeels GROUP BY 1),
+      nn AS (SELECT a_id AS doc_id FROM p UNION SELECT b_id FROM p)
+      SELECT nn.doc_id, deg.node IS NOT NULL AS in_2core,
+             coalesce(deg.deg, 0::BIGINT) AS core_degree
+      FROM nn LEFT JOIN deg ON nn.doc_id = deg.node, guard
+      ORDER BY nn.doc_id""",
     "d_shingle_profile" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),

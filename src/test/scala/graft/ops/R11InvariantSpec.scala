@@ -185,6 +185,35 @@ class R11InvariantSpec extends SparkSpec {
     assert(got.head.getDouble(2) < -0.99, got.head.toString)
   }
 
+  test("d_kcore: triangle survives the peel, pendant chain dissolves") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // triangle {1,2,3} with a chain 3-4-5-6 hanging off it: peeling
+    // removes 6 (deg 1), then 5, then 4 — the triangle is the 2-core,
+    // every member at core degree 2; the chain reads false/0.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = DedupOps.kcoreFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, true, 2L), (2L, true, 2L), (3L, true, 2L),
+      (4L, false, 0L), (5L, false, 0L), (6L, false, 0L)), got.toString)
+  }
+
+  test("d_kcore: a chain deeper than the peel bound raises the guard") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // A 40-node path needs ~20 peel rounds (one endpoint pair per round
+    // from each side); the 8-round bound must RAISE, not return a
+    // silently-unconverged core — the oracle's error() guard is the
+    // same verdict on the same fixture.
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      DedupOps.kcoreFrom(pairs).collect()
+    }
+    assert(e.getMessage.contains("d_kcore: peel did not converge in 8"),
+      e.getMessage)
+  }
+
   test("e_cusum still rides the shared dense grid (tagged guard)") {
     import spark.implicits._
     val ev = Seq(("s", 0), ("s", 3651)).toDF("event_type", "off")
