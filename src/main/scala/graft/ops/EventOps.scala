@@ -993,6 +993,61 @@ object EventOps {
   def qAutocorr(s: SparkSession, d: String): DataFrame =
     autocorrFrom(events(s, d).select(col("event_type"), col("ts")))
 
+  /** STL-style seasonal decomposition of the daily volume series per
+    * event type: n = trend + seasonal + residual, with trend the
+    * centered 7-day moving average, seasonal the per-weekday mean of
+    * the detrended series, residual the remainder — the decomposition
+    * an alerting stack runs so a Sunday dip stops paging and a
+    * trend-adjusted Tuesday spike still does ([[qSeasonal]] slots
+    * hour-of-day; this is the day-grain complement with an explicit
+    * trend term). Rides [[denseDailyFrom]], and MUST: the ±3-row
+    * window frame equals the ±3-DAY calendar frame only because the
+    * grid is dense — on raw (type, day) aggregates a gap would silently
+    * shrink the moving average.
+    *
+    * Exactness: the trend is sum₇/7 — ONE division of exact BIGINTs
+    * per row (NULL at series edges where the centered window is
+    * partial); the detrended series is kept as the INTEGER 7·n − sum₇,
+    * so the per-weekday seasonal mean is Σdet/(7·m) — again one
+    * division of exact integers; the residual is the fixed chain
+    * (n − trend) − seasonal over those bit-identical doubles. No
+    * accumulation of doubles anywhere.
+    *
+    * Plan/scale: one scan → (type, day) partial agg → catalog-sized
+    * densify → one type-key ordered window (trend) + one
+    * (type, weekday)-key window (seasonal) — both partitioned,
+    * catalog×days-sized. */
+  def qStl(s: SparkSession, d: String): DataFrame =
+    stlFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qStl]] over a caller-supplied (event_type, ts) relation — the
+    * testable core (a constant series must decompose to zero seasonal
+    * and residual; additivity n = trend + seasonal + resid must hold
+    * exactly in doubles on every fully-defined row). */
+  private[ops] def stlFrom(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val wWd = Window.partitionBy("event_type", "wd")
+    denseDailyFrom(ev, "e_stl")
+      .withColumn("sum7", sum(col("n")).over(wOrd))
+      .withColumn("cnt7", count(lit(1)).over(wOrd))
+      // full centered window only — edges read NULL, not a biased mean
+      .withColumn("det7", when(col("cnt7") === 7, lit(7L) * col("n") - col("sum7")))
+      .withColumn("wd", expr("weekday(day) + 1"))
+      .withColumn("ssum", sum(col("det7")).over(wWd))
+      .withColumn("scnt", count(col("det7")).over(wWd))
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("cnt7") === 7,
+          col("sum7").cast("double") / lit(7.0d)).as("trend"),
+        expr("try_divide(CAST(ssum AS DOUBLE), CAST(7 * scnt AS DOUBLE))")
+          .as("seasonal"),
+        expr("""(CAST(n AS DOUBLE)
+                 - (CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END))
+                - try_divide(CAST(ssum AS DOUBLE), CAST(7 * scnt AS DOUBLE))""")
+          .as("resid"))
+      .orderBy("event_type", "day")
+  }
+
   /** Weekday-vs-weekend volume lift per event type — the calendar-bias
     * readout a training-data snapshot ships with: a type whose weekend
     * volume runs at 2× (or ⅕×) its weekday rate will be over/under-
@@ -1587,6 +1642,7 @@ object EventOps {
     "e_cusum" -> qCusum,
     "e_autocorr" -> qAutocorr,
     "e_weekday_lift" -> qWeekdayLift,
+    "e_stl" -> qStl,
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
@@ -1837,6 +1893,31 @@ object EventOps {
              (pp - pmin) > $CusumH * tot AS shift_up,
              (pmax - pp) > $CusumH * tot AS shift_down
       FROM m ORDER BY event_type, day""",
+    "e_stl" -> s"""
+      WITH ${denseDailyCtes("e_stl")},
+      t AS (
+        SELECT event_type, day, n,
+               sum(n) OVER w7 AS sum7, count(*) OVER w7 AS cnt7,
+               isodow(day) AS wd
+        FROM dense
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t2 AS (
+        SELECT *, CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS det7
+        FROM t),
+      t3 AS (
+        SELECT *, sum(det7) OVER wd7 AS ssum, count(det7) OVER wd7 AS scnt
+        FROM t2
+        WINDOW wd7 AS (PARTITION BY event_type, wd))
+      SELECT event_type, day, n,
+             CASE WHEN cnt7 = 7
+               THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
+             CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE) AS seasonal,
+             (CAST(n AS DOUBLE)
+               - (CASE WHEN cnt7 = 7
+                    THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END))
+              - (CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE)) AS resid
+      FROM t3 ORDER BY event_type, day""",
     "e_weekday_lift" -> s"""
       WITH ${denseDailyCtes("e_weekday_lift")},
       a AS (

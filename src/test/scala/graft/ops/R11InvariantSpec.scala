@@ -185,6 +185,53 @@ class R11InvariantSpec extends SparkSpec {
     assert(got.head.getDouble(2) < -0.99, got.head.toString)
   }
 
+  test("e_stl: constant series decomposes to pure trend; additivity exact") {
+    import spark.implicits._
+    // 21 days at exactly 3 events/day: trend = 3 on every full-window
+    // day, det7 = 0 everywhere defined, so seasonal = 0 and resid = 0 —
+    // and n = trend + seasonal + resid holds EXACTLY in doubles.
+    val ev = (0 until 21).flatMap(dd => Seq.fill(3)(("c", dd)))
+      .toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+    val rows = EventOps.stlFrom(ev).collect()
+    assert(rows.length == 21)
+    rows.foreach { r =>
+      val full = !r.isNullAt(3)
+      if (full) {
+        assert(r.getDouble(3) == 3.0, s"trend ${r.getDouble(3)}")
+        assert(r.getDouble(4) == 0.0, s"seasonal ${r.getDouble(4)}")
+        assert(r.getDouble(5) == 0.0, s"resid ${r.getDouble(5)}")
+        assert(r.getLong(2).toDouble ==
+          r.getDouble(3) + r.getDouble(4) + r.getDouble(5))
+      }
+    }
+    // edges: first 3 and last 3 days have no full centered window
+    assert(rows.count(_.isNullAt(3)) == 6)
+  }
+
+  test("e_stl: weekly square wave lands in seasonal, not residual") {
+    import spark.implicits._
+    // 28 days, 5 events on ISO day 1 (Monday), 1 otherwise: the weekly
+    // pattern must be absorbed by the seasonal term — residuals on
+    // fully-defined rows stay well below the 4-event swing.
+    val ev = (0 until 28).flatMap { dd =>
+      val k = if (dd % 7 == 0) 5 else 1 // 2024-01-01 is a Monday
+      Seq.fill(k)(("w", dd))
+    }.toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+    val defined = EventOps.stlFrom(ev).collect().filter(r => !r.isNullAt(3))
+    assert(defined.nonEmpty)
+    val maxResid = defined.map(r => math.abs(r.getDouble(5))).max
+    val monSeasonal = defined.filter(_.getLong(2) == 5L)
+      .map(_.getDouble(4)).head
+    assert(monSeasonal > 2.0, s"Monday seasonal $monSeasonal")
+    assert(maxResid < 1.0, s"max |resid| $maxResid")
+  }
+
   test("d_kcore: triangle survives the peel, pendant chain dissolves") {
     graft.GraftSession.init(spark)
     import spark.implicits._
