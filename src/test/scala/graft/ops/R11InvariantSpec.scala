@@ -261,6 +261,55 @@ class R11InvariantSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("d_kcore: property — distributed peel equals brute-force 2-core " +
+      "on random graphs") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Reference model: sequential whole-graph peel in plain Scala.
+    def brute(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      var adj = pairs.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, p.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (n, ns) if ns.size < 2 => n }.toSet
+        changed = dead.nonEmpty
+        if (changed)
+          adj = (adj -- dead).view
+            .mapValues(_ -- dead).toMap.filter(_._2.nonEmpty)
+      }
+      adj.view.mapValues(_.size.toLong).toMap
+    }
+    // ≤ 12 nodes keeps the brute peel depth ≤ 6 — inside the engine's
+    // 8-round bound, so the distributed result must EQUAL the model
+    val edgeGen = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 18)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter(p => p._1 != p._2)
+    val prop = Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val model = brute(es)
+        val got = DedupOps
+          .kcoreFrom(es.toDF("a_id", "b_id")).collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        got.map(_._1).toSeq == nodes &&
+          got.forall { case (id, in, deg) =>
+            model.get(id) match {
+              case Some(d) => in && deg == d
+              case None    => !in && deg == 0L
+            }
+          }
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(30))
+    assert(res.passed, res.status.toString)
+  }
+
   test("e_cusum still rides the shared dense grid (tagged guard)") {
     import spark.implicits._
     val ev = Seq(("s", 0), ("s", 3651)).toDF("event_type", "off")
