@@ -193,6 +193,105 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** Static kernels for [[VecQUnit]] — one per element type so generated
+  * code calls a monomorphic primitive loop from inside whole-stage
+  * codegen (the [[ShingleUtil]] pattern). */
+object VecUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Fused unit-normalize + floor-quantize of a float vector: exactly
+    * `transform(a, x -> CAST(floor(scale * (CAST(x AS DOUBLE) /
+    * sqrt(vec_dot(a, a)))) AS BIGINT))` — norm-squared accumulated
+    * left-to-right in double ([[VecDot]]'s order, = the oracle's
+    * sequential fold), each element then one divide, one multiply, one
+    * floor. A zero vector returns NULL (the SQL chain's callers filter
+    * `nsq > 0` BEFORE quantizing; fused, the zero case must not reach
+    * ANSI's NaN→BIGINT cast error). */
+  def qunitFloat(a: ArrayData, scale: Double): GenericArrayData = {
+    val n = a.numElements()
+    var nsq = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; nsq += x * x; i += 1 }
+    if (nsq == 0.0) return null
+    val norm = Math.sqrt(nsq)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = Math.floor(scale * (a.getFloat(i).toDouble / norm)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Double-element twin of [[qunitFloat]]. */
+  def qunitDouble(a: ArrayData, scale: Double): GenericArrayData = {
+    val n = a.numElements()
+    var nsq = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); nsq += x * x; i += 1 }
+    if (nsq == 0.0) return null
+    val norm = Math.sqrt(nsq)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = Math.floor(scale * (a.getDouble(i) / norm)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native fused unit-quantization — `vec_qunit(arr, scale)`: the
+  * micro-unit integer coordinates `floor(scale · x/‖x‖)` every
+  * exact-ledger embedding op starts from (`s_diversity`,
+  * `s_centroid_outliers`), in one primitive pass.
+  *
+  * Why a custom `Expression` (§7.4, the [[VecDot]]/[[Shingles3]]
+  * reasoning): the SQL spelling is a higher-order `transform` whose
+  * lambda runs INTERPRETED per element AND drops the projection out of
+  * whole-stage codegen — on a 100 TB corpus that is Dim interpreted
+  * closure calls per row on a narrow pass that should be a tight loop.
+  * Semantics are bit-identical to the SQL chain (spec-proven per
+  * element over random vectors), so every DuckDB oracle stays valid
+  * unchanged. NULL for a zero vector — callers' `isNotNull` filter is
+  * the fused spelling of the old `nsq > 0` gate. */
+case class VecQUnit(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_qunit"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double), got ${l.sql}, ${r.sql}")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[Double]
+    if (isFloat) VecUtil.qunitFloat(arr, sc) else VecUtil.qunitDouble(arr, sc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val m = if (isFloat) "qunitFloat" else "qunitDouble"
+      s"""
+         |${ev.value} = graft.functions.VecUtil.$m($a, $s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecQUnit =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the engine's native functions: available both as a
   * `SparkSessionExtensions` injection (`spark.sql.extensions=
   * graft.functions.GraftExtensions`) and as an imperative
@@ -209,6 +308,9 @@ object GraftFunctions {
     (FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children(0))),
+    (FunctionIdentifier("vec_qunit"),
+      new ExpressionInfo(classOf[VecQUnit].getName, "vec_qunit"),
+      (children: Seq[Expression]) => VecQUnit(children(0), children(1))),
     // Spark's own bounded top-k aggregate (the engine behind pandas-API
     // nsmallest), surfaced as `top_k(expr, k, reverse)`: each partial
     // buffer holds AT MOST k values (a bounded priority queue), so the

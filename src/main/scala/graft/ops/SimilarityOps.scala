@@ -1377,11 +1377,12 @@ object SimilarityOps {
     * ledger. */
   def diversity(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
-      .withColumn("nsq", expr(Vec.normSq("embedding")))
-      .filter(col("nsq") > 0)
-      .withColumn("q", expr(
-        s"""transform(embedding,
-              x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT))"""))
+      // native fused unit-quantize (graft.functions.VecQUnit): the
+      // transform-lambda spelling ran interpreted per element and broke
+      // whole-stage codegen on this narrow pass; NULL == the zero-norm
+      // rows the old nsq > 0 gate dropped (bit-equality spec-proven)
+      .withColumn("q", expr(s"vec_qunit(embedding, CAST($DivS AS DOUBLE))"))
+      .filter(col("q").isNotNull)
       .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy("label", "pos")
       .agg(sum(col("qv")).as("spos"),
@@ -1430,11 +1431,9 @@ object SimilarityOps {
     * a known anti-centroid vector pins the ranking). */
   private[ops] def centroidOutliersFrom(emb: DataFrame): DataFrame = {
     val v = emb
-      .withColumn("nsq", expr(Vec.normSq("embedding")))
-      .filter(col("nsq") > 0)
-      .withColumn("q", expr(
-        s"""transform(embedding,
-              x -> CAST(floor($DivS * (CAST(x AS DOUBLE) / sqrt(nsq))) AS BIGINT))"""))
+      // native fused unit-quantize — see [[diversity]]'s note
+      .withColumn("q", expr(s"vec_qunit(embedding, CAST($DivS AS DOUBLE))"))
+      .filter(col("q").isNotNull)
     val c = v.select(posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy("pos").agg(sum(col("qv")).as("s"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, s))), z -> z.s)")

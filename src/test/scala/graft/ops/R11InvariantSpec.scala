@@ -310,6 +310,36 @@ class R11InvariantSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("vec_qunit: bit-equal to the SQL transform chain, NULL on zero") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vecGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.choose(-10f, 10f), Gen.const(0f), Gen.const(-0f),
+      Gen.choose(-1e-4f, 1e-4f)))
+    val prop = Prop.forAll(Gen.listOfN(12, vecGen)) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = df.select(col("id"),
+          expr("vec_qunit(v, CAST(1e6 AS DOUBLE))").as("q"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      // reference: the exact SQL chain the fused kernel replaces (the
+      // zero-norm CASE mirrors the callers' old nsq > 0 pre-filter —
+      // without it a random all-zero vector would ANSI-raise on the
+      // NaN→BIGINT cast before the null-mapping below ever ran)
+      val ref = df.select(col("id"),
+          expr("""CASE WHEN vec_dot(v, v) = 0D THEN NULL ELSE
+                  transform(v, x -> CAST(floor(1e6 * (CAST(x AS DOUBLE)
+                  / sqrt(vec_dot(v, v)))) AS BIGINT)) END""").as("q"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      got == ref
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
   test("e_cusum still rides the shared dense grid (tagged guard)") {
     import spark.implicits._
     val ev = Seq(("s", 0), ("s", 3651)).toDF("event_type", "off")
