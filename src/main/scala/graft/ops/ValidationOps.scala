@@ -677,11 +677,24 @@ object ValidationOps {
     * Plan/scale: one catalog-sized (event_type) partial agg over the
     * scan, then a broadcast of the 1-row global max onto the
     * catalog-sized relation — nothing data-sized past the first agg. */
-  def freshness(s: SparkSession, d: String): DataFrame = {
-    val per = events(s, d)
-      .groupBy("event_type")
+  def freshness(s: SparkSession, d: String): DataFrame =
+    freshnessReport(freshnessCore(events(s, d)))
+
+  /** The per-type (n_events, last_us) relation [[freshness]] reads —
+    * count and max are both mergeable monoids, so the SAME definition
+    * runs as an incremental streaming aggregation
+    * (`StreamOps.freshnessStream`): stream state over any prefix equals
+    * this batch relation over the same rows. */
+  private[graft] def freshnessCore(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"))
+
+  /** The head-lag finishing step over a [[freshnessCore]]-shaped
+    * relation — a SECOND aggregation level, so in streaming it runs
+    * downstream of the maintained state (one streaming query cannot
+    * stack two aggregates), exactly as a monitor reads a state table. */
+  private[graft] def freshnessReport(per: DataFrame): DataFrame = {
     val g = per.agg(max(col("last_us")).as("g_us"))
     per.crossJoin(broadcast(g))
       .select(col("event_type"), col("n_events"), col("last_us"),

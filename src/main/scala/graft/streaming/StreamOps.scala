@@ -139,6 +139,21 @@ object StreamOps {
   def hllUserDayStream(events: DataFrame): DataFrame =
     graft.ops.EventOps.hllUserDayRegisters(events)
 
+  /** Streaming arm of ValidationOps `v_freshness`: per-type event count
+    * + newest event time maintained incrementally as events land — the
+    * dead-producer monitor as a LIVE state table instead of a snapshot
+    * query. count and max are mergeable monoids over the SAME shared
+    * core definition (`ValidationOps.freshnessCore`), so the stream's
+    * state equals the batch relation over the same rows at every point
+    * in time (merge == batch spec-proven across micro-batches); the
+    * head-lag/stale verdict is the downstream read
+    * (`freshnessReport`) over the state table — one streaming query
+    * cannot stack the second aggregation level, and a monitor polls the
+    * state anyway. State is catalog-sized (one row per event type),
+    * runs forever. */
+  def freshnessStream(events: DataFrame): DataFrame =
+    graft.ops.ValidationOps.freshnessCore(events)
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

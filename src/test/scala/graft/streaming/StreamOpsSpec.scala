@@ -40,6 +40,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((3600L * 1000L, "b", 1L, 3.0)))
   }
 
+  test("freshnessStream: state merges across micro-batches == batch core; " +
+      "report reads the state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF().toDF("ts_us", "event_type")
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("event_type"))
+    val q = StreamOps.freshnessStream(events)
+      .writeStream.format("memory").queryName("fresh")
+      .outputMode("complete").start()
+    val m = 60L * 1000000L
+    // batch 1: a twice (head at 10m), b once (at 5m)
+    in.addData((5 * m, "a"), (10 * m, "a"), (5 * m, "b"))
+    q.processAllAvailable()
+    // batch 2: a again LATER (count must add, max must advance), b older
+    // event arriving late (max must NOT regress), c appears a day behind
+    in.addData((2000 * m, "a"), (1 * m, "b"), (2 * m, "c"))
+    q.processAllAvailable()
+    val state = spark.table("fresh")
+    val got = state.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // == one batch pass over all 6 rows
+    assert(got == Set(("a", 3L, 2000 * m), ("b", 2L, 5 * m), ("c", 1L, 2 * m)),
+      got.toString)
+    // the downstream monitor read: head-lag verdicts over the state table
+    val rep = graft.ops.ValidationOps.freshnessReport(state)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    q.stop()
+    assert(rep.toSet == Set(("a", 0L, false), ("b", 1995L, true),
+      ("c", 1998L, true)), rep.mkString(", "))
+  }
+
   test("histogramSketchStream merges micro-batches into the batch histogram") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
