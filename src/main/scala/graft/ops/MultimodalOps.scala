@@ -701,9 +701,16 @@ object Multimodal {
     }
     try {
       walk(0L, body.length.toLong, 0)
-      val durMs =
-        if (durUnits < 0) 0L else (durUnits * scaleNs / 1e6).toLong
-      if (ok && docType.nonEmpty) Some((docType, nTracks, durMs, w, h))
+      // The Duration float is raw file data: NaN would silently read as
+      // durMs 0 ("fine") through toLong, and an implausibly-huge value
+      // saturates to Long.MaxValue — both are malformed fields and must
+      // reject the payload, like the mvhd overflow guard in [[mp4Meta]]
+      // (double multiply saturates rather than wrapping, so the check is
+      // a plain magnitude compare, no divide-first dance needed)
+      val durMsD =
+        if (durUnits < 0) 0.0 else durUnits * scaleNs / 1e6
+      if (durMsD.isNaN || durMsD >= Long.MaxValue.toDouble) ok = false
+      if (ok && docType.nonEmpty) Some((docType, nTracks, durMsD.toLong, w, h))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -97,7 +97,13 @@ object MediaFixtures {
     * Segment[Info[TimecodeScale 1e6 ns, Duration float] Tracks[video
     * TrackEntry with PixelWidth×PixelHeight + audio TrackEntry]]. With
     * the 1 ms timecode scale, Duration units == milliseconds. */
-  def mkvBytes(docType: String, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+  def mkvBytes(docType: String, w: Int, h: Int, durationMs: Long): Array[Byte] =
+    mkvBytesDurBits(docType, w, h,
+      java.lang.Double.doubleToLongBits(durationMs.toDouble))
+
+  /** [[mkvBytes]] with the Duration float's RAW BITS caller-supplied —
+    * the malformed-field port (NaN, infinities, implausibly-huge). */
+  def mkvBytesDurBits(docType: String, w: Int, h: Int, durBits: Long): Array[Byte] = {
     val id = Map(
       "EBML" -> Array(0x1a, 0x45, 0xdf, 0xa3), "DocType" -> Array(0x42, 0x82),
       "Segment" -> Array(0x18, 0x53, 0x80, 0x67),
@@ -111,8 +117,7 @@ object MediaFixtures {
       ebmlElem(id("DocType"), docType.getBytes("ISO-8859-1")))
     val info = ebmlElem(id("Info"),
       ebmlElem(id("TimecodeScale"), beBytes(1000000L, 3)) ++
-        ebmlElem(id("Duration"),
-          beBytes(java.lang.Double.doubleToLongBits(durationMs.toDouble), 8)))
+        ebmlElem(id("Duration"), beBytes(durBits, 8)))
     val video = ebmlElem(id("Video"),
       ebmlElem(id("PixelWidth"), beBytes(w.toLong, 2)) ++
         ebmlElem(id("PixelHeight"), beBytes(h.toLong, 2)))

@@ -340,6 +340,24 @@ class R11InvariantSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("mkvMeta: NaN / implausibly-huge Duration floats reject the payload") {
+    // parity with mp4Meta's mvhd overflow guard (r10 ADVICE): a raw-data
+    // Duration of NaN used to read as durMs 0 ("fine"), and 1e30 would
+    // saturate toLong into a wrong positive figure — both must reject
+    def mk(bits: Long) = MediaFixtures.mkvBytesDurBits("matroska", 64, 48, bits)
+    assert(Multimodal.mkvMeta(
+      mk(java.lang.Double.doubleToLongBits(1000.0))).isDefined) // control
+    assert(Multimodal.mkvMeta(
+      mk(java.lang.Double.doubleToLongBits(Double.NaN))).isEmpty)
+    assert(Multimodal.mkvMeta(
+      mk(java.lang.Double.doubleToLongBits(1e30))).isEmpty)
+    assert(Multimodal.mkvMeta(
+      mk(java.lang.Double.doubleToLongBits(Double.PositiveInfinity))).isEmpty)
+    // negative = "absent" stays the documented pre-existing read: 0 ms
+    assert(Multimodal.mkvMeta(
+      mk(java.lang.Double.doubleToLongBits(-1.0))).exists(_._3 == 0L))
+  }
+
   test("e_cusum still rides the shared dense grid (tagged guard)") {
     import spark.implicits._
     val ev = Seq(("s", 0), ("s", 3651)).toDF("event_type", "off")
