@@ -932,6 +932,37 @@ object EventOps {
         FROM grid g LEFT JOIN daily
           ON g.event_type = daily.event_type AND g.day = daily.day)"""
 
+  /** Oracle-side twin of [[stlFrom]]: the dense-grid STL chain through a
+    * `decomp(event_type, day, n, trend, seasonal, resid)` CTE — ONE
+    * definition shared by the `e_stl` and `e_stl_anomaly` oracles (the
+    * [[denseDailyCtes]] discipline, one level up). */
+  private[ops] def stlCtes(tag: String): String = s"""
+      ${denseDailyCtes(tag)},
+      stl_t AS (
+        SELECT event_type, day, n,
+               sum(n) OVER w7 AS sum7, count(*) OVER w7 AS cnt7,
+               isodow(day) AS wd
+        FROM dense
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      stl_t2 AS (
+        SELECT *, CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS det7
+        FROM stl_t),
+      stl_t3 AS (
+        SELECT *, sum(det7) OVER wd7 AS ssum, count(det7) OVER wd7 AS scnt
+        FROM stl_t2
+        WINDOW wd7 AS (PARTITION BY event_type, wd)),
+      decomp AS (
+        SELECT event_type, day, n,
+               CASE WHEN cnt7 = 7
+                 THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
+               CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE) AS seasonal,
+               (CAST(n AS DOUBLE)
+                 - (CASE WHEN cnt7 = 7
+                      THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END))
+                - (CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE)) AS resid
+        FROM stl_t3)"""
+
   private[ops] def cusumFrom(ev: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wPre = Window.partitionBy("event_type").orderBy("day")
@@ -1045,6 +1076,57 @@ object EventOps {
                  - (CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END))
                 - try_divide(CAST(ssum AS DOUBLE), CAST(7 * scnt AS DOUBLE))""")
           .as("resid"))
+      .orderBy("event_type", "day")
+  }
+
+  /** 3-sigma outlier days on the [[qStl]] RESIDUALS — the alerting
+    * ladder's deseasonalized tier: [[ValidationOps]]' `v_anomaly` reads
+    * raw daily volumes (a quiet Sunday looks like an incident),
+    * `v_mad_anomaly` robustifies against heavy tails, and this one
+    * removes trend AND weekly seasonality first, so the verdict fires
+    * on what is actually unexplained. Flags |resid − μ| > 3σ per type,
+    * edges (no full centered window) read NULL in both engines.
+    *
+    * Exactness: residuals are bit-identical doubles ([[stlFrom]]), so
+    * quantizing to 1e-6 micro-units (`round` — half-away-from-zero in
+    * both engines) gives identical BIGINTs; the verdict is then pure
+    * 128-bit integer arithmetic — dev² > 9·(D·Σq² − S²) with dev =
+    * D·q − S — via DECIMAL(38) on the Spark side and HUGEINT in
+    * DuckDB, never a float compare. The in-plan envelope guard
+    * (D³·max_n²·10¹² ≤ 10³⁷, double-checked with margin so the check
+    * itself cannot wrap) raises the same message in both engines
+    * before either ledger could overflow; only the BOOLEAN verdict and
+    * the DOUBLE resid cross the gate boundary (the decimal/int128
+    * hashing trap from r10 never arises).
+    *
+    * Plan/scale: [[qStl]]'s shape + one more type-key window pass over
+    * the catalog×days relation. */
+  def qStlAnomaly(s: SparkSession, d: String): DataFrame =
+    stlAnomalyFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qStlAnomaly]] over a caller-supplied (event_type, ts) relation. */
+  private[ops] def stlAnomalyFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    stlFrom(ev)
+      .withColumn("maxn", max(col("n")).over(w))
+      // count(resid), not count(q): the guard must not depend on its
+      // own output (q is null exactly where resid is, so same count)
+      .withColumn("dres", count(col("resid")).over(w))
+      // guard folded INTO the load-bearing q (the e_autocorr device —
+      // a standalone guard column is dead code the optimizer prunes,
+      // and a pruned raise_error never fires; found by the spec)
+      .withColumn("q", expr("""CASE WHEN
+          CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+            * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12 > 1.0e37
+        THEN raise_error('e_stl_anomaly: residual ledger exceeds the 128-bit envelope (D^3*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
+        ELSE CAST(round(resid * 1000000D) AS BIGINT) END"""))
+      .withColumn("s", sum(col("q")).over(w))
+      .withColumn("q2", sum(expr("CAST(q AS DECIMAL(38,0)) * q")).over(w))
+      .withColumn("dev", expr("CAST(dres AS DECIMAL(38,0)) * q - s"))
+      .select(col("event_type"), col("day"), col("n"), col("resid"),
+        expr("""(dev * dev) >
+            9 * (CAST(dres AS DECIMAL(38,0)) * q2 - CAST(s AS DECIMAL(38,0)) * s)""")
+          .as("is_anomaly"))
       .orderBy("event_type", "day")
   }
 
@@ -1643,6 +1725,7 @@ object EventOps {
     "e_autocorr" -> qAutocorr,
     "e_weekday_lift" -> qWeekdayLift,
     "e_stl" -> qStl,
+    "e_stl_anomaly" -> qStlAnomaly,
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
@@ -1894,30 +1977,33 @@ object EventOps {
              (pmax - pp) > $CusumH * tot AS shift_down
       FROM m ORDER BY event_type, day""",
     "e_stl" -> s"""
-      WITH ${denseDailyCtes("e_stl")},
-      t AS (
-        SELECT event_type, day, n,
-               sum(n) OVER w7 AS sum7, count(*) OVER w7 AS cnt7,
-               isodow(day) AS wd
-        FROM dense
-        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-      t2 AS (
-        SELECT *, CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS det7
-        FROM t),
-      t3 AS (
-        SELECT *, sum(det7) OVER wd7 AS ssum, count(det7) OVER wd7 AS scnt
-        FROM t2
-        WINDOW wd7 AS (PARTITION BY event_type, wd))
-      SELECT event_type, day, n,
-             CASE WHEN cnt7 = 7
-               THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
-             CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE) AS seasonal,
-             (CAST(n AS DOUBLE)
-               - (CASE WHEN cnt7 = 7
-                    THEN CAST(sum7 AS DOUBLE) / CAST(7 AS DOUBLE) END))
-              - (CAST(ssum AS DOUBLE) / CAST(7 * scnt AS DOUBLE)) AS resid
-      FROM t3 ORDER BY event_type, day""",
+      WITH ${stlCtes("e_stl")}
+      SELECT event_type, day, n, trend, seasonal, resid
+      FROM decomp ORDER BY event_type, day""",
+    "e_stl_anomaly" -> s"""
+      WITH ${stlCtes("e_stl_anomaly")},
+      st0 AS (
+        SELECT *, max(n) OVER wt AS maxn, count(resid) OVER wt AS dres
+        FROM decomp
+        WINDOW wt AS (PARTITION BY event_type)),
+      qz AS (
+        SELECT event_type, day, n, resid, dres,
+               CASE WHEN
+                   CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+                     * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12 > 1.0e37
+                 THEN error('e_stl_anomaly: residual ledger exceeds the 128-bit envelope (D^3*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
+                 ELSE CAST(round(resid * 1000000) AS BIGINT) END AS q
+        FROM st0),
+      st AS (
+        SELECT *,
+               sum(q::HUGEINT) OVER wt AS s,
+               sum(q::HUGEINT * q) OVER wt AS q2
+        FROM qz
+        WINDOW wt AS (PARTITION BY event_type))
+      SELECT event_type, day, n, resid,
+             ((dres::HUGEINT * q - s) * (dres::HUGEINT * q - s))
+               > 9 * (dres::HUGEINT * q2 - s * s) AS is_anomaly
+      FROM st ORDER BY event_type, day""",
     "e_weekday_lift" -> s"""
       WITH ${denseDailyCtes("e_weekday_lift")},
       a AS (

@@ -232,6 +232,45 @@ class R11InvariantSpec extends SparkSpec {
     assert(maxResid < 1.0, s"max |resid| $maxResid")
   }
 
+  test("e_stl_anomaly: an injected spike is the ONLY flagged day") {
+    import spark.implicits._
+    // 28 days at 1 event/day with a 100-event spike on day 10: the spike
+    // leaks ~100/7 into its neighbors' trends and its weekday's seasonal,
+    // but 3 sigma over the defined residuals isolates exactly the spike.
+    val ev = (0 until 28).flatMap { dd =>
+      Seq.fill(if (dd == 10) 100 else 1)(("s", dd))
+    }.toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+    val flagged = EventOps.stlAnomalyFrom(ev).collect()
+      .filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getDate(1).toString)
+    assert(flagged.toSeq == Seq("2024-01-11"), flagged.mkString(", "))
+  }
+
+  test("e_stl_anomaly: 128-bit-envelope guard raises in-plan") {
+    import spark.implicits._
+    // D = 3651 days and max_n = 1.5e7 events on the last day:
+    // D^3 * max_n^2 * 1e12 ~ 1.1e37 > 1e37 — the ledger would overflow
+    // DECIMAL(38)/HUGEINT, so both engines must raise. The 15M rows are
+    // generated DISTRIBUTED (spark.range), never a driver array.
+    val spike = spark.range(15000000L).select(lit("g").as("event_type"),
+      expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,3650)")
+        .as("ts"))
+    val ev = Seq(("g", 0)).toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+      .union(spike)
+    val e = intercept[Exception] {
+      EventOps.stlAnomalyFrom(ev).collect()
+    }
+    assert(e.getMessage.contains(
+      "e_stl_anomaly: residual ledger exceeds the 128-bit envelope"),
+      e.getMessage)
+  }
+
   test("d_kcore: triangle survives the peel, pendant chain dissolves") {
     graft.GraftSession.init(spark)
     import spark.implicits._
