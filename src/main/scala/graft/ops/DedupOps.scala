@@ -2032,6 +2032,53 @@ object DedupOps {
     * cluster-sized (the DF cap bounds how large a component's edge list
     * can get; a pathological mega-cluster degrades to a WindowExec
     * spill, never a wrong answer). */
+  /** Token-weighted duplication inflation per source — the dedup
+    * savings ledger in the unit that actually costs money. Doc-count
+    * dup rates ([[dupRateBySource]]) undercount when the duplicated
+    * documents are the LONG ones (boilerplate-heavy mirrors routinely
+    * are): a source can be 10% dup by docs and 40% dup by tokens, and
+    * training-budget decisions (GPU-hours ∝ tokens) need the latter.
+    * Per source: docs/tokens total, docs/tokens held by non-keeper
+    * near-dup cluster members (the keep-min convention of
+    * [[dedupClusters]] — what a dedup pass would actually delete), and
+    * both inflation fractions.
+    *
+    * Exactness: BIGINT token counts (whitespace split, the
+    * [[graft.ops.TextOps.tokenStats]] twin), two int→double divisions;
+    * a source group exists ⇒ denominators ≥ 1, no zero branch.
+    *
+    * Plan/scale: rides the SHARED DF-capped pair index + pair-graph CC
+    * (nothing new is quadratic), then one uniform doc-id join and a
+    * catalog-sized source agg. The token count is computed in the scan
+    * projection — the body never reaches the shuffle. */
+  def dupInflation(s: SparkSession, d: String): DataFrame =
+    dupInflationFrom(
+      documents(s, d).select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").cast("long").as("n_toks")),
+      dedupClusters(s, d))
+
+  /** [[dupInflation]] over caller-supplied (doc_id, source, n_toks) and
+    * (doc_id, cluster_id) relations — the testable core (the
+    * long-duplicate fixture where token inflation far exceeds doc
+    * inflation needs constructed lengths). */
+  private[ops] def dupInflationFrom(docs: DataFrame,
+                                    clusters: DataFrame): DataFrame =
+    docs
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("is_dup",
+        coalesce(col("doc_id") =!= col("cluster_id"), lit(false)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("is_dup"), col("n_toks")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_docs"), col("dup_tokens"),
+        expr("dup_docs / n_docs").as("doc_inflation"),
+        expr("dup_tokens / n_tokens").as("token_inflation"))
+      .orderBy("source")
+
   def softDedup(s: SparkSession, d: String): DataFrame = {
     val keyed = documents(s, d).select(col("doc_id"))
       .join(dedupClusters(s, d), Seq("doc_id"), "left")
@@ -2183,6 +2230,7 @@ object DedupOps {
     "d_cross_source_clusters" -> crossSourceClusters,
     "d_cluster_stats" -> clusterStats,
     "d_soft_dedup" -> softDedup,
+    "d_dup_inflation" -> dupInflation,
     "d_kcore" -> kcore,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
@@ -2340,6 +2388,18 @@ object DedupOps {
             FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
             JOIN keep k ON a.sh1 = k.sh1
             GROUP BY 1, 2)"""
+
+  /** The capped index + thresholded pair CTEs (`t s e c keep i p`) as
+    * one reusable fragment — `p` is exactly [[ngramJaccard]]'s
+    * ≥ [[JaccardMin]] pair relation, exported `private[ops]` so
+    * cross-family consumers (the BLEU pair scorer in
+    * [[graft.ops.TextOps]]) replay the IDENTICAL worklist the Spark
+    * side takes from [[ngramJaccard]] — the [[hllOracleCtes]]
+    * precedent. */
+  private[ops] val JaccardPairsDuck: String = s"""$JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin)"""
 
   /** The fuzzy (edit-distance) tier's scoring chain over the
     * [[JaccardCappedCtes]] index — candidate gate (`cand`), Levenshtein
@@ -2870,6 +2930,27 @@ object DedupOps {
       SELECT k.doc_id, k.cluster_id, sz.csize,
              CAST(1 AS DOUBLE) / CAST(sz.csize AS DOUBLE) AS weight
       FROM k JOIN sz USING (cluster_id) ORDER BY k.doc_id""",
+    "d_dup_inflation" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ${ccClosureCtes("p")},
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+      k AS (SELECT d.doc_id, d.source,
+              len(string_split(d.text, ' '))::BIGINT AS n_toks,
+              coalesce(cl.doc_id <> cl.cluster_id, FALSE) AS is_dup
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_toks)::BIGINT AS n_tokens,
+             sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+             sum(CASE WHEN is_dup THEN n_toks ELSE 0 END)::BIGINT
+               AS dup_tokens,
+             sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)
+               AS doc_inflation,
+             sum(CASE WHEN is_dup THEN n_toks ELSE 0 END) / sum(n_toks)
+               AS token_inflation
+      FROM k GROUP BY source ORDER BY source""",
     "d_fuzzy_pairs" -> s"""
       WITH $JaccardCappedCtes,
       $FuzzyScoreCtes

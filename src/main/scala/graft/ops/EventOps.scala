@@ -1505,6 +1505,85 @@ object EventOps {
     * per-user window min over the (user, day) distinct relation, so the
     * whole report is ONE uniform user-key shuffle + a calendar-sized
     * day aggregate; all counting exact BIGINT. */
+  /** Weekly GROWTH ACCOUNTING — the four-way user ledger every growth
+    * dashboard runs: per calendar week, how many active users are NEW
+    * (first-ever week), RETAINED (also active the week before),
+    * RESURRECTED (active before, but not last week), and CHURNED
+    * (active last week, absent this week), plus the quick ratio
+    * (new + resurrected) / churned. [[qNewReturning]] answers
+    * new-vs-returning per day; this decomposes "returning" into the
+    * retained/resurrected split and makes churn a first-class output —
+    * the identity active(w) = new + retained + resurrected and
+    * churned(w) = active(w−1) − retained(w) hold EXACTLY by
+    * construction (the spec proves both).
+    *
+    * Device notes: weeks are integer buckets days-since-epoch DIV 7
+    * (both engines floor nonneg integer division; calendar-library week
+    * semantics never enter). Churn falls out ARITHMETICALLY at the
+    * week level — active(w−1) − retained(w) on the dense week grid —
+    * instead of a per-user lead() pass, which would re-shuffle the
+    * user relation a second time for a number the identity already
+    * determines. The week grid is densified from min..max week so a
+    * fully-quiet week reads active=0 / churned=active(w−1) rather than
+    * silently fusing two calendar gaps; quiet-gap semantics are spec'd
+    * on a constructed fixture. quick_ratio is try_divide ≡ DuckDB's
+    * x/0 → NULL (week 1 has churned = 0).
+    *
+    * Plan/scale: ONE user-keyed shuffle (distinct user-week + the two
+    * user-window passes ride the same partitioning), then a week-keyed
+    * catalog agg; the dense grid + lag run on the week-count relation
+    * (a few hundred rows for years of data) — the single-partition
+    * window there is over the CATALOG, documented safe. At 100 TB the
+    * only corpus-sized stage is the distinct, exactly as it must be. */
+  def qGrowthAccounting(s: SparkSession, d: String): DataFrame =
+    growthAccountingFrom(events(s, d).select(col("user_id"), col("ts")))
+
+  /** [[qGrowthAccounting]] over a caller-supplied (user_id, ts)
+    * relation — the testable core (the quiet-week densification and
+    * the two ledger identities are proven on constructed feeds). */
+  private[ops] def growthAccountingFrom(ev: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val wo = Window.partitionBy("user_id").orderBy("wk")
+    val uw = ev
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"))
+      .distinct()
+    // week-catalog-sized; materialized ONCE (the dedupClustersFrom
+    // checkpoint pattern) because the dense grid's min/max and the left
+    // join both read it — without this the corpus distinct runs twice
+    val counts = uw
+      .withColumn("firstwk", min(col("wk")).over(wu))
+      .withColumn("lagwk", lag(col("wk"), 1).over(wo))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("wk") === col("firstwk"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("lagwk") === col("wk") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("wk") > col("firstwk") &&
+          (col("lagwk") < col("wk") - 1L), 1L).otherwise(0L))
+          .as("n_resurrected"))
+      .localCheckpoint()
+    val grid = counts.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      .select(explode(expr("sequence(w0, w1)")).as("wk"))
+    val dense = grid.join(counts, Seq("wk"), "left")
+      .na.fill(0L, Seq("active", "n_new", "n_retained", "n_resurrected"))
+    dense
+      .withColumn("prev_active",
+        lag(col("active"), 1).over(Window.orderBy("wk")))
+      .select(
+        expr("date_add(DATE '1970-01-01', cast(wk * 7 as int))")
+          .as("week_start"),
+        col("active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"),
+        expr("""try_divide(CAST(n_new + n_resurrected AS DOUBLE),
+          CAST(coalesce(prev_active, 0L) - n_retained AS DOUBLE))""")
+          .as("quick_ratio"))
+      .orderBy("week_start")
+  }
+
   def qNewReturning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
     events(s, d)
@@ -1732,6 +1811,7 @@ object EventOps {
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
     "e_wow" -> qWow,
+    "e_growth_accounting" -> qGrowthAccounting,
     "e_new_returning" -> qNewReturning,
     "e_basket" -> qBasket,
     "e_retention" -> qRetention,
@@ -1913,6 +1993,44 @@ object EventOps {
       SELECT t AS week_n, n_risk, d AS n_deaths, c AS n_censored,
              CASE WHEN zcum > 0 THEN 0.0e0 ELSE se_exp END AS survival
       FROM e1 ORDER BY week_n""",
+    "e_growth_accounting" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE))::BIGINT // 7 AS wk
+        FROM events),
+      f AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS firstwk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS lagwk
+        FROM uw),
+      c AS (
+        SELECT wk, count(*)::BIGINT AS active,
+               sum(CASE WHEN wk = firstwk THEN 1 ELSE 0 END)::BIGINT
+                 AS n_new,
+               sum(CASE WHEN lagwk = wk - 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_retained,
+               sum(CASE WHEN wk > firstwk AND lagwk < wk - 1
+                   THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+        FROM f GROUP BY 1),
+      grid AS (
+        SELECT unnest(generate_series(min(wk), max(wk))) AS wk FROM c),
+      dense AS (
+        SELECT g.wk, coalesce(c.active, 0)::BIGINT AS active,
+               coalesce(c.n_new, 0)::BIGINT AS n_new,
+               coalesce(c.n_retained, 0)::BIGINT AS n_retained,
+               coalesce(c.n_resurrected, 0)::BIGINT AS n_resurrected
+        FROM grid g LEFT JOIN c ON g.wk = c.wk),
+      l AS (
+        SELECT *, lag(active) OVER (ORDER BY wk) AS prev_active
+        FROM dense)
+      SELECT (DATE '1970-01-01' + (wk * 7)::INT) AS week_start,
+             active, n_new, n_retained, n_resurrected,
+             (coalesce(prev_active, 0) - n_retained)::BIGINT AS n_churned,
+             CAST(n_new + n_resurrected AS DOUBLE)
+               / CAST(coalesce(prev_active, 0) - n_retained AS DOUBLE)
+               AS quick_ratio
+      FROM l ORDER BY week_start""",
     "e_new_returning" -> """
       WITH ud AS (
         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -102,6 +102,33 @@ object RelationalOps {
       .orderBy("o_custkey", "rn")
   }
 
+  /** NTILE quartile banding — the missing sibling of the rank/dist
+    * window family: per order priority, orders are split into 4
+    * equal-count bands by total price and each band is summarized
+    * (count, price lo/hi). The standard spend-segmentation readout
+    * (quartile fences per segment) and the one window function the
+    * inventory lacked. The window ORDER BY carries the unique
+    * o_orderkey tiebreak, so band assignment is deterministic in both
+    * engines even under price ties; both engines implement SQL-standard
+    * ntile (first `n mod 4` bands get the extra row).
+    *
+    * Plan/scale: one priority-keyed window pass (ntile needs the
+    * partition row count — Spark buffers each partition once), then a
+    * 20-row agg. Partitions are the 5 priorities — for a skewed
+    * real-world key the banding column would move to a percent_rank
+    * bucketing, same output contract. */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("price_lo"),
+        max(col("o_totalprice")).as("price_hi"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Running-total window with an explicit ROWS frame. The accumulator is
     * DECIMAL so the running double is order-exact vs the oracle (a raw
     * double running sum would drift: DuckDB uses segment-tree window agg,
@@ -644,6 +671,7 @@ object RelationalOps {
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_window_rank" -> qWindowRank,
+    "q_ntile" -> qNtile,
     "q_window_running" -> qWindowRunning,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -749,6 +777,16 @@ object RelationalOps {
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_ntile" -> """
+      SELECT o_orderpriority, quartile, count(*)::BIGINT AS n_orders,
+             min(o_totalprice) AS price_lo, max(o_totalprice) AS price_hi
+      FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey)::BIGINT
+                 AS quartile
+        FROM orders) t
+      GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""",
     "q_window_running" -> """
       SELECT o_custkey, o_orderkey, o_orderdate,
              CAST(sum(CAST(o_totalprice AS DECIMAL(22,8)))

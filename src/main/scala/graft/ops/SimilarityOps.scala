@@ -228,6 +228,132 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Spearman rank correlation between each PREFIX-dimension cosine
+    * ordering and the full-[[Dim]] exact ordering, per query — the
+    * whole-ranking companion to [[mrlRecall]]: recall@5 only watches
+    * the head, but reranking pipelines and score-threshold filters
+    * consume the WHOLE candidate ordering, and a prefix can ace the
+    * top-5 while scrambling the tail (or vice versa). ρ = 1 −
+    * 6·Σd²/(n(n²−1)) over the two row_number ranks (unique vec_id
+    * tiebreak ⇒ no tie-correction term needed — both engines rank
+    * identically), so everything is exact BIGINT until ONE division.
+    *
+    * Plan/scale: the same ONE broadcast-query pass and 4-way melt as
+    * [[mrlRecall]] (sliced sequential-fold `vec_dot` ⇒ bit-identical
+    * prefix cosines), one (q_id, dim)-key window, then a self-join on
+    * the top-5-…full-length rank relation keyed by (q_id, vec_id) —
+    * uniform keys, candidate-set-sized. A measurement query: run over
+    * a query SAMPLE (here vec_id < 5), never the corpus as queries.
+    * Σd² < n³/3 keeps 6·Σd² in BIGINT for any n < 10⁶ candidates —
+    * far beyond a sane per-query sample. */
+  def spearmanMrl(s: SparkSession, d: String): DataFrame =
+    spearmanMrlFrom(embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** [[spearmanMrl]] over a caller-supplied (vec_id, embedding)
+    * relation — the testable core (ρ ≡ 1 when tail dims carry nothing,
+    * ρ → −1 on an adversarial prefix that reverses the order; both are
+    * proven on constructed sets the random gate corpus can't reach). */
+  private[ops] def spearmanMrlFrom(v: DataFrame): DataFrame = {
+    val dims = MrlPrefixes :+ Dim
+    val q = v.filter(col("vec_id") < 5)
+    val cosCols = dims.map { p =>
+      expr(s"""try_divide(
+        ${Vec.dot(s"slice(`q`.embedding, 1, $p)", s"slice(`c`.embedding, 1, $p)")},
+        sqrt(${Vec.normSq(s"slice(`q`.embedding, 1, $p)")}) *
+        sqrt(${Vec.normSq(s"slice(`c`.embedding, 1, $p)")}))""").as(s"cos$p")
+    }
+    val joined = broadcast(q.as("q"))
+      .join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id") +: col("c.vec_id").as("vec_id") +:
+        cosCols: _*)
+    val stackE = dims.map(p => s"$p, cos$p")
+      .mkString(s"stack(${dims.size}, ", ", ", ")")
+    val w = Window.partitionBy("q_id", "dim")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ranked = joined
+      .select(col("q_id"), col("vec_id"), expr(s"$stackE AS (dim, cosine)"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+    val full = ranked.filter(col("dim") === Dim)
+      .select(col("q_id"), col("vec_id"), col("rk").as("rk_full"))
+    ranked.filter(col("dim") =!= Dim)
+      .select(col("dim").cast("bigint").as("dim"), col("q_id"),
+        col("vec_id"), col("rk"))
+      .join(full, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "dim")
+      .agg(count(lit(1)).as("n_cands"),
+        sum(expr("(rk - rk_full) * (rk - rk_full)")).as("sum_d2"))
+      .select(col("q_id"), col("dim"), col("n_cands"), col("sum_d2"),
+        expr("""1.0e0 - try_divide(CAST(6 * sum_d2 AS DOUBLE),
+          CAST(n_cands * (n_cands * n_cands - 1) AS DOUBLE))""")
+          .as("spearman_rho"))
+      .orderBy("q_id", "dim")
+  }
+
+  /** Hard-TRIPLET mining over the labeled corpus — the metric-learning
+    * data loader's batch builder: for every anchor, the hardest
+    * positive (same-label neighbor with the LOWEST cosine — the one a
+    * contrastive loss must pull hardest) and the hardest negative
+    * (different-label neighbor with the HIGHEST cosine — the one it
+    * must push), with the margin gap and the standard α=0.2 active-
+    * triplet verdict. Mining is what makes triplet training converge;
+    * uniform sampling yields mostly-zero losses.
+    *
+    * Candidates are IVF-cell-blocked exactly like [[knnGraph]] — never
+    * corpus² — which is also the semantics production miners use
+    * (in-batch/blocked hard mining, not global-exact): the cell grain
+    * bounds the quadratic term and the blocking IS the candidate
+    * policy, identical in both engines. Anchors whose cell lacks a
+    * positive or a negative emit no row (a finding: the label is
+    * cell-isolated). Doubles are the sequential-fold cosine (bit-
+    * identical cross-engine); the α literal is shared exponent-form.
+    *
+    * Plan/scale: one narrow codegen'd cell assignment, ONE shuffle on
+    * the cell key, per-cell pairwise join, two per-anchor top-1
+    * windows that ride WindowGroupLimit, one uniform a_id join. At
+    * 100 TB: the knnGraph recipe with a label column along for the
+    * ride. */
+  def triplets(s: SparkSession, d: String): DataFrame =
+    tripletsFrom(embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label")))
+
+  /** [[triplets]] over a caller-supplied (vec_id, embedding, label)
+    * relation — the testable core (the property spec replays the whole
+    * mining pass against a sequential-fold Scala model on random
+    * labeled corpora, incl. cell-isolated labels that must emit no
+    * row). */
+  private[ops] def tripletsFrom(emb: DataFrame): DataFrame = {
+    val assigned = emb
+      .select(col("vec_id") +: col("embedding") +: col("label") +:
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
+        expr(argmaxCells).as("cell"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"),
+        col("a.label").cast("long").as("label"),
+        (col("a.label") === col("b.label")).as("same"),
+        col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cos"))
+    val wPos = Window.partitionBy("a_id").orderBy(col("cos").asc, col("b_id"))
+    val wNeg = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val pos = pairs.filter(col("same"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("a_id"), col("label"),
+        col("b_id").as("pos_id"), col("cos").as("cos_pos"))
+    val neg = pairs.filter(!col("same"))
+      .withColumn("rk", row_number().over(wNeg)).filter(col("rk") === 1)
+      .select(col("a_id"), col("b_id").as("neg_id"), col("cos").as("cos_neg"))
+    pos.join(neg, Seq("a_id"))
+      .select(col("a_id"), col("label"), col("pos_id"), col("cos_pos"),
+        col("neg_id"), col("cos_neg"),
+        expr("cos_pos - cos_neg").as("margin_gap"),
+        expr(s"cos_neg > cos_pos - ${DetMath.dlit(0.2)}").as("is_active"))
+      .orderBy("a_id")
+  }
+
   /** Recall CURVE of the LSH tier: recall@k for k ∈ {1, 3, 5}, macro-
     * aggregated across queries — [[annRecall]]'s single dial reading
     * extended to the shape every ANN evaluation actually plots (high
@@ -1573,6 +1699,8 @@ object SimilarityOps {
     "s_purity" -> clusterPurity,
     "s_ann_recall" -> annRecall,
     "s_mrl_recall" -> mrlRecall,
+    "s_spearman_mrl" -> spearmanMrl,
+    "s_triplets" -> triplets,
     "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,
@@ -1704,6 +1832,86 @@ object SimilarityOps {
              CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_q * 5 AS DOUBLE)
                AS recall_at5
       FROM b LEFT JOIN h ON b.dim = h.dim ORDER BY b.dim"""
+    },
+    "s_spearman_mrl" -> {
+      // sliced-first prefix cosine — identical device to s_mrl_recall
+      def cosP(p: Int): String = s"""
+        list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(q.embedding[1:$p], c.embedding[1:$p]),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (a, x) -> a + x) /
+        (sqrt(list_reduce(list_prepend(0::DOUBLE,
+           list_transform(q.embedding[1:$p], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, x) -> a + x)) *
+         sqrt(list_reduce(list_prepend(0::DOUBLE,
+           list_transform(c.embedding[1:$p], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, x) -> a + x)))"""
+      val dims = MrlPrefixes :+ Dim
+      val j = dims.map(p => s"${cosP(p)} AS cos$p").mkString(",\n             ")
+      val melt = dims.map(p =>
+        s"SELECT q_id, vec_id, $p AS dim, cos$p AS cosine FROM j")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH j AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             $j
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      s AS ($melt),
+      r AS (SELECT q_id, vec_id, dim,
+              row_number() OVER (PARTITION BY q_id, dim
+                                 ORDER BY cosine DESC, vec_id)::BIGINT AS rk
+            FROM s),
+      f AS (SELECT q_id, vec_id, rk AS rk_full FROM r WHERE dim = $Dim),
+      p AS (SELECT r.q_id, r.dim::BIGINT AS dim, r.rk, f.rk_full
+            FROM r JOIN f USING (q_id, vec_id) WHERE r.dim <> $Dim),
+      g AS (SELECT q_id, dim, count(*)::BIGINT AS n_cands,
+              sum((rk - rk_full) * (rk - rk_full))::BIGINT AS sum_d2
+            FROM p GROUP BY 1, 2)
+      SELECT q_id, dim, n_cands, sum_d2,
+             1.0e0 - CAST(6 * sum_d2 AS DOUBLE)
+               / CAST(n_cands * (n_cands * n_cands - 1) AS DOUBLE)
+               AS spearman_rho
+      FROM g ORDER BY q_id, dim"""
+    },
+    "s_triplets" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, v) -> a + v))"""
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(a.embedding, b.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+      s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, label, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, label, nrm, ($caseSql)::BIGINT AS cell
+        FROM scored),
+      pairs AS (
+        SELECT a.vec_id a_id, a.label::BIGINT AS label,
+               (a.label = b.label) AS same, b.vec_id b_id,
+               $dotAB / (a.nrm * b.nrm) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      pos AS (SELECT a_id, label, b_id AS pos_id, cos AS cos_pos FROM (
+               SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos ASC, b_id) AS rk FROM pairs WHERE same)
+              WHERE rk = 1),
+      neg AS (SELECT a_id, b_id AS neg_id, cos AS cos_neg FROM (
+               SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos DESC, b_id) AS rk FROM pairs WHERE NOT same)
+              WHERE rk = 1)
+      SELECT p.a_id, p.label, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+             p.cos_pos - n.cos_neg AS margin_gap,
+             n.cos_neg > p.cos_pos - ${DetMath.dlit(0.2)} AS is_active
+      FROM pos p JOIN neg n ON p.a_id = n.a_id ORDER BY p.a_id"""
     },
     "s_ann_recall" -> s"""
       WITH exact AS (

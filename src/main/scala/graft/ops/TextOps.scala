@@ -799,6 +799,113 @@ object TextOps {
     * Plan/scale: one scan → explode → (tok) partial agg (min doc_id) →
     * an 8-way checkpoint melt → 8-key agg. The doc-count side rides the
     * same melt over the pruned doc_id projection. */
+  /** Corpus-BLEU-2 between the two sides of every near-dup candidate
+    * pair — the overlap-quality score on the dedup worklist: Jaccard
+    * over shingle SETS (what found the pair) ignores repetition and
+    * length; BLEU's clipped n-gram precisions + brevity penalty are
+    * the standard answer to "how much of A is literally B, weighted by
+    * how often". The triage between verbatim mirrors (log-BLEU ≈ 0),
+    * templated rewrites (mid), and set-overlap false friends (low).
+    * Emitted in LOG space — log_bleu2 = ½(ln p₁ + ln p₂) + min(0,
+    * 1 − r/c) — so the transcendentals are [[DetMath]]'s
+    * bit-deterministic ln over the exact BIGINT clip/total counts and
+    * no cross-engine exp() exists; a pair with any zero precision
+    * reads NULL (BLEU 0, unrepresentable in log space) via the CASE.
+    *
+    * Plan/scale: the pair worklist is [[graft.ops.DedupOps.ngramJaccard]]'s
+    * DF-CAPPED candidate relation — pair enumeration cost was already
+    * paid and bounded there; this adds one (doc, n, gram) count agg
+    * and one pair×gram join whose size is Σ_pairs |grams(hyp)| — linear
+    * in the worklist, never corpus². The hypothesis length r falls out
+    * of the n=1 totals for free; only the reference length needs the
+    * one extra uniform join. */
+  def bleuPairs(s: SparkSession, d: String): DataFrame =
+    bleuPairsFrom(
+      DedupOps.ngramJaccard(s, d).select(col("a_id"), col("b_id")),
+      documents(s, d))
+
+  /** [[bleuPairs]] over caller-supplied (a_id, b_id) pair and
+    * (doc_id, text) document relations — the testable core (the
+    * log-BLEU ≡ 0 identical-pair contract, the brevity penalty sign,
+    * and the zero-overlap NULL all want constructed pairs). */
+  private[ops] def bleuPairsFrom(prs: DataFrame,
+                                 docsIn: DataFrame): DataFrame = {
+    val grams = docsIn
+      .select(col("doc_id"), expr(s"$Toks").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """concat(
+             transform(tk, g -> named_struct('n', 1, 'gram', g)),
+             CASE WHEN size(tk) >= 2
+               THEN transform(sequence(1, size(tk) - 1),
+                 i -> named_struct('n', 2, 'gram', concat(tk[i-1], ' ', tk[i])))
+               ELSE CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>) END)""")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    val agg = prs
+      .join(grams.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(grams.as("cb"),
+        col("b_id") === col("cb.doc_id") && col("ca.n") === col("cb.n") &&
+          col("ca.gram") === col("cb.gram"), "left")
+      .select(col("a_id"), col("b_id"), col("ca.n").as("n"),
+        col("ca.c").as("ch"), coalesce(col("cb.c"), lit(0L)).as("cr"))
+      .groupBy("a_id", "b_id")
+      .agg(
+        sum(when(col("n") === 1, least(col("ch"), col("cr"))).otherwise(0L))
+          .as("clip1"),
+        sum(when(col("n") === 1, col("ch")).otherwise(0L)).as("tot1"),
+        sum(when(col("n") === 2, least(col("ch"), col("cr"))).otherwise(0L))
+          .as("clip2"),
+        sum(when(col("n") === 2, col("ch")).otherwise(0L)).as("tot2"))
+    val lens = docsIn
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long")
+        .as("rlen"))
+    val base = agg.join(lens, col("b_id") === col("doc_id")).drop("doc_id")
+    val lns = Seq(("greatest(1L, clip1)", "l1"), ("tot1", "t1"),
+      ("greatest(1L, clip2)", "l2"), ("greatest(1L, tot2)", "t2"))
+      .foldLeft(base) { case (df, (e, p)) => DetMath.withLn(df, e, p) }
+    lns
+      .select(col("a_id"), col("b_id"), col("clip1"), col("tot1"),
+        col("clip2"), col("tot2"), col("rlen").as("ref_len"),
+        expr("""CASE WHEN clip1 >= 1 AND clip2 >= 1
+          THEN 0.5e0 * (l1_ln - t1_ln) + 0.5e0 * (l2_ln - t2_ln)
+            + least(0.0e0, 1.0e0 - CAST(rlen AS DOUBLE) / CAST(tot1 AS DOUBLE))
+          ELSE CAST(NULL AS DOUBLE) END""").as("log_bleu2"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Hapax-legomena profile per language — vocabulary size, singleton
+    * (f=1) and doubleton (f=2) type counts, hapax share of the
+    * vocabulary and of the token mass. The curator's
+    * vocabulary-health dial: a healthy natural-language slice runs
+    * ~40-60% hapax types (Zipf tail); a hapax rate near 0 screams
+    * template/boilerplate duplication, one near 1 screams OCR noise or
+    * tokenizer breakage — both are slice-level failures [[heaps]]'s
+    * growth curve and [[zipf]]'s rank fit only show indirectly. Also
+    * the Good–Turing unseen-mass numerator (n_hapax / n_tokens
+    * estimates the probability the NEXT token is novel).
+    *
+    * Exactness: pure BIGINT counting; the two rates are each ONE
+    * int64→double division on a group that exists ⇒ denominators ≥ 1,
+    * so no zero-division branch is needed in either engine.
+    *
+    * Plan/scale: one scan → explode → (lang, tok) agg (map-side
+    * combined) → catalog-sized lang agg. The same two-level shape as
+    * the corpus TF passes; no windows, no joins — holds at 100 TB. */
+  def hapax(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(expr(Toks)).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("lang").agg(
+        sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("lang"), col("n_tokens"), col("n_vocab"),
+        col("n_hapax"), col("n_dis"),
+        expr("n_hapax / n_vocab").as("hapax_type_rate"),
+        expr("n_hapax / n_tokens").as("unseen_mass_est"))
+      .orderBy("lang")
+
   def heaps(s: SparkSession, d: String): DataFrame = {
     val cps = Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)
     val cpArr = cps.mkString("array(", "L, ", "L)")
@@ -1212,6 +1319,8 @@ object TextOps {
     "t_perplexity" -> perplexity,
     "t_tfidf" -> tfidf,
     "t_bm25" -> bm25,
+    "t_bleu_pairs" -> bleuPairs,
+    "t_hapax" -> hapax,
     "t_heaps" -> heaps,
     "t_pmi" -> pmi,
     "t_winnow" -> winnow,
@@ -1656,6 +1765,59 @@ object TextOps {
       SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
       FROM e ORDER BY doc_id""",
     "t_bm25" -> bm25Oracle,
+    "t_bleu_pairs" -> s"""
+      WITH ${DedupOps.JaccardPairsDuck},
+      tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g1 AS (SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM tk2),
+      g2 AS (SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS gram
+             FROM tk2),
+      cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+              FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+              GROUP BY 1, 2, 3),
+      h AS (SELECT p.a_id, p.b_id, ca.n, ca.c AS ch,
+              coalesce(cb.c, 0)::BIGINT AS cr
+            FROM p JOIN cnt ca ON ca.doc_id = p.a_id
+            LEFT JOIN cnt cb ON cb.doc_id = p.b_id AND cb.n = ca.n
+              AND cb.gram = ca.gram),
+      agg AS (SELECT a_id, b_id,
+               sum(CASE WHEN n = 1 THEN least(ch, cr) ELSE 0 END)::BIGINT
+                 AS clip1,
+               sum(CASE WHEN n = 1 THEN ch ELSE 0 END)::BIGINT AS tot1,
+               sum(CASE WHEN n = 2 THEN least(ch, cr) ELSE 0 END)::BIGINT
+                 AS clip2,
+               sum(CASE WHEN n = 2 THEN ch ELSE 0 END)::BIGINT AS tot2
+              FROM h GROUP BY 1, 2),
+      base AS (SELECT agg.*, len(string_split(d.text, ' '))::BIGINT AS rlen
+               FROM agg JOIN documents d ON agg.b_id = d.doc_id),
+      l AS (SELECT *,
+              ${DetMath.lnDuckSelect("greatest(1::BIGINT, clip1)", "l1")},
+              ${DetMath.lnDuckSelect("tot1", "t1")},
+              ${DetMath.lnDuckSelect("greatest(1::BIGINT, clip2)", "l2")},
+              ${DetMath.lnDuckSelect("greatest(1::BIGINT, tot2)", "t2")}
+            FROM base)
+      SELECT a_id, b_id, clip1, tot1, clip2, tot2, rlen AS ref_len,
+             CASE WHEN clip1 >= 1 AND clip2 >= 1
+               THEN 0.5e0 * (l1_ln - t1_ln) + 0.5e0 * (l2_ln - t2_ln)
+                 + least(0.0e0,
+                     1.0e0 - CAST(rlen AS DOUBLE) / CAST(tot1 AS DOUBLE))
+               ELSE CAST(NULL AS DOUBLE) END AS log_bleu2
+      FROM l ORDER BY a_id, b_id""",
+    "t_hapax" -> """
+      WITH tf AS (SELECT lang, tok, count(*)::BIGINT AS f
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2)
+      SELECT lang, sum(f)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_vocab,
+             sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+             sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+             sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) / count(*)
+               AS hapax_type_rate,
+             sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) / sum(f)
+               AS unseen_mass_est
+      FROM tf GROUP BY 1 ORDER BY lang""",
     "t_heaps" -> """
       WITH fd AS (
         SELECT tok, min(doc_id) AS first_doc

@@ -181,6 +181,84 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** Jensen–Shannon divergence of each source's unigram distribution vs
+    * the REST of the corpus — the symmetric, bounded ([0, ln 2])
+    * companion to [[klSources]]: KL explodes when the rest has mass the
+    * source lacks, JS stays finite, so it is the metric a mixing
+    * dashboard can threshold ("flag any source whose JS vs the blend
+    * exceeds 0.3 nats").
+    *
+    * Exactness device: with p = a/n_s, q = b/n_r (b = rest count,
+    * n_r = rest total), the two log-ratios reduce to INTEGER ratios —
+    * p/m = 2·a·n_r / (a·n_r + b·n_s) and q/m = 2·b·n_s / (a·n_r + b·n_s)
+    * — so both logs ride [[DetMath]]'s bit-deterministic ln over BIGINT
+    * products and every per-token term is rounded to a 1e-12 BIGINT
+    * ledger (order-independent sum). Tokens ABSENT from the source need
+    * no grid: there p = 0 and m = q/2, so the q-side contribution is
+    * exactly ln 2 · (missing rest mass), computed from the per-source
+    * Σb in closed form. The 2^30 total-token envelope (products < 2^60,
+    * den < 2^61) is folded into the load-bearing ln input — the
+    * e_autocorr device — so both engines raise identically rather than
+    * desync. A single-source corpus reads NULL (n_r = 0) via
+    * try_divide ≡ DuckDB's native x/0.
+    *
+    * Plan/scale: token-level counts shuffle once on (source, tok); the
+    * rest-count window is keyed by tok (uniform); per-source totals are
+    * a CATALOG-sized relation broadcast back — deliberately NOT an
+    * over-() window on the vocab-sized relation, which would funnel the
+    * whole vocabulary through one partition. At 100 TB: vocab-keyed
+    * shuffles and one broadcast of |sources| rows — the right shape. */
+  def jsSources(s: SparkSession, d: String): DataFrame =
+    jsSourcesFrom(documents(s, d)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("a")))
+
+  /** [[jsSources]] over a caller-supplied (source, tok, a) token-count
+    * relation — the testable core (JS ≡ 0 for identical distributions,
+    * ≡ ln 2 for disjoint vocabularies, and the BIGINT-envelope raise
+    * all need constructed counts the gate corpus can't reach). */
+  private[ops] def jsSourcesFrom(stIn: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // materialize the token-count relation ONCE (the dedupClustersFrom
+    // checkpoint pattern): both the rest-count window and the per-source
+    // totals read it, and exchange reuse across differently-partitioned
+    // consumers is an optimizer courtesy, not a guarantee — without this
+    // the corpus explode+agg runs twice
+    val stM = stIn.localCheckpoint()
+    val st = stM
+      .withColumn("c", sum(col("a")).over(w.partitionBy("tok")))
+    val totals = stM.groupBy("source").agg(sum(col("a")).as("n_s"))
+      .withColumn("n_tot", sum(col("n_s")).over(w.partitionBy()))
+      .withColumn("n_r", expr("n_tot - n_s"))
+    val terms = st.join(broadcast(totals), "source")
+      .withColumn("b", expr("c - a"))
+      // envelope guard folded INTO the surviving ln input (a standalone
+      // guard column is dead code the optimizer prunes — e_stl_anomaly
+      // lesson); greatest(1, ·) keeps DetMath's bin() off zero when the
+      // factor is legitimately 0 (the CASE'd term is 0/NULL there)
+      .withColumn("np", expr(s"""CASE WHEN n_tot > 1073741824
+        THEN raise_error('v_js_sources: token ledger exceeds BIGINT envelope (n_tot > 2^30) — shard sources before the JS pass')
+        ELSE greatest(1L, 2L * a * n_r) END"""))
+      .withColumn("nq", expr("greatest(1L, 2L * b * n_s)"))
+      .withColumn("dn", expr("greatest(1L, a * n_r + b * n_s)"))
+    val lns = Seq(("np", "lp"), ("nq", "lq"), ("dn", "ld"))
+      .foldLeft(terms) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    val perSrc = lns
+      .withColumn("tp", expr(
+        "cast(round(((a / n_s) * (lp_ln - ld_ln)) * 1.0e12) as bigint)"))
+      .withColumn("tq", expr(
+        "CASE WHEN b >= 1 THEN cast(round(((b / n_r) * (lq_ln - ld_ln)) * 1.0e12) as bigint) ELSE 0L END"))
+      .groupBy("source", "n_s", "n_r")
+      .agg(sum(col("tp")).as("sp"), sum(col("tq")).as("sq"),
+        sum(col("b")).as("sum_b"))
+    perSrc
+      .select(col("source"), col("n_s").as("n_tokens"),
+        expr(s"""(sp + sq) / 2.0e12 + ${DetMath.dlit(0.5 * math.log(2.0))}
+          * try_divide(CAST(n_r - sum_b AS DOUBLE), CAST(n_r AS DOUBLE))""")
+          .as("js_vs_rest"))
+      .orderBy("source")
+  }
+
   /** Equi-width document-length histogram (width 250, top bucket open) —
     * the profile plot behind [[drift]]'s PSI buckets, as queryable rows
     * with exact counts and fractions. One scan, one tiny agg, window
@@ -721,6 +799,7 @@ object ValidationOps {
     "v_constraints" -> constraints,
     "v_drift" -> drift,
     "v_kl_sources" -> klSources,
+    "v_js_sources" -> jsSources,
     "v_emb_profile" -> embProfile)
 
   /** One UNION ALL branch of the v_referential oracle — mirrors `fk`'s
@@ -1083,5 +1162,46 @@ object ValidationOps {
       l AS (SELECT source, n_s, st, ${DetMath.lnDuckSelect("n_tot", "lnt")}
             FROM f)
       SELECT source, n_s AS n_tokens, st / 1.0e12 + lnt_ln AS kl_vs_corpus
-      FROM l ORDER BY source""")
+      FROM l ORDER BY source""",
+    "v_js_sources" -> s"""
+      WITH st AS (SELECT source, tok, count(*)::BIGINT AS a
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2),
+      stc AS (SELECT source, tok, a,
+                sum(a) OVER (PARTITION BY tok)::BIGINT AS c
+              FROM st),
+      totals AS (SELECT source, sum(a)::BIGINT AS n_s FROM st GROUP BY 1),
+      tt AS (SELECT source, n_s, sum(n_s) OVER ()::BIGINT AS n_tot
+             FROM totals),
+      tr AS (SELECT source, n_s, n_tot, n_tot - n_s AS n_r FROM tt),
+      j AS (SELECT stc.source, stc.a, stc.c - stc.a AS b,
+              tr.n_s, tr.n_r, tr.n_tot
+            FROM stc JOIN tr ON stc.source = tr.source),
+      g AS (SELECT source, a, b, n_s, n_r,
+              CASE WHEN n_tot > 1073741824
+                THEN error('v_js_sources: token ledger exceeds BIGINT envelope (n_tot > 2^30) — shard sources before the JS pass')
+                ELSE greatest(1::BIGINT, 2 * a * n_r) END AS np,
+              greatest(1::BIGINT, 2 * b * n_s) AS nq,
+              greatest(1::BIGINT, a * n_r + b * n_s) AS dn
+            FROM j),
+      l AS (SELECT source, a, b, n_s, n_r,
+              ${DetMath.lnDuckSelect("np", "lp")},
+              ${DetMath.lnDuckSelect("nq", "lq")},
+              ${DetMath.lnDuckSelect("dn", "ld")}
+            FROM g),
+      t AS (SELECT source, n_s, n_r, b,
+              round(((a / n_s) * (lp_ln - ld_ln)) * 1.0e12)::BIGINT AS tp,
+              CASE WHEN b >= 1
+                THEN round(((b / n_r) * (lq_ln - ld_ln)) * 1.0e12)::BIGINT
+                ELSE 0::BIGINT END AS tq
+            FROM l),
+      p AS (SELECT source, n_s, n_r, sum(tp)::BIGINT AS sp,
+              sum(tq)::BIGINT AS sq, sum(b)::BIGINT AS sum_b
+            FROM t GROUP BY 1, 2, 3)
+      SELECT source, n_s AS n_tokens,
+             (sp + sq) / 2.0e12 + ${DetMath.dlit(0.5 * math.log(2.0))}
+               * (CAST(n_r - sum_b AS DOUBLE) / CAST(n_r AS DOUBLE))
+               AS js_vs_rest
+      FROM p ORDER BY source""")
 }

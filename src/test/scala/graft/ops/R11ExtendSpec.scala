@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-11 extension batch invariants — the constructed-fixture
+  * contracts for the eight new operators (`v_js_sources t_hapax
+  * e_growth_accounting d_dup_inflation q_ntile s_spearman_mrl
+  * s_triplets t_bleu_pairs`) the random gate corpus cannot reach:
+  * closed-form endpoints (JS ∈ {0, ln 2}, ρ ∈ {−1, 1}, log-BLEU ≡ 0),
+  * ledger identities, the envelope raise, and a full Scala-model
+  * replay of the triplet miner. */
+class R11ExtendSpec extends SparkSpec {
+
+  private def js(rows: Seq[(String, String, Long)]): Map[String, Any] = {
+    import spark.implicits._
+    ValidationOps.jsSourcesFrom(rows.toDF("source", "tok", "a")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+  }
+
+  test("v_js_sources: identical distributions read EXACTLY 0") {
+    // both sources hold {x:2, y:3} → a·n_r == b·n_s for every token, so
+    // every DetMath ln sees equal integers and every term is exactly 0;
+    // shared support ⇒ zero missing mass. Bit-exact zero, not approx.
+    val got = js(Seq(("s1", "x", 2L), ("s1", "y", 3L),
+      ("s2", "x", 2L), ("s2", "y", 3L)))
+    assert(got == Map("s1" -> 0.0, "s2" -> 0.0), got.toString)
+  }
+
+  test("v_js_sources: disjoint vocabularies read ln 2 (the JS maximum)") {
+    val got = js(Seq(("s1", "x", 2L), ("s1", "y", 3L),
+      ("s2", "u", 1L), ("s2", "v", 4L)))
+    val ln2 = math.log(2.0)
+    got.values.foreach(v =>
+      assert(math.abs(v.asInstanceOf[Double] - ln2) < 1e-9, got.toString))
+  }
+
+  test("v_js_sources: single-source corpus reads NULL, not a raise") {
+    val got = js(Seq(("only", "x", 2L), ("only", "y", 3L)))
+    assert(got == Map("only" -> null), got.toString)
+  }
+
+  test("v_js_sources: BIGINT-envelope guard raises in-plan") {
+    // counts land directly in the core, so the 2^30 total-token ceiling
+    // is driven with TWO rows — no giant fixture
+    val e = intercept[Exception] {
+      js(Seq(("s1", "x", 1L << 30), ("s2", "x", 1L << 30)))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("v_js_sources"),
+      e.getMessage)
+  }
+
+  // ---- t_hapax ----
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hapax").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t_hapax: hand-counted singleton/doubleton ledger per lang") {
+    graft.GraftSession.init(spark)
+    // xx: tokens a a b  → vocab {a:2, b:1}: hapax=1 (b), dis=1 (a)
+    // yy: tokens c d c d e → vocab {c:2, d:2, e:1}: hapax=1, dis=2
+    val dir = docsDir(Seq(
+      (0L, "a a b", "xx", "s"), (1L, "c d c d e", "yy", "s")))
+    val got = TextOps.hapax(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("xx") == ((3L, 2L, 1L, 1L, 0.5, 1.0 / 3.0)), got.toString)
+    assert(got("yy") == ((5L, 3L, 1L, 2L, 1.0 / 3.0, 0.2)), got.toString)
+  }
+
+  // ---- e_growth_accounting ----
+
+  /** (user, week-offset) actives → the (user_id, ts) feed. */
+  private def weeks(rows: Seq[(Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "wkoff")
+      .select(col("user_id"),
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,wkoff,0)")
+          .as("ts"))
+  }
+
+  test("e_growth_accounting: hand-traced new/retained/resurrected/churned") {
+    // u1 active weeks 0,1,3; u2 weeks 0,2; u3 week 2 only.
+    // w0: new={u1,u2}; w1: retained={u1}, churned=active(w0)−retained=1
+    // w2: resurrected={u2}, new={u3}, churned=active(w1)−0=1
+    // w3: retained(lag=w2? u1's lag is w1 → resurrected), churned=2−0=2
+    val got = EventOps.growthAccountingFrom(
+      weeks(Seq((1L, 0), (1L, 1), (1L, 3), (2L, 0), (2L, 2), (3L, 2))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (2L, 2L, 0L, 0L, 0L),   // w0: active 2, all new
+      (1L, 0L, 1L, 0L, 1L),   // w1: u1 retained; u2 churned
+      (2L, 1L, 0L, 1L, 1L),   // w2: u3 new, u2 resurrected; u1 churned
+      (1L, 0L, 0L, 1L, 2L)),  // w3: u1 resurrected; u2,u3 churned
+      got.mkString(", "))
+  }
+
+  test("e_growth_accounting: a fully-quiet week stays a REAL week") {
+    // one user active weeks 0 and 2 → week 1 must appear with active=0
+    // and churn 1, and week 2 must read RESURRECTED (not retained)
+    val got = EventOps.growthAccountingFrom(weeks(Seq((1L, 0), (1L, 2))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0L, 0L),
+      (0L, 0L, 0L, 0L, 1L),
+      (1L, 0L, 0L, 1L, 0L)), got.mkString(", "))
+  }
+
+  test("e_growth_accounting: ledger identities on the gate feed") {
+    graft.GraftSession.init(spark)
+    val rows = EventOps.qGrowthAccounting(spark, "/root/testdata/sf0.001")
+      .collect()
+    var prevActive = 0L
+    rows.foreach { r =>
+      val (active, nw, ret, res, chu) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(active == nw + ret + res, r.toString) // four-way partition
+      assert(chu == prevActive - ret, r.toString)  // churn identity
+      prevActive = active
+    }
+  }
+
+  // ---- d_dup_inflation ----
+
+  test("d_dup_inflation: token weighting diverges from doc weighting") {
+    import spark.implicits._
+    // source A: keeper(10 toks) + dup(90 toks) → doc 50%, token 90%
+    // source B: two singletons → 0 / 0
+    val docs = Seq((1L, "A", 10L), (2L, "A", 90L),
+      (3L, "B", 7L), (4L, "B", 5L)).toDF("doc_id", "source", "n_toks")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val got = DedupOps.dupInflationFrom(docs, clusters).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("A") == ((1L, 90L, 0.5, 0.9)), got.toString)
+    assert(got("B") == ((0L, 0L, 0.0, 0.0)), got.toString)
+  }
+
+  // ---- q_ntile ----
+
+  test("q_ntile: bands partition each priority with SQL-standard sizing") {
+    graft.GraftSession.init(spark)
+    val rows = RelationalOps.qNtile(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byPrio = rows.groupBy(_._1)
+    byPrio.foreach { case (p, bands) =>
+      assert(bands.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L), p)
+      val n = bands.map(_._3).sum
+      // SQL-standard ntile: first (n mod 4) bands carry ceil, rest floor
+      val sizes = bands.sortBy(_._2).map(_._3)
+      val expect = (0 until 4).map(i => n / 4 + (if (i < n % 4) 1L else 0L))
+      assert(sizes.toSeq == expect, s"$p: $sizes vs $expect")
+      // price bands are ordered: hi(k) <= lo(k+1) (ties can touch)
+      sizes.indices.init.foreach { i =>
+        val s = bands.sortBy(_._2)
+        assert(s(i)._5 <= s(i + 1)._4, s"$p band $i overlap")
+      }
+    }
+  }
+
+  // ---- s_spearman_mrl ----
+
+  test("s_spearman_mrl: rho is EXACTLY 1 when tail dims carry nothing") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      val a = Array.fill(64)(0f)
+      (0 until 8).foreach(j => a(j) = ((i * 31 + j * 7) % 97 + 1).toFloat)
+      (i, a.toSeq)
+    }
+    val got = SimilarityOps.spearmanMrlFrom(vecs.toDF("vec_id", "embedding"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) == 39L, r.toString)          // n_cands
+      assert(r.getLong(3) == 0L, r.toString)           // sum_d2
+      assert(r.getDouble(4) == 1.0, r.toString)        // rho exact
+    }
+  }
+
+  test("s_spearman_mrl: an order-reversing tail reads rho == -1 at dim 8") {
+    import spark.implicits._
+    // candidates: dims 0-1 rank by angle a_i (the 8-prefix view), dims
+    // 8-9 rank by the REVERSED angle with 1000× the mass (the full-64
+    // view). For query 0 the dim-8 ranking is the exact reverse of the
+    // full ranking → Σd² hits the reversal maximum and ρ = −1 exactly;
+    // dims 16/32 contain the tail → ρ = 1.
+    val k = 21
+    def vec(pre: Double, post: Double): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = math.cos(pre).toFloat; a(1) = math.sin(pre).toFloat
+      a(8) = (1000 * math.cos(post)).toFloat
+      a(9) = (1000 * math.sin(post)).toFloat
+      a.toSeq
+    }
+    val q = (0L, vec(0.0, 0.0))
+    val cands = (1 to k).map { i =>
+      (i.toLong, vec(i * 0.05, (k + 1 - i) * 0.05))
+    }
+    val got = SimilarityOps.spearmanMrlFrom((q +: cands)
+      .toDF("vec_id", "embedding"))
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got(8L) == -1.0, got.toString)
+    assert(got(16L) == 1.0 && got(32L) == 1.0, got.toString)
+  }
+
+  // ---- s_triplets ----
+
+  test("s_triplets: property — miner equals a sequential Scala model " +
+    "(hardest positive/negative per cell, isolated labels emit no row)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(411)
+    val vecs = (0L until 120L).map { i =>
+      val lbl = (i % 5).toInt
+      (i, Array.fill(64)((rnd.nextInt(2001) - 1000).toFloat / 250f).toSeq,
+        lbl)
+    }
+    val got = SimilarityOps.tripletsFrom(
+      vecs.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+
+    // model: same cell assignment read back from the shared device, the
+    // same left-to-right double fold, min/max with (cos, b_id) tiebreak
+    val cells = SimilarityOps.assignCells(
+      vecs.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + p._1.toDouble * p._2.toDouble)
+    def nrm(a: Seq[Float]): Double =
+      math.sqrt(a.foldLeft(0.0)((acc, x) =>
+        acc + x.toDouble * x.toDouble))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    var expected = 0
+    vecs.foreach { case (a, ea, la) =>
+      val mates = vecs.filter(v => v._1 != a && cells(v._1) == cells(a))
+        .map { case (b, eb, lb) =>
+          (b, lb, dot(ea, eb) / (nrm(ea) * nrm(eb)))
+        }
+      val poss = mates.filter(_._2 == la)
+      val negs = mates.filter(_._2 != la)
+      if (poss.nonEmpty && negs.nonEmpty) {
+        expected += 1
+        val (pid, _, pcos) = poss.minBy(m => (m._3, m._1.toDouble))
+        val (nid, _, ncos) = negs.minBy(m => (-m._3, m._1.toDouble))
+        val row = got(a)
+        assert(row._1 == la.toLong, s"anchor $a label")
+        assert(row._2 == pid && row._3 == pcos, s"anchor $a pos")
+        assert(row._4 == nid && row._5 == ncos, s"anchor $a neg")
+        assert(row._6 == pcos - ncos, s"anchor $a margin")
+        assert(row._7 == (ncos > pcos - 0.2), s"anchor $a active")
+      } else assert(!got.contains(a), s"anchor $a should emit no row")
+    }
+    assert(got.size == expected && expected > 0, s"${got.size}/$expected")
+  }
+
+  // ---- t_bleu_pairs ----
+
+  private def bleu(pairs: Seq[(Long, Long)],
+                   docs: Seq[(Long, String)]): Map[(Long, Long), Any] = {
+    import spark.implicits._
+    TextOps.bleuPairsFrom(pairs.toDF("a_id", "b_id"),
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(7)) null else r.getDouble(7))).toMap
+  }
+
+  test("t_bleu_pairs: an identical pair reads log-BLEU EXACTLY 0") {
+    val got = bleu(Seq((1L, 2L)),
+      Seq((1L, "the cat sat on the mat"), (2L, "the cat sat on the mat")))
+    assert(got == Map((1L, 2L) -> 0.0), got.toString)
+  }
+
+  test("t_bleu_pairs: brevity penalty fires only when hyp is shorter") {
+    // hyp = prefix of ref: precisions are 1 (every hyp gram clips fully)
+    // so log-BLEU = BP alone = 1 − r/c < 0
+    val got = bleu(Seq((1L, 2L)),
+      Seq((1L, "a b c d"), (2L, "a b c d e f")))
+    assert(got((1L, 2L)) == 1.0 - 6.0 / 4.0, got.toString)
+    // and the mirrored pair (hyp longer) reads penalty-free but with
+    // imperfect precision: p1 = 4/6, p2 = 3/5, BP = 0
+    val got2 = bleu(Seq((2L, 1L)),
+      Seq((1L, "a b c d"), (2L, "a b c d e f")))
+    val v = got2((2L, 1L)).asInstanceOf[Double]
+    assert(math.abs(v - 0.5 * (math.log(4.0 / 6.0) + math.log(3.0 / 5.0)))
+      < 1e-12, got2.toString)
+  }
+
+  test("t_bleu_pairs: zero bigram overlap reads NULL (log-BLEU of 0)") {
+    // unigrams overlap (both use 'x') but no bigram does
+    val got = bleu(Seq((1L, 2L)), Seq((1L, "x p x q"), (2L, "r x s x t")))
+    assert(got == Map((1L, 2L) -> null), got.toString)
+  }
+}
