@@ -1456,6 +1456,52 @@ object DedupOps {
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d).orderBy("a_id", "b_id")
 
+  /** SemDeDup THRESHOLD SWEEP — the ε dial for the embedding tier,
+    * the [[thresholdSweep]] discipline applied to cosine instead of
+    * Jaccard: pair count, touched-document count, removals under the
+    * [[semanticDedup]] edge rule (every non-minimal pair member), and
+    * the corpus removal rate at cosine ∈ {0.30, 0.40, 0.50, 0.60} —
+    * bracketing the production [[NearDupCos]] = 0.40 so a curator sees
+    * what ±0.1 of threshold would have cost or spared BEFORE rerunning
+    * the dedup. Thresholds ride as integer-percent keys; each compare
+    * is against pct/100 computed identically (one IEEE division of the
+    * same integers) in both engines.
+    *
+    * Plan/scale: the SAME label-blocked pairwise pass as
+    * [[embeddingNearDup]] (the threshold filter was post-join anyway —
+    * the sweep costs ONE extra 4-way melt, not four passes), two
+    * pct-keyed aggs, a 1-row corpus count broadcast. A threshold with
+    * zero pairs emits no row — itself a reading. */
+  def semanticSweep(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val pairs = v.as("a")
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+    val melt = pairs
+      .select(col("a_id"), col("b_id"), col("cosine"),
+        explode(expr("array(30L, 40L, 50L, 60L)")).as("pct"))
+      .filter(col("cosine") >= expr("CAST(pct AS DOUBLE) / 100.0e0"))
+    val g = melt.groupBy("pct").agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_removed"))
+    val nodes = melt
+      .select(col("pct"), explode(expr("array(a_id, b_id)")).as("node"))
+      .distinct()
+      .groupBy("pct").agg(count(lit(1)).as("n_dup_docs"))
+    val tot = embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+    g.join(nodes, Seq("pct"))
+      .crossJoin(broadcast(tot))
+      .select(col("pct"), col("n_pairs"), col("n_dup_docs"),
+        col("n_removed"), col("n_vecs"),
+        expr("n_removed / n_vecs").as("removal_rate"))
+      .orderBy("pct")
+  }
+
   /** Near-dup CLUSTERS at the EMBEDDING tier — the SemDeDup decision
     * grain, completing the clustering ladder (text-exact
     * [[dedupClusters]], text-sketch [[minhashClusters]], perceptual
@@ -2209,6 +2255,7 @@ object DedupOps {
     "d_simhash" -> simhash,
     "d_simhash_pairs" -> simhashPairs,
     "d_embedding_neardup" -> embeddingNearDup,
+    "d_semantic_sweep" -> semanticSweep,
     "d_embedding_clusters" -> embeddingClusters,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
@@ -3103,6 +3150,23 @@ object DedupOps {
       WHERE doc_id >= 400
       ORDER BY doc_id"""
     },
+    "d_semantic_sweep" -> s"""
+      WITH $EmbCosinePairsCtes,
+      m AS (SELECT a_id, b_id, cosine, t.pct::BIGINT AS pct
+            FROM p, unnest([30, 40, 50, 60]) AS t(pct)
+            WHERE cosine >= CAST(t.pct AS DOUBLE) / 100.0e0),
+      g AS (SELECT pct, count(*)::BIGINT AS n_pairs,
+              count(DISTINCT b_id)::BIGINT AS n_removed
+            FROM m GROUP BY 1),
+      n AS (SELECT pct, count(*)::BIGINT AS n_dup_docs FROM (
+              SELECT DISTINCT pct, node FROM (
+                SELECT pct, a_id AS node FROM m
+                UNION ALL SELECT pct, b_id FROM m) u) dn
+            GROUP BY 1),
+      t2 AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings)
+      SELECT g.pct, g.n_pairs, n.n_dup_docs, g.n_removed, t2.n_vecs,
+             g.n_removed / t2.n_vecs AS removal_rate
+      FROM g JOIN n USING (pct) CROSS JOIN t2 ORDER BY pct""",
     "d_embedding_neardup" -> s"""
       WITH $EmbCosinePairsCtes
       SELECT a_id, b_id, "label", cosine FROM p

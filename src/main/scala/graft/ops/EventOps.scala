@@ -59,6 +59,56 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pareto concentration curve of per-user activity — [[qGini]]'s
+    * scalar drawn out as the readings a capacity/abuse review quotes:
+    * the share of ALL events produced by the top {1, 5, 10, 25, 50}%
+    * most-active users, with the concentration lift (share ÷ pct).
+    * "Top 1% = 40× lift" is an abuse-review smoking gun; a lift near 1
+    * says the load is organic.
+    *
+    * The global rank never materializes (the [[qGini]] device): the
+    * per-user counts collapse to the DISTINCT-VALUES histogram
+    * (support-sized — at most √(2E) rows), exclusive prefix sums run
+    * over that relation, and each percentile checkpoint r_k =
+    * ⌈U·k/100⌉ lands in exactly ONE bucket, inside which users are
+    * exchangeable so the cumulative event count is the closed form
+    * ce + (r_k − cu)·c — exact BIGINTs end to end, one division for
+    * the share and one for the lift. Checkpoint ranks use integer
+    * ceiling division ((U·k + 99) DIV 100), identical in both engines
+    * for nonnegative operands.
+    *
+    * Plan/scale: one uniform user-key agg → support-sized value agg →
+    * ONE support-sized ordered window (the catalog-window argument) →
+    * a 5-way checkpoint melt. No per-row rank, no global sort. */
+  def qPareto(s: SparkSession, d: String): DataFrame =
+    paretoFrom(events(s, d).select(col("user_id")))
+
+  /** [[qPareto]] over a caller-supplied (user_id) event relation — the
+    * testable core (closed-form checkpoints on constructed uniform and
+    * single-whale distributions). */
+  private[ops] def paretoFrom(ev: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c").desc)
+    val h = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nu"))
+      .withColumn("ev", col("c") * col("nu"))
+    val pre = h
+      .withColumn("cu", sum(col("nu")).over(w) - col("nu"))
+      .withColumn("ce", sum(col("ev")).over(w) - col("ev"))
+      .withColumn("u_tot", sum(col("nu")).over(Window.partitionBy()))
+      .withColumn("e_tot", sum(col("ev")).over(Window.partitionBy()))
+    pre
+      .select(col("*"), explode(expr("array(1L, 5L, 10L, 25L, 50L)"))
+        .as("pct"))
+      .withColumn("rk", expr("(u_tot * pct + 99L) div 100L"))
+      .filter(col("rk") > col("cu") && col("rk") <= col("cu") + col("nu"))
+      .select(col("pct"), col("rk").as("top_users"),
+        (col("ce") + (col("rk") - col("cu")) * col("c")).as("events_cum"),
+        col("e_tot").as("n_events_total"),
+        expr("(ce + (rk - cu) * c) / e_tot").as("share"),
+        expr("(100L * (ce + (rk - cu) * c)) / (pct * e_tot)").as("lift"))
+      .orderBy("pct")
+  }
+
   /** Gini coefficient of per-user activity — the concentration one-number
     * behind "1% of users generate half the events" (and, on a corpus, "is
     * this source a few mega-contributors or a long tail"): G = (2·Σᵢ i·xᵢ
@@ -1101,6 +1151,52 @@ object EventOps {
     *
     * Plan/scale: [[qStl]]'s shape + one more type-key window pass over
     * the catalog×days relation. */
+  /** Anomaly-ensemble VOTE — the alerting ladder's three tiers joined
+    * into one pageable worklist: raw 2σ ([[ValidationOps.anomaly]]),
+    * robust median/3·MAD ([[ValidationOps.madAnomaly]]), and
+    * deseasonalized STL-residual 3σ ([[qStlAnomaly]]) verdicts per
+    * (event_type, day), emitting only days at least one tier flagged,
+    * with the vote count. This is the page-vs-ticket routing input
+    * every on-call rotation actually wants: 3/3 votes is a real
+    * incident, a raw-only flag on a Sunday is the calendar, an
+    * STL-only flag is a trend break the raw tiers can't see. A NULL
+    * tier flag means that tier HAD NO ROW for the day (the raw tiers
+    * see only observed days; STL sees the densified grid) —
+    * deliberately distinct from FALSE ("evaluated, not anomalous").
+    *
+    * Exactness: pure boolean/int composition of three already-exact
+    * verdicts; join keys are (string, date). Spark's Seq-key full outer
+    * coalesces the keys by definition; the oracle spells the same
+    * COALESCE out explicitly rather than trusting USING-in-FULL-JOIN
+    * dialect behavior.
+    *
+    * Plan/scale: the three tiers each reduce to catalog×days-sized
+    * relations before the joins, so the ensemble is catalog-sized work
+    * on top of three one-scan passes; at 100 TB you'd materialize the
+    * shared daily-count relation once for all three (the denseDaily
+    * device already is shared between STL and CUSUM). */
+  def qAnomalyVotes(s: SparkSession, d: String): DataFrame = {
+    val raw = ValidationOps.anomaly(s, d)
+      .select(col("event_type"), col("day"), col("is_anomaly").as("flag_raw"))
+    val rob = ValidationOps.madAnomaly(s, d)
+      .select(col("event_type"), col("day"),
+        col("is_outlier").as("flag_robust"))
+    val stl = qStlAnomaly(s, d)
+      .select(col("event_type"), col("day"), col("is_anomaly").as("flag_stl"))
+    raw.join(rob, Seq("event_type", "day"), "full_outer")
+      .join(stl, Seq("event_type", "day"), "full_outer")
+      .filter(coalesce(col("flag_raw"), lit(false)) ||
+        coalesce(col("flag_robust"), lit(false)) ||
+        coalesce(col("flag_stl"), lit(false)))
+      .select(col("event_type"), col("day"), col("flag_raw"),
+        col("flag_robust"), col("flag_stl"),
+        expr("""CAST((CASE WHEN flag_raw THEN 1 ELSE 0 END)
+          + (CASE WHEN flag_robust THEN 1 ELSE 0 END)
+          + (CASE WHEN flag_stl THEN 1 ELSE 0 END) AS BIGINT)""")
+          .as("n_votes"))
+      .orderBy("event_type", "day")
+  }
+
   def qStlAnomaly(s: SparkSession, d: String): DataFrame =
     stlAnomalyFrom(events(s, d).select(col("event_type"), col("ts")))
 
@@ -1805,6 +1901,7 @@ object EventOps {
     "e_weekday_lift" -> qWeekdayLift,
     "e_stl" -> qStl,
     "e_stl_anomaly" -> qStlAnomaly,
+    "e_anomaly_votes" -> qAnomalyVotes,
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_attr_window" -> qAttrWindow,
@@ -1831,6 +1928,7 @@ object EventOps {
     "q_session_window" -> qSessionWindow,
     "e_paths" -> qPaths,
     "e_gini" -> qGini,
+    "e_pareto" -> qPareto,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_skew_salted" -> qSkewSalted,
@@ -1914,6 +2012,34 @@ object EventOps {
                        CAST((SELECT t FROM tot) AS DOUBLE) END AS attribution
       FROM re ORDER BY channel"""
   }
+
+  /** The e_stl_anomaly oracle as a named val so the e_anomaly_votes
+    * ensemble oracle can embed the IDENTICAL tier text (the shared-CTE
+    * no-drift rule applied across the map boundary). */
+  private val StlAnomalyOracle: String = s"""
+      WITH ${stlCtes("e_stl_anomaly")},
+      st0 AS (
+        SELECT *, max(n) OVER wt AS maxn, count(resid) OVER wt AS dres
+        FROM decomp
+        WINDOW wt AS (PARTITION BY event_type)),
+      qz AS (
+        SELECT event_type, day, n, resid, dres,
+               CASE WHEN
+                   CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+                     * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12 > 1.0e37
+                 THEN error('e_stl_anomaly: residual ledger exceeds the 128-bit envelope (D^3*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
+                 ELSE CAST(round(resid * 1000000) AS BIGINT) END AS q
+        FROM st0),
+      st AS (
+        SELECT *,
+               sum(q::HUGEINT) OVER wt AS s,
+               sum(q::HUGEINT * q) OVER wt AS q2
+        FROM qz
+        WINDOW wt AS (PARTITION BY event_type))
+      SELECT event_type, day, n, resid,
+             ((dres::HUGEINT * q - s) * (dres::HUGEINT * q - s))
+               > 9 * (dres::HUGEINT * q2 - s * s) AS is_anomaly
+      FROM st ORDER BY event_type, day"""
 
   val oracles: Map[String, String] = Map(
     "e_markov_removal" -> markovRemovalOracle,
@@ -2098,30 +2224,31 @@ object EventOps {
       WITH ${stlCtes("e_stl")}
       SELECT event_type, day, n, trend, seasonal, resid
       FROM decomp ORDER BY event_type, day""",
-    "e_stl_anomaly" -> s"""
-      WITH ${stlCtes("e_stl_anomaly")},
-      st0 AS (
-        SELECT *, max(n) OVER wt AS maxn, count(resid) OVER wt AS dres
-        FROM decomp
-        WINDOW wt AS (PARTITION BY event_type)),
-      qz AS (
-        SELECT event_type, day, n, resid, dres,
-               CASE WHEN
-                   CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
-                     * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12 > 1.0e37
-                 THEN error('e_stl_anomaly: residual ledger exceeds the 128-bit envelope (D^3*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
-                 ELSE CAST(round(resid * 1000000) AS BIGINT) END AS q
-        FROM st0),
-      st AS (
-        SELECT *,
-               sum(q::HUGEINT) OVER wt AS s,
-               sum(q::HUGEINT * q) OVER wt AS q2
-        FROM qz
-        WINDOW wt AS (PARTITION BY event_type))
-      SELECT event_type, day, n, resid,
-             ((dres::HUGEINT * q - s) * (dres::HUGEINT * q - s))
-               > 9 * (dres::HUGEINT * q2 - s * s) AS is_anomaly
-      FROM st ORDER BY event_type, day""",
+    "e_stl_anomaly" -> StlAnomalyOracle,
+    "e_anomaly_votes" -> s"""
+      WITH r AS (${ValidationOps.oracles("v_anomaly")}),
+      m AS (${ValidationOps.oracles("v_mad_anomaly")}),
+      s2 AS ($StlAnomalyOracle),
+      j1 AS (
+        SELECT coalesce(r.event_type, m.event_type) AS event_type,
+               coalesce(r.day, m.day) AS day,
+               r.is_anomaly AS flag_raw, m.is_outlier AS flag_robust
+        FROM r FULL JOIN m
+          ON r.event_type = m.event_type AND r.day = m.day),
+      j2 AS (
+        SELECT coalesce(j1.event_type, s2.event_type) AS event_type,
+               coalesce(j1.day, s2.day) AS day,
+               j1.flag_raw, j1.flag_robust, s2.is_anomaly AS flag_stl
+        FROM j1 FULL JOIN s2
+          ON j1.event_type = s2.event_type AND j1.day = s2.day)
+      SELECT event_type, day, flag_raw, flag_robust, flag_stl,
+             ((CASE WHEN flag_raw THEN 1 ELSE 0 END)
+               + (CASE WHEN flag_robust THEN 1 ELSE 0 END)
+               + (CASE WHEN flag_stl THEN 1 ELSE 0 END))::BIGINT AS n_votes
+      FROM j2
+      WHERE coalesce(flag_raw, FALSE) OR coalesce(flag_robust, FALSE)
+         OR coalesce(flag_stl, FALSE)
+      ORDER BY event_type, day""",
     "e_weekday_lift" -> s"""
       WITH ${denseDailyCtes("e_weekday_lift")},
       a AS (
@@ -2585,6 +2712,29 @@ object EventOps {
              min(tus) AS session_start, max(tus) AS session_end
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
+    "e_pareto" -> """
+      WITH uc AS (SELECT user_id, count(*)::BIGINT AS c
+                  FROM events GROUP BY 1),
+      h AS (SELECT c, count(*)::BIGINT AS nu,
+              (c * count(*))::BIGINT AS ev
+            FROM uc GROUP BY 1),
+      p AS (SELECT c, nu, ev,
+              (sum(nu) OVER w - nu)::BIGINT AS cu,
+              (sum(ev) OVER w - ev)::BIGINT AS ce,
+              sum(nu) OVER ()::BIGINT AS u_tot,
+              sum(ev) OVER ()::BIGINT AS e_tot
+            FROM h WINDOW w AS (ORDER BY c DESC)),
+      x AS (SELECT p.*, t.pct::BIGINT AS pct
+            FROM p, unnest([1, 5, 10, 25, 50]) AS t(pct)),
+      y AS (SELECT pct, (u_tot * pct + 99) // 100 AS rk,
+              cu, ce, c, nu, e_tot
+            FROM x)
+      SELECT pct, rk AS top_users,
+             (ce + (rk - cu) * c)::BIGINT AS events_cum,
+             e_tot AS n_events_total,
+             (ce + (rk - cu) * c) / e_tot AS share,
+             (100 * (ce + (rk - cu) * c)) / (pct * e_tot) AS lift
+      FROM y WHERE rk > cu AND rk <= cu + nu ORDER BY pct""",
     "e_gini" -> {
       val L = Exact.Limb
       val mid = s"(x // $L) * (c % $L) + (x % $L) * (c // $L)"

@@ -123,6 +123,49 @@ object TextOps {
 
   /** Quality score: weighted blend of type-token ratio, stopword ratio and
     * mean token length (fixed parenthesization → bit-identical doubles). */
+  /** Code-vs-prose detection — the tokenizer-routing gate every mixed
+    * crawl needs before BPE training: source code wants a code
+    * tokenizer and its own mixture weight, and a 2% stream of
+    * unrecognized JavaScript silently wrecks a prose tokenizer's merge
+    * table. Scores each document by exact counts of the five
+    * syntax-character families no natural-language style uses at code
+    * density (braces, semicolons, equals, parens, underscores), a
+    * weighted integer code_score (braces are the strongest signal at
+    * 4×, semicolons 2×), the symbol density, and an exact-integer
+    * verdict 100·score > n_chars — no floats touch the decision.
+    * [[langId]] answers "which natural language"; this answers
+    * "is it natural language at all".
+    *
+    * Plan/scale: one pruned scan, per-row length/replace arithmetic
+    * (codegen'd, no explode, no shuffle but the output order) — the
+    * cheapest possible per-doc pass. Empty docs read NULL density via
+    * try_divide ≡ DuckDB x/0. */
+  def codeDetect(s: SparkSession, d: String): DataFrame = {
+    val fams = Seq(
+      "n_braces" -> Seq("{", "}"),
+      "n_semi" -> Seq(";"),
+      "n_eq" -> Seq("="),
+      "n_paren" -> Seq("(", ")"),
+      "n_underscore" -> Seq("_"))
+    def cnt(chs: Seq[String]): String = chs
+      .map(c => s"(length(text) - length(replace(text, '$c', '')))")
+      .mkString(" + ")
+    val withCounts = fams.foldLeft(documents(s, d)) { case (df, (n, chs)) =>
+      df.withColumn(n, expr(cnt(chs)).cast("long"))
+    }
+    withCounts
+      .withColumn("code_score",
+        expr("4L * n_braces + 2L * n_semi + n_eq + n_paren + n_underscore"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("n_braces"), col("n_semi"), col("n_eq"), col("n_paren"),
+        col("n_underscore"), col("code_score"),
+        expr("""try_divide(
+          CAST(n_braces + n_semi + n_eq + n_paren + n_underscore AS DOUBLE),
+          CAST(length(text) AS DOUBLE))""").as("symbol_density"),
+        expr("100L * code_score > length(text)").as("is_code"))
+      .orderBy("doc_id")
+  }
+
   def quality(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("nt", expr(s"size($Toks)").cast("long"))
@@ -1320,6 +1363,7 @@ object TextOps {
     "t_tfidf" -> tfidf,
     "t_bm25" -> bm25,
     "t_bleu_pairs" -> bleuPairs,
+    "t_code_detect" -> codeDetect,
     "t_hapax" -> hapax,
     "t_heaps" -> heaps,
     "t_pmi" -> pmi,
@@ -1765,6 +1809,28 @@ object TextOps {
       SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
       FROM e ORDER BY doc_id""",
     "t_bm25" -> bm25Oracle,
+    "t_code_detect" -> """
+      WITH c AS (
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+          ((length(text) - length(replace(text, '{', '')))
+            + (length(text) - length(replace(text, '}', ''))))::BIGINT
+            AS n_braces,
+          (length(text) - length(replace(text, ';', '')))::BIGINT AS n_semi,
+          (length(text) - length(replace(text, '=', '')))::BIGINT AS n_eq,
+          ((length(text) - length(replace(text, '(', '')))
+            + (length(text) - length(replace(text, ')', ''))))::BIGINT
+            AS n_paren,
+          (length(text) - length(replace(text, '_', '')))::BIGINT
+            AS n_underscore
+        FROM documents)
+      SELECT doc_id, n_chars, n_braces, n_semi, n_eq, n_paren, n_underscore,
+             (4 * n_braces + 2 * n_semi + n_eq + n_paren + n_underscore)::BIGINT
+               AS code_score,
+             CAST(n_braces + n_semi + n_eq + n_paren + n_underscore AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS symbol_density,
+             100 * (4 * n_braces + 2 * n_semi + n_eq + n_paren + n_underscore)
+               > n_chars AS is_code
+      FROM c ORDER BY doc_id""",
     "t_bleu_pairs" -> s"""
       WITH ${DedupOps.JaccardPairsDuck},
       tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

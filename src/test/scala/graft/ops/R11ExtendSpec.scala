@@ -309,4 +309,105 @@ class R11ExtendSpec extends SparkSpec {
     val got = bleu(Seq((1L, 2L)), Seq((1L, "x p x q"), (2L, "r x s x t")))
     assert(got == Map((1L, 2L) -> null), got.toString)
   }
+
+  // ---- e_pareto ----
+
+  private def pareto(userEvents: Seq[Long]): Map[Long, (Long, Long, Double, Double)] = {
+    import spark.implicits._
+    EventOps.paretoFrom(userEvents.toDF("user_id")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+  }
+
+  test("e_pareto: uniform activity reads share == pct and lift == 1 exactly") {
+    // 100 users × 1 event: top k% holds exactly k% of events
+    val got = pareto((0L until 100L))
+    Seq(1L, 5L, 10L, 25L, 50L).foreach { k =>
+      val (topUsers, evCum, share, lift) = got(k)
+      assert(topUsers == k && evCum == k, s"$k: $got")
+      assert(share == k.toDouble / 100.0 && lift == 1.0, s"$k: $got")
+    }
+  }
+
+  test("e_pareto: one whale reads the closed-form concentration") {
+    // user 0 → 99 events, users 1..99 → 1 each: U=100, E=198.
+    // top 1% = the whale alone: share 99/198 = 0.5, lift 50.
+    val got = pareto(Seq.fill(99)(0L) ++ (1L until 100L))
+    assert(got(1L) == ((1L, 99L, 0.5, 50.0)), got.toString)
+    // top 50%: whale + 49 singles = 148 events
+    assert(got(50L) == ((50L, 148L, 148.0 / 198.0, 2.0 * 148.0 / 198.0)),
+      got.toString)
+  }
+
+  test("e_pareto: gate curve is monotone (share up, lift down)") {
+    graft.GraftSession.init(spark)
+    val rows = EventOps.qPareto(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L, 25L, 50L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 >= b._3, s"$a vs $b")
+    }
+    assert(rows.last._2 >= 0.5) // top half holds at least half
+  }
+
+  // ---- e_anomaly_votes ----
+
+  test("e_anomaly_votes: every emitted row is flagged and vote-consistent") {
+    graft.GraftSession.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.qAnomalyVotes(spark, d).collect()
+    rows.foreach { r =>
+      val flags = Seq(2, 3, 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getBoolean(i)))
+      assert(flags.exists(_.contains(true)), r.toString)
+      assert(r.getLong(5) == flags.count(_.contains(true)), r.toString)
+    }
+    // tier-coverage: every STL-flagged (type, day) appears in the ensemble
+    val stl = EventOps.qStlAnomaly(spark, d).collect()
+      .filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(r => (r.getString(0), r.getDate(1))).toSet
+    val got = rows.map(r => (r.getString(0), r.getDate(1))).toSet
+    assert(stl.subsetOf(got), (stl -- got).toString)
+  }
+
+  // ---- t_code_detect ----
+
+  test("t_code_detect: hand-counted syntax ledger routes code from prose") {
+    graft.GraftSession.init(spark)
+    val code = "int main() { x = 1; y_2 = f(x); }"
+    val dir = docsDir(Seq(
+      (0L, code, "xx", "s"), (1L, "the cat sat on the mat", "xx", "s")))
+    val got = TextOps.codeDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(9)))).toMap
+    // code doc: braces {}=2, semis=2, eq=2, parens main()+f(x)=4,
+    // underscore=1 → score = 4*2 + 2*2 + 2 + 4 + 1 = 19; code verdict
+    assert(got(0L) == ((2L, 2L, 2L, 4L, 1L, 19L, true)), got.toString)
+    assert(got(1L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)), got.toString)
+  }
+
+  // ---- d_semantic_sweep ----
+
+  test("d_semantic_sweep: monotone in the threshold and consistent with " +
+    "the production tier at pct=40") {
+    graft.GraftSession.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val rows = DedupOps.semanticSweep(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pcts = rows.keys.toSeq.sorted
+    pcts.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(rows(a)._1 >= rows(b)._1, s"pairs not monotone at $a,$b")
+        assert(rows(a)._2 >= rows(b)._2, s"docs not monotone at $a,$b")
+      case _ => ()
+    }
+    rows.foreach { case (p, (pairs, docs, removed)) =>
+      assert(removed <= docs && docs <= 2 * pairs, s"$p: $pairs $docs $removed")
+    }
+    // pct=40 must agree with d_embedding_neardup's own pair count
+    val prod = DedupOps.embeddingNearDup(spark, d).count()
+    if (rows.contains(40L)) assert(rows(40L)._1 == prod, s"${rows(40L)} vs $prod")
+    else assert(prod == 0L)
+  }
 }
