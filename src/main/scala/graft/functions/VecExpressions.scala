@@ -292,6 +292,87 @@ case class VecQUnit(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[CharCounts]] — the [[ShingleUtil]] pattern. */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Count each target character's occurrences in `text` in ONE pass:
+    * returns one BIGINT per target, in target order. Targets must be
+    * distinct ASCII characters — ASCII bytes in UTF-8 only ever encode
+    * that character (continuation bytes are ≥ 0x80), so a byte scan is
+    * exact for any text, multibyte or not; a non-ASCII target would
+    * need code-point walking and is rejected loudly. */
+  def charCounts(text: UTF8String, chars: UTF8String): GenericArrayData = {
+    val cb = chars.getBytes
+    val lut = new Array[Int](128)
+    java.util.Arrays.fill(lut, -1)
+    var k = 0
+    while (k < cb.length) {
+      val c = cb(k)
+      if ((c & 0x80) != 0)
+        throw new IllegalArgumentException(
+          "char_counts: target characters must be ASCII")
+      if (lut(c) != -1)
+        throw new IllegalArgumentException(
+          "char_counts: target characters must be distinct")
+      lut(c) = k
+      k += 1
+    }
+    val counts = new Array[Long](cb.length)
+    val tb = text.getBytes
+    var i = 0
+    while (i < tb.length) {
+      val b = tb(i)
+      if ((b & 0x80) == 0) {
+        val idx = lut(b)
+        if (idx >= 0) counts(idx) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Long.box: Long => Any))
+  }
+}
+
+/** Native single-pass multi-character counter —
+  * `char_counts(text, 'chars')`: one BIGINT per target character, in
+  * target order. The kernel behind `t_code_detect`'s syntax-density
+  * ledger: the SQL spelling is K `length(text) − length(replace(text,
+  * c, ''))` terms, i.e. K full string copies per row per character
+  * family — on a 100 TB corpus that is K payload copies on a pass that
+  * should read each byte once. This compiles to ONE byte scan with a
+  * 128-entry lookup inside whole-stage codegen. Counting is exact
+  * integer work, so the DuckDB oracles stay on the replace() spelling
+  * unchanged; per-character bit-equality with the SQL chain is
+  * property-proven ([[graft.ops.R11ExtendSpec]]). */
+case class CharCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(t: Any, c: Any): Any =
+    TextKernels.charCounts(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      s"${ev.value} = graft.functions.TextKernels.charCounts($t, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharCounts =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the engine's native functions: available both as a
   * `SparkSessionExtensions` injection (`spark.sql.extensions=
   * graft.functions.GraftExtensions`) and as an imperative
@@ -311,6 +392,9 @@ object GraftFunctions {
     (FunctionIdentifier("vec_qunit"),
       new ExpressionInfo(classOf[VecQUnit].getName, "vec_qunit"),
       (children: Seq[Expression]) => VecQUnit(children(0), children(1))),
+    (FunctionIdentifier("char_counts"),
+      new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
+      (children: Seq[Expression]) => CharCounts(children(0), children(1))),
     // Spark's own bounded top-k aggregate (the engine behind pandas-API
     // nsmallest), surfaced as `top_k(expr, k, reverse)`: each partial
     // buffer holds AT MOST k values (a bounded priority queue), so the

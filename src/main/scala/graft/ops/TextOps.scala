@@ -136,24 +136,23 @@ object TextOps {
     * [[langId]] answers "which natural language"; this answers
     * "is it natural language at all".
     *
-    * Plan/scale: one pruned scan, per-row length/replace arithmetic
-    * (codegen'd, no explode, no shuffle but the output order) — the
-    * cheapest possible per-doc pass. Empty docs read NULL density via
-    * try_divide ≡ DuckDB x/0. */
+    * Plan/scale: one pruned scan through the native
+    * [[graft.functions.CharCounts]] kernel — ONE byte pass per
+    * document inside whole-stage codegen, where the SQL spelling
+    * (K × `length − length(replace(…))`) copies the payload K times;
+    * the oracle keeps the replace() spelling (exact integer counting,
+    * property-proven equal). No explode, no shuffle but the output
+    * order. Empty docs read NULL density via try_divide ≡ DuckDB
+    * x/0. */
   def codeDetect(s: SparkSession, d: String): DataFrame = {
-    val fams = Seq(
-      "n_braces" -> Seq("{", "}"),
-      "n_semi" -> Seq(";"),
-      "n_eq" -> Seq("="),
-      "n_paren" -> Seq("(", ")"),
-      "n_underscore" -> Seq("_"))
-    def cnt(chs: Seq[String]): String = chs
-      .map(c => s"(length(text) - length(replace(text, '$c', '')))")
-      .mkString(" + ")
-    val withCounts = fams.foldLeft(documents(s, d)) { case (df, (n, chs)) =>
-      df.withColumn(n, expr(cnt(chs)).cast("long"))
-    }
-    withCounts
+    documents(s, d)
+      // targets in family order: { } ; = ( ) _
+      .withColumn("cc", expr("char_counts(text, '{};=()_')"))
+      .withColumn("n_braces", expr("cc[0] + cc[1]"))
+      .withColumn("n_semi", expr("cc[2]"))
+      .withColumn("n_eq", expr("cc[3]"))
+      .withColumn("n_paren", expr("cc[4] + cc[5]"))
+      .withColumn("n_underscore", expr("cc[6]"))
       .withColumn("code_score",
         expr("4L * n_braces + 2L * n_semi + n_eq + n_paren + n_underscore"))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),

@@ -386,6 +386,43 @@ class R11ExtendSpec extends SparkSpec {
     assert(got(1L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)), got.toString)
   }
 
+  // ---- char_counts kernel ----
+
+  test("char_counts: property — bit-equal to the replace() chain, " +
+    "exact on multibyte text, loud on bad targets") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1107)
+    val alphabet = "ab{};=()_ \tλπ你好"
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "{};=()_"
+    val targets = "{};=()_"
+    val df = texts.toDF("text")
+      .withColumn("cc", expr(s"char_counts(text, '$targets')"))
+    targets.zipWithIndex.foreach { case (ch, i) =>
+      val via = df.selectExpr(s"cc[$i]",
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT)")
+        .collect()
+      via.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"'$ch': ${r.toString}"))
+    }
+    // non-ASCII and duplicate targets are rejected loudly, not miscounted
+    val e1 = intercept[Exception] {
+      Seq("x").toDF("text").selectExpr("char_counts(text, 'λ')").collect()
+    }
+    assert(e1.getMessage != null &&
+      e1.getMessage.contains("must be ASCII") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("must be ASCII"))
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("text").selectExpr("char_counts(text, 'aa')").collect()
+    }
+    assert(e2.getMessage != null &&
+      e2.getMessage.contains("must be distinct") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("must be distinct"))
+  }
+
   // ---- d_semantic_sweep ----
 
   test("d_semantic_sweep: monotone in the threshold and consistent with " +
