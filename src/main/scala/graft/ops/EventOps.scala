@@ -1637,7 +1637,7 @@ object EventOps {
   /** [[qGrowthAccounting]] over a caller-supplied (user_id, ts)
     * relation — the testable core (the quiet-week densification and
     * the two ledger identities are proven on constructed feeds). */
-  private[ops] def growthAccountingFrom(ev: DataFrame): DataFrame = {
+  private[graft] def growthAccountingFrom(ev: DataFrame): DataFrame = {
     val wu = Window.partitionBy("user_id")
     val wo = Window.partitionBy("user_id").orderBy("wk")
     val uw = ev
@@ -1660,6 +1660,17 @@ object EventOps {
           (col("lagwk") < col("wk") - 1L), 1L).otherwise(0L))
           .as("n_resurrected"))
       .localCheckpoint()
+    growthLedgerFrom(counts)
+  }
+
+  /** The ledger tail of [[qGrowthAccounting]] — dense week grid, churn
+    * identity, quick ratio — over a (wk, active, n_new, n_retained,
+    * n_resurrected) relation. ONE definition, so the streaming arm's
+    * report ([[graft.streaming.StreamOps.growthStream]] transitions
+    * rolled up by week) can never skew from the batch query. Caller
+    * must pass a MATERIALIZED relation (the grid min/max and the join
+    * both read it). */
+  private[graft] def growthLedgerFrom(counts: DataFrame): DataFrame = {
     val grid = counts.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
       .select(explode(expr("sequence(w0, w1)")).as("wk"))
     val dense = grid.join(counts, Seq("wk"), "left")
@@ -1679,6 +1690,22 @@ object EventOps {
           .as("quick_ratio"))
       .orderBy("week_start")
   }
+
+  /** Roll a [[graft.streaming.StreamOps.growthStream]] transition table
+    * (userId, wk, status) up to the weekly ledger through the SAME
+    * [[growthLedgerFrom]] tail the batch query uses — every active
+    * (user, week) emits exactly one transition, so `active` is the
+    * plain row count and churn falls out of the same identity. */
+  def growthReport(transitions: DataFrame): DataFrame =
+    growthLedgerFrom(transitions
+      .groupBy("wk")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+      .localCheckpoint())
 
   def qNewReturning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")

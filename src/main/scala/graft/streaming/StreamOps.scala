@@ -290,6 +290,62 @@ object StreamOps {
         GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class GrowthOut(userId: Long, wk: Long, status: String)
+  /** Public: the state encoder's generated code must construct it. */
+  case class GrowthState(lastWk: Long)
+
+  /** Streaming growth accounting — the streaming dual of
+    * [[graft.ops.EventOps.qGrowthAccounting]]'s per-user
+    * classification: per-user state carries only the LAST active week;
+    * each first-activity-in-a-week emits one transition row — "new"
+    * (no state), "retained" (last week), "resurrected" (a gap) — so
+    * every active (user, week) pair appears exactly once and the
+    * downstream [[graft.ops.EventOps.growthReport]] rolls the
+    * transitions up through the SAME ledger tail as the batch query
+    * (merge == batch proven in the spec, churn identity included).
+    *
+    * Week buckets are the IDENTICAL integer days-since-epoch DIV 7
+    * expression as the batch. State is ONE long per active user,
+    * hash-partitioned on the uniform user key — the [[sessionize]]
+    * O(active users) bound. Honest limitation: a week arriving LATE
+    * (≤ the user's last seen week) emits nothing — the stream is
+    * correct for per-user in-order feeds (event-time order within a
+    * micro-batch is handled by the sort); retro-classification of
+    * out-of-order history is the batch job's role. */
+  def growthStream(events: DataFrame): Dataset[GrowthOut] = {
+    val session = events.sparkSession
+    import session.implicits._
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[GrowthState]): Iterator[GrowthOut] = {
+      val weeks = rows.map(_._2).toSeq.distinct.sorted
+      var st = state.getOption
+      var out = List.empty[GrowthOut]
+      weeks.foreach { w =>
+        st match {
+          case None =>
+            out ::= GrowthOut(userId, w, "new")
+            st = Some(GrowthState(w))
+          case Some(GrowthState(last)) if w == last + 1 =>
+            out ::= GrowthOut(userId, w, "retained")
+            st = Some(GrowthState(w))
+          case Some(GrowthState(last)) if w > last + 1 =>
+            out ::= GrowthOut(userId, w, "resurrected")
+            st = Some(GrowthState(w))
+          case _ => () // same week again, or late-arriving history
+        }
+      }
+      st.foreach(state.update)
+      out.reverseIterator
+    }
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming exact dedup — the streaming dual of DedupOps.exactDedup:
     * keep the first arrival per content hash, drop later duplicates. State
     * is keyed by the md5 hash (uniform — never skewed) and expired by the

@@ -975,6 +975,48 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("growthStream: transitions roll up to the EXACT batch ledger, " +
+    "churn identity included") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // users: 1 active wks 0,1,3; 2 active wks 0,2; 3 active wk 2 —
+    // the R11ExtendSpec hand-traced fixture, split across THREE
+    // micro-batches with a cross-batch retention (u1 wk1), a
+    // cross-batch resurrection (u2 wk2), and a same-week repeat
+    val day = 86400L * 1000000L
+    def ev(u: Long, wkoff: Int): (Long, Long) = (u, wkoff * 7L * day)
+    val in = MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"))
+    val q = StreamOps.growthStream(events)
+      .writeStream.format("memory").queryName("growth")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 0), ev(2, 0), ev(1, 0)) // wk0 + same-week repeat
+      q.processAllAvailable()
+      in.addData(ev(1, 1), ev(3, 2))           // u1 retained, u3 new
+      q.processAllAvailable()
+      in.addData(ev(2, 2), ev(1, 3))           // u2 resurrected, u1 gap
+      q.processAllAvailable()
+      val transitions = spark.table("growth")
+      val got = graft.ops.EventOps.growthReport(transitions).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // == one batch pass over the same six (user, ts) rows
+      val batchRows = Seq(ev(1, 0), ev(2, 0), ev(1, 0), ev(1, 1), ev(3, 2),
+        ev(2, 2), ev(1, 3))
+        .toDF("user_id", "ts_us")
+        .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"))
+      val want = graft.ops.EventOps.growthAccountingFrom(batchRows).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(got.toSeq == want.toSeq, s"\n got: ${got.mkString(", ")}" +
+        s"\nwant: ${want.mkString(", ")}")
+      // and the fixture's hand-traced churn column survives end-to-end
+      assert(got.map(_._6).toSeq == Seq(0L, 1L, 1L, 2L), got.mkString(", "))
+    } finally q.stop()
+  }
+
   test("zipLandingStream extracts newly-landed archives to parquet") {
     val landing = tmp("graft_landing")
     val out = tmp("graft_stream_out") + "/rows"
