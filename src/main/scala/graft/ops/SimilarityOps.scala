@@ -637,6 +637,45 @@ object SimilarityOps {
       .orderBy("a_id", "rk")
   }
 
+  /** Leave-one-out kNN CLASSIFICATION accuracy over the [[knnGraph]] —
+    * the embedding-quality eval every retrieval deployment runs before
+    * trusting an embedding model: each vector is classified by the
+    * majority label of its ≤3 in-cell nearest neighbors (ties break to
+    * the smallest label — the same deterministic vote rule in both
+    * engines via (count DESC, label) ranking), scored against its own
+    * label, rolled up per class. [[purity]] scores the KMEANS cells
+    * against labels; this scores the local NEIGHBORHOOD structure —
+    * an embedding can place its classes in clean cells yet still
+    * shuffle labels at nearest-neighbor grain, and only this metric
+    * sees that. On the random gate corpus accuracy ≈ 1/n_labels — the
+    * null baseline, which is itself the honest reading.
+    *
+    * Plan/scale: the knnGraph pass (one cell-key shuffle, per-cell
+    * pairwise, WindowGroupLimit top-3) + two uniform vec-id label
+    * joins + one a_id-key vote window — nothing beyond the graph's own
+    * cost. */
+  def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+    val labels = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val votes = knnGraph(s, d)
+      .join(labels.withColumnRenamed("vec_id", "b_id"), "b_id")
+      .groupBy("a_id", "lab").agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy("a_id").orderBy(col("nv").desc, col("lab"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a_id"), col("lab").as("pred"))
+    pred
+      .join(labels.withColumnRenamed("vec_id", "a_id")
+        .withColumnRenamed("lab", "label"), "a_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        expr("n_correct / n_vecs").as("accuracy"))
+      .orderBy("label")
+  }
+
   /** IVF cell-occupancy balance — the index-skew dial: per-cell vector
     * counts with corpus share, the corpus-level imbalance factor
     * (max/mean occupancy), and a per-cell overload verdict (cell holds
@@ -1693,6 +1732,7 @@ object SimilarityOps {
     "s_ann_lsh" -> annLsh,
     "s_ann_multiprobe" -> annMultiprobe,
     "s_knn_graph" -> knnGraph,
+    "s_knn_accuracy" -> knnAccuracy,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
@@ -1710,6 +1750,40 @@ object SimilarityOps {
     "s_pq_recall" -> pqRecall,
     "s_mmr" -> mmrSelect,
     "s_cell_balance" -> cellBalance)
+
+  /** The s_knn_graph oracle as a named val so the s_knn_accuracy
+    * consumer embeds the IDENTICAL graph SQL (the StlAnomalyOracle
+    * device in [[graft.ops.EventOps]]). */
+  private val KnnGraphOracle: String = {
+    val scoreCols = (0 until NumCells)
+      .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
+    val caseSql = (0 until NumCells - 1).map { j =>
+      val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+    val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(a.embedding, b.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
+      ranked AS (
+        SELECT a.vec_id a_id, b.vec_id b_id,
+               $dotAB / (a.nrm * b.nrm) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      SELECT a_id, b_id, cos, rk::INT AS rk FROM ranked WHERE rk <= 3
+      ORDER BY a_id, rk"""
+  }
 
   val oracles: Map[String, String] = Map(
     "s_diversity" -> DiversityOracle,
@@ -1951,36 +2025,24 @@ object SimilarityOps {
         WHERE q.vec_id < 5)
       SELECT q_id, bucket, rank::INT AS rank, vec_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY q_id, rank""",
-    "s_knn_graph" -> {
-      val scoreCols = (0 until NumCells)
-        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
-      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
-          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-          (a, v) -> a + v))"""
-      val caseSql = (0 until NumCells - 1).map { j =>
-        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
-        s"WHEN $geAll THEN $j"
-      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
-      val dotAB = """list_reduce(list_prepend(0::DOUBLE,
-            list_transform(list_zip(a.embedding, b.embedding),
-              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
-      s"""
-      WITH scored AS (
-        SELECT vec_id, embedding, $normSql AS nrm,
-               $scoreCols
-        FROM embeddings),
-      assigned AS (
-        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
-      ranked AS (
-        SELECT a.vec_id a_id, b.vec_id b_id,
-               $dotAB / (a.nrm * b.nrm) AS cos,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-      SELECT a_id, b_id, cos, rk::INT AS rk FROM ranked WHERE rk <= 3
-      ORDER BY a_id, rk"""
-    },
+    "s_knn_graph" -> KnnGraphOracle,
+    "s_knn_accuracy" -> s"""
+      WITH g AS ($KnnGraphOracle),
+      lv AS (SELECT g.a_id, e.label::BIGINT AS lab
+             FROM g JOIN embeddings e ON g.b_id = e.vec_id),
+      vc AS (SELECT a_id, lab, count(*)::BIGINT AS nv FROM lv GROUP BY 1, 2),
+      pr AS (SELECT a_id, lab AS pred FROM (
+               SELECT a_id, lab, row_number() OVER (PARTITION BY a_id
+                 ORDER BY nv DESC, lab) AS rk FROM vc) z
+             WHERE rk = 1),
+      j AS (SELECT e.label::BIGINT AS label, pr.pred
+            FROM pr JOIN embeddings e ON pr.a_id = e.vec_id)
+      SELECT label, count(*)::BIGINT AS n_vecs,
+             sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct,
+             sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*)
+               AS accuracy
+      FROM j GROUP BY 1 ORDER BY label""",
     "s_ivf_topk" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

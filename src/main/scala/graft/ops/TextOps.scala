@@ -915,6 +915,38 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Vocabulary DRIFT between the early and late corpus half — the
+    * ingestion-shift monitor: the same bounded Jensen–Shannon arithmetic
+    * as [[graft.ops.ValidationOps.jsSources]], keyed by temporal half
+    * (doc_id against the id midpoint — ids are ingestion order) instead
+    * of provenance. A crawl whose late half drifts past ~0.1 nats from
+    * its early half changed character mid-run (new seed list, new spam
+    * campaign, encoding regression) — the readout that catches it
+    * BEFORE the mixture weights computed on the early half go stale.
+    * Rides [[graft.ops.ValidationOps.jsSourcesFrom]] verbatim (and the
+    * oracle rides the parameterized jsDuckFrom chain), so the drift
+    * number and the source-divergence number can never disagree about
+    * what JS means. Two output rows (one per half, symmetric up to the
+    * 1e-12 ledger's term attribution).
+    *
+    * Plan/scale: one extra column-pruned pass for the id bounds
+    * (broadcast 1-row), then the shared JS pipeline's shape. */
+  def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val st = docs.crossJoin(broadcast(bounds))
+      .select(
+        when(col("doc_id") * 2 <= col("lo") + col("hi"), "early")
+          .otherwise("late").as("source"),
+        explode(expr(Toks)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    ValidationOps.jsSourcesFrom(st)
+      .select(col("source").as("half"), col("n_tokens"),
+        col("js_vs_rest").as("js_vs_other"))
+      .orderBy("half")
+  }
+
   /** Hapax-legomena profile per language — vocabulary size, singleton
     * (f=1) and doubleton (f=2) type counts, hapax share of the
     * vocabulary and of the token mass. The curator's
@@ -1363,6 +1395,7 @@ object TextOps {
     "t_bm25" -> bm25,
     "t_bleu_pairs" -> bleuPairs,
     "t_code_detect" -> codeDetect,
+    "t_vocab_drift" -> vocabDrift,
     "t_hapax" -> hapax,
     "t_heaps" -> heaps,
     "t_pmi" -> pmi,
@@ -1808,6 +1841,17 @@ object TextOps {
       SELECT doc_id, n_tokens, avg_logprob, px_exp AS ppl
       FROM e ORDER BY doc_id""",
     "t_bm25" -> bm25Oracle,
+    "t_vocab_drift" -> s"""
+      SELECT source AS half, n_tokens, js_vs_rest AS js_vs_other
+      FROM (${ValidationOps.jsDuckFrom("""
+        SELECT source, tok, count(*)::BIGINT AS a FROM (
+          SELECT CASE WHEN d.doc_id * 2 <= b.lo + b.hi
+                   THEN 'early' ELSE 'late' END AS source,
+                 unnest(string_split(d.text, ' ')) AS tok
+          FROM documents d CROSS JOIN
+            (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+             FROM documents) b)
+        GROUP BY 1, 2""")}) z ORDER BY half""",
     "t_code_detect" -> """
       WITH c AS (
         SELECT doc_id, length(text)::BIGINT AS n_chars,

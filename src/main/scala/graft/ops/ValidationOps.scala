@@ -259,6 +259,60 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** Tukey IQR fences on the event VALUE distribution per type — the
+    * per-measurement outlier screen beside the volume tiers ([[anomaly]]
+    * watches row counts; this watches the metric itself, catching a
+    * payment amount or latency reading that is wild while volumes look
+    * fine). Exact DISCRETE quantiles via the value-histogram device
+    * (the q_median_disc/v_mad_anomaly shape — never an approximate
+    * percentile): q1/q3 at ranks ⌈n/4⌉/⌈3n/4⌉, fences q1∓1.5·IQR, and
+    * the outlier count from the SAME histogram joined back against the
+    * catalog-sized fence relation. 1.5 is exactly representable, so the
+    * fence arithmetic is one identical IEEE chain in both engines;
+    * NULL values are filtered explicitly (Spark orders NULLs first
+    * ascending, DuckDB last — unfiltered they would desync the
+    * cumulative ranks).
+    *
+    * Plan/scale: one scan → (type, value) histogram agg (materialized
+    * once — the fence derivation and the outlier count both read it) →
+    * two type-keyed windows → catalog-sized fence relation broadcast
+    * back onto the histogram. Never a per-row sort of the raw events. */
+  def valueFences(s: SparkSession, d: String): DataFrame =
+    valueFencesFrom(events(s, d))
+
+  /** [[valueFences]] over a caller-supplied (event_type, value)
+    * relation — the testable core (hand-computed quartiles and a
+    * planted outlier). */
+  private[ops] def valueFencesFrom(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val h = ev
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val fences = h
+      .withColumn("cum",
+        sum(col("cnt")).over(w.partitionBy("event_type").orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(expr("cum >= (n + 3) DIV 4"), col("v"))).as("q1"),
+        min(when(expr("cum >= (3 * n + 3) DIV 4"), col("v"))).as("q3"))
+      .withColumn("iqr", expr("q3 - q1"))
+      .withColumn("lo_fence", expr("q1 - 1.5e0 * (q3 - q1)"))
+      .withColumn("hi_fence", expr("q3 + 1.5e0 * (q3 - q1)"))
+    val outliers = h.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("v") < col("lo_fence") ||
+        col("v") > col("hi_fence"), col("cnt")).otherwise(0L))
+        .as("n_outliers"))
+    fences.join(outliers, "event_type")
+      .select(col("event_type"), col("n"), col("q1"), col("q3"),
+        col("iqr"), col("lo_fence"), col("hi_fence"), col("n_outliers"),
+        expr("n_outliers / n").as("outlier_share"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width document-length histogram (width 250, top bucket open) —
     * the profile plot behind [[drift]]'s PSI buckets, as queryable rows
     * with exact counts and fractions. One scan, one tiny agg, window
@@ -800,6 +854,7 @@ object ValidationOps {
     "v_drift" -> drift,
     "v_kl_sources" -> klSources,
     "v_js_sources" -> jsSources,
+    "v_value_fences" -> valueFences,
     "v_emb_profile" -> embProfile)
 
   /** One UNION ALL branch of the v_referential oracle — mirrors `fk`'s
@@ -1163,11 +1218,43 @@ object ValidationOps {
             FROM f)
       SELECT source, n_s AS n_tokens, st / 1.0e12 + lnt_ln AS kl_vs_corpus
       FROM l ORDER BY source""",
-    "v_js_sources" -> s"""
-      WITH st AS (SELECT source, tok, count(*)::BIGINT AS a
+    "v_value_fences" -> """
+      WITH h AS (SELECT event_type, value AS v, count(*)::BIGINT AS cnt
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      c AS (SELECT event_type, v, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY v)::BIGINT
+                AS cum,
+              sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+            FROM h),
+      q AS (SELECT event_type, max(n) AS n,
+              min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+              min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+            FROM c GROUP BY 1),
+      f AS (SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+              q1 - 1.5e0 * (q3 - q1) AS lo_fence,
+              q3 + 1.5e0 * (q3 - q1) AS hi_fence
+            FROM q),
+      o AS (SELECT h.event_type,
+              sum(CASE WHEN h.v < f.lo_fence OR h.v > f.hi_fence
+                  THEN h.cnt ELSE 0 END)::BIGINT AS n_outliers
+            FROM h JOIN f ON h.event_type = f.event_type GROUP BY 1)
+      SELECT f.event_type, f.n, f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence,
+             o.n_outliers, o.n_outliers / f.n AS outlier_share
+      FROM f JOIN o ON f.event_type = o.event_type
+      ORDER BY f.event_type""",
+    "v_js_sources" -> jsDuckFrom(
+      """SELECT source, tok, count(*)::BIGINT AS a
                   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
                         FROM documents)
-                  GROUP BY 1, 2),
+                  GROUP BY 1, 2"""))
+
+  /** The whole v_js_sources DuckDB chain over ANY (source, tok, a)
+    * token-count SQL — the oracle-side twin of [[jsSourcesFrom]],
+    * parameterized the same way so a consumer keyed by something other
+    * than `source` (the vocab-drift halves) replays the IDENTICAL
+    * arithmetic. */
+  private[ops] def jsDuckFrom(countsSql: String): String = s"""
+      WITH st AS ($countsSql),
       stc AS (SELECT source, tok, a,
                 sum(a) OVER (PARTITION BY tok)::BIGINT AS c
               FROM st),
@@ -1203,5 +1290,5 @@ object ValidationOps {
              (sp + sq) / 2.0e12 + ${DetMath.dlit(0.5 * math.log(2.0))}
                * (CAST(n_r - sum_b AS DOUBLE) / CAST(n_r AS DOUBLE))
                AS js_vs_rest
-      FROM p ORDER BY source""")
+      FROM p ORDER BY source"""
 }

@@ -391,7 +391,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_anomaly_votes" -> "scan=5 xhash=17 xrange=2 bcast=4 smj=2 bhj=4 shj=0 bnlj=0 cart=0 gen=1 win=13 wgl=0",
     "e_pareto" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
     "t_code_detect" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
-    "d_semantic_sweep" -> "scan=5 xhash=4 xrange=1 bcast=3 smj=1 bhj=2 shj=0 bnlj=1 cart=0 gen=3 win=0 wgl=0")
+    "d_semantic_sweep" -> "scan=5 xhash=4 xrange=1 bcast=3 smj=1 bhj=2 shj=0 bnlj=1 cart=0 gen=3 win=0 wgl=0",
+    "v_value_fences" -> "scan=0 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=4 wgl=0",
+    "t_vocab_drift" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    "s_knn_accuracy" -> "scan=4 xhash=2 xrange=1 bcast=3 smj=0 bhj=3 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=3")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -386,6 +386,74 @@ class R11ExtendSpec extends SparkSpec {
     assert(got(1L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)), got.toString)
   }
 
+  // ---- v_value_fences ----
+
+  test("v_value_fences: hand-computed quartiles and a planted outlier") {
+    import spark.implicits._
+    // type a: values 1..8 plus 100 → n=9, q1 = rank ⌈9/4⌉=3 → 3,
+    // q3 = rank ⌈27/4⌉=7 → 7, iqr 4, fences (−3, 13), one outlier
+    val ev = ((1 to 8).map(v => ("a", v.toDouble)) :+ ("a", 100.0))
+      .toDF("event_type", "value")
+    val got = ValidationOps.valueFencesFrom(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getLong(7)) ==
+      ((9L, 3.0, 7.0, 4.0, -3.0, 13.0, 1L)), r.toString)
+    assert(r.getDouble(8) == 1.0 / 9.0, r.toString)
+  }
+
+  test("v_value_fences: NULL values are excluded from the ranks") {
+    import spark.implicits._
+    val ev = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("a", Some(3.0)), ("a", Some(4.0)))
+      .toDF("event_type", "value")
+    val r = ValidationOps.valueFencesFrom(ev).collect().head
+    // n counts only the 4 non-null values; q1 = rank 1 → 1.0
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 1.0, r.toString)
+  }
+
+  // ---- t_vocab_drift ----
+
+  test("t_vocab_drift: identical halves read EXACTLY 0; disjoint read ln 2") {
+    graft.GraftSession.init(spark)
+    val same = docsDir(Seq((0L, "a b c", "xx", "s"), (1L, "a b c", "xx", "s")))
+    val got = TextOps.vocabDrift(spark, same).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("early" -> 0.0, "late" -> 0.0), got.toString)
+    val disj = docsDir(Seq((0L, "a b c", "xx", "s"), (1L, "d e f", "xx", "s")))
+    val got2 = TextOps.vocabDrift(spark, disj).collect()
+      .map(r => r.getDouble(2))
+    got2.foreach(v => assert(math.abs(v - math.log(2.0)) < 1e-9, v.toString))
+  }
+
+  // ---- s_knn_accuracy ----
+
+  test("s_knn_accuracy: well-separated label groups read accuracy 1") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // two groups on orthogonal directions: every in-cell neighbor shares
+    // the label, so the leave-one-out vote is always right
+    val vecs = (0L until 20L).map { i =>
+      val a = Array.fill(64)(0f)
+      val g = (i % 2).toInt
+      a(g) = 10f + (i / 2).toFloat  // same direction per group
+      a(32 + g) = 1f
+      (i, a.toSeq, g)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.knnAccuracy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L), got.toString)
+    got.foreach { case (l, (n, c, acc)) =>
+      assert(n == 10L && c == 10L && acc == 1.0, s"$l: $got")
+    }
+  }
+
   // ---- char_counts kernel ----
 
   test("char_counts: property — bit-equal to the replace() chain, " +
