@@ -637,6 +637,63 @@ object SimilarityOps {
       .orderBy("a_id", "rk")
   }
 
+  /** IVF PROBE-COUNT tuning curve — recall@5 of the cell-probe read
+    * path at nprobe ∈ {1, 2, 4, 8}, against the exact brute-force
+    * top-5: the [[recallCurve]] discipline applied to the IVF tier
+    * (that curve tunes the LSH tier; THIS is the dial an IVF
+    * deployment actually turns — every probe roughly doubles scan cost,
+    * and this table says what each doubling buys). [[ivfTopk]] runs the
+    * production nprobe; the sweep reuses its exact probe machinery with
+    * the rank KEPT instead of filtered, so all four tiers ride ONE
+    * candidate pass and a 4-way melt — never four scans.
+    *
+    * Plan/scale: the query side is tiny (queries × K cell scores,
+    * broadcast); the corpus side is ONE narrow assignment pass and one
+    * cell-key join; per-tier top-5 rides WindowGroupLimit. A
+    * measurement query — run over a query sample. */
+  def ivfProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val scored = embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +:
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
+        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
+    val assigned = scored.select(col("vec_id"), col("embedding"), col("nrm"),
+      expr(argmaxCells).as("cell"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("probe_cell"))
+    val probes = scored.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        posexplode(array((0 until NumCells).map(j => col(s"s$j")): _*))
+          .as(Seq("probe_cell", "score")))
+      .withColumn("pr", row_number().over(wProbe).cast("long"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe_cell").cast("long").as("cell"), col("pr"))
+    val cand = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("pr"),
+        expr(s"(${Vec.dot("q_emb", "embedding")}) / (q_nrm * nrm)")
+          .as("cosine"))
+    val wRank = Window.partitionBy("q_id", "np")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = cand
+      .select(col("*"), explode(expr("array(1L, 2L, 4L, 8L)")).as("np"))
+      .filter(col("pr") <= col("np"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("np"), col("q_id"), col("vec_id"))
+    val exact = cosineTopk(s, d).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_hit"))
+    approx.groupBy("np").agg(countDistinct(col("q_id")).as("n_q"))
+      .join(hits, Seq("np"), "left")
+      .select(col("np").as("nprobe"), col("n_q"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          (col("n_q") * 5).cast("double")).as("recall_at5"))
+      .orderBy("nprobe")
+  }
+
   /** Leave-one-out kNN CLASSIFICATION accuracy over the [[knnGraph]] —
     * the embedding-quality eval every retrieval deployment runs before
     * trusting an embedding model: each vector is classified by the
@@ -1733,6 +1790,7 @@ object SimilarityOps {
     "s_ann_multiprobe" -> annMultiprobe,
     "s_knn_graph" -> knnGraph,
     "s_knn_accuracy" -> knnAccuracy,
+    "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
@@ -2084,6 +2142,65 @@ object SimilarityOps {
         WHERE p.q_id <> a.vec_id)
       SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+    },
+    "s_ivf_probe_curve" -> {
+      val scoreCols = (0 until NumCells)
+        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, v) -> a + v))"""
+      val caseSql = (0 until NumCells - 1).map { j =>
+        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+        s"WHEN $geAll THEN $j"
+      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+      val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
+      val dotQC = """list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(p.q_emb, a.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+      s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
+      probes0 AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+               j AS probe_cell, ($sList)[j + 1] AS score
+        FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
+        WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, q_emb, q_nrm, probe_cell::BIGINT AS cell,
+               pr::BIGINT AS pr FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, probe_cell) AS pr
+          FROM probes0) z),
+      cand AS (
+        SELECT p.q_id, a.vec_id, p.pr,
+               $dotQC / (p.q_nrm * a.nrm) AS cosine
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.q_id <> a.vec_id),
+      m AS (SELECT c.*, t.np::BIGINT AS np
+            FROM cand c, unnest([1, 2, 4, 8]) AS t(np)
+            WHERE c.pr <= t.np),
+      ap AS (SELECT np, q_id, vec_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id, np
+                 ORDER BY cosine DESC, vec_id) AS rk FROM m) z
+             WHERE rk <= 5),
+      exact AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id q_id, c.vec_id vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY $cosineSql DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5) e
+        WHERE rank <= 5),
+      h AS (SELECT np, count(*)::BIGINT AS n_hit
+            FROM ap JOIN exact USING (q_id, vec_id) GROUP BY 1),
+      b AS (SELECT np, count(DISTINCT q_id)::BIGINT AS n_q FROM ap GROUP BY 1)
+      SELECT b.np AS nprobe, b.n_q, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_q * 5 AS DOUBLE)
+               AS recall_at5
+      FROM b LEFT JOIN h ON b.np = h.np ORDER BY nprobe"""
     },
     "s_kmeans" -> kmeansOracle,
     "s_silhouette" -> silhouetteOracle,

@@ -454,6 +454,20 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- s_ivf_probe_curve ----
+
+  test("s_ivf_probe_curve: recall is monotone in nprobe and EXACTLY 1 " +
+    "at nprobe = 8 (all cells probed = brute force)") {
+    graft.GraftSession.init(spark)
+    val rows = SimilarityOps.ivfProbeCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L), rows.mkString(", "))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall not monotone: $a vs $b")
+    }
+    assert(rows.last._2 == 1.0, rows.mkString(", "))
+  }
+
   // ---- char_counts kernel ----
 
   test("char_counts: property — bit-equal to the replace() chain, " +
