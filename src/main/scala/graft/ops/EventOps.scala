@@ -1326,6 +1326,142 @@ object EventOps {
     l.map(math.abs).sum + b.map(math.abs).sum < (1L << 33) },
     "Holt coefficient mass outruns BIGINT headroom for 2^30 daily volumes")
 
+  // ---- Holt–Winters (additive, weekly season) coefficient machinery ----
+
+  /** Trailing window for [[qHoltWinters]] — two full seasons. The
+    * coefficient scale grows as 2^(2(w−1)) worst case; at w = 14 the
+    * generated table's ℓ1 mass (require below) leaves headroom for
+    * daily volumes to 2^22 per type — plenty for one type-day, and the
+    * envelope is pinned through the ACTUAL table, not a formula. */
+  private val HwWindowDays = 14
+  private val HwSeason = 7
+
+  /** Exact dyadic rational num / 2^k — the Holt–Winters recurrence only
+    * ever adds and halves, so every intermediate is exactly
+    * representable and the final coefficients are exact integers over
+    * one power-of-two denominator per window length. */
+  private case class Dy(num: BigInt, k: Int) {
+    def norm: Dy =
+      if (num == 0) Dy(BigInt(0), 0)
+      else { var n = num; var kk = k
+        while (kk > 0 && !n.testBit(0)) { n >>= 1; kk -= 1 }
+        Dy(n, kk) }
+  }
+  private def dyAdd(a: Dy, b: Dy): Dy = {
+    val k = a.k max b.k
+    Dy((a.num << (k - a.k)) + (b.num << (k - b.k)), k).norm
+  }
+  private val DyZero = Dy(BigInt(0), 0)
+  private def vAdd(a: Vector[Dy], b: Vector[Dy]): Vector[Dy] =
+    a.zip(b).map { case (x, y) => dyAdd(x, y) }
+  private def vNeg(a: Vector[Dy]): Vector[Dy] = a.map(d => Dy(-d.num, d.k))
+  private def vHalf(a: Vector[Dy]): Vector[Dy] =
+    a.map(d => Dy(d.num, d.k + 1).norm)
+
+  /** Per window length m: 2^k-scaled integer coefficient vectors of the
+    * window values for the LEVEL, TREND, and one-step FORECAST
+    * l + b + s(next slot) of additive Holt–Winters with α = β = γ = ½,
+    * season [[HwSeason]], init l₁ = y₁, b₁ = 0, s = 0. Generated ONCE
+    * by running the recurrence symbolically in exact dyadic arithmetic
+    * — the SAME table is emitted into the Spark expression and the
+    * DuckDB oracle (the [[HoltCoefs]] device, extended to the seasonal
+    * state). */
+  private val HwCoefs: Vector[(Vector[Long], Vector[Long], Vector[Long], Int)] =
+    (1 to HwWindowDays).map { m =>
+      val zero = Vector.fill(m)(DyZero)
+      def unit(i: Int) = Vector.tabulate(m)(j =>
+        if (j == i) Dy(BigInt(1), 0) else DyZero)
+      var l = unit(0)
+      var b = zero
+      var s = Vector.fill(m)(zero) // s(t) at index t−1; s₁ = ½(y₁−l₁) = 0
+      for (t <- 2 to m) {
+        val sPrev = if (t - HwSeason >= 1) s(t - HwSeason - 1) else zero
+        val y = unit(t - 1)
+        val lNew = vHalf(vAdd(vAdd(y, vNeg(sPrev)), vAdd(l, b)))
+        val bNew = vHalf(vAdd(vAdd(lNew, vNeg(l)), b))
+        val sNew = vHalf(vAdd(vAdd(y, vNeg(lNew)), sPrev))
+        l = lNew; b = bNew; s = s.updated(t - 1, sNew)
+      }
+      val sNext = if (m + 1 - HwSeason >= 1) s(m + 1 - HwSeason - 1) else zero
+      val f = vAdd(vAdd(l, b), sNext)
+      val k = (l ++ b ++ f).map(_.k).max
+      def emit(v: Vector[Dy]): Vector[Long] = v.map { d =>
+        val n = d.num << (k - d.k)
+        require(n.isValidLong, s"HW coefficient outruns Long at m=$m")
+        n.toLong
+      }
+      (emit(l), emit(b), emit(f), k)
+    }.toVector
+  require(HwCoefs.forall { case (l, b, f, _) =>
+    (l ++ b ++ f).map(math.abs).sum < (1L << 40) },
+    "Holt-Winters coefficient mass outruns BIGINT headroom for 2^22 volumes")
+
+  /** The [[holtNumSql]] CASE device over the [[HwCoefs]] table:
+    * Σ coef·element for the picked vector, per observed window length. */
+  private def hwNumSql(lenExpr: String, at: Int => String,
+      pick: ((Vector[Long], Vector[Long], Vector[Long], Int)) => Vector[Long]): String =
+    (1 to HwWindowDays).map { m =>
+      val terms = pick(HwCoefs(m - 1)).zipWithIndex
+        .map { case (c, i) => s"($c) * ${at(i + 1)}" }.mkString(" + ")
+      s"WHEN $m THEN $terms"
+    }.mkString(s"CASE $lenExpr ", " ", " ELSE NULL END")
+
+  /** Power-of-two denominator per window length, as a DOUBLE. */
+  private def hwDenSql(lenExpr: String): String =
+    (1 to HwWindowDays).map { m =>
+      s"WHEN $m THEN ${DetMath.dlit(math.pow(2.0, HwCoefs(m - 1)._4.toDouble))}"
+    }.mkString(s"CASE $lenExpr ", " ", " ELSE NULL END")
+
+  /** Additive HOLT–WINTERS (level + trend + weekly season, α = β = γ =
+    * ½) over the densified daily grid — the top of the forecasting
+    * ladder ([[qEwma]] level → [[qHolt]] level+trend → this adds the
+    * seasonal state [[qStl]] only DESCRIBES): level, per-day trend, the
+    * NEXT day's seasonal component, and the one-step forecast
+    * l + b + s_next that a capacity dashboard plots for a series with
+    * both growth and a weekly cycle. Rides [[denseDailyFrom]], and
+    * MUST: seasonality is calendar-slotted, so the trailing
+    * [[HwWindowDays]]-ROW frame is a [[HwWindowDays]]-DAY frame only
+    * because zero-volume days are real rows.
+    *
+    * Oracle-exactness: the recurrence is linear and only ever adds and
+    * halves, so every state is an exact dyadic rational of the window
+    * values; [[HwCoefs]] runs it symbolically ONCE and both engines
+    * evaluate the same Σ coef·y dot products in exact BIGINT, with ONE
+    * division by the power-of-two denominator as the only double op
+    * (correctly-rounded identically in both engines). A constant
+    * series reads l ≡ y, b ≡ 0, s ≡ 0, forecast ≡ y EXACTLY at every
+    * window length (spec), and the spec replays random series against
+    * an independent exact-dyadic sequential model bit-for-bit.
+    *
+    * Plan/scale: the [[qHolt]] shape over the dense grid — one scan →
+    * (type, day) agg → grid densify → ONE type-key window collecting
+    * ≤ 14 BIGINTs per row → a narrow codegen'd CASE dot product. */
+  def qHoltWinters(s: SparkSession, d: String): DataFrame =
+    holtWintersFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qHoltWinters]] over a caller-supplied (event_type, ts) relation —
+    * the testable core. */
+  private[ops] def holtWintersFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    denseDailyFrom(ev, "e_holt_winters")
+      .withColumn("vals",
+        collect_list(col("n")).over(w.rowsBetween(-(HwWindowDays - 1), 0)))
+      .withColumn("num_l", expr(
+        hwNumSql("size(vals)", i => s"element_at(vals, $i)", _._1)))
+      .withColumn("num_b", expr(
+        hwNumSql("size(vals)", i => s"element_at(vals, $i)", _._2)))
+      .withColumn("num_f", expr(
+        hwNumSql("size(vals)", i => s"element_at(vals, $i)", _._3)))
+      .withColumn("den", expr(hwDenSql("size(vals)")))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        expr("CAST(num_l AS DOUBLE) / den").as("hw_level"),
+        expr("CAST(num_b AS DOUBLE) / den").as("hw_trend"),
+        expr("CAST(num_f - num_l - num_b AS DOUBLE) / den")
+          .as("hw_seasonal_next"),
+        expr("CAST(num_f AS DOUBLE) / den").as("hw_next"))
+      .orderBy("event_type", "day")
+  }
+
   /** CASE over the observed window length: Σ coef·element — emitted for
     * both engines from the one [[HoltCoefs]] table. `at(i)` renders the
     * dialect's 1-based list access. */
@@ -1931,6 +2067,7 @@ object EventOps {
     "e_anomaly_votes" -> qAnomalyVotes,
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
+    "e_holt_winters" -> qHoltWinters,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
@@ -2340,6 +2477,30 @@ object EventOps {
         FROM wd)
       SELECT event_type, day, n AS n_events,
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
+      FROM sc ORDER BY event_type, day""",
+    "e_holt_winters" -> s"""
+      WITH ${denseDailyCtes("e_holt_winters")},
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN ${HwWindowDays - 1} PRECEDING
+                             AND CURRENT ROW) AS vals
+        FROM dense),
+      sc AS (
+        SELECT event_type, day, n,
+               (${hwNumSql("len(vals)", i => s"vals[$i]", _._1)})::BIGINT
+                 AS num_l,
+               (${hwNumSql("len(vals)", i => s"vals[$i]", _._2)})::BIGINT
+                 AS num_b,
+               (${hwNumSql("len(vals)", i => s"vals[$i]", _._3)})::BIGINT
+                 AS num_f,
+               (${hwDenSql("len(vals)")}) AS den
+        FROM wd)
+      SELECT event_type, day, n AS n_events,
+             CAST(num_l AS DOUBLE) / den AS hw_level,
+             CAST(num_b AS DOUBLE) / den AS hw_trend,
+             CAST(num_f - num_l - num_b AS DOUBLE) / den AS hw_seasonal_next,
+             CAST(num_f AS DOUBLE) / den AS hw_next
       FROM sc ORDER BY event_type, day""",
     "e_holt" -> s"""
       WITH daily AS (

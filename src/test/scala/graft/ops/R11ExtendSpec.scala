@@ -454,6 +454,84 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- e_holt_winters ----
+
+  /** (event_type, day-offset, events-that-day) feed — the autocorr
+    * fixture shape. */
+  private def hwFeed(rows: Seq[(String, Int, Int)]) = {
+    import spark.implicits._
+    rows.flatMap { case (t, off, k) => Seq.fill(k)((t, off)) }
+      .toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+  }
+
+  test("e_holt_winters: constant series reads l==y, b==0, s==0, " +
+    "forecast==y EXACTLY at every window length") {
+    val got = EventOps.holtWintersFrom(
+      hwFeed((0 until 20).map(d => ("c", d, 3)))).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 0.0 &&
+        r.getDouble(5) == 0.0 && r.getDouble(6) == 3.0, r.toString)
+    }
+  }
+
+  test("e_holt_winters: bit-exact vs an independent sequential dyadic " +
+    "model on a random series (incl. densified gap days)") {
+    // independent model: run the recurrence NUMERICALLY in exact
+    // dyadic arithmetic (the symbolic coefficient table never enters)
+    case class D(n: BigInt, k: Int)
+    def norm(d: D): D =
+      if (d.n == 0) D(BigInt(0), 0)
+      else { var n = d.n; var k = d.k
+        while (k > 0 && !n.testBit(0)) { n >>= 1; k -= 1 }; D(n, k) }
+    def add(a: D, b: D): D = {
+      val k = a.k max b.k
+      norm(D((a.n << (k - a.k)) + (b.n << (k - b.k)), k))
+    }
+    def half(a: D): D = norm(D(a.n, a.k + 1))
+    def neg(a: D): D = D(-a.n, a.k)
+    def toDouble(a: D): Double = {
+      assert(a.n.abs < (BigInt(1) << 53), "model numerator exceeds exact double")
+      a.n.toDouble / math.pow(2.0, a.k.toDouble)
+    }
+    val rnd = new scala.util.Random(1114)
+    // 20 calendar days, days 7 and 13 silent (densified to n=0)
+    val series = (0 until 20).map(d =>
+      if (d == 7 || d == 13) 0 else 1 + rnd.nextInt(50))
+    def model(upTo: Int): (Double, Double, Double, Double) = {
+      val w = series.slice(math.max(0, upTo - 13), upTo + 1) // trailing ≤14
+      var l = D(BigInt(w.head), 0); var b = D(BigInt(0), 0)
+      val s = scala.collection.mutable.ArrayBuffer(D(BigInt(0), 0))
+      for (t <- 2 to w.length) {
+        val sPrev = if (t - 7 >= 1) s(t - 7 - 1) else D(BigInt(0), 0)
+        val y = D(BigInt(w(t - 1)), 0)
+        val lNew = half(add(add(y, neg(sPrev)), add(l, b)))
+        val bNew = half(add(add(lNew, neg(l)), b))
+        s += half(add(add(y, neg(lNew)), sPrev))
+        l = lNew; b = bNew
+      }
+      val sNext = if (w.length + 1 - 7 >= 1) s(w.length + 1 - 7 - 1)
+        else D(BigInt(0), 0)
+      (toDouble(l), toDouble(b), toDouble(sNext),
+        toDouble(add(add(l, b), sNext)))
+    }
+    val feed = hwFeed(series.zipWithIndex.collect {
+      case (n, d) if n > 0 => ("r", d, n)
+    })
+    val got = EventOps.holtWintersFrom(feed).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.size == 20, got.size.toString)
+    (0 until 20).foreach { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).toString
+      assert(got(day) == model(d), s"day $d: ${got(day)} vs ${model(d)}")
+    }
+  }
+
   // ---- s_ivf_probe_curve ----
 
   test("s_ivf_probe_curve: recall is monotone in nprobe and EXACTLY 1 " +
