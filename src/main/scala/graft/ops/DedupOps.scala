@@ -1904,6 +1904,46 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter QUALITY report — observed false-positive rate of the
+    * [[bloomPrune]] manifest filter against the closed-form theory
+    * (1 − e^(−kn/m))^k: the sizing dial every runtime-filter deployment
+    * reads (an observed FPR far above theory means the hash family is
+    * correlated on this corpus; theory far above target means resize m).
+    * Observed = P(bloom_hit | ¬exact_hit) over the SAME probe relation
+    * the prune emits; theory's transcendentals are [[DetMath]]'s
+    * deterministic ln over the integer pair (m−1, m) and its exp —
+    * (1−1/m)^(kn) spelled exp(kn·(ln(m−1) − ln m)) — with the k-th
+    * power written as k explicit multiplies (pow() is libm, not
+    * cross-engine stable). The exp-domain envelope (kn ≤ 40m) raises
+    * identically in both engines, folded into the load-bearing column.
+    *
+    * Plan/scale: the prune pass + two 1-row aggregates — report cost is
+    * the prune's. One row out. */
+  def bloomFpr(s: SparkSession, d: String): DataFrame = {
+    val obs = bloomPrune(s, d).filter(!col("exact_hit"))
+      .agg(count(lit(1)).as("n_clean_probes"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_false_pos"))
+    val ins = documents(s, d).filter(col("doc_id") < 400)
+      .agg(countDistinct(col("text")).as("n_distinct"))
+    val base = obs.crossJoin(broadcast(ins))
+    val lns = Seq(((BloomBits - 1).toString, "la"), (BloomBits.toString, "lb"))
+      .foldLeft(base) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    val withX = lns.withColumn("x", expr(s"""CASE
+        WHEN $BloomHashes * n_distinct > 40 * $BloomBits
+        THEN raise_error('d_bloom_fpr: insertion count exceeds the exp-domain envelope (k*n > 40*m) — theory would underflow; resize the filter')
+        ELSE CAST($BloomHashes * n_distinct AS DOUBLE) * (la_ln - lb_ln)
+        END"""))
+    DetMath.withExp(withX, "x", "pe")
+      .withColumn("p_bit", expr("1.0e0 - pe_exp"))
+      .select(lit(BloomBits).as("m_bits"),
+        lit(BloomHashes.toLong).as("k_hashes"),
+        col("n_distinct"), col("n_clean_probes"), col("n_false_pos"),
+        expr("try_divide(CAST(n_false_pos AS DOUBLE), CAST(n_clean_probes AS DOUBLE))")
+          .as("fpr_observed"),
+        expr((1 to BloomHashes).map(_ => "p_bit").mkString(" * "))
+          .as("fpr_theory"))
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise evidence into dedup DECISIONS. Near-duplication is not
     * transitive (A≈B, B≈C does not imply A≈C ≥ 0.8), so a real pipeline
@@ -2266,6 +2306,7 @@ object DedupOps {
     "d_incremental_dedup" -> incrementalDedup,
     "d_dedup_clusters" -> dedupClusters,
     "d_bloom_prune" -> bloomPrune,
+    "d_bloom_fpr" -> bloomFpr,
     "d_hot_spans" -> hotSpans,
     "d_span_coverage" -> spanCoverage,
     "d_paragraph_dedup" -> paragraphDedup,
@@ -2435,6 +2476,32 @@ object DedupOps {
             FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
             JOIN keep k ON a.sh1 = k.sh1
             GROUP BY 1, 2)"""
+
+  /** The d_bloom_prune oracle as a named val so the d_bloom_fpr roll-up
+    * embeds the IDENTICAL probe SQL. */
+  private val BloomPruneOracle: String = {
+    val posList = (0 until BloomHashes).map(bloomPosSql).mkString("[", ", ", "]")
+    val probes = (0 until BloomHashes).map { k =>
+      s"(bits[((${bloomPosSql(k)}) // $WordBits)::INT + 1]" +
+        s" & (1::BIGINT << ((${bloomPosSql(k)}) % $WordBits)::INT)) <> 0"
+    }.mkString("(", " AND ", ")")
+    s"""
+      WITH m AS (SELECT text FROM documents WHERE doc_id < 400),
+      pos AS (SELECT unnest($posList) AS pos FROM m),
+      wd AS (SELECT (pos // $WordBits)::INT w,
+               bit_or(1::BIGINT << (pos % $WordBits)::INT) mask
+             FROM pos GROUP BY 1),
+      bl AS (SELECT list(coalesce(mask, 0::BIGINT) ORDER BY i) bits
+             FROM generate_series(0, ${BloomWords - 1}) g(i)
+             LEFT JOIN wd ON wd.w = i),
+      mh AS (SELECT DISTINCT md5(text) h FROM m)
+      SELECT doc_id, $probes AS bloom_hit,
+             (mh.h IS NOT NULL) AS exact_hit
+      FROM documents CROSS JOIN bl
+      LEFT JOIN mh ON md5(documents.text) = mh.h
+      WHERE doc_id >= 400
+      ORDER BY doc_id"""
+  }
 
   /** The capped index + thresholded pair CTEs (`t s e c keep i p`) as
     * one reusable fragment — `p` is exactly [[ngramJaccard]]'s
@@ -3127,29 +3194,33 @@ object DedupOps {
         AND content_hash NOT IN (SELECT content_hash FROM manifest)
       GROUP BY content_hash
       ORDER BY doc_id""",
-    "d_bloom_prune" -> {
-      val posList = (0 until BloomHashes).map(bloomPosSql).mkString("[", ", ", "]")
-      val probes = (0 until BloomHashes).map { k =>
-        s"(bits[((${bloomPosSql(k)}) // $WordBits)::INT + 1]" +
-          s" & (1::BIGINT << ((${bloomPosSql(k)}) % $WordBits)::INT)) <> 0"
-      }.mkString("(", " AND ", ")")
-      s"""
-      WITH m AS (SELECT text FROM documents WHERE doc_id < 400),
-      pos AS (SELECT unnest($posList) AS pos FROM m),
-      wd AS (SELECT (pos // $WordBits)::INT w,
-               bit_or(1::BIGINT << (pos % $WordBits)::INT) mask
-             FROM pos GROUP BY 1),
-      bl AS (SELECT list(coalesce(mask, 0::BIGINT) ORDER BY i) bits
-             FROM generate_series(0, ${BloomWords - 1}) g(i)
-             LEFT JOIN wd ON wd.w = i),
-      mh AS (SELECT DISTINCT md5(text) h FROM m)
-      SELECT doc_id, $probes AS bloom_hit,
-             (mh.h IS NOT NULL) AS exact_hit
-      FROM documents CROSS JOIN bl
-      LEFT JOIN mh ON md5(documents.text) = mh.h
-      WHERE doc_id >= 400
-      ORDER BY doc_id"""
-    },
+    "d_bloom_prune" -> BloomPruneOracle,
+    "d_bloom_fpr" -> s"""
+      WITH g AS ($BloomPruneOracle),
+      obs AS (SELECT count(*)::BIGINT AS n_clean_probes,
+                sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT
+                  AS n_false_pos
+              FROM g WHERE NOT exact_hit),
+      ins AS (SELECT count(DISTINCT text)::BIGINT AS n_distinct
+              FROM documents WHERE doc_id < 400),
+      b AS (SELECT * FROM obs CROSS JOIN ins),
+      l AS (SELECT *,
+              ${DetMath.lnDuckSelect((BloomBits - 1).toString, "la")},
+              ${DetMath.lnDuckSelect(BloomBits.toString, "lb")},
+              CASE WHEN $BloomHashes * n_distinct > 40 * $BloomBits
+                THEN error('d_bloom_fpr: insertion count exceeds the exp-domain envelope (k*n > 40*m) — theory would underflow; resize the filter')
+                ELSE CAST($BloomHashes * n_distinct AS DOUBLE)
+                  * (la_ln - lb_ln) END AS x
+            FROM b),
+      e AS (SELECT *, ${DetMath.expDuckSelect("x", "pe")} FROM l),
+      t AS (SELECT *, 1.0e0 - pe_exp AS p_bit FROM e)
+      SELECT ${BloomBits}::BIGINT AS m_bits, ${BloomHashes}::BIGINT
+               AS k_hashes,
+             n_distinct, n_clean_probes, n_false_pos,
+             n_false_pos / n_clean_probes AS fpr_observed,
+             ${(1 to BloomHashes).map(_ => "p_bit").mkString(" * ")}
+               AS fpr_theory
+      FROM t""",
     "d_semantic_sweep" -> s"""
       WITH $EmbCosinePairsCtes,
       m AS (SELECT a_id, b_id, cosine, t.pct::BIGINT AS pct

@@ -454,6 +454,34 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- d_bloom_fpr ----
+
+  test("d_bloom_fpr: internally consistent with the prune relation and " +
+    "theory matches the closed form") {
+    graft.GraftSession.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val r = DedupOps.bloomFpr(spark, d).collect().head
+    val (m, k, n, probes, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m == 4096L && k == 3L)
+    // observed counts recount from the prune relation itself
+    val pr = DedupOps.bloomPrune(spark, d).collect()
+    val clean = pr.filter(!_.getBoolean(2))
+    assert(probes == clean.length && fp == clean.count(_.getBoolean(1)),
+      r.toString)
+    assert(r.getDouble(5) == fp.toDouble / probes.toDouble, r.toString)
+    // theory within float-noise of the straightforward double formula
+    // (DetMath ln/exp agree with libm to ~1 ulp; the spec allows 1e-12)
+    val want = math.pow(1.0 - math.exp(
+      k * n * math.log((m - 1).toDouble / m.toDouble)), k.toInt)
+    assert(math.abs(r.getDouble(6) - want) < 1e-12,
+      s"${r.getDouble(6)} vs $want")
+    // and the filter is behaving like a bloom filter at all: theory in
+    // the sized-for band, observed within 5x of it on 100 probes
+    assert(r.getDouble(6) > 0.001 && r.getDouble(6) < 0.1, r.toString)
+    assert(r.getDouble(5) <= 5.0 * r.getDouble(6) + 0.05, r.toString)
+  }
+
   // ---- e_holt_winters ----
 
   /** (event_type, day-offset, events-that-day) feed — the autocorr
