@@ -281,6 +281,31 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** EXCEPT ALL — the MULTISET difference the DISTINCT variant
+    * ([[qExcept]]) silently collapses: a customer with 3 fulfilled and
+    * 1 open order keeps multiplicity 2 here (3 − 1), where EXCEPT
+    * keeps them iff they have no open order at all. Spark plans its
+    * native `exceptAll` as a ±1-tagged union + sum-key aggregate +
+    * sequence re-expansion — one shuffle, no join; the oracle is the
+    * SQL-standard EXCEPT ALL both engines define identically. */
+  def qExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** INTERSECT ALL — multiplicity min(left, right) per key, the multiset
+    * twin of [[qExceptAll]]; same native one-shuffle plan shape. */
+  def qIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heap +
     * driver merge, no full sort, no shuffle of the full table. */
   def qTopk(s: SparkSession, d: String): DataFrame =
@@ -682,6 +707,8 @@ object RelationalOps {
     "q_scalar_subquery" -> qScalarSubquery,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
+    "q_except_all" -> qExceptAll,
+    "q_intersect_all" -> qIntersectAll,
     "q_topk" -> qTopk,
     "q_string_fns" -> qStringFns,
     "q_date_fns" -> qDateFns,
@@ -867,6 +894,16 @@ object RelationalOps {
       SELECT o_custkey FROM orders
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey""",
+    "q_except_all" -> """
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey""",
+    "q_intersect_all" -> """
+      SELECT o_custkey FROM orders
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       ORDER BY o_custkey""",
     "q_topk" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -454,6 +454,30 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- q_except_all / q_intersect_all ----
+
+  test("set-op ALL variants keep multiplicities the DISTINCT forms drop") {
+    graft.GraftSession.init(spark)
+    val d = "/root/testdata/sf0.001"
+    // identities over the same orders relation: per customer,
+    // |EXCEPT ALL| = total − open, |INTERSECT ALL| = min(total, F-count)
+    val o = graft.ops.Tables.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("op"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ex = RelationalOps.qExceptAll(spark, d).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val in = RelationalOps.qIntersectAll(spark, d).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    o.foreach { case (ck, (n, op, f)) =>
+      assert(ex.getOrElse(ck, 0L) == n - op, s"except_all at $ck")
+      assert(in.getOrElse(ck, 0L) == math.min(n, f), s"intersect_all at $ck")
+    }
+  }
+
   // ---- d_bloom_fpr ----
 
   test("d_bloom_fpr: internally consistent with the prune relation and " +
