@@ -118,6 +118,9 @@ object Bench {
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.keys.toSeq.sorted.map { name =>
+      // progress to stderr (driver reads stdout only): makes a slow or
+      // wedged query identifiable from OUTSIDE without a thread dump
+      System.err.println(s"[bench] ${java.time.Instant.now()} start $name")
       val times =
         try timeQuery(spark, sfDir, name, reps)
         catch { case e: Throwable =>
