@@ -313,6 +313,77 @@ object ValidationOps {
       .orderBy("event_type")
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift test on the event VALUE
+    * distribution, each type's EARLY half vs its LATE half (days split
+    * at the type's own calendar midpoint) — the distribution-shape
+    * drift monitor beside [[valueFences]]'s outlier screen and
+    * [[drift]]'s binned PSI: K-S needs no binning choice and sees any
+    * CDF displacement. The whole statistic is EXACT integer
+    * arithmetic: D = max|F₁−F₂| = max|cum1·n2 − cum2·n1| / (n1·n2),
+    * where the max runs over the observed-value histogram's cumulative
+    * counts — a pure BIGINT max. The α=0.05 verdict compares
+    * A²·10⁶ > c²·10⁶·n1·n2·(n1+n2) (c = 1.358, c²·10⁶ = 1844164 —
+    * one shared integer literal) in 128-bit integer arithmetic
+    * (DECIMAL(38) Spark-side, HUGEINT oracle-side), so no float
+    * touches the decision. Envelope: half sizes < 2²⁶ keep A²·10⁶
+    * under 10³⁸ — folded into the load-bearing cumulative expression,
+    * raising identically in both engines (shard by period first at
+    * 100 TB). NULL values filtered explicitly (engines order them
+    * differently); a type with an empty half reads D = 0 and a NULL
+    * ratio via try_divide ≡ DuckDB x/0.
+    *
+    * Plan/scale: one scan → per-type midpoint (catalog agg, broadcast
+    * back) → (type, value) histogram agg → two type-key windows →
+    * catalog-sized verdict. Never a raw-event sort. */
+  def ksHalves(s: SparkSession, d: String): DataFrame =
+    ksHalvesFrom(events(s, d))
+
+  /** [[ksHalves]] over a caller-supplied (event_type, ts, value)
+    * relation — the testable core (identical halves ⇒ D exactly 0; a
+    * planted location shift ⇒ the hand-computed D and a firing
+    * verdict; the envelope raise). */
+  private[ops] def ksHalvesFrom(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").as("dn"),
+        col("value").as("v"))
+    val mid = base.groupBy("event_type")
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+    val hist = base.join(broadcast(mid), "event_type")
+      .withColumn("h", when(col("dn") * 2 <= col("lo") + col("hi"), 1)
+        .otherwise(2))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("c2"))
+    val cum = hist
+      .withColumn("n1",
+        sum(col("c1")).over(w.partitionBy("event_type")))
+      .withColumn("n2",
+        sum(col("c2")).over(w.partitionBy("event_type")))
+      // envelope folded INTO the surviving cumulative term (the
+      // e_stl_anomaly lesson: a standalone guard column is dead code)
+      .withColumn("cum1", expr("""sum(CASE
+          WHEN n1 >= 67108864 OR n2 >= 67108864
+          THEN raise_error('v_ks_halves: half size exceeds the 128-bit envelope (n >= 2^26) — shard by period before the K-S pass')
+          ELSE c1 END) OVER (PARTITION BY event_type ORDER BY v)"""))
+      .withColumn("cum2", expr(
+        "sum(c2) OVER (PARTITION BY event_type ORDER BY v)"))
+    cum
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("a"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("a").as("d_num"),
+        expr("try_divide(CAST(a AS DOUBLE), CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))")
+          .as("ks_d"),
+        expr("""CAST(a AS DECIMAL(38, 0)) * a * 1000000
+          > CAST(1844164 AS DECIMAL(38, 0)) * n1 * n2 * (n1 + n2)""")
+          .as("is_drift"))
+      .orderBy("event_type")
+  }
+
   /** Equi-width document-length histogram (width 250, top bucket open) —
     * the profile plot behind [[drift]]'s PSI buckets, as queryable rows
     * with exact counts and fractions. One scan, one tiny agg, window
@@ -855,6 +926,7 @@ object ValidationOps {
     "v_kl_sources" -> klSources,
     "v_js_sources" -> jsSources,
     "v_value_fences" -> valueFences,
+    "v_ks_halves" -> ksHalves,
     "v_emb_profile" -> embProfile)
 
   /** One UNION ALL branch of the v_referential oracle — mirrors `fk`'s
@@ -1218,6 +1290,47 @@ object ValidationOps {
             FROM f)
       SELECT source, n_s AS n_tokens, st / 1.0e12 + lnt_ln AS kl_vs_corpus
       FROM l ORDER BY source""",
+    "v_ks_halves" -> """
+      WITH base AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE))::BIGINT AS dn,
+               value AS v
+        FROM events WHERE value IS NOT NULL),
+      mid AS (SELECT event_type, min(dn) AS lo, max(dn) AS hi
+              FROM base GROUP BY 1),
+      hist AS (
+        SELECT b.event_type, b.v,
+               sum(CASE WHEN b.dn * 2 <= m.lo + m.hi THEN 1 ELSE 0 END)::BIGINT
+                 AS c1,
+               sum(CASE WHEN b.dn * 2 <= m.lo + m.hi THEN 0 ELSE 1 END)::BIGINT
+                 AS c2
+        FROM base b JOIN mid m ON b.event_type = m.event_type
+        GROUP BY 1, 2),
+      cum0 AS (
+        SELECT event_type, v, c1, c2,
+               sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+               sum(c2) OVER (PARTITION BY event_type)::BIGINT AS n2
+        FROM hist),
+      cum AS (
+        SELECT event_type, v, n1, n2,
+               sum(CASE
+                 WHEN n1 >= 67108864 OR n2 >= 67108864
+                 THEN error('v_ks_halves: half size exceeds the 128-bit envelope (n >= 2^26) — shard by period before the K-S pass')
+                 ELSE c1 END)
+                 OVER (PARTITION BY event_type ORDER BY v)::BIGINT AS cum1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY v)::BIGINT
+                 AS cum2
+        FROM cum0),
+      g AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+              max(abs(cum1 * n2 - cum2 * n1))::BIGINT AS a
+            FROM cum GROUP BY 1)
+      SELECT event_type, n1, n2, a AS d_num,
+             CAST(a AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               AS ks_d,
+             a::HUGEINT * a * 1000000
+               > 1844164::HUGEINT * n1 * n2 * (n1 + n2) AS is_drift
+      FROM g ORDER BY event_type""",
     "v_value_fences" -> """
       WITH h AS (SELECT event_type, value AS v, count(*)::BIGINT AS cnt
                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),

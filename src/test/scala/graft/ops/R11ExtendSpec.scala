@@ -454,6 +454,49 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- v_ks_halves ----
+
+  /** (type, day-offset, value) rows → the (event_type, ts, value)
+    * relation ksHalvesFrom consumes. */
+  private def ksFeed(rows: Seq[(String, Int, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "off", "value")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"), col("value"))
+  }
+
+  test("v_ks_halves: identical halves read D EXACTLY 0; a full location " +
+    "shift reads D == 1 and fires the 128-bit verdict") {
+    val same = (0 until 10).flatMap(i =>
+      Seq(("s", 0, i.toDouble), ("s", 1, i.toDouble)))
+    val r0 = ValidationOps.ksHalvesFrom(ksFeed(same)).collect().head
+    assert(r0.getLong(3) == 0L && r0.getDouble(4) == 0.0 &&
+      !r0.getBoolean(5), r0.toString)
+    // half 1: ten 1.0s; half 2: ten 2.0s → D = 1, a = n1·n2 = 100;
+    // verdict: 100²·10⁶ = 10¹⁰ > 1844164·10·10·20 ≈ 3.7·10⁹ → drift
+    val shift = (0 until 10).flatMap(i =>
+      Seq(("t", 0, 1.0), ("t", 1, 2.0)))
+    val r1 = ValidationOps.ksHalvesFrom(ksFeed(shift)).collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getDouble(4),
+      r1.getBoolean(5)) == ((10L, 10L, 100L, 1.0, true)), r1.toString)
+  }
+
+  test("v_ks_halves: 128-bit envelope guard raises in-plan at n = 2^26") {
+    // 2^26 rows in the early half (single shared value → tiny histogram;
+    // the spark.range fixture device, never a driver array)
+    val big = spark.range((1L << 26) + 1)
+      .select(org.apache.spark.sql.functions.lit("x").as("event_type"),
+        expr("""timestamp '2024-01-01 12:00:00'
+          + make_interval(0, 0, 0, IF(id = 0, 2, 0))""").as("ts"),
+        org.apache.spark.sql.functions.lit(1.0).as("value"))
+    val e = intercept[Exception] {
+      ValidationOps.ksHalvesFrom(big).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("v_ks_halves"),
+      e.getMessage)
+  }
+
   // ---- q_except_all / q_intersect_all ----
 
   test("set-op ALL variants keep multiplicities the DISTINCT forms drop") {
