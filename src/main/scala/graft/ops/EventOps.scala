@@ -1574,6 +1574,57 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Walk-forward one-step backtest HOLT–WINTERS vs HOLT on the dense
+    * day grid — [[qBacktest]]'s discipline applied one rung up the
+    * ladder: the evidence that the SEASONAL state earns its keep on
+    * this feed (on a weekly-cyclic series HW must win; on an aseasonal
+    * one the extra state is noise and Holt should hold). Both models
+    * forecast tomorrow from the same trailing 14-DENSE-day window via
+    * their exact integer coefficient tables ([[HwCoefs]] /
+    * [[HoltCoefs]] — the dense grid is load-bearing for HW: seasonal
+    * slots are calendar-indexed); per-day absolute errors quantize to
+    * the 1e-6 BIGINT ledger so the MAE sums are order-free and the
+    * winner verdict compares exact integers.
+    *
+    * Plan/scale: one scan → dense grid → ONE type-key window stack
+    * (both frames + the lag ride one sort) → catalog agg. */
+  def qBacktestHw(s: SparkSession, d: String): DataFrame =
+    backtestHwFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qBacktestHw]] over a caller-supplied (event_type, ts) relation —
+    * the testable core (a weekly square wave must flip the winner to
+    * HW; a constant series ties at zero error). */
+  private[ops] def backtestHwFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val scored = denseDailyFrom(ev, "e_backtest_hw")
+      .withColumn("vals",
+        collect_list(col("n")).over(w.rowsBetween(-(HwWindowDays - 1), 0)))
+      .withColumn("hw_pred", expr(
+        s"""CAST((${hwNumSql("size(vals)", i => s"element_at(vals, $i)", _._3)})
+                 AS DOUBLE) / (${hwDenSql("size(vals)")})"""))
+      .withColumn("h_pred", expr(
+        s"""CAST((${holtNumSql("size(vals)", i => s"element_at(vals, $i)", _._1)})
+                 + (${holtNumSql("size(vals)", i => s"element_at(vals, $i)", _._2)})
+                 AS DOUBLE)
+            / CAST(shiftleft(1L, 2 * (size(vals) - 1)) AS DOUBLE)"""))
+      .withColumn("hw_prev", lag(col("hw_pred"), 1).over(w))
+      .withColumn("h_prev", lag(col("h_pred"), 1).over(w))
+      .filter(col("hw_prev").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(abs(n - hw_prev) * 1.0e6) AS BIGINT)").as("w_err"),
+        expr("CAST(round(abs(n - h_prev) * 1.0e6) AS BIGINT)").as("h_err"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("w_err")).as("sw"), sum(col("h_err")).as("sh"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(sw AS DOUBLE) / 1.0e6 / n_days").as("mae_hw"),
+        expr("CAST(sh AS DOUBLE) / 1.0e6 / n_days").as("mae_holt"),
+        expr("""CASE WHEN sw < sh THEN 'holt_winters'
+                     WHEN sh < sw THEN 'holt'
+                     ELSE 'tie' END""").as("winner"))
+      .orderBy("event_type")
+  }
+
   /** Normalized cohort retention — [[qCohort]]'s counts divided by each
     * cohort's week-0 size (the form a retention chart actually plots:
     * "what fraction of the users acquired in week W were still active
@@ -2068,6 +2119,7 @@ object EventOps {
     "e_hll_users_daily" -> qHllUsersDaily,
     "e_holt" -> qHolt,
     "e_holt_winters" -> qHoltWinters,
+    "e_backtest_hw" -> qBacktestHw,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
@@ -2478,6 +2530,43 @@ object EventOps {
       SELECT event_type, day, n AS n_events,
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
       FROM sc ORDER BY event_type, day""",
+    "e_backtest_hw" -> s"""
+      WITH ${denseDailyCtes("e_backtest_hw")},
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER w AS vals
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN ${HwWindowDays - 1} PRECEDING
+                     AND CURRENT ROW)),
+      pr AS (
+        SELECT event_type, day, n,
+               CAST((${hwNumSql("len(vals)", i => s"vals[$i]", _._3)}) AS DOUBLE)
+                 / (${hwDenSql("len(vals)")}) AS hw_pred,
+               CAST((${holtNumSql("len(vals)", i => s"vals[$i]", _._1)})
+                    + (${holtNumSql("len(vals)", i => s"vals[$i]", _._2)})
+                    AS DOUBLE)
+                 / CAST(1::BIGINT << (2 * (len(vals) - 1)) AS DOUBLE)
+                 AS h_pred
+        FROM wd),
+      lg AS (
+        SELECT event_type, n,
+               lag(hw_pred) OVER w2 AS hw_prev,
+               lag(h_pred) OVER w2 AS h_prev
+        FROM pr
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY day)),
+      sc AS (
+        SELECT event_type,
+               CAST(round(abs(n - hw_prev) * 1.0e6) AS BIGINT) AS w_err,
+               CAST(round(abs(n - h_prev) * 1.0e6) AS BIGINT) AS h_err
+        FROM lg WHERE hw_prev IS NOT NULL)
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             CAST(sum(w_err) AS DOUBLE) / 1.0e6 / count(*) AS mae_hw,
+             CAST(sum(h_err) AS DOUBLE) / 1.0e6 / count(*) AS mae_holt,
+             CASE WHEN sum(w_err) < sum(h_err) THEN 'holt_winters'
+                  WHEN sum(h_err) < sum(w_err) THEN 'holt'
+                  ELSE 'tie' END AS winner
+      FROM sc GROUP BY 1 ORDER BY event_type""",
     "e_holt_winters" -> s"""
       WITH ${denseDailyCtes("e_holt_winters")},
       wd AS (

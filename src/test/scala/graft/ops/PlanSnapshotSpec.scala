@@ -399,7 +399,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "s_ivf_probe_curve" -> "scan=6 xhash=9 xrange=1 bcast=3 smj=2 bhj=2 shj=0 bnlj=1 cart=0 gen=4 win=5 wgl=6",
     "e_holt_winters" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
     "d_bloom_fpr" -> "scan=4 xhash=3 xrange=0 bcast=3 smj=0 bhj=1 shj=0 bnlj=2 cart=0 gen=1 win=0 wgl=0",
-    "v_ks_halves" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
+    "v_ks_halves" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    "e_backtest_hw" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

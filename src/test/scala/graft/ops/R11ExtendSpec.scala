@@ -627,6 +627,26 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- e_backtest_hw ----
+
+  test("e_backtest_hw: a weekly square wave flips the winner to " +
+    "holt_winters; a constant series ties at zero error") {
+    // 6 weeks of weekday=2 / weekend=10: the seasonal state is the ONLY
+    // way to anticipate the Saturday jump — HW must win
+    val wave = (0 until 42).map { d =>
+      val dow = (4 + d) % 7 // 2024-01-01 is a Monday; offset arbitrary
+      ("w", d, if (dow >= 5) 10 else 2)
+    }
+    val r = EventOps.backtestHwFrom(hwFeed(wave)).collect().head
+    assert(r.getString(4) == "holt_winters", r.toString)
+    assert(r.getDouble(2) < r.getDouble(3), r.toString)
+    // constant series: both models forecast y exactly → 0/0 tie
+    val const = (0 until 21).map(d => ("c", d, 5))
+    val rc = EventOps.backtestHwFrom(hwFeed(const)).collect().head
+    assert(rc.getDouble(2) == 0.0 && rc.getDouble(3) == 0.0 &&
+      rc.getString(4) == "tie", rc.toString)
+  }
+
   // ---- s_ivf_probe_curve ----
 
   test("s_ivf_probe_curve: recall is monotone in nprobe and EXACTLY 1 " +
