@@ -284,6 +284,36 @@ object EventOps {
       .orderBy("click_id")
   }
 
+  /** FORWARD as-of join — for every click, the NEXT view by the same
+    * user at or after it: the reaction-time direction ([[qAsofJoin]]
+    * answers "what did they last see"; this answers "what did they see
+    * NEXT", the shape behind time-to-next-impression and
+    * did-the-nudge-land questions). Same scalable union + window
+    * formulation, mirrored: ONE user-key shuffle, a sorted pass, and a
+    * CURRENT-ROW..UNBOUNDED-FOLLOWING ignore-nulls first_value. Ties
+    * break with clicks BEFORE views at equal ts so an equal-timestamp
+    * view satisfies `view.ts >= click.ts` — the exact mirror of the
+    * backward join's views-first tiebreak. A click with no later view
+    * reads NULL ids/gap in both engines. */
+  def qAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+      .withColumn("view_id",
+        first(when(col("is_click") === 0, col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        first(when(col("is_click") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("view_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("click_id")
+  }
+
   /** Range join: clicks falling inside each error's 5-minute window.
     * Bucketized: both sides get a 5-min epoch bucket key (windows span
     * exactly two buckets), so the physical join is an equi-join on the
@@ -2146,6 +2176,7 @@ object EventOps {
     "e_gini" -> qGini,
     "e_pareto" -> qPareto,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_fwd" -> qAsofFwd,
     "q_range_join" -> qRangeJoin,
     "q_skew_salted" -> qSkewSalted,
     "q_lead_lag" -> qLeadLag)
@@ -3093,6 +3124,23 @@ object EventOps {
         FROM ev)
       SELECT event_id AS click_id, user_id, view_id,
              epoch_us(ts) - epoch_us(view_ts) AS gap_us
+      FROM w WHERE is_click = 1 ORDER BY click_id""",
+    "q_asof_fwd" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM events WHERE event_type IN ('view', 'click')),
+      w AS (
+        SELECT *,
+               first_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_id,
+               first_value(CASE WHEN is_click = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_ts
+        FROM ev)
+      SELECT event_id AS click_id, user_id, view_id,
+             epoch_us(view_ts) - epoch_us(ts) AS gap_us
       FROM w WHERE is_click = 1 ORDER BY click_id""",
     "q_range_join" -> """
       SELECT e.event_id AS err_id, count(*) AS n_clicks

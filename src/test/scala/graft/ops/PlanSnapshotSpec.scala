@@ -400,7 +400,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_holt_winters" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
     "d_bloom_fpr" -> "scan=4 xhash=3 xrange=0 bcast=3 smj=0 bhj=1 shj=0 bnlj=2 cart=0 gen=1 win=0 wgl=0",
     "v_ks_halves" -> "scan=2 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
-    "e_backtest_hw" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0")
+    "e_backtest_hw" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
+    // ONE user-key shuffle, two mirrored ignore-nulls windows — the
+    // backward join's shape reflected
+    "q_asof_fwd" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -627,6 +627,42 @@ class R11ExtendSpec extends SparkSpec {
     }
   }
 
+  // ---- q_asof_fwd ----
+
+  test("q_asof_fwd: equals a brute-force next-view model on the gate " +
+    "feed (at-or-after semantics, ties included)") {
+    graft.GraftSession.init(spark)
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.ops.Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val got = EventOps.qAsofFwd(spark, d).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(2)) null
+        else r.getLong(2).asInstanceOf[Any]),
+        if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any])).toMap
+    var checked = 0
+    byUser.foreach { case (_, rows) =>
+      val views = rows.filter(_._3 == "view")
+      rows.filter(_._3 == "click").foreach { case (cid, _, _, cus) =>
+        // earliest view at-or-after the click; ties by event_id
+        val cand = views.filter(_._4 >= cus)
+        val want: (Any, Any) =
+          if (cand.isEmpty) (null, null)
+          else {
+            val v = cand.minBy(v => (v._4, v._1))
+            (v._1, v._4 - cus)
+          }
+        assert(got(cid) == want, s"click $cid: ${got(cid)} vs $want")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size == checked)
+  }
+
   // ---- e_backtest_hw ----
 
   test("e_backtest_hw: a weekly square wave flips the winner to " +
