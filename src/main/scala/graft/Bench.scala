@@ -23,13 +23,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-  /** The ONE timing protocol (GC fence → reps × noop-sink run → sorted
-    * times), shared by the full run and drift mode so the two kinds of
-    * numbers stay comparable — the noop sink forces full computation of
-    * every output column (count() would let Catalyst prune the
-    * projections being measured), and the GC fence keeps one query's
-    * JIT/GC debris out of the next query's wall-clock (r6:
-    * t_ngram_freq benched 1.73s after t_bpe_train vs 0.58s isolated). */
+  /** The ONE timing protocol (GC fence → one UNTIMED warm-up rep →
+    * reps × noop-sink run → sorted times), shared by the full run and
+    * drift mode so the two kinds of numbers stay comparable — the noop
+    * sink forces full computation of every output column (count() would
+    * let Catalyst prune the projections being measured), and the GC
+    * fence keeps one query's JIT/GC debris out of the next query's
+    * wall-clock (r6: t_ngram_freq benched 1.73s after t_bpe_train vs
+    * 0.58s isolated). The per-query warm-up rep (r11 finding, verdict
+    * ask) exists because inside a ~270-query sequence the first rep of
+    * a sub-second query pays ~1.3× codegen/JIT/cache re-warm that
+    * isolated sessions don't — medians that included it inflated the
+    * in-sequence totals and forced 5-rep side-session re-triage every
+    * round. */
   private def timeQuery(spark: SparkSession, sfDir: String, name: String,
       reps: Int): Vector[Double] = {
     def once(): Double = {
@@ -39,6 +45,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     System.gc()
+    once() // warm-up: compiles the query's codegen + primes caches, untimed
     Iterator.continually(once()).take(reps).toVector.sorted
   }
 
@@ -72,7 +79,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"drift","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"drift","queries":$qs,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -143,7 +150,7 @@ object Bench {
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver keeps only a tail of stdout, which
     // truncated the per-query map in round 4 — the file keeps rounds
@@ -169,7 +176,7 @@ object Bench {
     // parseable JSON object. Full detail stays in the big line +
     // target/bench.json.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

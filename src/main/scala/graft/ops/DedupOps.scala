@@ -2177,12 +2177,16 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Peel-round bound for [[kcore]] — enforced identically in BOTH
-    * engines (the span-guard discipline): peeling needs one round per
-    * chain-depth level, so 8 covers any graph whose longest degree-1
-    * chain is ≤ ~16 nodes; a deeper graph RAISES rather than returning
-    * a silently-unconverged core. */
-  private val KcorePeels = 8
+  /** Peel-round CAP for [[kcore]] — a genuinely-unbounded-input guard,
+    * not the per-input bound it was in round 11 (the 8-round bound made
+    * plausible chain-shaped graphs — long sliding-boilerplate tendrils —
+    * refuse at scale, the same pathology class the star-contraction CC
+    * fix addressed). The Spark loop now peels ADAPTIVELY with an
+    * early-exit fixpoint check; the cap exists only so a pathological
+    * input fails loudly and identically in both engines rather than
+    * grinding through unbounded rounds. 64 rounds covers any pendant
+    * chain up to ~128 nodes. */
+  private val KcorePeelsMax = 64
 
   /** 2-core membership over the near-dup pair graph — the structural
     * split [[lpaCommunities]] and [[triangleCount]] read pointwise,
@@ -2197,26 +2201,39 @@ object DedupOps {
     *
     * Determinism/convergence: peeling is confluent (the k-core is
     * unique regardless of removal order), so both engines reach the
-    * same fixpoint; the ROUND BOUND is the contract — both sides run
-    * exactly [[KcorePeels]] synchronous rounds and RAISE the same
-    * message if the last round still had sub-2-degree nodes (Spark in
-    * the materializing loop, DuckDB via an error() guard CTE), so a
-    * pathological chain-shaped graph fails loudly in both rather than
-    * desyncing.
+    * same fixpoint no matter how many rounds each runs PAST it — the
+    * fixpoint is idempotent (every survivor has degree ≥ k, so a peel
+    * round is the identity). That idempotence is what lets the two
+    * sides run DIFFERENT round counts and still hash-match: Spark exits
+    * as soon as the per-round scalar edge count stops shrinking (count
+    * alone is a sound fixpoint witness because peeling only removes —
+    * the [[dedupClustersFrom]] checksum-fixpoint device specialized to
+    * a monotone shrink), while the oracle unrolls a fixed
+    * [[KcorePeelsMax]] MATERIALIZED rounds, the tail of which are
+    * identities. The RAISE predicate is the shared contract: both sides
+    * raise iff the round-[[KcorePeelsMax]] edge set still contains a
+    * sub-k-degree node (Spark checks it after a non-converged loop
+    * exit, DuckDB via an error() guard CTE over the last round).
     *
     * Plan/scale: per round, one src-key degree agg + two semi joins of
     * the edge list against the node-sized survivor set — O(edges) per
-    * round on uniform keys (the DF cap bounds hub degree), rounds
-    * bounded by the constant. Each round localCheckpoints so round r+1
-    * reads materialized edges, never a re-derivation ([[dedupClustersFrom]]
-    * discipline). */
+    * round on uniform keys (the DF cap bounds hub degree), and the
+    * round count is O(longest pendant chain), with each round's cost
+    * shrinking as the tree mass peels away. Each round localCheckpoints
+    * so round r+1 reads materialized edges, never a re-derivation, and
+    * the fixpoint count rides the checkpoint (one cheap scalar job on
+    * materialized blocks). */
   def kcore(s: SparkSession, d: String): DataFrame =
     kcoreFrom(ngramJaccard(s, d).select(col("a_id"), col("b_id")))
 
   /** [[kcore]] over a caller-supplied (a_id, b_id) pair relation — the
-    * production consumer form (and the spec's fixture port: a long
-    * chain proves the convergence guard raises). */
-  private[ops] def kcoreFrom(pairRelation: DataFrame): DataFrame = {
+    * production consumer form (and the spec's fixture port). `k` is the
+    * peel threshold (the gate query pins k=2; the output column names
+    * `in_2core`/`core_degree` reflect that production reading and are
+    * kept for any k). `maxRounds` exists so specs can prove the guard
+    * raises without grinding 64 real rounds. */
+  private[ops] def kcoreFrom(pairRelation: DataFrame, k: Int = 2,
+      maxRounds: Int = KcorePeelsMax): DataFrame = {
     val pairs = pairRelation.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val nodes = pairs.select(col("a_id").as("doc_id"))
@@ -2224,20 +2241,36 @@ object DedupOps {
     var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    for (_ <- 1 to KcorePeels) {
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
       val surv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2).select(col("src").as("node"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
       edges = edges
         .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint()
+      val cur = edges.count()
+      // Peeling only removes edges, so an unchanged count means the
+      // survivor filter kept every node — the previous round's set was
+      // already the fixpoint and this round was the identity.
+      converged = cur == prevCount
+      prevCount = cur
+      round += 1
     }
-    val nRem = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") < 2).count()
-    if (nRem > 0) throw new IllegalStateException(
-      s"d_kcore: peel did not converge in $KcorePeels rounds " +
-        s"($nRem sub-2-degree nodes remain) — chain-shaped pair graph?")
+    if (!converged) {
+      // Loop hit the cap with the count still shrinking. The LAST round
+      // may nonetheless have produced the fixpoint (it removed the final
+      // sub-k nodes), so the raise predicate is the oracle's: does the
+      // final edge set still contain a sub-k-degree node?
+      val nRem = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).count()
+      if (nRem > 0) throw new IllegalStateException(
+        s"d_kcore: peel did not converge in $maxRounds rounds " +
+          s"($nRem sub-$k-degree nodes remain) — chain-shaped pair graph?")
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     nodes.join(deg.select(col("src").as("doc_id"), col("deg")),
         Seq("doc_id"), "left")
@@ -2595,11 +2628,15 @@ object DedupOps {
               WHERE n = mx GROUP BY 1)"""
   }.mkString(",\n      ")
 
-  /** The [[kcore]] oracle peel rounds, unrolled from the same constant
-    * as the Spark loop (the [[lpaOracleIters]] device): per round, a
+  /** The [[kcore]] oracle peel rounds, unrolled to the pinned cap
+    * [[KcorePeelsMax]] (the [[lpaOracleIters]] device): per round, a
     * degree-filtered survivor set then the edge list restricted to
-    * survivor endpoints. */
-  private def kcoreOracleIters: String = (1 to KcorePeels).map { r =>
+    * survivor endpoints. Spark exits its loop at the adaptive fixpoint;
+    * the oracle's surplus rounds past convergence are identities over
+    * the (small, converged) edge set, so the two sides agree — and the
+    * guard CTE checks the SAME predicate Spark checks on a capped exit:
+    * sub-2-degree nodes remaining in the final round. */
+  private def kcoreOracleIters: String = (1 to KcorePeelsMax).map { r =>
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references e_{r-1} twice (the survivor self-join), so an
     // unmaterialized chain re-expands e0's document scans 2^rounds times
@@ -2621,13 +2658,13 @@ object DedupOps {
         UNION SELECT b_id, a_id FROM p WHERE a_id <> b_id),
       $kcoreOracleIters,
       chk AS (SELECT count(*) AS nrem FROM (
-                SELECT src FROM e$KcorePeels GROUP BY src
+                SELECT src FROM e$KcorePeelsMax GROUP BY src
                 HAVING count(*) < 2) z),
       guard AS (SELECT CASE WHEN nrem > 0 THEN error(
-                  'd_kcore: peel did not converge in $KcorePeels rounds')
+                  'd_kcore: peel did not converge in $KcorePeelsMax rounds')
                 ELSE 0 END AS g FROM chk),
       deg AS (SELECT src AS node, count(*)::BIGINT AS deg
-              FROM e$KcorePeels GROUP BY 1),
+              FROM e$KcorePeelsMax GROUP BY 1),
       nn AS (SELECT a_id AS doc_id FROM p UNION SELECT b_id FROM p)
       SELECT nn.doc_id, deg.node IS NOT NULL AS in_2core,
              coalesce(deg.deg, 0::BIGINT) AS core_degree

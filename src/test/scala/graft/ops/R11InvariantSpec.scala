@@ -285,19 +285,60 @@ class R11InvariantSpec extends SparkSpec {
       (4L, false, 0L), (5L, false, 0L), (6L, false, 0L)), got.toString)
   }
 
-  test("d_kcore: a chain deeper than the peel bound raises the guard") {
+  test("d_kcore: a 40-node path CONVERGES under the adaptive peel — " +
+      "empty core, every node peeled") {
     graft.GraftSession.init(spark)
     import spark.implicits._
     // A 40-node path needs ~20 peel rounds (one endpoint pair per round
-    // from each side); the 8-round bound must RAISE, not return a
-    // silently-unconverged core — the oracle's error() guard is the
-    // same verdict on the same fixture.
+    // from each side). Round 11's fixed 8-round bound REFUSED this
+    // input; the adaptive peel must instead reach the fixpoint (a pure
+    // path has no 2-core) well inside the 64-round unbounded-input cap.
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = DedupOps.kcoreFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.length == 40, got.length.toString)
+    assert(got.forall { case (_, in, deg) => !in && deg == 0L },
+      got.filter(_._2).mkString(","))
+  }
+
+  test("d_kcore: the cap guard raises iff the final round's edge set " +
+      "still has sub-k nodes") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // Same 40-node path with the cap wound down to 4 rounds (the spec
+    // knob — production keeps the 64-round cap the oracle unrolls to):
+    // after 4 rounds the middle of the path is still peeling, so the
+    // guard must raise with the oracle's predicate and message.
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalStateException] {
-      DedupOps.kcoreFrom(pairs).collect()
+      DedupOps.kcoreFrom(pairs, maxRounds = 4).collect()
     }
-    assert(e.getMessage.contains("d_kcore: peel did not converge in 8"),
+    assert(e.getMessage.contains("d_kcore: peel did not converge in 4"),
       e.getMessage)
+    // And the converse arm of the predicate: a fixture whose LAST
+    // allowed round produces the fixpoint must NOT raise even though
+    // the loop exits on the cap, not the early-exit check — a 5-node
+    // path peels in exactly 2 rounds, so cap=2 exits non-"converged"
+    // (the count shrank on round 2) yet the final set is clean.
+    val p5 = (0L until 4L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = DedupOps.kcoreFrom(p5, maxRounds = 2).collect()
+    assert(got.length == 5 && got.forall(r => !r.getBoolean(1)),
+      got.mkString(","))
+  }
+
+  test("d_kcore: k=3 peel — a K4 clique survives, a degree-2 tendril " +
+      "node dissolves") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node degree 3 = the 3-core) plus node 5
+    // strapped to 1 and 2 (degree 2 < 3): the k=3 peel removes 5 in one
+    // round and the clique reads back at core degree exactly 3.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (5L, 2L)).toDF("a_id", "b_id")
+    val got = DedupOps.kcoreFrom(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, true, 3L), (2L, true, 3L), (3L, true, 3L),
+      (4L, true, 3L), (5L, false, 0L)), got.toString)
   }
 
   test("d_kcore: property — distributed peel equals brute-force 2-core " +
@@ -320,8 +361,8 @@ class R11InvariantSpec extends SparkSpec {
       }
       adj.view.mapValues(_.size.toLong).toMap
     }
-    // ≤ 12 nodes keeps the brute peel depth ≤ 6 — inside the engine's
-    // 8-round bound, so the distributed result must EQUAL the model
+    // ≤ 12 nodes keeps each distributed round cheap; the adaptive peel
+    // converges on any input, so the result must EQUAL the model
     val edgeGen = for {
       n <- Gen.choose(2, 12)
       m <- Gen.choose(1, 18)
