@@ -51,6 +51,23 @@ object StreamOps {
     }
   }
 
+  /** The PRODUCTION start path for streams whose state is DATA-sized —
+    * keyed by a domain that scales with the corpus or the TTL horizon
+    * ([[pairDeltaStream]]/[[pairDeltaStreamTtl]]'s live shingle domain,
+    * [[dedupStream]]'s seen-hash set): wrap the `.start()` call so the
+    * query is pinned to RocksDB (off-heap state on local disk, changelog
+    * checkpointing) instead of the on-heap HDFS-backed default. This IS
+    * the default for this stream class, not an option: at 100 TB the
+    * horizon's shingle domain is executor-heap-hostile, and discovering
+    * that as an executor OOM mid-stream is the failure mode this helper
+    * removes. The catalog-sized monitors ([[cmsCellStream]] grids,
+    * [[histogramSketchStream]] bins, HLL registers, IVF cell counts —
+    * state ≤ a few thousand rows regardless of data volume) deliberately
+    * KEEP the HDFS-backed provider: their state fits any heap and the
+    * on-heap read path beats a RocksDB round-trip per update. */
+  def startDataSized[T](spark: SparkSession)(startQuery: => T): T =
+    withStateStoreProvider(spark, RocksDbStateStoreProvider)(startQuery)
+
   /** Event record for the typed stateful ops (micros since epoch). */
   case class Event(userId: Long, tsMicros: Long, eventType: String, value: Double)
   case class SessionOut(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
