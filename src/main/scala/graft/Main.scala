@@ -77,21 +77,60 @@ object Main {
 
   /** O14 — the Spark stand-in for the reference's progress BAR
     * (src/logger.rs:7-57: indicatif renders `{pos}/{len}` from `inc(1)`
-    * per row, src/builder.rs:90): a listener summing the write tasks'
-    * output-row metrics to stderr as `pos/total rows`. Task-end grain,
-    * not per-row — executors report metrics at task completion; a
-    * literal per-row callback would serialize the job through the
-    * driver. The reference's own `--simple` mode makes `inc` a no-op,
-    * so this strictly adds observability over flag parity. */
-  private[graft] class RowProgressListener(total: Long)
+    * per row, src/builder.rs:90), at INTRA-task grain: the extraction
+    * flatMap bumps a named LongAccumulator per row, and the accumulator's
+    * task-partial value rides the executor heartbeat to the driver (Spark
+    * reports `TaskMetrics.accumulators()` — internal AND user — for every
+    * RUNNING task on each heartbeat), so a single giant archive (= one
+    * task) ticks while it extracts instead of sitting at 0 until task
+    * end. pos = Σ per-task high-water marks; per-task max() keeps a late
+    * or reordered heartbeat from regressing the bar, and task-end folds
+    * in the task's final delta through the same map. The tick cadence is
+    * `spark.executor.heartbeatInterval` (10s default — tune the standard
+    * knob for a faster bar); a literal per-row driver callback would
+    * serialize the job. A retried task double-counts its rows (two task
+    * ids) — the clamp to `total` keeps the bar honest, the same trade
+    * every accumulator-driven progress display makes. */
+  private[graft] class RowProgressListener(total: Long, accName: String)
       extends org.apache.spark.scheduler.SparkListener {
-    private val rows = new java.util.concurrent.atomic.AtomicLong(0)
-    def count: Long = rows.get
+    private val perTask =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    private var lastPrinted = -1L
+    def count: Long = {
+      var s = 0L
+      perTask.values.forEach(v => s += v.longValue)
+      math.min(s, total)
+    }
+    private def record(taskId: Long,
+        infos: Iterable[org.apache.spark.scheduler.AccumulableInfo]): Unit = {
+      infos.foreach { ai =>
+        if (ai.name.contains(accName)) ai.update.foreach {
+          case l: java.lang.Long =>
+            perTask.merge(taskId, l,
+              (a, b) => if (a.longValue >= b.longValue) a else b)
+          case _ => ()
+        }
+      }
+    }
+    private def tick(): Unit = synchronized {
+      val pos = count
+      if (pos > lastPrinted) {
+        lastPrinted = pos
+        System.err.println(s"$pos/$total rows")
+      }
+    }
+    override def onExecutorMetricsUpdate(
+        e: org.apache.spark.scheduler.SparkListenerExecutorMetricsUpdate)
+        : Unit = {
+      e.accumUpdates.foreach { case (taskId, _, _, infos) =>
+        record(taskId, infos)
+      }
+      tick()
+    }
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val n = Option(e.taskMetrics)
-        .map(_.outputMetrics.recordsWritten).getOrElse(0L)
-      if (n > 0) System.err.println(s"${rows.addAndGet(n)}/$total rows")
+      Option(e.taskInfo).foreach(ti => record(ti.taskId, ti.accumulables))
+      tick()
     }
   }
 
@@ -107,11 +146,15 @@ object Main {
     }
     val total = ZipExtract.countEntries(spark, cfg)
     System.err.println(s"$total files")
-    val progress = new RowProgressListener(total)
+    // per-run accumulator name: two --simple runs on one session must not
+    // read each other's counts
+    val accName = "graft_rows_" + java.util.UUID.randomUUID().toString.take(8)
+    val acc = spark.sparkContext.longAccumulator(accName)
+    val progress = new RowProgressListener(total, accName)
     spark.sparkContext.addSparkListener(progress)
     try {
-      if (stdout) ZipExtract.runToStream(spark, cfg, System.out)
-      else ZipExtract.run(spark, cfg)
+      if (stdout) ZipExtract.runToStream(spark, cfg, System.out, Some(acc))
+      else ZipExtract.run(spark, cfg, Some(acc))
       // the listener bus is async: wait (bounded) for the final write
       // task's metrics to drain so the last `total/total rows` line is
       // printed before the listener detaches

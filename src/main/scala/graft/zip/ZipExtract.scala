@@ -164,7 +164,9 @@ object ZipExtract {
 
   /** The extractor: Dataset of zip paths → one row per matching entry.
     * Narrow plan, one task per archive. */
-  def entries(spark: SparkSession, cfg: ZipToParquetConfig): DataFrame = {
+  def entries(spark: SparkSession, cfg: ZipToParquetConfig,
+      rowProgress: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import spark.implicits._
     // Validate the glob on the driver so a bad pattern fails fast (B4).
     val globRegex: Option[String] = cfg.entryGlob.map { g =>
@@ -187,8 +189,13 @@ object ZipExtract {
       spark.createDataset(paths).repartition(paths.length)
 
     val rows = pathDs.flatMap { case (readPath, displayPath) =>
-      extractOne(readPath, displayPath, hadoopConf.value, globRegex, needRead,
-        needBody, needHash, needSource, maxBody)
+      val it = extractOne(readPath, displayPath, hadoopConf.value, globRegex,
+        needRead, needBody, needHash, needSource, maxBody)
+      // O14 per-ROW grain (reference src/logger.rs:29-45 `inc(1)` per row):
+      // the accumulator's task-partial value rides the executor heartbeat
+      // to the driver, so a listener can tick INSIDE a long single-archive
+      // task — one add per row, no driver round-trip on the hot path.
+      rowProgress.fold(it)(acc => it.map { r => acc.add(1L); r })
     }(org.apache.spark.sql.Encoders.product[ZipEntryRow])
     val df = rows.toDF()
     // B2 byte-parity: reproduce the reference's quote-wrapped stored hash
@@ -326,10 +333,12 @@ object ZipExtract {
     * the knob maps exactly. One deviation: parquet-mr ALSO closes a group
     * when the byte limit (`parquet.block.size`) fills — a safety net the
     * reference lacks; it never fires at the reference's 100-row default. */
-  def run(spark: SparkSession, cfg: ZipToParquetConfig): Unit = {
+  def run(spark: SparkSession, cfg: ZipToParquetConfig,
+      rowProgress: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Unit = {
     // src/error.rs:41 + src/main.rs:57-62 — a sink must be chosen up front
     if (cfg.output.isEmpty) GraftError.raise(GraftError.NeedsOutputOrStdout)
-    val df0 = entries(spark, cfg)
+    val df0 = entries(spark, cfg, rowProgress)
     if (!cfg.singleFile) { writeParquetDir(df0, cfg, cfg.output); return }
     // repartition(1), NOT coalesce(1): coalesce folds the upstream
     // extraction into the single writer task (serializing the whole
@@ -409,13 +418,16 @@ object ZipExtract {
     * the part file out (buffered, so outputs larger than memory are fine,
     * cf. the reference's BufWriter comment src/main.rs:71). */
   def runToStream(spark: SparkSession, cfg: ZipToParquetConfig,
-      out: java.io.OutputStream): Unit = {
+      out: java.io.OutputStream,
+      rowProgress: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stdout").toFile
     val file = new java.io.File(tmp, "out.parquet")
     try {
       // run() in singleFile mode yields a regular FILE at the path —
       // stream it straight out
-      run(spark, cfg.copy(output = file.getAbsolutePath, singleFile = true))
+      run(spark, cfg.copy(output = file.getAbsolutePath, singleFile = true),
+        rowProgress)
       val in = new java.io.BufferedInputStream(
         new java.io.FileInputStream(file), 1 << 16)
       try {

@@ -104,6 +104,44 @@ class MainSpec extends SparkSpec {
       s"row progress line missing; stderr was: ${err.toString.take(400)}")
   }
 
+  test("--simple row progress ticks INSIDE a single-task extraction " +
+      "(monotone pos/total, at least one partial line)") {
+    // O14 per-row grain (r11 verdict ask #6): one zip = ONE extraction
+    // task, so every line strictly between 0 and total PROVES the bar
+    // advanced mid-task via heartbeat accumulator partials — the
+    // task-end-grain listener this replaces sat at 0 until the end.
+    // 150k empty entries keep the archive small (~10 MB) while the
+    // entry-walk + digest loop runs long enough to span several 100ms
+    // heartbeats (SparkSpec pins spark.executor.heartbeatInterval).
+    val n = 150000
+    val f = new File(dir, "big.zip")
+    val z = new ZipOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+    for (i <- 0 until n) {
+      z.putNextEntry(new ZipEntry(s"e$i")); z.closeEntry()
+    }
+    z.close()
+    val out = new File(dir, "cli_progress.parquet").getAbsolutePath
+    val err = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(err, true))
+    try Main.run(spark, Seq("-i", f.getAbsolutePath, "-o", out, "--simple"))
+    finally System.setErr(prev)
+    val ticks = err.toString.linesIterator
+      .flatMap { l =>
+        val m = raw"^(\d+)/(\d+) rows$$".r.findFirstMatchIn(l)
+        m.map(g => (g.group(1).toLong, g.group(2).toLong))
+      }.toVector
+    assert(ticks.nonEmpty, s"no progress lines; stderr: ${err.toString.take(400)}")
+    assert(ticks.forall(_._2 == n), s"wrong total in: $ticks")
+    assert(ticks.last._1 == n, s"final line must read $n/$n: ${ticks.takeRight(3)}")
+    assert(ticks.map(_._1) == ticks.map(_._1).sorted.distinct,
+      s"progress not strictly monotone: ${ticks.map(_._1)}")
+    assert(ticks.exists(t => t._1 > 0 && t._1 < n),
+      s"no INTRA-task tick (all-or-nothing lines only): ${ticks.map(_._1)}")
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("glob flag filters entries end-to-end") {
     val out = new File(dir, "cli_png.parquet").getAbsolutePath
     Main.run(spark, Seq("-i", zip, "-o", out, "-g", "*.png"))

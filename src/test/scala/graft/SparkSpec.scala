@@ -19,6 +19,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // fast executor heartbeats so the MainSpec intra-task row-progress
+    // golden test sees partial accumulator updates inside a sub-second
+    // task (production default is 10s; the listener's grain follows it)
+    .config("spark.executor.heartbeatInterval", "100ms")
     // managed tables (BucketingSpec) go to a scratch warehouse, not ./
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
