@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpus generator for EMPIRICAL scale
+  * validation (r11 verdict ask #2): regenerates the `documents` and
+  * `embeddings` tables at any scale factor from the same model the
+  * driver's testdata follows, so the expensive pair-graph/text/embedding
+  * queries can be timed at 1× and 10× sf0.1 and their scaling exponents
+  * measured instead of argued from plan shapes.
+  *
+  * The model was measured off `/root/testdata/sf0.1` (TESTDATA.md):
+  *   - documents: text = `n_toks ~ Uniform[10,100]` tokens drawn from the
+  *     31-word vocabulary (avg 54.1, std 25.7 — matches uniform), source
+  *     = `"src" + (doc_id % 20)` (exact in the real data), lang weights
+  *     en 41% / zh 15% / es 15% / fr 15% / de 14%, n_chars =
+  *     length(text), and a ~1/625 exact-duplicate rate (8/5000 at sf0.1):
+  *     a dup row replays an EARLIER doc's token stream (seed_id < id) so
+  *     the dedup family has real mass to find.
+  *   - embeddings: 64 iid per-dim draws normalized to unit length (real
+  *     norms are 1±1e-7), label ~ Uniform[0,10) independent of geometry
+  *     (measured within-label vs cross-label cosine both ≈ 0).
+  *
+  * Every random draw is `xxhash64(seed_id | id, lane)` over a
+  * `spark.range` id — no wall-clock, no Math.random, no IO order — so a
+  * given (outDir, nDocs, nVecs) regenerates bit-identically, and the
+  * whole generator is one codegen'd projection per table: generating the
+  * 10× corpus (50k docs / 20k vecs) is seconds, and the same plan would
+  * generate the 10,000× corpus on a cluster unchanged.
+  *
+  * Usage: `runMain graft.ScaleGen <outDir> <nDocs> <nVecs>` — writes
+  * `<outDir>/documents.parquet` and `<outDir>/embeddings.parquet`
+  * (sf0.1-equivalent: 5000 2000; sf1-equivalent: 50000 20000).
+  */
+object ScaleGen {
+
+  /** The real corpus's exact 31-token vocabulary (distinct tokens of
+    * sf0.1 documents.text, sorted). */
+  private[graft] val Vocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Uniform draw in [0, m) from lane `lane` of the row's hash stream. */
+  private def draw(seed: Column, lane: Int, m: Int): Column =
+    pmod(xxhash64(seed, lit(lane)), lit(m.toLong))
+
+  private[graft] def documents(spark: SparkSession, n: Long): DataFrame = {
+    val vocabArr = array(Vocab.map(lit): _*)
+    spark.range(n)
+      // ~1/625 of rows replay an earlier doc's token stream (the measured
+      // exact-dup rate); the target is a hash-chosen doc in the previous
+      // ≤1000 ids, so dups stay id-local like a crawl's re-fetches
+      .withColumn("seed_id",
+        when(draw(col("id"), 2, 625) === 0 && col("id") > 0,
+          col("id") - lit(1L) -
+            pmod(xxhash64(col("id"), lit(3)), least(col("id"), lit(1000L))))
+          .otherwise(col("id")))
+      .withColumn("n_toks", (draw(col("seed_id"), 4, 91) + 10).cast("int"))
+      .withColumn("text", array_join(
+        transform(sequence(lit(1), col("n_toks")), i =>
+          element_at(vocabArr,
+            (pmod(xxhash64(col("seed_id"), i.cast("long")), lit(31L)) + 1)
+              .cast("int"))), " "))
+      .withColumn("r", draw(col("id"), 5, 100))
+      .withColumn("lang",
+        when(col("r") < 41, "en").when(col("r") < 56, "zh")
+          .when(col("r") < 71, "es").when(col("r") < 86, "fr")
+          .otherwise("de"))
+      .select(col("id").as("doc_id"), col("text"), col("lang"),
+        concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
+        length(col("text")).as("n_chars"))
+  }
+
+  private[graft] def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    // 64 iid uniform[-1,1) lanes, then unit-normalize (matches the real
+    // table's exact unit norms; direction uniformity is not load-bearing
+    // for the scale measurement)
+    val raw = array((0 until 64).map(d =>
+      draw(col("id"), 100 + d, 1 << 20).cast("double") / (1 << 19) - 1.0): _*)
+    spark.range(n)
+      .withColumn("raw", raw)
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("id").as("vec_id"),
+        transform(col("raw"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"),
+        draw(col("id"), 200, 10).cast("int").as("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <outDir> <nDocs> <nVecs>")
+    val (outDir, nDocs, nVecs) = (args(0), args(1).toLong, args(2).toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.init(SparkSession.builder()
+      .appName("graft-scalegen")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    documents(spark, nDocs).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    embeddings(spark, nVecs).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    System.err.println(s"[scalegen] wrote $outDir (docs=$nDocs vecs=$nVecs)")
+    spark.stop()
+  }
+}
