@@ -866,13 +866,31 @@ object TextOps {
       DedupOps.ngramJaccard(s, d).select(col("a_id"), col("b_id")),
       documents(s, d))
 
-  /** [[bleuPairs]] over caller-supplied (a_id, b_id) pair and
-    * (doc_id, text) document relations — the testable core (the
-    * log-BLEU ≡ 0 identical-pair contract, the brevity penalty sign,
-    * and the zero-overlap NULL all want constructed pairs). */
-  private[ops] def bleuPairsFrom(prs: DataFrame,
-                                 docsIn: DataFrame): DataFrame = {
+  /** The shared clipped-n-gram base behind [[bleuPairsFrom]] and
+    * [[rougePairsFrom]]: per candidate pair, the clipped unigram/bigram
+    * match counts against the a-side's totals, plus the b-side
+    * (reference) token length — every BLEU/ROUGE variant is arithmetic
+    * over exactly these five BIGINTs (ROUGE's recall denominators are
+    * the reference's total gram counts, which are `rlen` and `rlen − 1`
+    * by construction — no extra join). The gram relation is built over
+    * the pair ENDPOINTS only (one semi-join before the explode), not the
+    * corpus: the 10× scale run measured the whole-corpus spelling at
+    * exponent ~1.1 in CORPUS size when the cost should be linear in the
+    * WORKLIST — at 100 TB with a capped worklist that difference is the
+    * whole job. One endpoint semi-join + one (doc, n, gram) count agg +
+    * one pair×gram join, all linear in the capped worklist. */
+  private[ops] def pairGramBaseFrom(prsIn: DataFrame,
+                                    docsIn: DataFrame): DataFrame = {
+    // The worklist is referenced four times below (pair join, two
+    // endpoint semi-joins, the lens semi-join); an unmaterialized pair
+    // subtree would re-expand its whole shingle pipeline per reference
+    // (observed: scan 4 → 9 in the plan pin) — checkpoint it ONCE, the
+    // shared-subtree discipline every pair consumer follows.
+    val prs = prsIn.select(col("a_id"), col("b_id")).localCheckpoint()
+    val endpoints = prs.select(col("a_id").as("doc_id"))
+      .union(prs.select(col("b_id").as("doc_id"))).distinct()
     val grams = docsIn
+      .join(endpoints, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(s"$Toks").as("tk"))
       .select(col("doc_id"), explode(expr(
         """concat(
@@ -899,9 +917,20 @@ object TextOps {
           .as("clip2"),
         sum(when(col("n") === 2, col("ch")).otherwise(0L)).as("tot2"))
     val lens = docsIn
+      .join(prs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("size(split(text, ' '))").cast("long")
         .as("rlen"))
-    val base = agg.join(lens, col("b_id") === col("doc_id")).drop("doc_id")
+    agg.join(lens, col("b_id") === col("doc_id")).drop("doc_id")
+  }
+
+  /** [[bleuPairs]] over caller-supplied (a_id, b_id) pair and
+    * (doc_id, text) document relations — the testable core (the
+    * log-BLEU ≡ 0 identical-pair contract, the brevity penalty sign,
+    * and the zero-overlap NULL all want constructed pairs). */
+  private[ops] def bleuPairsFrom(prs: DataFrame,
+                                 docsIn: DataFrame): DataFrame = {
+    val base = pairGramBaseFrom(prs, docsIn)
     val lns = Seq(("greatest(1L, clip1)", "l1"), ("tot1", "t1"),
       ("greatest(1L, clip2)", "l2"), ("greatest(1L, tot2)", "t2"))
       .foldLeft(base) { case (df, (e, p)) => DetMath.withLn(df, e, p) }
@@ -914,6 +943,48 @@ object TextOps {
           ELSE CAST(NULL AS DOUBLE) END""").as("log_bleu2"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Corpus-ROUGE-1/2 of every near-dup candidate pair — the RECALL
+    * companion to [[bleuPairs]]'s clipped precision: BLEU asks "how much
+    * of A is drawn from B", ROUGE asks "how much of B does A cover",
+    * and the pair of numbers separates the two ways a near-dup worklist
+    * entry can be asymmetric (A is a snippet of B → high BLEU, low
+    * ROUGE; A is B plus noise → the reverse). ROUGE-N recall =
+    * clipN / (reference's total N-grams), which is `rlen` (unigrams)
+    * and `rlen − 1` (bigrams) BY CONSTRUCTION — so the whole score
+    * family is single divisions of the exact BIGINTs the shared
+    * [[pairGramBaseFrom]] already carries, zero transcendentals, and
+    * the F1 folds to 2·clip/(hyp_total + ref_total) exactly. A 1-token
+    * reference has no bigrams: ROUGE-2 reads NULL through an explicit
+    * CASE (never a divide-by-zero dependency) in both engines.
+    *
+    * Plan/scale: the shared base's shape — one (doc, n, gram) agg + one
+    * pair×gram join linear in the DF-capped worklist; this adds only
+    * per-row arithmetic. */
+  def rougePairs(s: SparkSession, d: String): DataFrame =
+    rougePairsFrom(
+      DedupOps.ngramJaccard(s, d).select(col("a_id"), col("b_id")),
+      documents(s, d))
+
+  /** [[rougePairs]] over caller-supplied relations — the testable core
+    * (identical pair ≡ 1, disjoint pair ≡ 0, the 1-token-reference NULL,
+    * and the snippet asymmetry all want constructed pairs). */
+  private[ops] def rougePairsFrom(prs: DataFrame,
+                                  docsIn: DataFrame): DataFrame =
+    pairGramBaseFrom(prs, docsIn)
+      .select(col("a_id"), col("b_id"), col("clip1"), col("clip2"),
+        col("tot1").as("hyp_len"), col("rlen").as("ref_len"),
+        expr("CAST(clip1 AS DOUBLE) / CAST(rlen AS DOUBLE)")
+          .as("rouge1_recall"),
+        expr("""CASE WHEN rlen > 1
+            THEN CAST(clip2 AS DOUBLE) / CAST(rlen - 1 AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END""").as("rouge2_recall"),
+        expr("CAST(2 * clip1 AS DOUBLE) / CAST(tot1 + rlen AS DOUBLE)")
+          .as("rouge1_f1"),
+        expr("""CASE WHEN tot2 + rlen - 1 > 0
+            THEN CAST(2 * clip2 AS DOUBLE) / CAST(tot2 + rlen - 1 AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END""").as("rouge2_f1"))
+      .orderBy("a_id", "b_id")
 
   /** Vocabulary DRIFT between the early and late corpus half — the
     * ingestion-shift monitor: the same bounded Jensen–Shannon arithmetic
@@ -1394,6 +1465,7 @@ object TextOps {
     "t_tfidf" -> tfidf,
     "t_bm25" -> bm25,
     "t_bleu_pairs" -> bleuPairs,
+    "t_rouge_pairs" -> rougePairs,
     "t_code_detect" -> codeDetect,
     "t_vocab_drift" -> vocabDrift,
     "t_hapax" -> hapax,
@@ -1513,7 +1585,51 @@ object TextOps {
              (sum(term)::BIGINT / 1.0e9) / count(*) - kd.ld_ln AS avg_logprob
       FROM t CROSS JOIN kd GROUP BY doc_id, kd.ld_ln"""
 
+  /** The oracle-side twin of [[pairGramBaseFrom]] — the clipped-n-gram
+    * CTE chain shared by the `t_bleu_pairs` and `t_rouge_pairs` oracles
+    * (the named-val device: both scores replay the IDENTICAL base, so
+    * they cannot drift apart on what a pair's counts are). Ends at
+    * `base(a_id, b_id, clip1, tot1, clip2, tot2, rlen)`. */
+  private val PairGramBaseDuck: String = s"""${DedupOps.JaccardPairsDuck},
+      tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g1 AS (SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM tk2),
+      g2 AS (SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS gram
+             FROM tk2),
+      cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+              FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+              GROUP BY 1, 2, 3),
+      h AS (SELECT p.a_id, p.b_id, ca.n, ca.c AS ch,
+              coalesce(cb.c, 0)::BIGINT AS cr
+            FROM p JOIN cnt ca ON ca.doc_id = p.a_id
+            LEFT JOIN cnt cb ON cb.doc_id = p.b_id AND cb.n = ca.n
+              AND cb.gram = ca.gram),
+      agg AS (SELECT a_id, b_id,
+               sum(CASE WHEN n = 1 THEN least(ch, cr) ELSE 0 END)::BIGINT
+                 AS clip1,
+               sum(CASE WHEN n = 1 THEN ch ELSE 0 END)::BIGINT AS tot1,
+               sum(CASE WHEN n = 2 THEN least(ch, cr) ELSE 0 END)::BIGINT
+                 AS clip2,
+               sum(CASE WHEN n = 2 THEN ch ELSE 0 END)::BIGINT AS tot2
+              FROM h GROUP BY 1, 2),
+      base AS (SELECT agg.*, len(string_split(d.text, ' '))::BIGINT AS rlen
+               FROM agg JOIN documents d ON agg.b_id = d.doc_id)"""
+
   val oracles: Map[String, String] = Map(
+    "t_rouge_pairs" -> s"""
+      WITH $PairGramBaseDuck
+      SELECT a_id, b_id, clip1, clip2, tot1 AS hyp_len, rlen AS ref_len,
+             CAST(clip1 AS DOUBLE) / CAST(rlen AS DOUBLE) AS rouge1_recall,
+             CASE WHEN rlen > 1
+               THEN CAST(clip2 AS DOUBLE) / CAST(rlen - 1 AS DOUBLE)
+               ELSE CAST(NULL AS DOUBLE) END AS rouge2_recall,
+             CAST(2 * clip1 AS DOUBLE) / CAST(tot1 + rlen AS DOUBLE)
+               AS rouge1_f1,
+             CASE WHEN tot2 + rlen - 1 > 0
+               THEN CAST(2 * clip2 AS DOUBLE) / CAST(tot2 + rlen - 1 AS DOUBLE)
+               ELSE CAST(NULL AS DOUBLE) END AS rouge2_f1
+      FROM base ORDER BY a_id, b_id""",
     "t_novelty" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, ${DedupOps.ShinglesSql} sh FROM t),
@@ -1875,31 +1991,7 @@ object TextOps {
                > n_chars AS is_code
       FROM c ORDER BY doc_id""",
     "t_bleu_pairs" -> s"""
-      WITH ${DedupOps.JaccardPairsDuck},
-      tk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      g1 AS (SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM tk2),
-      g2 AS (SELECT doc_id, 2 AS n,
-               unnest(list_transform(range(1, len(tk)),
-                 i -> tk[i] || ' ' || tk[i+1])) AS gram
-             FROM tk2),
-      cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
-              FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
-              GROUP BY 1, 2, 3),
-      h AS (SELECT p.a_id, p.b_id, ca.n, ca.c AS ch,
-              coalesce(cb.c, 0)::BIGINT AS cr
-            FROM p JOIN cnt ca ON ca.doc_id = p.a_id
-            LEFT JOIN cnt cb ON cb.doc_id = p.b_id AND cb.n = ca.n
-              AND cb.gram = ca.gram),
-      agg AS (SELECT a_id, b_id,
-               sum(CASE WHEN n = 1 THEN least(ch, cr) ELSE 0 END)::BIGINT
-                 AS clip1,
-               sum(CASE WHEN n = 1 THEN ch ELSE 0 END)::BIGINT AS tot1,
-               sum(CASE WHEN n = 2 THEN least(ch, cr) ELSE 0 END)::BIGINT
-                 AS clip2,
-               sum(CASE WHEN n = 2 THEN ch ELSE 0 END)::BIGINT AS tot2
-              FROM h GROUP BY 1, 2),
-      base AS (SELECT agg.*, len(string_split(d.text, ' '))::BIGINT AS rlen
-               FROM agg JOIN documents d ON agg.b_id = d.doc_id),
+      WITH $PairGramBaseDuck,
       l AS (SELECT *,
               ${DetMath.lnDuckSelect("greatest(1::BIGINT, clip1)", "l1")},
               ${DetMath.lnDuckSelect("tot1", "t1")},

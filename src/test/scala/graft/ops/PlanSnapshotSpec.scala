@@ -378,7 +378,11 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_hapax" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     // pair worklist re-derived standalone per gate convention (the
     // production path materializes pairCounts once — see DedupOps)
-    "t_bleu_pairs" -> "scan=4 xhash=5 xrange=1 bcast=3 smj=0 bhj=3 shj=0 bnlj=0 cart=0 gen=5 win=0 wgl=0",
+    // r12 re-pin: pairGramBase now checkpoints the worklist (scan=0 for
+    // the pair subtree) and semi-joins grams/lens to worklist endpoints —
+    // worklist-linear instead of corpus-linear (10x-scale finding)
+    "t_bleu_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    "t_rouge_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     "d_dup_inflation" -> "scan=1 xhash=2 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "v_js_sources" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // the two bnlj are the broadcast-query non-equi joins of the melt,
