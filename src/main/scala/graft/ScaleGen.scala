@@ -47,23 +47,62 @@ object ScaleGen {
   private def draw(seed: Column, lane: Int, m: Int): Column =
     pmod(xxhash64(seed, lit(lane)), lit(m.toLong))
 
-  private[graft] def documents(spark: SparkSession, n: Long): DataFrame = {
+  /** `closed` mode — the testdata model verbatim: fixed 31-word vocab,
+    * ~1/625 exact dups, near-dup structure EMERGENT from vocabulary
+    * collisions. At 10× this saturates the DF cap (every shingle's df
+    * grows 10×, hot shingles get dropped, the pair graph SHRINKS) — a
+    * real property of the gate corpus's model and a validation that the
+    * cap bounds pair cost, but useless for measuring the engine's own
+    * scaling. `open` mode — vocabulary ∝ corpus (token space `w<k>`,
+    * k < max(64, n/5), so incidental shingle collisions vanish) with
+    * near-dup structure INJECTED explicitly: ~12.5% of docs replay an
+    * earlier doc's token stream with per-token substitution probability
+    * 1/64 (≈0.8 substituted tokens per 54-token doc → Jaccard mostly
+    * ≥ 0.8), plus the 1/625 exact-dup arm. Pair-graph edges ∝ N at every
+    * scale — how a real corpus's template mass scales — so open-mode
+    * exponents measure the ENGINE. */
+  private[graft] def documents(spark: SparkSession, n: Long,
+      mode: String = "closed"): DataFrame = {
+    val base = spark.range(n)
+      .withColumn("cls", draw(col("id"), 2, 5000))
+      // dup target: a hash-chosen doc in the previous ≤1000 ids, so dups
+      // stay id-local like a crawl's re-fetches
+      .withColumn("tgt",
+        col("id") - lit(1L) -
+          pmod(xxhash64(col("id"), lit(3)), least(col("id"), lit(1000L))))
+    val seeded = mode match {
+      case "closed" =>
+        // ~1/625 exact dups; near-dup structure left to vocab collisions
+        base.withColumn("seed_id",
+            when(col("cls") < 8 && col("id") > 0, col("tgt"))
+              .otherwise(col("id")))
+          .withColumn("subst", lit(false))
+      case "open" =>
+        // 8/5000 exact dups + 625/5000 near-dups with substitution
+        base.withColumn("seed_id",
+            when(col("cls") < 633 && col("id") > 0, col("tgt"))
+              .otherwise(col("id")))
+          .withColumn("subst", col("cls") >= 8 && col("cls") < 633 &&
+            col("id") > 0)
+    }
     val vocabArr = array(Vocab.map(lit): _*)
-    spark.range(n)
-      // ~1/625 of rows replay an earlier doc's token stream (the measured
-      // exact-dup rate); the target is a hash-chosen doc in the previous
-      // ≤1000 ids, so dups stay id-local like a crawl's re-fetches
-      .withColumn("seed_id",
-        when(draw(col("id"), 2, 625) === 0 && col("id") > 0,
-          col("id") - lit(1L) -
-            pmod(xxhash64(col("id"), lit(3)), least(col("id"), lit(1000L))))
-          .otherwise(col("id")))
+    val vOpen = math.max(64L, n / 5)
+    def tokClosed(seed: Column, i: Column): Column =
+      element_at(vocabArr,
+        (pmod(xxhash64(seed, i.cast("long")), lit(31L)) + 1).cast("int"))
+    def tokOpen(seed: Column, i: Column): Column =
+      concat(lit("w"), pmod(xxhash64(seed, i.cast("long")), lit(vOpen))
+        .cast("string"))
+    val tok: (Column, Column) => Column =
+      if (mode == "closed") tokClosed else tokOpen
+    seeded
       .withColumn("n_toks", (draw(col("seed_id"), 4, 91) + 10).cast("int"))
       .withColumn("text", array_join(
         transform(sequence(lit(1), col("n_toks")), i =>
-          element_at(vocabArr,
-            (pmod(xxhash64(col("seed_id"), i.cast("long")), lit(31L)) + 1)
-              .cast("int"))), " "))
+          when(col("subst") &&
+              pmod(xxhash64(col("id"), i.cast("long"), lit(7)), lit(64L)) === 0,
+            tok(col("id"), i + lit(1000000)))
+            .otherwise(tok(col("seed_id"), i))), " "))
       .withColumn("r", draw(col("id"), 5, 100))
       .withColumn("lang",
         when(col("r") < 41, "en").when(col("r") < 56, "zh")
@@ -91,8 +130,11 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <outDir> <nDocs> <nVecs>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <outDir> <nDocs> <nVecs> [closed|open]")
     val (outDir, nDocs, nVecs) = (args(0), args(1).toLong, args(2).toLong)
+    val mode = if (args.length == 4) args(3) else "closed"
+    require(mode == "closed" || mode == "open", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.init(SparkSession.builder()
       .appName("graft-scalegen")
@@ -101,11 +143,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
-    documents(spark, nDocs).write.mode("overwrite")
+    documents(spark, nDocs, mode).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     embeddings(spark, nVecs).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
-    System.err.println(s"[scalegen] wrote $outDir (docs=$nDocs vecs=$nVecs)")
+    System.err.println(
+      s"[scalegen] wrote $outDir (docs=$nDocs vecs=$nVecs mode=$mode)")
     spark.stop()
   }
 }

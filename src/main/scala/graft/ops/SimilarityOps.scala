@@ -228,6 +228,80 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** int8 scalar-quantization (SQ8) recall audit: recall@5 of the
+    * quantized read path against the exact cosine top-5, per query —
+    * the OTHER standard production compression beside PQ ([[pqRecall]]):
+    * every vector stored as 64 int8 codes (floor(x·127) on the unit
+    * lattice — 4× smaller than float32, SIMD-dottable), candidates
+    * ranked by the integer code dot product. This is the number that
+    * decides whether the serving fleet ships int8: recall ≈ 1 means 4×
+    * memory/bandwidth for free; a gap says THIS embedding distribution
+    * needs the float path (or PQ's codebooks).
+    *
+    * Exactness device: quantization is the native fused
+    * `vec_qunit(embedding, 127)` (unit-normalize + floor — one codegen'd
+    * pass; identical spelling in the oracle's fold/transform chain), and
+    * the SQ8 score is a dot of INTEGER-valued code arrays ≤ 127²·64 ≈
+    * 10⁶ per term — exact in double regardless of fold order, so both
+    * engines rank identically (vec_id tiebreak); the exact tier rides
+    * the same sequential-fold cosine every recall audit uses.
+    *
+    * Plan/scale: ONE broadcast-query pass computes both tiers' scores in
+    * a single projection, a 2-way melt + one (q_id, tier)-key window
+    * ranks them, and the hit join runs on top-5-sized relations — the
+    * [[mrlRecall]] shape. A measurement query: run over a query sample,
+    * never corpus × corpus. */
+  def sq8Recall(s: SparkSession, d: String): DataFrame =
+    sq8RecallFrom(embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** [[sq8Recall]] over a caller-supplied (vec_id, embedding) relation —
+    * the testable core (recall ≡ 1 when vectors are lattice-exact and
+    * well separated; a constructed near-tie that int8 rounding flips
+    * pins the miss-counting arm). */
+  private[ops] def sq8RecallFrom(v: DataFrame): DataFrame = {
+    val coded = v
+      .withColumn("q8", expr("vec_qunit(embedding, CAST(127 AS DOUBLE))"))
+      .filter(col("q8").isNotNull)
+      // integer codes carried as doubles: every product/sum below stays
+      // ≤ 2^53, so the fold is exact in any order and vec_dot's codegen
+      // applies unchanged
+      .withColumn("q8d", expr("transform(q8, x -> CAST(x AS DOUBLE))"))
+    val q = coded.filter(col("vec_id") < 5)
+    val joined = broadcast(q.as("q"))
+      .join(coded.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        expr(s"""try_divide(
+            ${Vec.dot("`q`.embedding", "`c`.embedding")},
+            sqrt(${Vec.normSq("`q`.embedding")}) *
+            sqrt(${Vec.normSq("`c`.embedding")}))""").as("s_exact"),
+        expr(Vec.dot("`q`.q8d", "`c`.q8d")).as("s_sq8"))
+    val w = Window.partitionBy("q_id", "tier")
+      .orderBy(col("score").desc, col("vec_id"))
+    // top is read twice (exact/approx split) — materialize the
+    // top-5-sized relation once instead of re-running the scoring join
+    // per consumer (shared-subtree discipline; was scan=6 in the pin)
+    val top = joined
+      .select(col("q_id"), col("vec_id"),
+        expr("stack(2, 'exact', s_exact, 'sq8', s_sq8) AS (tier, score)"))
+      .filter(col("score").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .localCheckpoint()
+    val exact = top.filter(col("tier") === "exact")
+      .select(col("q_id"), col("vec_id"))
+    val approx = top.filter(col("tier") === "sq8")
+      .select(col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)")
+          .as("recall_at5"))
+      .orderBy("q_id")
+  }
+
   /** Spearman rank correlation between each PREFIX-dimension cosine
     * ordering and the full-[[Dim]] exact ordering, per query — the
     * whole-ranking companion to [[mrlRecall]]: recall@5 only watches
@@ -1797,6 +1871,7 @@ object SimilarityOps {
     "s_purity" -> clusterPurity,
     "s_ann_recall" -> annRecall,
     "s_mrl_recall" -> mrlRecall,
+    "s_sq8_recall" -> sq8Recall,
     "s_spearman_mrl" -> spearmanMrl,
     "s_triplets" -> triplets,
     "s_ndcg" -> ndcgLsh,
@@ -1808,6 +1883,54 @@ object SimilarityOps {
     "s_pq_recall" -> pqRecall,
     "s_mmr" -> mmrSelect,
     "s_cell_balance" -> cellBalance)
+
+  /** [[sq8Recall]] oracle: the [[DiversityOracle]] quantization chain at
+    * scale 127 + the sequential-fold cosine every recall oracle uses;
+    * the SQ8 dot's terms are integer-valued ≤ 127²·64, exact in double
+    * in any fold order. */
+  private val Sq8RecallOracle: String = {
+    val dotE = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(q.embedding, c.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    val dotQ = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(q.q8d, c.q8d),
+            z -> z[1] * z[2])), (x, v) -> x + v)"""
+    s"""
+      WITH v AS (
+        SELECT vec_id, embedding,
+          list_reduce(list_prepend(0::DOUBLE,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (acc, x) -> acc + x) AS nsq
+        FROM embeddings),
+      coded AS (
+        SELECT vec_id, embedding, sqrt(nsq) AS nrm,
+          list_transform(embedding,
+            x -> CAST(CAST(floor(127 * (CAST(x AS DOUBLE) / sqrt(nsq)))
+                   AS BIGINT) AS DOUBLE)) AS q8d
+        FROM v WHERE nsq > 0),
+      j AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               $dotE / (q.nrm * c.nrm) AS s_exact,
+               $dotQ AS s_sq8
+        FROM coded q JOIN coded c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      m AS (SELECT q_id, vec_id, 'exact' AS tier, s_exact AS score FROM j
+            UNION ALL SELECT q_id, vec_id, 'sq8', s_sq8 FROM j),
+      r AS (SELECT q_id, vec_id, tier,
+              row_number() OVER (PARTITION BY q_id, tier
+                ORDER BY score DESC, vec_id) AS rk
+            FROM m WHERE score IS NOT NULL),
+      ex AS (SELECT q_id, vec_id FROM r WHERE tier = 'exact' AND rk <= 5),
+      ap AS (SELECT q_id, vec_id FROM r WHERE tier = 'sq8' AND rk <= 5),
+      h AS (SELECT ap.q_id, count(*)::BIGINT AS n_hit
+            FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+            GROUP BY 1)
+      SELECT e.q_id, e.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE)
+               AS recall_at5
+      FROM (SELECT q_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1) e
+      LEFT JOIN h ON e.q_id = h.q_id
+      ORDER BY e.q_id"""
+  }
 
   /** The s_knn_graph oracle as a named val so the s_knn_accuracy
     * consumer embeds the IDENTICAL graph SQL (the StlAnomalyOracle
@@ -1845,6 +1968,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "s_diversity" -> DiversityOracle,
+    "s_sq8_recall" -> Sq8RecallOracle,
     "s_centroid_outliers" -> CentroidOutliersOracle,
     "s_power_iter" -> powerIterOracle,
     "s_centroid_drift" -> centroidDriftOracle,

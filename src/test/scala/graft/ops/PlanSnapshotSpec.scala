@@ -382,6 +382,9 @@ class PlanSnapshotSpec extends SparkSpec {
     // the pair subtree) and semi-joins grams/lens to worklist endpoints —
     // worklist-linear instead of corpus-linear (10x-scale finding)
     "t_bleu_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
+    // the returned frame reads the checkpointed top-5 relation (scan=0:
+    // the scoring pass runs at checkpoint build) — the mrlRecall shape
+    "s_sq8_recall" -> "scan=0 xhash=4 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_rouge_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     "d_dup_inflation" -> "scan=1 xhash=2 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "v_js_sources" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",

@@ -62,6 +62,75 @@ class R12InvariantSpec extends SparkSpec {
     assert(disj.getAs[Double]("rouge1_f1") == 0.0)
   }
 
+  test("s_sq8_recall: property — distributed audit equals a sequential" +
+      " model, including int8 rounding flips") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Reference model: the exact arithmetic contract — unit-normalize,
+    // floor(127·x) codes, integer code dot vs sequential-fold cosine,
+    // (score DESC, vec_id) top-5, per-query hit count. Both sides use
+    // sequential left-to-right double folds, so equality is exact.
+    def model(vs: Seq[(Long, Seq[Float])]): Map[Long, (Long, Long)] = {
+      def nrm(v: Seq[Float]) =
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val coded = vs.flatMap { case (id, v) =>
+        val n = nrm(v)
+        if (n == 0) None
+        else Some((id, v, v.map(x => math.floor(127.0 * (x.toDouble / n)))))
+      }
+      def cos(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble) /
+          (nrm(a) * nrm(b))
+      def dotq(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      val qs = coded.filter(_._1 < 5)
+      qs.map { case (qid, qv, qq) =>
+        val cands = coded.filter(_._1 != qid)
+        def top5(score: ((Long, Seq[Float], Seq[Double])) => Double) =
+          cands.map(c => (c._1, score(c)))
+            .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        val ex = top5(c => cos(qv, c._2))
+        val ap = top5(c => dotq(qq, c._3))
+        qid -> (ex.size.toLong, (ap & ex).size.toLong)
+      }.toMap
+    }
+    val vecGen = for {
+      n <- Gen.choose(8, 22)
+      vs <- Gen.listOfN(n, Gen.listOfN(6,
+        Gen.choose(-1000, 1000).map(_ / 1000.0f)))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val prop = Prop.forAll(vecGen) { vs =>
+      val m = model(vs)
+      val got = SimilarityOps
+        .sq8RecallFrom(vs.toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == m
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("s_sq8_recall: well-separated lattice directions read recall ≡ 1") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // candidates at widely separated angles in the (d0, d1) plane:
+    // int8 quantization perturbs each coordinate by < 1/127 ≈ 0.008,
+    // far below the cosine gaps, so the quantized order equals the
+    // exact order and every query reads recall 1.
+    val dirs = Seq(0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.4)
+    val vecs = dirs.zipWithIndex.map { case (th, i) =>
+      (i.toLong,
+        Seq(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f, 0f, 0f))
+    }
+    val got = SimilarityOps.sq8RecallFrom(vecs.toDF("vec_id", "embedding"))
+      .collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getAs[Double]("recall_at5") == 1.0),
+      got.mkString(","))
+  }
+
   test("pairGramBaseFrom only scans worklist endpoints: result is" +
       " invariant to corpus docs outside the pair relation") {
     graft.GraftSession.init(spark)
