@@ -332,6 +332,42 @@ object CorpusOps {
         expr(GateKeepExpr).as("keep_doc"): _*)
       .orderBy("doc_id")
 
+  /** Per-SOURCE quality-gate report — the "which crawl fails which rule"
+    * roll-up of [[qualityGate]] (its per-doc verdicts are the audit
+    * trail; a curator deciding where to spend cleaning effort reads the
+    * source grain): per source, document count, per-rule FAILURE counts,
+    * survivors of the full conjunction, and the pass rate. A source
+    * failing mostly `ok_rep` is template spam (route to dedup); one
+    * failing `ok_word_len`/`ok_stop` is non-prose or a language/encoding
+    * problem (route to langid / re-extraction) — the rule mix IS the
+    * diagnosis. Derives from the SAME [[GateRules]] list as the gate and
+    * the streaming filter, so a threshold edit moves all three together.
+    *
+    * Plan/scale: one pruned scan through [[gateFlags]]'s narrow in-row
+    * feature pass, then ONE source-key agg (catalog-sized output);
+    * per-rule failure counts are conditional sums in the same agg —
+    * no per-rule passes, no joins, one shuffle. */
+  def gateBySource(s: SparkSession, d: String): DataFrame =
+    gateBySourceFrom(
+      documents(s, d).select(col("doc_id"), col("source"), col("text")))
+
+  /** [[gateBySource]] over a caller-supplied (doc_id, source, text)
+    * relation — the testable core (hand-built docs with known rule
+    * verdicts pin each failure counter independently). */
+  private[ops] def gateBySourceFrom(docsIn: DataFrame): DataFrame = {
+    val failCols = GateRules.map { case (name, p) =>
+      sum(when(!expr(p), 1L).otherwise(0L)).as(s"fail_${name.stripPrefix("ok_")}")
+    }
+    gateFlags(docsIn)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        failCols :+
+          sum(when(expr(GateKeepExpr), 1L).otherwise(0L)).as("n_pass"): _*)
+      .withColumn("pass_rate",
+        expr("CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .orderBy("source")
+  }
+
   /** Naive-Bayes quality classifier bootstrapped from the rule gate — the
     * learned-filter stage real curation pipelines distill their heuristic
     * gate into (a la the GPT-3/CCNet quality classifier, trained there on
@@ -911,6 +947,7 @@ object CorpusOps {
     "t_pii_scrub" -> piiScrub,
     "t_mix_weights" -> mixWeights,
     "t_quality_gate" -> qualityGate,
+    "t_gate_by_source" -> gateBySource,
     "t_nb_quality" -> nbQuality,
     "t_auc" -> nbAuc,
     "t_calibration" -> nbCalibration,
@@ -1071,6 +1108,29 @@ object CorpusOps {
             FROM e JOIN df USING (tok) GROUP BY 1)
       SELECT doc_id, n_distinct, df_sum, df_sum / n_distinct AS mean_df, min_df
       FROM j ORDER BY doc_id""",
+    "t_gate_by_source" -> s"""
+      WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') toks
+                 FROM documents),
+      s AS (SELECT doc_id, source, len(toks)::BIGINT nt,
+              len(list_distinct(toks))::BIGINT nd,
+              (length(text) - len(toks) + 1)::BIGINT nc,
+              ${TextOps.hitsSql(TextOps.EnglishStops)}::BIGINT sh,
+              list_max(list_transform(list_distinct(toks),
+                t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
+            FROM t)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN NOT (nt >= 30) THEN 1 ELSE 0 END)::BIGINT AS fail_len,
+        sum(CASE WHEN NOT (nc >= 4*nt AND nc <= 5*nt) THEN 1 ELSE 0 END)::BIGINT
+          AS fail_word_len,
+        sum(CASE WHEN NOT (5*nd >= 2*nt) THEN 1 ELSE 0 END)::BIGINT AS fail_ttr,
+        sum(CASE WHEN NOT (sh >= 2) THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
+        sum(CASE WHEN NOT (8*mc <= nt) THEN 1 ELSE 0 END)::BIGINT AS fail_rep,
+        sum(CASE WHEN (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
+             AND sh >= 2 AND 8*mc <= nt) THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        CAST(sum(CASE WHEN (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt
+             AND 5*nd >= 2*nt AND sh >= 2 AND 8*mc <= nt) THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_rate
+      FROM s GROUP BY source ORDER BY source""",
     "t_quality_gate" -> s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, len(toks)::BIGINT nt,

@@ -384,6 +384,8 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_bleu_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     // the returned frame reads the checkpointed top-5 relation (scan=0:
     // the scoring pass runs at checkpoint build) — the mrlRecall shape
+    // one narrow in-row feature pass + ONE source-key agg, no joins
+    "t_gate_by_source" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "s_sq8_recall" -> "scan=0 xhash=4 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_rouge_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",
     "d_dup_inflation" -> "scan=1 xhash=2 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",

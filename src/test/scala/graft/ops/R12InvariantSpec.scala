@@ -131,6 +131,51 @@ class R12InvariantSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("t_gate_by_source: per-rule failure counters replay a sequential" +
+      " model of the shared gate rules") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // docs engineered per source: srcA all-pass; srcB one doc per
+    // distinct failure mode (short / long-words / low-TTR / no-stops /
+    // repetition); the model recomputes the five GateRules verbatim.
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    def passDoc(i: Int) =
+      ((0 until 30).map(k => f"w$i%02d$k%02d") ++ Seq("the", "of"))
+        .mkString(" ") // 32 toks, mean len (30*5+3+2)/32 = 4.84 ∈ [4,5]
+    val docs = Seq(
+      (1L, "srcA", passDoc(1)), (2L, "srcA", passDoc(2)),
+      (3L, "srcB", "the of short text here"), // nt=5 < 30 → fail_len
+      (4L, "srcB", ((0 until 30).map(k => f"verylongword$k%02d") ++
+        Seq("the", "of")).mkString(" ")),     // mean len ≈ 13 → fail_word_len
+      (5L, "srcB", (Seq.fill(30)("same") ++ Seq("the", "of"))
+        .mkString(" ")),  // nd=3, 5·3 < 2·32 → fail_ttr; mc=30 → fail_rep
+      (6L, "srcB", (0 until 32).map(k => f"u$k%02dxx").mkString(" ")))
+        .toDF("doc_id", "source", "text")  // sh=0 → fail_stop
+    def rules(text: String): Seq[Boolean] = {
+      val tk = text.split(" ").toSeq
+      val nt = tk.size.toLong
+      val nd = tk.distinct.size.toLong
+      val nc = (text.length - nt + 1)
+      val sh = tk.count(stops)
+      val mc = tk.groupBy(identity).values.map(_.size).max.toLong
+      Seq(nt >= 30, nc >= 4 * nt && nc <= 5 * nt, 5 * nd >= 2 * nt,
+        sh >= 2, 8 * mc <= nt)
+    }
+    val model = docs.collect().map(r => (r.getString(1), rules(r.getString(2))))
+      .groupBy(_._1).map { case (src, rs) =>
+        val fails = (0 until 5).map(i => rs.count(!_._2(i)).toLong)
+        val pass = rs.count(_._2.forall(identity)).toLong
+        src -> (rs.length.toLong, fails, pass)
+      }
+    val got = CorpusOps.gateBySourceFrom(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        (2 to 6).map(r.getLong), r.getLong(7))).toMap
+    assert(got == model, s"$got\nvs\n$model")
+    // and the fixture is non-degenerate: every rule fails somewhere
+    assert(model("srcB")._2.forall(_ >= 1L), model("srcB").toString)
+    assert(model("srcA")._3 == 2L)
+  }
+
   test("pairGramBaseFrom only scans worklist endpoints: result is" +
       " invariant to corpus docs outside the pair relation") {
     graft.GraftSession.init(spark)
