@@ -228,6 +228,48 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Reciprocal-rank fusion of the LSH and IVF retrieval tiers — the
+    * standard way a serving stack combines candidate lists from indexes
+    * with DIFFERENT blind spots (LSH loses neighbors across hyperplane
+    * cuts, IVF loses them across cell boundaries; their misses are
+    * near-independent, so the fusion's recall beats either tier at the
+    * same per-tier cost). RRF score = Σ_tiers 1/(k + rank) with the
+    * standard k = 60, carried as the EXACT integer 10⁶ DIV (60 + rank)
+    * per tier (floor division of BIGINTs — bit-identical cross-engine,
+    * no float ever enters the ordering); a candidate absent from a tier
+    * contributes 0. Emits the fused top-5 per query with both tier
+    * ranks, so a reader sees WHY each candidate won (both-tiers vs
+    * one-tier-strong).
+    *
+    * Plan/scale: composes the two existing broadcast-query tiers (the
+    * corpus side never shuffles), then a full-outer join + window on
+    * top-5-sized relations — query-sample-sized arithmetic. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame =
+    rrfFusionFrom(
+      annLsh(s, d).select(col("q_id"), col("vec_id"),
+        col("rank").as("rank_lsh")),
+      ivfTopk(s, d).select(col("q_id"), col("vec_id"),
+        col("rank").as("rank_ivf")))
+
+  /** [[rrfFusion]] over caller-supplied (q_id, vec_id, rank_lsh/ivf)
+    * tier relations — the testable core (hand-built rank lists pin the
+    * exact integer scores and the fused order). */
+  private[ops] def rrfFusionFrom(lsh: DataFrame, ivf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+    lsh.join(ivf, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        """coalesce(CAST(1000000 AS BIGINT) div CAST(60 + rank_lsh AS BIGINT),
+             CAST(0 AS BIGINT))
+           + coalesce(CAST(1000000 AS BIGINT) div CAST(60 + rank_ivf AS BIGINT),
+             CAST(0 AS BIGINT))"""))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= 5)
+      .select(col("q_id"), col("fused_rank"), col("vec_id"),
+        col("rank_lsh"), col("rank_ivf"), col("rrf_score"))
+      .orderBy("q_id", "fused_rank")
+  }
+
   /** int8 scalar-quantization (SQ8) recall audit: recall@5 of the
     * quantized read path against the exact cosine top-5, per query —
     * the OTHER standard production compression beside PQ ([[pqRecall]]):
@@ -1872,6 +1914,7 @@ object SimilarityOps {
     "s_ann_recall" -> annRecall,
     "s_mrl_recall" -> mrlRecall,
     "s_sq8_recall" -> sq8Recall,
+    "s_rrf_fusion" -> rrfFusion,
     "s_spearman_mrl" -> spearmanMrl,
     "s_triplets" -> triplets,
     "s_ndcg" -> ndcgLsh,
@@ -1930,6 +1973,65 @@ object SimilarityOps {
       FROM (SELECT q_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1) e
       LEFT JOIN h ON e.q_id = h.q_id
       ORDER BY e.q_id"""
+  }
+
+  /** The s_ann_lsh oracle as a named val so the s_rrf_fusion consumer
+    * embeds the IDENTICAL tier SQL (the KnnGraphOracle device). */
+  private lazy val AnnLshOracle: String = s"""
+      WITH b AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
+                 FROM embeddings),
+      ranked AS (
+        SELECT q.vec_id q_id, q.bucket bucket, c.vec_id vec_id,
+               $cosineSql AS cosine,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY $cosineSql DESC, c.vec_id) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      SELECT q_id, bucket, rank::INT AS rank, vec_id, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** The s_ivf_topk oracle as a named val, same reason. */
+  private lazy val IvfTopkOracle: String = {
+    val scoreCols = (0 until NumCells)
+      .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
+    val caseSql = (0 until NumCells - 1).map { j =>
+      val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
+    val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
+    val dotQC = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(p.q_emb, a.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    s"""
+      WITH scored AS (
+        SELECT vec_id, embedding, $normSql AS nrm,
+               $scoreCols
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
+      probes0 AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+               j AS probe_cell, ($sList)[j + 1] AS score
+        FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
+        WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, q_emb, q_nrm, probe_cell::BIGINT AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, probe_cell) AS pr
+          FROM probes0)
+        WHERE pr <= $NProbe),
+      ranked AS (
+        SELECT p.q_id, a.cell, a.vec_id,
+               $dotQC / (p.q_nrm * a.nrm) AS cosine,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY $dotQC / (p.q_nrm * a.nrm) DESC, a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.q_id <> a.vec_id)
+      SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
+      FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
   /** The s_knn_graph oracle as a named val so the s_knn_accuracy
@@ -2195,18 +2297,24 @@ object SimilarityOps {
             GROUP BY 1)
       SELECT q_id, n_exact, n_hit, n_hit / n_exact AS recall
       FROM j ORDER BY q_id""",
-    "s_ann_lsh" -> s"""
-      WITH b AS (SELECT vec_id, embedding, ($bucketSql)::BIGINT AS bucket
-                 FROM embeddings),
-      ranked AS (
-        SELECT q.vec_id q_id, q.bucket bucket, c.vec_id vec_id,
-               $cosineSql AS cosine,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY $cosineSql DESC, c.vec_id) AS rank
-        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        WHERE q.vec_id < 5)
-      SELECT q_id, bucket, rank::INT AS rank, vec_id, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s_ann_lsh" -> AnnLshOracle,
+    "s_rrf_fusion" -> s"""
+      WITH lsh AS ($AnnLshOracle),
+      ivf AS ($IvfTopkOracle),
+      u AS (SELECT coalesce(l.q_id, i.q_id) AS q_id,
+              coalesce(l.vec_id, i.vec_id) AS vec_id,
+              l.rank AS rank_lsh, i.rank AS rank_ivf
+            FROM lsh l FULL OUTER JOIN ivf i
+              ON l.q_id = i.q_id AND l.vec_id = i.vec_id),
+      sc AS (SELECT q_id, vec_id, rank_lsh, rank_ivf,
+              (coalesce(1000000 // (60 + rank_lsh), 0)
+               + coalesce(1000000 // (60 + rank_ivf), 0))::BIGINT AS rrf_score
+             FROM u),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_score DESC, vec_id) AS fused_rank FROM sc)
+      SELECT q_id, fused_rank::INT AS fused_rank, vec_id,
+             rank_lsh, rank_ivf, rrf_score
+      FROM r WHERE fused_rank <= 5 ORDER BY q_id, fused_rank""",
     "s_knn_graph" -> KnnGraphOracle,
     "s_knn_accuracy" -> s"""
       WITH g AS ($KnnGraphOracle),
@@ -2225,48 +2333,7 @@ object SimilarityOps {
              sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*)
                AS accuracy
       FROM j GROUP BY 1 ORDER BY label""",
-    "s_ivf_topk" -> {
-      val scoreCols = (0 until NumCells)
-        .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
-      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
-          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-          (a, v) -> a + v))"""
-      val caseSql = (0 until NumCells - 1).map { j =>
-        val geAll = (j + 1 until NumCells).map(k => s"s$j >= s$k").mkString(" AND ")
-        s"WHEN $geAll THEN $j"
-      }.mkString("CASE ", " ", s" ELSE ${NumCells - 1} END")
-      val sList = (0 until NumCells).map(j => s"s$j").mkString("[", ", ", "]")
-      val dotQC = """list_reduce(list_prepend(0::DOUBLE,
-            list_transform(list_zip(p.q_emb, a.embedding),
-              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
-      s"""
-      WITH scored AS (
-        SELECT vec_id, embedding, $normSql AS nrm,
-               $scoreCols
-        FROM embeddings),
-      assigned AS (
-        SELECT vec_id, embedding, nrm, ($caseSql)::BIGINT AS cell FROM scored),
-      probes0 AS (
-        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
-               j AS probe_cell, ($sList)[j + 1] AS score
-        FROM scored, generate_series(0, ${NumCells - 1}) gs(j)
-        WHERE vec_id < 5),
-      probes AS (
-        SELECT q_id, q_emb, q_nrm, probe_cell::BIGINT AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY score DESC, probe_cell) AS pr
-          FROM probes0)
-        WHERE pr <= $NProbe),
-      ranked AS (
-        SELECT p.q_id, a.cell, a.vec_id,
-               $dotQC / (p.q_nrm * a.nrm) AS cosine,
-               row_number() OVER (PARTITION BY p.q_id
-                 ORDER BY $dotQC / (p.q_nrm * a.nrm) DESC, a.vec_id) AS rank
-        FROM probes p JOIN assigned a ON p.cell = a.cell
-        WHERE p.q_id <> a.vec_id)
-      SELECT q_id, rank::INT AS rank, cell, vec_id, cosine
-      FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
-    },
+    "s_ivf_topk" -> IvfTopkOracle,
     "s_ivf_probe_curve" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

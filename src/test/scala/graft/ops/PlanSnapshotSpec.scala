@@ -385,6 +385,9 @@ class PlanSnapshotSpec extends SparkSpec {
     // the returned frame reads the checkpointed top-5 relation (scan=0:
     // the scoring pass runs at checkpoint build) — the mrlRecall shape
     // one narrow in-row feature pass + ONE source-key agg, no joins
+    // composes the two tier subtrees (2 corpus scans each side share one
+    // scan per tier via exchange reuse where possible) + top-5-sized fusion
+    "s_rrf_fusion" -> "scan=4 xhash=6 xrange=1 bcast=2 smj=1 bhj=2 shj=0 bnlj=0 cart=0 gen=1 win=4 wgl=8",
     "t_gate_by_source" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "s_sq8_recall" -> "scan=0 xhash=4 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_rouge_pairs" -> "scan=3 xhash=6 xrange=1 bcast=6 smj=0 bhj=6 shj=0 bnlj=0 cart=0 gen=2 win=0 wgl=0",

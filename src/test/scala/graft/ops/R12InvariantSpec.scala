@@ -131,6 +131,23 @@ class R12InvariantSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
+      " candidate outranks either tier's solo winner") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // lsh: A@1, B@2; ivf: B@1, C@2. Scores (exact floor divisions):
+    //   A = 10^6 // 61            = 16393
+    //   B = 10^6 // 62 + 10^6//61 = 16129 + 16393 = 32522
+    //   C = 10^6 // 62            = 16129
+    // fused: B, A, C — the RRF point: present-in-both beats rank-1-in-one
+    val lsh = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q_id", "vec_id", "rank_lsh")
+    val ivf = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("q_id", "vec_id", "rank_ivf")
+    val got = SimilarityOps.rrfFusionFrom(lsh, ivf).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq((1, 11L, 32522L), (2, 10L, 16393L),
+      (3, 12L, 16129L)), got.mkString(","))
+  }
+
   test("t_gate_by_source: per-rule failure counters replay a sequential" +
       " model of the shared gate rules") {
     graft.GraftSession.init(spark)
