@@ -1655,6 +1655,74 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Split-conformal one-step PREDICTION INTERVAL on the Holt–Winters
+    * forecast — the forecasting ladder's honesty tier: [[qHoltWinters]]
+    * says what tomorrow probably is, [[qBacktestHw]] says the model
+    * beats its ablation, and this says HOW WRONG the forecast tends to
+    * be, as an interval a pager threshold can actually use. The
+    * calibration set is the walk-forward one-step absolute errors the
+    * backtest already defines (every dense day's |n − yesterday's
+    * forecast|, on the exact 1e-6 BIGINT ledger); the interval is
+    * forecast ± the exact discrete q90 of that error distribution
+    * (smallest error with 10·cum ≥ 9·n over the error histogram — the
+    * [[graft.ops.ValidationOps]] value-histogram quantile device, so no
+    * float ever picks the quantile), and the emitted `coverage` is the
+    * exact fraction of calibration days the interval would have covered
+    * (≥ 0.9 by construction of the discrete quantile — the conformal
+    * guarantee made visible).
+    *
+    * Plan/scale: the backtest's shape — one scan → dense grid → ONE
+    * type-key window stack (frame + lag on one sort), checkpointed once
+    * for its two readers (last-day forecast, error ledger) → error
+    * histogram agg + catalog-sized quantile windows + two catalog-sized
+    * joins. Nothing data-sized shuffles twice. */
+  def qForecastPi(s: SparkSession, d: String): DataFrame =
+    forecastPiFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qForecastPi]] over a caller-supplied (event_type, ts) relation —
+    * the testable core (a constant series collapses the interval to a
+    * point with coverage 1; a random series replays against the
+    * sequential dyadic model + a Scala quantile). */
+  private[ops] def forecastPiFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pred = denseDailyFrom(ev, "e_forecast_pi")
+      .withColumn("vals",
+        collect_list(col("n")).over(w.rowsBetween(-(HwWindowDays - 1), 0)))
+      .withColumn("hw_pred", expr(
+        s"""CAST((${hwNumSql("size(vals)", i => s"element_at(vals, $i)", _._3)})
+                 AS DOUBLE) / (${hwDenSql("size(vals)")})"""))
+      .withColumn("hw_prev", lag(col("hw_pred"), 1).over(w))
+      .select(col("event_type"), col("day"), col("n"), col("hw_pred"),
+        col("hw_prev"))
+      // two readers below (forecast, error ledger) — materialize the
+      // window stack once (shared-subtree discipline)
+      .localCheckpoint()
+    val fc = pred.groupBy("event_type")
+      .agg(expr("max_by(hw_pred, day)").as("forecast"))
+    val hist = pred.filter(col("hw_prev").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(abs(n - hw_prev) * 1.0e6) AS BIGINT)").as("err"))
+      .groupBy("event_type", "err").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w.orderBy("err")))
+      .withColumn("n_cal", sum(col("c")).over(Window.partitionBy("event_type")))
+    // q derives from cum: renamed join keys sidestep the self-join
+    // column ambiguity
+    val q = cum.filter(col("cum") * 10 >= col("n_cal") * 9)
+      .groupBy("event_type").agg(min(col("err")).as("q90i"))
+      .withColumnRenamed("event_type", "et")
+    cum.join(q, col("event_type") === col("et") &&
+        col("err") === col("q90i"))
+      .select(col("event_type"), col("n_cal"), col("err"), col("cum"))
+      .join(fc, Seq("event_type"))
+      .select(col("event_type"), col("n_cal"), col("forecast"),
+        expr("CAST(err AS DOUBLE) / 1.0e6").as("q90_err"),
+        expr("forecast - CAST(err AS DOUBLE) / 1.0e6").as("pi_lo"),
+        expr("forecast + CAST(err AS DOUBLE) / 1.0e6").as("pi_hi"),
+        expr("CAST(cum AS DOUBLE) / CAST(n_cal AS DOUBLE)").as("coverage"))
+      .orderBy("event_type")
+  }
+
   /** Normalized cohort retention — [[qCohort]]'s counts divided by each
     * cohort's week-0 size (the form a retention chart actually plots:
     * "what fraction of the users acquired in week W were still active
@@ -2150,6 +2218,7 @@ object EventOps {
     "e_holt" -> qHolt,
     "e_holt_winters" -> qHoltWinters,
     "e_backtest_hw" -> qBacktestHw,
+    "e_forecast_pi" -> qForecastPi,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
@@ -2561,6 +2630,48 @@ object EventOps {
       SELECT event_type, day, n AS n_events,
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
       FROM sc ORDER BY event_type, day""",
+    "e_forecast_pi" -> s"""
+      WITH ${denseDailyCtes("e_forecast_pi")},
+      wd AS (
+        SELECT event_type, day, n,
+               list(n) OVER w AS vals
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN ${HwWindowDays - 1} PRECEDING
+                     AND CURRENT ROW)),
+      pr AS (
+        SELECT event_type, day, n,
+               CAST((${hwNumSql("len(vals)", i => s"vals[$i]", _._3)}) AS DOUBLE)
+                 / (${hwDenSql("len(vals)")}) AS hw_pred
+        FROM wd),
+      lg AS (
+        SELECT event_type, day, n, hw_pred,
+               lag(hw_pred) OVER (PARTITION BY event_type ORDER BY day)
+                 AS hw_prev
+        FROM pr),
+      fc AS (SELECT event_type, max_by(hw_pred, day) AS forecast
+             FROM lg GROUP BY 1),
+      h AS (SELECT event_type,
+              CAST(round(abs(n - hw_prev) * 1.0e6) AS BIGINT) AS err,
+              count(*)::BIGINT AS c
+            FROM lg WHERE hw_prev IS NOT NULL GROUP BY 1, 2),
+      cu AS (SELECT event_type, err, c,
+               (sum(c) OVER (PARTITION BY event_type ORDER BY err))::BIGINT
+                 AS cum,
+               (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n_cal
+             FROM h),
+      q AS (SELECT event_type, min(err)::BIGINT AS q90i FROM cu
+            WHERE cum * 10 >= n_cal * 9 GROUP BY 1),
+      cov AS (SELECT cu.event_type, cu.n_cal, cu.err, cu.cum
+              FROM cu JOIN q ON cu.event_type = q.event_type
+                AND cu.err = q.q90i)
+      SELECT cov.event_type, cov.n_cal, fc.forecast,
+             CAST(cov.err AS DOUBLE) / 1.0e6 AS q90_err,
+             fc.forecast - CAST(cov.err AS DOUBLE) / 1.0e6 AS pi_lo,
+             fc.forecast + CAST(cov.err AS DOUBLE) / 1.0e6 AS pi_hi,
+             CAST(cov.cum AS DOUBLE) / CAST(cov.n_cal AS DOUBLE) AS coverage
+      FROM cov JOIN fc ON cov.event_type = fc.event_type
+      ORDER BY cov.event_type""",
     "e_backtest_hw" -> s"""
       WITH ${denseDailyCtes("e_backtest_hw")},
       wd AS (

@@ -387,6 +387,9 @@ class PlanSnapshotSpec extends SparkSpec {
     // one narrow in-row feature pass + ONE source-key agg, no joins
     // composes the two tier subtrees (2 corpus scans each side share one
     // scan per tier via exchange reuse where possible) + top-5-sized fusion
+    // reads the checkpointed window stack (scan=0); catalog-sized quantile
+    // windows + two catalog joins after
+    "e_forecast_pi" -> "scan=0 xhash=8 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=4 wgl=0",
     "s_rrf_fusion" -> "scan=4 xhash=6 xrange=1 bcast=2 smj=1 bhj=2 shj=0 bnlj=0 cart=0 gen=1 win=4 wgl=8",
     "t_gate_by_source" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "s_sq8_recall" -> "scan=0 xhash=4 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",

@@ -131,6 +131,90 @@ class R12InvariantSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  /** (event_type, day-offset, events-that-day) feed — the hwFeed shape
+    * from R11ExtendSpec. */
+  private def piFeed(rows: Seq[(String, Int, Int)]) = {
+    import spark.implicits._
+    rows.flatMap { case (t, off, k) => Seq.fill(k)((t, off)) }
+      .toDF("event_type", "off")
+      .select(col("event_type"),
+        expr("timestamp '2024-01-01 12:00:00' + make_interval(0,0,0,off)")
+          .as("ts"))
+  }
+
+  test("e_forecast_pi: constant series collapses the interval to a point" +
+      " with coverage 1") {
+    graft.GraftSession.init(spark)
+    // HW forecasts a constant series exactly (R11 spec), so every
+    // walk-forward error is 0, q90 is 0, and the interval is [y, y].
+    val got = EventOps.forecastPiFrom(
+      piFeed((0 until 20).map(d => ("c", d, 3)))).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(1) == 19L, r.toString)        // 19 calibration days
+    assert(r.getDouble(2) == 3.0, r.toString)      // forecast
+    assert(r.getDouble(3) == 0.0, r.toString)      // q90_err
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0, r.toString)
+    assert(r.getDouble(6) == 1.0, r.toString)      // coverage
+  }
+
+  test("e_forecast_pi: replays the sequential dyadic HW model + a Scala" +
+      " discrete quantile on a random series") {
+    graft.GraftSession.init(spark)
+    // independent model: the R11ExtendSpec exact-dyadic recurrence gives
+    // hw_next per day; the walk-forward errors, q90 pick (smallest err
+    // with 10·cum ≥ 9·n) and coverage are then plain Scala.
+    case class D(n: BigInt, k: Int)
+    def norm(d: D): D =
+      if (d.n == 0) D(BigInt(0), 0)
+      else { var n = d.n; var k = d.k
+        while (k > 0 && !n.testBit(0)) { n >>= 1; k -= 1 }; D(n, k) }
+    def add(a: D, b: D): D = {
+      val k = a.k max b.k
+      norm(D((a.n << (k - a.k)) + (b.n << (k - b.k)), k))
+    }
+    def half(a: D): D = norm(D(a.n, a.k + 1))
+    def neg(a: D): D = D(-a.n, a.k)
+    def toDouble(a: D): Double = a.n.toDouble / math.pow(2.0, a.k.toDouble)
+    val rnd = new scala.util.Random(2212)
+    val series = (0 until 25).map(d =>
+      if (d == 5 || d == 17) 0 else 1 + rnd.nextInt(40))
+    def hwNext(upTo: Int): Double = {
+      val w = series.slice(math.max(0, upTo - 13), upTo + 1)
+      var l = D(BigInt(w.head), 0); var b = D(BigInt(0), 0)
+      val s = scala.collection.mutable.ArrayBuffer(D(BigInt(0), 0))
+      for (t <- 2 to w.length) {
+        val sPrev = if (t - 7 >= 1) s(t - 7 - 1) else D(BigInt(0), 0)
+        val y = D(BigInt(w(t - 1)), 0)
+        val lNew = half(add(add(y, neg(sPrev)), add(l, b)))
+        val bNew = half(add(add(lNew, neg(l)), b))
+        s += half(add(add(y, neg(lNew)), sPrev))
+        l = lNew; b = bNew
+      }
+      val sNext = if (w.length + 1 - 7 >= 1) s(w.length + 1 - 7 - 1)
+        else D(BigInt(0), 0)
+      toDouble(add(add(l, b), sNext))
+    }
+    val errs = (1 until 25).map(d =>
+      math.round(math.abs(series(d).toDouble - hwNext(d - 1)) * 1.0e6))
+    val n = errs.length
+    val sortedE = errs.sorted
+    val q90 = sortedE.find(e => sortedE.count(_ <= e) * 10 >= n * 9).get
+    val coverage = sortedE.count(_ <= q90).toDouble / n
+    val forecast = hwNext(24)
+    val got = EventOps.forecastPiFrom(
+      piFeed(series.zipWithIndex.collect {
+        case (k, d) if k > 0 => ("r", d, k)
+      })).collect()(0)
+    assert(got.getLong(1) == n.toLong, got.toString)
+    assert(got.getDouble(2) == forecast, got.toString)
+    assert(got.getDouble(3) == q90 / 1.0e6, got.toString)
+    assert(got.getDouble(4) == forecast - q90 / 1.0e6, got.toString)
+    assert(got.getDouble(5) == forecast + q90 / 1.0e6, got.toString)
+    assert(got.getDouble(6) == coverage, got.toString)
+    assert(coverage >= 0.9, coverage.toString) // the conformal guarantee
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
