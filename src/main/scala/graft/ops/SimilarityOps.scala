@@ -733,8 +733,13 @@ object SimilarityOps {
     * IVF-blocked kNN-graph recipe; recall is governed by the cell
     * grain — production unions multi-probe assignments, which only adds
     * a second Generate, not a new shape. */
-  def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val assigned = embeddings(s, d)
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphFrom(embeddings(s, d))
+
+  /** [[knnGraph]] over a caller-supplied (vec_id, embedding) relation —
+    * the testable core (and [[knnDensityFrom]]'s shared graph). */
+  private[ops] def knnGraphFrom(emb: DataFrame): DataFrame = {
+    val assigned = emb
       .select(col("vec_id") +: col("embedding") +:
         expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
         (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
@@ -751,6 +756,39 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .orderBy("a_id", "rk")
+  }
+
+  /** k-NN DENSITY readout per vector — the out-of-distribution score a
+    * curation pass reads where [[centroidOutliers]] reads the global
+    * direction: the cosine to each vector's k-th (3rd) nearest neighbor
+    * inside its IVF cell. A LOW cos_kth means the vector sits in a
+    * sparse region (encoding failures, off-manifold junk, tail content
+    * worth upweighting — the curator decides which); a cell-isolated
+    * vector (no same-cell neighbor at all) is the extreme case and
+    * reads n_neighbors = 0 with a NULL cos_kth rather than being
+    * silently dropped. Rides the SAME [[knnGraph]] the accuracy eval
+    * uses (and the oracle embeds the same KnnGraphOracle SQL), so the
+    * density readout and the label eval can never disagree on the
+    * graph.
+    *
+    * Plan/scale: the knnGraph shape (one narrow assignment pass + one
+    * cell-key self-join bounded by cell occupancy) + one vec-key agg +
+    * one left join back to the corpus ids. */
+  def knnDensity(s: SparkSession, d: String): DataFrame =
+    knnDensityFrom(embeddings(s, d))
+
+  /** [[knnDensity]] over a caller-supplied (vec_id, label, embedding)
+    * relation — the testable core (a planted far-away vector reads the
+    * lowest cos_kth; a cell-isolated vector reads 0 / NULL). */
+  private[ops] def knnDensityFrom(emb: DataFrame): DataFrame = {
+    val agg = knnGraphFrom(emb)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("nn"), min(col("cos")).as("cos_kth"))
+    emb.select(col("vec_id"), col("label"))
+      .join(agg, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("nn"), lit(0L)).as("n_neighbors"), col("cos_kth"))
+      .orderBy("vec_id")
   }
 
   /** IVF PROBE-COUNT tuning curve — recall@5 of the cell-probe read
@@ -1915,6 +1953,7 @@ object SimilarityOps {
     "s_mrl_recall" -> mrlRecall,
     "s_sq8_recall" -> sq8Recall,
     "s_rrf_fusion" -> rrfFusion,
+    "s_knn_density" -> knnDensity,
     "s_spearman_mrl" -> spearmanMrl,
     "s_triplets" -> triplets,
     "s_ndcg" -> ndcgLsh,
@@ -2316,6 +2355,14 @@ object SimilarityOps {
              rank_lsh, rank_ivf, rrf_score
       FROM r WHERE fused_rank <= 5 ORDER BY q_id, fused_rank""",
     "s_knn_graph" -> KnnGraphOracle,
+    "s_knn_density" -> s"""
+      WITH g AS ($KnnGraphOracle),
+      a AS (SELECT a_id, count(*)::BIGINT AS n_neighbors, min(cos) AS cos_kth
+            FROM g GROUP BY 1)
+      SELECT e.vec_id, e.label,
+             coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors, a.cos_kth
+      FROM embeddings e LEFT JOIN a ON e.vec_id = a.a_id
+      ORDER BY e.vec_id""",
     "s_knn_accuracy" -> s"""
       WITH g AS ($KnnGraphOracle),
       lv AS (SELECT g.a_id, e.label::BIGINT AS lab

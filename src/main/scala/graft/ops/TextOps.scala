@@ -986,6 +986,49 @@ object TextOps {
             ELSE CAST(NULL AS DOUBLE) END""").as("rouge2_f1"))
       .orderBy("a_id", "b_id")
 
+  /** Train/test n-gram COVERAGE per language — the LM-eval readout
+    * between [[novelty]]'s per-doc grain and [[vocabDrift]]'s
+    * distribution distance: split the corpus at the id midpoint (ids
+    * are ingestion order — the [[vocabDrift]] rule), and report what
+    * fraction of the LATE half's distinct 3-grams the EARLY half
+    * already contains, per language. This is the number an LM team
+    * reads as "how much of tomorrow's data has the model seen the
+    * n-grams of": high coverage → the corpus is saturating (more data
+    * buys fluency, not knowledge); a language with LOW coverage is
+    * still growing vocabulary and earns budget. The shingle definition
+    * is the dedup family's `shingles3` — one definition corpus-wide.
+    *
+    * Plan/scale: one scan → shingle explode → ONE (lang, shingle)-key
+    * agg with conditional-max half flags → catalog-sized rollup. One
+    * shuffle on uniform shingle-hash keys; no joins, no windows. */
+  def ngramCoverage(s: SparkSession, d: String): DataFrame =
+    ngramCoverageFrom(
+      documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+
+  /** [[ngramCoverage]] over a caller-supplied (doc_id, lang, text)
+    * relation — the testable core (full-copy halves read 1.0, disjoint
+    * halves read 0.0, a half-covered fixture reads the exact
+    * fraction). */
+  private[ops] def ngramCoverageFrom(docsIn: DataFrame): DataFrame = {
+    val bounds = docsIn.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    docsIn.crossJoin(broadcast(bounds))
+      .select(col("lang"),
+        (col("doc_id") * 2 <= col("lo") + col("hi")).as("is_train"),
+        explode(expr(DedupOps.ShinglesOfText)).as("sh"))
+      .groupBy("lang", "sh")
+      .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+        max(when(!col("is_train"), 1L).otherwise(0L)).as("in_test"))
+      .filter(col("in_test") === 1L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_test_grams"),
+        sum(col("in_train")).as("n_covered"))
+      .select(col("lang"), col("n_test_grams"), col("n_covered"),
+        expr("CAST(n_covered AS DOUBLE) / CAST(n_test_grams AS DOUBLE)")
+          .as("coverage"))
+      .orderBy("lang")
+  }
+
   /** Vocabulary DRIFT between the early and late corpus half — the
     * ingestion-shift monitor: the same bounded Jensen–Shannon arithmetic
     * as [[graft.ops.ValidationOps.jsSources]], keyed by temporal half
@@ -1466,6 +1509,7 @@ object TextOps {
     "t_bm25" -> bm25,
     "t_bleu_pairs" -> bleuPairs,
     "t_rouge_pairs" -> rougePairs,
+    "t_ngram_coverage" -> ngramCoverage,
     "t_code_detect" -> codeDetect,
     "t_vocab_drift" -> vocabDrift,
     "t_hapax" -> hapax,
@@ -1617,6 +1661,22 @@ object TextOps {
                FROM agg JOIN documents d ON agg.b_id = d.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "t_ngram_coverage" -> s"""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks
+                 FROM documents),
+      b AS (SELECT min(doc_id) lo, max(doc_id) hi FROM documents),
+      e AS (SELECT lang, (doc_id * 2 <= lo + hi) AS is_train,
+              unnest(${DedupOps.ShinglesSql}) AS sh
+            FROM t, b),
+      g AS (SELECT lang, sh,
+              max(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS in_train,
+              max(CASE WHEN NOT is_train THEN 1 ELSE 0 END)::BIGINT AS in_test
+            FROM e GROUP BY 1, 2)
+      SELECT lang, count(*)::BIGINT AS n_test_grams,
+             sum(in_train)::BIGINT AS n_covered,
+             CAST(sum(in_train) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS coverage
+      FROM g WHERE in_test = 1 GROUP BY 1 ORDER BY lang""",
     "t_rouge_pairs" -> s"""
       WITH $PairGramBaseDuck
       SELECT a_id, b_id, clip1, clip2, tot1 AS hyp_len, rlen AS ref_len,

@@ -215,6 +215,46 @@ class R12InvariantSpec extends SparkSpec {
     assert(coverage >= 0.9, coverage.toString) // the conformal guarantee
   }
 
+  test("t_ngram_coverage: full-copy halves read 1.0, disjoint 0.0, a" +
+      " partial overlap reads the exact fraction") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // ids 0..9 → midpoint rule doc_id*2 <= 9 puts 0..4 in the train half
+    val docs = Seq(
+      (0L, "x", "a b c d e"), (9L, "x", "a b c d e"),        // copy → 1.0
+      (1L, "y", "p q r s"), (8L, "y", "u v w zz"),           // disjoint → 0
+      (2L, "z", "a b c d"), (7L, "z", "a b c d x"))          // 2 of 3
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.ngramCoverageFrom(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("x") == ((3L, 3L, 1.0)), got.toString)
+    assert(got("y") == ((2L, 0L, 0.0)), got.toString)
+    assert(got("z") == ((3L, 2L, 2.0 / 3.0)), got.toString)
+  }
+
+  test("s_knn_density: same-direction vectors read cos_kth ≡ 1, a" +
+      " cell-isolated vector reads 0 neighbors / NULL") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // five positive multiples of e0 (powers of two → cosines are
+    // EXACTLY 1.0 in IEEE) share one IVF cell; -16·e0 argmaxes the
+    // opposite cell and sits alone there
+    def e0(scale: Float) =
+      (scale +: Seq.fill(63)(0f)).toSeq
+    val emb = Seq(1f, 2f, 4f, 8f, 16f).zipWithIndex
+      .map { case (sc, i) => (i.toLong, e0(sc), 0) } :+
+      ((99L, e0(-16f), 1))
+    val got = SimilarityOps.knnDensityFrom(
+        emb.toDF("vec_id", "embedding", "label")).collect()
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    (0L to 4L).foreach { i =>
+      assert(byId(i) == ((3L, Some(1.0))), s"$i: ${byId(i)}")
+    }
+    assert(byId(99L) == ((0L, None)), byId(99L).toString)
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)

@@ -5,8 +5,11 @@
 
 Each input is any of:
   - a Bench per-query artifact (target/bench.json or BENCH_rN_queries.json):
-    one JSON object per line; the LAST line carrying a "queries" map wins,
-    so an appended drift line supersedes the full run for its queries.
+    one JSON object per line. ONE coherent map is read: the last line with
+    metric == "total" (the full-run map). Drift lines (metric == "drift")
+    are IGNORED by default — the r11 later-line-supersedes convention made
+    committed artifacts a merge of sessions nobody could reproduce; pass
+    --include-drift to apply them for in-progress triage.
   - a driver BENCH_rN.json: {"parsed": {...}} (falls back to parsed.queries
     when present).
 
@@ -19,7 +22,7 @@ import json
 import sys
 
 
-def load_queries(path):
+def load_queries(path, include_drift=False):
     queries = {}
     with open(path) as f:
         text = f.read()
@@ -37,12 +40,29 @@ def load_queries(path):
                 objs.append(json.loads(line))
             except json.JSONDecodeError:
                 pass
+    totals = []
+    drifts = []
     for obj in objs:
         if isinstance(obj.get("parsed"), dict):
             obj = obj["parsed"]
         q = obj.get("queries")
-        if isinstance(q, dict):
-            queries.update(q)  # later lines (drift re-times) supersede
+        if not isinstance(q, dict):
+            continue
+        if obj.get("metric") == "drift":
+            drifts.append(q)
+        else:
+            totals.append(q)
+    if totals:
+        queries.update(totals[-1])  # ONE coherent full-run map
+        if len(totals) > 1:
+            print(f"note: {path} has {len(totals)} full-run lines; "
+                  "using the last", file=sys.stderr)
+    if include_drift:
+        for q in drifts:
+            queries.update(q)
+    elif drifts and not totals:
+        for q in drifts:  # drift-only file: nothing else to read
+            queries.update(q)
     if not queries:
         sys.exit(f"no per-query map found in {path}")
     return queries
@@ -50,12 +70,15 @@ def load_queries(path):
 
 def main():
     thr = 1.5
+    include_drift = False
     args = []
     raw = sys.argv[1:]
     i = 0
     while i < len(raw):
         a = raw[i]
-        if a.startswith("--threshold"):
+        if a == "--include-drift":
+            include_drift = True
+        elif a.startswith("--threshold"):
             if "=" in a:
                 thr = float(a.split("=", 1)[1])
             else:  # space-separated form: consume the next token as value
@@ -66,7 +89,8 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev, cur = load_queries(args[0]), load_queries(args[1])
+    prev = load_queries(args[0], include_drift)
+    cur = load_queries(args[1], include_drift)
     both = sorted(set(prev) & set(cur),
                   key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))
     only_prev, only_cur = set(prev) - set(cur), set(cur) - set(prev)
