@@ -1328,6 +1328,74 @@ object EventOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Cross-type LAG correlation — [[qAutocorr]]'s device turned across
+    * series: for every event-type pair (a < b) and lag ∈ [−3, 3] days,
+    * the correlation of a's daily-volume residuals with b's residuals
+    * `lag` days later. This is the pipeline-dependency readout the
+    * per-type ladder can't see: clicks trailing views at lag 1 with
+    * ρ ≈ 0.8 says the types share a driver one day apart (an alert on
+    * one should suppress the other; a forecast of one is a feature for
+    * the other), while flat ρ across all lags says the feeds are
+    * independent and their anomaly budgets should be too.
+    *
+    * Exactness: residuals are the SAME r_d = D·n_d − S exact-BIGINT
+    * CUSUM ledger as e_autocorr (with the same 4·D³·max_n² < 2⁶¹
+    * envelope folded into the load-bearing column, e_xcorr-tagged), so
+    * every numerator Σ r_a·r_b is an exact BIGINT; the normalizer
+    * √(Σr_a²·Σr_b²) is one sqrt over a product of exact BIGINTs cast to
+    * double, and the division is try_divide (DuckDB's x/0 = NULL).
+    * Numerators sum over the lag-OVERLAPPED days; denominators over
+    * each full series — the convention that keeps |ρ| ≤ 1 bounded by
+    * construction at every lag.
+    *
+    * Plan/scale: one scan → dense grid → residual relation
+    * checkpointed ONCE for its three readers (a-side, b-side, per-type
+    * denominators) → a 7-way lag melt + one (day+lag)-key join on the
+    * catalog×days-sized residual relation → catalog²-sized agg. Nothing
+    * data-sized beyond the one events scan. */
+  def qXcorr(s: SparkSession, d: String): DataFrame =
+    xcorrFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qXcorr]] over a caller-supplied (event_type, ts) relation — the
+    * testable core (a shifted-copy pair must read ρ ≡ 1 at exactly its
+    * shift lag; independent constants read NULL). */
+  private[ops] def xcorrFrom(ev: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val base = denseDailyFrom(ev, "e_xcorr")
+      .withColumn("dcnt", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("maxn", max(col("n")).over(wAll))
+      .withColumn("r", expr(s"""CASE WHEN
+          4.0D * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE)
+            * CAST(dcnt AS DOUBLE) * CAST(dcnt AS DOUBLE)
+            * CAST(dcnt AS DOUBLE) > POW(2.0D, 61.0D)
+        THEN raise_error('e_xcorr: residual ledger exceeds BIGINT envelope (4*D^3*max_n^2 > 2^61) — shorten the span or shard the type')
+        ELSE dcnt * n - tot END"""))
+      .select(col("event_type"), col("day"), col("r"))
+      // three readers (a-side, b-side, denominators) — materialize once
+      .localCheckpoint()
+    val den = base.groupBy("event_type")
+      .agg(sum(col("r") * col("r")).as("den2"))
+    val a = base
+      .select(col("event_type").as("type_a"), col("day"), col("r").as("ra"))
+      .withColumn("lag", explode(expr("sequence(-3, 3)")))
+    val b = base
+      .select(col("event_type").as("type_b"), col("day").as("day_b"),
+        col("r").as("rb"))
+    a.join(b, expr("day_b = date_add(day, lag) AND type_a < type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n_overlap"), sum(col("ra") * col("rb")).as("num"))
+      .join(broadcast(den.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("den2", "den_a")), Seq("type_a"))
+      .join(broadcast(den.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("den2", "den_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_overlap"),
+        expr("""try_divide(CAST(num AS DOUBLE),
+            sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE)))""")
+          .as("xcorr"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
   /** Trailing window width (days) for [[qHolt]]. Coefficients grow as
     * 4^(w−1), so the require below pins the BIGINT headroom through the
     * actual generated table rather than a formula that could drift. */
@@ -2219,6 +2287,7 @@ object EventOps {
     "e_holt_winters" -> qHoltWinters,
     "e_backtest_hw" -> qBacktestHw,
     "e_forecast_pi" -> qForecastPi,
+    "e_xcorr" -> qXcorr,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
@@ -2630,6 +2699,35 @@ object EventOps {
       SELECT event_type, day, n AS n_events,
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma30
       FROM sc ORDER BY event_type, day""",
+    "e_xcorr" -> s"""
+      WITH ${denseDailyCtes("e_xcorr")},
+      st AS (SELECT event_type, count(*)::BIGINT AS dcnt,
+               sum(n)::BIGINT AS tot, max(n)::BIGINT AS maxn
+             FROM dense GROUP BY 1),
+      r AS (SELECT d.event_type, d.day,
+              CASE WHEN 4.0 * maxn::DOUBLE * maxn::DOUBLE
+                     * dcnt::DOUBLE * dcnt::DOUBLE * dcnt::DOUBLE
+                     > 2.0 ^ 61
+                THEN error('e_xcorr: residual ledger exceeds BIGINT envelope (4*D^3*max_n^2 > 2^61) — shorten the span or shard the type')
+                ELSE dcnt * n - tot END AS r
+            FROM dense d JOIN st ON d.event_type = st.event_type),
+      den AS (SELECT event_type, sum(r * r)::BIGINT AS den2
+              FROM r GROUP BY 1),
+      pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+               l.lag::INT AS lag, count(*)::BIGINT AS n_overlap,
+               sum(a.r * b.r)::BIGINT AS num
+             FROM r a
+             CROSS JOIN generate_series(-3, 3) l(lag)
+             JOIN r b ON b.day = a.day + l.lag::INT
+               AND a.event_type < b.event_type
+             GROUP BY 1, 2, 3)
+      SELECT pr.type_a, pr.type_b, pr.lag, pr.n_overlap,
+             CAST(pr.num AS DOUBLE)
+               / sqrt(CAST(da.den2 AS DOUBLE) * CAST(db.den2 AS DOUBLE))
+               AS xcorr
+      FROM pr JOIN den da ON pr.type_a = da.event_type
+      JOIN den db ON pr.type_b = db.event_type
+      ORDER BY pr.type_a, pr.type_b, pr.lag""",
     "e_forecast_pi" -> s"""
       WITH ${denseDailyCtes("e_forecast_pi")},
       wd AS (

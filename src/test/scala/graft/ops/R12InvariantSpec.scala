@@ -255,6 +255,32 @@ class R12InvariantSpec extends SparkSpec {
     assert(byId(99L) == ((0L, None)), byId(99L).toString)
   }
 
+  test("e_xcorr: a one-day-shifted copy reads ρ ≡ 1 at exactly its" +
+      " shift lag; constant pairs read NULL") {
+    graft.GraftSession.init(spark)
+    // v over days 0..13 with varied counts; c = the SAME counts one day
+    // later (days 1..14). Residuals then satisfy r_v(d) = r_c(d+1)
+    // exactly (same D and S), so for the pair (c, v) the lag −1
+    // numerator is Σ r_c² — equal to the denominator — and ρ = 1.
+    val counts = (0 until 14).map(d => 1 + (d * 7) % 5)
+    val feed = piFeed(
+      counts.zipWithIndex.map { case (k, d) => ("v", d, k) } ++
+        counts.zipWithIndex.map { case (k, d) => ("c", d + 1, k) } ++
+        (0 until 14).map(d => ("k1", d, 2)) ++
+        (0 until 14).map(d => ("k2", d, 3)))
+    val got = EventOps.xcorrFrom(feed).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(("c", "v", -1)) == Some(1.0), got(("c", "v", -1)).toString)
+    // every other (c, v) lag is strictly below 1 in magnitude
+    (-3 to 3).filter(_ != -1).foreach { l =>
+      got.get(("c", "v", l)).flatten.foreach(x =>
+        assert(math.abs(x) < 1.0, s"lag $l: $x"))
+    }
+    // constant series have zero residual mass on both sides → NULL
+    assert(got(("k1", "k2", 0)).isEmpty, got(("k1", "k2", 0)).toString)
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
