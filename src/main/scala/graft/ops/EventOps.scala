@@ -1256,6 +1256,89 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Strength of SEASONALITY and TREND per event type — the one-number
+    * readout of the [[qStl]] decomposition (Hyndman's F_S / F_T):
+    * F_S = max(0, 1 − Var(resid)/Var(detrended)) says how much of the
+    * detrended variation the weekly season explains, F_T the same
+    * against the deseasonalized series. This is the dial that routes a
+    * type through the forecasting ladder mechanically: F_S ≈ 0 → Holt
+    * (the seasonal state is noise, [[qBacktestHw]] will agree),
+    * F_S high → Holt–Winters; F_T ≈ 0 besides → EWMA is enough.
+    *
+    * Exactness ([[stlAnomalyFrom]]'s ledger): resid, n − trend and
+    * n − seasonal are bit-identical doubles from the shared [[stlFrom]],
+    * quantized to 1e-6 micro-units; each variance numerator D·Σq² − S²
+    * is exact 128-bit integer arithmetic (DECIMAL(38) / HUGEINT), and
+    * each strength is ONE double division + an explicit CASE clamp
+    * (never `greatest(0, NULL)` — both engines' greatest SKIPS nulls,
+    * which would turn an undefined ratio into a hard 0). A
+    * zero-variance denominator (constant series) reads NULL strength in
+    * both engines via try_divide semantics. The envelope guard is the
+    * e_stl_anomaly device one D stricter (D⁴·max_n²·10¹² ≤ 10³⁷ — the
+    * D·Σq² products add one factor), folded into the load-bearing
+    * column so the optimizer cannot prune the raise.
+    *
+    * Plan/scale: [[qStl]]'s shape + ONE catalog-sized type-key agg. */
+  def qSeasonalStrength(s: SparkSession, d: String): DataFrame =
+    seasonalStrengthFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qSeasonalStrength]] over a caller-supplied (event_type, ts)
+    * relation — the testable core (a pure weekly square wave reads
+    * F_S ≈ 1; white noise reads both low; a constant series reads
+    * NULL). */
+  private[ops] def seasonalStrengthFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val base = stlFrom(ev).filter(col("resid").isNotNull)
+      .withColumn("maxn", max(col("n")).over(w))
+      .withColumn("dres", count(lit(1)).over(w))
+      .withColumn("qr", expr("""CASE WHEN
+          CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+            * CAST(dres AS DOUBLE)
+            * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12 > 1.0e37
+        THEN raise_error('e_seasonal_strength: variance ledger exceeds the 128-bit envelope (D^4*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
+        ELSE CAST(round(resid * 1000000D) AS BIGINT) END"""))
+      .withColumn("qd",
+        expr("CAST(round((CAST(n AS DOUBLE) - trend) * 1000000D) AS BIGINT)"))
+      .withColumn("qs",
+        expr("CAST(round((CAST(n AS DOUBLE) - seasonal) * 1000000D) AS BIGINT)"))
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("qr")).as("sr"),
+        sum(expr("CAST(qr AS DECIMAL(38,0)) * qr")).as("r2"),
+        sum(col("qd")).as("sd"),
+        sum(expr("CAST(qd AS DECIMAL(38,0)) * qd")).as("d2"),
+        sum(col("qs")).as("ss"),
+        sum(expr("CAST(qs AS DECIMAL(38,0)) * qs")).as("s2"))
+      .select(col("event_type"), col("nd").as("n_days"),
+        expr("""CASE
+            WHEN try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * d2 - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE))
+              IS NULL THEN CAST(NULL AS DOUBLE)
+            WHEN 1.0D - try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * d2 - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE))
+              < 0.0D THEN 0.0D
+            ELSE 1.0D - try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * d2 - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE))
+            END""").as("strength_seasonal"),
+        expr("""CASE
+            WHEN try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * s2 - CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE))
+              IS NULL THEN CAST(NULL AS DOUBLE)
+            WHEN 1.0D - try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * s2 - CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE))
+              < 0.0D THEN 0.0D
+            ELSE 1.0D - try_divide(
+              CAST(nd * r2 - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE),
+              CAST(nd * s2 - CAST(ss AS DECIMAL(38,0)) * ss AS DOUBLE))
+            END""").as("strength_trend"))
+      .orderBy("event_type")
+  }
+
   /** Weekday-vs-weekend volume lift per event type — the calendar-bias
     * readout a training-data snapshot ships with: a type whose weekend
     * volume runs at 2× (or ⅕×) its weekday rate will be over/under-
@@ -2288,6 +2371,7 @@ object EventOps {
     "e_backtest_hw" -> qBacktestHw,
     "e_forecast_pi" -> qForecastPi,
     "e_xcorr" -> qXcorr,
+    "e_seasonal_strength" -> qSeasonalStrength,
     "e_attr_window" -> qAttrWindow,
     "e_inter_event" -> qInterEvent,
     "e_backtest" -> qBacktest,
@@ -2609,6 +2693,48 @@ object EventOps {
       WITH ${stlCtes("e_stl")}
       SELECT event_type, day, n, trend, seasonal, resid
       FROM decomp ORDER BY event_type, day""",
+    "e_seasonal_strength" -> s"""
+      WITH ${stlCtes("e_seasonal_strength")},
+      st0 AS (
+        SELECT *, max(n) OVER wt AS maxn, count(*) OVER wt AS dres
+        FROM decomp WHERE resid IS NOT NULL
+        WINDOW wt AS (PARTITION BY event_type)),
+      qz AS (
+        SELECT event_type, dres,
+               CASE WHEN
+                   CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+                     * CAST(dres AS DOUBLE) * CAST(dres AS DOUBLE)
+                     * CAST(maxn AS DOUBLE) * CAST(maxn AS DOUBLE) * 1.0e12
+                     > 1.0e37
+                 THEN error('e_seasonal_strength: variance ledger exceeds the 128-bit envelope (D^4*max_n^2*1e12 > 1e37) — shorten the span or shard the type')
+                 ELSE CAST(round(resid * 1000000) AS BIGINT) END AS qr,
+               CAST(round((n::DOUBLE - trend) * 1000000) AS BIGINT) AS qd,
+               CAST(round((n::DOUBLE - seasonal) * 1000000) AS BIGINT) AS qs
+        FROM st0),
+      ag AS (
+        SELECT event_type, count(*)::BIGINT AS nd,
+               sum(qr::HUGEINT) AS sr, sum(qr::HUGEINT * qr) AS r2,
+               sum(qd::HUGEINT) AS sd, sum(qd::HUGEINT * qd) AS d2,
+               sum(qs::HUGEINT) AS ss, sum(qs::HUGEINT * qs) AS s2
+        FROM qz GROUP BY 1)
+      SELECT event_type, nd AS n_days,
+             CASE WHEN (nd::HUGEINT * d2 - sd * sd) = 0
+                    THEN CAST(NULL AS DOUBLE)
+                  WHEN 1.0 - CAST(nd::HUGEINT * r2 - sr * sr AS DOUBLE)
+                         / CAST(nd::HUGEINT * d2 - sd * sd AS DOUBLE) < 0
+                    THEN 0.0
+                  ELSE 1.0 - CAST(nd::HUGEINT * r2 - sr * sr AS DOUBLE)
+                         / CAST(nd::HUGEINT * d2 - sd * sd AS DOUBLE)
+             END AS strength_seasonal,
+             CASE WHEN (nd::HUGEINT * s2 - ss * ss) = 0
+                    THEN CAST(NULL AS DOUBLE)
+                  WHEN 1.0 - CAST(nd::HUGEINT * r2 - sr * sr AS DOUBLE)
+                         / CAST(nd::HUGEINT * s2 - ss * ss AS DOUBLE) < 0
+                    THEN 0.0
+                  ELSE 1.0 - CAST(nd::HUGEINT * r2 - sr * sr AS DOUBLE)
+                         / CAST(nd::HUGEINT * s2 - ss * ss AS DOUBLE)
+             END AS strength_trend
+      FROM ag ORDER BY event_type""",
     "e_stl_anomaly" -> StlAnomalyOracle,
     "e_anomaly_votes" -> s"""
       WITH r AS (${ValidationOps.oracles("v_anomaly")}),

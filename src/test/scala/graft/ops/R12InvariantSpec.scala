@@ -281,6 +281,24 @@ class R12InvariantSpec extends SparkSpec {
     assert(got(("k1", "k2", 0)).isEmpty, got(("k1", "k2", 0)).toString)
   }
 
+  test("e_seasonal_strength: a weekly square wave reads F_S ≡ 1 with" +
+      " NULL trend strength; a constant series reads both NULL") {
+    graft.GraftSession.init(spark)
+    // weekday 2 / weekend 10 over 6 weeks: the seasonal component
+    // captures everything (quantized residuals are exactly 0 → F_S = 1);
+    // the deseasonalized series is constant → Var(T+R) = 0 → F_T NULL.
+    // 2024-01-01 is a Monday, so offsets 5,6 mod 7 are the weekend.
+    val wave = piFeed((0 until 42).map(d =>
+      ("w", d, if (d % 7 >= 5) 10 else 2)) ++
+      (0 until 42).map(d => ("k", d, 4)))
+    val got = EventOps.seasonalStrengthFrom(wave).collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("w") == ((Some(1.0), None)), got("w").toString)
+    assert(got("k") == ((None, None)), got("k").toString)
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
