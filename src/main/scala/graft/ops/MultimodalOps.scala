@@ -907,6 +907,43 @@ object MultimodalOps {
       .orderBy("doc_id", "bin")
   }
 
+  /** Shannon entropy of each blob's byte histogram — the
+    * compressed/encrypted-payload detector every multimodal ingest runs
+    * before wasting decoder time: plain text and raw bitmaps concentrate
+    * mass in few bins (low entropy), deflate/JPEG/AES output is
+    * near-uniform (entropy ≈ ln 16 over the 16-bin histogram), and the
+    * verdict routes the blob (decode vs quarantine). Rides the SAME
+    * histogram rows [[byteHistogram]] emits (real image-feature bins for
+    * sniffed payloads, byte stand-in otherwise), so the detector and the
+    * histogram can never disagree.
+    *
+    * Exactness: H = ln N − (Σ nᵢ·ln nᵢ)/N with every ln a [[DetMath]]
+    * bit-identical double; the per-bin terms quantize to the 1e-9 BIGINT
+    * ledger (the t_unigram_lm device) so the Σ is order-free, and the
+    * verdict compares the identical double against a literal threshold
+    * (0.95·ln 16 ≈ 2.63) — both engines see the same bits.
+    *
+    * Plan/scale: the histogram pass + ONE doc-key agg; the DetMath ln
+    * chains are in-row arithmetic. */
+  def byteEntropy(s: SparkSession, d: String): DataFrame =
+    byteEntropyFrom(byteHistogram(s, d))
+
+  /** [[byteEntropy]] over caller-supplied (doc_id, bin, n) histogram
+    * rows — the testable core (uniform bins read ≈ ln 16 and flag;
+    * a single-bin blob reads ≈ 0 and doesn't). */
+  private[ops] def byteEntropyFrom(hist: DataFrame): DataFrame = {
+    val lns = graft.ops.DetMath.withLn(hist, "n", "bn")
+    val agg = lns.groupBy("doc_id").agg(
+      sum(col("n")).as("n_units"),
+      sum(expr("n * CAST(round(bn_ln * 1.0e9) AS BIGINT)")).as("slq"))
+    graft.ops.DetMath.withLn(agg, "n_units", "nt")
+      .withColumn("entropy", expr(
+        "nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)"))
+      .select(col("doc_id"), col("n_units"), col("entropy"),
+        (col("entropy") > lit(2.63d)).as("high_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: one output row per sampled frame with its index and
     * per-frame value — the flatMap (1 row → N rows) shape of a video
     * pipeline. The decode is the codec boundary ([[Multimodal
@@ -1212,6 +1249,7 @@ object MultimodalOps {
     "m_phash" -> phash,
     "m_blob_meta" -> blobMeta,
     "m_byte_histogram" -> byteHistogram,
+    "m_byte_entropy" -> byteEntropy,
     "m_frame_sample" -> frameSample,
     "m_keyframes" -> keyframes,
     "m_silence" -> silence,
@@ -1290,6 +1328,22 @@ object MultimodalOps {
       FROM documents ORDER BY doc_id""",
     // text is ASCII, so bytes == code points: the byte histogram equals the
     // character-code histogram.
+    "m_byte_entropy" -> s"""
+      WITH c AS (SELECT doc_id, unicode(unnest(string_split_regex(text, ''))) cp
+                 FROM documents),
+      h AS (SELECT doc_id, (cp // 16)::INT AS bin, count(*)::BIGINT AS n
+            FROM c GROUP BY 1, 2),
+      l AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n", "bn")} FROM h),
+      a AS (SELECT doc_id, sum(n)::BIGINT AS n_units,
+              sum(n * CAST(round(bn_ln * 1.0e9) AS BIGINT))::BIGINT AS slq
+            FROM l GROUP BY 1),
+      t AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n_units", "nt")} FROM a)
+      SELECT doc_id, n_units,
+             nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)
+               AS entropy,
+             (nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE))
+               > 2.63 AS high_entropy
+      FROM t ORDER BY doc_id""",
     "m_byte_histogram" -> """
       WITH c AS (SELECT doc_id, unicode(unnest(string_split_regex(text, ''))) cp
                  FROM documents)

@@ -299,6 +299,22 @@ class R12InvariantSpec extends SparkSpec {
     assert(got("k") == ((None, None)), got("k").toString)
   }
 
+  test("m_byte_entropy: uniform bins read ≈ ln 16 and flag; a" +
+      " single-bin blob reads ≈ 0 and doesn't") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val hist = ((0 until 16).map(b => (1L, b, 10L)) :+ ((2L, 3, 160L)))
+      .toDF("doc_id", "bin", "n")
+    val got = MultimodalOps.byteEntropyFrom(hist).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val (n1, h1, f1) = got(1L)
+    assert(n1 == 160L && math.abs(h1 - math.log(16.0)) < 1e-6 && f1,
+      got(1L).toString)
+    val (n2, h2, f2) = got(2L)
+    assert(n2 == 160L && math.abs(h2) < 1e-8 && !f2, got(2L).toString)
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
