@@ -2279,6 +2279,46 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Language mix per near-dup cluster — the translation/mis-langid
+    * triage over the clustering the dedup ladder already built: a
+    * near-dup cluster spanning LANGUAGES is either a translation pair
+    * (keep both — they are not redundant for a multilingual model), a
+    * langid error (route to t_lang_confusion), or boilerplate that
+    * survives language boundaries (navigation chrome — dedup it
+    * everywhere). Keep-one-per-cluster without this readout silently
+    * deletes translations. Per cluster: size, distinct languages, the
+    * majority language (deterministic count-desc/lang tiebreak), its
+    * share, and the cross-language flag.
+    *
+    * Plan/scale: the shared [[dedupClusters]] machinery + one doc-key
+    * join to the narrow lang projection + ONE (cluster, lang) agg +
+    * cluster-key windows — everything past the pair graph is
+    * cluster-relation-sized. */
+  def clusterLangMix(s: SparkSession, d: String): DataFrame =
+    clusterLangMixFrom(
+      dedupClusters(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id")))
+
+  /** [[clusterLangMix]] over a caller-supplied (doc_id, cluster_id,
+    * lang) relation — the testable core (constructed mixed/mono
+    * clusters pin the counts, shares and flags). */
+  private[ops] def clusterLangMixFrom(labeled: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("nl").desc, col("lang"))
+    labeled.groupBy("cluster_id", "lang").agg(count(lit(1)).as("nl"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n_docs", sum(col("nl")).over(wc))
+      .withColumn("n_langs", count(lit(1)).over(wc))
+      .filter(col("rk") === 1 && col("n_docs") >= 2)
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+        col("lang").as("top_lang"), col("nl").as("top_n"),
+        expr("CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE)").as("top_share"),
+        (col("n_langs") > 1).as("cross_lang"))
+      .orderBy("cluster_id")
+  }
+
   /** Histogram over any (doc_id, cluster_id) labeling — the production
     * consumer form (works unchanged on [[minhashClusters]] /
     * [[embeddingClusters]] output). */
@@ -2353,6 +2393,7 @@ object DedupOps {
     "d_soft_dedup" -> softDedup,
     "d_dup_inflation" -> dupInflation,
     "d_kcore" -> kcore,
+    "d_cluster_lang_mix" -> clusterLangMix,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
     "t_data_split_cluster" -> dataSplitCluster,
@@ -3061,6 +3102,27 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE greatest(inter / ca.n_sh, inter / cb.n_sh) >= 0.9
       ORDER BY a_id, b_id""",
+    "d_cluster_lang_mix" -> s"""
+      WITH RECURSIVE $JaccardCappedCtes,
+      p AS (SELECT a_id, b_id FROM i
+            JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
+      ${ccClosureCtes("p")},
+      cl0 AS (${ccClusterSql("doc_id")}),
+      lj AS (SELECT cl.cluster_id, d.lang FROM cl0 cl
+             JOIN documents d ON cl.doc_id = d.doc_id),
+      lg AS (SELECT cluster_id, lang, count(*)::BIGINT AS nl
+             FROM lj GROUP BY 1, 2),
+      lt AS (SELECT *,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY nl DESC, lang) AS rk,
+               (sum(nl) OVER (PARTITION BY cluster_id))::BIGINT AS n_docs,
+               (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS n_langs
+             FROM lg)
+      SELECT cluster_id, n_docs, n_langs, lang AS top_lang, nl AS top_n,
+             CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share,
+             n_langs > 1 AS cross_lang
+      FROM lt WHERE rk = 1 AND n_docs >= 2 ORDER BY cluster_id""",
     "d_dedup_clusters" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

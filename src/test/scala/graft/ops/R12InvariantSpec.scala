@@ -315,6 +315,25 @@ class R12InvariantSpec extends SparkSpec {
     assert(n2 == 160L && math.abs(h2) < 1e-8 && !f2, got(2L).toString)
   }
 
+  test("d_cluster_lang_mix: mixed and mono clusters pin counts, the" +
+      " deterministic majority tiebreak, and the flags") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 10L, "en"), (2L, 10L, "en"), (3L, 10L, "fr"),   // 2-1 mixed
+      (4L, 20L, "de"), (5L, 20L, "de"),                    // mono
+      (6L, 30L, "es"), (7L, 30L, "fr"))                    // 1-1 tie → es
+      .toDF("doc_id", "cluster_id", "lang")
+    val got = DedupOps.clusterLangMixFrom(labeled).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(got(10L) == ((3L, 2L, "en", 2L, 2.0 / 3.0, true)), got(10L).toString)
+    assert(got(20L) == ((2L, 1L, "de", 2L, 1.0, false)), got(20L).toString)
+    // equal counts: the lang-asc tiebreak picks "es" deterministically
+    assert(got(30L) == ((2L, 2L, "es", 1L, 0.5, true)), got(30L).toString)
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
