@@ -2279,6 +2279,64 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-rate SAMPLING-BIAS audit — the honesty check behind
+    * "measure dedup on a 10% sample": an ID-keyed (iid) sample keeps
+    * each member of a duplicate pair independently, so the pair
+    * SURVIVES with probability p² and the sampled dup rate undercounts
+    * by ~p; a CONTENT-HASH-keyed sample keeps whole duplicate groups
+    * together and estimates the true rate unbiasedly at the same
+    * budget. This query measures all three on the actual corpus — full
+    * rate, hash-sampled rate, id-sampled rate, and both bias ratios —
+    * so a curator sizing a dedup run from a sample picks the keyed
+    * sampler with evidence, not folklore. Sampling rules are the
+    * engine's own: [[graft.ops.ParityOps.sampleMod]]'s h60 %100 < 10
+    * for the id arm, the same rule over the content hash for the
+    * keyed arm.
+    *
+    * Plan/scale: ONE scan → one content-hash agg (group size + sampled
+    * member count per group) → one global agg; rates and ratios are
+    * single divisions of exact BIGINTs (try_divide: a dup-free corpus
+    * reads NULL bias in both engines). */
+  def sampleBias(s: SparkSession, d: String): DataFrame =
+    sampleBiasFrom(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[sampleBias]] over a caller-supplied (doc_id, text) relation —
+    * the testable core (a constructed corpus with known dup groups and
+    * hand-picked ids pins all six counters). */
+  private[ops] def sampleBiasFrom(docsIn: DataFrame): DataFrame =
+    docsIn
+      .select(expr("md5(text)").as("h"),
+        expr(s"${h60("CAST(doc_id AS STRING)")} % 100 < 10").as("in_id"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_id"), 1L).otherwise(0L)).as("m"))
+      .withColumn("in_hash", expr(s"${h60("h")} % 100 < 10"))
+      .agg(
+        sum(col("n")).as("n_full"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_full"),
+        sum(when(col("in_hash"), col("n")).otherwise(0L)).as("n_hash"),
+        sum(when(col("in_hash") && col("n") >= 2, col("n")).otherwise(0L))
+          .as("dup_hash"),
+        sum(col("m")).as("n_id"),
+        sum(when(col("m") >= 2, col("m")).otherwise(0L)).as("dup_id"))
+      .select(col("n_full"), col("dup_full"),
+        expr("try_divide(CAST(dup_full AS DOUBLE), CAST(n_full AS DOUBLE))")
+          .as("rate_full"),
+        col("n_hash"), col("dup_hash"),
+        expr("try_divide(CAST(dup_hash AS DOUBLE), CAST(n_hash AS DOUBLE))")
+          .as("rate_hash"),
+        col("n_id"), col("dup_id"),
+        expr("try_divide(CAST(dup_id AS DOUBLE), CAST(n_id AS DOUBLE))")
+          .as("rate_id"),
+        expr("""try_divide(
+            try_divide(CAST(dup_hash AS DOUBLE), CAST(n_hash AS DOUBLE)),
+            try_divide(CAST(dup_full AS DOUBLE), CAST(n_full AS DOUBLE)))""")
+          .as("bias_hash"),
+        expr("""try_divide(
+            try_divide(CAST(dup_id AS DOUBLE), CAST(n_id AS DOUBLE)),
+            try_divide(CAST(dup_full AS DOUBLE), CAST(n_full AS DOUBLE)))""")
+          .as("bias_id"))
+
   /** Language mix per near-dup cluster — the translation/mis-langid
     * triage over the clustering the dedup ladder already built: a
     * near-dup cluster spanning LANGUAGES is either a translation pair
@@ -2394,6 +2452,7 @@ object DedupOps {
     "d_dup_inflation" -> dupInflation,
     "d_kcore" -> kcore,
     "d_cluster_lang_mix" -> clusterLangMix,
+    "d_sample_bias" -> sampleBias,
     "d_near_overlap" -> nearOverlap,
     "d_split_leakage" -> splitLeakage,
     "t_data_split_cluster" -> dataSplitCluster,
@@ -3102,6 +3161,35 @@ object DedupOps {
       FROM i JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
       WHERE greatest(inter / ca.n_sh, inter / cb.n_sh) >= 0.9
       ORDER BY a_id, b_id""",
+    "d_sample_bias" -> s"""
+      WITH gr AS (
+        SELECT md5(text) AS h, count(*)::BIGINT AS n,
+               sum(CASE WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+                   THEN 1 ELSE 0 END)::BIGINT AS m
+        FROM documents GROUP BY 1),
+      g2 AS (SELECT *, (${h60Sql("h")} % 100 < 10) AS in_hash FROM gr),
+      a AS (
+        SELECT sum(n)::BIGINT AS n_full,
+               sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT AS dup_full,
+               sum(CASE WHEN in_hash THEN n ELSE 0 END)::BIGINT AS n_hash,
+               sum(CASE WHEN in_hash AND n >= 2 THEN n ELSE 0 END)::BIGINT
+                 AS dup_hash,
+               sum(m)::BIGINT AS n_id,
+               sum(CASE WHEN m >= 2 THEN m ELSE 0 END)::BIGINT AS dup_id
+        FROM g2)
+      SELECT n_full, dup_full,
+             CAST(dup_full AS DOUBLE) / CAST(n_full AS DOUBLE) AS rate_full,
+             n_hash, dup_hash,
+             CAST(dup_hash AS DOUBLE) / CAST(n_hash AS DOUBLE) AS rate_hash,
+             n_id, dup_id,
+             CAST(dup_id AS DOUBLE) / CAST(n_id AS DOUBLE) AS rate_id,
+             (CAST(dup_hash AS DOUBLE) / CAST(n_hash AS DOUBLE))
+               / (CAST(dup_full AS DOUBLE) / CAST(n_full AS DOUBLE))
+               AS bias_hash,
+             (CAST(dup_id AS DOUBLE) / CAST(n_id AS DOUBLE))
+               / (CAST(dup_full AS DOUBLE) / CAST(n_full AS DOUBLE))
+               AS bias_id
+      FROM a""",
     "d_cluster_lang_mix" -> s"""
       WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i

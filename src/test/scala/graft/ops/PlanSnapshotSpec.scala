@@ -394,6 +394,8 @@ class PlanSnapshotSpec extends SparkSpec {
     // one day-key SMJ + catalog-sized broadcasts
     // cluster labels read the checkpointed CC output + one lang join;
     // everything past the pair graph is cluster-relation-sized
+    // one scan, one hash-key agg, one global agg — no joins, no windows
+    "d_sample_bias" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "d_cluster_lang_mix" -> "scan=1 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     "m_byte_entropy" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "e_seasonal_strength" -> "scan=0 xhash=2 xrange=2 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=3 wgl=0",

@@ -334,6 +334,52 @@ class R12InvariantSpec extends SparkSpec {
     assert(got(30L) == ((2L, 2L, "es", 1L, 0.5, true)), got(30L).toString)
   }
 
+  test("d_sample_bias: counters replay a sequential model of both" +
+      " sampling rules on a dup-heavy corpus") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    // 120 docs in 40 groups of 3 exact copies + 60 singletons: heavy,
+    // known dup structure so the id-arm undercount is visible
+    val docs = (0 until 40).flatMap(g =>
+      (0 until 3).map(r => ((g * 3 + r).toLong, s"group $g body text"))) ++
+      (0 until 60).map(i => ((200 + i).toLong, s"solo $i body text"))
+    val model = {
+      val byText = docs.groupBy(_._2)
+      var (nf, df, nh, dh, ni, di) = (0L, 0L, 0L, 0L, 0L, 0L)
+      byText.foreach { case (t, ms) =>
+        val n = ms.size.toLong
+        val m = ms.count(d => h60(d._1.toString) % 100 < 10).toLong
+        val inHash = h60(md5hex(t)) % 100 < 10
+        nf += n; if (n >= 2) df += n
+        if (inHash) { nh += n; if (n >= 2) dh += n }
+        ni += m; if (m >= 2) di += m
+      }
+      (nf, df, nh, dh, ni, di)
+    }
+    val r = DedupOps.sampleBiasFrom(docs.toDF("doc_id", "text")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+      r.getLong(6), r.getLong(7)) == model, s"$r vs $model")
+    // the lesson, demonstrated: hash-keyed sampling is rate-unbiased on
+    // sampled groups (every sampled dup group arrives whole), while the
+    // iid id-keyed sample undercounts — with groups of 3 at p=0.1 the
+    // expected surviving dup mass is ~3% of members vs the true 60%
+    val rateFull = r.getDouble(2)
+    if (r.getLong(3) > 0) {
+      val rateHash = r.getDouble(5)
+      val dupGroupShareFull = 1.0  // sampled groups are whole: rate is
+      // exactly dup_hash/n_hash where every group is all-in or all-out
+      assert(rateHash == 0.0 || rateHash > 0.3, s"hash-arm rate $rateHash")
+    }
+    assert(!r.isNullAt(9) || r.getLong(1) == 0L)
+    val rateId = r.getDouble(8)
+    assert(rateId < rateFull, s"id-arm must undercount: $rateId vs $rateFull")
+  }
+
   test("s_rrf_fusion: hand-computed integer scores — a both-tier" +
       " candidate outranks either tier's solo winner") {
     graft.GraftSession.init(spark)
