@@ -292,7 +292,10 @@ class PlanSnapshotSpec extends SparkSpec {
     "t_data_split_cluster" -> "scan=0 xhash=6 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "v_chisq" -> "scan=0 xhash=0 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=0 wgl=0",
     "e_survival" -> "scan=0 xhash=1 xrange=0 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=0 win=2 wgl=0",
-    "d_fuzzy_pairs" -> "scan=3 xhash=2 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
+    // r12 re-pin: +1 xhash — the explicit repartition defending the
+    // Levenshtein DP stage's parallelism against AQE bytes-coalescing
+    // (2.5x at the 10x scale corpus; see fuzzyPairsFrom scaladoc)
+    "d_fuzzy_pairs" -> "scan=3 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=3 win=0 wgl=0",
     "d_cluster_stats" -> "scan=0 xhash=3 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "t_novelty" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=1 wgl=0",
     "e_paths" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=3 wgl=0",
