@@ -970,12 +970,28 @@ object EventOps {
     * re-derives it from its own pruned lineage, i.e. TWO full scans
     * of the data-sized input (exchange reuse doesn't apply because
     * column pruning makes the branches structurally different). */
-  private[ops] def denseDailyFrom(ev: DataFrame, tag: String): DataFrame = {
-    val daily = ev
-      .filter(col("ts").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+  private[ops] def denseDailyFrom(ev: DataFrame, tag: String): DataFrame =
+    denseDailyFromDaily(dailyCountsFrom(ev).localCheckpoint(), tag)
+
+  /** The shared DAILY-COUNT LEDGER: (event_type, day, n) from a raw
+    * (event_type, ts) relation — the single relation every daily-series
+    * consumer in this family (raw z-score, MAD, STL/CUSUM densify,
+    * autocorr, Holt-Winters, …) actually needs from the fact table.
+    * Null timestamps KEEP their null-day group here (the raw anomaly
+    * tiers historically saw them); calendar consumers drop it in
+    * [[denseDailyFromDaily]]. Callers fanning the ledger into more than
+    * one consumer MUST `localCheckpoint()` it first (the pairCounts
+    * discipline): each consumer's pruned lineage otherwise re-derives
+    * the agg from its own full scan of the data-sized input. */
+  private[ops] def dailyCountsFrom(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+
+  /** [[denseDailyFrom]] over a pre-built (and, if shared, pre-
+    * checkpointed) [[dailyCountsFrom]] ledger. The null-day group (null
+    * source timestamps) is dropped here — no calendar position. */
+  private[ops] def denseDailyFromDaily(daily0: DataFrame, tag: String): DataFrame = {
+    val daily = daily0.filter(col("day").isNotNull)
     val grid = daily.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),
@@ -1135,11 +1151,17 @@ object EventOps {
     * testable core (a constant series must decompose to zero seasonal
     * and residual; additivity n = trend + seasonal + resid must hold
     * exactly in doubles on every fully-defined row). */
-  private[ops] def stlFrom(ev: DataFrame): DataFrame = {
+  private[ops] def stlFrom(ev: DataFrame): DataFrame =
+    stlFromDaily(dailyCountsFrom(ev).localCheckpoint())
+
+  /** [[stlFrom]] over a pre-built [[dailyCountsFrom]] ledger — the
+    * shared-ledger entry point ([[qAnomalyVotes]] feeds all three tiers
+    * from ONE checkpointed ledger through cores like this one). */
+  private[ops] def stlFromDaily(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-3, 3)
     val wWd = Window.partitionBy("event_type", "wd")
-    denseDailyFrom(ev, "e_stl")
+    denseDailyFromDaily(daily, "e_stl")
       .withColumn("sum7", sum(col("n")).over(wOrd))
       .withColumn("cnt7", count(lit(1)).over(wOrd))
       // full centered window only — edges read NULL, not a biased mean
@@ -1200,18 +1222,22 @@ object EventOps {
     * COALESCE out explicitly rather than trusting USING-in-FULL-JOIN
     * dialect behavior.
     *
-    * Plan/scale: the three tiers each reduce to catalog×days-sized
-    * relations before the joins, so the ensemble is catalog-sized work
-    * on top of three one-scan passes; at 100 TB you'd materialize the
-    * shared daily-count relation once for all three (the denseDaily
-    * device already is shared between STL and CUSUM). */
+    * Plan/scale: ONE scan — the shared [[dailyCountsFrom]] ledger is
+    * materialized once (`localCheckpoint`) and all three tiers run as
+    * `*FromDaily` cores over it (the pairCounts materialize-once
+    * discipline applied to the events family). Everything past the
+    * ledger is catalog×days-sized, so the ensemble costs exactly one
+    * pass over the fact table — at 100 TB the 3× I/O multiplier the
+    * naive three-entry-point form pays is gone. */
   def qAnomalyVotes(s: SparkSession, d: String): DataFrame = {
-    val raw = ValidationOps.anomaly(s, d)
+    val daily = dailyCountsFrom(
+      events(s, d).select(col("event_type"), col("ts"))).localCheckpoint()
+    val raw = ValidationOps.anomalyFromDaily(daily)
       .select(col("event_type"), col("day"), col("is_anomaly").as("flag_raw"))
-    val rob = ValidationOps.madAnomaly(s, d)
+    val rob = ValidationOps.madAnomalyFromDaily(daily)
       .select(col("event_type"), col("day"),
         col("is_outlier").as("flag_robust"))
-    val stl = qStlAnomaly(s, d)
+    val stl = stlAnomalyFromDaily(daily)
       .select(col("event_type"), col("day"), col("is_anomaly").as("flag_stl"))
     raw.join(rob, Seq("event_type", "day"), "full_outer")
       .join(stl, Seq("event_type", "day"), "full_outer")
@@ -1231,9 +1257,13 @@ object EventOps {
     stlAnomalyFrom(events(s, d).select(col("event_type"), col("ts")))
 
   /** [[qStlAnomaly]] over a caller-supplied (event_type, ts) relation. */
-  private[ops] def stlAnomalyFrom(ev: DataFrame): DataFrame = {
+  private[ops] def stlAnomalyFrom(ev: DataFrame): DataFrame =
+    stlAnomalyFromDaily(dailyCountsFrom(ev).localCheckpoint())
+
+  /** [[qStlAnomaly]] over a pre-built [[dailyCountsFrom]] ledger. */
+  private[ops] def stlAnomalyFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type")
-    stlFrom(ev)
+    stlFromDaily(daily)
       .withColumn("maxn", max(col("n")).over(w))
       // count(resid), not count(q): the guard must not depend on its
       // own output (q is null exactly where resid is, so same count)

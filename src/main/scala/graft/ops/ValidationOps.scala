@@ -415,11 +415,18 @@ object ValidationOps {
     * Plan/scale: one scan → (type, day) agg → per-type windows over the
     * catalog-sized day grid. The data shuffles once on a uniform
     * composite key; the window runs over ~days rows per type. */
-  def anomaly(s: SparkSession, d: String): DataFrame = {
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyFromDaily(EventOps.dailyCountsFrom(
+      events(s, d).select(col("event_type"), col("ts"))))
+
+  /** [[anomaly]] over a pre-built [[EventOps.dailyCountsFrom]] ledger —
+    * the shared-ledger core ([[EventOps.qAnomalyVotes]] feeds all three
+    * tiers from ONE checkpointed ledger). Must NOT filter the null-day
+    * group: the raw tier has always counted it into the per-type
+    * moments. */
+  private[ops] def anomalyFromDaily(daily: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-    events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    daily
       .withColumn("k", count(lit(1)).over(w))
       .withColumn("sn", sum(col("n")).over(w))
       .withColumn("sq", sum(col("n") * col("n")).over(w))
@@ -534,7 +541,17 @@ object ValidationOps {
     * Plan/scale: one scan → (type, day) partial agg; everything after is
     * catalog × days sized (two rounds of the histogram device + one
     * broadcast join back). */
-  def madAnomaly(s: SparkSession, d: String): DataFrame = {
+  def madAnomaly(s: SparkSession, d: String): DataFrame =
+    // checkpoint even standalone: the ledger feeds the median pass AND
+    // the deviation join — unmaterialized, each pruned lineage re-runs
+    // the (type, day) agg from its own full scan of the fact table
+    madAnomalyFromDaily(EventOps.dailyCountsFrom(
+      events(s, d).select(col("event_type"), col("ts"))).localCheckpoint())
+
+  /** [[madAnomaly]] over a pre-built (checkpointed) ledger — see
+    * [[anomalyFromDaily]]; the null-day group stays, as it always has
+    * in this tier's median/MAD ranks. */
+  private[ops] def madAnomalyFromDaily(daily: DataFrame): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val wCum = org.apache.spark.sql.expressions.Window
@@ -546,9 +563,6 @@ object ValidationOps {
         .groupBy(col("event_type"))
         .agg(min(when(expr("cum >= (tot + 1) DIV 2"), col(valueCol))).as(out))
     }
-    val daily = events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
     val med = lowerMedian(daily, "n", "median_n")
     val withDev = daily.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("n") - col("median_n")))

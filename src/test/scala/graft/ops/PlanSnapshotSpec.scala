@@ -419,7 +419,12 @@ class PlanSnapshotSpec extends SparkSpec {
     "s_triplets" -> "scan=4 xhash=2 xrange=1 bcast=2 smj=1 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=4",
     // composition of the three tier plans — catalog-sized relations
     // joined after each tier's own one-scan reduction
-    "e_anomaly_votes" -> "scan=5 xhash=17 xrange=2 bcast=4 smj=2 bhj=4 shj=0 bnlj=0 cart=0 gen=1 win=13 wgl=0",
+    // r13 re-pin (verdict ask #1): the three tiers now run as *FromDaily
+    // cores over ONE checkpointed dailyCountsFrom ledger — scan 5 → 0
+    // (the single corpus pass happens at checkpoint build, the
+    // established eager-checkpoint convention) and the four per-tier
+    // re-aggregation exchanges are gone (xhash 17 → 13)
+    "e_anomaly_votes" -> "scan=0 xhash=13 xrange=2 bcast=4 smj=2 bhj=4 shj=0 bnlj=0 cart=0 gen=1 win=13 wgl=0",
     "e_pareto" -> "scan=1 xhash=2 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
     "t_code_detect" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "d_semantic_sweep" -> "scan=5 xhash=4 xrange=1 bcast=3 smj=1 bhj=2 shj=0 bnlj=1 cart=0 gen=3 win=0 wgl=0",
