@@ -838,8 +838,16 @@ object DedupOps {
     * must share at least half its shingles before the O(len²) DP runs. */
   private val FuzzyPreJaccard = 0.5
 
-  /** Normalized edit-similarity threshold for [[fuzzyPairs]]. */
-  private val FuzzySimMin = 0.8
+  /** Normalized edit-similarity threshold for [[fuzzyPairs]], kept as an
+    * exact RATIONAL (num/den) because the threshold also derives the
+    * Levenshtein DP's early-abandon bound k = ⌊maxlen·(den−num)/den⌋ in
+    * pure integer arithmetic: sim ≥ num/den ⟺ lev ≤ maxlen·(den−num)/den
+    * ⟺ (lev integer) lev ≤ k. Deriving k from the DOUBLE 1−0.8 instead
+    * floors one too low whenever maxlen is a multiple of den (5·(1−0.8)
+    * = 0.9999…8 → k=0, silently dropping an exactly-sim=0.8 pair). */
+  private val FuzzySimMinNum = 4L
+  private val FuzzySimMinDen = 5L
+  private val FuzzySimMin = FuzzySimMinNum.toDouble / FuzzySimMinDen
 
   /** Edit-distance near-dup tier: Levenshtein refinement of the shingle
     * candidate pairs. Character-level edit distance catches what
@@ -894,7 +902,21 @@ object DedupOps {
       .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb"),
         col("n_chars").as("cb")), "b_id")
       .repartition(dpParallelism, col("a_id"), col("b_id"))
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      // BOUNDED DP (Spark >= 3.5 three-arg levenshtein): FuzzySimMin
+      // implies lev <= k = maxlen*(den-num)/den (exact integer floor —
+      // see the rational-threshold note on [[FuzzySimMin]]), and the DP
+      // abandons past k, cutting the per-pair cost from O(|a|*|b|) to
+      // O(k*min(|a|,|b|)) — the dominant constant at production doc
+      // lengths (this family is the gate's worst open-mode exponent).
+      // Beyond-k pairs return the -1 sentinel; (maxlen+1)/maxlen > 1
+      // would PASS the sim filter, so -1 maps explicitly to drop. The
+      // oracle is unchanged: its unbounded lev fails the sim filter on
+      // exactly the pairs the sentinel drops.
+      .withColumn("lev", expr(
+        s"""CAST(levenshtein(ta, tb, CAST(greatest(ca, cb)
+              * ${FuzzySimMinDen - FuzzySimMinNum} DIV $FuzzySimMinDen
+              AS INT)) AS BIGINT)"""))
+      .filter(col("lev") >= 0L)
       // (maxlen - lev) / maxlen: BIGINT operands on both engines, so the
       // one double division produces bit-identical output cross-engine
       .withColumn("sim",
