@@ -2244,12 +2244,15 @@ object DedupOps {
     * as soon as the per-round scalar edge count stops shrinking (count
     * alone is a sound fixpoint witness because peeling only removes —
     * the [[dedupClustersFrom]] checksum-fixpoint device specialized to
-    * a monotone shrink), while the oracle unrolls a fixed
-    * [[KcorePeelsMax]] MATERIALIZED rounds, the tail of which are
-    * identities. The RAISE predicate is the shared contract: both sides
-    * raise iff the round-[[KcorePeelsMax]] edge set still contains a
-    * sub-k-degree node (Spark checks it after a non-converged loop
-    * exit, DuckDB via an error() guard CTE over the last round).
+    * a monotone shrink), while the oracle (r13) peels via a RECURSIVE
+    * CTE that converges naturally — no round cap, no unroll (see the
+    * oracle's comment for the termination device). [[KcorePeelsMax]]
+    * is therefore SPARK-ONLY now: an unbounded-input guard so a
+    * pathological chain fails loudly instead of grinding unbounded
+    * rounds; the oracle, having no cap, simply converges on such
+    * inputs — a documented asymmetry reachable only on graphs with
+    * pendant chains longer than ~2·[[KcorePeelsMax]] nodes, which the
+    * guard exists to refuse.
     *
     * Plan/scale: per round, one src-key degree agg + two semi joins of
     * the edge list against the node-sized survivor set — O(edges) per
@@ -2764,47 +2767,62 @@ object DedupOps {
               WHERE n = mx GROUP BY 1)"""
   }.mkString(",\n      ")
 
-  /** The [[kcore]] oracle peel rounds, unrolled to the pinned cap
-    * [[KcorePeelsMax]] (the [[lpaOracleIters]] device): per round, a
-    * degree-filtered survivor set then the edge list restricted to
-    * survivor endpoints. Spark exits its loop at the adaptive fixpoint;
-    * the oracle's surplus rounds past convergence are identities over
-    * the (small, converged) edge set, so the two sides agree — and the
-    * guard CTE checks the SAME predicate Spark checks on a capped exit:
-    * sub-2-degree nodes remaining in the final round. */
-  private def kcoreOracleIters: String = (1 to KcorePeelsMax).map { r =>
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
-    // round references e_{r-1} twice (the survivor self-join), so an
-    // unmaterialized chain re-expands e0's document scans 2^rounds times
-    s"""s$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1} GROUP BY src
-             HAVING count(*) >= 2),
-      e$r AS MATERIALIZED (SELECT e${r - 1}.src, e${r - 1}.dst FROM e${r - 1}
-              JOIN s$r a ON e${r - 1}.src = a.node
-              JOIN s$r b ON e${r - 1}.dst = b.node)"""
-  }.mkString(",\n      ")
-
   val oracles: Map[String, String] = Map(
+    // The [[kcore]] oracle peels via a RECURSIVE CTE (r12 verdict ask
+    // #5; replaces the 64-round MATERIALIZED unroll): each step keeps
+    // edges whose BOTH endpoints still have degree >= 2 — the working
+    // table is referenced ONCE, with degrees read through two window
+    // counts over the symmetric edge list (deg(v) = rows with src=v =
+    // rows with dst=v) — and recursion stops naturally when a round
+    // removes nothing (`nkept < ntot2` guards the emit, else the
+    // fixpoint would reproduce itself forever). The final edge set is
+    // the max-r generation RE-FILTERED once: if the last emitted round
+    // was not yet the fixpoint (the next filter empties it), that one
+    // extra idempotent pass lands exactly on it. Spark's adaptive peel
+    // converges to the same fixpoint; [[KcorePeelsMax]] survives only
+    // as Spark's unbounded-input guard (spec-pinned), no longer coupled
+    // to oracle cost. WITH RECURSIVE parser trap: DuckDB treats ANY
+    // top-level `a UNION b` CTE under WITH RECURSIVE as a recursive
+    // definition (base/step) even without self-reference, silently
+    // turning UNION's dedup into accumulation — e0/nn spell dedup as
+    // SELECT DISTINCT over UNION ALL instead.
     "d_kcore" -> s"""
-      WITH $JaccardCappedCtes,
+      WITH RECURSIVE $JaccardCappedCtes,
       p AS (SELECT a_id, b_id FROM i
             JOIN c ca ON a_id = ca.doc_id JOIN c cb ON b_id = cb.doc_id
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= $JaccardMin),
-      e0 AS MATERIALIZED (
+      e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT a_id AS src, b_id AS dst FROM p WHERE a_id <> b_id
-        UNION SELECT b_id, a_id FROM p WHERE a_id <> b_id),
-      $kcoreOracleIters,
-      chk AS (SELECT count(*) AS nrem FROM (
-                SELECT src FROM e$KcorePeelsMax GROUP BY src
-                HAVING count(*) < 2) z),
-      guard AS (SELECT CASE WHEN nrem > 0 THEN error(
-                  'd_kcore: peel did not converge in $KcorePeelsMax rounds')
-                ELSE 0 END AS g FROM chk),
+        UNION ALL SELECT b_id, a_id FROM p WHERE a_id <> b_id) u0),
+      peel(r, src, dst) AS (
+        SELECT 0, src, dst FROM e0
+        UNION ALL
+        SELECT r + 1, src, dst FROM (
+          SELECT *, count(*) OVER () AS nkept, max(ntot) OVER () AS ntot2
+          FROM (
+            SELECT r, src, dst, ntot FROM (
+              SELECT r, src, dst,
+                     count(*) OVER (PARTITION BY src) AS dsrc,
+                     count(*) OVER (PARTITION BY dst) AS ddst,
+                     count(*) OVER () AS ntot
+              FROM peel) z
+            WHERE dsrc >= 2 AND ddst >= 2) y) x
+        WHERE nkept < ntot2),
+      mx AS (SELECT max(r) AS mr FROM peel),
+      fin AS (SELECT src, dst FROM (
+          SELECT src, dst,
+                 count(*) OVER (PARTITION BY src) AS dsrc,
+                 count(*) OVER (PARTITION BY dst) AS ddst
+          FROM peel, mx WHERE r = mr) z
+        WHERE dsrc >= 2 AND ddst >= 2),
       deg AS (SELECT src AS node, count(*)::BIGINT AS deg
-              FROM e$KcorePeelsMax GROUP BY 1),
-      nn AS (SELECT a_id AS doc_id FROM p UNION SELECT b_id FROM p)
+              FROM fin GROUP BY 1),
+      nn AS (SELECT DISTINCT doc_id FROM (
+        SELECT a_id AS doc_id FROM p
+        UNION ALL SELECT b_id FROM p) u1)
       SELECT nn.doc_id, deg.node IS NOT NULL AS in_2core,
              coalesce(deg.deg, 0::BIGINT) AS core_degree
-      FROM nn LEFT JOIN deg ON nn.doc_id = deg.node, guard
+      FROM nn LEFT JOIN deg ON nn.doc_id = deg.node
       ORDER BY nn.doc_id""",
     "d_shingle_profile" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
