@@ -14,9 +14,13 @@ Each input is any of:
     when present).
 
 Prints one row per query present in both files — prev, cur, ratio —
-sorted by ratio descending, and flags |ratio| beyond the threshold.
-Exit code 1 when any flagged regression exists (ratio > threshold), so
-the dev loop can gate on it.
+sorted by ratio descending, and flags regressions beyond BOTH the ratio
+threshold and the absolute floor (--abs-floor, default 0.5s): three
+consecutive rounds of full-gate runs flagged *disjoint* sub-second sets
+that all dissolved under isolated 5-rep re-runs — the shared-box noise
+floor swings sub-second queries 2-2.7x, so a ratio alone over-flags.
+Exit code 1 when any flagged regression exists, so the dev loop can
+gate on it. The output's last line states the thresholds it applied.
 """
 import json
 import sys
@@ -70,6 +74,7 @@ def load_queries(path, include_drift=False):
 
 def main():
     thr = 1.5
+    abs_floor = 0.5
     include_drift = False
     args = []
     raw = sys.argv[1:]
@@ -84,6 +89,12 @@ def main():
             else:  # space-separated form: consume the next token as value
                 i += 1
                 thr = float(raw[i])
+        elif a.startswith("--abs-floor"):
+            if "=" in a:
+                abs_floor = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                abs_floor = float(raw[i])
         else:
             args.append(a)
         i += 1
@@ -103,9 +114,14 @@ def main():
             ratio = float("nan")
         else:
             ratio = cur[q] / prev[q]
-            mark = "  REGRESSED" if ratio > thr else (
-                "  improved" if ratio < 1 / thr else "")
-            if ratio > thr:
+            # noise floor (r12 verdict #7): a ratio breach on a
+            # sub-second query is the shared-box signature unless the
+            # absolute delta is real too
+            regressed = ratio > thr and (cur[q] - prev[q]) > abs_floor
+            mark = "  REGRESSED" if regressed else (
+                "  improved" if ratio < 1 / thr else (
+                    "  (noise-floor)" if ratio > thr else ""))
+            if regressed:
                 flagged.append(q)
         print(f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}{mark}")
     # totals over the SHARED set only, matching the label — summing each
@@ -118,8 +134,12 @@ def main():
         print(f"new in cur ({len(only_cur)}): {', '.join(sorted(only_cur))}")
     if only_prev:
         print(f"gone from cur ({len(only_prev)}): {', '.join(sorted(only_prev))}")
+    print(f"thresholds applied: ratio > {thr}x AND absolute delta > "
+          f"{abs_floor}s (sub-floor ratio breaches marked noise-floor, "
+          "not flagged)")
     if flagged:
-        print(f"\nFLAGGED (> {thr}x or error): {', '.join(flagged)}")
+        print(f"\nFLAGGED (> {thr}x and > {abs_floor}s, or error): "
+              + ", ".join(flagged))
         print("isolate with: SPARK_GRAFT_DRIFT=" + ",".join(flagged)
               + " sbt 'runMain graft.Bench'")
         sys.exit(1)
