@@ -1006,8 +1006,7 @@ object CorpusOps {
                 t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
             FROM t),
       lab AS (SELECT doc_id,
-                (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
-                 AND sh >= 2 AND 8*mc <= nt) AS keep, toks
+                ($GateKeepExpr) AS keep, toks
               FROM s),
       tok AS (SELECT doc_id, keep, unnest(toks) AS tok FROM lab),
       ct AS (SELECT tok,
@@ -1119,16 +1118,12 @@ object CorpusOps {
                 t2 -> len(list_filter(toks, u -> u = t2))))::BIGINT mc
             FROM t)
       SELECT source, count(*)::BIGINT AS n_docs,
-        sum(CASE WHEN NOT (nt >= 30) THEN 1 ELSE 0 END)::BIGINT AS fail_len,
-        sum(CASE WHEN NOT (nc >= 4*nt AND nc <= 5*nt) THEN 1 ELSE 0 END)::BIGINT
-          AS fail_word_len,
-        sum(CASE WHEN NOT (5*nd >= 2*nt) THEN 1 ELSE 0 END)::BIGINT AS fail_ttr,
-        sum(CASE WHEN NOT (sh >= 2) THEN 1 ELSE 0 END)::BIGINT AS fail_stop,
-        sum(CASE WHEN NOT (8*mc <= nt) THEN 1 ELSE 0 END)::BIGINT AS fail_rep,
-        sum(CASE WHEN (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
-             AND sh >= 2 AND 8*mc <= nt) THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-        CAST(sum(CASE WHEN (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt
-             AND 5*nd >= 2*nt AND sh >= 2 AND 8*mc <= nt) THEN 1 ELSE 0 END)
+        ${GateRules.map { case (name, p) =>
+          s"sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END)::BIGINT" +
+            s" AS fail_${name.stripPrefix("ok_")}"
+        }.mkString(",\n        ")},
+        sum(CASE WHEN ($GateKeepExpr) THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        CAST(sum(CASE WHEN ($GateKeepExpr) THEN 1 ELSE 0 END)
           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_rate
       FROM s GROUP BY source ORDER BY source""",
     "t_quality_gate" -> s"""
@@ -1142,13 +1137,9 @@ object CorpusOps {
             FROM t)
       SELECT doc_id, nt AS n_tokens, nc / nt AS mean_tok_len, nd / nt AS ttr,
         sh AS stop_hits, mc / nt AS top_tok_ratio,
-        nt >= 30 AS ok_len,
-        nc >= 4*nt AND nc <= 5*nt AS ok_word_len,
-        5*nd >= 2*nt AS ok_ttr,
-        sh >= 2 AS ok_stop,
-        8*mc <= nt AS ok_rep,
-        (nt >= 30 AND nc >= 4*nt AND nc <= 5*nt AND 5*nd >= 2*nt
-         AND sh >= 2 AND 8*mc <= nt) AS keep_doc
+        ${GateRules.map { case (name, p) => s"($p) AS $name" }
+          .mkString(",\n        ")},
+        ($GateKeepExpr) AS keep_doc
       FROM s ORDER BY doc_id""",
     "t_nb_quality" -> s"""
       WITH $NbCtes

@@ -1887,6 +1887,11 @@ object EventOps {
     val cum = hist
       .withColumn("cum", sum(col("c")).over(w.orderBy("err")))
       .withColumn("n_cal", sum(col("c")).over(Window.partitionBy("event_type")))
+      // two readers below (q90 filter, final coverage join) — same
+      // shared-subtree discipline as `pred`; catalog×distinct-err sized,
+      // so the materialization is cheap and saves a histogram-agg +
+      // quantile-window re-run per consumer
+      .localCheckpoint()
     // q derives from cum: renamed join keys sidestep the self-join
     // column ambiguity
     val q = cum.filter(col("cum") * 10 >= col("n_cal") * 9)

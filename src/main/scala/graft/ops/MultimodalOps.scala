@@ -932,10 +932,25 @@ object MultimodalOps {
     * rows — the testable core (uniform bins read ≈ ln 16 and flag;
     * a single-bin blob reads ≈ 0 and doesn't). */
   private[ops] def byteEntropyFrom(hist: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // Envelope guard folded INTO the load-bearing quantized term (the
+    // e_stl_anomaly device — a standalone guard column gets pruned and a
+    // pruned raise_error never fires), and placed BEFORE the sum so it
+    // raises this op's message, not ANSI's generic overflow, the moment
+    // a blob's ledger could wrap: Σ n·round(ln n·1e9) ≤ Σn·ln(max n)·1e9
+    // + Σn/2, so sum(n)·max(ln n)·1e9 ≤ 1e18 bounds the BIGINT ledger
+    // with an 9.2x margin (the bound itself is a double product — no
+    // wrap in the check).
     val lns = graft.ops.DetMath.withLn(hist, "n", "bn")
+      .withColumn("ntot", sum(col("n")).over(w))
+      .withColumn("lmax", max(col("bn_ln")).over(w))
+      .withColumn("q", expr(
+        """CASE WHEN CAST(ntot AS DOUBLE) * lmax * 1.0e9 > 1.0e18
+        THEN raise_error('m_byte_entropy: entropy ledger exceeds the BIGINT envelope (sum(n)*ln(max n)*1e9 > 1e18) — shard the blob histogram')
+        ELSE n * CAST(round(bn_ln * 1.0e9) AS BIGINT) END"""))
     val agg = lns.groupBy("doc_id").agg(
       sum(col("n")).as("n_units"),
-      sum(expr("n * CAST(round(bn_ln * 1.0e9) AS BIGINT)")).as("slq"))
+      sum(col("q")).as("slq"))
     graft.ops.DetMath.withLn(agg, "n_units", "nt")
       .withColumn("entropy", expr(
         "nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)"))
@@ -1334,9 +1349,14 @@ object MultimodalOps {
       h AS (SELECT doc_id, (cp // 16)::INT AS bin, count(*)::BIGINT AS n
             FROM c GROUP BY 1, 2),
       l AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n", "bn")} FROM h),
+      g AS (SELECT *, sum(n) OVER wd AS ntot, max(bn_ln) OVER wd AS lmax
+            FROM l WINDOW wd AS (PARTITION BY doc_id)),
       a AS (SELECT doc_id, sum(n)::BIGINT AS n_units,
-              sum(n * CAST(round(bn_ln * 1.0e9) AS BIGINT))::BIGINT AS slq
-            FROM l GROUP BY 1),
+              sum(CASE WHEN CAST(ntot AS DOUBLE) * lmax * 1.0e9 > 1.0e18
+                THEN error('m_byte_entropy: entropy ledger exceeds the BIGINT envelope (sum(n)*ln(max n)*1e9 > 1e18) — shard the blob histogram')
+                ELSE n * CAST(round(bn_ln * 1.0e9) AS BIGINT) END)::BIGINT
+                AS slq
+            FROM g GROUP BY 1),
       t AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n_units", "nt")} FROM a)
       SELECT doc_id, n_units,
              nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)
