@@ -932,28 +932,31 @@ object MultimodalOps {
     * rows — the testable core (uniform bins read ≈ ln 16 and flag;
     * a single-bin blob reads ≈ 0 and doesn't). */
   private[ops] def byteEntropyFrom(hist: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    // Envelope guard folded INTO the load-bearing quantized term (the
-    // e_stl_anomaly device — a standalone guard column gets pruned and a
-    // pruned raise_error never fires), and placed BEFORE the sum so it
-    // raises this op's message, not ANSI's generic overflow, the moment
-    // a blob's ledger could wrap: Σ n·round(ln n·1e9) ≤ Σn·ln(max n)·1e9
-    // + Σn/2, so sum(n)·max(ln n)·1e9 ≤ 1e18 bounds the BIGINT ledger
-    // with an 9.2x margin (the bound itself is a double product — no
-    // wrap in the check).
+    // ONE doc-key groupBy carries the whole detector: the quantized
+    // ledger term is summed exactly wide — DECIMAL(19,0)·DECIMAL(18,0)
+    // → DECIMAL(38,0), exact for any BIGINT n × ln-quantum (≤4e29 per
+    // row; bins per doc are bounded, so the Σ stays far inside the
+    // 10^38 decimal envelope) — so NO wrap can occur before the
+    // post-agg guard fires, and the guard needs only the aggregated
+    // sum(n)/max(bn_ln). It lives INSIDE the load-bearing entropy
+    // expression (the e_stl_anomaly device — a standalone guard column
+    // gets pruned and a pruned raise_error never fires) and raises this
+    // op's message before the ledger is narrowed back to the 1e18
+    // BIGINT contract (9.2x margin: Σ n·round(ln n·1e9) ≤
+    // sum(n)·max(ln n)·1e9 + sum(n)/2).
     val lns = graft.ops.DetMath.withLn(hist, "n", "bn")
-      .withColumn("ntot", sum(col("n")).over(w))
-      .withColumn("lmax", max(col("bn_ln")).over(w))
       .withColumn("q", expr(
-        """CASE WHEN CAST(ntot AS DOUBLE) * lmax * 1.0e9 > 1.0e18
-        THEN raise_error('m_byte_entropy: entropy ledger exceeds the BIGINT envelope (sum(n)*ln(max n)*1e9 > 1e18) — shard the blob histogram')
-        ELSE n * CAST(round(bn_ln * 1.0e9) AS BIGINT) END"""))
+        """CAST(n AS DECIMAL(19,0))
+         * CAST(CAST(round(bn_ln * 1.0e9) AS BIGINT) AS DECIMAL(18,0))"""))
     val agg = lns.groupBy("doc_id").agg(
       sum(col("n")).as("n_units"),
+      max(col("bn_ln")).as("lmax"),
       sum(col("q")).as("slq"))
     graft.ops.DetMath.withLn(agg, "n_units", "nt")
       .withColumn("entropy", expr(
-        "nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)"))
+        """nt_ln - ((CASE WHEN CAST(n_units AS DOUBLE) * lmax * 1.0e9 > 1.0e18
+        THEN raise_error('m_byte_entropy: entropy ledger exceeds the BIGINT envelope (sum(n)*ln(max n)*1e9 > 1e18) — shard the blob histogram')
+        ELSE CAST(slq AS DOUBLE) END) / 1.0e9) / CAST(n_units AS DOUBLE)"""))
       .select(col("doc_id"), col("n_units"), col("entropy"),
         (col("entropy") > lit(2.63d)).as("high_entropy"))
       .orderBy("doc_id")
@@ -1349,21 +1352,21 @@ object MultimodalOps {
       h AS (SELECT doc_id, (cp // 16)::INT AS bin, count(*)::BIGINT AS n
             FROM c GROUP BY 1, 2),
       l AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n", "bn")} FROM h),
-      g AS (SELECT *, sum(n) OVER wd AS ntot, max(bn_ln) OVER wd AS lmax
-            FROM l WINDOW wd AS (PARTITION BY doc_id)),
-      a AS (SELECT doc_id, sum(n)::BIGINT AS n_units,
-              sum(CASE WHEN CAST(ntot AS DOUBLE) * lmax * 1.0e9 > 1.0e18
+      -- one doc-key agg mirrors the Spark shape: DuckDB's sum(BIGINT) is
+      -- HUGEINT (exact wide, like Spark's DECIMAL(38,0) ledger), so the
+      -- envelope guard moves AFTER the agg, before the narrow-back.
+      a AS (SELECT doc_id, sum(n)::BIGINT AS n_units, max(bn_ln) AS lmax,
+              sum(n * CAST(round(bn_ln * 1.0e9) AS BIGINT)) AS slq
+            FROM l GROUP BY 1),
+      t AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n_units", "nt")} FROM a),
+      e AS (SELECT doc_id, n_units,
+              nt_ln - ((CASE WHEN CAST(n_units AS DOUBLE) * lmax * 1.0e9 > 1.0e18
                 THEN error('m_byte_entropy: entropy ledger exceeds the BIGINT envelope (sum(n)*ln(max n)*1e9 > 1e18) — shard the blob histogram')
-                ELSE n * CAST(round(bn_ln * 1.0e9) AS BIGINT) END)::BIGINT
-                AS slq
-            FROM g GROUP BY 1),
-      t AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n_units", "nt")} FROM a)
-      SELECT doc_id, n_units,
-             nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE)
-               AS entropy,
-             (nt_ln - (CAST(slq AS DOUBLE) / 1.0e9) / CAST(n_units AS DOUBLE))
-               > 2.63 AS high_entropy
-      FROM t ORDER BY doc_id""",
+                ELSE CAST(slq AS DOUBLE) END) / 1.0e9)
+                / CAST(n_units AS DOUBLE) AS entropy
+            FROM t)
+      SELECT doc_id, n_units, entropy, entropy > 2.63 AS high_entropy
+      FROM e ORDER BY doc_id""",
     "m_byte_histogram" -> """
       WITH c AS (SELECT doc_id, unicode(unnest(string_split_regex(text, ''))) cp
                  FROM documents)

@@ -400,12 +400,19 @@ class PlanSnapshotSpec extends SparkSpec {
     // one scan, one hash-key agg, one global agg — no joins, no windows
     "d_sample_bias" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "d_cluster_lang_mix" -> "scan=1 xhash=3 xrange=1 bcast=2 smj=0 bhj=2 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // r14: envelope guard lives in the ONE doc-key agg (DECIMAL(38,0)
+    // exact-wide ledger + post-agg raise) — a window creeping back in
+    // means the r13 two-window guard regressed; win=0 is the contract
     "m_byte_entropy" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "e_seasonal_strength" -> "scan=0 xhash=2 xrange=2 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=3 wgl=0",
     "e_xcorr" -> "scan=0 xhash=5 xrange=1 bcast=2 smj=1 bhj=2 shj=0 bnlj=0 cart=0 gen=1 win=0 wgl=0",
     "t_ngram_coverage" -> "scan=2 xhash=2 xrange=1 bcast=1 smj=0 bhj=0 shj=0 bnlj=1 cart=0 gen=1 win=0 wgl=0",
     "s_knn_density" -> "scan=3 xhash=2 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2",
-    "e_forecast_pi" -> "scan=0 xhash=8 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=4 wgl=0",
+    // r13 re-pin: the shared-checkpoint on the cumulative histogram
+    // (9728ee7) truncates the pinned lineage — the 3 removed hash
+    // exchanges and all 4 windows happen once at checkpoint build, not
+    // per consumer; the executed shape reads the materialized relation
+    "e_forecast_pi" -> "scan=0 xhash=5 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "s_rrf_fusion" -> "scan=4 xhash=6 xrange=1 bcast=2 smj=1 bhj=2 shj=0 bnlj=0 cart=0 gen=1 win=4 wgl=8",
     "t_gate_by_source" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     "s_sq8_recall" -> "scan=0 xhash=4 xrange=1 bcast=0 smj=2 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
