@@ -2034,7 +2034,19 @@ object DedupOps {
     * materialized [[pairCounts]]-derived edge list (see the composition
     * in [[pairCounts]]; also accepts simhash / phash / embedding pair
     * outputs, which share the (a_id, b_id) shape). */
-  def dedupClustersFrom(pairRelation: DataFrame): DataFrame = {
+  def dedupClustersFrom(pairRelation: DataFrame): DataFrame =
+    dedupClustersFrom(pairRelation, None)
+
+  /** [[dedupClustersFrom]] with a test-only probe that receives each
+    * contraction round's executed-plan string BEFORE the round's
+    * checkpoint materializes it — lets ScalingBudgetSpec assert
+    * deterministically that every round reads the PREVIOUS round's
+    * checkpointed relation (Scan ExistingRDD, zero parquet scans, two
+    * star windows) rather than re-deriving lineage, the failure mode
+    * that turns the log-round algorithm super-linear at scale. Probe
+    * `None` costs nothing (the plan string is never rendered). */
+  private[ops] def dedupClustersFrom(pairRelation: DataFrame,
+      roundPlanProbe: Option[String => Unit]): DataFrame = {
     // checkpoint BEFORE deriving nodes/edges so every consumer branch
     // reads the materialized pairs by construction (exchange reuse is an
     // optimizer courtesy, not a guarantee)
@@ -2093,14 +2105,16 @@ object DedupOps {
       // m = min of its smaller neighbors and points them AND itself at m;
       // the final distinct collapses the duplicate emissions of both
       // passes at once
-      val ss = ls
+      val ssPlan = ls
         .select(col("src"), col("dst"), min(col("dst")).over(byNode).as("m"))
         .select(
           when(col("dst") =!= col("m"), col("dst")).otherwise(col("src"))
             .as("src"),
           col("m").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct().localCheckpoint()
+        .distinct()
+      roundPlanProbe.foreach(_(ssPlan.queryExecution.executedPlan.toString))
+      val ss = ssPlan.localCheckpoint()
       val cur = checksum(ss)
       converged = cur == prev
       prev = cur

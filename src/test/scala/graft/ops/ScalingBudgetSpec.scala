@@ -61,7 +61,11 @@ class ScalingBudgetSpec extends SparkSpec {
       "fuzzy edit-distance tier" -> "d_fuzzy_pairs",
       "pair-index sketch tier" -> "d_minhash_lsh",
       "n-gram pair scorer" -> "t_bleu_pairs",
-      "ANN / IVF tier" -> "s_ivf_topk"))
+      "ANN / IVF tier" -> "s_ivf_topk",
+      // r13 verdict ask: the most expensive bench family — a serialized
+      // contraction round or a re-expanded checkpoint is exactly where
+      // the log-round CC goes super-linear
+      "clustering contraction tier" -> "d_dedup_clusters"))
     test(s"scaling budget: $family ($q) stays under ${Budget}x " +
         "for a 4x open-mode corpus") {
       graft.GraftSession.init(spark)
@@ -77,6 +81,39 @@ class ScalingBudgetSpec extends SparkSpec {
           "(serialized stage, re-expanded shared base, lost pushdown) — " +
           "audit the plan before re-pinning any budget")
     }
+
+  test("d_dedup_clusters: every contraction round reads the previous " +
+      "round's checkpointed relation, never re-derived lineage") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // A 12-node path needs several (large-star, small-star) rounds to
+    // converge — enough rounds to catch a broken per-round checkpoint.
+    // The pairs come FROM PARQUET so a re-derived lineage is visible as
+    // a parquet scan inside a round's executed plan.
+    val dir = Files.createTempDirectory("graft_cc_rounds")
+    (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+    val pairs = spark.read.parquet(s"$dir/pairs.parquet")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = DedupOps.dedupClustersFrom(pairs, Some(rounds += _)).collect()
+    // correctness of the fixture itself: one component rooted at 0
+    assert(out.length == 12 && out.forall(_.getLong(1) == 0L))
+    assert(rounds.size >= 2, s"expected a multi-round contraction, " +
+      s"got ${rounds.size} round(s)")
+    for ((p, i) <- rounds.zipWithIndex) {
+      assert(!p.contains("Scan parquet"),
+        s"round ${i + 1} re-derived the pair lineage from parquet — the " +
+          "per-round localCheckpoint is broken; every round must read " +
+          s"the materialized previous round:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"round ${i + 1} does not read a checkpointed (ExistingRDD) " +
+          s"relation:\n$p")
+      val wins = "(?<![A-Za-z])Window(?![A-Za-z])".r.findAllMatchIn(p).size
+      assert(wins == 2,
+        s"round ${i + 1} should be exactly the two star-pass windows, " +
+          s"got $wins:\n$p")
+    }
+  }
 
   test("d_fuzzy_pairs: the DP stage keeps its do-not-coalesce contract " +
       "(user-numPartitions REPARTITION_BY_NUM in the executed plan)") {
