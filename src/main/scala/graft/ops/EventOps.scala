@@ -983,7 +983,7 @@ object EventOps {
     * one consumer MUST `localCheckpoint()` it first (the pairCounts
     * discipline): each consumer's pruned lineage otherwise re-derives
     * the agg from its own full scan of the data-sized input. */
-  private[ops] def dailyCountsFrom(ev: DataFrame): DataFrame =
+  private[graft] def dailyCountsFrom(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
 

@@ -171,6 +171,23 @@ object StreamOps {
   def freshnessStream(events: DataFrame): DataFrame =
     graft.ops.ValidationOps.freshnessCore(events)
 
+  /** Streaming arm of the shared daily-count ledger
+    * (`EventOps.dailyCountsFrom`) — (event_type, day, n) maintained
+    * incrementally as events land. count is a commutative mergeable
+    * monoid over the SAME shared core definition, so the stream's state
+    * equals the batch ledger over the same rows at every point in time
+    * (merge == batch spec-proven across micro-batches, including a
+    * batch straddling a day boundary), which makes the whole anomaly
+    * ensemble that consumes the ledger (raw z-score, MAD, STL/CUSUM,
+    * Holt-Winters PI — all `*FromDaily` cores) servable LIVE: poll the
+    * state table, feed the cores. Null timestamps keep their null-day
+    * group exactly as the batch ledger does (calendar consumers drop it
+    * downstream). State is catalog × active-days rows — calendar-sized,
+    * watermark-free, runs forever; expire closed days downstream if the
+    * horizon must be bounded. */
+  def dailyCountStream(events: DataFrame): DataFrame =
+    graft.ops.EventOps.dailyCountsFrom(events)
+
   /** Gap-based sessionization with explicit state: 30-minute inactivity
     * closes a session (streaming dual of EventOps.qSessionize). Keyed by
     * user — state is per-user, so memory is O(active users), not

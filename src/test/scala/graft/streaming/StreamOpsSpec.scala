@@ -72,6 +72,49 @@ class StreamOpsSpec extends SparkSpec {
       ("c", 1998L, true)), rep.mkString(", "))
   }
 
+  test("dailyCountStream: stream-merged ledger == batch ledger across " +
+      "micro-batches, including a day-boundary-straddling batch and the " +
+      "null-day group") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    // sentinel ts_us < 0 → null timestamp (the corrupt-feed arm the
+    // batch ledger keeps as its null-day group)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(when(col("ts_us") >= 0, expr("timestamp_micros(ts_us)"))
+        .as("ts"), col("event_type"))
+    val q = StreamOps.dailyCountStream(shape(in.toDF().toDF("ts_us", "event_type")))
+      .writeStream.format("memory").queryName("daily_ledger")
+      .outputMode("complete").start()
+    val h = 3600L * 1000000L // one hour in micros; day 0 = 1970-01-01
+    val b1 = Seq((10 * h, "a"), (11 * h, "a"), (23 * h, "b"))
+    // batch 2 STRADDLES midnight: a late day-0 row and early day-1 rows
+    // land in ONE micro-batch, plus a null-ts row
+    val b2 = Seq((23 * h + 1800L * 1000000L, "a"), (24 * h + 1800L * 1000000L, "a"),
+      (24 * h + 600L * 1000000L, "b"), (-1L, "c"))
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("daily_ledger").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    q.stop()
+    // the contract: == ONE batch pass over all rows through the SAME core
+    val want = graft.ops.EventOps.dailyCountsFrom(
+        shape((b1 ++ b2).toDF("ts_us", "event_type"))).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    assert(got == want, s"stream $got != batch $want")
+    // and the fixture exercises what it claims: a straddled day pair
+    // for both a and b, and the null-day group
+    assert(want == Set(("a", "1970-01-01", 3L), ("a", "1970-01-02", 1L),
+      ("b", "1970-01-01", 1L), ("b", "1970-01-02", 1L), ("c", null, 1L)),
+      want.toString)
+  }
+
   test("histogramSketchStream merges micro-batches into the batch histogram") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
