@@ -527,9 +527,12 @@ object CorpusOps {
         // ×2 ledger: 2·p·(negatives strictly below) + p·q ties
         sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * (qbase + qloc) + q)"))
           .as("s2"))
+      // try_divide: a single-class corpus (every doc kept, or none — the
+      // 10x open-mode ScaleGen corpus reaches it) has NO defined AUC;
+      // NULL is DuckDB's native x/0 and the honest verdict, not a crash
       .select(col("n_pos"), col("n_neg"), expr(
-        """CAST(s2 AS DOUBLE)
-           / CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DOUBLE)""")
+        """try_divide(CAST(s2 AS DOUBLE),
+           CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg AS DOUBLE))""")
         .as("auc"))
   }
 

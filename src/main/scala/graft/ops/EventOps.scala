@@ -1400,6 +1400,65 @@ object EventOps {
                       CAST(weekday_n * weekend_days AS DOUBLE))"""))
       .orderBy("event_type")
 
+  /** Difference-in-differences on daily event volume: for every event
+    * type, the change in MEAN DAILY count from the pre-period to the
+    * post-period, minus the same change in the REST of the catalog (the
+    * control) — the launch/incident attribution readout that separates
+    * "purchases rose after the change" from "everything rose after the
+    * change". The period split is the calendar midpoint of the observed
+    * span (the [[ValidationOps.ksHalves]] device, global so every type
+    * shares one intervention date); means are count/window-days so
+    * zero-volume days weigh in without a densify.
+    *
+    * Exactness: counts, day arithmetic and window lengths are pure
+    * BIGINTs; the midpoint is floor((lo+hi)/2) computed through an
+    * exact double (floor-consistent in both engines, where BIGINT DIV
+    * truncates toward zero in Spark but floors in DuckDB on negatives);
+    * the four means are single IEEE divisions of exact integers and the
+    * two subtractions are fixed-order — bit-identical both engines.
+    * try_divide ≡ DuckDB x/0 on a degenerate single-day span.
+    *
+    * Plan/scale: rides the shared [[dailyCountsFrom]] ledger (ONE
+    * fact-table scan + one uniform (type, day) agg); everything after
+    * is windows and an agg over the catalog × days relation, then a
+    * catalog-sized window. Nothing data-sized past the ledger. */
+  def qDid(s: SparkSession, d: String): DataFrame =
+    didFrom(events(s, d).select(col("event_type"), col("ts")))
+
+  /** [[qDid]] over a caller-supplied (event_type, ts) relation — the
+    * testable core (a planted post-period lift on one type reads the
+    * hand-computed DiD; a uniform lift on every type reads DiD 0). */
+  private[ops] def didFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    val daily = dailyCountsFrom(ev).filter(col("day").isNotNull)
+      .select(col("event_type"),
+        expr("datediff(day, DATE '1970-01-01')").as("dn"), col("n"))
+      .withColumn("lo", min(col("dn")).over(w))
+      .withColumn("hi", max(col("dn")).over(w))
+      .withColumn("mid",
+        expr("CAST(floor((lo + hi) / 2.0e0) AS BIGINT)"))
+    val perType = daily.groupBy("event_type")
+      .agg(
+        sum(when(col("dn") <= col("mid"), col("n")).otherwise(0L))
+          .as("n_pre"),
+        sum(when(col("dn") > col("mid"), col("n")).otherwise(0L))
+          .as("n_post"),
+        max(col("mid") - col("lo") + lit(1L)).as("pre_days"),
+        max(col("hi") - col("mid")).as("post_days"))
+    perType
+      .withColumn("tot_pre", sum(col("n_pre")).over(w))
+      .withColumn("tot_post", sum(col("n_post")).over(w))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        expr("""try_divide(CAST(n_post AS DOUBLE), CAST(post_days AS DOUBLE))
+          - try_divide(CAST(n_pre AS DOUBLE), CAST(pre_days AS DOUBLE))""")
+          .as("own_delta"),
+        expr("""try_divide(CAST(tot_post - n_post AS DOUBLE), CAST(post_days AS DOUBLE))
+          - try_divide(CAST(tot_pre - n_pre AS DOUBLE), CAST(pre_days AS DOUBLE))""")
+          .as("ctrl_delta"))
+      .withColumn("did", expr("own_delta - ctrl_delta"))
+      .orderBy("event_type")
+  }
+
   /** [[qAutocorr]] over a caller-supplied (event_type, ts) relation —
     * the testable core (the gate feed has no deep gaps or overflow
     * regimes, so those paths are proven on constructed series). */
@@ -2397,6 +2456,7 @@ object EventOps {
     "e_cusum" -> qCusum,
     "e_autocorr" -> qAutocorr,
     "e_weekday_lift" -> qWeekdayLift,
+    "e_did" -> qDid,
     "e_stl" -> qStl,
     "e_stl_anomaly" -> qStlAnomaly,
     "e_anomaly_votes" -> qAnomalyVotes,
@@ -2795,6 +2855,34 @@ object EventOps {
       WHERE coalesce(flag_raw, FALSE) OR coalesce(flag_robust, FALSE)
          OR coalesce(flag_stl, FALSE)
       ORDER BY event_type, day""",
+    "e_did" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', day)::BIGINT AS dn, n
+            FROM daily),
+      g AS (SELECT *, min(dn) OVER () AS lo, max(dn) OVER () AS hi FROM b),
+      m AS (SELECT *, CAST(floor((lo + hi) / 2.0e0) AS BIGINT) AS mid
+            FROM g),
+      p AS (SELECT event_type,
+              sum(CASE WHEN dn <= mid THEN n ELSE 0 END)::BIGINT AS n_pre,
+              sum(CASE WHEN dn > mid THEN n ELSE 0 END)::BIGINT AS n_post,
+              max(mid - lo + 1) AS pre_days, max(hi - mid) AS post_days
+            FROM m GROUP BY 1),
+      t AS (SELECT *, sum(n_pre) OVER () AS tot_pre,
+              sum(n_post) OVER () AS tot_post FROM p),
+      e AS (SELECT event_type, n_pre, n_post,
+              CAST(n_post AS DOUBLE) / CAST(post_days AS DOUBLE)
+                - CAST(n_pre AS DOUBLE) / CAST(pre_days AS DOUBLE)
+                AS own_delta,
+              CAST(tot_post - n_post AS DOUBLE) / CAST(post_days AS DOUBLE)
+                - CAST(tot_pre - n_pre AS DOUBLE) / CAST(pre_days AS DOUBLE)
+                AS ctrl_delta
+            FROM t)
+      SELECT event_type, n_pre, n_post, own_delta, ctrl_delta,
+             own_delta - ctrl_delta AS did
+      FROM e ORDER BY event_type""",
     "e_weekday_lift" -> s"""
       WITH ${denseDailyCtes("e_weekday_lift")},
       a AS (

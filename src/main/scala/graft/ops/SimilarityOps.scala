@@ -791,6 +791,44 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** k-NN HUBNESS profile — the in-degree of every vector in the
+    * [[knnGraph]]: how many other vectors list it among their top-3
+    * neighbors. High-dimensional embedding spaces concentrate: a few
+    * "hub" vectors appear in a large fraction of all kNN lists (in-deg
+    * ≫ k) while "antihubs" appear in none — the classic ANN pathology
+    * (Radovanović et al., JMLR 2010) that silently skews kNN-LM
+    * retrieval, SemDeDup neighbor votes, and density scores toward the
+    * hubs. This is the dial a curation pass reads BEFORE trusting any
+    * neighbor-based operator: is_hub flags in-deg ≥ 2k (here 6),
+    * is_antihub flags in-deg = 0; a healthy space keeps both rare.
+    * Every corpus vector is reported (a vector outside every top-3
+    * list is exactly the antihub case, not a droppable row).
+    *
+    * Plan/scale: rides the SAME [[knnGraph]] (one narrow assignment
+    * pass + one cell-key self-join bounded by cell occupancy) + ONE
+    * uniform b_id-key agg + one left join back to the corpus ids —
+    * nothing beyond the graph's own cost. Exactness: pure integer
+    * counts and comparisons; no floats anywhere past the graph. */
+  def hubness(s: SparkSession, d: String): DataFrame =
+    hubnessFrom(embeddings(s, d))
+
+  /** [[hubness]] over a caller-supplied (vec_id, embedding) relation —
+    * the testable core (a planted centroid-adjacent vector reads high
+    * in-deg; a far-away vector reads 0 and flags antihub). */
+  private[ops] def hubnessFrom(emb: DataFrame): DataFrame = {
+    val indeg = knnGraphFrom(emb)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    emb.select(col("vec_id"))
+      .join(indeg, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .select(col("vec_id"), col("in_deg"),
+        (col("in_deg") >= lit(6L)).as("is_hub"),
+        (col("in_deg") === lit(0L)).as("is_antihub"))
+      .orderBy("vec_id")
+  }
+
   /** IVF PROBE-COUNT tuning curve — recall@5 of the cell-probe read
     * path at nprobe ∈ {1, 2, 4, 8}, against the exact brute-force
     * top-5: the [[recallCurve]] discipline applied to the IVF tier
@@ -1954,6 +1992,7 @@ object SimilarityOps {
     "s_sq8_recall" -> sq8Recall,
     "s_rrf_fusion" -> rrfFusion,
     "s_knn_density" -> knnDensity,
+    "s_hubness" -> hubness,
     "s_spearman_mrl" -> spearmanMrl,
     "s_triplets" -> triplets,
     "s_ndcg" -> ndcgLsh,
@@ -2362,6 +2401,14 @@ object SimilarityOps {
       SELECT e.vec_id, e.label,
              coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors, a.cos_kth
       FROM embeddings e LEFT JOIN a ON e.vec_id = a.a_id
+      ORDER BY e.vec_id""",
+    "s_hubness" -> s"""
+      WITH g AS ($KnnGraphOracle),
+      a AS (SELECT b_id, count(*)::BIGINT AS in_deg FROM g GROUP BY 1)
+      SELECT e.vec_id, coalesce(a.in_deg, 0)::BIGINT AS in_deg,
+             coalesce(a.in_deg, 0) >= 6 AS is_hub,
+             coalesce(a.in_deg, 0) = 0 AS is_antihub
+      FROM embeddings e LEFT JOIN a ON e.vec_id = a.b_id
       ORDER BY e.vec_id""",
     "s_knn_accuracy" -> s"""
       WITH g AS ($KnnGraphOracle),

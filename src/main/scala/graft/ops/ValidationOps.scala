@@ -136,6 +136,91 @@ object ValidationOps {
       .orderBy("source")
   }
 
+  /** TEMPORAL value drift: per event type, the PSI of the `value`
+    * distribution in the second half of the type's calendar span
+    * against the first half — the silent-unit-change detector
+    * ([[drift]] catches per-SOURCE length drift at ingest; this
+    * catches a producer changing value semantics MID-STREAM, which a
+    * source-axis report never sees). Fixed width-25 bins top-capped at
+    * 19 (data-independent — no quantile pass at any scale); the half
+    * split is each type's calendar midpoint (the [[ksHalves]] device).
+    * Instead of add-one smoothing, mass in bins PRESENT IN ONLY ONE
+    * HALF is reported explicitly (`frac_only_pre`/`frac_only_post`) —
+    * the "a whole new value regime appeared" signal smoothing blurs
+    * into the PSI number — and PSI is computed over the shared-support
+    * bins. drift flags psi > 0.2 (the standard act threshold) or > 5%
+    * single-half mass.
+    *
+    * Exactness: ln(p/q) = ln(c1·n2) − ln(c2·n1) over BIGINT products
+    * via [[DetMath]]; per-bin terms quantize to the 1e-9 BIGINT ledger
+    * (order-free Σ); the 2^31 half-size envelope (products < 2^62) is
+    * folded into the load-bearing term so both engines raise
+    * identically. Bin = floor(value/25) through one IEEE division —
+    * bit-identical both engines.
+    *
+    * Plan/scale: ONE scan → (type, day, bin) counts shuffle once on a
+    * uniform key (the only data-sized pass); the half split comes from
+    * type-key windows over that catalog × days × bins relation — NOT a
+    * min/max branch re-scanning the input (the ksHalves two-scan shape
+    * this operator deliberately improves on); everything after runs
+    * over the catalog × 20-bin grid. */
+  def valueDrift(s: SparkSession, d: String): DataFrame =
+    valueDriftFrom(events(s, d)
+      .select(col("event_type"), col("ts"), col("value")))
+
+  /** [[valueDrift]] over a caller-supplied (event_type, ts, value)
+    * relation — the testable core (identical halves ⇒ PSI exactly 0 and
+    * no flag; a planted post-half shift ⇒ the hand-computed PSI and
+    * single-half mass). The 2^31 envelope raise is not fixture-reachable
+    * (the core takes raw rows, not counts) — the guard predicate is the
+    * e_autocorr-audited pattern, shared verbatim with the oracle. */
+  private[ops] def valueDriftFrom(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").as("dn"),
+        expr("least(CAST(floor(value / 25.0e0) AS BIGINT), 19L)").as("bin"))
+      .groupBy("event_type", "dn", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("lo", min(col("dn")).over(w.partitionBy("event_type")))
+      .withColumn("hi", max(col("dn")).over(w.partitionBy("event_type")))
+    val hist = base
+      .withColumn("h", when(col("dn") * 2 <= col("lo") + col("hi"), 1)
+        .otherwise(2))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("h") === 1, col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("h") === 2, col("c")).otherwise(0L)).as("c2"))
+      .withColumn("n1", sum(col("c1")).over(w.partitionBy("event_type")))
+      .withColumn("n2", sum(col("c2")).over(w.partitionBy("event_type")))
+      // ln inputs stay >= 1 on single-half rows (whose term the CASE
+      // zeroes anyway — greatest() keeps the series well-defined there)
+      .withColumn("pa", expr("greatest(c1 * n2, 1L)"))
+      .withColumn("pb", expr("greatest(c2 * n1, 1L)"))
+    val lns = Seq(("pa", "la"), ("pb", "lb"))
+      .foldLeft(hist) { case (df, (n, p)) => DetMath.withLn(df, n, p) }
+    val terms = lns.withColumn("q", expr("""CASE
+        WHEN n1 >= 2147483648L OR n2 >= 2147483648L
+        THEN raise_error('v_value_drift: half size exceeds the product envelope (n >= 2^31) — shard by period before the PSI pass')
+        WHEN c1 > 0 AND c2 > 0
+        THEN CAST(round(((c1 / n1 - c2 / n2) * (la_ln - lb_ln)) * 1.0e9) AS BIGINT)
+        ELSE 0L END"""))
+    terms.groupBy("event_type")
+      .agg(max(col("n1")).as("n_pre"), max(col("n2")).as("n_post"),
+        sum(col("q")).as("sq"),
+        sum(when(col("c2") === 0L, col("c1")).otherwise(0L))
+          .as("m_only_pre"),
+        sum(when(col("c1") === 0L, col("c2")).otherwise(0L))
+          .as("m_only_post"))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        expr("sq / 1.0e9").as("psi"),
+        expr("try_divide(CAST(m_only_pre AS DOUBLE), CAST(n_pre AS DOUBLE))")
+          .as("frac_only_pre"),
+        expr("try_divide(CAST(m_only_post AS DOUBLE), CAST(n_post AS DOUBLE))")
+          .as("frac_only_post"))
+      .withColumn("drift", expr(
+        "psi > 0.2e0 OR frac_only_pre > 0.05e0 OR frac_only_post > 0.05e0"))
+      .orderBy("event_type")
+  }
+
   /** Vocabulary-level drift: per-source KL divergence of the token
     * distribution against the whole corpus, over the source's OBSERVED
     * support —
@@ -937,6 +1022,7 @@ object ValidationOps {
     "v_profile" -> profile,
     "v_constraints" -> constraints,
     "v_drift" -> drift,
+    "v_value_drift" -> valueDrift,
     "v_kl_sources" -> klSources,
     "v_js_sources" -> jsSources,
     "v_value_fences" -> valueFences,
@@ -1281,6 +1367,55 @@ object ValidationOps {
             FROM j)
       SELECT source, n_s AS n_docs, (sum(term)::BIGINT / 1.0e9) AS psi
       FROM t GROUP BY 1, 2 ORDER BY source""",
+    "v_value_drift" -> s"""
+      WITH base AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+                 AS dn,
+               least(CAST(floor(value / 25.0e0) AS BIGINT), 19) AS bin
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      dayc AS (SELECT event_type, dn, bin, count(*)::BIGINT AS c
+               FROM base GROUP BY 1, 2, 3),
+      sp AS (SELECT *, min(dn) OVER (PARTITION BY event_type) AS lo,
+               max(dn) OVER (PARTITION BY event_type) AS hi
+             FROM dayc),
+      hist AS (SELECT event_type, bin,
+                 sum(CASE WHEN dn * 2 <= lo + hi THEN c ELSE 0 END)::BIGINT
+                   AS c1,
+                 sum(CASE WHEN dn * 2 > lo + hi THEN c ELSE 0 END)::BIGINT
+                   AS c2
+               FROM sp GROUP BY 1, 2),
+      g AS (SELECT *, sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+              sum(c2) OVER (PARTITION BY event_type)::BIGINT AS n2
+            FROM hist),
+      pg AS (SELECT *, greatest(c1 * n2, 1)::BIGINT AS pa,
+               greatest(c2 * n1, 1)::BIGINT AS pb FROM g),
+      l AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("pa", "la")},
+              ${graft.ops.DetMath.lnDuckSelect("pb", "lb")} FROM pg),
+      t AS (SELECT *, CASE
+              WHEN n1 >= 2147483648 OR n2 >= 2147483648
+              THEN error('v_value_drift: half size exceeds the product envelope (n >= 2^31) — shard by period before the PSI pass')
+              WHEN c1 > 0 AND c2 > 0
+              THEN CAST(round(((c1 / n1 - c2 / n2) * (la_ln - lb_ln))
+                        * 1.0e9) AS BIGINT)
+              ELSE 0 END AS q
+            FROM l),
+      a AS (SELECT event_type, max(n1)::BIGINT AS n_pre,
+              max(n2)::BIGINT AS n_post, sum(q)::BIGINT AS sq,
+              sum(CASE WHEN c2 = 0 THEN c1 ELSE 0 END)::BIGINT
+                AS m_only_pre,
+              sum(CASE WHEN c1 = 0 THEN c2 ELSE 0 END)::BIGINT
+                AS m_only_post
+            FROM t GROUP BY 1),
+      f AS (SELECT event_type, n_pre, n_post, sq / 1.0e9 AS psi,
+              CAST(m_only_pre AS DOUBLE) / CAST(n_pre AS DOUBLE)
+                AS frac_only_pre,
+              CAST(m_only_post AS DOUBLE) / CAST(n_post AS DOUBLE)
+                AS frac_only_post
+            FROM a)
+      SELECT *, (psi > 0.2e0 OR frac_only_pre > 0.05e0
+                 OR frac_only_post > 0.05e0) AS drift
+      FROM f ORDER BY event_type""",
     "v_kl_sources" -> s"""
       WITH st AS (SELECT source, tok, count(*)::BIGINT AS a
                   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok

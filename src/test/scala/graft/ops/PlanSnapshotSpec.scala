@@ -446,7 +446,16 @@ class PlanSnapshotSpec extends SparkSpec {
     "e_backtest_hw" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=1 win=2 wgl=0",
     // ONE user-key shuffle, two mirrored ignore-nulls windows — the
     // backward join's shape reflected
-    "q_asof_fwd" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0")
+    "q_asof_fwd" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // r14: rides the daily ledger — one scan, one (type, day) agg
+    // shuffle, two single-partition windows over catalog-sized relations
+    "e_did" -> "scan=1 xhash=1 xrange=0 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // r14: ONE scan (the split comes from type-key windows over the
+    // (type, day, bin) agg, not a bounds branch re-scanning the input)
+    "v_value_drift" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
+    // r14: the knnGraph shape (cell self-join + WindowGroupLimit top-3)
+    // + one in-deg agg + the ids left join
+    "s_hubness" -> "scan=3 xhash=3 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {
