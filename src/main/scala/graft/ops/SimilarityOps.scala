@@ -1559,18 +1559,28 @@ object SimilarityOps {
     * drops the quantization and accumulates doubles (same plan); BIGINT
     * headroom here is documented to N ≈ 4·10⁸ rows.
     *
-    * Plan/scale: one scan → ONE Generate (the upper-triangle outer-product
-    * array, flattened — 2080 structs per row; G is symmetric, the mirror
-    * is exact driver work) → (i,j)-key partial agg (map-side combine does
+    * Plan/scale: one scan → an explicit user-numPartitions repartition
+    * of the NARROW quantized rows (the d_fuzzy_pairs lesson, caught by
+    * the r14 10× exponent run at 30s isolated: the vector parquet is
+    * kilobytes of bytes but each row fans out 2080 structs, so the
+    * file-split/AQE byte heuristics hand the whole compute-bound
+    * Generate to 1–2 cores; REPARTITION_BY_NUM is the do-not-coalesce
+    * contract) → ONE Generate (the upper-triangle outer-product array,
+    * flattened — 2080 structs per row; G is symmetric, the mirror is
+    * exact driver work) → (i,j)-key partial agg (map-side combine does
     * almost all the reduction: ≤ 2080 cells × 32 tasks cross the wire) →
     * 2080 rows to the driver. Nothing else is distributed; the returned
     * frame is a LocalTableScan. */
-  def powerIter(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val gRows = embeddings(s, d)
+  /** The distributed Gramian pipeline of [[powerIter]], exposed so
+    * ScalingBudgetSpec can assert the do-not-coalesce repartition
+    * deterministically (reverting it fails the plan check on every box;
+    * the wall-clock symptom only shows at 10×). */
+  private[ops] def gramianRows(emb: DataFrame): DataFrame =
+    emb
       .select(expr(
         s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))")
         .as("e"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(explode(expr(
         // upper triangle only — G is symmetric; the mirror is exact and
         // free on the driver, and the Generate fan-out halves (2080 vs
@@ -1579,7 +1589,10 @@ object SimilarityOps {
              named_struct('i', i, 'j', i + dj, 'p', vi * vj))))""")).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("g"))
-      .collect()
+
+  def powerIter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gRows = gramianRows(embeddings(s, d)).collect()
     // empty corpus (tiny SF): empty frame with the contract schema
     if (gRows.isEmpty)
       return Seq.empty[(Long, Long, Double, Double)]

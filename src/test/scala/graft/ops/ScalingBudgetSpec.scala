@@ -115,6 +115,23 @@ class ScalingBudgetSpec extends SparkSpec {
     }
   }
 
+  test("s_power_iter: the Gramian explode keeps its do-not-coalesce " +
+      "contract (user-numPartitions REPARTITION_BY_NUM in the plan)") {
+    graft.GraftSession.init(spark)
+    // r14 10x finding: the vector parquet is kilobytes, so file-split /
+    // AQE byte heuristics hand the 2080-structs-per-row Generate to 1-2
+    // cores (30.4s isolated at 10x; 8.6s with the repartition). The
+    // wall-clock symptom is invisible at gate SF and marginal at 4x —
+    // only this plan shape fails deterministically on a revert.
+    val plan = SimilarityOps.gramianRows(
+        graft.ops.Tables.embeddings(spark, dir1x))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "the explicit .repartition(defaultParallelism) of the narrow " +
+        "quantized rows before the outer-product Generate is the only " +
+        s"do-not-coalesce contract:\n$plan")
+  }
+
   test("d_fuzzy_pairs: the DP stage keeps its do-not-coalesce contract " +
       "(user-numPartitions REPARTITION_BY_NUM in the executed plan)") {
     graft.GraftSession.init(spark)
