@@ -8,7 +8,7 @@ For each query dir in <outDir>: read Spark's parquet result, run the oracle
 SQL from oracle_sql.json in DuckDB with the testdata tables registered as
 views, sort columns by name + rows by all columns, compare exact values.
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -31,7 +31,12 @@ def key(row):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # testdata tables are single files; Spark-written tables (e.g. a
+        # ScaleGen corpus) are part-file DIRECTORIES — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     qdirs = sorted(d.split("/")[-1].removesuffix(".parquet")
