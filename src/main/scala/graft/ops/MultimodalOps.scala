@@ -1073,6 +1073,78 @@ object MultimodalOps {
         expr("energy / n_samples").as("mean_energy"))
       .orderBy("doc_id", "win")
 
+  /** DF cap on fingerprint postings in [[audioFprint]] — a landmark
+    * shared by more docs than this is boilerplate (tone beeps, codec
+    * padding) and is dropped before pair enumeration, the
+    * [[graft.ops.DedupOps]] pairCounts discipline. */
+  val FprintMaxDf = 32L
+
+  /** Audio landmark fingerprint MATCH report — the Shazam-style
+    * constellation device, which is the audio tier's answer to
+    * [[phash]]: energy PEAKS (strict local maxima over the
+    * [[audioWindows]] grid, plateau tiebreak to the first window) are
+    * paired each-with-its-next into landmarks, a landmark hashes as
+    * (energy band₁, energy band₂, Δt) — NO absolute time, so a clip
+    * re-encoded, trimmed, or embedded in a longer recording still
+    * collides on its interior landmarks — and every doc pair sharing
+    * ≥ 1 distinct landmark hash is reported with its shared count (the
+    * candidate grain, like [[graft.ops.DedupOps]] pairCounts; the
+    * standard ≥ 2 MATCH bar is the consumer's threshold on `n_shared`,
+    * pinned by the offset-invariance fixture).
+    * Bands are integer log₂ of the exact window energy (`length(bin(e))
+    * − 1` — the [[DetMath]] k step), so every byte of the pipeline is
+    * integer arithmetic: no float can flip a hash in either engine.
+    *
+    * Plan/scale: the [[audioWindows]] decode + window agg (payloads
+    * never cross a shuffle), two doc-key windows over the window grid
+    * (peaks) and the peak list (landmark pairing), then the inverted
+    * fingerprint index: distinct postings, hot hashes dropped at
+    * [[FprintMaxDf]], pairs enumerated per posting list — output-
+    * sensitive, never corpus², exactly the pairCounts shape. */
+  def audioFprint(s: SparkSession, d: String): DataFrame =
+    audioFprintFrom(audioWindowRows(s, d))
+
+  /** [[audioFprint]] over caller-supplied (doc_id, win, energy) rows —
+    * the testable core (two clips sharing their interior peak
+    * structure at a time offset match; a different clip doesn't; a
+    * boilerplate landmark shared corpus-wide is capped away). */
+  private[ops] def audioFprintFrom(winRows: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("win")
+    val peaks = winRows
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("ne", lead(col("energy"), 1).over(w))
+      // strict vs prev, >= vs next: exactly one peak per plateau (its
+      // first window) — identical tiebreak both engines; clip edges
+      // count as -inf neighbors
+      .filter(col("energy") > coalesce(col("pe"), lit(-1L)) &&
+        col("energy") >= coalesce(col("ne"), lit(-1L)))
+      .select(col("doc_id"), col("win"),
+        expr("length(bin(energy)) - 1").as("band"))
+    val marks = peaks
+      .withColumn("band2", lead(col("band"), 1).over(w))
+      .withColumn("dt", lead(col("win"), 1).over(w) - col("win"))
+      .filter(col("band2").isNotNull)
+      .select(col("doc_id"),
+        expr("band * 262144 + band2 * 4096 + least(dt, 4095L)").as("fp"))
+      .distinct()
+    // materialize the capped posting relation ONCE (the pairCounts
+    // checkpoint discipline): the self-join reads it twice, and an
+    // unmaterialized lineage re-runs the decode + three windows per side
+    val cold = marks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= FprintMaxDf)
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Mean-energy floor below which a window counts as silent in
     * [[silence]]. Real PCM silence sits near 0; the ASCII byte stand-in
     * never goes below printable-character energy, so the gate corpus
@@ -1276,6 +1348,7 @@ object MultimodalOps {
     "m_mkv_meta" -> mkvMetaQuery,
     "m_resize" -> resizeStage,
     "m_audio_windows" -> audioWindows,
+    "m_audio_fprint" -> audioFprint,
     "m_color_stats" -> colorStatsStage,
     "m_audio_zcr" -> audioZcr)
 
@@ -1405,6 +1478,33 @@ object MultimodalOps {
              sum(v * v)::BIGINT AS energy,
              sum(v * v)::BIGINT / count(*) AS mean_energy
       FROM v GROUP BY doc_id, win ORDER BY doc_id, win""",
+    "m_audio_fprint" -> s"""
+      WITH p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) pos
+                 FROM documents WHERE doc_id < 100),
+      v AS (SELECT doc_id, ((pos - 1) // 64)::INT AS win,
+              unicode(substr(text, pos, 1))::BIGINT AS v
+            FROM p),
+      e AS (SELECT doc_id, win, sum(v * v)::BIGINT AS energy
+            FROM v GROUP BY 1, 2),
+      n AS (SELECT *, lag(energy) OVER wd AS pe, lead(energy) OVER wd AS ne
+            FROM e WINDOW wd AS (PARTITION BY doc_id ORDER BY win)),
+      pk AS (SELECT doc_id, win,
+               (length(bin(energy)) - 1)::BIGINT AS band
+             FROM n WHERE energy > coalesce(pe, -1)
+               AND energy >= coalesce(ne, -1)),
+      mk0 AS (SELECT doc_id, band, lead(band) OVER wd AS band2,
+                lead(win) OVER wd - win AS dt
+              FROM pk WINDOW wd AS (PARTITION BY doc_id ORDER BY win)),
+      mk AS (SELECT DISTINCT doc_id,
+               (band * 262144 + band2 * 4096 + least(dt, 4095))::BIGINT AS fp
+             FROM mk0 WHERE band2 IS NOT NULL),
+      cold AS (SELECT doc_id, fp FROM (
+                 SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM mk)
+               WHERE df <= $FprintMaxDf)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_shared
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY a_id, b_id""",
     "m_dims" -> """
       SELECT doc_id, length(text)::INT AS width, 1::INT AS height,
              length(text)::BIGINT AS n_pixels

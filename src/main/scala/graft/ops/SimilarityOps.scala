@@ -1590,13 +1590,15 @@ object SimilarityOps {
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("g"))
 
-  def powerIter(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val gRows = gramianRows(embeddings(s, d)).collect()
-    // empty corpus (tiny SF): empty frame with the contract schema
-    if (gRows.isEmpty)
-      return Seq.empty[(Long, Long, Double, Double)]
-        .toDF("dim", "loading_fp", "loading", "lambda")
+  /** The driver-side solve of [[powerIter]]: collect the Gramian, run
+    * the fixed-point power iterations, return the converged iterate and
+    * the Rayleigh eigenvalue — None on an empty corpus. Shared with
+    * [[pcaProject]] so the component both queries use is ONE
+    * definition. */
+  private def principalComponent(
+      emb: DataFrame): Option[(Array[Long], Double)] = {
+    val gRows = gramianRows(emb).collect()
+    if (gRows.isEmpty) return None
     val G = Array.ofDim[Long](Dim, Dim)
     gRows.foreach { r =>
       G(r.getInt(0))(r.getInt(1)) = r.getLong(2)
@@ -1615,10 +1617,64 @@ object SimilarityOps {
     val num = (0 until Dim).foldLeft(0L)((a, i) => a + x(i) * y(i))
     val den = x.foldLeft(0L)((a, v) => a + v * v)
     // Rayleigh quotient, de-quantized back to Σ vvᵀ units
-    val lam = num.toDouble / den.toDouble / (PiS * PiS).toDouble
-    (0 until Dim).map(i => (i.toLong, x(i), x(i).toDouble / PiXS, lam))
-      .toDF("dim", "loading_fp", "loading", "lambda")
-      .orderBy("dim")
+    Some((x, num.toDouble / den.toDouble / (PiS * PiS).toDouble))
+  }
+
+  def powerIter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    principalComponent(embeddings(s, d)) match {
+      // empty corpus (tiny SF): empty frame with the contract schema
+      case None => Seq.empty[(Long, Long, Double, Double)]
+        .toDF("dim", "loading_fp", "loading", "lambda")
+      case Some((x, lam)) =>
+        (0 until Dim).map(i => (i.toLong, x(i), x(i).toDouble / PiXS, lam))
+          .toDF("dim", "loading_fp", "loading", "lambda")
+          .orderBy("dim")
+    }
+  }
+
+  /** Per-vector projection onto the corpus's top principal component —
+    * the whitening/drift readout [[powerIter]]'s component exists FOR:
+    * each embedding's exact fixed-point dot with the converged iterate
+    * (the score a collapsing-space monitor histograms, the first
+    * whitening coordinate, and the "which vectors live at the extreme
+    * of the dominant direction" curation list). The component comes
+    * from the SAME [[principalComponent]] solve as `s_power_iter`, so
+    * the two queries can never disagree on the direction.
+    *
+    * Exactness: quantized components (floor(v·[[PiS]])) dotted with the
+    * BIGINT iterate — pure integer per row (|term| ≤ 1000·1024·64 ≈
+    * 6.6e7, no envelope concern); the one double is the final
+    * de-quantizing division by the shared literal [[PiS]]·[[PiXS]].
+    *
+    * Plan/scale: the Gramian pass (one scan + the do-not-coalesce
+    * repartition + 2080-cell agg) to the driver, then ONE narrow
+    * codegen-friendly pass over the corpus with the 64 iterate values
+    * inlined as literals — the component is driver-sized by
+    * construction, exactly how a 100 TB whitening pass ships it. */
+  def pcaProject(s: SparkSession, d: String): DataFrame =
+    pcaProjectFrom(embeddings(s, d))
+
+  /** [[pcaProject]] over a caller-supplied (vec_id, embedding) relation
+    * — the testable core (axis-aligned vectors read their exact
+    * coordinate as the projection; an empty corpus reads the contract
+    * schema). */
+  private[ops] def pcaProjectFrom(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    principalComponent(emb) match {
+      case None =>
+        Seq.empty[(Long, Long, Double)].toDF("vec_id", "proj_fp", "proj")
+      case Some((x, _)) =>
+        val xLit = x.map(v => s"${v}L").mkString("array(", ", ", ")")
+        emb.select(col("vec_id"),
+          expr(s"""aggregate(zip_with(
+              transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT)),
+              $xLit, (a, b) -> a * b), 0L, (acc, v) -> acc + v)""")
+            .as("proj_fp"))
+          .withColumn("proj",
+            expr(s"CAST(proj_fp AS DOUBLE) / ${PiS * PiXS}.0e0"))
+          .orderBy("vec_id")
+    }
   }
 
   /** Multi-probe LSH top-k — [[annLsh]] with the standard recall dial
@@ -1743,14 +1799,18 @@ object SimilarityOps {
 
   /** Unrolled-CTE replay of [[powerIter]] — same integer steps, same
     * truncating division, same final double divisions. */
-  private def powerIterOracle: String = {
+  /** The shared power-iteration CTE prefix (quantized vectors → Gramian
+    * → [[PiIters]] fixed-point iterations, final iterate in
+    * `x$PiIters`) — interpolated by BOTH the `s_power_iter` and
+    * `s_pca_project` oracles so the replayed component is one
+    * definition, mirroring [[principalComponent]] on the Spark side. */
+  private def powerIterCtes: String = {
     def iter(k: Int) = s"""
       y$k AS (SELECT g.i, sum(g.g * x${k - 1}.x)::BIGINT AS y
               FROM g JOIN x${k - 1} ON g.j = x${k - 1}.i GROUP BY 1),
       m$k AS (SELECT max(abs(y))::BIGINT AS m FROM y$k),
       x$k AS (SELECT i, (y * $PiXS) // m AS x FROM y$k, m$k)"""
-    s"""
-      WITH qe AS (SELECT list_transform(embedding,
+    s"""qe AS (SELECT vec_id, list_transform(embedding,
                     v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT)) AS e
                   FROM embeddings),
       g AS (SELECT gi.i AS i, gj.j AS j,
@@ -1759,7 +1819,12 @@ object SimilarityOps {
                  generate_series(1, $Dim) gj(j)
             GROUP BY 1, 2),
       x0 AS (SELECT i, $PiXS::BIGINT AS x FROM generate_series(1, $Dim) t(i)),
-      ${(1 to PiIters).map(iter).mkString(",")},
+      ${(1 to PiIters).map(iter).mkString(",")}"""
+  }
+
+  private def powerIterOracle: String =
+    s"""
+      WITH $powerIterCtes,
       y4 AS (SELECT g.i, sum(g.g * x$PiIters.x)::BIGINT AS y
              FROM g JOIN x$PiIters ON g.j = x$PiIters.i GROUP BY 1),
       rq AS (SELECT sum(x$PiIters.x * y4.y)::BIGINT AS num,
@@ -1770,7 +1835,16 @@ object SimilarityOps {
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
                / ${PiS * PiS}.0 AS lambda
       FROM x$PiIters, rq ORDER BY dim"""
-  }
+
+  private def pcaProjectOracle: String =
+    s"""
+      WITH $powerIterCtes,
+      p AS (SELECT qe.vec_id, sum(qe.e[x$PiIters.i] * x$PiIters.x)::BIGINT
+              AS proj_fp
+            FROM qe, x$PiIters GROUP BY 1)
+      SELECT vec_id, proj_fp,
+             CAST(proj_fp AS DOUBLE) / ${PiS * PiXS}.0e0 AS proj
+      FROM p ORDER BY vec_id"""
 
   /** Quantization scale for [[diversity]]'s unit-vector components: six
     * fractional digits survive into the exact-BIGINT ledger. */
@@ -1988,6 +2062,7 @@ object SimilarityOps {
     "s_diversity" -> diversity,
     "s_centroid_outliers" -> centroidOutliers,
     "s_power_iter" -> powerIter,
+    "s_pca_project" -> pcaProject,
     "s_centroid_drift" -> centroidDrift,
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
@@ -2164,6 +2239,7 @@ object SimilarityOps {
     "s_sq8_recall" -> Sq8RecallOracle,
     "s_centroid_outliers" -> CentroidOutliersOracle,
     "s_power_iter" -> powerIterOracle,
+    "s_pca_project" -> pcaProjectOracle,
     "s_centroid_drift" -> centroidDriftOracle,
     "s_ann_multiprobe" -> annMultiprobeOracle,
     "s_mmr" -> mmrOracle,

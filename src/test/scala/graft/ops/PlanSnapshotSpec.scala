@@ -455,7 +455,14 @@ class PlanSnapshotSpec extends SparkSpec {
     "v_value_drift" -> "scan=1 xhash=2 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=2 wgl=0",
     // r14: the knnGraph shape (cell self-join + WindowGroupLimit top-3)
     // + one in-deg agg + the ids left join
-    "s_hubness" -> "scan=3 xhash=3 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2")
+    "s_hubness" -> "scan=3 xhash=3 xrange=1 bcast=1 smj=1 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=1 wgl=2",
+    // r14: the decode + peak/landmark windows happen ONCE at the
+    // checkpoint build; the returned plan is the posting self-join over
+    // the materialized relation
+    "m_audio_fprint" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r14: the component is driver-sized (the Gramian pass runs at
+    // solve time); the projection is ONE narrow pass with 64 literals
+    "s_pca_project" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -95,6 +95,47 @@ class R14InvariantSpec extends SparkSpec {
     assert(got(99L) == ((0L, false, true)), got(99L).toString)
   }
 
+  test("m_audio_fprint: an offset copy matches on its interior landmark" +
+      " structure; a different clip doesn't; a corpus-wide boilerplate" +
+      " landmark is capped away") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // ramp baselines prevent plateau peaks; A's peaks (wins 2,5,9) and
+    // B's (9,12,16) share bands (6,8,10) and gaps (3,4) → 2 shared fps
+    val ramp = Seq(10L, 11L, 100L, 12L, 13L, 400L, 14L, 15L, 16L, 1600L, 17L)
+    def doc(id: Long, off: Int, es: Seq[Long]) =
+      es.zipWithIndex.map { case (e, i) => (id, i + off, e) }
+    val rows = doc(1L, 0, ramp) ++ doc(2L, 7, ramp) ++
+      doc(3L, 0, Seq(10L, 11L, 200L, 12L, 800L, 13L)) ++
+      // 40 identical clips: their shared landmark's df = 40 > cap 32
+      (100L until 140L).flatMap(id =>
+        doc(id, 0, Seq(10L, 11L, 33L, 12L, 130L, 13L)))
+    val got = MultimodalOps.audioFprintFrom(
+        rows.toDF("doc_id", "win", "energy")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), got.mkString(", "))
+  }
+
+  test("s_pca_project: axis-aligned vectors read their exact coordinate" +
+      " as the projection; empty corpus reads the contract schema") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    def e0(scale: Float) = (scale +: Seq.fill(63)(0f)).toSeq
+    val emb = Seq((1L, e0(1f)), (2L, e0(2f)), (3L, e0(-3f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.pcaProjectFrom(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // component converges to ±e0 with loading_fp ±1024; the Gramian is
+    // all-positive here so the iterate stays positive
+    assert(got(1L) == ((1024000L, 1.0)), got(1L).toString)
+    assert(got(2L) == ((2048000L, 2.0)), got(2L).toString)
+    assert(got(3L) == ((-3072000L, -3.0)), got(3L).toString)
+    val empty = SimilarityOps.pcaProjectFrom(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+    assert(empty.columns.toSeq == Seq("vec_id", "proj_fp", "proj") &&
+      empty.count() == 0L)
+  }
+
   test("t_auc: a single-class corpus reads NULL AUC (the try_divide" +
       " contract — DuckDB's native x/0), not a DIVIDE_BY_ZERO crash") {
     graft.GraftSession.init(spark)
