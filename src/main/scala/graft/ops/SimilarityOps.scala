@@ -1559,36 +1559,62 @@ object SimilarityOps {
     * drops the quantization and accumulates doubles (same plan); BIGINT
     * headroom here is documented to N ≈ 4·10⁸ rows.
     *
-    * Plan/scale: one scan → an explicit user-numPartitions repartition
-    * of the NARROW quantized rows (the d_fuzzy_pairs lesson, caught by
-    * the r14 10× exponent run at 30s isolated: the vector parquet is
-    * kilobytes of bytes but each row fans out 2080 structs, so the
-    * file-split/AQE byte heuristics hand the whole compute-bound
-    * Generate to 1–2 cores; REPARTITION_BY_NUM is the do-not-coalesce
-    * contract) → ONE Generate (the upper-triangle outer-product array,
-    * flattened — 2080 structs per row; G is symmetric, the mirror is
-    * exact driver work) → (i,j)-key partial agg (map-side combine does
-    * almost all the reduction: ≤ 2080 cells × 32 tasks cross the wire) →
-    * 2080 rows to the driver. Nothing else is distributed; the returned
-    * frame is a LocalTableScan. */
-  /** The distributed Gramian pipeline of [[powerIter]], exposed so
-    * ScalingBudgetSpec can assert the do-not-coalesce repartition
-    * deterministically (reverting it fails the plan check on every box;
-    * the wall-clock symptom only shows at 10×). */
-  private[ops] def gramianRows(emb: DataFrame): DataFrame =
+    * Plan/scale: one scan → the typed [[GramianAgg]] partial aggregate
+    * (each row is 2080 JIT'd multiply-adds into a flat upper-triangle
+    * long buffer; ONE 2080-long buffer per task crosses the wire) → a
+    * 1-row result to the driver — the RowMatrix.computeGramianMatrix
+    * shape. This replaced the r13-era 2080-structs-per-row Generate:
+    * the r14 10× exponent run caught that shape at 30s isolated (HOF
+    * named_struct fan-out is interpreted and allocation-bound, and the
+    * kilobyte-sized vector parquet additionally starved it to 1–2
+    * cores); the typed aggregate computes the IDENTICAL exact BIGINT
+    * sums with no row expansion. Nothing else is distributed; the
+    * returned frame is a LocalTableScan. */
+  /** Flat-upper-triangle exact Gramian accumulator: buffer(k) holds
+    * G(i,j) = Σ eᵢ·eⱼ for the k-th (i ≤ j) pair in row-major triangle
+    * order. Pure BIGINT multiply-adds — order-free, bit-exact, and the
+    * per-row cost is a tight JIT'd loop instead of a 2080-struct
+    * Generate (see [[powerIter]]'s plan note). */
+  private object GramianAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+    private val Tri = Dim * (Dim + 1) / 2
+    def zero: Array[Long] = Array.ofDim[Long](Tri)
+    def reduce(b: Array[Long], e: Array[Long]): Array[Long] = {
+      var k = 0; var i = 0
+      while (i < Dim) {
+        val ei = e(i); var j = i
+        while (j < Dim) { b(k) += ei * e(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < Tri) { a(k) += b(k); k += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The distributed Gramian pipeline of [[powerIter]] (one narrow
+    * quantized pass into the typed [[GramianAgg]]), exposed so
+    * ScalingBudgetSpec can assert the no-row-expansion shape
+    * deterministically (a Generate creeping back in fails the plan
+    * check on every box; the wall-clock symptom only shows at 10×). */
+  private[ops] def gramianRows(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     emb
       .select(expr(
         s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))")
         .as("e"))
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(explode(expr(
-        // upper triangle only — G is symmetric; the mirror is exact and
-        // free on the driver, and the Generate fan-out halves (2080 vs
-        // 4096 structs per row)
-        """flatten(transform(e, (vi, i) -> transform(slice(e, i + 1, 64), (vj, dj) ->
-             named_struct('i', i, 'j', i + dj, 'p', vi * vj))))""")).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("g"))
+      .as[Array[Long]]
+      .select(GramianAgg.toColumn)
+      .toDF("tri")
+  }
 
   /** The driver-side solve of [[powerIter]]: collect the Gramian, run
     * the fixed-point power iterations, return the converged iterate and
@@ -1597,12 +1623,19 @@ object SimilarityOps {
     * definition. */
   private def principalComponent(
       emb: DataFrame): Option[(Array[Long], Double)] = {
-    val gRows = gramianRows(emb).collect()
-    if (gRows.isEmpty) return None
+    // a typed agg over an empty relation returns its zero buffer, which
+    // would send the all-zero G into a 0/0 normalization — keep the
+    // explicit empty-corpus contract
+    if (emb.isEmpty) return None
+    val tri = gramianRows(emb).head.getSeq[Long](0)
     val G = Array.ofDim[Long](Dim, Dim)
-    gRows.foreach { r =>
-      G(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-      G(r.getInt(1))(r.getInt(0)) = r.getLong(2)
+    var k = 0; var ti = 0
+    while (ti < Dim) {
+      var tj = ti
+      while (tj < Dim) {
+        G(ti)(tj) = tri(k); G(tj)(ti) = tri(k); k += 1; tj += 1
+      }
+      ti += 1
     }
     def matvec(x: Array[Long]): Array[Long] =
       Array.tabulate(Dim)(i =>

@@ -115,21 +115,22 @@ class ScalingBudgetSpec extends SparkSpec {
     }
   }
 
-  test("s_power_iter: the Gramian explode keeps its do-not-coalesce " +
-      "contract (user-numPartitions REPARTITION_BY_NUM in the plan)") {
+  test("s_power_iter: the Gramian rides the typed partial aggregate, " +
+      "never a row-expanding Generate") {
     graft.GraftSession.init(spark)
-    // r14 10x finding: the vector parquet is kilobytes, so file-split /
-    // AQE byte heuristics hand the 2080-structs-per-row Generate to 1-2
-    // cores (30.4s isolated at 10x; 8.6s with the repartition). The
-    // wall-clock symptom is invisible at gate SF and marginal at 4x —
-    // only this plan shape fails deterministically on a revert.
+    // r14 10x finding: the old 2080-structs-per-row Generate was
+    // interpreted, allocation-bound, and starved to 1-2 cores by the
+    // kilobyte-sized vector parquet (30.4s isolated at 10x; ~0.1s of
+    // actual work as a JIT'd multiply-add loop). The wall-clock symptom
+    // is invisible at gate SF — only this plan shape fails a revert
+    // deterministically: a partial+final typed agg pair, zero Generates.
     val plan = SimilarityOps.gramianRows(
         graft.ops.Tables.embeddings(spark, dir1x))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("REPARTITION_BY_NUM"),
-      "the explicit .repartition(defaultParallelism) of the narrow " +
-        "quantized rows before the outer-product Generate is the only " +
-        s"do-not-coalesce contract:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the Gramian must not expand rows (2080 structs/row):\n$plan")
+    assert("(?i)gramianagg".r.findFirstIn(plan).isDefined,
+      s"the typed GramianAgg aggregate is missing from the plan:\n$plan")
   }
 
   test("d_fuzzy_pairs: the DP stage keeps its do-not-coalesce contract " +
