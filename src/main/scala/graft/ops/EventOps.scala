@@ -1428,9 +1428,17 @@ object EventOps {
   /** [[qDid]] over a caller-supplied (event_type, ts) relation — the
     * testable core (a planted post-period lift on one type reads the
     * hand-computed DiD; a uniform lift on every type reads DiD 0). */
-  private[ops] def didFrom(ev: DataFrame): DataFrame = {
+  private[ops] def didFrom(ev: DataFrame): DataFrame =
+    didFromDaily(dailyCountsFrom(ev))
+
+  /** [[qDid]] over a pre-built (event_type, day, n) ledger — the
+    * live-serving form: point it at the
+    * [[graft.streaming.StreamOps.dailyCountStream]] state table and the
+    * DiD readout runs off the streamed ledger (spec-proven equal to the
+    * batch query over the same rows). */
+  private[graft] def didFromDaily(daily0: DataFrame): DataFrame = {
     val w = Window.partitionBy(lit(1))
-    val daily = dailyCountsFrom(ev).filter(col("day").isNotNull)
+    val daily = daily0.filter(col("day").isNotNull)
       .select(col("event_type"),
         expr("datediff(day, DATE '1970-01-01')").as("dn"), col("n"))
       .withColumn("lo", min(col("dn")).over(w))

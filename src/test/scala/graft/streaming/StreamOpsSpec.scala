@@ -115,6 +115,43 @@ class StreamOpsSpec extends SparkSpec {
       want.toString)
   }
 
+  test("dailyCountStream: a downstream consumer (e_did) over the live " +
+      "state table equals the batch query over the same rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val events = in.toDF().toDF("ts_us", "event_type")
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("event_type"))
+    val q = StreamOps.dailyCountStream(events)
+      .writeStream.format("memory").queryName("did_ledger")
+      .outputMode("complete").start()
+    val day = 86400L * 1000000L
+    // t lifts 1/day -> 4/day at the midpoint; c stays flat 2/day —
+    // delivered across two micro-batches that split mid-period
+    val rows = Seq(0L -> "t", day -> "t") ++
+      Seq.fill(4)(2 * day -> "t") ++ Seq.fill(4)(3 * day -> "t") ++
+      (0 until 4).flatMap(d => Seq.fill(2)(d * day -> "c"))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1)
+    q.processAllAvailable()
+    in.addData(b2)
+    q.processAllAvailable()
+    val fromStream = graft.ops.EventOps.didFromDaily(spark.table("did_ledger"))
+      .collect().map(_.toSeq).toSeq
+    q.stop()
+    val fromBatch = graft.ops.EventOps.didFromDaily(
+        graft.ops.EventOps.dailyCountsFrom(
+          rows.toDF("ts_us", "event_type")
+            .select(expr("timestamp_micros(ts_us)").as("ts"),
+              col("event_type"))))
+      .collect().map(_.toSeq).toSeq
+    assert(fromStream == fromBatch, s"$fromStream != $fromBatch")
+    // and the fixture reads the hand-computed DiD (the R14InvariantSpec
+    // scenario, now served off the LIVE ledger)
+    assert(fromStream.map(r => (r(0), r(5))).toSet ==
+      Set(("t", 3.0), ("c", -3.0)), fromStream.toString)
+  }
+
   test("histogramSketchStream merges micro-batches into the batch histogram") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
