@@ -35,10 +35,13 @@ def main():
     a1, a10 = load(sys.argv[1]), load(sys.argv[2])
     q1 = a1.get("queries_min") or a1["queries"]
     q10 = a10.get("queries_min") or a10["queries"]
-    keys = sorted(set(q1) | set(q10))
+    only = sorted(set(q1) ^ set(q10))
+    if only:
+        print(f"(skipping {len(only)} one-sided keys: {', '.join(only)})")
+    keys = sorted(set(q1) & set(q10))
     rows, bad = [], []
     for k in keys:
-        t1, t10 = q1.get(k, -1.0), q10.get(k, -1.0)
+        t1, t10 = q1[k], q10[k]
         if t1 < 0 or t10 < 0:
             bad.append((k, t1, t10))
             continue
