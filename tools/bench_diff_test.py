@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Self-test for bench_diff.py's two flagging arms (r14 verdict #4).
+
+Cases:
+  1. sustained sub-floor-delta regression (0.1s -> 0.55s on median AND
+     min-of-reps) -> FLAGGED via the second arm.
+  2. pure shared-box noise on a fast query (median doubles but the
+     min-of-reps holds) -> NOT flagged (printed noise-floor).
+  3. classic big regression (2.0s -> 4.0s) -> FLAGGED via the first arm.
+  4. sub-floor query with no queries_min in the artifacts -> NOT flagged
+     (the second arm needs min-of-reps to discriminate).
+
+Run: python3 tools/bench_diff_test.py  (exit 0 = all pass)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DIFF = os.path.join(HERE, "bench_diff.py")
+
+
+def artifact(path, queries, qmins=None):
+    line = {"metric": "total", "value": sum(queries.values()),
+            "unit": "sec", "queries": queries, "reps": 3, "warmup": 1,
+            "errors": {}, "sf": "test"}
+    if qmins is not None:
+        line["queries_min"] = qmins
+    with open(path, "w") as f:
+        f.write(json.dumps(line) + "\n")
+
+
+def run(prev, cur):
+    p = subprocess.run([sys.executable, DIFF, prev, cur],
+                       capture_output=True, text=True)
+    return p.returncode, p.stdout
+
+
+def main():
+    failures = []
+    with tempfile.TemporaryDirectory() as d:
+        prev, cur = os.path.join(d, "prev.json"), os.path.join(d, "cur.json")
+
+        # case 1: sustained fast-query regression -> flagged (arm 2)
+        artifact(prev, {"q_fast": 0.10}, {"q_fast": 0.09})
+        artifact(cur, {"q_fast": 0.55}, {"q_fast": 0.52})
+        rc, out = run(prev, cur)
+        if rc != 1 or "REGRESSED (sustained)" not in out:
+            failures.append(f"case 1: expected sustained flag, rc={rc}\n{out}")
+
+        # case 2: pure noise (median swings, min holds) -> not flagged
+        artifact(prev, {"q_fast": 0.20}, {"q_fast": 0.18})
+        artifact(cur, {"q_fast": 0.60}, {"q_fast": 0.19})
+        rc, out = run(prev, cur)
+        if rc != 0 or "REGRESSED" in out or "(noise-floor)" not in out:
+            failures.append(f"case 2: expected noise-floor, rc={rc}\n{out}")
+
+        # case 3: classic big regression -> flagged (arm 1)
+        artifact(prev, {"q_big": 2.0}, {"q_big": 1.9})
+        artifact(cur, {"q_big": 4.0}, {"q_big": 3.8})
+        rc, out = run(prev, cur)
+        if rc != 1 or "REGRESSED" not in out:
+            failures.append(f"case 3: expected arm-1 flag, rc={rc}\n{out}")
+
+        # case 4: no queries_min anywhere -> sub-floor delta not flagged
+        artifact(prev, {"q_fast": 0.10})
+        artifact(cur, {"q_fast": 0.55})
+        rc, out = run(prev, cur)
+        if rc != 0 or "REGRESSED" in out:
+            failures.append(f"case 4: expected no flag w/o mins, rc={rc}\n{out}")
+
+    if failures:
+        print("\n\n".join(failures))
+        sys.exit(1)
+    print("bench_diff_test: 4/4 pass")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,8 +54,12 @@ def main():
         print(f"| {k} | {t1:.2f} | {t10:.2f} | {ratio:.2f} | {e:.2f} |")
     s1 = sum(r[1] for r in rows)
     s10 = sum(r[2] for r in rows)
-    print(f"| **TOTAL ({len(rows)})** | {s1:.1f} | {s10:.1f} "
-          f"| {s10 / s1:.2f} | {math.log10(s10 / s1):.2f} |")
+    # guard: with no successful shared keys (rows empty or every shared
+    # query failed) s1 is 0 — skip the TOTAL line rather than die on the
+    # division so the FAILED listing and exit(1) below still run
+    if rows and s1 > 0:
+        print(f"| **TOTAL ({len(rows)})** | {s1:.1f} | {s10:.1f} "
+              f"| {s10 / s1:.2f} | {math.log10(s10 / s1):.2f} |")
     for k, t1, t10 in bad:
         print(f"FAILED: {k} 1x={t1} 10x={t10}")
     if bad:
