@@ -239,6 +239,72 @@ object VecUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** Fused fixed-point quantization of a float vector: exactly
+    * `transform(a, v -> CAST(floor(CAST(v AS DOUBLE) * scale) AS
+    * BIGINT))` — one IEEE multiply + floor per element, identical bits
+    * to the HOF chain. Finite inputs only (embedding components): a
+    * NaN/±Inf element would silently saturate where the ANSI cast
+    * raises, so callers own that precondition. */
+  def qfloorFloat(a: ArrayData, scale: Double): GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Math.floor(a.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Double-element twin of [[qfloorFloat]]. */
+  def qfloorDouble(a: ArrayData, scale: Double): GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Math.floor(a.getDouble(i) * scale).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused quantize-and-dot: Σᵢ floor(vᵢ·scale) · wᵢ over BIGINT, the
+    * exact left-to-right fold of `aggregate(zip_with(transform(a, v ->
+    * CAST(floor(CAST(v AS DOUBLE) * scale) AS BIGINT)), w, (x, y) ->
+    * x * y), 0L, (acc, t) -> acc + t)` with NO intermediate arrays —
+    * integer multiply-adds are associative-exact, so the result is
+    * bit-identical to the HOF chain for any accumulation order; the
+    * sequential loop also matches ANSI's overflow-free regime (callers
+    * keep |terms| ≤ ~2^26, documented at the call sites). */
+  def qdotFloat(a: ArrayData, scale: Double, w: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != w.numElements())
+      throw new IllegalArgumentException(
+        s"vec_qdot: array length mismatch ($n vs ${w.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += Math.floor(a.getFloat(i).toDouble * scale).toLong * w.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Double-element twin of [[qdotFloat]]. */
+  def qdotDouble(a: ArrayData, scale: Double, w: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != w.numElements())
+      throw new IllegalArgumentException(
+        s"vec_qdot: array length mismatch ($n vs ${w.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += Math.floor(a.getDouble(i) * scale).toLong * w.getLong(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native fused unit-quantization — `vec_qunit(arr, scale)`: the
@@ -290,6 +356,97 @@ case class VecQUnit(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecQUnit =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native fused fixed-point quantization — `vec_qfloor(arr, scale)`:
+  * the `floor(v·scale)` BIGINT coordinates the exact-Gramian /
+  * centroid-drift ledgers start from, in one primitive pass.
+  *
+  * Why a custom `Expression` (§7.4, the [[VecQUnit]] reasoning): the SQL
+  * spelling is a higher-order `transform` whose lambda runs INTERPRETED
+  * per element and drops the projection out of whole-stage codegen — the
+  * r14 verdict measured that constant as the dominant residual on the
+  * hottest vector passes. Bit-identical to the HOF chain (spec-proven
+  * per element); the DuckDB oracles stay on `list_transform` unchanged. */
+case class VecQFloor(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_qfloor"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, double), got ${l.sql}, ${r.sql}")
+    }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[Double]
+    if (isFloat) VecUtil.qfloorFloat(arr, sc) else VecUtil.qfloorDouble(arr, sc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => {
+      val m = if (isFloat) "qfloorFloat" else "qfloorDouble"
+      s"graft.functions.VecUtil.$m($a, $s)"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecQFloor =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native fused quantize-and-dot — `vec_qdot(arr, scale, weights)`:
+  * Σ floor(vᵢ·scale)·wᵢ as ONE tight BIGINT loop, no intermediate
+  * arrays. The kernel behind the PCA projection pass (`s_pca_project`):
+  * the SQL spelling is `aggregate(zip_with(transform(...)))` — three
+  * interpreted HOF lambdas AND two materialized 64-element arrays per
+  * row on a pass that is otherwise one multiply-add per element.
+  * Exact-integer result ⇒ bit-identical to the HOF chain; DuckDB
+  * oracles stay on the `list_transform`/`list_reduce` spelling. */
+case class VecQDot(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_qdot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType,
+            ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, s, w) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, double, array<bigint>), " +
+          s"got ${a.sql}, ${s.sql}, ${w.sql}")
+    }
+
+  private def isFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, s: Any, w: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[Double]
+    val wts = w.asInstanceOf[ArrayData]
+    if (isFloat) VecUtil.qdotFloat(arr, sc, wts)
+    else VecUtil.qdotDouble(arr, sc, wts)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s, w) => {
+      val m = if (isFloat) "qdotFloat" else "qdotDouble"
+      s"graft.functions.VecUtil.$m($a, $s, $w)"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): VecQDot =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Static kernel for [[CharCounts]] — the [[ShingleUtil]] pattern. */
@@ -392,6 +549,13 @@ object GraftFunctions {
     (FunctionIdentifier("vec_qunit"),
       new ExpressionInfo(classOf[VecQUnit].getName, "vec_qunit"),
       (children: Seq[Expression]) => VecQUnit(children(0), children(1))),
+    (FunctionIdentifier("vec_qfloor"),
+      new ExpressionInfo(classOf[VecQFloor].getName, "vec_qfloor"),
+      (children: Seq[Expression]) => VecQFloor(children(0), children(1))),
+    (FunctionIdentifier("vec_qdot"),
+      new ExpressionInfo(classOf[VecQDot].getName, "vec_qdot"),
+      (children: Seq[Expression]) =>
+        VecQDot(children(0), children(1), children(2))),
     (FunctionIdentifier("char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
       (children: Seq[Expression]) => CharCounts(children(0), children(1))),

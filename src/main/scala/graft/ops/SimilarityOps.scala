@@ -1102,21 +1102,35 @@ object SimilarityOps {
     * catalog-sized (m, code) partial-agg shuffle — the measurement rides
     * beside the encode pass at any corpus size. */
   def pqRecon(s: SparkSession, d: String): DataFrame = {
-    val structs = (0 until PqM).map { m =>
-      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-      val scored = (0 until PqK).map { j =>
-        val comps = pqCents(m)(j)
-          .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
-        s"""named_struct('dist',
-              CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
-                - 2.0D * vec_dot($sub, array($comps)),
-            'code', ${j}L)"""
-      }.mkString(", ")
-      s"""named_struct('m', ${m}L,
-           'code', array_min(array($scored)).code,
-           'err', array_min(array($scored)).dist + vec_dot($sub, $sub))"""
-    }.mkString(", ")
-    embeddings(s, d)
+    // Two-step projection (r15, the round's Janino fix): the old shape
+    // inlined the full K-centroid scored array TWICE per subspace (once
+    // for .code, once for .dist) inside ONE Generate expression — 2·M·K
+    // vec_dot named_structs in a single generated method, the exact
+    // "Code grows beyond 64 KB" fallback the r14 OOD dump logged
+    // (whole-stage codegen silently off; interpreted hot loop at scale).
+    // Hoisting each subspace's argmin struct (and its |x_m|²) into a
+    // Project BELOW the Generate lets codegen split them into one
+    // method each, and the Generate itself becomes M field references —
+    // identical doubles, identical hashes, codegen stays ON
+    // (R15InvariantSpec pins it with spark.sql.codegen.fallback=false).
+    val pre = embeddings(s, d).select(
+      (0 until PqM).flatMap { m =>
+        val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+        val scored = (0 until PqK).map { j =>
+          val comps = pqCents(m)(j)
+            .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
+          s"""named_struct('dist',
+                CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
+                  - 2.0D * vec_dot($sub, array($comps)),
+              'code', ${j}L)"""
+        }.mkString(", ")
+        Seq(expr(s"array_min(array($scored))").as(s"am$m"),
+          expr(s"vec_dot($sub, $sub)").as(s"sn$m"))
+      }: _*)
+    val structs = (0 until PqM).map(m =>
+      s"named_struct('m', ${m}L, 'code', am$m.code, 'err', am$m.dist + sn$m)")
+      .mkString(", ")
+    pre
       .select(explode(expr(s"array($structs)")).as("t"))
       .groupBy(col("t.m").as("subspace"), col("t.code").as("code"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -1608,9 +1622,11 @@ object SimilarityOps {
   private[ops] def gramianRows(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     emb
-      .select(expr(
-        s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))")
-        .as("e"))
+      // native vec_qfloor (r15): the transform-lambda spelling ran its
+      // quantization INTERPRETED per element — the r14-documented residual
+      // constant on this pass; the kernel is one codegen'd primitive loop
+      // with bit-identical floor/cast semantics
+      .select(expr(s"vec_qfloor(embedding, CAST($PiS AS DOUBLE))").as("e"))
       .as[Array[Long]]
       .select(GramianAgg.toColumn)
       .toDF("tri")
@@ -1699,10 +1715,12 @@ object SimilarityOps {
         Seq.empty[(Long, Long, Double)].toDF("vec_id", "proj_fp", "proj")
       case Some((x, _)) =>
         val xLit = x.map(v => s"${v}L").mkString("array(", ", ", ")")
+        // native vec_qdot (r15): the aggregate(zip_with(transform(...)))
+        // spelling ran three interpreted HOF lambdas and built two
+        // 64-element arrays per row; the fused kernel is one BIGINT
+        // multiply-add loop — exact-integer, so identical results
         emb.select(col("vec_id"),
-          expr(s"""aggregate(zip_with(
-              transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT)),
-              $xLit, (a, b) -> a * b), 0L, (acc, v) -> acc + v)""")
+          expr(s"vec_qdot(embedding, CAST($PiS AS DOUBLE), $xLit)")
             .as("proj_fp"))
           .withColumn("proj",
             expr(s"CAST(proj_fp AS DOUBLE) / ${PiS * PiXS}.0e0"))
@@ -1788,8 +1806,9 @@ object SimilarityOps {
   def centroidDrift(s: SparkSession, d: String): DataFrame = {
     embeddings(s, d)
       .select(col("label"), (col("vec_id") % 2).as("half"),
-        posexplode(expr(
-          s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $PiS) AS BIGINT))"))
+        // native vec_qfloor feeding the Generate (r15): same bits, no
+        // interpreted per-element lambda under the explode
+        posexplode(expr(s"vec_qfloor(embedding, CAST($PiS AS DOUBLE))"))
           .as(Seq("dim", "sv")))
       .groupBy("label", "dim")
       .agg(

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 operator invariants: constructed-fixture contracts the gate
+  * corpus can't reach, plus the round's codegen-stays-on pin. */
+class R15InvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("s_pq_recon: whole-stage codegen compiles (fallback=false) — the" +
+      " r14 OOD dump's Janino 64KB fallback stays fixed") {
+    graft.GraftSession.init(spark)
+    // spark.sql.codegen.fallback=false turns the silent
+    // interpreted-mode fallback (WARN + 10x interpreted hot loop at
+    // scale) into a hard failure: the old single-Generate shape —
+    // 2·M·K inlined vec_dot named_structs in one generated method —
+    // dies here with "Code grows beyond 64 KB"; the r15 two-step
+    // projection must compile clean.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = SimilarityOps.queries("s_pq_recon")(spark, sf).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("vec_qfloor: bit-equal to the SQL transform chain (float and" +
+      " double elements)") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vecGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.choose(-10f, 10f), Gen.const(0f), Gen.const(-0f),
+      Gen.choose(-1e-4f, 1e-4f)))
+    val prop = Prop.forAll(Gen.listOfN(12, vecGen)) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      def runPair(quant: String, ref: String) = {
+        val got = df.select(col("id"), expr(quant).as("q"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val want = df.select(col("id"), expr(ref).as("q"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        got == want
+      }
+      runPair("vec_qfloor(v, CAST(1000 AS DOUBLE))",
+          "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))") && {
+        // double-element arm through an explicit cast of the column
+        val dd = df.select(col("id"),
+          expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+        val got = dd.select(col("id"),
+            expr("vec_qfloor(v, CAST(1000 AS DOUBLE))").as("q"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val want = dd.select(col("id"),
+            expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("q"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("vec_qdot: bit-equal to the aggregate(zip_with(transform)) chain;" +
+      " length mismatch raises loudly") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vecGen = Gen.listOfN(8, Gen.choose(-10f, 10f))
+    val wGen = Gen.listOfN(8, Gen.choose(-1024L, 1024L))
+    val prop = Prop.forAll(Gen.listOfN(6, Gen.zip(vecGen, wGen))) { vws =>
+      val df = vws.zipWithIndex.map { case ((v, w), i) => (i.toLong, v, w) }
+        .toDF("id", "v", "w")
+      val got = df.select(col("id"),
+          expr("vec_qdot(v, CAST(1000 AS DOUBLE), w)").as("p"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.select(col("id"),
+          expr("""aggregate(zip_with(
+              transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+              w, (a, b) -> a * b), 0L, (acc, t) -> acc + t)""").as("p"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+
+    val e = intercept[Exception] {
+      Seq((Seq(1f, 2f), Seq(1L))).toDF("v", "w")
+        .select(expr("vec_qdot(v, CAST(1000 AS DOUBLE), w)")).collect()
+    }
+    assert(e.getMessage != null &&
+      org.apache.commons.lang3.exception.ExceptionUtils.getRootCause(e)
+        .getMessage.contains("length mismatch"))
+  }
+
+  test("v_value_drift: a single-day type reads drift = false (not NULL)" +
+      " and a negative value bins to 0, not an unbounded negative id") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val rows = Seq(
+      // one-day span: post half empty -> frac_only_post NULL via
+      // try_divide. Here frac_only_pre = 1.0 so 3VL already reads true
+      // (true OR NULL = true) — the assertion is that drift is a
+      // non-NULL BOOLEAN (getBoolean throws on NULL), pinning the
+      // coalesce for any consumer filtering WHERE NOT drift
+      ("one", "2024-01-01 09:00:00", 10.0),
+      ("one", "2024-01-01 10:00:00", 60.0),
+      // negative values: both land in bin 0 alongside 10.0 — identical
+      // halves, PSI exactly 0, no single-half mass
+      ("neg", "2024-01-01 09:00:00", -312.5),
+      ("neg", "2024-01-01 10:00:00", 10.0),
+      ("neg", "2024-01-02 09:00:00", -0.01),
+      ("neg", "2024-01-02 10:00:00", 10.0))
+    val got = ValidationOps.valueDriftFrom(
+        rows.toDF("event_type", "tss", "value")
+          .select(col("event_type"), col("tss").cast("timestamp").as("ts"),
+            col("value")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(5)) null else r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    // the whole span is one day -> every row is "pre", n_post = 0,
+    // frac_only_pre = 1.0 -> drift true AND non-NULL
+    assert(got("one") == ((2L, 0L, 0.0, null, true)), got("one").toString)
+    // identical halves because -312.5 and -0.01 both bottom-cap to bin 0
+    val (nPre, nPost, psi, fop, drift) = got("neg")
+    assert(nPre == 2L && nPost == 2L && psi == 0.0 &&
+      fop == 0.0 && !drift, got("neg").toString)
+  }
+}
