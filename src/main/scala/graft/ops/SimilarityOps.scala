@@ -1291,39 +1291,60 @@ object SimilarityOps {
     * query and the [[silhouette]] quality report so both score the SAME
     * trained centroids. */
   private[ops] def kmeansCentroids(
-      s: SparkSession, d: String): Seq[(Long, IndexedSeq[Double], Long)] = {
+      s: SparkSession, d: String): Seq[(Long, IndexedSeq[Double], Long)] =
+    kmeansCentroidsProbed(s, d, None)
+
+  /** [[kmeansCentroids]] with a test-only probe receiving each Lloyd
+    * iteration's executed-plan string — lets the spec assert every
+    * distributed pass reads the PERSISTED input (InMemoryTableScan, zero
+    * parquet scans after the build), not re-derived parquet lineage.
+    * Probe `None` costs nothing. */
+  private[ops] def kmeansCentroidsProbed(s: SparkSession, d: String,
+      planProbe: Option[String => Unit]): Seq[(Long, IndexedSeq[Double], Long)] = {
+    // persisted for the loop (r14 verdict #3): each of the KmIters
+    // distributed passes (plus the seed collect) would otherwise re-scan
+    // the parquet — KmIters full corpus re-reads at 100 TB vs ONE
+    // materialization of the narrow (vec_id, embedding) projection; the
+    // MLlib KMeans trainer caches its assignment input for the same
+    // reason. Unpersisted in the finally (the mmrSelect discipline).
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // (cell, components, n_members), ascending cell — float→double is exact
-    var cents: Seq[(Long, IndexedSeq[Double], Long)] =
-      emb.filter(col("vec_id") < KmK)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .collect().toSeq
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, 1L))
-        .sortBy(_._1)
-    // no seed vectors (empty table): an empty codebook, same as the
-    // crossJoin formulation produced — not an error
-    if (cents.isEmpty) return cents
-    for (_ <- 0 until KmIters) {
-      // one distributed pass per iteration: narrow assignment → one
-      // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
-      // per-cell regroup is driver arithmetic (exact-integer sums, one
-      // double division — identical to the oracle's c$i CTE)
-      val sums = kmeansAssign(emb, cents.map(c => (c._1, c._2)))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("cell"), col("pos"),
-          expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)").as("q"))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-        .collect()
-      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
-        val byPos = rows.sortBy(_.getInt(1))
-        val comps = byPos.map(r =>
-          r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble).toIndexedSeq
-        (cell, comps, byPos.head.getLong(3))
-      }.sortBy(_._1)
+      .persist()
+    try {
+      // (cell, components, n_members), ascending cell — float→double is exact
+      var cents: Seq[(Long, IndexedSeq[Double], Long)] =
+        emb.filter(col("vec_id") < KmK)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().toSeq
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toIndexedSeq, 1L))
+          .sortBy(_._1)
+      // no seed vectors (empty table): an empty codebook, same as the
+      // crossJoin formulation produced — not an error
+      if (cents.isEmpty) return cents
+      for (_ <- 0 until KmIters) {
+        // one distributed pass per iteration: narrow assignment → one
+        // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
+        // per-cell regroup is driver arithmetic (exact-integer sums, one
+        // double division — identical to the oracle's c$i CTE)
+        val pass = kmeansAssign(emb, cents.map(c => (c._1, c._2)))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("cell"), col("pos"),
+            expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)").as("q"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        planProbe.foreach(_(pass.queryExecution.executedPlan.toString))
+        val sums = pass.collect()
+        cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+          val byPos = rows.sortBy(_.getInt(1))
+          val comps = byPos.map(r =>
+            r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble).toIndexedSeq
+          (cell, comps, byPos.head.getLong(3))
+        }.sortBy(_._1)
+      }
+      cents
+    } finally {
+      emb.unpersist(blocking = true)
     }
-    cents
   }
 
   /** Per-cell PURITY of the trained [[kmeans]] codebook against the

@@ -133,6 +133,34 @@ class ScalingBudgetSpec extends SparkSpec {
       s"the typed GramianAgg aggregate is missing from the plan:\n$plan")
   }
 
+  test("s_kmeans: every Lloyd iteration reads the persisted input " +
+      "relation, never a re-derived parquet scan") {
+    graft.GraftSession.init(spark)
+    // r14 verdict #3: each of the KmIters distributed passes re-derived
+    // embeddings(s, d) from the parquet scan — KmIters full corpus
+    // re-reads at 100 TB vs one materialization. The persist is only
+    // load-bearing if the iteration plans actually read it: assert
+    // InMemoryTableScan and zero parquet scans per iteration.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cents = SimilarityOps.kmeansCentroidsProbed(spark, dir1x,
+      Some(plans += _))
+    assert(cents.nonEmpty)
+    assert(plans.size == 2, s"expected KmIters=2 probed passes, got " +
+      s"${plans.size}")
+    for ((p, i) <- plans.zipWithIndex) {
+      assert(p.contains("InMemoryTableScan"),
+        s"Lloyd iteration ${i + 1} does not read the persisted " +
+          s"(InMemoryTableScan) relation:\n$p")
+      // the InMemoryRelation leaf PRINTS its build lineage (a FileScan)
+      // under itself — only a parquet scan ABOVE the cache leaf is a
+      // real re-derivation
+      val aboveCache = p.substring(0, p.indexOf("InMemoryTableScan"))
+      assert(!aboveCache.contains("Scan parquet"),
+        s"Lloyd iteration ${i + 1} re-derived the embedding relation " +
+          s"from parquet — the loop persist is broken:\n$p")
+    }
+  }
+
   test("d_fuzzy_pairs: the DP stage keeps its do-not-coalesce contract " +
       "(user-numPartitions REPARTITION_BY_NUM in the executed plan)") {
     graft.GraftSession.init(spark)
