@@ -1658,11 +1658,10 @@ object SimilarityOps {
     * the Rayleigh eigenvalue — None on an empty corpus. Shared with
     * [[pcaProject]] so the component both queries use is ONE
     * definition. */
-  private def principalComponent(
-      emb: DataFrame): Option[(Array[Long], Double)] = {
-    // a typed agg over an empty relation returns its zero buffer, which
-    // would send the all-zero G into a 0/0 normalization — keep the
-    // explicit empty-corpus contract
+  /** Collected Gramian as a full symmetric Dim×Dim array — None on an
+    * empty corpus (the typed agg's zero buffer would otherwise send an
+    * all-zero G into a 0/0 normalization). */
+  private def collectGramian(emb: DataFrame): Option[Array[Array[Long]]] = {
     if (emb.isEmpty) return None
     val tri = gramianRows(emb).head.getSeq[Long](0)
     val G = Array.ofDim[Long](Dim, Dim)
@@ -1674,21 +1673,70 @@ object SimilarityOps {
       }
       ti += 1
     }
-    def matvec(x: Array[Long]): Array[Long] =
-      Array.tabulate(Dim)(i =>
-        (0 until Dim).foldLeft(0L)((a, j) => a + G(i)(j) * x(j)))
+    Some(G)
+  }
+
+  private def gMatvec(G: Array[Array[Long]], x: Array[Long]): Array[Long] =
+    Array.tabulate(Dim)(i =>
+      (0 until Dim).foldLeft(0L)((a, j) => a + G(i)(j) * x(j)))
+
+  /** The [[PiIters]] fixed-point power iterations over a collected
+    * Gramian — shared by the PC1 solve and (on the deflated matrix, in
+    * BigInt) the PC2 solve. */
+  private def powerIterate(G: Array[Array[Long]]): Array[Long] = {
     var x = Array.fill(Dim)(PiXS)
     for (_ <- 1 to PiIters) {
-      val y = matvec(x)
+      val y = gMatvec(G, x)
       val m = y.map(math.abs).max
       x = y.map(v => v * PiXS / m) // trunc div — DuckDB // semantics
     }
-    val y = matvec(x)
-    val num = (0 until Dim).foldLeft(0L)((a, i) => a + x(i) * y(i))
-    val den = x.foldLeft(0L)((a, v) => a + v * v)
-    // Rayleigh quotient, de-quantized back to Σ vvᵀ units
-    Some((x, num.toDouble / den.toDouble / (PiS * PiS).toDouble))
+    x
   }
+
+  private def principalComponent(
+      emb: DataFrame): Option[(Array[Long], Double)] =
+    collectGramian(emb).map { g =>
+      val x = powerIterate(g)
+      val y = gMatvec(g, x)
+      val num = (0 until Dim).foldLeft(0L)((a, i) => a + x(i) * y(i))
+      val den = x.foldLeft(0L)((a, v) => a + v * v)
+      // Rayleigh quotient, de-quantized back to Σ vvᵀ units
+      (x, num.toDouble / den.toDouble / (PiS * PiS).toDouble)
+    }
+
+  /** Top TWO principal directions via Hotelling deflation (r14 verdict
+    * #5): x1 from the [[powerIterate]] solve, then the same fixed-point
+    * iteration on H = den²·G − num·(x1·x1ᵀ) where num = x1ᵀGx1 and
+    * den = x1ᵀx1 — den²·(G − λ₁v₁v₁ᵀ) for the CONVERGED iterate, so H
+    * shares G's eigenvectors minus the deflated direction (a positive
+    * scalar never moves eigenvectors). All-integer: H entries reach
+    * den²·G ≈ 10²⁵, past BIGINT — the deflated solve runs in driver
+    * BigInt, mirrored by HUGEINT CTEs in the oracle; the ITERATE stays
+    * ≤ [[PiXS]], so the per-vector projection is plain BIGINT.
+    * A rank-1 corpus deflates H to all zeros — max|y| = 0 is mapped to
+    * a divisor of 1 on BOTH engines (`greatest(m, 1)` in the oracle),
+    * reading PC2 = 0⃗ and proj2 = 0 deterministically, not an engine-
+    * specific division error. */
+  private def principalPlane(
+      emb: DataFrame): Option[(Array[Long], Array[Long])] =
+    collectGramian(emb).map { g =>
+      val x1 = powerIterate(g)
+      val y1 = gMatvec(g, x1)
+      val num = (0 until Dim).foldLeft(BigInt(0))(
+        (a, i) => a + BigInt(x1(i)) * y1(i))
+      val den = BigInt(x1.foldLeft(0L)((a, v) => a + v * v))
+      val den2 = den * den
+      val h = Array.tabulate(Dim, Dim)((i, j) =>
+        den2 * g(i)(j) - num * x1(i) * x1(j))
+      var z = Array.fill(Dim)(BigInt(PiXS))
+      for (_ <- 1 to PiIters) {
+        val w = Array.tabulate(Dim)(i =>
+          (0 until Dim).foldLeft(BigInt(0))((a, j) => a + h(i)(j) * z(j)))
+        val m = w.map(_.abs).max max BigInt(1)
+        z = w.map(v => v * PiXS / m) // BigInt / truncates toward zero,
+      }                              // matching DuckDB // on HUGEINT
+      (x1, z.map(_.toLong))
+    }
 
   def powerIter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1745,6 +1793,55 @@ object SimilarityOps {
             .as("proj_fp"))
           .withColumn("proj",
             expr(s"CAST(proj_fp AS DOUBLE) / ${PiS * PiXS}.0e0"))
+          .orderBy("vec_id")
+    }
+  }
+
+  /** Per-vector projection onto the (PC1, PC2) PLANE — the 2-D
+    * collapse/drift readout curation dashboards actually plot (a 1-D
+    * histogram hides a space collapsing ALONG the dominant direction;
+    * the plane scatter shows it). PC1 is the SAME [[principalComponent]]
+    * iterate as `s_power_iter`/`s_pca_project` (shared
+    * [[principalPlane]] solve), PC2 comes from Hotelling deflation of
+    * the SAME collected Gramian — the three queries can never disagree
+    * on directions.
+    *
+    * Exactness: both components are BIGINT iterates (|x| ≤ [[PiXS]]);
+    * each projection is `vec_qdot` pure-integer per row; the only
+    * doubles are the two final de-quantizing divisions by the shared
+    * literal [[PiS]]·[[PiXS]]. The deflated solve itself runs in driver
+    * BigInt / oracle HUGEINT (see [[principalPlane]]).
+    *
+    * Plan/scale: the Gramian pass (one scan + 2080-cell typed agg) to
+    * the driver, the O(Dim²) BigInt deflation ON the driver (64×64 —
+    * catalog-sized, free), then ONE narrow codegen'd pass over the
+    * corpus with both 64-value iterates inlined as literals — exactly
+    * [[pcaProject]]'s shipping shape, one extra multiply-add per row. */
+  def pcaProject2(s: SparkSession, d: String): DataFrame =
+    pcaProject2From(embeddings(s, d))
+
+  /** [[pcaProject2]] over a caller-supplied (vec_id, embedding) relation
+    * — the testable core (axis-aligned masses read exact plane
+    * coordinates; a rank-1 corpus reads proj2 = 0; an empty corpus reads
+    * the contract schema). */
+  private[ops] def pcaProject2From(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    principalPlane(emb) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Double, Double)]
+          .toDF("vec_id", "proj1_fp", "proj2_fp", "proj1", "proj2")
+      case Some((x1, x2)) =>
+        def arrLit(x: Array[Long]) =
+          x.map(v => s"${v}L").mkString("array(", ", ", ")")
+        emb.select(col("vec_id"),
+          expr(s"vec_qdot(embedding, CAST($PiS AS DOUBLE), ${arrLit(x1)})")
+            .as("proj1_fp"),
+          expr(s"vec_qdot(embedding, CAST($PiS AS DOUBLE), ${arrLit(x2)})")
+            .as("proj2_fp"))
+          .withColumn("proj1",
+            expr(s"CAST(proj1_fp AS DOUBLE) / ${PiS * PiXS}.0e0"))
+          .withColumn("proj2",
+            expr(s"CAST(proj2_fp AS DOUBLE) / ${PiS * PiXS}.0e0"))
           .orderBy("vec_id")
     }
   }
@@ -1918,6 +2015,44 @@ object SimilarityOps {
       SELECT vec_id, proj_fp,
              CAST(proj_fp AS DOUBLE) / ${PiS * PiXS}.0e0 AS proj
       FROM p ORDER BY vec_id"""
+
+  /** [[pcaProject2]] replay: the shared [[powerIterCtes]] prefix, then
+    * Hotelling deflation H = den²·G − num·x1x1ᵀ in HUGEINT (entries
+    * reach ~10²⁵ — BIGINT wraps, HUGEINT holds to 1.7e38; the driver
+    * side is BigInt, exact by construction) and the same [[PiIters]]
+    * truncating-division iterations (`//` on HUGEINT truncates toward
+    * zero = BigInt `/`, verified). `greatest(m, 1)` mirrors the Spark
+    * rank-1 guard: an all-zero deflated matrix reads PC2 = 0⃗ on both
+    * engines rather than an engine-specific division error. */
+  private def pcaProject2Oracle: String = {
+    def iter(k: Int) = s"""
+      w$k AS (SELECT h.i, sum(h.h * z${k - 1}.x)::HUGEINT AS y
+              FROM h JOIN z${k - 1} ON h.j = z${k - 1}.i GROUP BY 1),
+      mw$k AS (SELECT greatest(max(abs(y)), 1::HUGEINT) AS m FROM w$k),
+      z$k AS (SELECT i, (y * $PiXS) // m AS x FROM w$k, mw$k)"""
+    s"""
+      WITH $powerIterCtes,
+      dn AS (SELECT sum(x * x)::BIGINT AS den FROM x$PiIters),
+      nm AS (SELECT sum(CAST(xi.x * g.g AS HUGEINT) * xj.x)::HUGEINT AS num
+             FROM g, x$PiIters xi, x$PiIters xj
+             WHERE xi.i = g.i AND xj.i = g.j),
+      h AS (SELECT g.i AS i, g.j AS j,
+              dn.den::HUGEINT * dn.den * g.g - nm.num * xi.x * xj.x AS h
+            FROM g, dn, nm, x$PiIters xi, x$PiIters xj
+            WHERE xi.i = g.i AND xj.i = g.j),
+      z0 AS (SELECT i, $PiXS::HUGEINT AS x FROM generate_series(1, $Dim) t(i)),
+      ${(1 to PiIters).map(iter).mkString(",")},
+      p AS (SELECT qe.vec_id,
+              sum(qe.e[x$PiIters.i] * x$PiIters.x)::BIGINT AS proj1_fp,
+              sum(qe.e[z$PiIters.i] * CAST(z$PiIters.x AS BIGINT))::BIGINT
+                AS proj2_fp
+            FROM qe, x$PiIters, z$PiIters
+            WHERE x$PiIters.i = z$PiIters.i GROUP BY 1)
+      SELECT vec_id, proj1_fp, proj2_fp,
+             CAST(proj1_fp AS DOUBLE) / ${PiS * PiXS}.0e0 AS proj1,
+             CAST(proj2_fp AS DOUBLE) / ${PiS * PiXS}.0e0 AS proj2
+      FROM p ORDER BY vec_id"""
+  }
 
   /** Quantization scale for [[diversity]]'s unit-vector components: six
     * fractional digits survive into the exact-BIGINT ledger. */
@@ -2136,6 +2271,7 @@ object SimilarityOps {
     "s_centroid_outliers" -> centroidOutliers,
     "s_power_iter" -> powerIter,
     "s_pca_project" -> pcaProject,
+    "s_pca_project2" -> pcaProject2,
     "s_centroid_drift" -> centroidDrift,
     "s_range_search" -> rangeSearch,
     "s_cosine_topk" -> cosineTopk,
@@ -2313,6 +2449,7 @@ object SimilarityOps {
     "s_centroid_outliers" -> CentroidOutliersOracle,
     "s_power_iter" -> powerIterOracle,
     "s_pca_project" -> pcaProjectOracle,
+    "s_pca_project2" -> pcaProject2Oracle,
     "s_centroid_drift" -> centroidDriftOracle,
     "s_ann_multiprobe" -> annMultiprobeOracle,
     "s_mmr" -> mmrOracle,

@@ -462,7 +462,12 @@ class PlanSnapshotSpec extends SparkSpec {
     "m_audio_fprint" -> "scan=0 xhash=1 xrange=1 bcast=1 smj=0 bhj=1 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
     // r14: the component is driver-sized (the Gramian pass runs at
     // solve time); the projection is ONE narrow pass with 64 literals
-    "s_pca_project" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "s_pca_project" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r15: the (PC1, PC2) plane projection — STILL one narrow scan (the
+    // deflation is driver BigInt on the already-collected Gramian; the
+    // second component adds one vec_qdot to the same Project, no new
+    // distributed step)
+    "s_pca_project2" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

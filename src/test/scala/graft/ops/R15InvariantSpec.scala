@@ -100,6 +100,47 @@ class R15InvariantSpec extends SparkSpec {
         .getMessage.contains("length mismatch"))
   }
 
+  test("s_pca_project2: axis-aligned masses read exact plane coordinates;" +
+      " a rank-1 corpus reads PC2 = 0; an empty corpus reads the schema") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // 4 vectors of mass on dim0 (q = 400), 2 on dim1 (q = 100):
+    // G = diag(4·400², 2·100²) = diag(640000, 20000). Hand-replay of the
+    // 3 fixed-point iterations: x ends EXACTLY (1024, 0, …) — dim1 decays
+    // 1024 → 32 → 1 → 0 under the truncating renormalization. Deflation:
+    // den = 1024², num = den·640000 ⇒ H[0][0] = den²·640000 − num·den = 0
+    // exactly and H[1][1] = den²·20000, so PC2 is EXACTLY e1 after one
+    // iteration. proj1_fp = 400·1024 on the dim0 mass, proj2_fp =
+    // 100·1024 on the dim1 mass, zero cross-terms.
+    def vec(d: Int, v: Float) =
+      (0 until 64).map(i => if (i == d) v else 0f)
+    val emb = (0L until 4L).map(i => (i, vec(0, 0.4f))) ++
+      (4L until 6L).map(i => (i, vec(1, 0.1f)))
+    val got = SimilarityOps.pcaProject2From(emb.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    (0L until 4L).foreach(i =>
+      assert(got(i) == ((409600L, 0L, 0.4, 0.0)), s"$i: ${got(i)}"))
+    (4L until 6L).foreach(i =>
+      assert(got(i) == ((0L, 102400L, 0.0, 0.1)), s"$i: ${got(i)}"))
+
+    // rank-1: every vector along dim0 — H deflates to all zeros; the
+    // greatest(m, 1) guard must read PC2 = 0⃗ (proj2 exactly 0), not an
+    // engine-specific division error
+    val r1 = SimilarityOps.pcaProject2From(
+        (0L until 3L).map(i => (i, vec(0, 0.4f))).toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(r1.forall(t => t._1 == 409600L && t._2 == 0L && t._3 == 0.0),
+      r1.mkString(", "))
+
+    val empty = SimilarityOps.pcaProject2From(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+    assert(empty.columns.toSeq ==
+      Seq("vec_id", "proj1_fp", "proj2_fp", "proj1", "proj2"))
+    assert(empty.count() == 0)
+  }
+
   test("v_value_drift: a single-day type reads drift = false (not NULL)" +
       " and a negative value bins to 0, not an unbounded negative id") {
     graft.GraftSession.init(spark)
