@@ -218,6 +218,55 @@ object Multimodal {
       out
     }
 
+  /** Per-window energies for the landmark core: window w holds the sum
+    * of squared sample values over samples [64w, 64w+64) — the exact
+    * grain [[MultimodalOps.audioWindowRowsFrom]]'s relational
+    * `CAST(i DIV 64 AS INT)` + sum(v*v) pass produces, so the streaming
+    * per-clip path and the batch posexplode path frame identically by
+    * construction. */
+  def windowEnergies(samples: Array[Long]): Array[Long] = {
+    val out = new Array[Long]((samples.length + 63) / 64)
+    var i = 0
+    while (i < samples.length) {
+      out(i / 64) += samples(i) * samples(i); i += 1
+    }
+    out
+  }
+
+  /** The landmark-fingerprint core, doc-local and pure — the per-clip
+    * dual of [[MultimodalOps.audioMarksFrom]]'s relational pass, for the
+    * streaming arm (Structured Streaming cannot run lag/lead windows; a
+    * clip arrives whole, so its landmarks need no cross-row state and no
+    * window functions). Semantics are pinned EQUAL to the relational
+    * marks by AudioStreamSpec on adversarial fixtures and a real corpus
+    * slice: peaks are strict vs the previous window and >= vs the next
+    * (plateau tiebreak to the first window; clip edges count as -1
+    * neighbors), band = length(bin(energy)) - 1 (integer log2; band 0
+    * for energy 0), consecutive peaks pair as
+    * fp = band1*262144 + band2*4096 + min(dt, 4095), fps distinct per
+    * clip. */
+  def landmarkFps(energies: Array[Long]): Array[Long] = {
+    def band(e: Long): Long =
+      if (e == 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(e)
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < energies.length) {
+      val pe = if (i == 0) -1L else energies(i - 1)
+      val ne = if (i == energies.length - 1) -1L else energies(i + 1)
+      if (energies(i) > pe && energies(i) >= ne) peaks += i
+      i += 1
+    }
+    val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var j = 0
+    while (j + 1 < peaks.length) {
+      val dt = math.min((peaks(j + 1) - peaks(j)).toLong, 4095L)
+      fps += band(energies(peaks(j))) * 262144L +
+        band(energies(peaks(j + 1))) * 4096L + dt
+      j += 1
+    }
+    fps.toArray
+  }
+
   /** Per-channel RGB accumulation: (n_r, n_g, n_b, sum_r, sum_g, sum_b),
     * all exact integers. Real path: decoded pixels — the three counts are
     * each width×height. Stand-in (the oracle path): byte i feeds channel
@@ -1050,11 +1099,22 @@ object MultimodalOps {
   /** The unsorted per-(doc, window) energy relation shared by
     * [[audioWindows]] and [[silence]] — the consumer decides the final
     * ordering/rollup. */
-  private def audioWindowRows(s: SparkSession, d: String): DataFrame = {
+  private def audioWindowRows(s: SparkSession, d: String): DataFrame =
+    audioWindowRowsFrom(
+      documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("body")))
+
+  /** [[audioWindowRows]] over caller-supplied (doc_id, body) clips — the
+    * shared decode+framing core: the gate path binds it to the documents
+    * table; the streaming merge==batch spec (AudioStreamSpec) binds BOTH
+    * arms to one clip relation so the comparison starts from identical
+    * payloads. */
+  private[graft] def audioWindowRowsFrom(clips: DataFrame): DataFrame = {
+    val s = clips.sparkSession
     import s.implicits._
-    documents(s, d)
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+    clips
+      .select(col("doc_id"), col("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, body) =>
         (id, Multimodal.audioSamples(body))
@@ -1108,7 +1168,31 @@ object MultimodalOps {
     * the testable core (two clips sharing their interior peak
     * structure at a time offset match; a different clip doesn't; a
     * boilerplate landmark shared corpus-wide is capped away). */
-  private[ops] def audioFprintFrom(winRows: DataFrame): DataFrame = {
+  private[graft] def audioFprintFrom(winRows: DataFrame,
+      maxDf: Long = FprintMaxDf): DataFrame = {
+    // materialize the capped posting relation ONCE (the pairCounts
+    // checkpoint discipline): the self-join reads it twice, and an
+    // unmaterialized lineage re-runs the decode + three windows per side
+    val cold = audioMarksFrom(winRows)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The distinct (doc_id, fp) landmark relation of [[audioFprint]] —
+    * the relational arm of the landmark definition.
+    * [[Multimodal.landmarkFps]] is its per-clip streaming dual; the two
+    * are pinned value-equal by AudioStreamSpec so the arms cannot
+    * drift. */
+  private[graft] def audioMarksFrom(winRows: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("win")
     val peaks = winRows
@@ -1121,28 +1205,13 @@ object MultimodalOps {
         col("energy") >= coalesce(col("ne"), lit(-1L)))
       .select(col("doc_id"), col("win"),
         expr("length(bin(energy)) - 1").as("band"))
-    val marks = peaks
+    peaks
       .withColumn("band2", lead(col("band"), 1).over(w))
       .withColumn("dt", lead(col("win"), 1).over(w) - col("win"))
       .filter(col("band2").isNotNull)
       .select(col("doc_id"),
         expr("band * 262144 + band2 * 4096 + least(dt, 4095L)").as("fp"))
       .distinct()
-    // materialize the capped posting relation ONCE (the pairCounts
-    // checkpoint discipline): the self-join reads it twice, and an
-    // unmaterialized lineage re-runs the decode + three windows per side
-    val cold = marks
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("df") <= FprintMaxDf)
-      .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
-    cold.as("a")
-      .join(cold.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Mean-energy floor below which a window counts as silent in

@@ -445,7 +445,7 @@ object StreamOps {
         state: GroupState[PostingListState]): Iterator[PairDelta] = {
       val (st, out) = advancePostings(
         state.getOption.getOrElse(PostingListState(Nil, Nil, false)),
-        rows.toSeq, maxDf)
+        rows.map(r => (r.docId, r.n)).toSeq, maxDf)
       state.update(st)
       out.iterator
     }
@@ -466,29 +466,94 @@ object StreamOps {
     * state-update closures ship to executors and must not drag the
     * whole (non-serializable) StreamOps object along. */
   private object advancePostings extends Serializable {
-    def apply(st0: PostingListState, rows: Seq[ShinglePosting],
+    /** rows are (docId, n) — the key-agnostic grain, so the SAME machine
+      * serves the text arm (shingle keys, per-doc shingle counts) and
+      * the audio arm (landmark-fingerprint keys, n unused = 0). */
+    def apply(st0: PostingListState, rows: Seq[(Long, Long)],
         maxDf: Int): (PostingListState, List[PairDelta]) = {
       var st = st0
       val out = List.newBuilder[PairDelta]
       def pair(a: Long, na: Long, b: Long, nb: Long, d: Long): PairDelta =
         if (a < b) PairDelta(a, b, na, nb, d) else PairDelta(b, a, nb, na, d)
-      rows.sortBy(_.docId).foreach { r =>
-        if (!st.saturated && !st.docIds.contains(r.docId)) {
+      rows.sortBy(_._1).foreach { case (docId, n) =>
+        if (!st.saturated && !st.docIds.contains(docId)) {
           if (st.docIds.size + 1 > maxDf) {
             // cap crossed: retract every pair this shingle credited
-            // (pairs with r were never emitted — nothing to retract)
+            // (pairs with the new doc were never emitted — nothing to
+            // retract)
             for (i <- st.docIds.indices; j <- (i + 1) until st.docIds.size)
               out += pair(st.docIds(i), st.ns(i), st.docIds(j), st.ns(j), -1L)
             st = PostingListState(Nil, Nil, saturated = true)
           } else {
             for (i <- st.docIds.indices)
-              out += pair(st.docIds(i), st.ns(i), r.docId, r.n, 1L)
-            st = PostingListState(st.docIds :+ r.docId, st.ns :+ r.n, false)
+              out += pair(st.docIds(i), st.ns(i), docId, n, 1L)
+            st = PostingListState(st.docIds :+ docId, st.ns :+ n, false)
           }
         }
       }
       (st, out.result())
     }
+  }
+
+  /** One (fingerprint → clip) posting for the audio pair state. */
+  case class FpPosting(fp: Long, docId: Long)
+  /** Signed audio match-candidate increment — [[PairDelta]] without the
+    * per-doc count payload (a landmark has no multiplicity): summing
+    * `delta` per (aId, bId) reproduces batch
+    * [[graft.ops.MultimodalOps.audioFprint]]'s `n_shared` exactly —
+    * capped-away boilerplate landmarks net to zero. */
+  case class AudioPairDelta(aId: Long, bId: Long, delta: Long)
+
+  /** Streaming audio match-candidate maintenance — [[pairDeltaStream]]'s
+    * retraction discipline instantiated over the landmark postings of
+    * [[graft.ops.MultimodalOps.audioFprint]] (the constellation device),
+    * so arriving audio clips surface match candidates live. Landmark
+    * extraction is doc-local ([[graft.ops.Multimodal.landmarkFps]] over
+    * [[graft.ops.Multimodal.windowEnergies]] over the SAME
+    * [[graft.ops.Multimodal.audioSamples]] decode the batch arm runs): a
+    * clip arrives whole in one row, and Structured Streaming cannot run
+    * the batch arm's lag/lead windows — the pure core is spec-pinned
+    * value-equal to the relational [[graft.ops.MultimodalOps
+    * .audioMarksFrom]] so the arms cannot drift. The per-fingerprint
+    * capped posting state and the −1 retraction wave at the df cap are
+    * the SAME [[advancePostings]] machine the text arm runs, so
+    * sum(delta) per pair == the batch report exactly, cap saturation
+    * mid-stream included (spec-proven across micro-batches).
+    *
+    * State/scale: per live fingerprint ≤ maxDf clip ids; saturated keys
+    * collapse to one boolean forever (boilerplate landmarks — tone
+    * beeps, codec padding — cost O(1) state, not O(df)); keys are
+    * uniform integer hashes across executors. Key COUNT is the live
+    * fingerprint domain — unbounded here ON PURPOSE for exact
+    * merge==batch parity; a production deployment bounds it with the
+    * processing-time TTL epoch machine of [[pairDeltaStreamTtl]], which
+    * shares [[advancePostings]] and instantiates over these postings
+    * identically. */
+  def audioPairStream(clips: DataFrame,
+      maxDf: Long = graft.ops.MultimodalOps.FprintMaxDf): Dataset[AudioPairDelta] = {
+    import clips.sparkSession.implicits._
+
+    def update(fp: Long, rows: Iterator[FpPosting],
+        state: GroupState[PostingListState]): Iterator[AudioPairDelta] = {
+      val (st, out) = advancePostings(
+        state.getOption.getOrElse(PostingListState(Nil, Nil, false)),
+        rows.map(r => (r.docId, 0L)).toSeq, maxDf.toInt)
+      state.update(st)
+      out.iterator.map(p => AudioPairDelta(p.aId, p.bId, p.delta))
+    }
+
+    clips
+      .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, body) =>
+        graft.ops.Multimodal.landmarkFps(
+          graft.ops.Multimodal.windowEnergies(
+            graft.ops.Multimodal.audioSamples(body)))
+          .map(fp => FpPosting(fp, id))
+      })
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
   }
 
   /** [[PostingListState]] plus the epoch's last processing-time touch —
@@ -536,7 +601,8 @@ object StreamOps {
           .filter(s => now - s.lastMs <= ttlMs)
           .map(s => PostingListState(s.docIds, s.ns, s.saturated))
           .getOrElse(PostingListState(Nil, Nil, saturated = false))
-        val (st, out) = advancePostings(live, rows.toSeq, maxDf)
+        val (st, out) = advancePostings(live,
+          rows.map(r => (r.docId, r.n)).toSeq, maxDf)
         state.update(PostingListStateTtl(st.docIds, st.ns, st.saturated, now))
         state.setTimeoutDuration(ttlMs)
         out.iterator
