@@ -867,10 +867,20 @@ object MultimodalOps {
     * Plan/scale: one narrow mapPartitions through the codec boundary —
     * payloads never cross a shuffle, three small columns leave the
     * scan; no exchange before the presentation sort. */
-  def dims(s: SparkSession, d: String): DataFrame = {
+  def dims(s: SparkSession, d: String): DataFrame =
+    dimRows(s, d).orderBy("doc_id")
+
+  private def dimRows(s: SparkSession, d: String): DataFrame =
+    dimRowsFrom(documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body")))
+
+  /** The unsorted (doc_id, width, height, n_pixels) census shared by
+    * [[dims]] and [[aspectBuckets]] — one decode, two consumers. */
+  private[ops] def dimRowsFrom(clips: DataFrame): DataFrame = {
+    val s = clips.sparkSession
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+    clips
+      .select(col("doc_id"), col("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, b) =>
         Multimodal.decodeImage(b) match {
@@ -884,8 +894,45 @@ object MultimodalOps {
       .toDF("doc_id", "width", "height")
       .select(col("doc_id"), col("width"), col("height"),
         expr("CAST(width AS BIGINT) * height").as("n_pixels"))
-      .orderBy("doc_id")
   }
+
+  /** Aspect-ratio bucketing census — the batching pass every
+    * resolution-bucketed image-training recipe (SDXL-style) runs:
+    * payloads are binned by quarter-ratio qr = round-half-up(4·w/h)
+    * (spelled (8w + h) div 2h — PURE integer arithmetic, so the bin
+    * edge can never flip on a float division in either engine), clamped
+    * to [1, 16] (≤1:4 portrait through ≥4:1 landscape; bucket 4 =
+    * square), with per-bucket population, exact total pixels, mean
+    * pixels (exact BIGINT sum ÷ count), and the ratio envelope
+    * (min/max are order-free — no cross-partition double sum). The
+    * report is the input to the batch scheduler (how many buckets are
+    * worth a resolution group) and the outlier filter (extreme-aspect
+    * payloads to drop). Dimensions come from the [[dims]] census —
+    * real decodes for images/video, the (byte-length, 1) stand-in
+    * otherwise (the oracle path; real-decode bucketing is
+    * fixture-proven through THIS core).
+    *
+    * Plan/scale: the [[dims]] narrow decode pass (payloads never cross
+    * a shuffle) + ONE 16-key agg — partial map-side combine makes the
+    * exchange 16 rows per task at any corpus size. */
+  def aspectBuckets(s: SparkSession, d: String): DataFrame =
+    aspectBucketsFrom(dimRows(s, d))
+
+  /** [[aspectBuckets]] over a caller-supplied dims relation — the
+    * testable core (real PNG decodes land in their exact buckets). */
+  private[ops] def aspectBucketsFrom(dimRows: DataFrame): DataFrame =
+    dimRows
+      .select(col("n_pixels"),
+        expr("least(greatest((8L * width + height) div (2L * height), 1L), 16L)")
+          .as("bucket"),
+        expr("width / height").as("ratio"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pixels")).as("total_pixels"),
+        min(col("ratio")).as("min_ratio"), max(col("ratio")).as("max_ratio"))
+      .select(col("bucket"), col("n_docs"), col("total_pixels"),
+        expr("total_pixels / n_docs").as("mean_pixels"),
+        col("min_ratio"), col("max_ratio"))
+      .orderBy("bucket")
 
   /** ISO-BMFF metadata census: one row per payload that parses as a
     * whole MP4/MOV — brand, track count, duration, presentation dims
@@ -1413,6 +1460,7 @@ object MultimodalOps {
     "m_keyframes" -> keyframes,
     "m_silence" -> silence,
     "m_dims" -> dims,
+    "m_aspect_buckets" -> aspectBuckets,
     "m_mp4_meta" -> mp4MetaQuery,
     "m_mkv_meta" -> mkvMetaQuery,
     "m_resize" -> resizeStage,
@@ -1584,6 +1632,23 @@ object MultimodalOps {
       SELECT doc_id, length(text)::INT AS width, 1::INT AS height,
              length(text)::BIGINT AS n_pixels
       FROM documents ORDER BY doc_id""",
+    // integer quarter-ratio binning — `//` (DuckDB) and `div` (Spark)
+    // agree exactly on non-negative BIGINTs, so no float touches a bin
+    // edge; mean from the exact integer sum
+    "m_aspect_buckets" -> """
+      WITH m AS (SELECT length(text)::BIGINT AS width, 1::BIGINT AS height,
+                   length(text)::BIGINT AS n_pixels
+                 FROM documents),
+      b AS (SELECT n_pixels,
+              least(greatest((8 * width + height) // (2 * height), 1), 16)
+                AS bucket,
+              width / height AS ratio
+            FROM m)
+      SELECT bucket, count(*)::BIGINT AS n_docs,
+             sum(n_pixels)::BIGINT AS total_pixels,
+             sum(n_pixels)::BIGINT / count(*) AS mean_pixels,
+             min(ratio) AS min_ratio, max(ratio) AS max_ratio
+      FROM b GROUP BY 1 ORDER BY bucket""",
     // the ASCII corpus contains no ISO-BMFF payload, so the oracle is
     // the EMPTY relation with the declared schema — hash-exact like any
     // other entry; the real box walk is fixture-proven in scalatest

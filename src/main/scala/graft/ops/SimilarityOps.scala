@@ -925,6 +925,93 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** Quantization scale of [[centroidClassify]] — a power of two, so
+    * `float → double → ·NcQ → floor` involves NO inexact step (the
+    * double product of a float and 2¹⁰ is exact): the quantized
+    * coordinates are bit-identical in Spark, DuckDB, and driver Scala
+    * by construction, not by matched rounding. */
+  private val NcQ = 1024L
+  /** Centroid fixed-point precision factor: centroids live on a
+    * 1/(NcQ·NcF) grid, so the integer mean truncation costs 2⁻²⁰ —
+    * far below any class-separation scale that matters. */
+  private val NcF = 1024L
+
+  /** Nearest-centroid (Rocchio / nearest-class-mean) classification
+    * accuracy per label — the OTHER standard embedding-quality eval
+    * next to [[knnAccuracy]]: kNN scores the local neighborhood
+    * structure, this scores global class separability (a space can
+    * have clean local neighborhoods yet overlapping class means, and
+    * only this metric sees that; it is also the eval behind
+    * prototype/centroid retrieval routers). Each vector is assigned to
+    * the class whose centroid (exact fixed-point mean of the quantized
+    * members, computed over the FULL corpus — resubstitution, same as
+    * the oracle) minimizes squared Euclidean distance, ties to the
+    * smallest label; per-label n_vecs / n_correct / accuracy. On the
+    * random gate corpus accuracy ≈ 1/n_labels — the null baseline.
+    *
+    * Exactness device: coordinates quantize on the [[NcQ]] power-of-two
+    * grid (no rounding anywhere in float·2¹⁰ → floor), per-label sums
+    * are exact BIGINTs, centroids are floor-divided at [[NcF]]
+    * precision (Math.floorDiv == the oracle's positive-mod spelling),
+    * and the argmin compares the expanded form
+    * NcF²·Σq² − 2·NcF·(q·c) + Σc² — algebraically equal to
+    * Σ(q·NcF − c)², all BIGINT, so the verdict can never flip on a
+    * float (headroom ≤ 3·10¹⁴ at any corpus size: means are bounded,
+    * not growing with N).
+    *
+    * Plan/scale: ONE narrow quantized pass (native vec_qfloor →
+    * posexplode) into a (label, dim)-key agg — K·D = catalog-sized
+    * (640 cells) — collected to the driver (the k-means-partials
+    * bounded-collect discipline), then ONE codegen'd scoring pass with
+    * the K centroids inlined as literal arrays into native [[
+    * graft.functions.VecExpressions]] vec_qdot kernels (constant-folded
+    * CreateArray — no join, no broadcast, no row expansion) and a
+    * K-row label rollup. At 100 TB: two scans, both narrow, both
+    * whole-stage codegen. */
+  def centroidClassify(s: SparkSession, d: String): DataFrame =
+    centroidClassifyFrom(embeddings(s, d))
+
+  /** [[centroidClassify]] over a caller-supplied
+    * (vec_id, label, embedding) relation — the testable core. */
+  private[ops] def centroidClassifyFrom(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"),
+      col("label").cast("long").as("label"), col("embedding"))
+    val cells = emb
+      .select(col("label"),
+        posexplode(expr(s"vec_qfloor(embedding, CAST($NcQ AS DOUBLE))"))
+          .as(Seq("pos", "qv")))
+      .groupBy("label", "pos")
+      .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
+      .collect()
+    if (cells.isEmpty)
+      return emb.limit(0).select(col("label"), lit(0L).as("n_vecs"),
+        lit(0L).as("n_correct"), lit(0.0).as("accuracy"))
+    val cents = cells.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (lab, rs) =>
+        val c = Array.ofDim[Long](Dim)
+        rs.foreach(r =>
+          c(r.getInt(1)) = Math.floorDiv(r.getLong(2) * NcF, r.getLong(3)))
+        (lab, c, c.map(x => x * x).sum)
+    }
+    val qfl = s"vec_qfloor(embedding, CAST($NcQ AS DOUBLE))"
+    val argmin = cents.map { case (lab, c, cc) =>
+      val warr = c.mkString("array(", "L, ", "L)")
+      s"named_struct('ds', ${NcF * NcF}L * qq - ${2 * NcF}L * " +
+        s"vec_qdot(embedding, CAST($NcQ AS DOUBLE), $warr) + ${cc}L, " +
+        s"'lab', ${lab}L)"
+    }.mkString("array_min(array(", ", ", ")).lab")
+    emb
+      .withColumn("qq", expr(s"vec_qdot(embedding, CAST($NcQ AS DOUBLE), $qfl)"))
+      .select(col("label"), expr(argmin).as("pred"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        expr("n_correct / n_vecs").as("accuracy"))
+      .orderBy("label")
+  }
+
   /** IVF cell-occupancy balance — the index-skew dial: per-cell vector
     * counts with corpus share, the corpus-level imbalance factor
     * (max/mean occupancy), and a per-cell overload verdict (cell holds
@@ -2279,6 +2366,7 @@ object SimilarityOps {
     "s_ann_multiprobe" -> annMultiprobe,
     "s_knn_graph" -> knnGraph,
     "s_knn_accuracy" -> knnAccuracy,
+    "s_centroid_classify" -> centroidClassify,
     "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_ivf_topk" -> ivfTopk,
     "s_kmeans" -> kmeans,
@@ -2726,6 +2814,34 @@ object SimilarityOps {
              sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*)
                AS accuracy
       FROM j GROUP BY 1 ORDER BY label""",
+    // the direct Σ(q·NcF − c)² form — algebraically equal (exact BIGINT)
+    // to the Spark side's expanded NcF²Σq² − 2NcF(q·c) + Σc²; floor
+    // division spelled with the positive mod, == Math.floorDiv
+    "s_centroid_classify" -> s"""
+      WITH q AS (SELECT vec_id, label::BIGINT AS label,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * $NcQ) AS BIGINT)) AS q
+             FROM embeddings),
+      e AS (SELECT vec_id, label, i AS pos, q[i] AS qv
+            FROM (SELECT vec_id, label, q,
+                    unnest(generate_series(1, len(q))) AS i FROM q) z),
+      g AS (SELECT label, pos, sum(qv)::BIGINT AS sv, count(*)::BIGINT AS nv
+            FROM e GROUP BY 1, 2),
+      c AS (SELECT label, pos,
+              CAST((sv * $NcF - ((sv * $NcF % nv + nv) % nv)) / nv AS BIGINT)
+                AS cv
+            FROM g),
+      d AS (SELECT e.vec_id, e.label AS tl, c.label AS cand,
+              sum((e.qv * $NcF - c.cv) * (e.qv * $NcF - c.cv))::BIGINT AS ds
+            FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2, 3),
+      p AS (SELECT vec_id, tl, cand,
+              row_number() OVER (PARTITION BY vec_id ORDER BY ds, cand) AS rk
+            FROM d)
+      SELECT tl AS label, count(*)::BIGINT AS n_vecs,
+             sum(CASE WHEN cand = tl THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+             sum(CASE WHEN cand = tl THEN 1 ELSE 0 END) / count(*)
+               AS accuracy
+      FROM p WHERE rk = 1 GROUP BY 1 ORDER BY label""",
     "s_ivf_topk" -> IvfTopkOracle,
     "s_ivf_probe_curve" -> {
       val scoreCols = (0 until NumCells)

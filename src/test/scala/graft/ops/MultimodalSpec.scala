@@ -369,4 +369,32 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(1) == 6 && row.getInt(2) == 5)
     assert(row.getLong(3) == 301L && row.getLong(4) == 100L)
   }
+
+  test("m_aspect_buckets: real PNG decodes land in their exact" +
+      " quarter-ratio buckets; extreme ratios clamp; same-bucket docs" +
+      " aggregate exactly") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] =
+      Multimodal.encodePng(new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB))
+    val clips = Seq(
+      1L -> png(512, 512),  // qr = 4608 div 1024 = 4 (square)
+      2L -> png(500, 500),  // same bucket 4: exercises the rollup
+      3L -> png(1024, 512), // 8704 div 1024 = 8 (2:1 wide)
+      4L -> png(512, 1024), // 5120 div 2048 = 2 (1:2 tall)
+      5L -> png(768, 512),  // 6656 div 1024 = 6 (3:2)
+      6L -> png(1, 16),     // 24 div 32 = 0 -> clamps to 1
+      7L -> png(160, 2))    // 1282 div 4 = 320 -> clamps to 16
+    val got = MultimodalOps.aspectBucketsFrom(
+        MultimodalOps.dimRowsFrom(clips.toDF("doc_id", "body"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 6L, 8L, 16L), got.keySet.toString)
+    assert(got(4L) == ((2L, 512144L, 256072.0, 1.0, 1.0)), got(4L).toString)
+    assert(got(8L) == ((1L, 524288L, 524288.0, 2.0, 2.0)), got(8L).toString)
+    assert(got(2L) == ((1L, 524288L, 524288.0, 0.5, 0.5)), got(2L).toString)
+    assert(got(6L) == ((1L, 393216L, 393216.0, 1.5, 1.5)), got(6L).toString)
+    assert(got(1L) == ((1L, 16L, 16.0, 0.0625, 0.0625)), got(1L).toString)
+    assert(got(16L) == ((1L, 320L, 320.0, 80.0, 80.0)), got(16L).toString)
+  }
 }

@@ -467,7 +467,15 @@ class PlanSnapshotSpec extends SparkSpec {
     // deflation is driver BigInt on the already-collected Gramian; the
     // second component adds one vec_qdot to the same Project, no new
     // distributed step)
-    "s_pca_project2" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
+    "s_pca_project2" -> "scan=1 xhash=0 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r15: nearest-centroid accuracy — centroids are driver-collected at
+    // build time (the K·D bounded k-means-partials discipline), so the
+    // returned plan is ONE narrow scan with the K centroid literal
+    // arrays folded into vec_qdot kernels + the K-row label rollup; a
+    // join or Generate creeping in fails here
+    "s_centroid_classify" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0",
+    // r15: aspect bucketing — the dims decode pass + ONE 16-key agg
+    "m_aspect_buckets" -> "scan=1 xhash=1 xrange=1 bcast=0 smj=0 bhj=0 shj=0 bnlj=0 cart=0 gen=0 win=0 wgl=0")
 
   expected.foreach { case (q, want) =>
     test(s"plan snapshot: $q") {

@@ -176,4 +176,32 @@ class R15InvariantSpec extends SparkSpec {
     assert(nPre == 2L && nPost == 2L && psi == 0.0 &&
       fop == 0.0 && !drift, got("neg").toString)
   }
+
+  test("s_centroid_classify: axis-aligned classes read exact accuracy;" +
+      " the equidistant vector ties to the smallest label; empty corpus" +
+      " reads the contract schema") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    def axis(d: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == d) scale else 0f)
+    def mix(s0: Float, s1: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == 0) s0 else if (i == 1) s1 else 0f)
+    // mirror-symmetric classes: c0 = mean{e0, e0, m}, c1 = mean{e1, e1, m}
+    // with m = 0.5e0 + 0.5e1, so the two m vectors sit EXACTLY equidistant
+    // from both centroids (the same two squared terms, swapped) -> both
+    // tie -> both predict label 0: a hit for class 0, a miss for class 1
+    val emb = Seq(
+      (1L, 0, axis(0, 1f)), (2L, 0, axis(0, 1f)), (3L, 0, mix(0.5f, 0.5f)),
+      (4L, 1, axis(1, 1f)), (5L, 1, axis(1, 1f)), (6L, 1, mix(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = SimilarityOps.centroidClassifyFrom(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)), got(0L).toString)
+    assert(got(1L) == ((3L, 2L, 2.0 / 3.0)), got(1L).toString)
+    val empty = SimilarityOps.centroidClassifyFrom(
+      Seq.empty[(Long, Int, Seq[Float])].toDF("vec_id", "label", "embedding"))
+    assert(empty.columns.toSeq ==
+      Seq("label", "n_vecs", "n_correct", "accuracy") && empty.count() == 0L)
+  }
 }
