@@ -542,6 +542,17 @@ object StreamOps {
       out.iterator.map(p => AudioPairDelta(p.aId, p.bId, p.delta))
     }
 
+    audioPostings(clips)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** The (fp, docId) landmark posting stream both audio arms consume —
+    * ONE extraction definition, so the exact and TTL arms cannot
+    * drift. */
+  private def audioPostings(clips: DataFrame): Dataset[FpPosting] = {
+    import clips.sparkSession.implicits._
     clips
       .select(col("doc_id").cast("long").as("doc_id"), col("body"))
       .as[(Long, Array[Byte])]
@@ -551,9 +562,46 @@ object StreamOps {
             graft.ops.Multimodal.audioSamples(body)))
           .map(fp => FpPosting(fp, id))
       })
+  }
+
+  /** PRODUCTION arm of [[audioPairStream]]: the [[pairDeltaStreamTtl]]
+    * processing-time TTL epoch machine instantiated over the audio
+    * landmark postings — the fingerprint-domain key-count bound the
+    * exact arm defers, so the audio tier has the same two-arm story as
+    * the text tier. Same [[advancePostings]] machine, same horizon
+    * trade, spec-proven exactly: a pair whose clips arrive more than
+    * one horizon apart is LOST here and falls to the periodic batch
+    * backfill — and ONLY those pairs (stream ∪ cross-horizon pairs ==
+    * full batch [[graft.ops.MultimodalOps.audioFprint]]); the df cap
+    * counts per epoch and the backfill re-caps globally. */
+  def audioPairStreamTtl(clips: DataFrame, ttlMs: Long,
+      maxDf: Long = graft.ops.MultimodalOps.FprintMaxDf): Dataset[AudioPairDelta] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    import clips.sparkSession.implicits._
+
+    def update(fp: Long, rows: Iterator[FpPosting],
+        state: GroupState[PostingListStateTtl]): Iterator[AudioPairDelta] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val now = state.getCurrentProcessingTimeMs()
+        val live = state.getOption
+          .filter(s => now - s.lastMs <= ttlMs)
+          .map(s => PostingListState(s.docIds, s.ns, s.saturated))
+          .getOrElse(PostingListState(Nil, Nil, saturated = false))
+        val (st, out) = advancePostings(live,
+          rows.map(r => (r.docId, 0L)).toSeq, maxDf.toInt)
+        state.update(PostingListStateTtl(st.docIds, st.ns, st.saturated, now))
+        state.setTimeoutDuration(ttlMs)
+        out.iterator.map(p => AudioPairDelta(p.aId, p.bId, p.delta))
+      }
+    }
+
+    audioPostings(clips)
       .groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update)
+        GroupStateTimeout.ProcessingTimeTimeout())(update)
   }
 
   /** [[PostingListState]] plus the epoch's last processing-time touch —

@@ -131,4 +131,77 @@ class AudioStreamSpec extends SparkSpec {
     // and the cold suffixes did survive — the equality is non-vacuous
     assert(batch == Set((1L, 2L, 1L), (3L, 4L, 1L)), batch.toString)
   }
+
+  test("audioPairStreamTtl: expiry loses ONLY cross-horizon pairs; the" +
+      " epoch-2 hot landmark retracts inside the TTL arm") {
+    graft.GraftSession.init(spark)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // suffix devices (each mints ONE interior landmark):
+    //   sufX shared by epoch-1 docs 1,2 and epoch-2 doc 3 — global df 3
+    //   (cold): batch keeps (1,2),(1,3),(2,3); the stream must lose
+    //   exactly the cross-horizon (1,3),(2,3);
+    //   sufE (and the E->H junction) shared by docs 3,4 within epoch 2;
+    //   sufH shared by docs 3,4,5,6 — df 4 > cap 3 fires the retraction
+    //   wave INSIDE the TTL arm (batch caps it away identically)
+    val sufX = Seq(5, 80, 6, 160, 7)
+    val sufE = Seq(5, 90, 6, 200, 7)
+    val sufH = Seq(5, 40, 6, 120, 7)
+    val epoch1 = Seq(1L -> clip(sufX), 2L -> clip(sufX))
+    val epoch2 = Seq(
+      3L -> clip(sufX ++ sufE ++ sufH),
+      4L -> clip(sufE ++ sufH),
+      5L -> clip(sufH ++ Seq(3, 30, 4)),
+      6L -> clip(sufH ++ Seq(3, 50, 4)))
+    val in = MemoryStream[(Long, Array[Byte])]
+    // started through the production path: fingerprint-domain state is
+    // data-sized -> RocksDB (the pairDeltaStreamTtl discipline)
+    val q = StreamOps.startDataSized(spark) {
+      StreamOps.audioPairStreamTtl(
+          in.toDF().toDF("doc_id", "body"), ttlMs = 400L, maxDf = 3)
+        .writeStream.format("memory").queryName("audiottl")
+        .outputMode("append").start()
+    }
+    // processAllAvailable() hangs under ProcessingTimeTimeout (the
+    // engine keeps running no-data batches to fire timers) — poll the
+    // sink for the hand-traced row count instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000L * 1000 * 1000
+      while (spark.table("audiottl").count() < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out at ${spark.table("audiottl").count()}/$n delta rows")
+        Thread.sleep(100)
+      }
+      Thread.sleep(500) // and NO extra rows trickle in after the target
+      assert(spark.table("audiottl").count() == n, "unexpected extra deltas")
+    }
+    in.addData(epoch1)
+    awaitRows(1)       // (1,2) via sufX
+    Thread.sleep(1500) // > ttl: epoch boundary — sufX state goes stale
+    in.addData(epoch2)
+    // sufE +1, E->H junction +1, sufH: 3 credits then the 3-pair wave
+    awaitRows(1 + 8)
+    val deltas = spark.table("audiottl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(deltas.count(_._3 == -1L) == 3, deltas.mkString(", "))
+    val merged = deltas.groupBy(d => (d._1, d._2))
+      .map { case ((a, b), ds) => (a, b, ds.map(_._3).sum) }
+      .filter(_._3 != 0L).toSet
+    // full batch truth over all six clips through the same decode+cap
+    val all = epoch1 ++ epoch2
+    val batch = MultimodalOps.audioFprintFrom(
+        MultimodalOps.audioWindowRowsFrom(all.toDF("doc_id", "body")),
+        maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val epoch1Ids = epoch1.map(_._1).toSet
+    val (cross, within) = batch.partition(p =>
+      epoch1Ids.contains(p._1) != epoch1Ids.contains(p._2))
+    assert(cross.nonEmpty && within.nonEmpty, "fixture degenerate")
+    // the contract, exactly: the stream lost the cross-horizon pairs
+    // and NOTHING else — a batch backfill of `cross` restores parity
+    assert(merged == within,
+      s"stream ${merged.toSeq.sorted} != within-horizon ${within.toSeq.sorted}")
+    assert((merged ++ cross) == batch, "stream + backfill != full batch")
+  }
 }
