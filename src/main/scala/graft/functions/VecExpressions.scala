@@ -246,6 +246,32 @@ object VecUtil {
     * to the HOF chain. Finite inputs only (embedding components): a
     * NaN/±Inf element would silently saturate where the ANSI cast
     * raises, so callers own that precondition. */
+  /** Kernel of [[graft.functions.PqArgmin]]: K = flat.length/(sub+1)
+    * codeword blocks of (c1, components…); returns the j minimizing
+    * c1ⱼ − 2·dotⱼ with [[VecDot]]'s left-to-right double accumulation
+    * and strict-< first-wins ties (== array_min's lexicographic
+    * (dist, code) order, codes being distinct and ascending). */
+  def pqArgmin(a: ArrayData, flat: ArrayData, off: Int, sub: Int): Long = {
+    val block = sub + 1
+    val k = flat.numElements() / block
+    var best = Double.PositiveInfinity
+    var bestJ = 0L
+    var j = 0
+    while (j < k) {
+      val base = j * block
+      var dot = 0.0
+      var i = 0
+      while (i < sub) {
+        dot += a.getFloat(off + i).toDouble * flat.getDouble(base + 1 + i)
+        i += 1
+      }
+      val d = flat.getDouble(base) - 2.0 * dot
+      if (d < best) { best = d; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
   def qfloorFloat(a: ArrayData, scale: Double): GenericArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
@@ -449,6 +475,54 @@ case class VecQDot(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Native PQ subspace argmin — `pq_argmin(arr, flat, offset, subDim)`:
+  * the code j ∈ [0, K) minimizing
+  * `flat[j·(subDim+1)] − 2·Σᵢ arr[offset+i]·flat[j·(subDim+1)+1+i]`
+  * (ties to the LOWEST j), i.e. the per-subspace codeword assignment of
+  * PQ encoding with the K codewords packed as literal
+  * (c1ⱼ, componentsⱼ…) blocks. One tight loop per row — no `slice`
+  * array materialization, no K named_structs, no struct-ordering
+  * comparisons: the SQL spelling
+  * `array_min(array(named_struct('dist', c1 - 2*vec_dot(slice(...)),
+  * 'code', j), ...)).code` allocates and comparison-walks 2·K objects
+  * per subspace per row, which the r15 100× probe measured as the
+  * dominant constant of the whole PQ family (s_pq_encode 23s at 200k
+  * vectors; the ADC ranking inherits the same cost through the codes
+  * relation). Arithmetic is bit-identical to the chain: the same
+  * left-to-right double accumulation as [[VecDot]], the same
+  * `c1 − 2.0·dot` shape, and strict `<` == `array_min`'s (dist, code)
+  * lexicographic tie to the lowest code (property-proven in
+  * R15InvariantSpec). */
+case class PqArgmin(left: Expression, right: Expression,
+    offset: Int, subDim: Int) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _))
+          if offset >= 0 && subDim > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>) with " +
+          s"offset >= 0 and subDim > 0, got ${l.sql}, ${r.sql}, " +
+          s"offset=$offset, subDim=$subDim")
+    }
+
+  override def nullSafeEval(a: Any, f: Any): Any =
+    VecUtil.pqArgmin(a.asInstanceOf[ArrayData],
+      f.asInstanceOf[ArrayData], offset, subDim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, f) =>
+      s"graft.functions.VecUtil.pqArgmin($a, $f, $offset, $subDim)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgmin =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernel for [[CharCounts]] — the [[ShingleUtil]] pattern. */
 object TextKernels {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -559,6 +633,29 @@ object GraftFunctions {
     (FunctionIdentifier("char_counts"),
       new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
       (children: Seq[Expression]) => CharCounts(children(0), children(1))),
+    // offset/subDim are constructor params (the Like-escapeChar shape),
+    // so the builder folds the two trailing literals itself — the
+    // top_k precedent below
+    (FunctionIdentifier("pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "pq_argmin"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4) throw new IllegalArgumentException(
+          "pq_argmin requires exactly 4 arguments " +
+            s"(arr, flat, offset, subDim), got ${children.size}")
+        def intLit(i: Int, what: String): Int = children(i) match {
+          case e if e.foldable => e.eval() match {
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long if n >= 0 && n <= Int.MaxValue =>
+              n.intValue()
+            case v => throw new IllegalArgumentException(
+              s"pq_argmin: $what must be a non-negative INT literal, got $v")
+          }
+          case e => throw new IllegalArgumentException(
+            s"pq_argmin: $what must be a literal, got $e")
+        }
+        PqArgmin(children(0), children(1),
+          intLit(2, "offset (argument 3)"), intLit(3, "subDim (argument 4)"))
+      }),
     // Spark's own bounded top-k aggregate (the engine behind pandas-API
     // nsmallest), surfaced as `top_k(expr, k, reverse)`: each partial
     // buffer holds AT MOST k values (a bounded priority queue), so the

@@ -687,8 +687,14 @@ object SimilarityOps {
   // touches nprobe/K of the data.
   private val NumCells = 8
   private val NProbe = 2
-  private[ops] val cells: IndexedSeq[IndexedSeq[Long]] =
-    (0 until NumCells).map(j => (0 until Dim).map(i => h60(s"ivf_${j}_$i") % 2001 - 1000))
+  /** The deterministic md5-derived codebook, extensible to ANY cell
+    * count — the index j is the only input, so `cellsFor(8)` is
+    * byte-identical to the gate's [[cells]] and a 100 TB deployment
+    * sizes K ∝ N (constant cell occupancy) with the SAME generator.
+    * Production swaps in a k-means-trained codebook of the same K. */
+  private[ops] def cellsFor(k: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until k).map(j => (0 until Dim).map(i => h60(s"ivf_${j}_$i") % 2001 - 1000))
+  private[ops] val cells: IndexedSeq[IndexedSeq[Long]] = cellsFor(NumCells)
   private val cellNormSq: IndexedSeq[Long] = cells.map(c => c.map(x => x * x).sum)
 
   /** Spark-side score of `embedding` against centroid j: dot / |c_j|.
@@ -696,6 +702,31 @@ object SimilarityOps {
     * the argmax, so assignment skips it.) */
   private def cellScore(j: Int): String =
     s"(${Vec.dotConst("embedding", cells(j))}) / sqrt(CAST(${cellNormSq(j)} AS DOUBLE))"
+
+  /** [[cellScore]] against an arbitrary-K codebook. */
+  private def cellScoreK(j: Int, cs: IndexedSeq[IndexedSeq[Long]]): String = {
+    val nsq = cs(j).map(x => x * x).sum
+    s"(${Vec.dotConst("embedding", cs(j))}) / sqrt(CAST($nsq AS DOUBLE))"
+  }
+
+  /** [[argmaxCells]] over an arbitrary cell count. */
+  private def argmaxCellsK(k: Int): String =
+    (0 until k)
+      .map(j => s"named_struct('ns', -s$j, 'cell', CAST($j AS BIGINT))")
+      .mkString("array_min(array(", ", ", ")).cell")
+
+  /** The (vec_id, embedding, nrm, cell) assignment of [[knnGraphFrom]]
+    * at an arbitrary cell count — exposed so ScalingBudgetSpec can pin
+    * the N²/K candidate-pair contract from the assignment histogram. */
+  private[ops] def knnAssign(emb: DataFrame, nCells: Int): DataFrame = {
+    val cs = cellsFor(nCells)
+    emb
+      .select(col("vec_id") +: col("embedding") +:
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
+        (0 until nCells).map(j => expr(cellScoreK(j, cs)).as(s"s$j")): _*)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr(argmaxCellsK(nCells)).as("cell"))
+  }
 
   /** DuckDB twin of [[cellScore]] — same literals, same fold order. */
   private def cellScoreSql(j: Int): String = {
@@ -730,21 +761,28 @@ object SimilarityOps {
     * join (never corpus² — cells bound the quadratic term), and a
     * per-vector top-3 that rides WindowGroupLimit partial+final (the
     * limit runs below the shuffle). At 100 TB this is the standard
-    * IVF-blocked kNN-graph recipe; recall is governed by the cell
-    * grain — production unions multi-probe assignments, which only adds
-    * a second Generate, not a new shape. */
+    * IVF-blocked kNN-graph recipe with ONE sizing rule that matters:
+    * per-cell pairwise work is Σ nᵢ² ≈ N²/K, so K must scale ∝ N to
+    * hold cell occupancy (and with it per-task wall) CONSTANT — the
+    * r15 100× probe measured the fixed-K=8 shape at 200k vectors
+    * running 100× the 10× wall, exactly the N²/K prediction. The
+    * `nCells` parameter is that dial ([[cellsFor]] generates any K from
+    * the same deterministic codebook; ScalingBudgetSpec pins that
+    * K×4 cuts candidate pairs ≈ ×4); the gate stays at K=8 because the
+    * DuckDB oracle inlines the 8-cell codebook. Recall is governed by
+    * the cell grain — production unions multi-probe assignments, which
+    * only adds a second Generate, not a new shape. */
   def knnGraph(s: SparkSession, d: String): DataFrame =
     knnGraphFrom(embeddings(s, d))
 
   /** [[knnGraph]] over a caller-supplied (vec_id, embedding) relation —
-    * the testable core (and [[knnDensityFrom]]'s shared graph). */
-  private[ops] def knnGraphFrom(emb: DataFrame): DataFrame = {
-    val assigned = emb
-      .select(col("vec_id") +: col("embedding") +:
-        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
-        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr(argmaxCells).as("cell"))
+    * the testable core (and [[knnDensityFrom]]'s shared graph).
+    * `nCells` is the occupancy dial (see the plan note above): K ∝ N
+    * keeps the per-cell quadratic bounded; the default is the gate's
+    * oracle-pinned 8. */
+  private[ops] def knnGraphFrom(emb: DataFrame,
+      nCells: Int = NumCells): DataFrame = {
+    val assigned = knnAssign(emb, nCells)
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id"))
     assigned.as("a")
@@ -1124,21 +1162,51 @@ object SimilarityOps {
   /** The per-subspace code columns (`code0..code{M-1}`) over a bound
     * `embedding` column — shared by [[pqEncode]] and [[ivfPqTopk]]'s
     * corpus side. */
+  /** A double literal the SQL parser reads back bit-exactly: Scala's
+    * shortest-round-trip toString, D-suffixed unless scientific
+    * notation already types it DOUBLE. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s else s + "D"
+  }
+
   private def pqCodeCols: Seq[Column] = (0 until PqM).map { m =>
-    val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-    val scored = (0 until PqK).map { j =>
-      val comps = pqCents(m)(j)
-        .map(k => s"CAST($k AS DOUBLE) / $PqScale.0D").mkString(", ")
-      s"""named_struct('dist',
-            CAST(${pqCentNormSq(m)(j)} AS DOUBLE) / ${PqScale * PqScale}.0D
-              - 2.0D * vec_dot($sub, array($comps)),
-          'code', ${j}L)"""
-    }.mkString(", ")
-    expr(s"array_min(array($scored)).code").as(s"code$m")
+    // native pq_argmin (r15): the former SQL spelling —
+    // array_min(array(named_struct('dist', c1 - 2*vec_dot(slice(...)),
+    // 'code', j), ...)).code — allocated a 16-element slice, 16 structs
+    // and a struct-ordering walk PER SUBSPACE PER ROW; the 100x probe
+    // measured that constant at 23s/200k vectors on s_pq_encode (and
+    // s_pq_adc inherits it through the codes relation). The kernel is
+    // one tight loop over the same (c1, components) constants,
+    // bit-identical arithmetic (R15InvariantSpec property-pins it
+    // against the SQL chain).
+    val flat = (0 until PqK).flatMap { j =>
+      (pqCentNormSq(m)(j).toDouble / (PqScale * PqScale).toDouble) +:
+        pqCents(m)(j).map(k => k.toDouble / PqScale.toDouble)
+    }.map(dlit).mkString(", ")
+    expr(s"pq_argmin(embedding, array($flat), ${m * PqSubDim}, $PqSubDim)")
+      .as(s"code$m")
+  }
+
+  /** Split-starvation defense for compute-dense narrow passes: a small
+    * DENSE parquet input (kilobytes per row, one row group) plans as
+    * 1-2 scan partitions, serializing a pass whose per-row cost is
+    * ~1k multiply-adds — the r15 100× probe measured s_pq_encode at
+    * 13.8× wall for 10× data on a 51 MB single-split corpus, and
+    * [[pqAdc]] inherits the same starvation through the codes
+    * relation. The condition reads ONLY the planned partition count
+    * (file listing, no data), so at 100 TB — thousands of row groups,
+    * splits ≥ cores — this is a no-op and no shuffle is paid; the
+    * explicit-repartition precedent is the d_fuzzy_pairs DP stage
+    * (ScalingBudgetSpec's do-not-coalesce contract, r12). */
+  private def withMapParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
   }
 
   def pqEncode(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    withMapParallelism(embeddings(s, d))
       .select(col("vec_id") +: pqCodeCols: _*)
       .orderBy("vec_id")
 

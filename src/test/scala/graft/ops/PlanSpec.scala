@@ -156,7 +156,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 embeddings scan, saw $scans:\n${p.take(1500)}")
     assert(!p.contains("Join") && !p.contains("hashpartitioning"),
       s"compress-on-ingest pass grew a join/shuffle:\n${p.take(1500)}")
-    assert(p.contains("vec_dot"), "inlined codebook scores missing")
+    // r15: the assignment is the native pq_argmin kernel (one tight loop
+    // over the folded codebook) — the old array_min(named_struct(
+    // vec_dot(slice))) spelling allocated 2K objects per subspace per
+    // row, the 100x probe's dominant PQ constant
+    assert(p.contains("pq_argmin"), "native codebook argmin kernel missing")
+    assert(!p.contains("named_struct"),
+      s"the struct-allocating argmin spelling crept back:\n${p.take(1500)}")
   }
 
   test("s_pq_adc broadcasts the query LUTs and bounds top-k before the shuffle") {

@@ -177,6 +177,56 @@ class R15InvariantSpec extends SparkSpec {
       fop == 0.0 && !drift, got("neg").toString)
   }
 
+  test("pq_argmin: bit-equal to the array_min(named_struct(vec_dot(" +
+      "slice))) chain on random vectors; duplicate codewords tie to the" +
+      " lowest code") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val cents = SimilarityOps.pqCents
+    val scale = SimilarityOps.PqScale
+    val m = cents.length; val k = cents(0).length; val sub = cents(0)(0).length
+    val rnd = new scala.util.Random(42)
+    val emb = Seq.tabulate(500)(i =>
+        (i.toLong, Seq.fill(m * sub)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    def dlit(d: Double) = { val s = d.toString; if (s.contains("E")) s else s + "D" }
+    val cols = (0 until m).flatMap { mm =>
+      val chain = (0 until k).map { j =>
+        val comps = cents(mm)(j)
+          .map(c => s"CAST($c AS DOUBLE) / $scale.0D").mkString(", ")
+        val nsq = cents(mm)(j).map(x => x * x).sum
+        s"""named_struct('dist',
+              CAST($nsq AS DOUBLE) / ${scale * scale}.0D
+                - 2.0D * vec_dot(slice(embedding, ${mm * sub + 1}, $sub),
+                    array($comps)),
+            'code', ${j}L)"""
+      }.mkString(", ")
+      val flat = (0 until k).flatMap { j =>
+        (cents(mm)(j).map(x => x * x).sum.toDouble / (scale * scale).toDouble) +:
+          cents(mm)(j).map(c => c.toDouble / scale.toDouble)
+      }.map(dlit).mkString(", ")
+      Seq(expr(s"array_min(array($chain)).code").as(s"chain$mm"),
+        expr(s"pq_argmin(embedding, array($flat), ${mm * sub}, $sub)")
+          .as(s"kern$mm"))
+    }
+    emb.select(cols: _*).collect().foreach { r =>
+      (0 until m).foreach { mm =>
+        assert(r.getAs[Long](s"chain$mm") == r.getAs[Long](s"kern$mm"),
+          s"subspace $mm drifted: chain=${r.getAs[Long](s"chain$mm")} " +
+            s"kern=${r.getAs[Long](s"kern$mm")}")
+      }
+    }
+    // duplicate codewords (identical dist) must tie to the LOWEST code —
+    // array_min's lexicographic (dist, code) order, strict-< in the kernel
+    val tie = Seq((1L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select(expr(
+        "pq_argmin(embedding, array(0.5D, 0.25D, -0.125D," +
+          " 0.5D, 0.25D, -0.125D, 9.0D, 0.0D, 0.0D), 0, 2)").as("code"))
+      .collect()(0).getLong(0)
+    assert(tie == 0L, s"tie broke to $tie, not the lowest code")
+  }
+
   test("s_centroid_classify: axis-aligned classes read exact accuracy;" +
       " the equidistant vector ties to the smallest label; empty corpus" +
       " reads the contract schema") {

@@ -172,4 +172,32 @@ class ScalingBudgetSpec extends SparkSpec {
         "it bytes-based coalescing serializes the compute-bound, " +
         "kilobyte-sized DP stage (measured 2.5x at 10x scale, r12)")
   }
+
+  test("knn-graph cell dial: K x4 cuts candidate pairs ~x4 (the N^2/K " +
+      "occupancy contract the r15 100x probe measured at fixed K)") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // deterministic pseudo-embeddings — enough vectors that the md5
+    // codebook's cell histogram is near-uniform at both K
+    val emb = Seq.tabulate(512)(i => (i.toLong,
+        Seq.tabulate(64)(d => (((i * 37 + d * 11) % 97) - 48) / 48.0f)))
+      .toDF("vec_id", "embedding")
+    def pairs(k: Int): Long = SimilarityOps.knnAssign(emb, k)
+      .groupBy("cell").count().collect()
+      .map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
+    val p8 = pairs(8)
+    val p32 = pairs(32)
+    assert(p8 > 0 && p32 > 0, s"degenerate fixture: p8=$p8 p32=$p32")
+    // exactly 4x for a uniform histogram; > 2x pins the contract with
+    // headroom for codebook imbalance
+    assert(p8.toDouble / p32 > 2.0,
+      s"K x4 did not cut the per-cell quadratic: p8=$p8 p32=$p32")
+    // and the graph contract holds at the larger K: <= 3 neighbors per
+    // vector, non-empty
+    val g = SimilarityOps.knnGraphFrom(emb, nCells = 32).cache()
+    try {
+      assert(g.count() > 0)
+      assert(g.groupBy("a_id").count().collect().forall(_.getLong(1) <= 3))
+    } finally g.unpersist()
+  }
 }
