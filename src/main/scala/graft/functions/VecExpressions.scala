@@ -253,6 +253,14 @@ object VecUtil {
     * (dist, code) order, codes being distinct and ascending). */
   def pqArgmin(a: ArrayData, flat: ArrayData, off: Int, sub: Int): Long = {
     val block = sub + 1
+    if (off + sub > a.numElements())
+      throw new IllegalArgumentException(
+        s"pq_argmin: offset + subDim out of range (${off + sub} > " +
+          s"${a.numElements()})")
+    if (flat.numElements() % block != 0)
+      throw new IllegalArgumentException(
+        s"pq_argmin: codebook length ${flat.numElements()} is not a " +
+          s"multiple of subDim + 1 = $block")
     val k = flat.numElements() / block
     var best = Double.PositiveInfinity
     var bestJ = 0L
@@ -492,7 +500,11 @@ case class VecQDot(first: Expression, second: Expression, third: Expression)
   * left-to-right double accumulation as [[VecDot]], the same
   * `c1 − 2.0·dot` shape, and strict `<` == `array_min`'s (dist, code)
   * lexicographic tie to the lowest code (property-proven in
-  * R15InvariantSpec). */
+  * R15InvariantSpec). Fail-loud like [[VecDot]]: an out-of-range
+  * (offset, subDim) window or a codebook whose length is not a
+  * multiple of subDim + 1 raises IllegalArgumentException on BOTH
+  * ArrayData representations (UnsafeArrayData would otherwise read
+  * garbage silently where GenericArrayData throws). */
 case class PqArgmin(left: Expression, right: Expression,
     offset: Int, subDim: Int) extends BinaryExpression {
 

@@ -1194,14 +1194,23 @@ object SimilarityOps {
     * ~1k multiply-adds — the r15 100× probe measured s_pq_encode at
     * 13.8× wall for 10× data on a 51 MB single-split corpus, and
     * [[pqAdc]] inherits the same starvation through the codes
-    * relation. The condition reads ONLY the planned partition count
-    * (file listing, no data), so at 100 TB — thousands of row groups,
-    * splits ≥ cores — this is a no-op and no shuffle is paid; the
+    * relation. The condition reads ONLY catalog metadata — the
+    * optimized plan's size statistic (file-listing sum for a parquet
+    * relation) divided by `files.maxPartitionBytes` estimates the scan's
+    * split count without ever converting to an RDD (the r15 spelling
+    * `df.rdd.getNumPartitions` built a QueryExecution-to-RDD bridge per
+    * call, which under AQE can finalize upstream stages — ADVICE r15).
+    * At 100 TB — thousands of row groups, splits ≥ cores — the estimate
+    * is ≥ cores and this is a no-op, no shuffle paid; the
     * explicit-repartition precedent is the d_fuzzy_pairs DP stage
     * (ScalingBudgetSpec's do-not-coalesce contract, r12). */
   private def withMapParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit) + 1
+    if (estSplits >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 
@@ -1341,7 +1350,10 @@ object SimilarityOps {
     * rides the usual rank window (WindowGroupLimit pushes it below the
     * shuffle). */
   def ivfPqTopk(s: SparkSession, d: String): DataFrame = {
-    val scored = embeddings(s, d)
+    // same split-starvation guard as pqEncode: the assignment pass below
+    // runs pqCodeCols over this scan (ADVICE r15 — the guard must cover
+    // BOTH consumers of the compute-dense corpus pass, not just pqEncode)
+    val scored = withMapParallelism(embeddings(s, d))
       .select(col("vec_id") +: col("embedding") +:
         (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
     // the stored index: (vec_id, cell, code0..code{M-1}) — nothing else

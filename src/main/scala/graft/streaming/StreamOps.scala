@@ -531,6 +531,8 @@ object StreamOps {
     * identically. */
   def audioPairStream(clips: DataFrame,
       maxDf: Long = graft.ops.MultimodalOps.FprintMaxDf): Dataset[AudioPairDelta] = {
+    require(maxDf > 0 && maxDf <= Int.MaxValue,
+      s"maxDf must be in (0, Int.MaxValue], got $maxDf")
     import clips.sparkSession.implicits._
 
     def update(fp: Long, rows: Iterator[FpPosting],
@@ -577,6 +579,8 @@ object StreamOps {
   def audioPairStreamTtl(clips: DataFrame, ttlMs: Long,
       maxDf: Long = graft.ops.MultimodalOps.FprintMaxDf): Dataset[AudioPairDelta] = {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    require(maxDf > 0 && maxDf <= Int.MaxValue,
+      s"maxDf must be in (0, Int.MaxValue], got $maxDf")
     import clips.sparkSession.implicits._
 
     def update(fp: Long, rows: Iterator[FpPosting],

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-16 invariants: the ADVICE r15 fail-loud fixes — pq_argmin's
+  * bounds checks (an UnsafeArrayData out-of-range read was previously
+  * silent garbage while GenericArrayData threw) and the audio stream
+  * arms' maxDf Int-overflow guard. */
+class R16InvariantSpec extends SparkSpec {
+
+  private def rootCause(t: Throwable): Throwable = {
+    var c = t
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    c
+  }
+
+  test("pq_argmin: offset + subDim past the vector end raises" +
+      " IllegalArgumentException on BOTH the codegen (UnsafeArrayData)" +
+      " path and the direct kernel (GenericArrayData) path") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    // window [3, 3+2) over a 4-element vector: one element out of range
+    val thrown = intercept[Throwable] {
+      df.select(expr(
+        "pq_argmin(embedding, array(0.5D, 1.0D, 1.0D), 3, 2)")).collect()
+    }
+    val root = rootCause(thrown)
+    assert(root.isInstanceOf[IllegalArgumentException] &&
+        root.getMessage.contains("out of range"),
+      s"expected fail-loud out-of-range, got $root")
+    // direct kernel, GenericArrayData representation
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array[Any](1.0f, 2.0f, 3.0f, 4.0f))
+    val flat = new GenericArrayData(Array[Any](0.5d, 1.0d, 1.0d))
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.VecUtil.pqArgmin(a, flat, 3, 2)
+    }
+    assert(ex.getMessage.contains("out of range"))
+  }
+
+  test("pq_argmin: codebook length not a multiple of subDim + 1 raises" +
+      " instead of silently truncating trailing codewords") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // subDim=2 → block=3; a 4-element codebook drops its 4th double
+    val thrown = intercept[Throwable] {
+      df.select(expr(
+        "pq_argmin(embedding, array(0.5D, 1.0D, 1.0D, 7.0D), 0, 2)")).collect()
+    }
+    val root = rootCause(thrown)
+    assert(root.isInstanceOf[IllegalArgumentException] &&
+        root.getMessage.contains("multiple"),
+      s"expected fail-loud codebook-shape error, got $root")
+    // the well-shaped twin still evaluates
+    val ok = df.select(expr(
+      "pq_argmin(embedding, array(0.5D, 1.0D, 1.0D), 0, 2)")).collect()
+    assert(ok(0).getLong(0) == 0L)
+  }
+
+  test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
+      " is rejected at the API boundary, not wrapped negative into the" +
+      " postings cap") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val dummy = Seq((1L, Array[Byte]())).toDF("doc_id", "media")
+    for (bad <- Seq(Int.MaxValue.toLong + 1, 0L, -4L)) {
+      val e1 = intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.audioPairStream(dummy, maxDf = bad)
+      }
+      assert(e1.getMessage.contains("maxDf"))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.audioPairStreamTtl(dummy, ttlMs = 1000L,
+          maxDf = bad)
+      }
+      assert(e2.getMessage.contains("maxDf"))
+    }
+  }
+}

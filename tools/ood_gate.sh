@@ -59,7 +59,13 @@ run_main graft.ScaleGen "$OOD_DIR" "$OOD_DOCS" "$OOD_VECS" open \
 echo "[ood] dumping full gate (log: $LOG)"
 run_main graft.Verify "$OOD_DIR" "$OOD_OUT" 2> "$LOG" || {
   echo "[ood] Verify exited nonzero — tail of $LOG:"; tail -20 "$LOG"; exit 1; }
-grep '\[verify\].*failed' "$LOG" && { echo "[ood] queries THREW (above)"; } || true
+# A thrown query is a hard gate failure even if its output path ends up
+# absent-but-comparable downstream (ADVICE r15): fold into the final check.
+THREW=0
+if grep '\[verify\].*failed' "$LOG"; then
+  THREW=1
+  echo "[ood] queries THREW (above)"
+fi
 
 FALLBACK=0
 if grep -Ei 'grows beyond 64 KB|whole-stage codegen.*(disabled|fall)|InternalCompilerException' "$LOG" > /tmp/graft_ood_fallback.txt; then
@@ -72,5 +78,5 @@ fi
 
 python3 tools/local_verify.py "$OOD_DIR" "$OOD_OUT" | tee /tmp/graft_ood_compare.txt
 PASS=$(tail -1 /tmp/graft_ood_compare.txt)
-echo "[ood] result: $PASS; codegen fallback: $([[ $FALLBACK == 1 ]] && echo YES || echo none)"
-[[ $FALLBACK == 0 ]] && tail -1 /tmp/graft_ood_compare.txt | grep -qE '^([0-9]+)/\1 pass$'
+echo "[ood] result: $PASS; codegen fallback: $([[ $FALLBACK == 1 ]] && echo YES || echo none); threw: $([[ $THREW == 1 ]] && echo YES || echo none)"
+[[ $FALLBACK == 0 && $THREW == 0 ]] && tail -1 /tmp/graft_ood_compare.txt | grep -qE '^([0-9]+)/\1 pass$'
