@@ -428,22 +428,21 @@ object SimilarityOps {
     * windows that ride WindowGroupLimit, one uniform a_id join. At
     * 100 TB: the knnGraph recipe with a label column along for the
     * ride. */
-  def triplets(s: SparkSession, d: String): DataFrame =
+  def triplets(s: SparkSession, d: String,
+      nCells: Int = AutoCells): DataFrame =
     tripletsFrom(embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), col("label")))
+      .select(col("vec_id"), col("embedding"), col("label")), nCells)
 
   /** [[triplets]] over a caller-supplied (vec_id, embedding, label)
     * relation — the testable core (the property spec replays the whole
     * mining pass against a sequential-fold Scala model on random
     * labeled corpora, incl. cell-isolated labels that must emit no
-    * row). */
-  private[ops] def tripletsFrom(emb: DataFrame): DataFrame = {
-    val assigned = emb
-      .select(col("vec_id") +: col("embedding") +: col("label") +:
-        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
-        (0 until NumCells).map(j => expr(cellScore(j)).as(s"s$j")): _*)
-      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
-        expr(argmaxCells).as("cell"))
+    * row). Rides [[knnAssign]] (label passes through), so it inherits
+    * both the oracle-pinned K=8 spelling and the kernel-assignment
+    * scale path behind the same occupancy dial. */
+  private[ops] def tripletsFrom(emb: DataFrame,
+      nCells: Int = AutoCells): DataFrame = {
+    val assigned = knnAssign(emb, resolveCells(emb, nCells))
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -687,6 +686,32 @@ object SimilarityOps {
   // touches nprobe/K of the data.
   private val NumCells = 8
   private val NProbe = 2
+  /** Target per-cell occupancy of the AUTO-sized IVF codebook — the
+    * K ∝ N rule the r15 100× probe forced: per-cell pairwise work is
+    * Σnᵢ² ≈ N·occ, so holding occupancy constant holds per-task wall
+    * constant at ANY corpus size (fixed K=8 at 200k vectors ran >35
+    * min — the N²/K wall). 256 keeps the sf0.01 gate corpus (2000
+    * vectors) at EXACTLY the oracle-pinned K=8 (⌈2000/256⌉ = 8), and
+    * prices the graph at ~128 candidate neighbors per vector — the
+    * IVF-blocked kNN-graph grain production recipes (SemDeDup-style)
+    * run at. */
+  private[ops] val TargetCellOcc = 256L
+  /** Sentinel cell count: "derive K from the corpus size at
+    * [[TargetCellOcc]] occupancy" — the scale-safe DEFAULT of every
+    * kNN-family entry point. The gate passes [[NumCells]] explicitly
+    * (the DuckDB oracles inline the 8-cell codebook). */
+  private[ops] val AutoCells = 0
+  /** K = max(NumCells, ⌈n / TargetCellOcc⌉). */
+  private[ops] def cellCountFor(n: Long): Int =
+    math.max(NumCells.toLong,
+      (n + TargetCellOcc - 1) / TargetCellOcc).toInt
+  /** Resolve a caller's cell count: [[AutoCells]] pays ONE cheap
+    * count (parquet row-group stats — no data read on a bare scan) and
+    * sizes K at constant occupancy; an explicit K is a caller-supplied
+    * size (a deployment that already knows its corpus scale, or the
+    * gate's oracle-pinned 8). */
+  private def resolveCells(emb: DataFrame, nCells: Int): Int =
+    if (nCells == AutoCells) cellCountFor(emb.count()) else nCells
   /** The deterministic md5-derived codebook, extensible to ANY cell
     * count — the index j is the only input, so `cellsFor(8)` is
     * byte-identical to the gate's [[cells]] and a 100 TB deployment
@@ -715,17 +740,42 @@ object SimilarityOps {
       .map(j => s"named_struct('ns', -s$j, 'cell', CAST($j AS BIGINT))")
       .mkString("array_min(array(", ", ", ")).cell")
 
-  /** The (vec_id, embedding, nrm, cell) assignment of [[knnGraphFrom]]
-    * at an arbitrary cell count — exposed so ScalingBudgetSpec can pin
-    * the N²/K candidate-pair contract from the assignment histogram. */
+  /** The (input columns…, nrm, cell) assignment of [[knnGraphFrom]] at
+    * an arbitrary cell count — exposed so ScalingBudgetSpec can pin
+    * the N²/K candidate-pair contract from the assignment histogram.
+    * Every input column rides through (label for [[tripletsFrom]]).
+    *
+    * Two spellings, one semantics: at the gate's K = [[NumCells]] the
+    * assignment is the oracle-pinned literal score chain (K expanded
+    * columns + array_min argmax — bit-identical to the DuckDB SQL); at
+    * any other K it is ONE [[graft.functions.PqArgmin]] kernel call
+    * over the flattened codebook with the 1/(2|c|) normalization folded
+    * into the components (argmin of −dot(a, c/(2|c|)) == argmax of
+    * dot(a, c)/|c|, ties to the lowest cell in both spellings) — the
+    * codebook is a single constant-folded array literal, so K scales
+    * to thousands of cells with NO codegen growth (the literal chain
+    * would inline K×Dim multiply-adds of generated source). At true
+    * 100 TB grain the literal becomes a broadcast k-means codebook;
+    * the kernel shape is unchanged. */
   private[ops] def knnAssign(emb: DataFrame, nCells: Int): DataFrame = {
-    val cs = cellsFor(nCells)
-    emb
-      .select(col("vec_id") +: col("embedding") +:
-        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm") +:
-        (0 until nCells).map(j => expr(cellScoreK(j, cs)).as(s"s$j")): _*)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr(argmaxCellsK(nCells)).as("cell"))
+    val passthrough = emb.columns.toSeq.map(col)
+    val nrm = expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm")
+    if (nCells == NumCells) {
+      val cs = cellsFor(nCells)
+      emb
+        .select(passthrough ++ (nrm +:
+          (0 until nCells).map(j => expr(cellScoreK(j, cs)).as(s"s$j"))): _*)
+        .select(passthrough ++ Seq(col("nrm"),
+          expr(argmaxCellsK(nCells)).as("cell")): _*)
+    } else {
+      val flat = cellsFor(nCells).flatMap { c =>
+        val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        0.0 +: c.map(x => x.toDouble / (2.0 * norm))
+      }
+      emb.select(passthrough ++ Seq(nrm,
+        call_function("pq_argmin", col("embedding"), typedLit(flat.toArray),
+          lit(0), lit(Dim)).as("cell")): _*)
+    }
   }
 
   /** DuckDB twin of [[cellScore]] — same literals, same fold order. */
@@ -772,17 +822,20 @@ object SimilarityOps {
     * DuckDB oracle inlines the 8-cell codebook. Recall is governed by
     * the cell grain — production unions multi-probe assignments, which
     * only adds a second Generate, not a new shape. */
-  def knnGraph(s: SparkSession, d: String): DataFrame =
-    knnGraphFrom(embeddings(s, d))
+  def knnGraph(s: SparkSession, d: String,
+      nCells: Int = AutoCells): DataFrame =
+    knnGraphFrom(embeddings(s, d), nCells)
 
   /** [[knnGraph]] over a caller-supplied (vec_id, embedding) relation —
     * the testable core (and [[knnDensityFrom]]'s shared graph).
     * `nCells` is the occupancy dial (see the plan note above): K ∝ N
-    * keeps the per-cell quadratic bounded; the default is the gate's
-    * oracle-pinned 8. */
+    * keeps the per-cell quadratic bounded. The DEFAULT is the
+    * scale-safe [[AutoCells]] policy — production consumes defaults,
+    * and the r15 100× probe proved a fixed default is a wall; the gate
+    * passes the oracle-pinned [[NumCells]] explicitly. */
   private[ops] def knnGraphFrom(emb: DataFrame,
-      nCells: Int = NumCells): DataFrame = {
-    val assigned = knnAssign(emb, nCells)
+      nCells: Int = AutoCells): DataFrame = {
+    val assigned = knnAssign(emb, resolveCells(emb, nCells))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id"))
     assigned.as("a")
@@ -812,14 +865,17 @@ object SimilarityOps {
     * Plan/scale: the knnGraph shape (one narrow assignment pass + one
     * cell-key self-join bounded by cell occupancy) + one vec-key agg +
     * one left join back to the corpus ids. */
-  def knnDensity(s: SparkSession, d: String): DataFrame =
-    knnDensityFrom(embeddings(s, d))
+  def knnDensity(s: SparkSession, d: String,
+      nCells: Int = AutoCells): DataFrame =
+    knnDensityFrom(embeddings(s, d), nCells)
 
   /** [[knnDensity]] over a caller-supplied (vec_id, label, embedding)
     * relation — the testable core (a planted far-away vector reads the
     * lowest cos_kth; a cell-isolated vector reads 0 / NULL). */
-  private[ops] def knnDensityFrom(emb: DataFrame): DataFrame = {
-    val agg = knnGraphFrom(emb)
+  private[ops] def knnDensityFrom(emb: DataFrame,
+      nCells: Int = AutoCells): DataFrame = {
+    val agg = knnGraphFrom(emb.select(col("vec_id"), col("embedding")),
+      resolveCells(emb, nCells))
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("nn"), min(col("cos")).as("cos_kth"))
     emb.select(col("vec_id"), col("label"))
@@ -847,14 +903,16 @@ object SimilarityOps {
     * uniform b_id-key agg + one left join back to the corpus ids —
     * nothing beyond the graph's own cost. Exactness: pure integer
     * counts and comparisons; no floats anywhere past the graph. */
-  def hubness(s: SparkSession, d: String): DataFrame =
-    hubnessFrom(embeddings(s, d))
+  def hubness(s: SparkSession, d: String,
+      nCells: Int = AutoCells): DataFrame =
+    hubnessFrom(embeddings(s, d), nCells)
 
   /** [[hubness]] over a caller-supplied (vec_id, embedding) relation —
     * the testable core (a planted centroid-adjacent vector reads high
     * in-deg; a far-away vector reads 0 and flags antihub). */
-  private[ops] def hubnessFrom(emb: DataFrame): DataFrame = {
-    val indeg = knnGraphFrom(emb)
+  private[ops] def hubnessFrom(emb: DataFrame,
+      nCells: Int = AutoCells): DataFrame = {
+    val indeg = knnGraphFrom(emb, resolveCells(emb, nCells))
       .groupBy(col("b_id"))
       .agg(count(lit(1)).as("in_deg"))
     emb.select(col("vec_id"))
@@ -941,10 +999,11 @@ object SimilarityOps {
     * pairwise, WindowGroupLimit top-3) + two uniform vec-id label
     * joins + one a_id-key vote window — nothing beyond the graph's own
     * cost. */
-  def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+  def knnAccuracy(s: SparkSession, d: String,
+      nCells: Int = AutoCells): DataFrame = {
     val labels = embeddings(s, d)
       .select(col("vec_id"), col("label").cast("long").as("lab"))
-    val votes = knnGraph(s, d)
+    val votes = knnGraph(s, d, nCells)
       .join(labels.withColumnRenamed("vec_id", "b_id"), "b_id")
       .groupBy("a_id", "lab").agg(count(lit(1)).as("nv"))
     val w = Window.partitionBy("a_id").orderBy(col("nv").desc, col("lab"))
@@ -2444,8 +2503,11 @@ object SimilarityOps {
     "s_cosine_topk" -> cosineTopk,
     "s_ann_lsh" -> annLsh,
     "s_ann_multiprobe" -> annMultiprobe,
-    "s_knn_graph" -> knnGraph,
-    "s_knn_accuracy" -> knnAccuracy,
+    // the kNN family's gate arms pin the oracle's 8-cell codebook
+    // EXPLICITLY — the library default is the AutoCells occupancy
+    // policy (K ∝ N), which the DuckDB oracle cannot follow
+    "s_knn_graph" -> ((s, d) => knnGraph(s, d, NumCells)),
+    "s_knn_accuracy" -> ((s, d) => knnAccuracy(s, d, NumCells)),
     "s_centroid_classify" -> centroidClassify,
     "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_ivf_topk" -> ivfTopk,
@@ -2456,10 +2518,10 @@ object SimilarityOps {
     "s_mrl_recall" -> mrlRecall,
     "s_sq8_recall" -> sq8Recall,
     "s_rrf_fusion" -> rrfFusion,
-    "s_knn_density" -> knnDensity,
-    "s_hubness" -> hubness,
+    "s_knn_density" -> ((s, d) => knnDensity(s, d, NumCells)),
+    "s_hubness" -> ((s, d) => hubness(s, d, NumCells)),
     "s_spearman_mrl" -> spearmanMrl,
-    "s_triplets" -> triplets,
+    "s_triplets" -> ((s, d) => triplets(s, d, NumCells)),
     "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,

@@ -200,4 +200,67 @@ class ScalingBudgetSpec extends SparkSpec {
       assert(g.groupBy("a_id").count().collect().forall(_.getLong(1) <= 3))
     } finally g.unpersist()
   }
+
+  test("knn occupancy policy: the DEFAULT path sizes K proportional to N " +
+      "(AutoCells), the gate corpus lands exactly on the oracle's K=8, " +
+      "and the kernel assignment matches the driver-side argmin model") {
+    graft.GraftSession.init(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the policy function: constant occupancy, never below the gate K
+    assert(SimilarityOps.cellCountFor(1) == 8)
+    assert(SimilarityOps.cellCountFor(2000) == 8,
+      "sf0.01 gate corpus must derive EXACTLY the oracle-pinned K")
+    assert(SimilarityOps.cellCountFor(20000) == 79)
+    assert(SimilarityOps.cellCountFor(200000) == 782)
+    val occ = SimilarityOps.TargetCellOcc
+    for (n <- Seq(10000L, 100000L, 1000000L)) {
+      val k = SimilarityOps.cellCountFor(n)
+      assert(math.abs(n.toDouble / k - occ) <= occ,
+        s"occupancy drifted at n=$n: k=$k")
+    }
+    // default-path graph on a 4096-vector corpus derives K=16 — the
+    // assignment spreads past the 8 gate cells and the graph contract
+    // (<= 3 neighbors, cells in range) holds on the kernel spelling
+    val emb = Seq.tabulate(4096)(i => (i.toLong,
+        Seq.tabulate(64)(d => (((i * 37 + d * 11) % 97) - 48) / 48.0f)))
+      .toDF("vec_id", "embedding")
+    val k = SimilarityOps.cellCountFor(4096)
+    assert(k == 16)
+    val assigned = SimilarityOps.knnAssign(emb, k)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.values.forall(c => c >= 0 && c < k))
+    assert(assigned.values.toSet.size > 8,
+      "auto-sized assignment collapsed to the gate's 8 cells")
+    // kernel assignment == the driver-side argmin model with the SAME
+    // arithmetic (0 - 2*dot(a, c/(2|c|)), left-to-right double fold,
+    // strict-< ties to the lowest cell)
+    val flat = SimilarityOps.cellsFor(k).map { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      c.map(x => x.toDouble / (2.0 * nrm))
+    }
+    def model(a: Seq[Float]): Long = {
+      var best = Double.PositiveInfinity; var bestJ = 0L
+      for (j <- 0 until k) {
+        var dot = 0.0
+        for (i <- 0 until 64) dot += a(i).toDouble * flat(j)(i)
+        val d = 0.0 - 2.0 * dot
+        if (d < best) { best = d; bestJ = j.toLong }
+      }
+      bestJ
+    }
+    Seq.tabulate(4096)(i => (i.toLong,
+        Seq.tabulate(64)(d => (((i * 37 + d * 11) % 97) - 48) / 48.0f)))
+      .foreach { case (id, v) =>
+        assert(assigned(id) == model(v),
+          s"kernel assignment drifted from the model at vec $id")
+      }
+    // and the default (AutoCells) graph finishes with the contract shape
+    val g = SimilarityOps.knnGraphFrom(emb).cache()
+    try {
+      assert(g.count() > 0)
+      assert(g.groupBy("a_id").count().collect().forall(_.getLong(1) <= 3))
+    } finally g.unpersist()
+  }
 }
