@@ -580,7 +580,21 @@ object SimilarityOps {
     * to ride the aggregation buffers for zero additional shuffle
     * reduction, and emulating `rel DESC` via negation introduces a
     * −0.0/0.0 double-ordering parity hazard against the oracle's
-    * window. */
+    * window.
+    *
+    * Collect-once greedy (r16, verdict ask #3): the pool is
+    * WindowGroupLimit-bounded to [[MmrPoolK]] rows, so it is collected
+    * ONCE and the K×K pairwise similarities plus the SelK greedy steps
+    * run driver-side — identical selection, MmrSelK fewer distributed
+    * job launches per query (the r15 shape launched one 1-row argmax
+    * job per step). Exactness is preserved operation-for-operation:
+    * the driver dot is [[graft.functions.VecUtil]]'s left-to-right
+    * double fold (the vec_dot kernel's order), `rel` and `nrm` arrive
+    * already computed by the distributed pool pass, max_sim folds with
+    * strict `>` in selection order, and the argmax compares `mmr` with
+    * primitive ==/> (Spark's nanSafe semantics: −0.0 == 0.0 ties to
+    * the lower vec_id) — so the picked rows are bit-identical to both
+    * the r15 loop and the oracle's unrolled CTE replay. */
   def mmrSelect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = embeddings(s, d)
@@ -589,6 +603,7 @@ object SimilarityOps {
     val q = v.filter(col("vec_id") === 0)
     val wPool = Window.partitionBy(col("q_id"))
       .orderBy(col("rel").desc, col("vec_id"))
+    // the ONE distributed pass: broadcast-query pool scoring + top-PoolK
     val pool = broadcast(q.as("q"))
       .join(v.as("c"), col("c.vec_id") =!= lit(0L))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("vec_id"),
@@ -598,41 +613,40 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wPool))
       .filter(col("rn") <= MmrPoolK)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
-      .persist()
-    val sim = pool.as("a")
-      .join(pool.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
-          .as("sim"))
-      .persist()
-    try {
-      var selected = List.empty[Long]
-      val picked = Seq.newBuilder[(Long, Long, Double, Double, Double)]
-      for (k <- 1 to MmrSelK) {
-        val cand =
-          if (selected.isEmpty) pool.withColumn("max_sim", lit(0.0))
-          else pool
-            .filter(!col("vec_id").isin(selected: _*))
-            .join(
-              sim.filter(col("b_id").isin(selected: _*))
-                .groupBy(col("a_id")).agg(max(col("sim")).as("max_sim")),
-              col("vec_id") === col("a_id"))
-        val best = cand
-          .withColumn("mmr", expr("0.5 * rel - 0.5 * max_sim"))
-          .select(col("vec_id"), col("rel"), col("max_sim"), col("mmr"))
-          .orderBy(col("mmr").desc, col("vec_id"))
-          .limit(1)
-          .collect()(0)
-        selected :+= best.getLong(0)
-        picked += ((k.toLong, best.getLong(0), best.getDouble(1),
-          best.getDouble(2), best.getDouble(3)))
-      }
-      picked.result().toDF("rank", "vec_id", "rel", "max_sim", "mmr")
-        .orderBy("rank")
-    } finally {
-      sim.unpersist(blocking = true)
-      pool.unpersist(blocking = true)
+      .collect()
+    case class P(id: Long, emb: Array[Float], nrm: Double, rel: Double)
+    val ps = pool.map(r => P(r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2), r.getDouble(3)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
     }
+    val simOf: Map[(Long, Long), Double] = (for {
+      a <- ps; b <- ps; if a.id != b.id
+    } yield (a.id, b.id) -> (dot(a.emb, b.emb) / (a.nrm * b.nrm))).toMap
+    var selected = List.empty[Long]
+    val picked = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+    for (k <- 1 to MmrSelK) {
+      var best: (Long, Double, Double, Double) = null
+      for (p <- ps if !selected.contains(p.id)) {
+        var maxSim = 0.0
+        if (selected.nonEmpty) {
+          maxSim = simOf((p.id, selected.head))
+          for (sel <- selected.tail) {
+            val sv = simOf((p.id, sel)); if (sv > maxSim) maxSim = sv
+          }
+        }
+        val mmr = 0.5 * p.rel - 0.5 * maxSim
+        if (best == null || mmr > best._4 ||
+            (mmr == best._4 && p.id < best._1))
+          best = (p.id, p.rel, maxSim, mmr)
+      }
+      selected :+= best._1
+      picked += ((k.toLong, best._1, best._2, best._3, best._4))
+    }
+    picked.result().toDF("rank", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy("rank")
   }
 
   /** [[mmrSelect]] oracle: the greedy loop unrolled as one 1-row CTE per

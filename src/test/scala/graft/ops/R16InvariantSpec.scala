@@ -61,6 +61,40 @@ class R16InvariantSpec extends SparkSpec {
     assert(ok(0).getLong(0) == 0L)
   }
 
+  test("s_mmr: collect-once greedy — ONE distributed job per query" +
+      " (the r15 shape launched one argmax job per greedy step)") {
+    graft.GraftSession.init(spark)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = SimilarityOps.queries("s_mmr")(spark, "/root/testdata/sf0.001")
+      // building the frame already ran the pool collect; the returned
+      // rows are a driver-local relation
+      assert(out.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.getClass.getSimpleName.contains("LocalRelation")),
+        "mmr result must be a driver-local relation (greedy ran on the" +
+          " collected pool)")
+      // listener events are async; give the bus a beat to drain
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val n = jobs.get()
+      // ONE pool pass — AQE stages it as up to ~4 jobs (broadcast
+      // build, shuffle, final), but the count is CONSTANT in MmrSelK;
+      // the r15 per-step shape launched >= 1 + MmrSelK additional
+      // 1-row argmax jobs (>= 6 more)
+      assert(n >= 1 && n <= 5,
+        s"expected the single AQE-staged pool pass (<= 5 jobs), saw $n")
+      assert(out.count() == 5)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
       " is rejected at the API boundary, not wrapped negative into the" +
       " postings cap") {
