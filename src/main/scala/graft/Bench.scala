@@ -49,6 +49,36 @@ object Bench {
     Iterator.continually(once()).take(reps).toVector.sorted
   }
 
+  /** Session-speed calibration anchor (r15 verdict ask #2): a
+    * data-independent pure-CPU job — a codegen'd integer hash-mod sum
+    * over `spark.range` (no input, no shuffle beyond the final 1-row
+    * agg, deterministic result) — timed with the SAME protocol as the
+    * queries at the start, middle, and end of a run. Two artifacts'
+    * anchors expose the SESSION-speed ratio: the same r14 code measured
+    * 229.4s and 174.3s in different sessions, and r15's driver run
+    * showed a uniform +12.7% on code-unchanged queries — load noise
+    * nothing in the artifact could prove. tools/bench_diff.py divides
+    * out the anchor ratio before flagging. Work is sized per CPU so the
+    * anchor stays ~0.5s at any core count (constant per-thread work =
+    * the same thing the per-query numbers measure). */
+  private def anchorMedian(spark: SparkSession, cpus: String,
+      reps: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val n = 100000000L * math.max(1, cpus.toInt)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, n, 1L, math.max(1, cpus.toInt))
+        .select(sum(pmod(col("id") * lit(2654435761L) + lit(104729L),
+          lit(94906249L))).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc()
+    once() // untimed warm-up, the query protocol
+    val ts = Iterator.continually(once()).take(reps).toVector.sorted
+    ts(ts.size / 2)
+  }
+
   /** Drift-verify mode (judge advice r8 #8): re-time the named queries,
     * each in a FRESH SparkSession (new codegen cache / broadcast infra /
     * AQE stats — the state a long full run accumulates), and APPEND the
@@ -64,10 +94,12 @@ object Bench {
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"SPARK_GRAFT_DRIFT names unknown queries: ${unknown.mkString(", ")}")
+    var anchors = List.empty[Double]
     val results = names.sorted.map { name =>
       val spark = buildSession(cpus)
       try {
         warmup(spark, sfDir)
+        anchors ::= anchorMedian(spark, cpus, reps)
         val times = timeQuery(spark, sfDir, name, reps)
         name -> times(times.size / 2)
       } finally {
@@ -78,8 +110,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // one anchor per fresh session: the median prices THIS box right now,
+    // making the isolated numbers calibratable against any full-run line
+    val as = anchors.sorted
+    val anchorJson = s"""{"start":${as(as.size / 2)},"mid":${
+        as(as.size / 2)},"end":${as(as.size / 2)}}"""
     val json =
-      s"""{"metric":"drift","queries":$qs,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
+      s"""{"metric":"drift","queries":$qs,"anchor":$anchorJson,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -124,7 +161,7 @@ object Bench {
     }
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.keys.toSeq.sorted.map { name =>
+    def timeOne(name: String): (String, (Double, Double)) = {
       // progress to stderr (driver reads stdout only): makes a slow or
       // wedged query identifiable from OUTSIDE without a thread dump
       System.err.println(s"[bench] ${java.time.Instant.now()} start $name")
@@ -139,6 +176,17 @@ object Bench {
       if (times.isEmpty) name -> (-1.0, -1.0)
       else name -> (times(times.size / 2), times.head)
     }
+    val names = selected.keys.toSeq.sorted
+    val anchorStart = anchorMedian(spark, cpus, reps)
+    val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
+    val r1 = firstHalf.map(timeOne)
+    val anchorMid = anchorMedian(spark, cpus, reps)
+    val r2 = secondHalf.map(timeOne)
+    val anchorEnd = anchorMedian(spark, cpus, reps)
+    val results = r1 ++ r2
+    val anchorJson =
+      s"""{"start":$anchorStart,"mid":$anchorMid,"end":$anchorEnd}"""
+    System.err.println(s"[bench] anchor: $anchorJson")
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
@@ -150,7 +198,7 @@ object Bench {
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"anchor":$anchorJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver keeps only a tail of stdout, which
     // truncated the per-query map in round 4 — the file keeps rounds
@@ -176,7 +224,7 @@ object Bench {
     // parseable JSON object. Full detail stays in the big line +
     // target/bench.json.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"anchor":$anchorJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

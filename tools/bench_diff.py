@@ -35,12 +35,17 @@ import sys
 
 
 def load_queries(path, include_drift=False):
-    """Returns (median_map, min_map). min_map holds `queries_min`
+    """Returns (median_map, min_map, anchor). min_map holds `queries_min`
     (min-of-reps) entries where the artifact carries them — the
     sustained-vs-one-noisy-rep discriminator for the fast-query arm —
-    and is empty for artifacts that predate it (driver BENCH_rN.json)."""
+    and is empty for artifacts that predate it (driver BENCH_rN.json).
+    anchor is the median of the artifact's start/mid/end calibration
+    anchor (the data-independent pure-CPU job Bench times alongside the
+    queries, r15 verdict ask #2), or None for artifacts that predate
+    it."""
     queries = {}
     qmins = {}
+    anchor = None
     with open(path) as f:
         text = f.read()
     # whole-file JSON (driver artifact) or line-delimited (Bench artifact)
@@ -65,27 +70,42 @@ def load_queries(path, include_drift=False):
         q = obj.get("queries")
         if not isinstance(q, dict):
             continue
+        a = obj.get("anchor")
+        aval = None
+        if isinstance(a, dict):
+            vals = sorted(v for v in a.values()
+                          if isinstance(v, (int, float)) and v > 0)
+            if vals:
+                aval = vals[len(vals) // 2]
+                spread = vals[-1] / vals[0]
+                if spread > 1.3:
+                    print(f"warning: {path} anchor unstable within the "
+                          f"session (spread {spread:.2f}x: {a}) — the run "
+                          "itself rode shifting load", file=sys.stderr)
         if obj.get("metric") == "drift":
-            drifts.append(q)
+            drifts.append((q, aval))
         else:
             totals.append((q, obj.get("queries_min")
                            if isinstance(obj.get("queries_min"), dict)
-                           else {}))
+                           else {}, aval))
     if totals:
         queries.update(totals[-1][0])  # ONE coherent full-run map
         qmins.update(totals[-1][1])
+        anchor = totals[-1][2]
         if len(totals) > 1:
             print(f"note: {path} has {len(totals)} full-run lines; "
                   "using the last", file=sys.stderr)
     if include_drift:
-        for q in drifts:
+        for q, aval in drifts:
             queries.update(q)
+            anchor = aval if aval is not None else anchor
     elif drifts and not totals:
-        for q in drifts:  # drift-only file: nothing else to read
+        for q, aval in drifts:  # drift-only file: nothing else to read
             queries.update(q)
+            anchor = aval if aval is not None else anchor
     if not queries:
         sys.exit(f"no per-query map found in {path}")
-    return queries, qmins
+    return queries, qmins, anchor
 
 
 def main():
@@ -116,24 +136,46 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev, prev_min = load_queries(args[0], include_drift)
-    cur, cur_min = load_queries(args[1], include_drift)
+    prev, prev_min, prev_anchor = load_queries(args[0], include_drift)
+    cur, cur_min, cur_anchor = load_queries(args[1], include_drift)
+    # anchor calibration (r15 verdict ask #2): the same code measured
+    # 229.4s and 174.3s in two sessions — a uniform session-speed shift
+    # nothing per-query can distinguish from a real regression. When
+    # both artifacts carry the data-independent anchor, divide the
+    # session ratio out of every per-query ratio BEFORE flagging.
+    cal = None
+    if prev_anchor and cur_anchor:
+        cal = cur_anchor / prev_anchor
+        print(f"anchor: prev={prev_anchor:.3f}s cur={cur_anchor:.3f}s "
+              f"session ratio {cal:.3f}x — per-query ratios normalized")
+        if cal < 0.5 or cal > 2.0:
+            print(f"warning: session ratio {cal:.2f}x is extreme; the "
+                  "normalized ratios are only as good as the anchor",
+                  file=sys.stderr)
+    eff_cal = cal if cal else 1.0
     both = sorted(set(prev) & set(cur),
                   key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))
     only_prev, only_cur = set(prev) - set(cur), set(cur) - set(prev)
     flagged = []
-    print(f"{'query':34} {'prev':>8} {'cur':>8} {'ratio':>7}")
+    hdr = f"{'query':34} {'prev':>8} {'cur':>8} {'ratio':>7}"
+    print(hdr + ("{:>7}".format("norm") if cal else ""))
     for q in both:
+        norm = float("nan")
         if prev[q] <= 0 or cur[q] < 0:
             mark = "  ERR"
             flagged.append(q)
             ratio = float("nan")
         else:
             ratio = cur[q] / prev[q]
+            norm = ratio / eff_cal
             # noise floor (r12 verdict #7): a ratio breach on a
             # sub-second query is the shared-box signature unless the
-            # absolute delta is real too.
-            regressed = ratio > thr and (cur[q] - prev[q]) > abs_floor
+            # absolute delta is real too. All arms test the
+            # anchor-NORMALIZED ratio (norm == ratio without anchors);
+            # the absolute-delta floor also normalizes cur back to
+            # prev's session speed.
+            cur_n = cur[q] / eff_cal
+            regressed = norm > thr and (cur_n - prev[q]) > abs_floor
             # second arm (r13 advice / r14 verdict #4, closing the
             # sub-floor blind spot): a fast query whose CURRENT median
             # clears the floor AND whose min-of-reps breaches the same
@@ -141,31 +183,40 @@ def main():
             # noisy rep — 0.1s -> 0.55s flags even though the delta is
             # under the floor. Needs both artifacts' queries_min.
             sustained = False
-            if (not regressed and ratio > thr and cur[q] > abs_floor
+            if (not regressed and norm > thr and cur_n > abs_floor
                     and q in prev_min and q in cur_min
                     and prev_min[q] > 0 and cur_min[q] >= 0):
-                sustained = cur_min[q] / prev_min[q] > thr
+                sustained = cur_min[q] / prev_min[q] / eff_cal > thr
                 regressed = sustained
             mark = ("  REGRESSED (sustained)" if sustained else
                     "  REGRESSED" if regressed else (
-                    "  improved" if ratio < 1 / thr else (
-                    "  (noise-floor)" if ratio > thr else "")))
+                    "  improved" if norm < 1 / thr else (
+                    "  (noise-floor)" if norm > thr else "")))
             if regressed:
                 flagged.append(q)
-        print(f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}{mark}")
+        row = f"{q:34} {prev[q]:8.2f} {cur[q]:8.2f} {ratio:7.2f}"
+        if cal:
+            row += f"{norm:7.2f}"
+        print(row + mark)
     # totals over the SHARED set only, matching the label — summing each
     # file's full map would skew the ratio whenever the query sets differ
     ps = sum(prev[q] for q in both if prev[q] > 0)
     cs = sum(cur[q] for q in both if cur[q] > 0)
-    print(f"\n{'TOTAL (shared queries)':34} {ps:8.1f} {cs:8.1f} "
-          f"{(cs / ps if ps else 0):7.2f}")
+    total_row = (f"\n{'TOTAL (shared queries)':34} {ps:8.1f} {cs:8.1f} "
+                 f"{(cs / ps if ps else 0):7.2f}")
+    if cal:
+        total_row += f"{(cs / ps / cal if ps else 0):7.2f}"
+    print(total_row)
     if only_cur:
         print(f"new in cur ({len(only_cur)}): {', '.join(sorted(only_cur))}")
     if only_prev:
         print(f"gone from cur ({len(only_prev)}): {', '.join(sorted(only_prev))}")
-    print(f"thresholds applied: ratio > {thr}x AND (absolute delta > "
-          f"{abs_floor}s OR (cur > {abs_floor}s AND min-of-reps ratio > "
-          f"{thr}x)); other ratio breaches marked noise-floor, not flagged")
+    print(f"thresholds applied: {'anchor-normalized ' if cal else ''}ratio"
+          f" > {thr}x AND (absolute delta > {abs_floor}s OR (cur > "
+          f"{abs_floor}s AND min-of-reps ratio > {thr}x)); other ratio "
+          "breaches marked noise-floor, not flagged"
+          + ("" if cal else "; no anchor in one or both artifacts — "
+             "raw ratios used"))
     if flagged:
         print(f"\nFLAGGED (> {thr}x and > {abs_floor}s, or error): "
               + ", ".join(flagged))

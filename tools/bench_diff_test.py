@@ -22,12 +22,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 DIFF = os.path.join(HERE, "bench_diff.py")
 
 
-def artifact(path, queries, qmins=None):
+def artifact(path, queries, qmins=None, anchor=None):
     line = {"metric": "total", "value": sum(queries.values()),
             "unit": "sec", "queries": queries, "reps": 3, "warmup": 1,
             "errors": {}, "sf": "test"}
     if qmins is not None:
         line["queries_min"] = qmins
+    if anchor is not None:
+        line["anchor"] = {"start": anchor, "mid": anchor, "end": anchor}
     with open(path, "w") as f:
         f.write(json.dumps(line) + "\n")
 
@@ -71,10 +73,48 @@ def main():
         if rc != 0 or "REGRESSED" in out:
             failures.append(f"case 4: expected no flag w/o mins, rc={rc}\n{out}")
 
+        # case 5 (r15 verdict #2): a uniformly 1.8x-slower SESSION —
+        # every query AND the anchor shifted together — must produce
+        # ZERO flags after anchor normalization (r15's driver run was
+        # exactly this shape and was unfalsifiable without the anchor)
+        artifact(prev, {"q_a": 2.0, "q_b": 0.8, "q_c": 0.3},
+                 {"q_a": 1.9, "q_b": 0.75, "q_c": 0.28}, anchor=0.50)
+        artifact(cur, {"q_a": 3.6, "q_b": 1.44, "q_c": 0.54},
+                 {"q_a": 3.4, "q_b": 1.35, "q_c": 0.50}, anchor=0.90)
+        rc, out = run(prev, cur)
+        if rc != 0 or "REGRESSED" in out:
+            failures.append(f"case 5: uniform-session shift must not flag "
+                            f"after anchor normalization, rc={rc}\n{out}")
+        if "normalized" not in out:
+            failures.append(f"case 5: expected anchor calibration note\n{out}")
+
+        # case 6: a REAL single-query regression inside a steady session
+        # (anchor flat, one query 2.5x) -> still flagged with anchors on
+        artifact(prev, {"q_a": 2.0, "q_b": 0.8}, {"q_a": 1.9, "q_b": 0.75},
+                 anchor=0.50)
+        artifact(cur, {"q_a": 5.0, "q_b": 0.82}, {"q_a": 4.8, "q_b": 0.78},
+                 anchor=0.51)
+        rc, out = run(prev, cur)
+        if rc != 1 or "REGRESSED" not in out:
+            failures.append(f"case 6: real regression must survive anchor "
+                            f"normalization, rc={rc}\n{out}")
+
+        # case 7: real regression RIDING a slow session — q_a is 3.6x raw,
+        # 2x after dividing out the 1.8x session — flagged on the
+        # normalized ratio, while q_b (pure session shift) stays clean
+        artifact(prev, {"q_a": 2.0, "q_b": 0.8}, {"q_a": 1.9, "q_b": 0.75},
+                 anchor=0.50)
+        artifact(cur, {"q_a": 7.2, "q_b": 1.44}, {"q_a": 7.0, "q_b": 1.35},
+                 anchor=0.90)
+        rc, out = run(prev, cur)
+        if rc != 1 or out.count("REGRESSED") != 1:
+            failures.append(f"case 7: expected exactly the real regression "
+                            f"flagged under a slow session, rc={rc}\n{out}")
+
     if failures:
         print("\n\n".join(failures))
         sys.exit(1)
-    print("bench_diff_test: 4/4 pass")
+    print("bench_diff_test: 7/7 pass")
 
 
 if __name__ == "__main__":
