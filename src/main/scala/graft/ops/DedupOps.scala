@@ -59,6 +59,37 @@ object DedupOps {
     documents(s, d)
       .select(col("doc_id"), expr(ShinglesOfText).as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Span-dedup shingle width — the GATE grain (the DuckDB oracles
+    * inline 3-token shingles). 3 is deliberately aggressive: it
+    * measures the cap/boilerplate structure of the synthetic corpus.
+    * Production ExactSubstr pipelines (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") run ~50-token
+    * thresholds — at width 3, NATURAL repetition ("of the", stock
+    * phrases) flags as boilerplate; the width dial below is the
+    * `knnGraphFrom` treatment for the span family. */
+  private[ops] val DefaultSpanK = 3
+
+  /** [[shingleRows]] at an arbitrary width: k == [[DefaultSpanK]] rides
+    * the fused native shingles3 kernel (the gate's oracle-pinned hot
+    * path); other widths use the same guarded transform spelling the
+    * kernel is OpsSpec-proven equal to at k = 3. Width only changes the
+    * Generate — every downstream shuffle/agg shape is width-blind. */
+  private[ops] def shingleRowsFrom(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"shingle width must be >= 2, got $k")
+    if (k == DefaultSpanK)
+      docs.select(col("doc_id"), expr(ShinglesOfText).as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+    else {
+      val body = (0 until k).map(j => s"element_at(toks, i + $j)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      docs.select(col("doc_id"), expr(Toks).as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(CASE WHEN size(toks) >= $k THEN
+                transform(sequence(1, size(toks) - ${k - 1}), i -> $body)
+              ELSE array() END)""")).as("sh"))
+    }
+  }
   private[ops] val ShinglesSql =
     """list_distinct(CASE WHEN len(toks) >= 3 THEN
          list_transform(generate_series(1, len(toks) - 2),
@@ -1757,7 +1788,13 @@ object DedupOps {
     * dedup. Same inverted-index aggregation as the Jaccard pipeline: one
     * shuffle on the shingle, output is vocabulary-sized. */
   def hotSpans(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+    hotSpansFrom(documents(s, d))
+
+  /** [[hotSpans]] over a caller-supplied docs relation with the span
+    * width dial (`k` tokens per shingle, default the gate's 3). */
+  private[ops] def hotSpansFrom(docs: DataFrame,
+      k: Int = DefaultSpanK): DataFrame =
+    shingleRowsFrom(docs, k)
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("df"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -1779,9 +1816,16 @@ object DedupOps {
     * re-execute the whole scan→shingle subtree on the probe side, 2× the
     * corpus CPU/IO), then one partial-agg shuffle on doc_id. Two shuffles,
     * both uniform keys, no corpus-scale broadcast; survives 100×. */
-  def spanCoverage(s: SparkSession, d: String): DataFrame = {
+  def spanCoverage(s: SparkSession, d: String): DataFrame =
+    spanCoverageFrom(documents(s, d))
+
+  /** [[spanCoverage]] over a caller-supplied docs relation with the
+    * span width dial — a k = 8 run stops counting natural phrase-level
+    * repetition a k = 3 run flags (R16InvariantSpec fixture). */
+  private[ops] def spanCoverageFrom(docs: DataFrame,
+      k: Int = DefaultSpanK): DataFrame = {
     val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    shingleRows(s, d)
+    shingleRowsFrom(docs, k)
       .withColumn("df", count(lit(1)).over(perShingle))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -1811,24 +1855,36 @@ object DedupOps {
     * against a second cheap column-pruned scan joined on doc_id — wide
     * text never crosses the shingle shuffle. All keys uniform;
     * survives 100×. */
-  def spanRewrite(s: SparkSession, d: String): DataFrame = {
+  def spanRewrite(s: SparkSession, d: String): DataFrame =
+    spanRewriteFrom(documents(s, d))
+
+  /** [[spanRewrite]] over a caller-supplied docs relation with the span
+    * width dial: a k-token shingle covers positions p..p+k−1; the gate
+    * keeps k = 3 ([[DefaultSpanK]], oracle-pinned), production turns
+    * the width up toward the ExactSubstr ~50-token regime so natural
+    * repetition stops being stripped. Width only changes the two
+    * Generates; every shuffle key and agg is width-blind. */
+  private[ops] def spanRewriteFrom(docs: DataFrame,
+      k: Int = DefaultSpanK): DataFrame = {
+    require(k >= 2, s"span width must be >= 2, got $k")
     val perShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val byDocShingle = documents(s, d)
+    val shBody = (1 to k).map(j => s"element_at(toks, p + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val byDocShingle = docs
       .select(col("doc_id"), expr(Toks).as("toks"))
       .select(col("doc_id"), explode(expr(
-        """transform(filter(sequence(0, size(toks) - 1), p -> p + 2 < size(toks)),
-             p -> named_struct('p', p, 'sh',
-               concat(element_at(toks, p + 1), ' ', element_at(toks, p + 2),
-                      ' ', element_at(toks, p + 3))))""")).as("u"))
+        s"""transform(filter(sequence(0, size(toks) - 1), p -> p + ${k - 1} < size(toks)),
+             p -> named_struct('p', p, 'sh', $shBody))""")).as("u"))
       .groupBy(col("doc_id"), col("u.sh").as("sh"))
       .agg(collect_list(col("u.p")).as("ps"))
     val cov = byDocShingle
       .withColumn("df", count(lit(1)).over(perShingle))
       .filter(col("df") >= 2)
       .select(col("doc_id"), explode(col("ps")).as("p"))
-      .select(col("doc_id"), explode(expr("array(p, p + 1, p + 2)")).as("cp"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${k - 1})")).as("cp"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("cp"))).as("cov"))
-    documents(s, d).select(col("doc_id"), expr(Toks).as("toks"))
+    docs.select(col("doc_id"), expr(Toks).as("toks"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
         expr("CAST(coalesce(size(cov), 0) AS BIGINT)").as("n_removed"),

@@ -95,6 +95,47 @@ class R16InvariantSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("span-dedup width dial: a k=8 run stops flagging the natural" +
+      " 3-token repetition a k=3 run flags; k=3 through the dial is" +
+      " value-identical to the gate spelling") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    // two docs share ONE stock 4-token phrase ("as a matter of fact")
+    // inside otherwise-distinct 12-token texts: phrase-level natural
+    // repetition, NOT boilerplate — no 8-token span is shared
+    val docs = Seq(
+      (1L, "as a matter of fact alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "hotel india juliet kilo as a matter of fact lima mike november"),
+      (3L, "oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"))
+      .toDF("doc_id", "text")
+    val c3 = DedupOps.spanCoverageFrom(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c3(1L) > 0 && c3(2L) > 0,
+      s"k=3 must flag the shared phrase in docs 1 and 2: $c3")
+    assert(c3(3L) == 0)
+    val c8 = DedupOps.spanCoverageFrom(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c8.values.forall(_ == 0L),
+      s"k=8 must NOT flag phrase-level repetition: $c8")
+    // rewrite: k=3 strips the phrase tokens; k=8 strips nothing
+    val r3 = DedupOps.spanRewriteFrom(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r3(1L) > 0 && r3(2L) > 0 && r3(3L) == 0, s"k=3 rewrite: $r3")
+    val r8 = DedupOps.spanRewriteFrom(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(r8.forall(_._2 == 0L), s"k=8 rewrite must remove nothing: $r8")
+    // k=8 cleaned text round-trips the original exactly
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    r8.foreach { case (id, _, cleaned) => assert(cleaned == orig(id)) }
+    // dial at the gate width == the gate query spelling, value for value
+    val dial3 = DedupOps.spanRewriteFrom(docs, 3).collect().toSeq
+    val gateStyle = DedupOps.spanRewriteFrom(docs).collect().toSeq
+    assert(dial3 == gateStyle)
+    // hot-spans: width-8 shingles of these docs are all df=1 — empty
+    // report at any cap; width dial plumbed through
+    assert(DedupOps.hotSpansFrom(docs, 8).collect().isEmpty)
+  }
+
   test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
       " is rejected at the API boundary, not wrapped negative into the" +
       " postings cap") {
