@@ -1780,6 +1780,82 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Containment threshold of [[incrementalNear]] — the [[containment]]
+    * family's 0.9 bar, one direction (new-in-history). */
+  private val IncNearMin = 0.9
+
+  /** Incremental NEAR-dup manifest probe — the ingest-time twin of the
+    * streaming pair maintenance ([[graft.streaming.StreamOps.pairDeltaStream]])
+    * and the n-gram half [[incrementalDedup]]'s exact-hash arm misses: a
+    * new batch probes a PERSISTED per-shingle posting manifest of the
+    * historical corpus (built from the same [[shinglePostings]]
+    * definition both arms share, df-capped like every pair family), so
+    * only genuinely novel documents go on to pay the within-batch pair
+    * shuffle — a near-dup of history is caught by the probe alone,
+    * without recomputing history's pairs. Per new-batch document:
+    * history coverage (share of its shingles present in the capped
+    * manifest — the novelty score), the best single history match by
+    * shared-shingle count (ties to the lowest manifest doc), its
+    * containment (inter / n_spans), and the ≥ [[IncNearMin]] near-dup
+    * verdict. Documents shorter than one shingle carry no spans and are
+    * absent (the [[spanCoverage]] convention). "History" = doc_id <
+    * 400, "new batch" = doc_id ≥ 400 (the [[incrementalDedup]] split).
+    *
+    * Plan/scale: the manifest is ONE shingle-key shuffle over history —
+    * in production it is materialized ONCE (parquet, bucketed by
+    * shingle) and only the batch side is computed per ingest; the probe
+    * is a uniform shingle-key join, pair enumeration explodes only
+    * capped (≤ maxDf) posting lists (output-sensitive — the
+    * [[pairCounts]] discipline), the per-pair agg and top-1 window ride
+    * pair-grain relations, and the report agg is per-doc. A shingle
+    * hotter than the cap is dropped from the manifest — it carries no
+    * near-dup signal (boilerplate), exactly the cap rule every batch
+    * pair family applies. */
+  def incrementalNear(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    incrementalNearFrom(docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400))
+  }
+
+  /** The (doc_id, man_id, inter) pair relation of [[incrementalNear]] —
+    * exposed so OpsSpec can pin probe-vs-recompute equivalence. */
+  private[ops] def incrementalNearProbe(manifest: DataFrame,
+      batch: DataFrame, maxDf: Int): DataFrame =
+    shinglePostings(batch)
+      .join(shinglePostings(manifest)
+          .groupBy(col("sh"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= maxDf),
+        Seq("sh"), "left")
+      .select(col("doc_id"), col("n"), col("ids"))
+
+  /** [[incrementalNear]] over caller-supplied history/batch relations
+    * with the cap dial — the testable core. */
+  private[ops] def incrementalNearFrom(manifest: DataFrame,
+      batch: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val probe = incrementalNearProbe(manifest, batch, maxDf)
+    val perPair = probe.filter(col("ids").isNotNull)
+      .select(col("doc_id"), explode(col("ids")).as("man_id"))
+      .groupBy(col("doc_id"), col("man_id"))
+      .agg(count(lit(1)).as("inter"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("inter").desc, col("man_id"))
+    val best = perPair
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("man_id").as("best_match"), col("inter"))
+    probe.groupBy(col("doc_id"), col("n"))
+      .agg(sum(when(col("ids").isNotNull, 1L).otherwise(0L)).as("hit_spans"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_spans"), col("hit_spans"),
+        (col("hit_spans") / col("n")).as("cov_hist"),
+        col("best_match"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("inter"), lit(0L)) / col("n")).as("containment"))
+      .withColumn("is_near_dup", col("containment") >= lit(IncNearMin))
+      .orderBy("doc_id")
+  }
+
   /** Repeated-span (boilerplate) report — the span-level view the DF cap
     * acts on: every 3-token shingle appearing in more than [[DefaultMaxDf]]
     * documents, with its document frequency and an id range. This is what
@@ -2544,6 +2620,7 @@ object DedupOps {
     "d_hll_by_lang" -> hllByLang,
     "d_exact_distinct" -> exactDistinct,
     "d_incremental_dedup" -> incrementalDedup,
+    "d_incremental_near" -> incrementalNear,
     "d_dedup_clusters" -> dedupClusters,
     "d_bloom_prune" -> bloomPrune,
     "d_bloom_fpr" -> bloomFpr,
@@ -3505,6 +3582,35 @@ object DedupOps {
         AND content_hash NOT IN (SELECT content_hash FROM manifest)
       GROUP BY content_hash
       ORDER BY doc_id""",
+    "d_incremental_near" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      s AS (SELECT doc_id, $ShinglesSql sh FROM t),
+      mp AS (SELECT sh1, list(doc_id) ids FROM
+               (SELECT doc_id, unnest(sh) sh1 FROM s WHERE doc_id < 400)
+             GROUP BY sh1 HAVING count(*) <= $DefaultMaxDf),
+      np AS (SELECT doc_id, len(sh) n, unnest(sh) sh1 FROM s
+             WHERE doc_id >= 400),
+      probe AS (SELECT np.doc_id, np.n, mp.ids
+                FROM np LEFT JOIN mp USING (sh1)),
+      pp AS (SELECT doc_id, man_id, count(*)::BIGINT inter FROM
+               (SELECT doc_id, unnest(ids) man_id FROM probe
+                WHERE ids IS NOT NULL)
+             GROUP BY 1, 2),
+      best AS (SELECT doc_id, man_id AS best_match, inter FROM
+                 (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY inter DESC, man_id) rk FROM pp)
+               WHERE rk = 1),
+      cov AS (SELECT doc_id, n,
+                sum(CASE WHEN ids IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  hit_spans
+              FROM probe GROUP BY 1, 2)
+      SELECT c.doc_id, c.n AS n_spans, c.hit_spans,
+             c.hit_spans / c.n AS cov_hist,
+             b.best_match, coalesce(b.inter, 0)::BIGINT AS inter,
+             coalesce(b.inter, 0) / c.n AS containment,
+             coalesce(b.inter, 0) / c.n >= $IncNearMin AS is_near_dup
+      FROM cov c LEFT JOIN best b USING (doc_id)
+      ORDER BY c.doc_id""",
     "d_bloom_prune" -> BloomPruneOracle,
     "d_bloom_fpr" -> s"""
       WITH g AS ($BloomPruneOracle),

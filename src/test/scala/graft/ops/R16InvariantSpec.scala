@@ -136,6 +136,82 @@ class R16InvariantSpec extends SparkSpec {
     assert(DedupOps.hotSpansFrom(docs, 8).collect().isEmpty)
   }
 
+  test("d_incremental_near: the manifest probe equals a from-scratch" +
+      " driver-side recompute on the sf0.001 corpus (coverage, best" +
+      " match incl. tie rule, containment, verdict)") {
+    graft.GraftSession.init(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3)
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val man = docs.filter(_._1 < 400).map { case (id, t) => id -> shingles(t) }
+    val batch = docs.filter(_._1 >= 400)
+      .map { case (id, t) => id -> shingles(t) }
+    // capped manifest: shingle -> manifest doc ids, hot shingles dropped
+    val cap = DedupOps.DefaultMaxDf
+    val manIdx = man.toSeq.flatMap { case (id, shs) => shs.map(_ -> id) }
+      .groupBy(_._1).collect {
+        case (sh, xs) if xs.size <= cap => sh -> xs.map(_._2).toSet
+      }
+    val expected = batch.collect { case (id, shs) if shs.nonEmpty =>
+      val hits = shs.filter(manIdx.contains)
+      val inters = hits.toSeq.flatMap(sh => manIdx(sh)).groupBy(identity)
+        .map { case (m, xs) => m -> xs.size.toLong }
+      val best = if (inters.isEmpty) None
+        else Some(inters.toSeq.minBy { case (m, i) => (-i, m) })
+      val inter = best.map(_._2).getOrElse(0L)
+      id -> ((shs.size.toLong, hits.size.toLong, best.map(_._1), inter,
+        inter.toDouble / shs.size, inter.toDouble / shs.size >= 0.9))
+    }
+    val got = DedupOps.queries("d_incremental_near")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (nSpans, hitSpans, bestM, inter, cont, near) = expected(id)
+      assert(r.getLong(1) == nSpans, s"n_spans @ $id")
+      assert(r.getLong(2) == hitSpans, s"hit_spans @ $id")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == bestM,
+        s"best_match @ $id")
+      assert(r.getLong(5) == inter, s"inter @ $id")
+      assert(r.getDouble(6) == cont, s"containment @ $id")
+      assert(r.getBoolean(7) == near, s"is_near_dup @ $id")
+    }
+    // the fixture must actually exercise both verdicts
+    assert(got.exists(_.getBoolean(7)) && got.exists(!_.getBoolean(7)),
+      "corpus split exercises only one verdict — fixture degenerate")
+    // the df cap (never hit by the 400-doc gate manifests): a shingle
+    // hot across > maxDf history docs is dropped from the manifest —
+    // boilerplate carries no near-dup signal, the pairCounts rule
+    import spark.implicits._
+    val hist = Seq(
+      (0L, "common header line alpha bravo charlie delta"),
+      (1L, "common header line echo foxtrot golf hotel"),
+      (2L, "common header line india juliet kilo lima"))
+      .toDF("doc_id", "text")
+    val nb = Seq(
+      (400L, "common header line alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.incrementalNearFrom(hist, nb, maxDf = 2).collect()
+    assert(capped.length == 1)
+    // "common header line" (df=3 > 2) is dropped; the doc still matches
+    // doc 0 on its remaining unique spans
+    val row = capped(0)
+    assert(row.getLong(1) == 5, "5 distinct shingles in the batch doc")
+    assert(row.getLong(2) == 4,
+      "the capped boilerplate shingle must not count as history coverage")
+    assert(row.getLong(4) == 0L && row.getLong(5) == 4)
+    val uncapped = DedupOps.incrementalNearFrom(hist, nb, maxDf = 20).collect()
+    assert(uncapped(0).getLong(2) == 5 && uncapped(0).getLong(5) == 5,
+      "without the cap the boilerplate shingle counts")
+  }
+
   test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
       " is rejected at the API boundary, not wrapped negative into the" +
       " postings cap") {
