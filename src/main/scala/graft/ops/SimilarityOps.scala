@@ -442,7 +442,8 @@ object SimilarityOps {
     * scale path behind the same occupancy dial. */
   private[ops] def tripletsFrom(emb: DataFrame,
       nCells: Int = AutoCells): DataFrame = {
-    val assigned = knnAssign(emb, resolveCells(emb, nCells))
+    val assigned = knnAssign(emb, resolveCells(emb, nCells),
+      forceKernel = nCells == AutoCells)
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -704,12 +705,14 @@ object SimilarityOps {
     * K ∝ N rule the r15 100× probe forced: per-cell pairwise work is
     * Σnᵢ² ≈ N·occ, so holding occupancy constant holds per-task wall
     * constant at ANY corpus size (fixed K=8 at 200k vectors ran >35
-    * min — the N²/K wall). 256 keeps the sf0.01 gate corpus (2000
-    * vectors) at EXACTLY the oracle-pinned K=8 (⌈2000/256⌉ = 8), and
-    * prices the graph at ~128 candidate neighbors per vector — the
-    * IVF-blocked kNN-graph grain production recipes (SemDeDup-style)
-    * run at. */
-  private[ops] val TargetCellOcc = 256L
+    * min — the N²/K wall). 128 keeps the sf0.01 gate corpus (500
+    * vectors) at EXACTLY the legacy K=8 (max(8, ⌈500/128⌉) = 8) while
+    * the sf0.1 corpus (2000 vectors) derives K=16 — so the driver gate
+    * itself exercises the dynamic-K oracle ABOVE the fixed-K floor
+    * every round — and prices the graph at ~128 candidate neighbors
+    * per vector, the IVF-blocked kNN-graph grain production recipes
+    * (SemDeDup-style) run at. */
+  private[ops] val TargetCellOcc = 128L
   /** Sentinel cell count: "derive K from the corpus size at
     * [[TargetCellOcc]] occupancy" — the scale-safe DEFAULT of every
     * kNN-family entry point. The gate passes [[NumCells]] explicitly
@@ -770,11 +773,17 @@ object SimilarityOps {
     * to thousands of cells with NO codegen growth (the literal chain
     * would inline K×Dim multiply-adds of generated source). At true
     * 100 TB grain the literal becomes a broadcast k-means codebook;
-    * the kernel shape is unchanged. */
-  private[ops] def knnAssign(emb: DataFrame, nCells: Int): DataFrame = {
+    * the kernel shape is unchanged. `forceKernel` pins the kernel
+    * spelling even at K = NumCells — the AUTO path uses it so the
+    * auto-sized graph has ONE arithmetic at every K (and ONE dynamic-K
+    * oracle, `s_knn_graph_auto`); the two spellings agree on argmax up
+    * to near-tie rounding, which is why each gate query pins exactly
+    * one of them. */
+  private[ops] def knnAssign(emb: DataFrame, nCells: Int,
+      forceKernel: Boolean = false): DataFrame = {
     val passthrough = emb.columns.toSeq.map(col)
     val nrm = expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm")
-    if (nCells == NumCells) {
+    if (nCells == NumCells && !forceKernel) {
       val cs = cellsFor(nCells)
       emb
         .select(passthrough ++ (nrm +:
@@ -840,6 +849,68 @@ object SimilarityOps {
       nCells: Int = AutoCells): DataFrame =
     knnGraphFrom(embeddings(s, d), nCells)
 
+  /** The DEFAULT-path graph as its own gate query (`s_knn_graph_auto`):
+    * [[knnGraph]] with the [[AutoCells]] occupancy policy — K derived
+    * from the corpus count at [[TargetCellOcc]], assignment through the
+    * pq_argmin KERNEL spelling at every K. Oracle-gated DYNAMICALLY:
+    * the DuckDB replay derives the same K from its own count(*),
+    * regenerates the same md5 codebook ([[cellsFor]]'s h60 chain in
+    * SQL), pre-divides components by 2|c| exactly as the kernel
+    * literal, and folds the same left-to-right products — so the
+    * policy (K ∝ N), the generator, and the kernel arithmetic are all
+    * pinned against an independent engine AT BOTH SFs (K = 8 at
+    * sf0.01's 500 vectors, K = 16 at sf0.1's 2000 — two different
+    * codebooks from one text). */
+  def knnGraphAuto(s: SparkSession, d: String): DataFrame =
+    knnGraph(s, d)
+
+  /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
+  private val KnnGraphAutoOracle: String = {
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
+    val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(a.embedding, b.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    val h60 = DedupOps.h60Sql("'ivf_' || jj.j || '_' || ii.i")
+    s"""
+      WITH kk AS (SELECT greatest(${NumCells}::BIGINT,
+                    (count(*) + ${TargetCellOcc - 1}) // $TargetCellOcc)
+                    AS k FROM embeddings),
+      cw AS (SELECT jj.j, ii.i, ($h60 % 2001 - 1000)::BIGINT AS w
+             FROM (SELECT unnest(generate_series(0,
+                     (SELECT k FROM kk) - 1)) AS j) jj,
+                  (SELECT unnest(generate_series(0, ${Dim - 1})) AS i) ii),
+      -- |c_j|² is an exact integer (≤ 64·10⁶ ≪ 2⁵³): any fold order
+      -- equals the kernel's sequential double sum bit-for-bit
+      cn AS (SELECT j, sqrt(sum(w * w)::DOUBLE) AS nrm FROM cw GROUP BY j),
+      comps AS (SELECT cw.j,
+                  list(CAST(cw.w AS DOUBLE) / (2.0 * cn.nrm)
+                       ORDER BY cw.i) AS c
+                FROM cw JOIN cn ON cw.j = cn.j GROUP BY cw.j),
+      scored AS (
+        SELECT e.vec_id, e.embedding, $normSql AS nrm, c.j,
+               0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                   list_transform(list_zip(e.embedding, c.c),
+                     z -> CAST(z[1] AS DOUBLE) * z[2])), (x, v) -> x + v)
+                 AS d
+        FROM embeddings e CROSS JOIN comps c),
+      assigned AS (
+        SELECT vec_id, embedding, nrm, j::BIGINT AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, j) AS rk
+          FROM scored) WHERE rk = 1),
+      ranked AS (
+        SELECT a.vec_id a_id, b.vec_id b_id,
+               $dotAB / (a.nrm * b.nrm) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      SELECT a_id, b_id, cos, rk::INT AS rk FROM ranked WHERE rk <= 3
+      ORDER BY a_id, rk"""
+  }
+
   /** [[knnGraph]] over a caller-supplied (vec_id, embedding) relation —
     * the testable core (and [[knnDensityFrom]]'s shared graph).
     * `nCells` is the occupancy dial (see the plan note above): K ∝ N
@@ -849,7 +920,9 @@ object SimilarityOps {
     * passes the oracle-pinned [[NumCells]] explicitly. */
   private[ops] def knnGraphFrom(emb: DataFrame,
       nCells: Int = AutoCells): DataFrame = {
-    val assigned = knnAssign(emb, resolveCells(emb, nCells))
+    val auto = nCells == AutoCells
+    val assigned = knnAssign(emb, resolveCells(emb, nCells),
+      forceKernel = auto)
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id"))
     assigned.as("a")
@@ -889,7 +962,7 @@ object SimilarityOps {
   private[ops] def knnDensityFrom(emb: DataFrame,
       nCells: Int = AutoCells): DataFrame = {
     val agg = knnGraphFrom(emb.select(col("vec_id"), col("embedding")),
-      resolveCells(emb, nCells))
+      nCells)
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("nn"), min(col("cos")).as("cos_kth"))
     emb.select(col("vec_id"), col("label"))
@@ -926,7 +999,7 @@ object SimilarityOps {
     * in-deg; a far-away vector reads 0 and flags antihub). */
   private[ops] def hubnessFrom(emb: DataFrame,
       nCells: Int = AutoCells): DataFrame = {
-    val indeg = knnGraphFrom(emb, resolveCells(emb, nCells))
+    val indeg = knnGraphFrom(emb, nCells)
       .groupBy(col("b_id"))
       .agg(count(lit(1)).as("in_deg"))
     emb.select(col("vec_id"))
@@ -2521,6 +2594,7 @@ object SimilarityOps {
     // EXPLICITLY — the library default is the AutoCells occupancy
     // policy (K ∝ N), which the DuckDB oracle cannot follow
     "s_knn_graph" -> ((s, d) => knnGraph(s, d, NumCells)),
+    "s_knn_graph_auto" -> knnGraphAuto,
     "s_knn_accuracy" -> ((s, d) => knnAccuracy(s, d, NumCells)),
     "s_centroid_classify" -> centroidClassify,
     "s_ivf_probe_curve" -> ivfProbeCurve,
@@ -2937,6 +3011,7 @@ object SimilarityOps {
              rank_lsh, rank_ivf, rrf_score
       FROM r WHERE fused_rank <= 5 ORDER BY q_id, fused_rank""",
     "s_knn_graph" -> KnnGraphOracle,
+    "s_knn_graph_auto" -> KnnGraphAutoOracle,
     "s_knn_density" -> s"""
       WITH g AS ($KnnGraphOracle),
       a AS (SELECT a_id, count(*)::BIGINT AS n_neighbors, min(cos) AS cos_kth

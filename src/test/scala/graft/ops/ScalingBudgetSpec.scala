@@ -209,24 +209,26 @@ class ScalingBudgetSpec extends SparkSpec {
     import spark.implicits._
     // the policy function: constant occupancy, never below the gate K
     assert(SimilarityOps.cellCountFor(1) == 8)
-    assert(SimilarityOps.cellCountFor(2000) == 8,
-      "sf0.01 gate corpus must derive EXACTLY the oracle-pinned K")
-    assert(SimilarityOps.cellCountFor(20000) == 79)
-    assert(SimilarityOps.cellCountFor(200000) == 782)
+    assert(SimilarityOps.cellCountFor(500) == 8,
+      "sf0.01 gate corpus must derive EXACTLY the legacy K")
+    assert(SimilarityOps.cellCountFor(2000) == 16,
+      "sf0.1 gate corpus must exercise the dynamic-K oracle above 8")
+    assert(SimilarityOps.cellCountFor(20000) == 157)
+    assert(SimilarityOps.cellCountFor(200000) == 1563)
     val occ = SimilarityOps.TargetCellOcc
     for (n <- Seq(10000L, 100000L, 1000000L)) {
       val k = SimilarityOps.cellCountFor(n)
       assert(math.abs(n.toDouble / k - occ) <= occ,
         s"occupancy drifted at n=$n: k=$k")
     }
-    // default-path graph on a 4096-vector corpus derives K=16 — the
+    // default-path graph on a 4096-vector corpus derives K=32 — the
     // assignment spreads past the 8 gate cells and the graph contract
     // (<= 3 neighbors, cells in range) holds on the kernel spelling
     val emb = Seq.tabulate(4096)(i => (i.toLong,
         Seq.tabulate(64)(d => (((i * 37 + d * 11) % 97) - 48) / 48.0f)))
       .toDF("vec_id", "embedding")
     val k = SimilarityOps.cellCountFor(4096)
-    assert(k == 16)
+    assert(k == 32)
     val assigned = SimilarityOps.knnAssign(emb, k)
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
