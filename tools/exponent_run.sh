@@ -84,3 +84,46 @@ echo "[exp] benching 10x (log /tmp/graft_exp_x10.log)"
 run_bench "$X10" /tmp/graft_bench_x10.json /tmp/graft_exp_x10.log
 
 python3 tools/exponents.py /tmp/graft_bench_x1.json /tmp/graft_bench_x10.json --md
+
+# ---- opt-in third decade (r15 verdict ask #6): DECADE3=1 -----------------
+# The r15 hand-run 100x probe caught two REAL walls the 10x run read as
+# healthy sublinear (the PQ struct constant, the fixed-K kNN N^2/K). This
+# makes it one command: bench the DECADE3_TOP most expensive queries (by
+# 10x min-of-reps) on a 100x open corpus and print the 10x->100x exponent
+# table. Budgeted, not the full gate. DECADE3_SKIP excludes the known,
+# documented fixed-K walls (the gate's oracle-pinned K=8 kNN family —
+# s_knn_graph_auto IS the scale path and is always included); clear it to
+# measure them anyway.
+if [[ "${DECADE3:-0}" == "1" ]]; then
+  X100=${X100_DIR:-/tmp/graft_x100}
+  TOPN=${DECADE3_TOP:-25}
+  SKIP=${DECADE3_SKIP:-s_knn_graph,s_knn_accuracy,s_knn_density,s_hubness,s_triplets}
+  if [[ "${SKIP_GEN:-0}" != "1" || ! -d "$X100" ]]; then
+    echo "[exp] building 100x corpus ($X100: sf0.1 relational + 500000/200000 open)"
+    build_corpus "$X100" /root/testdata/sf0.1 500000 200000
+  fi
+  SUBSET=$(python3 - "$TOPN" "$SKIP" <<'PY'
+import json, sys
+top_n, skip = int(sys.argv[1]), set(sys.argv[2].split(","))
+with open("/tmp/graft_bench_x10.json") as f:
+    for line in f:
+        d = json.loads(line)
+        if d.get("metric") == "total":
+            q = d.get("queries_min") or d["queries"]
+names = [k for k, _ in sorted(q.items(), key=lambda kv: -kv[1])
+         if k not in skip][:top_n]
+if "s_knn_graph_auto" in q and "s_knn_graph_auto" not in names:
+    names.append("s_knn_graph_auto")   # the occupancy dial's flat row
+print(",".join(sorted(names)))
+PY
+)
+  echo "[exp] 100x subset ($TOPN most expensive at 10x + the auto-K graph):"
+  echo "      $SUBSET"
+  echo "[exp] benching 100x (log /tmp/graft_exp_x100.log)"
+  SPARK_GRAFT_SF_DIR=$X100 SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_REPS=$REPS \
+    SPARK_GRAFT_QUERIES=$SUBSET \
+    run_main graft.Bench > /dev/null 2> /tmp/graft_exp_x100.log
+  mv target/bench_subset.json /tmp/graft_bench_x100.json
+  echo "[exp] 10x -> 100x exponent table (second decade):"
+  python3 tools/exponents.py /tmp/graft_bench_x10.json /tmp/graft_bench_x100.json --md
+fi
