@@ -1523,6 +1523,56 @@ object DedupOps {
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d).orderBy("a_id", "b_id")
 
+  /** Cell-blocked near-dup PAIR relation — the production SemDeDup
+    * blocking [[nearDupPairs]]' label stand-in defers to: blocks are
+    * the [[graft.ops.SimilarityOps.AutoCells]] IVF cells (K ∝ N at
+    * constant [[graft.ops.SimilarityOps.TargetCellOcc]] occupancy, the
+    * pq_argmin kernel assignment), so block size — and with it the
+    * per-block quadratic — stays CONSTANT at any corpus size. The r16
+    * 100× probe measured the label-blocked twin at exp 1.31 over the
+    * second decade (label count is fixed, blocks grow ∝ N →
+    * Σnᵢ² ≈ N²/|labels| — the same wall the kNN family hit at fixed
+    * K=8); this path is ∝ N·occ. Same [[NearDupCos]] threshold, same
+    * codegen'd cosine chain; like any blocked near-dup, cross-block
+    * pairs are not enumerated — production widens recall with
+    * multi-probe assignment, which adds a Generate, not a new shape. */
+  private[ops] def nearDupPairsCells(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells): DataFrame = {
+    val assigned = SimilarityOps.knnAssign(
+      emb.select(col("vec_id"), col("embedding")),
+      SimilarityOps.resolveCells(emb, nCells), forceKernel = true)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").as("cell"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+  }
+
+  /** [[embeddingNearDup]]'s scale path as its own gate query
+    * (`d_embedding_neardup_auto`): the cell-blocked pair report,
+    * dynamically oracle-gated — the DuckDB replay derives K from its
+    * own count(*) and regenerates the codebook (the
+    * [[graft.ops.SimilarityOps.AutoCellCtes]] device, K=8 at sf0.01,
+    * K=16 at sf0.1). */
+  def embeddingNearDupAuto(s: SparkSession, d: String): DataFrame =
+    nearDupPairsCells(embeddings(s, d)).orderBy("a_id", "b_id")
+
+  /** [[embeddingClusters]]' production composition at scale: the same
+    * large-star/small-star contraction over the CELL-blocked pair
+    * relation (the gate query keeps the label-blocked oracle
+    * semantics; the r16 100× probe measured that twin at 168 s / 200k
+    * vectors vs 16 s here, diverging quadratically). [[semanticDedup]]
+    * composes identically — its dropped set is
+    * `nearDupPairsCells(emb).select("b_id").distinct`. */
+  private[ops] def embeddingClustersAuto(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells): DataFrame =
+    dedupClustersFrom(
+      nearDupPairsCells(emb, nCells).select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** SemDeDup THRESHOLD SWEEP — the ε dial for the embedding tier,
     * the [[thresholdSweep]] discipline applied to cosine instead of
     * Jaccard: pair count, touched-document count, removals under the
@@ -2613,6 +2663,7 @@ object DedupOps {
     "d_embedding_neardup" -> embeddingNearDup,
     "d_semantic_sweep" -> semanticSweep,
     "d_embedding_clusters" -> embeddingClusters,
+    "d_embedding_neardup_auto" -> embeddingNearDupAuto,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -3582,6 +3633,20 @@ object DedupOps {
         AND content_hash NOT IN (SELECT content_hash FROM manifest)
       GROUP BY content_hash
       ORDER BY doc_id""",
+    "d_embedding_neardup_auto" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes}
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,
+             list_reduce(list_prepend(0::DOUBLE,
+               list_transform(list_zip(a.embedding, b.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+               (x, v) -> x + v) / (a.nrm * b.nrm) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0::DOUBLE,
+              list_transform(list_zip(a.embedding, b.embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+              (x, v) -> x + v) / (a.nrm * b.nrm) >= $NearDupCos
+      ORDER BY a_id, b_id""",
     "d_incremental_near" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),

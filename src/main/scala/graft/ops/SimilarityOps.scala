@@ -727,7 +727,7 @@ object SimilarityOps {
     * sizes K at constant occupancy; an explicit K is a caller-supplied
     * size (a deployment that already knows its corpus scale, or the
     * gate's oracle-pinned 8). */
-  private def resolveCells(emb: DataFrame, nCells: Int): Int =
+  private[ops] def resolveCells(emb: DataFrame, nCells: Int): Int =
     if (nCells == AutoCells) cellCountFor(emb.count()) else nCells
   /** The deterministic md5-derived codebook, extensible to ANY cell
     * count — the index j is the only input, so `cellsFor(8)` is
@@ -864,17 +864,19 @@ object SimilarityOps {
   def knnGraphAuto(s: SparkSession, d: String): DataFrame =
     knnGraph(s, d)
 
-  /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
-  private val KnnGraphAutoOracle: String = {
+  /** The dynamic-K cell-assignment CTE chain (`kk` → `cw` → `cn` →
+    * `comps` → `scored` → `assigned`), ending at
+    * `assigned(vec_id, embedding, nrm, cell)` — the DuckDB replay of
+    * the [[AutoCells]] policy + [[cellsFor]] generator + pq_argmin
+    * kernel arithmetic. Shared by every auto-blocked oracle
+    * ([[KnnGraphAutoOracle]], DedupOps' d_embedding_neardup_auto) so
+    * the policy can never diverge between them. */
+  private[ops] val AutoCellCtes: String = {
     val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         (a, v) -> a + v))"""
-    val dotAB = """list_reduce(list_prepend(0::DOUBLE,
-          list_transform(list_zip(a.embedding, b.embedding),
-            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
     val h60 = DedupOps.h60Sql("'ivf_' || jj.j || '_' || ii.i")
-    s"""
-      WITH kk AS (SELECT greatest(${NumCells}::BIGINT,
+    s"""kk AS (SELECT greatest(${NumCells}::BIGINT,
                     (count(*) + ${TargetCellOcc - 1}) // $TargetCellOcc)
                     AS k FROM embeddings),
       cw AS (SELECT jj.j, ii.i, ($h60 % 2001 - 1000)::BIGINT AS w
@@ -899,7 +901,16 @@ object SimilarityOps {
         SELECT vec_id, embedding, nrm, j::BIGINT AS cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY d, j) AS rk
-          FROM scored) WHERE rk = 1),
+          FROM scored) WHERE rk = 1)"""
+  }
+
+  /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
+  private val KnnGraphAutoOracle: String = {
+    val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(a.embedding, b.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    s"""
+      WITH $AutoCellCtes,
       ranked AS (
         SELECT a.vec_id a_id, b.vec_id b_id,
                $dotAB / (a.nrm * b.nrm) AS cos,

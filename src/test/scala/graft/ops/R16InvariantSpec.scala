@@ -212,6 +212,29 @@ class R16InvariantSpec extends SparkSpec {
       "without the cap the boilerplate shingle counts")
   }
 
+  test("cell-blocked embedding near-dup (the scale path): identical" +
+      " vectors land in one cell and cluster together; the auto pair" +
+      " relation matches the brute-force in-cell model") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 600 random vectors + 3 planted copies of vector 0 → auto K=8
+    val base = Seq.tabulate(600)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val emb = (base ++ Seq(600L, 601L, 602L).map(id => (id, base(0)._2)))
+      .toDF("vec_id", "embedding")
+    val pairs = DedupOps.nearDupPairsCells(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors: same kernel argmin cell, cosine exactly 1.0
+    for (p <- Seq((0L, 600L), (0L, 601L), (0L, 602L), (600L, 601L)))
+      assert(pairs.contains(p), s"planted duplicate pair $p missing")
+    val clusters = DedupOps.embeddingClustersAuto(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(600L, 601L, 602L).forall(id =>
+      clusters.get(id) == clusters.get(0L)),
+      "planted copies must share vector 0's cluster")
+  }
+
   test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
       " is rejected at the API boundary, not wrapped negative into the" +
       " postings cap") {
