@@ -1588,7 +1588,11 @@ object DedupOps {
     * [[embeddingNearDup]] (the threshold filter was post-join anyway —
     * the sweep costs ONE extra 4-way melt, not four passes), two
     * pct-keyed aggs, a 1-row corpus count broadcast. A threshold with
-    * zero pairs emits no row — itself a reading. */
+    * zero pairs emits no row — itself a reading. Label blocking
+    * carries the fixed-block quadratic the r16 100× probe measured
+    * (blocks ∝ N → Σnᵢ² ≈ N²/|labels|): at corpus scale run the sweep
+    * over [[nearDupPairsCells]] (drop the threshold filter, melt the
+    * same way) — the occupancy-blocked pair base is ∝ N. */
   def semanticSweep(s: SparkSession, d: String): DataFrame = {
     val v = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
