@@ -280,6 +280,53 @@ object VecUtil {
     bestJ
   }
 
+  /** Second-best twin of [[pqArgmin]]: the code j of the SECOND element
+    * in ascending lexicographic (dist, code) order — the multi-probe
+    * assignment's second cell. Same fail-loud window/shape checks, same
+    * left-to-right double dot, same `c1 − 2·dot` shape; with distinct
+    * codes the (dist, code) pairs are totally ordered, so "second" is
+    * well-defined and equals `row_number() OVER (ORDER BY d, j) = 2`.
+    * Needs ≥ 2 codewords (fail-loud). */
+  def pqArgmin2(a: ArrayData, flat: ArrayData, off: Int, sub: Int): Long = {
+    val block = sub + 1
+    if (off + sub > a.numElements())
+      throw new IllegalArgumentException(
+        s"pq_argmin2: offset + subDim out of range (${off + sub} > " +
+          s"${a.numElements()})")
+    if (flat.numElements() % block != 0)
+      throw new IllegalArgumentException(
+        s"pq_argmin2: codebook length ${flat.numElements()} is not a " +
+          s"multiple of subDim + 1 = $block")
+    val k = flat.numElements() / block
+    if (k < 2)
+      throw new IllegalArgumentException(
+        s"pq_argmin2: codebook has $k codeword(s); second-best needs >= 2")
+    var best = Double.PositiveInfinity
+    var bestJ = -1L
+    var second = Double.PositiveInfinity
+    var secondJ = -1L
+    var j = 0
+    while (j < k) {
+      val base = j * block
+      var dot = 0.0
+      var i = 0
+      while (i < sub) {
+        dot += a.getFloat(off + i).toDouble * flat.getDouble(base + 1 + i)
+        i += 1
+      }
+      val d = flat.getDouble(base) - 2.0 * dot
+      // lexicographic (d, j): strict-< on d suffices because j ascends
+      if (d < best) {
+        second = best; secondJ = bestJ
+        best = d; bestJ = j
+      } else if (d < second) {
+        second = d; secondJ = j
+      }
+      j += 1
+    }
+    secondJ
+  }
+
   def qfloorFloat(a: ArrayData, scale: Double): GenericArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
@@ -535,6 +582,43 @@ case class PqArgmin(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Second-best twin of [[PqArgmin]] — `pq_argmin2(arr, flat, offset,
+  * subDim)`: the code of the SECOND element in ascending (dist, code)
+  * order, i.e. the multi-probe assignment's second cell
+  * (== `row_number() OVER (ORDER BY d, j) = 2` over the scored cells,
+  * without materializing the K-row scoring). Same kernel discipline as
+  * [[PqArgmin]]: one tight loop, fail-loud window/shape checks on both
+  * ArrayData representations, ≥ 2 codewords required. */
+case class PqArgmin2(left: Expression, right: Expression,
+    offset: Int, subDim: Int) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_argmin2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _))
+          if offset >= 0 && subDim > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>) with " +
+          s"offset >= 0 and subDim > 0, got ${l.sql}, ${r.sql}, " +
+          s"offset=$offset, subDim=$subDim")
+    }
+
+  override def nullSafeEval(a: Any, f: Any): Any =
+    VecUtil.pqArgmin2(a.asInstanceOf[ArrayData],
+      f.asInstanceOf[ArrayData], offset, subDim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, f) =>
+      s"graft.functions.VecUtil.pqArgmin2($a, $f, $offset, $subDim)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgmin2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernel for [[CharCounts]] — the [[ShingleUtil]] pattern. */
 object TextKernels {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -666,6 +750,26 @@ object GraftFunctions {
             s"pq_argmin: $what must be a literal, got $e")
         }
         PqArgmin(children(0), children(1),
+          intLit(2, "offset (argument 3)"), intLit(3, "subDim (argument 4)"))
+      }),
+    (FunctionIdentifier("pq_argmin2"),
+      new ExpressionInfo(classOf[PqArgmin2].getName, "pq_argmin2"),
+      (children: Seq[Expression]) => {
+        if (children.size != 4) throw new IllegalArgumentException(
+          "pq_argmin2 requires exactly 4 arguments " +
+            s"(arr, flat, offset, subDim), got ${children.size}")
+        def intLit(i: Int, what: String): Int = children(i) match {
+          case e if e.foldable => e.eval() match {
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long if n >= 0 && n <= Int.MaxValue =>
+              n.intValue()
+            case v => throw new IllegalArgumentException(
+              s"pq_argmin2: $what must be a non-negative INT literal, got $v")
+          }
+          case e => throw new IllegalArgumentException(
+            s"pq_argmin2: $what must be a literal, got $e")
+        }
+        PqArgmin2(children(0), children(1),
           intLit(2, "offset (argument 3)"), intLit(3, "subDim (argument 4)"))
       }),
     // Spark's own bounded top-k aggregate (the engine behind pandas-API

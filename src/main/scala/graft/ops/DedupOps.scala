@@ -1560,6 +1560,93 @@ object DedupOps {
   def embeddingNearDupAuto(s: SparkSession, d: String): DataFrame =
     nearDupPairsCells(embeddings(s, d)).orderBy("a_id", "b_id")
 
+  /** Multi-probe widening of [[nearDupPairsCells]]: every vector joins
+    * BOTH its best and second-best cell (the
+    * [[graft.functions.PqArgmin2]] kernel — no K-row scoring
+    * materialized), so pairs split by one cell boundary are recovered;
+    * a pair sharing both cells is emitted once (DISTINCT on the scored
+    * pair — the cosine is bit-identical on both instances, so the
+    * collapse is exact in both engines). Cost: ≤ 4× the single-probe
+    * candidate pairs at the same occupancy — the standard multi-probe
+    * recall/cost dial ([[ivfProbeCurve]]'s trade at the corpus-pair
+    * tier). [[nearDupRecall]] measures what the 4× buys. */
+  private[ops] def nearDupPairsCellsProbe2(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells): DataFrame = {
+    val ex = SimilarityOps.knnAssign2(
+        emb.select(col("vec_id"), col("embedding")),
+        SimilarityOps.resolveCells(emb, nCells))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(col("cell"), col("cell2"))).as("cell"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .distinct()
+  }
+
+  /** The probe-2 pair report as its own gate query
+    * (`d_embedding_neardup_probe2`) — dynamically oracle-gated on the
+    * shared [[graft.ops.SimilarityOps.AutoCellCtes]] scoring at
+    * rank ≤ 2. */
+  def embeddingNearDupProbe2(s: SparkSession, d: String): DataFrame =
+    nearDupPairsCellsProbe2(embeddings(s, d)).orderBy("a_id", "b_id")
+
+  /** Sample bound of [[nearDupRecall]]'s brute-force base: the recall
+    * of the blocked paths is ESTIMATED on the pairs within this fixed
+    * id range, so the measurement stays O(sample²) at ANY corpus
+    * scale — the [[graft.ops.SimilarityOps.pqRecall]] discipline (the
+    * brute-force arm is the cost the blocking exists to avoid; never
+    * run it corpus-wide). */
+  private val NearDupRecallSample = 500L
+
+  /** RECALL of the cell-blocked near-dup paths against brute force —
+    * the measurement that prices the [[nearDupPairsCells]] /
+    * [[nearDupPairsCellsProbe2]] trade (blocking misses cross-cell
+    * pairs BY DESIGN; this query says how many, and what the probe-2
+    * widening buys back): over the pairs within a fixed
+    * [[NearDupRecallSample]]-id sample, n_true = brute-force pairs at
+    * cosine ≥ [[NearDupCos]], n_caught = those also enumerated by the
+    * blocked path, per probe tier ∈ {1, 2}. Assignment uses the FULL
+    * corpus count (the production K), so the measured recall is the
+    * deployed blocking's, not a small-corpus artifact. Probe-2 recall
+    * ≥ probe-1 by construction (superset; spec-pinned).
+    *
+    * Plan/scale: the brute arm is sample² (bounded, broadcast-joined);
+    * the blocked arms reuse the production pair relations filtered to
+    * the sample; the rollup is two 1-row aggs + a 1-row broadcast. */
+  def nearDupRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val v = emb.filter(col("vec_id") < NearDupRecallSample)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val brute = broadcast(v.as("a"))
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+    def caught(pairs: DataFrame, probe: Long): DataFrame =
+      brute.join(
+        pairs.filter(col("a_id") < NearDupRecallSample &&
+            col("b_id") < NearDupRecallSample)
+          .select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+        .select(lit(probe).as("probe"), col("n_caught"))
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    caught(nearDupPairsCells(emb, k), 1L)
+      .union(caught(nearDupPairsCellsProbe2(emb, k), 2L))
+      .crossJoin(broadcast(nTrue))
+      .select(col("probe"), col("n_true"), col("n_caught"),
+        expr("n_caught / n_true").as("recall"))
+      .orderBy("probe")
+  }
+
   /** [[embeddingClusters]]' production composition at scale: the same
     * large-star/small-star contraction over the CELL-blocked pair
     * relation (the gate query keeps the label-blocked oracle
@@ -1837,6 +1924,14 @@ object DedupOps {
   /** Containment threshold of [[incrementalNear]] — the [[containment]]
     * family's 0.9 bar, one direction (new-in-history). */
   private val IncNearMin = 0.9
+
+  /** The a/b pairwise cosine in DuckDB (sequential fold — the vec_dot
+    * order), shared by every embedding-pair oracle so the arithmetic
+    * can never diverge between them. Binds relations aliased a, b. */
+  private val NearDupCosSql = """(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(list_zip(a.embedding, b.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+        (x, v) -> x + v) / (a.nrm * b.nrm))"""
 
   /** Incremental NEAR-dup manifest probe — the ingest-time twin of the
     * streaming pair maintenance ([[graft.streaming.StreamOps.pairDeltaStream]])
@@ -2668,6 +2763,8 @@ object DedupOps {
     "d_semantic_sweep" -> semanticSweep,
     "d_embedding_clusters" -> embeddingClusters,
     "d_embedding_neardup_auto" -> embeddingNearDupAuto,
+    "d_embedding_neardup_probe2" -> embeddingNearDupProbe2,
+    "d_neardup_recall" -> nearDupRecall,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -3640,17 +3737,61 @@ object DedupOps {
     "d_embedding_neardup_auto" -> s"""
       WITH ${SimilarityOps.AutoCellCtes}
       SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,
-             list_reduce(list_prepend(0::DOUBLE,
-               list_transform(list_zip(a.embedding, b.embedding),
-                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
-               (x, v) -> x + v) / (a.nrm * b.nrm) AS cosine
+             $NearDupCosSql AS cosine
       FROM assigned a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_reduce(list_prepend(0::DOUBLE,
-              list_transform(list_zip(a.embedding, b.embedding),
-                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
-              (x, v) -> x + v) / (a.nrm * b.nrm) >= $NearDupCos
+      WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",
+    "d_embedding_neardup_probe2" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      assigned2 AS (
+        SELECT vec_id, embedding, nrm, j::BIGINT AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, j) AS rk
+          FROM scored) WHERE rk <= 2)
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+             $NearDupCosSql AS cosine
+      FROM assigned2 a JOIN assigned2 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE $NearDupCosSql >= $NearDupCos
+      ORDER BY a_id, b_id""",
+    "d_neardup_recall" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      assigned2 AS (
+        SELECT vec_id, embedding, nrm, j::BIGINT AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, j) AS rk
+          FROM scored) WHERE rk <= 2),
+      s AS (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(0::DOUBLE,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, v) -> a + v)) AS nrm
+            FROM embeddings WHERE vec_id < $NearDupRecallSample),
+      brute AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM s a JOIN s b ON a.vec_id < b.vec_id
+                WHERE $NearDupCosSql >= $NearDupCos),
+      p1 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      p2 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM assigned2 a JOIN assigned2 b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      nt AS (SELECT count(*)::BIGINT AS n_true FROM brute),
+      c1 AS (SELECT 1::BIGINT AS probe, count(*)::BIGINT AS n_caught
+             FROM brute JOIN p1 USING (a_id, b_id)),
+      c2 AS (SELECT 2::BIGINT AS probe, count(*)::BIGINT AS n_caught
+             FROM brute JOIN p2 USING (a_id, b_id))
+      SELECT probe, n_true, n_caught, n_caught / n_true AS recall
+      FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) c
+      CROSS JOIN nt
+      ORDER BY probe""",
     "d_incremental_near" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),

@@ -791,14 +791,40 @@ object SimilarityOps {
         .select(passthrough ++ Seq(col("nrm"),
           expr(argmaxCellsK(nCells)).as("cell")): _*)
     } else {
-      val flat = cellsFor(nCells).flatMap { c =>
-        val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-        0.0 +: c.map(x => x.toDouble / (2.0 * norm))
-      }
       emb.select(passthrough ++ Seq(nrm,
-        call_function("pq_argmin", col("embedding"), typedLit(flat.toArray),
-          lit(0), lit(Dim)).as("cell")): _*)
+        call_function("pq_argmin", col("embedding"),
+          typedLit(kernelCodebook(nCells)), lit(0), lit(Dim))
+          .as("cell")): _*)
     }
+  }
+
+  /** The kernel-spelling flat codebook for K cells: blocks of
+    * (0.0, cᵢ/(2|c|)…) per cell — shared by [[knnAssign]] and
+    * [[knnAssign2]] so the two probes can never disagree on the
+    * codebook. */
+  private def kernelCodebook(nCells: Int): Array[Double] =
+    cellsFor(nCells).flatMap { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      0.0 +: c.map(x => x.toDouble / (2.0 * norm))
+    }.toArray
+
+  /** Multi-probe assignment: [[knnAssign]]'s kernel spelling with BOTH
+    * the best and second-best cell (`cell`, `cell2`) — two kernel calls
+    * over the ONE constant-folded codebook literal, no K-row scoring
+    * materialized. `cell2` == `row_number() OVER (ORDER BY d, j) = 2`
+    * (the pq_argmin2 contract), so the DuckDB replay is the same
+    * `scored` CTE at rank ≤ 2. Kernel spelling at EVERY K (multi-probe
+    * is the scale path; there is no K=8 oracle-chain variant to
+    * preserve). */
+  private[ops] def knnAssign2(emb: DataFrame, nCells: Int): DataFrame = {
+    val passthrough = emb.columns.toSeq.map(col)
+    val flat = typedLit(kernelCodebook(nCells))
+    emb.select(passthrough ++ Seq(
+      expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"),
+      call_function("pq_argmin", col("embedding"), flat,
+        lit(0), lit(Dim)).as("cell"),
+      call_function("pq_argmin2", col("embedding"), flat,
+        lit(0), lit(Dim)).as("cell2")): _*)
   }
 
   /** DuckDB twin of [[cellScore]] — same literals, same fold order. */

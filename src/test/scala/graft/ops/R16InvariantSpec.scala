@@ -235,6 +235,50 @@ class R16InvariantSpec extends SparkSpec {
       "planted copies must share vector 0's cluster")
   }
 
+  test("pq_argmin2: bit-equal to the row_number-=-2 chain over the" +
+      " scored cells on random vectors; fail-loud on a 1-codeword" +
+      " codebook; probe-2 recall dominates probe-1") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(300)(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // a small 4-codeword book over subDim=8, written both ways
+    val cents = Seq.tabulate(4)(j => Seq.tabulate(8)(i => (j * 17 + i * 7) % 13 - 6))
+    def dlit(d: Double) = { val s = d.toString; if (s.contains("E")) s else s + "D" }
+    val flat = cents.flatMap { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      0.0 +: c.map(x => x.toDouble / (2.0 * nrm))
+    }.map(dlit).mkString(", ")
+    val chain = (0 until 4).map { j =>
+      val comps = cents(j).map(c => {
+        val nrm = math.sqrt(cents(j).map(x => x.toDouble * x.toDouble).sum)
+        dlit(c.toDouble / (2.0 * nrm))
+      }).mkString(", ")
+      s"named_struct('d', 0.0D - 2.0D * vec_dot(embedding, array($comps)), 'j', ${j}L)"
+    }.mkString(", ")
+    val rows = emb.select(
+      expr(s"pq_argmin2(embedding, array($flat), 0, 8)").as("kern"),
+      expr(s"array_sort(array($chain))[1].j").as("second")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"pq_argmin2 drifted from the sorted-chain second: $r"))
+    // 1-codeword book: fail-loud, both representations
+    val thrown = intercept[Throwable] {
+      emb.select(expr(
+        "pq_argmin2(embedding, array(0.5D, 1D,1D,1D,1D,1D,1D,1D,1D), 0, 8)"))
+        .collect()
+    }
+    assert(rootCause(thrown).getMessage.contains(">= 2"))
+    // recall dominance: probe-2 catches at least probe-1 at both SFs
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rec = DedupOps.nearDupRecall(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rec(2L) >= rec(1L),
+        s"probe-2 must dominate probe-1 at $sf: $rec")
+    }
+  }
+
   test("audio stream arms: maxDf above Int.MaxValue (or non-positive)" +
       " is rejected at the API boundary, not wrapped negative into the" +
       " postings cap") {
