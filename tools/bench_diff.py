@@ -70,42 +70,50 @@ def load_queries(path, include_drift=False):
         q = obj.get("queries")
         if not isinstance(q, dict):
             continue
-        a = obj.get("anchor")
-        aval = None
-        if isinstance(a, dict):
+        def amedian(key):
+            a = obj.get(key)
+            if not isinstance(a, dict):
+                return None
             vals = sorted(v for v in a.values()
                           if isinstance(v, (int, float)) and v > 0)
-            if vals:
-                aval = vals[len(vals) // 2]
-                spread = vals[-1] / vals[0]
-                if spread > 1.3:
-                    print(f"warning: {path} anchor unstable within the "
-                          f"session (spread {spread:.2f}x: {a}) — the run "
-                          "itself rode shifting load", file=sys.stderr)
+            if not vals:
+                return None
+            spread = vals[-1] / vals[0]
+            if spread > 1.3:
+                print(f"warning: {path} {key} unstable within the "
+                      f"session (spread {spread:.2f}x: {a}) — the run "
+                      "itself rode shifting load", file=sys.stderr)
+            return vals[len(vals) // 2]
+        aval = amedian("anchor")
+        amem = amedian("anchor_mem")
         if obj.get("metric") == "drift":
-            drifts.append((q, aval))
+            drifts.append((q, aval, amem))
         else:
             totals.append((q, obj.get("queries_min")
                            if isinstance(obj.get("queries_min"), dict)
-                           else {}, aval))
+                           else {}, aval, amem))
+    anchor_mem = None
     if totals:
         queries.update(totals[-1][0])  # ONE coherent full-run map
         qmins.update(totals[-1][1])
         anchor = totals[-1][2]
+        anchor_mem = totals[-1][3]
         if len(totals) > 1:
             print(f"note: {path} has {len(totals)} full-run lines; "
                   "using the last", file=sys.stderr)
     if include_drift:
-        for q, aval in drifts:
+        for q, aval, amem in drifts:
             queries.update(q)
             anchor = aval if aval is not None else anchor
+            anchor_mem = amem if amem is not None else anchor_mem
     elif drifts and not totals:
-        for q, aval in drifts:  # drift-only file: nothing else to read
+        for q, aval, amem in drifts:  # drift-only file: nothing else to read
             queries.update(q)
             anchor = aval if aval is not None else anchor
+            anchor_mem = amem if amem is not None else anchor_mem
     if not queries:
         sys.exit(f"no per-query map found in {path}")
-    return queries, qmins, anchor
+    return queries, qmins, anchor, anchor_mem
 
 
 def main():
@@ -136,8 +144,8 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev, prev_min, prev_anchor = load_queries(args[0], include_drift)
-    cur, cur_min, cur_anchor = load_queries(args[1], include_drift)
+    prev, prev_min, prev_anchor, prev_mem = load_queries(args[0], include_drift)
+    cur, cur_min, cur_anchor, cur_mem = load_queries(args[1], include_drift)
     # anchor calibration (r15 verdict ask #2): the same code measured
     # 229.4s and 174.3s in two sessions — a uniform session-speed shift
     # nothing per-query can distinguish from a real regression. When
@@ -152,6 +160,21 @@ def main():
             print(f"warning: session ratio {cal:.2f}x is extreme; the "
                   "normalized ratios are only as good as the anchor",
                   file=sys.stderr)
+    # second arm (r16 finding): the compute anchor cannot see
+    # memory-bandwidth/allocator contention — a session can double the
+    # text/token family while register arithmetic stays flat. When the
+    # two anchors disagree, per-family interpretation is required;
+    # normalization stays on the conservative compute anchor.
+    if prev_mem and cur_mem:
+        mem_cal = cur_mem / prev_mem
+        print(f"anchor_mem: prev={prev_mem:.3f}s cur={cur_mem:.3f}s "
+              f"session ratio {mem_cal:.3f}x (memory/allocation-bound)")
+        if cal and (mem_cal / cal > 1.25 or cal / mem_cal > 1.25):
+            print(f"warning: compute ({cal:.2f}x) and memory "
+                  f"({mem_cal:.2f}x) session ratios disagree — the "
+                  "session shifted on one resource only; memory-bound "
+                  "(text/token) family flags below may be contention, "
+                  "not code", file=sys.stderr)
     eff_cal = cal if cal else 1.0
     both = sorted(set(prev) & set(cur),
                   key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))

@@ -22,7 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 DIFF = os.path.join(HERE, "bench_diff.py")
 
 
-def artifact(path, queries, qmins=None, anchor=None):
+def artifact(path, queries, qmins=None, anchor=None, anchor_mem=None):
     line = {"metric": "total", "value": sum(queries.values()),
             "unit": "sec", "queries": queries, "reps": 3, "warmup": 1,
             "errors": {}, "sf": "test"}
@@ -30,6 +30,9 @@ def artifact(path, queries, qmins=None, anchor=None):
         line["queries_min"] = qmins
     if anchor is not None:
         line["anchor"] = {"start": anchor, "mid": anchor, "end": anchor}
+    if anchor_mem is not None:
+        line["anchor_mem"] = {"start": anchor_mem, "mid": anchor_mem,
+                              "end": anchor_mem}
     with open(path, "w") as f:
         f.write(json.dumps(line) + "\n")
 
@@ -37,7 +40,7 @@ def artifact(path, queries, qmins=None, anchor=None):
 def run(prev, cur):
     p = subprocess.run([sys.executable, DIFF, prev, cur],
                        capture_output=True, text=True)
-    return p.returncode, p.stdout
+    return p.returncode, p.stdout + p.stderr
 
 
 def main():
@@ -111,10 +114,26 @@ def main():
             failures.append(f"case 7: expected exactly the real regression "
                             f"flagged under a slow session, rc={rc}\n{out}")
 
+        # case 8 (r16): compute anchor flat but memory anchor 1.8x — a
+        # memory-contended session; the disagreement warning must fire
+        # (the text-family doubled in exactly this shape on unchanged
+        # code) and normalization stays on the compute anchor
+        artifact(prev, {"q_a": 2.0}, {"q_a": 1.9}, anchor=0.50,
+                 anchor_mem=0.50)
+        artifact(cur, {"q_a": 2.1}, {"q_a": 2.0}, anchor=0.51,
+                 anchor_mem=0.90)
+        rc, out = run(prev, cur)
+        if "disagree" not in out:
+            failures.append(f"case 8: expected anchor-disagreement warning"
+                            f"\n{out}")
+        if rc != 0:
+            failures.append(f"case 8: near-flat query must not flag, "
+                            f"rc={rc}\n{out}")
+
     if failures:
         print("\n\n".join(failures))
         sys.exit(1)
-    print("bench_diff_test: 7/7 pass")
+    print("bench_diff_test: 8/8 pass")
 
 
 if __name__ == "__main__":
