@@ -142,14 +142,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // one anchor per fresh session: the median prices THIS box right now,
-    // making the isolated numbers calibratable against any full-run line
+    // one anchor per fresh session; emit the real per-session SPREAD
+    // (min/median/max — ADVICE r16: writing the median into all three
+    // slots silenced bench_diff's within-artifact instability warning on
+    // exactly the runs whose session variance the anchor exists to expose)
     val as = anchors.sorted
     val ms = memAnchors.sorted
-    val anchorJson = s"""{"start":${as(as.size / 2)},"mid":${
-        as(as.size / 2)},"end":${as(as.size / 2)}}"""
-    val anchorMemJson = s"""{"start":${ms(ms.size / 2)},"mid":${
-        ms(ms.size / 2)},"end":${ms(ms.size / 2)}}"""
+    val anchorJson = s"""{"start":${as.head},"mid":${
+        as(as.size / 2)},"end":${as.last}}"""
+    val anchorMemJson = s"""{"start":${ms.head},"mid":${
+        ms(ms.size / 2)},"end":${ms.last}}"""
     val json =
       s"""{"metric":"drift","queries":$qs,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
     println(json)

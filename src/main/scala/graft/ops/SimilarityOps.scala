@@ -618,6 +618,18 @@ object SimilarityOps {
     case class P(id: Long, emb: Array[Float], nrm: Double, rel: Double)
     val ps = pool.map(r => P(r.getLong(0),
       r.getSeq[Float](1).toArray, r.getDouble(2), r.getDouble(3)))
+    // fail-loud NaN guard (ADVICE r16): the driver greedy's primitive >/==
+    // never selects a NaN mmr after the first pick, whereas the r15
+    // distributed orderBy(desc) placed NaN FIRST — a zero-norm embedding
+    // in the pool would silently change selection instead of matching the
+    // oracle's unrolled CTE. Bit-identity with the oracle is the stated
+    // contract, so a non-finite pool row is a corpus error, not an input.
+    ps.foreach { p =>
+      require(p.nrm > 0.0 && java.lang.Double.isFinite(p.rel),
+        s"mmrSelect: pool vec ${p.id} has nrm=${p.nrm} rel=${p.rel} — " +
+          "zero-norm or non-finite embeddings break the greedy/oracle " +
+          "bit-identity contract; filter them upstream")
+    }
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -1391,8 +1403,18 @@ object SimilarityOps {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit) + 1
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // fail-loud stats validation (ADVICE r16): the estimate is only real
+    // for relations whose sizeInBytes comes from the file listing — a
+    // default/propagated statistic (defaultSizeInBytes fallback, e.g. a
+    // non-file relation slipped in) would silently skip the repartition
+    // this guard exists for. Call sites are bare parquet scans; anything
+    // else is a contract violation, not a case to guess around.
+    require(size < BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"withMapParallelism: input stats sizeInBytes=$size is the unknown-" +
+        "size fallback — the split estimate needs a bare file scan whose " +
+        "statistic is the real file-listing sum")
+    val estSplits = (size / maxSplit) + 1
     if (estSplits >= math.max(2, target / 2)) df
     else df.repartition(target)
   }

@@ -45,6 +45,9 @@ def load_queries(path, include_drift=False):
     it."""
     queries = {}
     qmins = {}
+    qanchor = {}  # query -> anchor of the LINE it came from (ADVICE r16:
+    # a blended artifact mixes sessions; one global anchor would normalize
+    # measurements taken at different session speeds)
     anchor = None
     with open(path) as f:
         text = f.read()
@@ -98,22 +101,27 @@ def load_queries(path, include_drift=False):
         qmins.update(totals[-1][1])
         anchor = totals[-1][2]
         anchor_mem = totals[-1][3]
+        for q in totals[-1][0]:
+            qanchor[q] = anchor
         if len(totals) > 1:
             print(f"note: {path} has {len(totals)} full-run lines; "
                   "using the last", file=sys.stderr)
-    if include_drift:
+    if include_drift or (drifts and not totals):
         for q, aval, amem in drifts:
             queries.update(q)
-            anchor = aval if aval is not None else anchor
-            anchor_mem = amem if amem is not None else anchor_mem
-    elif drifts and not totals:
-        for q, aval, amem in drifts:  # drift-only file: nothing else to read
-            queries.update(q)
+            for name in q:  # each query keeps ITS OWN line's anchor
+                qanchor[name] = aval
+            if (aval is not None and anchor is not None
+                    and max(aval / anchor, anchor / aval) > 1.25):
+                print(f"warning: {path} drift-line anchor {aval:.3f}s vs "
+                      f"full-run anchor {anchor:.3f}s — sessions ran at "
+                      "different speeds; affected queries are normalized "
+                      "by their own line's anchor", file=sys.stderr)
             anchor = aval if aval is not None else anchor
             anchor_mem = amem if amem is not None else anchor_mem
     if not queries:
         sys.exit(f"no per-query map found in {path}")
-    return queries, qmins, anchor, anchor_mem
+    return queries, qmins, anchor, anchor_mem, qanchor
 
 
 def main():
@@ -144,8 +152,10 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev, prev_min, prev_anchor, prev_mem = load_queries(args[0], include_drift)
-    cur, cur_min, cur_anchor, cur_mem = load_queries(args[1], include_drift)
+    prev, prev_min, prev_anchor, prev_mem, prev_qa = \
+        load_queries(args[0], include_drift)
+    cur, cur_min, cur_anchor, cur_mem, cur_qa = \
+        load_queries(args[1], include_drift)
     # anchor calibration (r15 verdict ask #2): the same code measured
     # 229.4s and 174.3s in two sessions — a uniform session-speed shift
     # nothing per-query can distinguish from a real regression. When
@@ -176,6 +186,15 @@ def main():
                   "(text/token) family flags below may be contention, "
                   "not code", file=sys.stderr)
     eff_cal = cal if cal else 1.0
+
+    def cal_for(q):
+        """Per-query calibration: each side's query is normalized by the
+        anchor of the LINE it came from (full-run vs drift lines can be
+        different sessions), falling back to the global ratio."""
+        pa, ca = prev_qa.get(q), cur_qa.get(q)
+        if pa and ca:
+            return ca / pa
+        return eff_cal
     both = sorted(set(prev) & set(cur),
                   key=lambda q: -(cur[q] / prev[q] if prev[q] > 0 else 0))
     only_prev, only_cur = set(prev) - set(cur), set(cur) - set(prev)
@@ -190,14 +209,15 @@ def main():
             ratio = float("nan")
         else:
             ratio = cur[q] / prev[q]
-            norm = ratio / eff_cal
+            qcal = cal_for(q)
+            norm = ratio / qcal
             # noise floor (r12 verdict #7): a ratio breach on a
             # sub-second query is the shared-box signature unless the
             # absolute delta is real too. All arms test the
             # anchor-NORMALIZED ratio (norm == ratio without anchors);
             # the absolute-delta floor also normalizes cur back to
             # prev's session speed.
-            cur_n = cur[q] / eff_cal
+            cur_n = cur[q] / qcal
             regressed = norm > thr and (cur_n - prev[q]) > abs_floor
             # second arm (r13 advice / r14 verdict #4, closing the
             # sub-floor blind spot): a fast query whose CURRENT median
@@ -209,7 +229,7 @@ def main():
             if (not regressed and norm > thr and cur_n > abs_floor
                     and q in prev_min and q in cur_min
                     and prev_min[q] > 0 and cur_min[q] >= 0):
-                sustained = cur_min[q] / prev_min[q] / eff_cal > thr
+                sustained = cur_min[q] / prev_min[q] / qcal > thr
                 regressed = sustained
             mark = ("  REGRESSED (sustained)" if sustained else
                     "  REGRESSED" if regressed else (

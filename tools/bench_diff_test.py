@@ -130,10 +130,38 @@ def main():
             failures.append(f"case 8: near-flat query must not flag, "
                             f"rc={rc}\n{out}")
 
+    with tempfile.TemporaryDirectory() as d:
+        prev, cur = os.path.join(d, "prev.json"), os.path.join(d, "cur.json")
+
+        # case 9 (ADVICE r16): a drift line taken in a 2x-slower session
+        # than the full-run line it's merged with — the drift query must
+        # be normalized by ITS OWN line's anchor (not the blended one), so
+        # its 2x raw ratio reads as session speed, not a regression; and
+        # the full-vs-drift anchor mismatch warning must fire.
+        artifact(prev, {"q_a": 2.0, "q_d": 1.0}, {"q_a": 1.9, "q_d": 0.95},
+                 anchor=0.50)
+        full = {"metric": "total", "value": 2.1,
+                "queries": {"q_a": 2.1}, "queries_min": {"q_a": 2.0},
+                "anchor": {"start": 0.5, "mid": 0.5, "end": 0.5}}
+        drift = {"metric": "drift", "queries": {"q_d": 2.0},
+                 "anchor": {"start": 1.0, "mid": 1.0, "end": 1.0}}
+        with open(cur, "w") as f:
+            f.write(json.dumps(full) + "\n" + json.dumps(drift) + "\n")
+        p = subprocess.run([sys.executable, DIFF, prev, cur,
+                            "--include-drift"],
+                           capture_output=True, text=True)
+        rc, out = p.returncode, p.stdout + p.stderr
+        if rc != 0 or "REGRESSED" in out:
+            failures.append(f"case 9: drift query at its own session speed "
+                            f"must not flag, rc={rc}\n{out}")
+        if "different speeds" not in out:
+            failures.append(f"case 9: expected drift-anchor mismatch "
+                            f"warning\n{out}")
+
     if failures:
         print("\n\n".join(failures))
         sys.exit(1)
-    print("bench_diff_test: 8/8 pass")
+    print("bench_diff_test: 9/9 pass")
 
 
 if __name__ == "__main__":

@@ -102,21 +102,32 @@ if [[ "${DECADE3:-0}" == "1" ]]; then
     echo "[exp] building 100x corpus ($X100: sf0.1 relational + 500000/200000 open)"
     build_corpus "$X100" /root/testdata/sf0.1 500000 200000
   fi
-  SUBSET=$(python3 - "$TOPN" "$SKIP" <<'PY'
+  # always-include rows: the scale-path dials whose 10x->100x exponents the
+  # verdict adjudicates every round even when they are cheap at 10x (r16
+  # verdict ask #6 extended the list to the multi-probe/recall/manifest tier)
+  FORCE=${DECADE3_FORCE:-s_knn_graph_auto,d_embedding_neardup_auto,d_embedding_neardup_probe2,d_neardup_recall,d_incremental_near}
+  SUBSET=$(python3 - "$TOPN" "$SKIP" "$FORCE" <<'PY'
 import json, sys
 top_n, skip = int(sys.argv[1]), set(sys.argv[2].split(","))
+force = [f for f in sys.argv[3].split(",") if f]
+q = None
 with open("/tmp/graft_bench_x10.json") as f:
     for line in f:
         d = json.loads(line)
         if d.get("metric") == "total":
             q = d.get("queries_min") or d["queries"]
+if not q:  # ADVICE r16: an unbound q raised NameError that the command
+    # substitution swallowed, silently benching ZERO queries
+    sys.exit("DECADE3: no metric=total line in /tmp/graft_bench_x10.json")
 names = [k for k, _ in sorted(q.items(), key=lambda kv: -kv[1])
          if k not in skip][:top_n]
-if "s_knn_graph_auto" in q and "s_knn_graph_auto" not in names:
-    names.append("s_knn_graph_auto")   # the occupancy dial's flat row
+names += [f for f in force if f in q and f not in names]
+if not names:
+    sys.exit("DECADE3: empty 100x subset after skip filtering")
 print(",".join(sorted(names)))
 PY
-)
+) || { echo "[exp] DECADE3 subset selection FAILED" >&2; exit 1; }
+  [[ -n "$SUBSET" ]] || { echo "[exp] DECADE3 subset empty" >&2; exit 1; }
   echo "[exp] 100x subset ($TOPN most expensive at 10x + the auto-K graph):"
   echo "      $SUBSET"
   echo "[exp] benching 100x (log /tmp/graft_exp_x100.log)"
