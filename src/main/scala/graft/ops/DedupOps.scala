@@ -1537,7 +1537,15 @@ object DedupOps {
     * pairs are not enumerated — production widens recall with
     * multi-probe assignment, which adds a Generate, not a new shape. */
   private[ops] def nearDupPairsCells(emb: DataFrame,
-      nCells: Int = SimilarityOps.AutoCells): DataFrame = {
+      nCells: Int = SimilarityOps.AutoCells): DataFrame =
+    cellPairsAll(emb, nCells).filter(col("cosine") >= NearDupCos)
+
+  /** The UNFILTERED cell-blocked scored pair relation under
+    * [[nearDupPairsCells]] — exposed separately so the threshold-sweep
+    * twin can melt thresholds BELOW [[NearDupCos]] over the same
+    * occupancy-blocked base (the sweep's whole point is bracketing the
+    * production threshold from both sides). */
+  private def cellPairsAll(emb: DataFrame, nCells: Int): DataFrame = {
     val assigned = SimilarityOps.knnAssign(
       emb.select(col("vec_id"), col("embedding")),
       SimilarityOps.resolveCells(emb, nCells), forceKernel = true)
@@ -1548,7 +1556,6 @@ object DedupOps {
         col("a.cell").as("cell"),
         expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
           .as("cosine"))
-      .filter(col("cosine") >= NearDupCos)
   }
 
   /** [[embeddingNearDup]]'s scale path as its own gate query
@@ -1659,6 +1666,65 @@ object DedupOps {
     dedupClustersFrom(
       nearDupPairsCells(emb, nCells).select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  /** [[embeddingClusters]]' scale path as its own gate query
+    * (`d_embedding_clusters_auto`, r16 verdict ask #2): connected
+    * components over the CELL-blocked pair graph — the decision grain a
+    * curator actually consumes at corpus scale (the label-blocked
+    * original stays gated as the within-class diagnostic; its fixed
+    * block count is the measured exp-1.31 wall). Dynamically
+    * oracle-gated via the shared
+    * [[graft.ops.SimilarityOps.AutoCellCtes]] device + the recursive
+    * closure every clustering oracle uses. */
+  def embeddingClustersAutoQ(s: SparkSession, d: String): DataFrame =
+    embeddingClustersAuto(embeddings(s, d))
+
+  /** [[semanticDedup]]'s scale path as its own gate query
+    * (`d_semantic_dedup_auto`): the same edge-based drop rule — a vector
+    * is a duplicate iff some LOWER-id vector shares its CELL at cosine ≥
+    * [[NearDupCos]] — with the dropped set derived from the cell-blocked
+    * pair relation exactly as [[embeddingClustersAuto]]'s scaladoc
+    * states. Same two uniform id-key shuffles after the blocked pairwise
+    * core; the per-block quadratic is occupancy-bounded (∝ N·occ). */
+  def semanticDedupAuto(s: SparkSession, d: String): DataFrame = {
+    val dropped = nearDupPairsCells(embeddings(s, d))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticSweep]]'s scale path as its own gate query
+    * (`d_semantic_sweep_auto`): the identical 4-threshold melt/rollup
+    * over the CELL-blocked pair base (the label-blocked original's own
+    * scaladoc prescribes exactly this composition at corpus scale — the
+    * occupancy-blocked base is ∝ N where label blocking is ∝ N²).
+    * Readings differ from the label-blocked sweep BY DESIGN: each
+    * blocking only sees its own within-block pairs, and this is the one
+    * the corpus-scale dedup would act on. */
+  def semanticSweepAuto(s: SparkSession, d: String): DataFrame = {
+    val melt = cellPairsAll(embeddings(s, d), SimilarityOps.AutoCells)
+      .select(col("a_id"), col("b_id"), col("cosine"),
+        explode(expr("array(30L, 40L, 50L, 60L)")).as("pct"))
+      .filter(col("cosine") >= expr("CAST(pct AS DOUBLE) / 100.0e0"))
+    val g = melt.groupBy("pct").agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_removed"))
+    val nodes = melt
+      .select(col("pct"), explode(expr("array(a_id, b_id)")).as("node"))
+      .distinct()
+      .groupBy("pct").agg(count(lit(1)).as("n_dup_docs"))
+    val tot = embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+    g.join(nodes, Seq("pct"))
+      .crossJoin(broadcast(tot))
+      .select(col("pct"), col("n_pairs"), col("n_dup_docs"),
+        col("n_removed"), col("n_vecs"),
+        expr("n_removed / n_vecs").as("removal_rate"))
+      .orderBy("pct")
+  }
 
   /** SemDeDup THRESHOLD SWEEP — the ε dial for the embedding tier,
     * the [[thresholdSweep]] discipline applied to cosine instead of
@@ -1932,6 +1998,17 @@ object DedupOps {
         list_transform(list_zip(a.embedding, b.embedding),
           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
         (x, v) -> x + v) / (a.nrm * b.nrm))"""
+
+  /** The unfiltered cell-blocked scored pair CTE over the
+    * [[graft.ops.SimilarityOps.AutoCellCtes]] `assigned` relation — the
+    * DuckDB twin of [[cellPairsAll]], shared by the three auto-twin
+    * oracles (clusters / dedup / sweep) so the pair grain can never
+    * diverge between them. */
+  private val CellPairsCte: String = s"""
+      cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               $NearDupCosSql AS cosine
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
 
   /** Incremental NEAR-dup manifest probe — the ingest-time twin of the
     * streaming pair maintenance ([[graft.streaming.StreamOps.pairDeltaStream]])
@@ -2763,6 +2840,9 @@ object DedupOps {
     "d_semantic_sweep" -> semanticSweep,
     "d_embedding_clusters" -> embeddingClusters,
     "d_embedding_neardup_auto" -> embeddingNearDupAuto,
+    "d_embedding_clusters_auto" -> embeddingClustersAutoQ,
+    "d_semantic_dedup_auto" -> semanticDedupAuto,
+    "d_semantic_sweep_auto" -> semanticSweepAuto,
     "d_embedding_neardup_probe2" -> embeddingNearDupProbe2,
     "d_neardup_recall" -> nearDupRecall,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
@@ -3742,6 +3822,38 @@ object DedupOps {
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",
+    "d_embedding_clusters_auto" -> s"""
+      WITH RECURSIVE ${SimilarityOps.AutoCellCtes},
+      $CellPairsCte,
+      jp AS (SELECT a_id, b_id FROM cp WHERE cosine >= $NearDupCos),
+      ${ccClosureCtes("jp")}
+      ${ccClusterSql("vec_id")}""",
+    "d_semantic_dedup_auto" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      $CellPairsCte,
+      dr AS (SELECT DISTINCT b_id AS vec_id FROM cp
+             WHERE cosine >= $NearDupCos)
+      SELECT e.vec_id, e.label, (dr.vec_id IS NOT NULL) AS is_dup
+      FROM embeddings e LEFT JOIN dr ON e.vec_id = dr.vec_id
+      ORDER BY e.vec_id""",
+    "d_semantic_sweep_auto" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      $CellPairsCte,
+      m AS (SELECT a_id, b_id, cosine, t.pct::BIGINT AS pct
+            FROM cp, unnest([30, 40, 50, 60]) AS t(pct)
+            WHERE cosine >= CAST(t.pct AS DOUBLE) / 100.0e0),
+      g AS (SELECT pct, count(*)::BIGINT AS n_pairs,
+              count(DISTINCT b_id)::BIGINT AS n_removed
+            FROM m GROUP BY 1),
+      n AS (SELECT pct, count(*)::BIGINT AS n_dup_docs FROM (
+              SELECT DISTINCT pct, node FROM (
+                SELECT pct, a_id AS node FROM m
+                UNION ALL SELECT pct, b_id FROM m) u) dn
+            GROUP BY 1),
+      t2 AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings)
+      SELECT g.pct, g.n_pairs, n.n_dup_docs, g.n_removed, t2.n_vecs,
+             g.n_removed / t2.n_vecs AS removal_rate
+      FROM g JOIN n USING (pct) CROSS JOIN t2 ORDER BY pct""",
     "d_embedding_neardup_probe2" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
       assigned2 AS (
