@@ -327,6 +327,69 @@ object VecUtil {
     secondJ
   }
 
+  /** Top-k generalization of [[pqArgmin]]/[[pqArgmin2]]: the codes of
+    * the `kSel` SMALLEST elements in ascending lexicographic (dist,
+    * code) order — the multi-probe assignment's probe set and the IVF
+    * query side's NProbe cell selection in ONE tight loop over the same
+    * flattened codebook (no K-row scoring materialized, no codegen
+    * growth in K). Element p equals
+    * `row_number() OVER (ORDER BY d, j) = p + 1` over the scored cells;
+    * elements 0/1 equal [[pqArgmin]]/[[pqArgmin2]] by construction
+    * (spec-pinned). Same fail-loud window/shape checks as the siblings;
+    * requires 1 ≤ kSel ≤ K. Insertion sort into a kSel-sized buffer:
+    * kSel is a probe count (single digits) — O(K·kSel) worst case,
+    * O(K) in practice (most cells never displace the buffer tail). */
+  def pqArgminK(a: ArrayData, flat: ArrayData, off: Int, sub: Int,
+      kSel: Int): GenericArrayData = {
+    val block = sub + 1
+    if (off + sub > a.numElements())
+      throw new IllegalArgumentException(
+        s"pq_argmink: offset + subDim out of range (${off + sub} > " +
+          s"${a.numElements()})")
+    if (flat.numElements() % block != 0)
+      throw new IllegalArgumentException(
+        s"pq_argmink: codebook length ${flat.numElements()} is not a " +
+          s"multiple of subDim + 1 = $block")
+    val k = flat.numElements() / block
+    if (kSel < 1 || kSel > k)
+      throw new IllegalArgumentException(
+        s"pq_argmink: k = $kSel out of range (codebook has $k codewords)")
+    val dists = new Array[Double](kSel)
+    val codes = new Array[Long](kSel)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val base = j * block
+      var dot = 0.0
+      var i = 0
+      while (i < sub) {
+        dot += a.getFloat(off + i).toDouble * flat.getDouble(base + 1 + i)
+        i += 1
+      }
+      val d = flat.getDouble(base) - 2.0 * dot
+      // strict < everywhere: equal dists keep the earlier (lower) code
+      // first — the lexicographic (d, j) order, j ascending
+      if (filled < kSel) {
+        var pos = filled
+        while (pos > 0 && d < dists(pos - 1)) {
+          dists(pos) = dists(pos - 1); codes(pos) = codes(pos - 1); pos -= 1
+        }
+        dists(pos) = d; codes(pos) = j; filled += 1
+      } else if (d < dists(kSel - 1)) {
+        var pos = kSel - 1
+        while (pos > 0 && d < dists(pos - 1)) {
+          dists(pos) = dists(pos - 1); codes(pos) = codes(pos - 1); pos -= 1
+        }
+        dists(pos) = d; codes(pos) = j
+      }
+      j += 1
+    }
+    val out = new Array[Any](kSel)
+    var p = 0
+    while (p < kSel) { out(p) = codes(p); p += 1 }
+    new GenericArrayData(out)
+  }
+
   def qfloorFloat(a: ArrayData, scale: Double): GenericArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
@@ -619,6 +682,43 @@ case class PqArgmin2(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-k twin of [[PqArgmin]] — `pq_argmink(arr, flat, offset, subDim,
+  * k)`: the codes of the k smallest elements in ascending (dist, code)
+  * order as an `array<bigint>`, i.e. the multi-probe assignment's probe
+  * set / the IVF query side's NProbe cells without materializing the
+  * K-row scoring. Same kernel discipline as the siblings: one tight
+  * loop, fail-loud window/shape checks on both ArrayData
+  * representations, 1 ≤ k ≤ codewords required. */
+case class PqArgminK(left: Expression, right: Expression,
+    offset: Int, subDim: Int, kSel: Int) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_argmink"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _))
+          if offset >= 0 && subDim > 0 && kSel > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>) with " +
+          s"offset >= 0, subDim > 0 and k > 0, got ${l.sql}, ${r.sql}, " +
+          s"offset=$offset, subDim=$subDim, k=$kSel")
+    }
+
+  override def nullSafeEval(a: Any, f: Any): Any =
+    VecUtil.pqArgminK(a.asInstanceOf[ArrayData],
+      f.asInstanceOf[ArrayData], offset, subDim, kSel)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, f) =>
+      s"graft.functions.VecUtil.pqArgminK($a, $f, $offset, $subDim, $kSel)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgminK =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernel for [[CharCounts]] — the [[ShingleUtil]] pattern. */
 object TextKernels {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -771,6 +871,27 @@ object GraftFunctions {
         }
         PqArgmin2(children(0), children(1),
           intLit(2, "offset (argument 3)"), intLit(3, "subDim (argument 4)"))
+      }),
+    (FunctionIdentifier("pq_argmink"),
+      new ExpressionInfo(classOf[PqArgminK].getName, "pq_argmink"),
+      (children: Seq[Expression]) => {
+        if (children.size != 5) throw new IllegalArgumentException(
+          "pq_argmink requires exactly 5 arguments " +
+            s"(arr, flat, offset, subDim, k), got ${children.size}")
+        def intLit(i: Int, what: String): Int = children(i) match {
+          case e if e.foldable => e.eval() match {
+            case n: java.lang.Integer => n.intValue()
+            case n: java.lang.Long if n >= 0 && n <= Int.MaxValue =>
+              n.intValue()
+            case v => throw new IllegalArgumentException(
+              s"pq_argmink: $what must be a non-negative INT literal, got $v")
+          }
+          case e => throw new IllegalArgumentException(
+            s"pq_argmink: $what must be a literal, got $e")
+        }
+        PqArgminK(children(0), children(1),
+          intLit(2, "offset (argument 3)"), intLit(3, "subDim (argument 4)"),
+          intLit(4, "k (argument 5)"))
       }),
     // Spark's own bounded top-k aggregate (the engine behind pandas-API
     // nsmallest), surfaced as `top_k(expr, k, reverse)`: each partial

@@ -1601,6 +1601,138 @@ object DedupOps {
   def embeddingNearDupProbe2(s: SparkSession, d: String): DataFrame =
     nearDupPairsCellsProbe2(embeddings(s, d)).orderBy("a_id", "b_id")
 
+  /** TRAINED-codebook near-dup pair relation (r16 verdict ask #1): the
+    * [[nearDupPairsCells]] blocking with the md5-random codebook
+    * replaced by a Lloyd-trained one
+    * ([[graft.ops.SimilarityOps.lloydCodebook]] at the SAME K — the
+    * in-repo s_kmeans trainer generalized to K ∝ N), assignment through
+    * ONE pq_argmin kernel call over the flattened (|c|², components…)
+    * codebook (`probes` = 2 adds the pq_argmin2 second-best cell — the
+    * same multi-probe widening as [[nearDupPairsCellsProbe2]]).
+    * Production SemDeDup blocks on trained cells precisely because a
+    * random codebook has weak locality — [[nearDupRecallGrid]] prices
+    * the difference on this corpus. Same [[NearDupCos]] threshold, same
+    * codegen'd cosine chain, same occupancy-bounded per-block
+    * quadratic. */
+  private[ops] def nearDupPairsCellsTrained(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells, probes: Int = 1): DataFrame = {
+    val k = SimilarityOps.resolveCells(emb, nCells)
+    val cents = SimilarityOps.lloydCodebook(
+      emb.select(col("vec_id"), col("embedding")), k)
+    pairsOverFlat(emb, SimilarityOps.lloydFlatCodebook(cents), probes)
+  }
+
+  /** Probe-P pair enumeration over ANY kernel-spelling flat codebook
+    * (random md5 or Lloyd-trained — the spelling both arms share so the
+    * grid compares codebooks, never plumbing): each vector joins its P
+    * best cells (ONE `pq_argmink` kernel call at P ≥ 2 — the probe set
+    * without materializing the K-row scoring), pairs sharing several
+    * cells collapse exactly (the cosine is computed from the embeddings,
+    * bit-identical on every instance). Candidate cost ≤ P²× the
+    * single-probe pairs at equal occupancy — the multi-probe recall/cost
+    * dial [[nearDupRecallGrid]] prices. */
+  private def pairsOverFlat(emb: DataFrame, flatCb: Array[Double],
+      probes: Int): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val flat = typedLit(flatCb)
+    val dim = lit(SimilarityOps.Dim)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val assigned =
+      if (probes == 1)
+        base.withColumn("cell", call_function("pq_argmin",
+          col("embedding"), flat, lit(0), dim))
+      else
+        base.withColumn("cell", explode(call_function("pq_argmink",
+          col("embedding"), flat, lit(0), dim, lit(probes))))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+    if (probes == 1) pairs else pairs.distinct()
+  }
+
+  /** Probe-P widening of [[nearDupPairsCells]] on the RANDOM (md5)
+    * codebook — [[nearDupPairsCellsProbe2]]'s generalization through
+    * the shared [[pairsOverFlat]] device (the probe-2 gate query keeps
+    * its r16 two-kernel spelling; P > 2 rides `pq_argmink`). */
+  private[ops] def nearDupPairsCellsProbeK(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells, probes: Int = 1): DataFrame =
+    pairsOverFlat(emb,
+      SimilarityOps.kernelCodebook(SimilarityOps.resolveCells(emb, nCells)),
+      probes)
+
+  /** The trained-codebook pair report as its own gate query
+    * (`d_embedding_neardup_trained`) — dynamically oracle-gated: the
+    * DuckDB replay derives K from its own count(*), SEEDS from the
+    * first K vectors, unrolls the same quantized Lloyd iterations (the
+    * s_kmeans oracle device at dynamic K), and scores every vector
+    * against the trained cells with the kernel's |c|² − 2·x·c
+    * arithmetic — so the trainer, the occupancy policy, and the
+    * deployment assignment are all pinned against an independent engine
+    * at both SFs. */
+  def embeddingNearDupTrained(s: SparkSession, d: String): DataFrame =
+    nearDupPairsCellsTrained(embeddings(s, d)).orderBy("a_id", "b_id")
+
+  /** RECALL/COST GRID over the blocking design space (r16 verdict ask
+    * #1): [[nearDupRecall]] extended to codebook ∈ {random, trained} ×
+    * probe ∈ {1, 2, 4} at the deployed occupancy — the table that
+    * prices the near-dup scale path's dials against brute force on ONE
+    * fixed [[NearDupRecallSample]]-id sample (the occupancy arm is
+    * measured at 512 too via [[nearDupRecallGridAt]] + the RecallGrid
+    * harness; its K differs, so it rides the notes rather than
+    * doubling this gate's rows). Probe-(P+1) ⊇ probe-P per codebook by
+    * construction, spec-pinned like the r16 random tier. */
+  def nearDupRecallGrid(s: SparkSession, d: String): DataFrame =
+    nearDupRecallGridAt(s, d, SimilarityOps.TargetCellOcc)
+
+  /** [[nearDupRecallGrid]] at an arbitrary occupancy — the 512 arm of
+    * the measured grid. */
+  private[graft] def nearDupRecallGridAt(s: SparkSession, d: String,
+      occ: Long): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells, occ)
+    val v = emb.filter(col("vec_id") < NearDupRecallSample)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val brute = broadcast(v.as("a"))
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+    def caught(pairs: DataFrame, codebook: String, probe: Long): DataFrame =
+      brute.join(
+        pairs.filter(col("a_id") < NearDupRecallSample &&
+            col("b_id") < NearDupRecallSample)
+          .select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+        .select(lit(codebook).as("codebook"), lit(probe).as("probe"),
+          col("n_caught"))
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    // train ONCE for all three trained arms (Lloyd is deterministic, so
+    // per-arm retraining would produce the same codebook 3x slower — at
+    // 200k vectors an iteration is a full N x K kernel pass)
+    val trainedFlat = SimilarityOps.lloydFlatCodebook(
+      SimilarityOps.lloydCodebook(
+        emb.select(col("vec_id"), col("embedding")), k))
+    caught(nearDupPairsCells(emb, k), "random", 1L)
+      .union(caught(nearDupPairsCellsProbe2(emb, k), "random", 2L))
+      .union(caught(nearDupPairsCellsProbeK(emb, k, probes = 4), "random", 4L))
+      .union(caught(pairsOverFlat(emb, trainedFlat, probes = 1), "trained", 1L))
+      .union(caught(pairsOverFlat(emb, trainedFlat, probes = 2), "trained", 2L))
+      .union(caught(pairsOverFlat(emb, trainedFlat, probes = 4), "trained", 4L))
+      .crossJoin(broadcast(nTrue))
+      .select(col("codebook"), col("probe"), col("n_true"), col("n_caught"),
+        expr("n_caught / n_true").as("recall"))
+      .orderBy("codebook", "probe")
+  }
+
   /** Sample bound of [[nearDupRecall]]'s brute-force base: the recall
     * of the blocked paths is ESTIMATED on the pairs within this fixed
     * id range, so the measurement stays O(sample²) at ANY corpus
@@ -2844,7 +2976,9 @@ object DedupOps {
     "d_semantic_dedup_auto" -> semanticDedupAuto,
     "d_semantic_sweep_auto" -> semanticSweepAuto,
     "d_embedding_neardup_probe2" -> embeddingNearDupProbe2,
+    "d_embedding_neardup_trained" -> embeddingNearDupTrained,
     "d_neardup_recall" -> nearDupRecall,
+    "d_neardup_recall_grid" -> nearDupRecallGrid,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -3904,6 +4038,93 @@ object DedupOps {
       FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) c
       CROSS JOIN nt
       ORDER BY probe""",
+    "d_embedding_neardup_trained" -> s"""
+      WITH ${SimilarityOps.trainedCellCtes()},
+      t1 AS (SELECT * FROM tassigned WHERE rk = 1)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             $NearDupCosSql AS cosine
+      FROM t1 a JOIN t1 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE $NearDupCosSql >= $NearDupCos
+      ORDER BY a_id, b_id""",
+    "d_neardup_recall_grid" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      assignedk AS (
+        SELECT vec_id, embedding, nrm, j::BIGINT AS cell, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, j) AS rk
+          FROM scored) WHERE rk <= 4),
+      assigned2 AS (SELECT * FROM assignedk WHERE rk <= 2),
+      ${SimilarityOps.trainedCellCtes()},
+      s AS (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(0::DOUBLE,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, v) -> a + v)) AS nrm
+            FROM embeddings WHERE vec_id < $NearDupRecallSample),
+      brute AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM s a JOIN s b ON a.vec_id < b.vec_id
+                WHERE $NearDupCosSql >= $NearDupCos),
+      p1 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      p2 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM assigned2 a JOIN assigned2 b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      p4 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM assignedk a JOIN assignedk b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      q1 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM (SELECT * FROM tassigned WHERE rk = 1) a
+               JOIN (SELECT * FROM tassigned WHERE rk = 1) b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      q2 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM (SELECT * FROM tassigned WHERE rk <= 2) a
+               JOIN (SELECT * FROM tassigned WHERE rk <= 2) b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      q4 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM tassigned a JOIN tassigned b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      nt AS (SELECT count(*)::BIGINT AS n_true FROM brute),
+      cg AS (
+        SELECT 'random' AS codebook, 1::BIGINT AS probe,
+               count(*)::BIGINT AS n_caught FROM brute JOIN p1 USING (a_id, b_id)
+        UNION ALL
+        SELECT 'random', 2, count(*)::BIGINT
+        FROM brute JOIN p2 USING (a_id, b_id)
+        UNION ALL
+        SELECT 'random', 4, count(*)::BIGINT
+        FROM brute JOIN p4 USING (a_id, b_id)
+        UNION ALL
+        SELECT 'trained', 1, count(*)::BIGINT
+        FROM brute JOIN q1 USING (a_id, b_id)
+        UNION ALL
+        SELECT 'trained', 2, count(*)::BIGINT
+        FROM brute JOIN q2 USING (a_id, b_id)
+        UNION ALL
+        SELECT 'trained', 4, count(*)::BIGINT
+        FROM brute JOIN q4 USING (a_id, b_id))
+      SELECT codebook, probe, n_true, n_caught, n_caught / n_true AS recall
+      FROM cg CROSS JOIN nt
+      ORDER BY codebook, probe""",
     "d_incremental_near" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       s AS (SELECT doc_id, $ShinglesSql sh FROM t),

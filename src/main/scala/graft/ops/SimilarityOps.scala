@@ -730,17 +730,21 @@ object SimilarityOps {
     * kNN-family entry point. The gate passes [[NumCells]] explicitly
     * (the DuckDB oracles inline the 8-cell codebook). */
   private[ops] val AutoCells = 0
-  /** K = max(NumCells, ⌈n / TargetCellOcc⌉). */
-  private[ops] def cellCountFor(n: Long): Int =
-    math.max(NumCells.toLong,
-      (n + TargetCellOcc - 1) / TargetCellOcc).toInt
+  /** K = max(NumCells, ⌈n / occ⌉); `occ` defaults to the deployed
+    * [[TargetCellOcc]] — the recall/cost grid measures a 512 arm too
+    * (coarser blocks: ~4× the per-block quadratic bought back as
+    * recall). */
+  private[ops] def cellCountFor(n: Long,
+      occ: Long = TargetCellOcc): Int =
+    math.max(NumCells.toLong, (n + occ - 1) / occ).toInt
   /** Resolve a caller's cell count: [[AutoCells]] pays ONE cheap
     * count (parquet row-group stats — no data read on a bare scan) and
     * sizes K at constant occupancy; an explicit K is a caller-supplied
     * size (a deployment that already knows its corpus scale, or the
     * gate's oracle-pinned 8). */
-  private[ops] def resolveCells(emb: DataFrame, nCells: Int): Int =
-    if (nCells == AutoCells) cellCountFor(emb.count()) else nCells
+  private[ops] def resolveCells(emb: DataFrame, nCells: Int,
+      occ: Long = TargetCellOcc): Int =
+    if (nCells == AutoCells) cellCountFor(emb.count(), occ) else nCells
   /** The deterministic md5-derived codebook, extensible to ANY cell
     * count — the index j is the only input, so `cellsFor(8)` is
     * byte-identical to the gate's [[cells]] and a 100 TB deployment
@@ -814,7 +818,7 @@ object SimilarityOps {
     * (0.0, cᵢ/(2|c|)…) per cell — shared by [[knnAssign]] and
     * [[knnAssign2]] so the two probes can never disagree on the
     * codebook. */
-  private def kernelCodebook(nCells: Int): Array[Double] =
+  private[ops] def kernelCodebook(nCells: Int): Array[Double] =
     cellsFor(nCells).flatMap { c =>
       val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
       0.0 +: c.map(x => x.toDouble / (2.0 * norm))
@@ -909,13 +913,17 @@ object SimilarityOps {
     * kernel arithmetic. Shared by every auto-blocked oracle
     * ([[KnnGraphAutoOracle]], DedupOps' d_embedding_neardup_auto) so
     * the policy can never diverge between them. */
-  private[ops] val AutoCellCtes: String = {
+  private[ops] val AutoCellCtes: String = autoCellCtes(TargetCellOcc)
+
+  /** [[AutoCellCtes]] at an arbitrary occupancy — the recall/cost grid
+    * replays the 512 arm from the same text. */
+  private[ops] def autoCellCtes(occ: Long): String = {
     val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         (a, v) -> a + v))"""
     val h60 = DedupOps.h60Sql("'ivf_' || jj.j || '_' || ii.i")
     s"""kk AS (SELECT greatest(${NumCells}::BIGINT,
-                    (count(*) + ${TargetCellOcc - 1}) // $TargetCellOcc)
+                    (count(*) + ${occ - 1}) // $occ)
                     AS k FROM embeddings),
       cw AS (SELECT jj.j, ii.i, ($h60 % 2001 - 1000)::BIGINT AS w
              FROM (SELECT unnest(generate_series(0,
@@ -940,6 +948,59 @@ object SimilarityOps {
           SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY d, j) AS rk
           FROM scored) WHERE rk = 1)"""
+  }
+
+  /** The dynamic-K TRAINED-codebook CTE chain (`tk` → `tc0` → Lloyd
+    * iterations `td/ta/tf/tu/tg/tc{i}` → `tsc` → `tassigned`), ending at
+    * `tassigned(vec_id, embedding, nrm, cell, rk)` with rk ≤ 2 — the
+    * DuckDB replay of [[lloydCodebook]] at K = max(8, ⌈n/occ⌉):
+    * dynamic-K seed (first K vectors), [[KmIters]] unrolled quantized
+    * Lloyd iterations (the [[kmeansCtes]] device generalized to a
+    * count-derived K), then the pq_argmin kernel's `|c|² − 2·x·c`
+    * scoring of every vector against the trained cells at rank ≤ 4
+    * (probe-P consumers filter rk ≤ P). CTE names are t-prefixed so the
+    * chain composes with [[AutoCellCtes]] in ONE query (the recall
+    * grid replays both codebooks side by side). */
+  private[ops] def trainedCellCtes(occ: Long = TargetCellOcc): String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
+    def distSql(c: String) =
+      s"""cn - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})"""
+    def iter(i: Int): String = s"""
+      td$i AS (SELECT vec_id, embedding, cell, ${distSql("c")} AS dist
+               FROM temb CROSS JOIN tc${i - 1}),
+      ta$i AS (SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+               FROM td$i),
+      tf$i AS (SELECT vec_id, embedding, cell FROM ta$i WHERE rn = 1),
+      tu$i AS (SELECT cell, i - 1 AS pos,
+                 floor(CAST(embedding[i] AS DOUBLE) * $KmQ.0)::BIGINT AS q
+               FROM tf$i, generate_series(1, $Dim) gs(i)),
+      tg$i AS (SELECT cell, pos, sum(q)::BIGINT sq, count(*)::BIGINT cnt
+               FROM tu$i GROUP BY 1, 2),
+      tc$i AS (SELECT cell,
+                 list(CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE) ORDER BY pos) AS c,
+                 ${fold("list_transform(c, x -> x * x)")} AS cn
+               FROM tg$i GROUP BY cell)"""
+    s"""tk AS (SELECT greatest(${NumCells}::BIGINT,
+                    (count(*) + ${occ - 1}) // $occ) AS k FROM embeddings),
+      temb AS (SELECT vec_id, embedding FROM embeddings),
+      tc0 AS (SELECT vec_id::BIGINT AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
+                ${fold("list_transform(c, x -> x * x)")} AS cn
+              FROM embeddings WHERE vec_id < (SELECT k FROM tk)),
+      ${(1 to KmIters).map(iter).mkString(",")},
+      tsc AS (SELECT e.vec_id, e.embedding, $normSql AS nrm,
+                c.cell, ${distSql("c.c")} AS dist
+              FROM temb e CROSS JOIN tc$KmIters c),
+      tassigned AS (
+        SELECT vec_id, embedding, nrm, cell, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cell) AS rk
+          FROM tsc) WHERE rk <= 4)"""
   }
 
   /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
@@ -1617,7 +1678,7 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
-  private val KmK = 4      // clusters
+  private[ops] val KmK = 4      // clusters
   private val KmIters = 2  // fixed Lloyd iterations (deterministic replay)
   private val KmQ = 1024L  // quantization grid for the mean accumulation
 
@@ -1672,19 +1733,44 @@ object SimilarityOps {
     * parquet scans after the build), not re-derived parquet lineage.
     * Probe `None` costs nothing. */
   private[ops] def kmeansCentroidsProbed(s: SparkSession, d: String,
+      planProbe: Option[String => Unit]): Seq[(Long, IndexedSeq[Double], Long)] =
+    lloydLoop(embeddings(s, d).select(col("vec_id"), col("embedding")),
+      KmK, KmIters, kernelAssign = false, planProbe)
+
+  /** Lloyd training at ARBITRARY K over any (vec_id, embedding)
+    * relation — the codebook trainer [[ivfTopk]]'s scaladoc always
+    * deferred to, now wired to the blocking tier (r16 verdict ask #1:
+    * the md5-random codebook's measured near-dup recall was 31%/56%).
+    * Assignment rides the pq_argmin KERNEL over the flattened
+    * (|c|², components…) codebook — bit-identical arithmetic to
+    * [[kmeansAssign]]'s literal-struct spelling (same `|c|² − 2·x·c`,
+    * same left-to-right fold, same lowest-cell ties) with NO codegen
+    * growth in K, so training K ∝ N cells at 100 TB generates the same
+    * bytecode as K = 8. */
+  private[ops] def lloydCodebook(emb: DataFrame, k: Int,
+      iters: Int = KmIters): Seq[(Long, IndexedSeq[Double], Long)] =
+    lloydLoop(emb.select(col("vec_id"), col("embedding")), k, iters,
+      kernelAssign = true, None)
+
+  /** The ONE Lloyd loop behind [[kmeansCentroidsProbed]] (gate spelling:
+    * literal-struct [[kmeansAssign]], K = [[KmK]]) and [[lloydCodebook]]
+    * (kernel spelling, any K). Seeds from the first `k` vectors by id,
+    * updates on the exact [[KmQ]]-quantized integer grid (order-
+    * independent across partitions — the oracle-replayable device). */
+  private def lloydLoop(emb0: DataFrame, k: Int, iters: Int,
+      kernelAssign: Boolean,
       planProbe: Option[String => Unit]): Seq[(Long, IndexedSeq[Double], Long)] = {
-    // persisted for the loop (r14 verdict #3): each of the KmIters
+    // persisted for the loop (r14 verdict #3): each of the iters
     // distributed passes (plus the seed collect) would otherwise re-scan
-    // the parquet — KmIters full corpus re-reads at 100 TB vs ONE
+    // the parquet — iters full corpus re-reads at 100 TB vs ONE
     // materialization of the narrow (vec_id, embedding) projection; the
     // MLlib KMeans trainer caches its assignment input for the same
     // reason. Unpersisted in the finally (the mmrSelect discipline).
-    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .persist()
+    val emb = emb0.persist()
     try {
       // (cell, components, n_members), ascending cell — float→double is exact
       var cents: Seq[(Long, IndexedSeq[Double], Long)] =
-        emb.filter(col("vec_id") < KmK)
+        emb.filter(col("vec_id") < k)
           .select(col("vec_id").cast("long"), col("embedding"))
           .collect().toSeq
           .map(r => (r.getLong(0),
@@ -1693,12 +1779,21 @@ object SimilarityOps {
       // no seed vectors (empty table): an empty codebook, same as the
       // crossJoin formulation produced — not an error
       if (cents.isEmpty) return cents
-      for (_ <- 0 until KmIters) {
+      for (_ <- 0 until iters) {
         // one distributed pass per iteration: narrow assignment → one
         // (cell, dim) partial-agg shuffle → K×Dim rows to the driver; the
         // per-cell regroup is driver arithmetic (exact-integer sums, one
-        // double division — identical to the oracle's c$i CTE)
-        val pass = kmeansAssign(emb, cents.map(c => (c._1, c._2)))
+        // double division — identical to the oracle's c$i CTE). The
+        // kernel spelling keys rows by codebook INDEX (pq_argmin's
+        // return); the index ↔ cell bijection is order-preserving
+        // (cents stays sorted), so remapping after the collect is exact.
+        val keyed =
+          if (kernelAssign)
+            emb.withColumn("cell", call_function("pq_argmin",
+              col("embedding"), typedLit(lloydFlatCodebook(cents)),
+              lit(0), lit(Dim)))
+          else kmeansAssign(emb, cents.map(c => (c._1, c._2)))
+        val pass = keyed
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("cell"), col("pos"),
             expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)").as("q"))
@@ -1706,7 +1801,9 @@ object SimilarityOps {
           .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
         planProbe.foreach(_(pass.queryExecution.executedPlan.toString))
         val sums = pass.collect()
-        cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
+        val prev = cents
+        cents = sums.groupBy(_.getLong(0)).toSeq.map { case (key, rows) =>
+          val cell = if (kernelAssign) prev(key.toInt)._1 else key
           val byPos = rows.sortBy(_.getInt(1))
           val comps = byPos.map(r =>
             r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble).toIndexedSeq
@@ -1718,6 +1815,19 @@ object SimilarityOps {
       emb.unpersist(blocking = true)
     }
   }
+
+  /** The kernel-spelling flat codebook of a TRAINED centroid set:
+    * blocks of (|c|², components…) per cell in ascending-cell order —
+    * `pq_argmin` over it computes exactly [[kmeansAssign]]'s
+    * `|c|² − 2·x·c` with the same fold order and lowest-cell ties.
+    * Shared by the Lloyd loop's own assignment passes and the trained
+    * blocking consumers ([[graft.ops.DedupOps]]' trained near-dup arm)
+    * so training and deployment can never disagree on the spelling. */
+  private[ops] def lloydFlatCodebook(
+      cents: Seq[(Long, IndexedSeq[Double], Long)]): Array[Double] =
+    cents.flatMap { case (_, comps, _) =>
+      comps.foldLeft(0.0)((a, x) => a + x * x) +: comps
+    }.toArray
 
   /** Per-cell PURITY of the trained [[kmeans]] codebook against the
     * embeddings' ground-truth label — the EXTERNAL validation criterion
