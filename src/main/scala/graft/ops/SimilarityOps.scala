@@ -1382,6 +1382,124 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** [[ivfTopk]]'s scale path as its own gate query (`s_ivf_topk_auto`,
+    * r16 verdict ask #4): the auto-K IVF read path with BOTH sides
+    * kernel-spelled — corpus assignment through ONE `pq_argmin` call and
+    * the query side's NProbe cell selection through ONE `pq_argmink`
+    * call over the same constant-folded codebook (the gate's [[ivfTopk]]
+    * expands K literal score columns `s0..s{K-1}`, which is fine at the
+    * oracle-pinned K = 8 and codegen death at production K in the
+    * thousands — this spelling generates the SAME bytecode at any K).
+    * Dynamically oracle-gated: the DuckDB replay derives K from its own
+    * count(*) and ranks the shared AutoCellCtes scoring at rank ≤
+    * [[NProbe]] for the probe set, rank = 1 for the corpus assignment —
+    * cell selection, assignment, and the exact-cosine re-rank all
+    * pinned at both SFs (K = 8 / K = 16).
+    *
+    * Plan/scale: one narrow kernel assignment pass over the corpus, a
+    * 5-row broadcast probe side (NProbe rows per query from one
+    * Generate), the probe join fans each query out to NProbe/K of the
+    * corpus, per-query top-5 rides the rank window below the shuffle. */
+  def ivfTopkAuto(s: SparkSession, d: String): DataFrame =
+    ivfTopkAutoFrom(embeddings(s, d))
+
+  /** [[ivfTopkAuto]] over a caller-supplied (vec_id, embedding)
+    * relation — the testable core (ScalingBudgetSpec pins the NProbe/K
+    * candidate fan-out on a 4096-vector K=32 corpus). */
+  private[ops] def ivfTopkAutoFrom(emb: DataFrame): DataFrame = {
+    val k = resolveCells(emb, AutoCells)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    ivfCandidatesAuto(emb, k)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cell"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The probe-join candidate relation of [[ivfTopkAutoFrom]] — exposed
+    * so the spec can pin the fan-out (each query touches ~NProbe/K of
+    * the corpus) without re-stating the join. */
+  private[ops] def ivfCandidatesAuto(emb: DataFrame, k: Int): DataFrame = {
+    val flat = typedLit(kernelCodebook(k))
+    val assigned = knnAssign(emb, k, forceKernel = true)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("q_nrm"),
+        explode(call_function("pq_argmink", col("embedding"), flat,
+          lit(0), lit(Dim), lit(NProbe))).as("cell"))
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        expr(s"(${Vec.dot("q_emb", "embedding")}) / (q_nrm * nrm)").as("cosine"))
+  }
+
+  /** [[ivfTopkAuto]] oracle: the shared dynamic-K scoring at rank ≤
+    * NProbe (query side) and rank = 1 (corpus side), then the exact
+    * sequential-fold cosine re-rank. */
+  private val IvfTopkAutoOracle: String = {
+    val dotQC = """list_reduce(list_prepend(0::DOUBLE,
+          list_transform(list_zip(p.q_emb, a.embedding),
+            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    s"""
+      WITH $AutoCellCtes,
+      probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+               j::BIGINT AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY d, j) AS pr
+              FROM scored WHERE vec_id < 5) z
+        WHERE pr <= $NProbe),
+      cand AS (
+        SELECT p.q_id, p.cell, a.vec_id,
+               $dotQC / (p.q_nrm * a.nrm) AS cosine
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.q_id <> a.vec_id)
+      SELECT q_id, rank::INT AS rank, cell, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id) AS rank
+        FROM cand) r
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  /** [[cellBalance]]'s scale path as its own gate query
+    * (`s_cell_balance_auto`): the same occupancy/imbalance report over
+    * the auto-K kernel assignment — the index-skew dial a deployment
+    * reads at the K its corpus actually derives (and the report that
+    * decides codebook retraining, which [[lloydCodebook]] now serves).
+    * Same K-row window rollup; K rides the one cheap count. */
+  def cellBalanceAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = resolveCells(emb, AutoCells)
+    knnAssign(emb.select(col("vec_id"), col("embedding")), k,
+        forceKernel = true)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_tot", expr("sum(n_vecs) over ()"))
+      .withColumn("n_max", expr("max(n_vecs) over ()"))
+      .select(col("cell"), col("n_vecs"),
+        expr("cast(n_vecs as double) / cast(n_tot as double)").as("share"),
+        expr(s"cast(n_max as double) * $k / cast(n_tot as double)")
+          .as("imbalance"),
+        expr(s"n_vecs * $k > 2 * n_tot").as("overloaded"))
+      .orderBy("cell")
+  }
+
+  /** [[cellBalanceAuto]] oracle: the dynamic-K assignment, counted. */
+  private val CellBalanceAutoOracle: String = s"""
+      WITH $AutoCellCtes,
+      bc AS (SELECT cell, count(*)::BIGINT n_vecs FROM assigned GROUP BY 1),
+      w AS (SELECT cell, n_vecs,
+              sum(n_vecs) OVER ()::BIGINT AS n_tot,
+              max(n_vecs) OVER ()::BIGINT AS n_max
+            FROM bc)
+      SELECT cell, n_vecs,
+        CAST(n_vecs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS share,
+        CAST(n_max AS DOUBLE) * (SELECT k FROM kk) / CAST(n_tot AS DOUBLE)
+          AS imbalance,
+        n_vecs * (SELECT k FROM kk) > 2 * n_tot AS overloaded
+      FROM w ORDER BY cell"""
+
   // ---- Product quantization ----------------------------------------------
   // The compression side of vector search at 100 TB: a 64-dim float
   // embedding (256 bytes) becomes PqM codebook codes (PqM bytes) — the
@@ -2768,6 +2886,8 @@ object SimilarityOps {
     "s_centroid_classify" -> centroidClassify,
     "s_ivf_probe_curve" -> ivfProbeCurve,
     "s_ivf_topk" -> ivfTopk,
+    "s_ivf_topk_auto" -> ivfTopkAuto,
+    "s_cell_balance_auto" -> cellBalanceAuto,
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
     "s_purity" -> clusterPurity,
@@ -3243,6 +3363,8 @@ object SimilarityOps {
                AS accuracy
       FROM p WHERE rk = 1 GROUP BY 1 ORDER BY label""",
     "s_ivf_topk" -> IvfTopkOracle,
+    "s_ivf_topk_auto" -> IvfTopkAutoOracle,
+    "s_cell_balance_auto" -> CellBalanceAutoOracle,
     "s_ivf_probe_curve" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")
