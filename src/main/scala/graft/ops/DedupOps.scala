@@ -2175,23 +2175,47 @@ object DedupOps {
       docs.filter(col("doc_id") >= 400))
   }
 
+  /** The capped per-shingle posting MANIFEST of a history relation —
+    * the artifact [[incrementalNear]] probes, as its own relation so
+    * production can do what the scaladoc promises: materialize it ONCE
+    * (parquet, BUCKETED by shingle via [[Bucketing.writeBucketed]]) and
+    * probe every ingest batch against the persisted table with NO
+    * exchange on the manifest side (BucketingSpec asserts the plan).
+    * A shingle hotter than the cap is dropped — it carries no near-dup
+    * signal (boilerplate), exactly the cap rule every batch pair family
+    * applies. */
+  private[graft] def nearManifest(history: DataFrame,
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    shinglePostings(history)
+      .groupBy(col("sh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+
+  /** The (doc_id, n, ids) probe of a batch against an ALREADY-BUILT
+    * manifest relation (inline or persisted-bucketed — the join is the
+    * same text either way). */
+  private[graft] def incrementalNearProbeAgainst(
+      manifestPostings: DataFrame, batch: DataFrame): DataFrame =
+    shinglePostings(batch)
+      .join(manifestPostings, Seq("sh"), "left")
+      .select(col("doc_id"), col("n"), col("ids"))
+
   /** The (doc_id, man_id, inter) pair relation of [[incrementalNear]] —
     * exposed so OpsSpec can pin probe-vs-recompute equivalence. */
   private[ops] def incrementalNearProbe(manifest: DataFrame,
       batch: DataFrame, maxDf: Int): DataFrame =
-    shinglePostings(batch)
-      .join(shinglePostings(manifest)
-          .groupBy(col("sh"))
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) <= maxDf),
-        Seq("sh"), "left")
-      .select(col("doc_id"), col("n"), col("ids"))
+    incrementalNearProbeAgainst(nearManifest(manifest, maxDf), batch)
 
   /** [[incrementalNear]] over caller-supplied history/batch relations
     * with the cap dial — the testable core. */
   private[ops] def incrementalNearFrom(manifest: DataFrame,
-      batch: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame = {
-    val probe = incrementalNearProbe(manifest, batch, maxDf)
+      batch: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame =
+    incrementalNearReport(incrementalNearProbe(manifest, batch, maxDf))
+
+  /** The per-doc report over any (doc_id, n, ids) probe relation —
+    * shared by the inline gate query and the persisted-manifest path so
+    * the two can never diverge on the report semantics. */
+  private[graft] def incrementalNearReport(probe: DataFrame): DataFrame = {
     val perPair = probe.filter(col("ids").isNotNull)
       .select(col("doc_id"), explode(col("ids")).as("man_id"))
       .groupBy(col("doc_id"), col("man_id"))

@@ -41,6 +41,46 @@ class BucketingSpec extends SparkSpec {
       Tables.documents(spark, sf).filter(col("lang") === "en").count())
   }
 
+  test("incremental-near manifest persisted BUCKETED by shingle: the " +
+      "probe join plans with NO exchange on the manifest side, and the " +
+      "persisted-path report equals the inline recompute row for row " +
+      "(r16 verdict ask #5 — the production shape the scaladoc promises)") {
+    val conf = spark.conf
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val docs = Tables.documents(spark, sf)
+      val history = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      // ingest-time: materialize the manifest ONCE, bucketed by shingle
+      Bucketing.writeBucketed(DedupOps.nearManifest(history),
+        "near_manifest", "sh", 4)
+      val probe = DedupOps.incrementalNearProbeAgainst(
+        spark.table("near_manifest"), batch)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"manifest scan is not bucketed:\n${plan.take(3000)}")
+      // exactly ONE exchange — the batch side shuffling to the bucket
+      // partitioning; a second would mean the persisted manifest is
+      // being re-shuffled, the cost the bucketed layout exists to kill
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"manifest side still shuffles:\n${plan.take(3000)}")
+      // and the persisted-path report IS the gate query's answer
+      val persisted = DedupOps.incrementalNearReport(probe)
+        .orderBy("doc_id").collect().toSeq
+      val inline = DedupOps.incrementalNear(spark, sf)
+        .collect().toSeq
+      assert(persisted == inline,
+        "persisted-manifest probe diverged from the inline recompute")
+    } finally {
+      prev.foreach { case (k, v) => conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS near_manifest")
+    }
+  }
+
   test("co-bucketed join + key aggregation plans with no shuffle") {
     val conf = spark.conf
     val prev = Seq("spark.sql.adaptive.enabled",
