@@ -950,6 +950,246 @@ object SimilarityOps {
           FROM scored) WHERE rk = 1)"""
   }
 
+  // ---- Two-level (IMI-style) cell routing --------------------------------
+  // The continuation past the flat K ∝ N assignment scan: scoring N
+  // vectors against K cells is Θ(N·K) = Θ(N²/occ) multiply-adds — the
+  // r17 100× probe measured it as the dominant term at 200k vectors
+  // (10–45 s) and it walls past ~10⁶. The standard IVF/IMI answer is
+  // TWO-LEVEL routing: K₁ = ⌈√K⌉ coarse cells partition the FINE cells
+  // (each fine centroid routes to its nearest coarse centroid, computed
+  // once from the codebooks alone); a vector scores the K₁ coarse cells,
+  // probes its best P₁, and runs the fine argmin only over the fine
+  // cells under those coarse buckets — Θ(K₁ + P₁·K/K₁) = Θ(√K) score
+  // ops per vector instead of Θ(K). Routing is an APPROXIMATION of the
+  // flat argmin (a vector's true fine cell can live under an unprobed
+  // coarse bucket); P₁ = K₁ recovers the flat assignment EXACTLY
+  // (spec-pinned), and `s_route_agreement` measures what P₁ = 2 gives
+  // up on the gate corpus.
+  /** Coarse probes of the two-level router. */
+  private[ops] val CoarseProbes = 2
+  /** Coarse cell count for a fine count k. */
+  private[ops] def coarseCountFor(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+  /** The coarse codebook — the [[cellsFor]] generator in its own
+    * namespace (`ivf2_…`), so coarse and fine draws are independent. */
+  private[ops] def coarseCellsFor(k1: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until k1).map(j =>
+      (0 until Dim).map(i => h60(s"ivf2_${j}_$i") % 2001 - 1000))
+
+  /** Kernel-spelling flat codebook of ANY integer centroid set: blocks
+    * of (0.0, c/(2|c|)…) — the [[kernelCodebook]] form generalized. */
+  private def cosineFlatOf(cs: IndexedSeq[IndexedSeq[Long]]): Array[Double] =
+    cs.flatMap { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      0.0 +: c.map(x => x.toDouble / (2.0 * norm))
+    }.toArray
+
+  /** Fine-centroid → coarse-bucket routing table, computed ONCE from
+    * the two codebooks on the driver (K rows — catalog-sized at any
+    * corpus scale): fine j routes to argmin over coarse j2 of
+    * `0 − 2·dot(fine_j, coarse_j2/(2|coarse_j2|))` — the SAME
+    * normalized metric vectors use, same left-to-right fold, ties to
+    * the lowest coarse id. */
+  private[ops] def fineToCoarse(k: Int, k1: Int): IndexedSeq[Int] = {
+    val coarse = coarseCellsFor(k1)
+    val cComps = coarse.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      c.map(x => x.toDouble / (2.0 * n))
+    }
+    cellsFor(k).map { f =>
+      var best = Double.PositiveInfinity; var bestJ = 0
+      var j2 = 0
+      while (j2 < k1) {
+        var dot = 0.0
+        var i = 0
+        while (i < Dim) { dot += f(i).toDouble * cComps(j2)(i); i += 1 }
+        val d = 0.0 - 2.0 * dot
+        if (d < best) { best = d; bestJ = j2 }
+        j2 += 1
+      }
+      bestJ
+    }
+  }
+
+  /** Two-level assignment of every vector to a FINE cell: coarse
+    * probe via ONE `pq_argmink` call over the K₁-block codebook, then
+    * the fine argmin as a broadcast join against the (coarse, fine,
+    * fcomps) routing relation + ONE vec_id-key partial-agg struct-min —
+    * `(d, fine)` ordering, so ties go to the lowest fine cell exactly
+    * like the flat kernel. Returns (vec_id, cell). `p1` = coarse
+    * probes; `p1 = k1` probes everything and equals [[knnAssign]]'s
+    * flat kernel assignment bit-for-bit (the exactness anchor —
+    * spec-pinned; the fine score `0 − 2·vec_dot(x, c/(2|c|))` is the
+    * kernel's own arithmetic). */
+  private[ops] def twoLevelAssign(emb: DataFrame, k: Int,
+      p1: Int = CoarseProbes): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k1 = coarseCountFor(k)
+    val p = math.min(p1, k1)
+    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
+    val route = fineToCoarse(k, k1)
+    val fine = cellsFor(k)
+    val fineRows = (0 until k).map { j =>
+      val c = fine(j)
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      (route(j).toLong, j.toLong, c.map(x => x.toDouble / (2.0 * n)).toArray)
+    }
+    val fineDf = broadcast(fineRows.toDF("coarse", "cell0", "fcomps"))
+    emb.select(col("vec_id"), col("embedding"),
+        explode(call_function("pq_argmink", col("embedding"), coarseFlat,
+          lit(0), lit(Dim), lit(p))).as("coarse"))
+      .join(fineDf, Seq("coarse"))
+      .select(col("vec_id"),
+        struct((lit(0.0) - lit(2.0) * call_function("vec_dot",
+          col("embedding"), col("fcomps"))).as("d"),
+          col("cell0").as("cell")).as("s"))
+      .groupBy("vec_id")
+      .agg(min(col("s")).getField("cell").as("cell"))
+  }
+
+  /** [[cellBalance]] over the TWO-LEVEL router at the auto K
+    * (`s_cell_balance_2level`): the same occupancy report, assignment
+    * cost Θ(√K) per vector — the corpus-scale spelling past 10⁶
+    * vectors. Dynamically oracle-gated end to end: the DuckDB replay
+    * derives K and K₁ from count(*), regenerates BOTH codebooks,
+    * routes fine→coarse from the codebooks alone, probes rank ≤ P₁
+    * coarse per vector, and argmins the fine cells under them. */
+  def cellBalance2Level(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = resolveCells(emb, AutoCells)
+    twoLevelAssign(emb.select(col("vec_id"), col("embedding")), k)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_tot", expr("sum(n_vecs) over ()"))
+      .withColumn("n_max", expr("max(n_vecs) over ()"))
+      .select(col("cell"), col("n_vecs"),
+        expr("cast(n_vecs as double) / cast(n_tot as double)").as("share"),
+        expr(s"cast(n_max as double) * $k / cast(n_tot as double)")
+          .as("imbalance"),
+        expr(s"n_vecs * $k > 2 * n_tot").as("overloaded"))
+      .orderBy("cell")
+  }
+
+  /** Agreement of the two-level router with the flat argmin
+    * (`s_route_agreement`): the fraction of vectors the P₁-probe
+    * routing lands in their TRUE (flat) fine cell — the recall dial of
+    * the Θ(√K) spelling, measured corpus-wide (both assignments are
+    * narrow passes; the compare is one vec_id-key join). */
+  def routeAgreement(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = resolveCells(emb, AutoCells)
+    val flat = knnAssign(emb.select(col("vec_id"), col("embedding")), k,
+      forceKernel = true).select(col("vec_id"), col("cell").as("flat_cell"))
+    twoLevelAssign(emb.select(col("vec_id"), col("embedding")), k)
+      .join(flat, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cell") === col("flat_cell"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("n_vecs"), col("n_same"),
+        expr("n_same / n_vecs").as("agreement"))
+  }
+
+  /** Two-level routing TUNING CURVE (`s_route_curve`): agreement with
+    * the flat argmin at coarse probes P₁ ∈ {2, 4, 8} — the
+    * [[ivfProbeCurve]] discipline applied to the router (each probe
+    * adds √K fine scores per vector; this table says what each
+    * addition buys). ONE coarse scoring pass (pq_argmink at the max
+    * probe), one fine-scoring join, a 3-way melt on the probe rank —
+    * never three passes. P₁ ≥ K₁ rows read agreement 1.0 by
+    * construction (probe-all == flat, the spec-pinned anchor) — on a
+    * small-K corpus that is itself the honest reading. */
+  def routeCurve(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = resolveCells(emb, AutoCells)
+    val k1 = coarseCountFor(k)
+    val pmax = math.min(8, k1)
+    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
+    val route = fineToCoarse(k, k1)
+    val fine = cellsFor(k)
+    import s.implicits._
+    val fineRows = (0 until k).map { j =>
+      val c = fine(j)
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      (route(j).toLong, j.toLong, c.map(x => x.toDouble / (2.0 * n)).toArray)
+    }
+    val fineDf = broadcast(fineRows.toDF("coarse", "cell0", "fcomps"))
+    val flat = knnAssign(emb.select(col("vec_id"), col("embedding")), k,
+      forceKernel = true).select(col("vec_id"), col("cell").as("flat_cell"))
+    val probed = emb.select(col("vec_id"), col("embedding"),
+      posexplode(call_function("pq_argmink", col("embedding"), coarseFlat,
+        lit(0), lit(Dim), lit(pmax))).as(Seq("pr0", "coarse")))
+    val assigned = probed.join(fineDf, Seq("coarse"))
+      .select(col("vec_id"), col("pr0"),
+        struct((lit(0.0) - lit(2.0) * call_function("vec_dot",
+          col("embedding"), col("fcomps"))).as("d"),
+          col("cell0").as("cell")).as("s"))
+      .select(col("vec_id"), col("pr0"), col("s"),
+        explode(expr("array(2L, 4L, 8L)")).as("p1"))
+      .filter(col("pr0") < col("p1"))
+      .groupBy("p1", "vec_id")
+      .agg(min(col("s")).getField("cell").as("cell"))
+    assigned.join(flat, Seq("vec_id"))
+      .groupBy("p1")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cell") === col("flat_cell"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("p1"), col("n_vecs"), col("n_same"),
+        expr("n_same / n_vecs").as("agreement"))
+      .orderBy("p1")
+  }
+
+  /** The dynamic-K two-level routing CTE chain, ending at
+    * `tl(vec_id, cell)` — coarse codebook (`c2w/c2n/c2comps`, the
+    * `ivf2_…` namespace), fine raw lists (`fraw`), the fine→coarse
+    * route (`rt`), per-vector coarse probes at rank ≤ [[CoarseProbes]]
+    * (`vp`), and the fine argmin within probed buckets. Composes with
+    * [[AutoCellCtes]] (distinct CTE names; `kk`/`cw`/`comps` are
+    * shared inputs). */
+  private[ops] val TwoLevelCtes: String = {
+    val h60c = DedupOps.h60Sql("'ivf2_' || jj.j || '_' || ii.i")
+    s"""k1 AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k1 FROM kk),
+      c2w AS (SELECT jj.j, ii.i, ($h60c % 2001 - 1000)::BIGINT AS w
+              FROM (SELECT unnest(generate_series(0,
+                      (SELECT k1 FROM k1) - 1)) AS j) jj,
+                   (SELECT unnest(generate_series(0, ${Dim - 1})) AS i) ii),
+      c2n AS (SELECT j, sqrt(sum(w * w)::DOUBLE) AS nrm FROM c2w GROUP BY j),
+      c2comps AS (SELECT c2w.j,
+                    list(CAST(c2w.w AS DOUBLE) / (2.0 * c2n.nrm)
+                         ORDER BY c2w.i) AS c
+                  FROM c2w JOIN c2n ON c2w.j = c2n.j GROUP BY c2w.j),
+      fraw AS (SELECT j, list(CAST(w AS DOUBLE) ORDER BY i) AS f
+               FROM cw GROUP BY j),
+      rt AS (SELECT fine, j2 AS coarse FROM (
+               SELECT f.j AS fine, c.j AS j2,
+                      row_number() OVER (PARTITION BY f.j ORDER BY
+                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(f.f, c.c),
+                            z -> z[1] * z[2])), (a, v) -> a + v),
+                        c.j) AS rk
+               FROM fraw f CROSS JOIN c2comps c) z WHERE rk = 1),
+      vp AS (SELECT vec_id, j2 AS coarse FROM (
+               SELECT e.vec_id, c.j AS j2,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(e.embedding, c.c),
+                            z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
+                        c.j) AS rk
+               FROM embeddings e CROSS JOIN c2comps c) z
+             WHERE rk <= $CoarseProbes),
+      tl AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, rt.fine AS cell,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(e.embedding, fc.c),
+                            z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
+                        rt.fine) AS rk
+               FROM embeddings e
+                 JOIN vp ON e.vec_id = vp.vec_id
+                 JOIN rt ON rt.coarse = vp.coarse
+                 JOIN comps fc ON fc.j = rt.fine) z
+             WHERE rk = 1)"""
+  }
+
   /** The dynamic-K TRAINED-codebook CTE chain (`tk` → `tc0` → Lloyd
     * iterations `td/ta/tf/tu/tg/tc{i}` → `tsc` → `tassigned`), ending at
     * `tassigned(vec_id, embedding, nrm, cell, rk)` with rk ≤ 2 — the
@@ -2888,6 +3128,9 @@ object SimilarityOps {
     "s_ivf_topk" -> ivfTopk,
     "s_ivf_topk_auto" -> ivfTopkAuto,
     "s_cell_balance_auto" -> cellBalanceAuto,
+    "s_cell_balance_2level" -> cellBalance2Level,
+    "s_route_agreement" -> routeAgreement,
+    "s_route_curve" -> routeCurve,
     "s_kmeans" -> kmeans,
     "s_silhouette" -> silhouette,
     "s_purity" -> clusterPurity,
@@ -3365,6 +3608,60 @@ object SimilarityOps {
     "s_ivf_topk" -> IvfTopkOracle,
     "s_ivf_topk_auto" -> IvfTopkAutoOracle,
     "s_cell_balance_auto" -> CellBalanceAutoOracle,
+    "s_cell_balance_2level" -> s"""
+      WITH $AutoCellCtes,
+      $TwoLevelCtes,
+      bc AS (SELECT cell, count(*)::BIGINT n_vecs FROM tl GROUP BY 1),
+      w AS (SELECT cell, n_vecs,
+              sum(n_vecs) OVER ()::BIGINT AS n_tot,
+              max(n_vecs) OVER ()::BIGINT AS n_max
+            FROM bc)
+      SELECT cell, n_vecs,
+        CAST(n_vecs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS share,
+        CAST(n_max AS DOUBLE) * (SELECT k FROM kk) / CAST(n_tot AS DOUBLE)
+          AS imbalance,
+        n_vecs * (SELECT k FROM kk) > 2 * n_tot AS overloaded
+      FROM w ORDER BY cell""",
+    "s_route_agreement" -> s"""
+      WITH $AutoCellCtes,
+      $TwoLevelCtes
+      SELECT count(*)::BIGINT AS n_vecs,
+             sum(CASE WHEN tl.cell = a.cell THEN 1 ELSE 0 END)::BIGINT
+               AS n_same,
+             sum(CASE WHEN tl.cell = a.cell THEN 1 ELSE 0 END) / count(*)
+               AS agreement
+      FROM tl JOIN assigned a ON tl.vec_id = a.vec_id""",
+    "s_route_curve" -> s"""
+      WITH $AutoCellCtes,
+      $TwoLevelCtes,
+      vpr AS (SELECT e.vec_id, e.embedding, c.j AS coarse,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                    list_transform(list_zip(e.embedding, c.c),
+                      z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
+                  c.j) AS rk
+              FROM embeddings e CROSS JOIN c2comps c),
+      m AS (SELECT vpr.vec_id, vpr.embedding, vpr.coarse, t.p1::BIGINT AS p1
+            FROM vpr, unnest([2, 4, 8]) AS t(p1)
+            WHERE vpr.rk <= t.p1),
+      fa AS (SELECT p1, vec_id, cell FROM (
+               SELECT m.p1, m.vec_id, rt.fine AS cell,
+                      row_number() OVER (PARTITION BY m.p1, m.vec_id
+                        ORDER BY
+                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(m.embedding, fc.c),
+                            z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
+                        rt.fine) AS rk
+               FROM m JOIN rt ON rt.coarse = m.coarse
+                 JOIN comps fc ON fc.j = rt.fine) z
+             WHERE rk = 1)
+      SELECT fa.p1, count(*)::BIGINT AS n_vecs,
+             sum(CASE WHEN fa.cell = a.cell THEN 1 ELSE 0 END)::BIGINT
+               AS n_same,
+             sum(CASE WHEN fa.cell = a.cell THEN 1 ELSE 0 END) / count(*)
+               AS agreement
+      FROM fa JOIN assigned a ON fa.vec_id = a.vec_id
+      GROUP BY fa.p1 ORDER BY fa.p1""",
     "s_ivf_probe_curve" -> {
       val scoreCols = (0 until NumCells)
         .map(j => s"${cellScoreSql(j)} AS s$j").mkString(",\n               ")

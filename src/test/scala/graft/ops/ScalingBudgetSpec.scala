@@ -301,4 +301,46 @@ class ScalingBudgetSpec extends SparkSpec {
         .forall(_.getLong(1) == 5))
     } finally cand.unpersist()
   }
+
+  test("two-level routing: probe-all equals the flat kernel argmin " +
+      "vector for vector (the exactness anchor), P1=2 stays a valid " +
+      "assignment, and the score-op count is Θ(√K) not Θ(K)") {
+    graft.GraftSession.init(spark)
+    import spark.implicits._
+    val n = 4096
+    val emb = Seq.tabulate(n)(i => (i.toLong,
+        Seq.tabulate(64)(d => (((i * 37 + d * 11) % 97) - 48) / 48.0f)))
+      .toDF("vec_id", "embedding")
+    val k = SimilarityOps.cellCountFor(n) // 32
+    val k1 = SimilarityOps.coarseCountFor(k) // 6
+    // probe-ALL two-level == flat kernel assignment, bit for bit: the
+    // fine score 0 − 2·vec_dot(x, c/(2|c|)) IS the kernel's arithmetic
+    // and (d, cell) struct-min is its tie rule
+    val flat = SimilarityOps.knnAssign(emb, k, forceKernel = true)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = SimilarityOps.twoLevelAssign(emb, k, p1 = k1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == flat,
+      "probe-all two-level routing must equal the flat argmin exactly")
+    // the deployed P1: still a total assignment into valid fine cells
+    val p2 = SimilarityOps.twoLevelAssign(emb, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2.keySet == flat.keySet)
+    assert(p2.values.forall(c => c >= 0 && c < k))
+    // routing table shape: every fine cell under exactly one coarse
+    val rt = SimilarityOps.fineToCoarse(k, k1)
+    assert(rt.size == k && rt.forall(c => c >= 0 && c < k1))
+    // cost model: score ops per vector Θ(√K) — at the r17-measured
+    // wall K=1563 the two-level spelling does 119 ops vs 1563 flat
+    def ops(kk: Int): Int = {
+      val c = SimilarityOps.coarseCountFor(kk)
+      c + math.min(SimilarityOps.CoarseProbes, c) *
+        ((kk + c - 1) / c)
+    }
+    assert(ops(1563) < 1563 / 10,
+      s"two-level must be >10x fewer score ops at K=1563, got ${ops(1563)}")
+    assert(ops(15625) < 15625 / 30,
+      s"and >30x at K=15625, got ${ops(15625)}")
+  }
 }
