@@ -1733,6 +1733,54 @@ object DedupOps {
       .orderBy("codebook", "probe")
   }
 
+  /** PAIR recall under TWO-LEVEL-ROUTED blocking
+    * (`d_neardup_recall_2level`): the end-to-end number the router's
+    * cell-agreement dial understates — a vector routed to a
+    * non-argmax cell still co-locates with near-duplicates routed the
+    * same way, so pair recall under routed blocking can exceed
+    * agreement². Same fixed-sample brute-force base as
+    * [[nearDupRecall]]; the blocked arm enumerates pairs within the
+    * Θ(√K)-assigned cells ([[graft.ops.SimilarityOps.twoLevelAssign]]
+    * at the deployed coarse probes). Read beside `d_neardup_recall`'s
+    * probe-1 row: the difference is exactly what the Θ(√K) assignment
+    * spelling costs in blocking recall at the deployed P₁. */
+  def nearDupRecall2Level(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val v = emb.filter(col("vec_id") < NearDupRecallSample)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val brute = broadcast(v.as("a"))
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+    val routed = SimilarityOps.twoLevelAssign(
+      emb.select(col("vec_id"), col("embedding")), k)
+    val base = emb.select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+      .join(routed, Seq("vec_id"))
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    brute.join(
+        pairs.filter(col("a_id") < NearDupRecallSample &&
+            col("b_id") < NearDupRecallSample)
+          .select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("n_true"), col("n_caught"),
+        expr("n_caught / n_true").as("recall"))
+  }
+
   /** Sample bound of [[nearDupRecall]]'s brute-force base: the recall
     * of the blocked paths is ESTIMATED on the pairs within this fixed
     * id range, so the measurement stays O(sample²) at ANY corpus
@@ -3003,6 +3051,7 @@ object DedupOps {
     "d_embedding_neardup_trained" -> embeddingNearDupTrained,
     "d_neardup_recall" -> nearDupRecall,
     "d_neardup_recall_grid" -> nearDupRecallGrid,
+    "d_neardup_recall_2level" -> nearDupRecall2Level,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -4062,6 +4111,38 @@ object DedupOps {
       FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) c
       CROSS JOIN nt
       ORDER BY probe""",
+    "d_neardup_recall_2level" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      ${SimilarityOps.TwoLevelCtes},
+      s AS (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(0::DOUBLE,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, v) -> a + v)) AS nrm
+            FROM embeddings WHERE vec_id < $NearDupRecallSample),
+      brute AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM s a JOIN s b ON a.vec_id < b.vec_id
+                WHERE $NearDupCosSql >= $NearDupCos),
+      rbase AS (SELECT e.vec_id, e.embedding,
+                  sqrt(list_reduce(list_prepend(0::DOUBLE,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, v) -> a + v)) AS nrm,
+                  tl.cell
+                FROM embeddings e JOIN tl ON e.vec_id = tl.vec_id),
+      rp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM rbase a JOIN rbase b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE a.vec_id < $NearDupRecallSample
+               AND b.vec_id < $NearDupRecallSample
+               AND $NearDupCosSql >= $NearDupCos),
+      nt AS (SELECT count(*)::BIGINT AS n_true FROM brute)
+      SELECT nt.n_true,
+             (SELECT count(*)::BIGINT FROM brute JOIN rp USING (a_id, b_id))
+               AS n_caught,
+             (SELECT count(*) FROM brute JOIN rp USING (a_id, b_id))
+               / nt.n_true AS recall
+      FROM nt""",
     "d_embedding_neardup_trained" -> s"""
       WITH ${SimilarityOps.trainedCellCtes()},
       t1 AS (SELECT * FROM tassigned WHERE rk = 1)
