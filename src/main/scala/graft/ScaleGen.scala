@@ -113,13 +113,39 @@ object ScaleGen {
         length(col("text")).as("n_chars"))
   }
 
-  private[graft] def embeddings(spark: SparkSession, n: Long): DataFrame = {
-    // 64 iid uniform[-1,1) lanes, then unit-normalize (matches the real
-    // table's exact unit norms; direction uniformity is not load-bearing
-    // for the scale measurement)
-    val raw = array((0 until 64).map(d =>
-      draw(col("id"), 100 + d, 1 << 20).cast("double") / (1 << 19) - 1.0): _*)
+  /** Planted-cluster blob count: one blob per ~256 vectors (≈ 2× the
+    * deployed 128 cell occupancy, so the K ∝ N trained codebook has
+    * cells to spare per blob), floored at 16 like the fixture. */
+  private[graft] def blobCount(n: Long): Long = math.max(16L, n / 256)
+
+  /** `iso` mode — the testdata model verbatim: 64 iid uniform[-1,1)
+    * lanes, unit-normalized. ISOTROPIC by construction — no cluster
+    * structure for a trained codebook or a routed coarse level to
+    * learn; the measured recall ceiling of every trained arm on the
+    * gate corpora is a property of this geometry (R17_NOTES grid).
+    * `blobs` mode — the planted-cluster fixture (R17InvariantSpec)
+    * promoted to a generator dial (r17 verdict ask #4): [[blobCount]]
+    * cluster centers (64 iid uniform lanes seeded by the blob id),
+    * each vector = unit(center + 0.3·noise) with iid per-(id, dim)
+    * noise — intra-blob cosine ≈ |c|²/(|c|² + 0.09|u|²) ≈ 0.92 ≫ the
+    * 0.4 near-dup bar, cross-blob ≈ 0 — so near-dup mass is real,
+    * blob-aligned, and ∝ N: the corpus where trained blocking and
+    * trained coarse routing SHOULD win, measured instead of argued.
+    * Blob membership is hash-assigned (id-uniform), never id-local. */
+  private[graft] def embeddings(spark: SparkSession, n: Long,
+      mode: String = "iso"): DataFrame = {
+    require(mode == "iso" || mode == "blobs", s"unknown embeddings mode $mode")
+    def lane(seed: Column, l: Int): Column =
+      draw(seed, l, 1 << 20).cast("double") / (1 << 19) - 1.0
+    val raw =
+      if (mode == "iso")
+        array((0 until 64).map(d => lane(col("id"), 100 + d)): _*)
+      else
+        array((0 until 64).map(d =>
+          lane(col("blob"), 300 + d) + lit(0.3) * lane(col("id"), 400 + d)): _*)
     spark.range(n)
+      .withColumn("blob", pmod(xxhash64(col("id"), lit(250)),
+        lit(blobCount(n))))
       .withColumn("raw", raw)
       .withColumn("nrm",
         sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
@@ -130,11 +156,14 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: ScaleGen <outDir> <nDocs> <nVecs> [closed|open]")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleGen <outDir> <nDocs> <nVecs> [closed|open] [iso|blobs]")
     val (outDir, nDocs, nVecs) = (args(0), args(1).toLong, args(2).toLong)
-    val mode = if (args.length == 4) args(3) else "closed"
+    val mode = if (args.length >= 4) args(3) else "closed"
+    val embMode = if (args.length >= 5) args(4) else "iso"
     require(mode == "closed" || mode == "open", s"unknown mode $mode")
+    require(embMode == "iso" || embMode == "blobs",
+      s"unknown embeddings mode $embMode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.init(SparkSession.builder()
       .appName("graft-scalegen")
@@ -145,10 +174,10 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     documents(spark, nDocs, mode).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
-    embeddings(spark, nVecs).write.mode("overwrite")
+    embeddings(spark, nVecs, embMode).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
     System.err.println(
-      s"[scalegen] wrote $outDir (docs=$nDocs vecs=$nVecs mode=$mode)")
+      s"[scalegen] wrote $outDir (docs=$nDocs vecs=$nVecs mode=$mode emb=$embMode)")
     spark.stop()
   }
 }

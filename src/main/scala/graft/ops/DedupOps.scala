@@ -1781,6 +1781,77 @@ object DedupOps {
         expr("n_caught / n_true").as("recall"))
   }
 
+  /** ROUTED pair-recall MELT (`d_neardup_recall_melt`, r17 verdict asks
+    * #1+#2): the operating-point table for the Θ(√K) router — pair
+    * recall under two-level-routed blocking at EVERY coarse-probe count
+    * P₁ ∈ distinct({2, 4, 8} ∪ {K₁}) and BOTH coarse codebooks (the
+    * md5-random `ivf2_…` level and a [[graft.ops.SimilarityOps
+    * .lloydCodebook]]-trained one at the same K₁ — on clustered data a
+    * trained coarse level is where hierarchical routing pays; the
+    * isotropic gate corpus is its measured worst case). The P₁ = K₁
+    * row probes everything and therefore reads EXACTLY the flat
+    * probe-1 recall (probe-all == flat, the spec-pinned anchor) — so
+    * this one table contains both the target (the flat baseline) and
+    * every candidate operating point, and the deployed
+    * [[graft.ops.SimilarityOps.DeployedP1]] cites it.
+    *
+    * Plan/scale: assignment is per-vector independent, so only the
+    * O(sample) vectors are routed (never the corpus); ONE coarse
+    * scoring pass per codebook at the max probe (the [[graft.ops
+    * .SimilarityOps.routedMeltAssign]] discipline — never |P₁| passes);
+    * the brute base stays O(sample²) broadcast-joined. Dynamically
+    * oracle-gated end to end: DuckDB re-derives K, K₁, BOTH codebooks
+    * (including the full quantized-Lloyd replay at K₁), both routing
+    * tables, the per-probe assignment melt, and the pair counts. */
+  def nearDupRecallMelt(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val k1 = SimilarityOps.coarseCountFor(k)
+    val p1s = (Seq(2L, 4L, 8L) :+ k1.toLong).distinct.sorted
+    val samp = emb.filter(col("vec_id") < NearDupRecallSample)
+      .select(col("vec_id"), col("embedding"))
+    val v = samp.withColumn("nrm", expr(s"sqrt(${Vec.normSq("embedding")})"))
+    val brute = broadcast(v.as("a"))
+      .join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .select(col("a_id"), col("b_id"))
+    val randomFlat = SimilarityOps.cosineFlatOf(
+      SimilarityOps.coarseCellsFor(k1))
+    val trainedFlat = SimilarityOps.cosineFlatOfTrained(
+      SimilarityOps.lloydCodebook(
+        emb.select(col("vec_id"), col("embedding")), k1))
+    def arm(flat: Array[Double], cb: String): DataFrame =
+      SimilarityOps.routedMeltAssign(samp, k, flat, p1s)
+        .select(lit(cb).as("cb"), col("p1"), col("vec_id"), col("cell"))
+    val assigned = arm(randomFlat, "random").union(arm(trainedFlat, "trained"))
+    val rbase = assigned.join(v, Seq("vec_id"))
+    val pairs = rbase.as("a")
+      .join(rbase.as("b"),
+        col("a.cb") === col("b.cb") && col("a.p1") === col("b.p1") &&
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cb").as("cb"), col("a.p1").as("p1"),
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+    val caught = pairs.select(col("cb"), col("p1"), col("a_id"), col("b_id"))
+      .join(brute, Seq("a_id", "b_id"), "left_semi")
+      .groupBy("cb", "p1").agg(count(lit(1)).as("n_caught"))
+    // an arm that catches NOTHING must still emit its zero row — the
+    // domain grid comes from the assignment relation, never the counts
+    val grid = assigned.select(col("cb"), col("p1")).distinct()
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    grid.join(caught, Seq("cb", "p1"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("cb"), col("p1"), col("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr("coalesce(n_caught, 0) / n_true").as("recall"))
+      .orderBy("cb", "p1")
+  }
+
   /** Sample bound of [[nearDupRecall]]'s brute-force base: the recall
     * of the blocked paths is ESTIMATED on the pairs within this fixed
     * id range, so the measurement stays O(sample²) at ANY corpus
@@ -3052,6 +3123,7 @@ object DedupOps {
     "d_neardup_recall" -> nearDupRecall,
     "d_neardup_recall_grid" -> nearDupRecallGrid,
     "d_neardup_recall_2level" -> nearDupRecall2Level,
+    "d_neardup_recall_melt" -> nearDupRecallMelt,
     "d_ngram_jaccard_uncapped" -> ngramJaccardUncapped,
     "d_minhash_lsh_uncapped" -> minhashLshUncapped,
     "d_simhash_pairs_uncapped" -> simhashPairsUncapped,
@@ -4143,6 +4215,34 @@ object DedupOps {
              (SELECT count(*) FROM brute JOIN rp USING (a_id, b_id))
                / nt.n_true AS recall
       FROM nt""",
+    "d_neardup_recall_melt" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      ${SimilarityOps.routeMeltCtes(s"vec_id < $NearDupRecallSample")},
+      s AS (SELECT vec_id, embedding,
+              sqrt(list_reduce(list_prepend(0::DOUBLE,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, v) -> a + v)) AS nrm
+            FROM embeddings WHERE vec_id < $NearDupRecallSample),
+      brute AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM s a JOIN s b ON a.vec_id < b.vec_id
+                WHERE $NearDupCosSql >= $NearDupCos),
+      rb AS (SELECT r.cb, r.p1, s.vec_id, s.embedding, s.nrm, r.cell
+             FROM ra r JOIN s ON r.vec_id = s.vec_id),
+      rp AS (SELECT a.cb, a.p1, a.vec_id AS a_id, b.vec_id AS b_id
+             FROM rb a JOIN rb b
+               ON a.cb = b.cb AND a.p1 = b.p1 AND a.cell = b.cell
+                 AND a.vec_id < b.vec_id
+             WHERE $NearDupCosSql >= $NearDupCos),
+      nt AS (SELECT count(*)::BIGINT AS n_true FROM brute),
+      ct AS (SELECT cb, p1, count(*)::BIGINT AS n_caught
+             FROM rp JOIN brute USING (a_id, b_id) GROUP BY 1, 2),
+      gr AS (SELECT DISTINCT cb, p1 FROM ra)
+      SELECT gr.cb, gr.p1, nt.n_true,
+             coalesce(ct.n_caught, 0)::BIGINT AS n_caught,
+             coalesce(ct.n_caught, 0) / nt.n_true AS recall
+      FROM gr LEFT JOIN ct USING (cb, p1) CROSS JOIN nt
+      ORDER BY cb, p1""",
     "d_embedding_neardup_trained" -> s"""
       WITH ${SimilarityOps.trainedCellCtes()},
       t1 AS (SELECT * FROM tassigned WHERE rk = 1)

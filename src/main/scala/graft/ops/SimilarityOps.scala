@@ -978,11 +978,54 @@ object SimilarityOps {
 
   /** Kernel-spelling flat codebook of ANY integer centroid set: blocks
     * of (0.0, c/(2|c|)…) — the [[kernelCodebook]] form generalized. */
-  private def cosineFlatOf(cs: IndexedSeq[IndexedSeq[Long]]): Array[Double] =
+  private[ops] def cosineFlatOf(cs: IndexedSeq[IndexedSeq[Long]]): Array[Double] =
     cs.flatMap { c =>
       val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
       0.0 +: c.map(x => x.toDouble / (2.0 * norm))
     }.toArray
+
+  /** [[cosineFlatOf]] for a TRAINED (double-component) centroid set —
+    * blocks of (0.0, c/(2|c|)…) in ascending-cell order, the cosine
+    * spelling of a [[lloydCodebook]] result. Cosine (not the L2
+    * [[lloydFlatCodebook]] spelling) because the router's inputs differ
+    * in scale — unit vectors on the probe side, raw integer fine
+    * centroids on the routing side — and only the direction metric is
+    * scale-invariant, so both sides rank coarse cells consistently.
+    * The norm fold is foldLeft like the SQL twin's `cn` fold. */
+  private[ops] def cosineFlatOfTrained(
+      cents: Seq[(Long, IndexedSeq[Double], Long)]): Array[Double] =
+    cents.flatMap { case (_, c, _) =>
+      val norm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      0.0 +: c.map(_ / (2.0 * norm))
+    }.toArray
+
+  /** The fine codebook as a DISTRIBUTED relation (r17 verdict ask #3):
+    * `(cell0, fcomps, fwf)` — kernel-spelling components c/(2|c|) and
+    * the raw integer weights as float (exact — |w| ≤ 1000) for the
+    * fine→coarse routing kernel. Generated from `spark.range(k)` with
+    * the same md5/h60 chain as [[cellsFor]] (bit-equal, spec-pinned in
+    * R18InvariantSpec), so NO K-sized driver Seq or constant-folded
+    * literal exists on the routed scale path: at K ≈ 8M (10⁹ vectors,
+    * occ 128) the former driver-built Seq was ~4 GB and the codebook
+    * literal grew task binaries ∝ K (2.8 MiB logged at K = 1563); this
+    * relation is generated where it is joined, and the join degrades
+    * from broadcast to shuffle by plan statistics as K grows. */
+  private[ops] def fineCodebookDf(s: SparkSession, k: Int): DataFrame = {
+    val h60i = DedupOps.h60(
+      "concat('ivf_', CAST(id AS STRING), '_', CAST(i AS STRING))")
+    s.range(k).select(col("id").as("cell0"),
+        expr(s"transform(sequence(0, ${Dim - 1}), i -> $h60i % 2001 - 1000)")
+          .as("fw"))
+      // |c|² is an exact integer (≤ 64·10⁶ ≪ 2⁵³): the aggregate fold
+      // equals the driver Seq's double sum bit-for-bit
+      .select(col("cell0"), col("fw"),
+        expr("sqrt(CAST(aggregate(fw, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE))")
+          .as("fnrm"))
+      .select(col("cell0"),
+        expr("transform(fw, x -> CAST(x AS DOUBLE) / (2.0D * fnrm))")
+          .as("fcomps"),
+        expr("transform(fw, x -> CAST(x AS FLOAT))").as("fwf"))
+  }
 
   /** Fine-centroid → coarse-bucket routing table, computed ONCE from
     * the two codebooks on the driver (K rows — catalog-sized at any
@@ -1023,28 +1066,50 @@ object SimilarityOps {
     * kernel's own arithmetic). */
   private[ops] def twoLevelAssign(emb: DataFrame, k: Int,
       p1: Int = CoarseProbes): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
     val k1 = coarseCountFor(k)
     val p = math.min(p1, k1)
-    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
-    val route = fineToCoarse(k, k1)
-    val fine = cellsFor(k)
-    val fineRows = (0 until k).map { j =>
-      val c = fine(j)
-      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      (route(j).toLong, j.toLong, c.map(x => x.toDouble / (2.0 * n)).toArray)
-    }
-    val fineDf = broadcast(fineRows.toDF("coarse", "cell0", "fcomps"))
+    routedMeltAssign(emb, k, cosineFlatOf(coarseCellsFor(k1)), Seq(p.toLong))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Routed fine assignment MELTED over coarse-probe counts — the ONE
+    * plumbing behind [[twoLevelAssign]] (single P₁), [[routeCurve]]
+    * (agreement melt) and the recall melt
+    * (`graft.ops.DedupOps.nearDupRecallMelt`): ONE coarse `pq_argmink`
+    * pass at the LARGEST requested probe (clamped to the coarse count —
+    * never |p1s| passes), the fine candidates as ONE join against the
+    * DISTRIBUTED fine codebook ([[fineCodebookDf]] — routing computed
+    * where it is joined, no K-sized driver Seq), the fine score
+    * computed once per candidate, then a probe-count melt (`pr0 < p1`)
+    * and a (p1, vec_id)-key partial-agg struct-min. Returns
+    * `(p1, vec_id, cell)`. `coarseFlat` is the K₁-block cosine-spelling
+    * codebook — √K-sized, the literal a hierarchical router is allowed
+    * to carry ([[cosineFlatOf]] for the md5-random coarse level,
+    * [[cosineFlatOfTrained]] for a Lloyd-trained one). A `p1` ≥ the
+    * coarse count probes everything — that row equals the flat kernel
+    * assignment bit-for-bit (the spec-pinned exactness anchor). */
+  private[ops] def routedMeltAssign(emb: DataFrame, k: Int,
+      coarseFlat: Array[Double], p1s: Seq[Long]): DataFrame = {
+    require(p1s.nonEmpty && p1s.forall(_ >= 1), s"bad probe melt: $p1s")
+    val s = emb.sparkSession
+    val nCoarse = coarseFlat.length / (Dim + 1)
+    val pmax = math.min(p1s.max, nCoarse.toLong).toInt
+    val flat = typedLit(coarseFlat)
+    val fineDf = fineCodebookDf(s, k)
+      .withColumn("coarse", call_function("pq_argmin", col("fwf"), flat,
+        lit(0), lit(Dim)))
+      .select(col("coarse"), col("cell0"), col("fcomps"))
     emb.select(col("vec_id"), col("embedding"),
-        explode(call_function("pq_argmink", col("embedding"), coarseFlat,
-          lit(0), lit(Dim), lit(p))).as("coarse"))
+        posexplode(call_function("pq_argmink", col("embedding"), flat,
+          lit(0), lit(Dim), lit(pmax))).as(Seq("pr0", "coarse")))
       .join(fineDf, Seq("coarse"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("pr0"),
         struct((lit(0.0) - lit(2.0) * call_function("vec_dot",
           col("embedding"), col("fcomps"))).as("d"),
-          col("cell0").as("cell")).as("s"))
-      .groupBy("vec_id")
+          col("cell0").as("cell")).as("s"),
+        explode(typedLit(p1s)).as("p1"))
+      .filter(col("pr0") < col("p1"))
+      .groupBy("p1", "vec_id")
       .agg(min(col("s")).getField("cell").as("cell"))
   }
 
@@ -1102,32 +1167,10 @@ object SimilarityOps {
     val emb = embeddings(s, d)
     val k = resolveCells(emb, AutoCells)
     val k1 = coarseCountFor(k)
-    val pmax = math.min(8, k1)
-    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
-    val route = fineToCoarse(k, k1)
-    val fine = cellsFor(k)
-    import s.implicits._
-    val fineRows = (0 until k).map { j =>
-      val c = fine(j)
-      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      (route(j).toLong, j.toLong, c.map(x => x.toDouble / (2.0 * n)).toArray)
-    }
-    val fineDf = broadcast(fineRows.toDF("coarse", "cell0", "fcomps"))
     val flat = knnAssign(emb.select(col("vec_id"), col("embedding")), k,
       forceKernel = true).select(col("vec_id"), col("cell").as("flat_cell"))
-    val probed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(call_function("pq_argmink", col("embedding"), coarseFlat,
-        lit(0), lit(Dim), lit(pmax))).as(Seq("pr0", "coarse")))
-    val assigned = probed.join(fineDf, Seq("coarse"))
-      .select(col("vec_id"), col("pr0"),
-        struct((lit(0.0) - lit(2.0) * call_function("vec_dot",
-          col("embedding"), col("fcomps"))).as("d"),
-          col("cell0").as("cell")).as("s"))
-      .select(col("vec_id"), col("pr0"), col("s"),
-        explode(expr("array(2L, 4L, 8L)")).as("p1"))
-      .filter(col("pr0") < col("p1"))
-      .groupBy("p1", "vec_id")
-      .agg(min(col("s")).getField("cell").as("cell"))
+    val assigned = routedMeltAssign(emb.select(col("vec_id"), col("embedding")),
+      k, cosineFlatOf(coarseCellsFor(k1)), Seq(2L, 4L, 8L))
     assigned.join(flat, Seq("vec_id"))
       .groupBy("p1")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1241,6 +1284,125 @@ object SimilarityOps {
           SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY dist, cell) AS rk
           FROM tsc) WHERE rk <= 4)"""
+  }
+
+  /** The [[trainedCellCtes]] Lloyd device at an ARBITRARY name prefix
+    * and K expression — the trained-COARSE oracle arm (r17 verdict ask
+    * #2) trains at K₁ = ⌈√K⌉, which must compose with the occupancy-K
+    * chain in one query, so every CTE name carries `pfx`. Ends at
+    * `{pfx}c{KmIters}(cell, c, cn)` ([[trainedChainLast]]) — the
+    * trained centroids with their exact foldLeft norm² — without the
+    * L2 deployment-scoring tail (the router scores by DIRECTION;
+    * consumers spell their own metric over the centroids). */
+  private[ops] def trainedChain(pfx: String, kSelect: String): String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+    def distSql(c: String) =
+      s"""cn - 2.0 * (${fold(s"list_transform(list_zip(embedding, $c), q -> CAST(q[1] AS DOUBLE) * q[2])")})"""
+    def iter(i: Int): String = s"""
+      ${pfx}d$i AS (SELECT vec_id, embedding, cell, ${distSql("c")} AS dist
+               FROM ${pfx}emb CROSS JOIN ${pfx}c${i - 1}),
+      ${pfx}a$i AS (SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+               FROM ${pfx}d$i),
+      ${pfx}f$i AS (SELECT vec_id, embedding, cell FROM ${pfx}a$i WHERE rn = 1),
+      ${pfx}u$i AS (SELECT cell, i - 1 AS pos,
+                 floor(CAST(embedding[i] AS DOUBLE) * $KmQ.0)::BIGINT AS q
+               FROM ${pfx}f$i, generate_series(1, $Dim) gs(i)),
+      ${pfx}g$i AS (SELECT cell, pos, sum(q)::BIGINT sq, count(*)::BIGINT cnt
+               FROM ${pfx}u$i GROUP BY 1, 2),
+      ${pfx}c$i AS (SELECT cell,
+                 list(CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE) ORDER BY pos) AS c,
+                 ${fold("list_transform(c, x -> x * x)")} AS cn
+               FROM ${pfx}g$i GROUP BY cell)"""
+    s"""${pfx}k AS ($kSelect),
+      ${pfx}emb AS (SELECT vec_id, embedding FROM embeddings),
+      ${pfx}c0 AS (SELECT vec_id::BIGINT AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
+                ${fold("list_transform(c, x -> x * x)")} AS cn
+              FROM embeddings WHERE vec_id < (SELECT k FROM ${pfx}k)),
+      ${(1 to KmIters).map(iter).mkString(",")}"""
+  }
+
+  /** The final-centroid CTE name of a [[trainedChain]] at prefix `pfx`. */
+  private[ops] def trainedChainLast(pfx: String): String = s"${pfx}c$KmIters"
+
+  /** The dynamic-K ROUTED-ASSIGNMENT MELT CTE chain — the DuckDB replay
+    * of [[routedMeltAssign]] over BOTH coarse codebooks (random `ivf2_…`
+    * and the Lloyd-trained-at-K₁ arm), ending at
+    * `ra(cb, p1, vec_id, cell)` with cb ∈ {'random', 'trained'} and
+    * p1 ∈ distinct({2, 4, 8} ∪ {K₁}). Composes after [[AutoCellCtes]]
+    * (uses its `kk` and fine `comps`/`cw`); `sampleWhere` restricts the
+    * assigned vectors (assignment is per-vector independent, so a
+    * recall melt only assigns its sample). Probe rank ≤ p1 with the
+    * rank computed over ALL coarse cells replays the Spark side's
+    * pmax-clamped `pq_argmink` + `pr0 < p1` filter exactly. */
+  private[ops] def routeMeltCtes(sampleWhere: String): String = {
+    val h60c = DedupOps.h60Sql("'ivf2_' || jj.j || '_' || ii.i")
+    def foldZip(a: String, b: String) =
+      s"""list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip($a, $b),
+              z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v)"""
+    s"""k1 AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k1 FROM kk),
+      c2w AS (SELECT jj.j, ii.i, ($h60c % 2001 - 1000)::BIGINT AS w
+              FROM (SELECT unnest(generate_series(0,
+                      (SELECT k1 FROM k1) - 1)) AS j) jj,
+                   (SELECT unnest(generate_series(0, ${Dim - 1})) AS i) ii),
+      c2n AS (SELECT j, sqrt(sum(w * w)::DOUBLE) AS nrm FROM c2w GROUP BY j),
+      c2comps AS (SELECT c2w.j,
+                    list(CAST(c2w.w AS DOUBLE) / (2.0 * c2n.nrm)
+                         ORDER BY c2w.i) AS c
+                  FROM c2w JOIN c2n ON c2w.j = c2n.j GROUP BY c2w.j),
+      fraw AS (SELECT j, list(CAST(w AS DOUBLE) ORDER BY i) AS f
+               FROM cw GROUP BY j),
+      rt AS (SELECT fine, j2 AS coarse FROM (
+               SELECT f.j AS fine, c.j AS j2,
+                      row_number() OVER (PARTITION BY f.j ORDER BY
+                        0.0 - 2.0 * ${foldZip("f.f", "c.c")},
+                        c.j) AS rk
+               FROM fraw f CROSS JOIN c2comps c) z WHERE rk = 1),
+      ${trainedChain("t2", "SELECT k1 AS k FROM k1")},
+      tcc AS (SELECT cell, list_transform(c, x -> x / (2.0 * sqrt(cn))) AS ch
+              FROM ${trainedChainLast("t2")}),
+      rtt AS (SELECT fine, coarse FROM (
+               SELECT f.j AS fine, t.cell AS coarse,
+                      row_number() OVER (PARTITION BY f.j ORDER BY
+                        0.0 - 2.0 * ${foldZip("f.f", "t.ch")},
+                        t.cell) AS rk
+               FROM fraw f CROSS JOIN tcc t) z WHERE rk = 1),
+      p1v AS (SELECT DISTINCT p1 FROM (
+               SELECT CAST(t.p AS BIGINT) AS p1 FROM unnest([2, 4, 8]) t(p)
+               UNION ALL SELECT k1 FROM k1) u),
+      vsm AS (SELECT vec_id, embedding FROM embeddings WHERE $sampleWhere),
+      vpr AS (SELECT vec_id, embedding, j2 AS coarse, rk FROM (
+               SELECT e.vec_id, e.embedding, c.j AS j2,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * ${foldZip("e.embedding", "c.c")},
+                        c.j) AS rk
+               FROM vsm e CROSS JOIN c2comps c) z),
+      vpt AS (SELECT vec_id, embedding, cl AS coarse, rk FROM (
+               SELECT e.vec_id, e.embedding, t.cell AS cl,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * ${foldZip("e.embedding", "t.ch")},
+                        t.cell) AS rk
+               FROM vsm e CROSS JOIN tcc t) z),
+      cand AS (
+        SELECT 'random' AS cb, p.p1, v.vec_id, rt.fine,
+               0.0 - 2.0 * ${foldZip("v.embedding", "fc.c")} AS d
+        FROM vpr v JOIN p1v p ON v.rk <= p.p1
+          JOIN rt ON rt.coarse = v.coarse
+          JOIN comps fc ON fc.j = rt.fine
+        UNION ALL
+        SELECT 'trained' AS cb, p.p1, v.vec_id, rtt.fine,
+               0.0 - 2.0 * ${foldZip("v.embedding", "fc.c")} AS d
+        FROM vpt v JOIN p1v p ON v.rk <= p.p1
+          JOIN rtt ON rtt.coarse = v.coarse
+          JOIN comps fc ON fc.j = rtt.fine),
+      ra AS (SELECT cb, p1, vec_id, fine AS cell FROM (
+               SELECT cb, p1, vec_id, fine,
+                      row_number() OVER (PARTITION BY cb, p1, vec_id
+                        ORDER BY d, fine) AS rk
+               FROM cand) z WHERE rk = 1)"""
   }
 
   /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
