@@ -1558,14 +1558,55 @@ object DedupOps {
           .as("cosine"))
   }
 
+  /** The ROUTED corpus base `(vec_id, embedding, nrm, cell)` — the
+    * Θ(√K) [[graft.ops.SimilarityOps.twoLevelAssign]] assignment at
+    * [[graft.ops.SimilarityOps.DeployedP1]], joined back to the
+    * embeddings by id (the [[nearDupRecall2Level]] pattern: the
+    * assignment's struct-min keeps primitive agg buffers; the id-key
+    * join re-attaches the vector payload). This replaces the flat
+    * K ∝ N `knnAssign` scan in every deployed pair plan — the r17
+    * DECADE3 probe measured that scan at exp 1.22–1.38; at both gate
+    * SFs K₁ ≤ DeployedP1 so the routed base EQUALS the flat one. */
+  private[ops] def routedCellBase(emb: DataFrame,
+      nCells: Int = SimilarityOps.AutoCells): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+      .join(SimilarityOps.twoLevelAssign(
+        emb.select(col("vec_id"), col("embedding")),
+        SimilarityOps.resolveCells(emb, nCells)), Seq("vec_id"))
+
+  /** [[cellPairsAll]] over the ROUTED assignment — the unfiltered
+    * scored pair relation the deployed embedding-dedup tier rides
+    * (same occupancy-bounded per-cell quadratic; only the assignment
+    * spelling changed from Θ(K) to Θ(√K) per vector). */
+  private def cellPairsAllRouted(emb: DataFrame): DataFrame = {
+    val base = routedCellBase(emb)
+    base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").as("cell"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+  }
+
+  /** [[nearDupPairsCells]]' ROUTED twin — the deployed near-dup pair
+    * relation. */
+  private[ops] def nearDupPairsCellsRouted(emb: DataFrame): DataFrame =
+    cellPairsAllRouted(emb).filter(col("cosine") >= NearDupCos)
+
   /** [[embeddingNearDup]]'s scale path as its own gate query
-    * (`d_embedding_neardup_auto`): the cell-blocked pair report,
-    * dynamically oracle-gated — the DuckDB replay derives K from its
-    * own count(*) and regenerates the codebook (the
-    * [[graft.ops.SimilarityOps.AutoCellCtes]] device, K=8 at sf0.01,
-    * K=16 at sf0.1). */
+    * (`d_embedding_neardup_auto`; ROUTED since r18 — r17 verdict ask
+    * #1): the cell-blocked pair report over the Θ(√K)
+    * [[routedCellBase]] assignment (the flat K ∝ N scan this replaced
+    * measured DECADE3 exp 1.22; at both gate SFs the routed assignment
+    * equals it exactly). Dynamically oracle-gated — the DuckDB replay
+    * derives K and K₁ from its own count(*), regenerates both
+    * codebooks, and replays the full routing chain (the
+    * [[graft.ops.SimilarityOps.TwoLevelCtes]] device at the deployed
+    * P₁). */
   def embeddingNearDupAuto(s: SparkSession, d: String): DataFrame =
-    nearDupPairsCells(embeddings(s, d)).orderBy("a_id", "b_id")
+    nearDupPairsCellsRouted(embeddings(s, d)).orderBy("a_id", "b_id")
 
   /** Multi-probe widening of [[nearDupPairsCells]]: every vector joins
     * BOTH its best and second-best cell (the
@@ -1594,12 +1635,38 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[nearDupPairsCellsProbe2]]'s ROUTED twin: each vector joins its
+    * 2 best fine cells AMONG THE ROUTED CANDIDATES
+    * ([[graft.ops.SimilarityOps.routedAssignK]] at fineProbes = 2) —
+    * the multi-probe recall dial composed with the Θ(√K) assignment.
+    * Pairs sharing both cells collapse exactly (DISTINCT on the scored
+    * pair, bit-identical cosine on every instance — the flat probe-2
+    * contract unchanged). */
+  private[ops] def nearDupPairsCellsProbe2Routed(emb: DataFrame): DataFrame = {
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val ex = emb.select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+      .join(SimilarityOps.routedAssignK(
+        emb.select(col("vec_id"), col("embedding")), k, fineProbes = 2),
+        Seq("vec_id"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+      .distinct()
+  }
+
   /** The probe-2 pair report as its own gate query
-    * (`d_embedding_neardup_probe2`) — dynamically oracle-gated on the
-    * shared [[graft.ops.SimilarityOps.AutoCellCtes]] scoring at
-    * rank ≤ 2. */
+    * (`d_embedding_neardup_probe2`; ROUTED since r18) — dynamically
+    * oracle-gated on the shared
+    * [[graft.ops.SimilarityOps.TwoLevelCtes]] fine ranking at
+    * rank ≤ 2 (`tl2`). At both gate SFs the routed candidates span
+    * every fine cell, so the report equals the former flat probe-2. */
   def embeddingNearDupProbe2(s: SparkSession, d: String): DataFrame =
-    nearDupPairsCellsProbe2(embeddings(s, d)).orderBy("a_id", "b_id")
+    nearDupPairsCellsProbe2Routed(embeddings(s, d)).orderBy("a_id", "b_id")
 
   /** TRAINED-codebook near-dup pair relation (r16 verdict ask #1): the
     * [[nearDupPairsCells]] blocking with the md5-random codebook
@@ -1665,17 +1732,87 @@ object DedupOps {
       SimilarityOps.kernelCodebook(SimilarityOps.resolveCells(emb, nCells)),
       probes)
 
+  /** [[nearDupPairsCellsTrained]]'s ROUTED twin: the TRAINED fine
+    * codebook deployed through the Θ(√K) router — the md5-random
+    * `ivf2_…` coarse level, each trained fine centroid routed to its
+    * coarse bucket BY DIRECTION (the [[graft.ops.SimilarityOps
+    * .fineToCoarse]] arithmetic over the trained double components —
+    * scale-invariant, so unit query vectors and unnormalized centroid
+    * means rank coarse cells consistently), vectors probing
+    * [[graft.ops.SimilarityOps.DeployedP1]] coarse buckets and
+    * arg-minning the kernel's own `|c|² − 2·x·c` trained-fine score
+    * within them. The K-row codebook relation here is the TRAINER's
+    * own output (Lloyd materializes centroids on the driver by
+    * construction — the bounded K×Dim grain the loop already pays);
+    * the routing adds no K-sized scan: Θ(K₁ + P₁·K/K₁) scores per
+    * vector vs the former flat Θ(K) (DECADE3 exp 1.38, ×3 passes). */
+  private[ops] def nearDupPairsCellsTrainedRouted(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val k1 = SimilarityOps.coarseCountFor(k)
+    val p = math.min(SimilarityOps.DeployedP1, k1)
+    val cents = SimilarityOps.lloydCodebook(
+      emb.select(col("vec_id"), col("embedding")), k)
+    val coarse = SimilarityOps.coarseCellsFor(k1)
+    val cComps = coarse.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      c.map(x => x.toDouble / (2.0 * n))
+    }
+    val route = cents.map { case (_, comps, _) =>
+      var best = Double.PositiveInfinity; var bestJ = 0; var j2 = 0
+      while (j2 < k1) {
+        var dot = 0.0; var i = 0
+        while (i < SimilarityOps.Dim) {
+          dot += comps(i) * cComps(j2)(i); i += 1
+        }
+        val dd = 0.0 - 2.0 * dot
+        if (dd < best) { best = dd; bestJ = j2 }
+        j2 += 1
+      }
+      bestJ
+    }
+    val fineRows = cents.zipWithIndex.map { case ((_, comps, _), j) =>
+      (route(j).toLong, j.toLong, comps.toArray,
+        comps.foldLeft(0.0)((a, x) => a + x * x))
+    }
+    val fineDf = broadcast(fineRows.toDF("coarse", "cell0", "tcomps", "cn"))
+    val coarseFlat = typedLit(SimilarityOps.cosineFlatOf(coarse))
+    val routed = emb.select(col("vec_id"), col("embedding"),
+        explode(call_function("pq_argmink", col("embedding"), coarseFlat,
+          lit(0), lit(SimilarityOps.Dim), lit(p))).as("coarse"))
+      .join(fineDf, Seq("coarse"))
+      .select(col("vec_id"),
+        struct((col("cn") - lit(2.0) * call_function("vec_dot",
+          col("embedding"), col("tcomps"))).as("d"),
+          col("cell0").as("cell")).as("s"))
+      .groupBy("vec_id")
+      .agg(min(col("s")).getField("cell").as("cell"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+      .join(routed, Seq("vec_id"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+  }
+
   /** The trained-codebook pair report as its own gate query
-    * (`d_embedding_neardup_trained`) — dynamically oracle-gated: the
-    * DuckDB replay derives K from its own count(*), SEEDS from the
-    * first K vectors, unrolls the same quantized Lloyd iterations (the
-    * s_kmeans oracle device at dynamic K), and scores every vector
-    * against the trained cells with the kernel's |c|² − 2·x·c
-    * arithmetic — so the trainer, the occupancy policy, and the
-    * deployment assignment are all pinned against an independent engine
-    * at both SFs. */
+    * (`d_embedding_neardup_trained`; ROUTED since r18) — dynamically
+    * oracle-gated: the DuckDB replay derives K and K₁ from its own
+    * count(*), SEEDS from the first K vectors, unrolls the same
+    * quantized Lloyd iterations (the s_kmeans oracle device at dynamic
+    * K), routes the trained centroids to the regenerated coarse
+    * codebook by direction, and scores every vector's probed buckets
+    * with the kernel's |c|² − 2·x·c arithmetic — trainer, occupancy
+    * policy, router, and deployment assignment all pinned against an
+    * independent engine at both SFs (where K₁ ≤ the deployed P₁, so
+    * the routed report equals the former flat one exactly). */
   def embeddingNearDupTrained(s: SparkSession, d: String): DataFrame =
-    nearDupPairsCellsTrained(embeddings(s, d)).orderBy("a_id", "b_id")
+    nearDupPairsCellsTrainedRouted(embeddings(s, d)).orderBy("a_id", "b_id")
 
   /** RECALL/COST GRID over the blocking design space (r16 verdict ask
     * #1): [[nearDupRecall]] extended to codebook ∈ {random, trained} ×
@@ -1912,10 +2049,9 @@ object DedupOps {
     * vectors vs 16 s here, diverging quadratically). [[semanticDedup]]
     * composes identically — its dropped set is
     * `nearDupPairsCells(emb).select("b_id").distinct`. */
-  private[ops] def embeddingClustersAuto(emb: DataFrame,
-      nCells: Int = SimilarityOps.AutoCells): DataFrame =
+  private[ops] def embeddingClustersAuto(emb: DataFrame): DataFrame =
     dedupClustersFrom(
-      nearDupPairsCells(emb, nCells).select(col("a_id"), col("b_id")))
+      nearDupPairsCellsRouted(emb).select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
   /** [[embeddingClusters]]' scale path as its own gate query
@@ -1938,7 +2074,7 @@ object DedupOps {
     * states. Same two uniform id-key shuffles after the blocked pairwise
     * core; the per-block quadratic is occupancy-bounded (∝ N·occ). */
   def semanticDedupAuto(s: SparkSession, d: String): DataFrame = {
-    val dropped = nearDupPairsCells(embeddings(s, d))
+    val dropped = nearDupPairsCellsRouted(embeddings(s, d))
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     embeddings(s, d).select(col("vec_id"), col("label"))
@@ -1957,7 +2093,7 @@ object DedupOps {
     * blocking only sees its own within-block pairs, and this is the one
     * the corpus-scale dedup would act on. */
   def semanticSweepAuto(s: SparkSession, d: String): DataFrame = {
-    val melt = cellPairsAll(embeddings(s, d), SimilarityOps.AutoCells)
+    val melt = cellPairsAllRouted(embeddings(s, d))
       .select(col("a_id"), col("b_id"), col("cosine"),
         explode(expr("array(30L, 40L, 50L, 60L)")).as("pct"))
       .filter(col("cosine") >= expr("CAST(pct AS DOUBLE) / 100.0e0"))
@@ -2259,6 +2395,29 @@ object DedupOps {
       cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                $NearDupCosSql AS cosine
              FROM assigned a JOIN assigned b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
+
+  /** The ROUTED corpus base CTE — the DuckDB twin of
+    * [[routedCellBase]]: the [[graft.ops.SimilarityOps.TwoLevelCtes]]
+    * `tl` assignment joined back to the embeddings with the exact
+    * sequential-fold norm. Composes after AutoCellCtes + TwoLevelCtes. */
+  private val RoutedBaseCte: String = """
+      rbase AS (SELECT e.vec_id, e.embedding,
+                  sqrt(list_reduce(list_prepend(0::DOUBLE,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, v) -> a + v)) AS nrm,
+                  tl.cell
+                FROM embeddings e JOIN tl ON e.vec_id = tl.vec_id)"""
+
+  /** [[CellPairsCte]] over the ROUTED assignment — the DuckDB twin of
+    * [[cellPairsAllRouted]], keeping the `cp` name so the decision-
+    * grain oracles' downstream CTEs are unchanged. */
+  private val RoutedCellPairsCte: String = s"""
+      $RoutedBaseCte,
+      cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               $NearDupCosSql AS cosine
+             FROM rbase a JOIN rbase b
                ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
 
   /** Incremental NEAR-dup manifest probe — the ingest-time twin of the
@@ -4094,22 +4253,26 @@ object DedupOps {
       GROUP BY content_hash
       ORDER BY doc_id""",
     "d_embedding_neardup_auto" -> s"""
-      WITH ${SimilarityOps.AutoCellCtes}
+      WITH ${SimilarityOps.AutoCellCtes},
+      ${SimilarityOps.TwoLevelCtes},
+      $RoutedBaseCte
       SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,
              $NearDupCosSql AS cosine
-      FROM assigned a JOIN assigned b
+      FROM rbase a JOIN rbase b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",
     "d_embedding_clusters_auto" -> s"""
       WITH RECURSIVE ${SimilarityOps.AutoCellCtes},
-      $CellPairsCte,
+      ${SimilarityOps.TwoLevelCtes},
+      $RoutedCellPairsCte,
       jp AS (SELECT a_id, b_id FROM cp WHERE cosine >= $NearDupCos),
       ${ccClosureCtes("jp")}
       ${ccClusterSql("vec_id")}""",
     "d_semantic_dedup_auto" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
-      $CellPairsCte,
+      ${SimilarityOps.TwoLevelCtes},
+      $RoutedCellPairsCte,
       dr AS (SELECT DISTINCT b_id AS vec_id FROM cp
              WHERE cosine >= $NearDupCos)
       SELECT e.vec_id, e.label, (dr.vec_id IS NOT NULL) AS is_dup
@@ -4117,7 +4280,8 @@ object DedupOps {
       ORDER BY e.vec_id""",
     "d_semantic_sweep_auto" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
-      $CellPairsCte,
+      ${SimilarityOps.TwoLevelCtes},
+      $RoutedCellPairsCte,
       m AS (SELECT a_id, b_id, cosine, t.pct::BIGINT AS pct
             FROM cp, unnest([30, 40, 50, 60]) AS t(pct)
             WHERE cosine >= CAST(t.pct AS DOUBLE) / 100.0e0),
@@ -4135,14 +4299,17 @@ object DedupOps {
       FROM g JOIN n USING (pct) CROSS JOIN t2 ORDER BY pct""",
     "d_embedding_neardup_probe2" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
-      assigned2 AS (
-        SELECT vec_id, embedding, nrm, j::BIGINT AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY d, j) AS rk
-          FROM scored) WHERE rk <= 2)
+      ${SimilarityOps.TwoLevelCtes},
+      rb2 AS (SELECT e.vec_id, e.embedding,
+                sqrt(list_reduce(list_prepend(0::DOUBLE,
+                  list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, v) -> a + v)) AS nrm,
+                tl2.cell
+              FROM embeddings e JOIN tl2 ON e.vec_id = tl2.vec_id)
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
              $NearDupCosSql AS cosine
-      FROM assigned2 a JOIN assigned2 b
+      FROM rb2 a JOIN rb2 b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",
@@ -4244,11 +4411,40 @@ object DedupOps {
       FROM gr LEFT JOIN ct USING (cb, p1) CROSS JOIN nt
       ORDER BY cb, p1""",
     "d_embedding_neardup_trained" -> s"""
-      WITH ${SimilarityOps.trainedCellCtes()},
-      t1 AS (SELECT * FROM tassigned WHERE rk = 1)
+      WITH ${SimilarityOps.AutoCellCtes},
+      ${SimilarityOps.TwoLevelCtes},
+      ${SimilarityOps.trainedCellCtes()},
+      rtr AS (SELECT fine, j2 AS coarse FROM (
+               SELECT t.cell AS fine, c2.j AS j2,
+                      row_number() OVER (PARTITION BY t.cell ORDER BY
+                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(t.c, c2.c),
+                            z -> z[1] * z[2])), (a, v) -> a + v),
+                        c2.j) AS rk
+               FROM ${SimilarityOps.trainedChainLast("t")} t
+                 CROSS JOIN c2comps c2) z WHERE rk = 1),
+      rta AS (SELECT vec_id, cell FROM (
+               SELECT e.vec_id, rtr.fine AS cell,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        t.cn - 2.0 * (list_reduce(list_prepend(0::DOUBLE,
+                          list_transform(list_zip(e.embedding, t.c),
+                            q -> CAST(q[1] AS DOUBLE) * q[2])), (a, v) -> a + v)),
+                        rtr.fine) AS rk
+               FROM embeddings e
+                 JOIN vp ON vp.vec_id = e.vec_id
+                 JOIN rtr ON rtr.coarse = vp.coarse
+                 JOIN ${SimilarityOps.trainedChainLast("t")} t
+                   ON t.cell = rtr.fine) z WHERE rk = 1),
+      rtb AS (SELECT e.vec_id, e.embedding,
+                sqrt(list_reduce(list_prepend(0::DOUBLE,
+                  list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, v) -> a + v)) AS nrm,
+                rta.cell
+              FROM embeddings e JOIN rta ON e.vec_id = rta.vec_id)
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              $NearDupCosSql AS cosine
-      FROM t1 a JOIN t1 b
+      FROM rtb a JOIN rtb b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",

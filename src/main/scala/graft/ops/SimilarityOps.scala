@@ -963,10 +963,23 @@ object SimilarityOps {
   // ops per vector instead of Θ(K). Routing is an APPROXIMATION of the
   // flat argmin (a vector's true fine cell can live under an unprobed
   // coarse bucket); P₁ = K₁ recovers the flat assignment EXACTLY
-  // (spec-pinned), and `s_route_agreement` measures what P₁ = 2 gives
-  // up on the gate corpus.
-  /** Coarse probes of the two-level router. */
-  private[ops] val CoarseProbes = 2
+  // (spec-pinned), and `s_route_agreement` / `d_neardup_recall_melt`
+  // measure what each P₁ gives up.
+  /** DEPLOYED coarse probes of the two-level router — the operating
+    * point the r17 verdict asked for, set from the measured
+    * `d_neardup_recall_melt` (r18): P₁ = 4 is the smallest melt point
+    * whose routed pair recall ≥ the flat probe-1 baseline on EVERY
+    * measured corpus — gate sf0.1 (K₁ = 4: probe-all, recall 0.306 ==
+    * flat exactly), 200k planted-blob (0.265 == flat 0.265; P₁ = 2
+    * even reads 0.311 > flat there — blob-mates route consistently),
+    * and 200k isotropic (≈ 0.02 == flat — at production K the flat
+    * blocking itself catches almost nothing on structure-free data;
+    * the melt is the table that says so). Cost stays Θ(√K):
+    * (1 + P₁)·√K ≈ 5√K score ops per vector vs K flat — 7.8× fewer at
+    * the DECADE3-measured K = 1563, 570× at K = 8M. At both gate SFs
+    * K₁ ≤ 4, so the deployed router probes everything and the routed
+    * gate plans equal their former flat spellings bit for bit. */
+  private[ops] val DeployedP1 = 4
   /** Coarse cell count for a fine count k. */
   private[ops] def coarseCountFor(k: Int): Int =
     math.ceil(math.sqrt(k.toDouble)).toInt
@@ -1065,7 +1078,7 @@ object SimilarityOps {
     * spec-pinned; the fine score `0 − 2·vec_dot(x, c/(2|c|))` is the
     * kernel's own arithmetic). */
   private[ops] def twoLevelAssign(emb: DataFrame, k: Int,
-      p1: Int = CoarseProbes): DataFrame = {
+      p1: Int = DeployedP1): DataFrame = {
     val k1 = coarseCountFor(k)
     val p = math.min(p1, k1)
     routedMeltAssign(emb, k, cosineFlatOf(coarseCellsFor(k1)), Seq(p.toLong))
@@ -1111,6 +1124,39 @@ object SimilarityOps {
       .filter(col("pr0") < col("p1"))
       .groupBy("p1", "vec_id")
       .agg(min(col("s")).getField("cell").as("cell"))
+  }
+
+  /** [[twoLevelAssign]]'s fine-MULTI-PROBE widening: each vector's
+    * `fineProbes` best fine cells among the [[DeployedP1]]-routed
+    * candidates — the probe-2/NProbe dial composed with Θ(√K) routing
+    * (one row per (vector, probed fine cell); a fine cell appears at
+    * most once per vector, so no DISTINCT is needed). The rank window
+    * rides WindowGroupLimit (partial top-k below the shuffle); the
+    * candidate relation is the same ONE coarse `pq_argmink` pass + ONE
+    * [[fineCodebookDf]] join as the assignment path. */
+  private[ops] def routedAssignK(emb: DataFrame, k: Int,
+      fineProbes: Int, p1: Int = DeployedP1): DataFrame = {
+    val s = emb.sparkSession
+    val k1 = coarseCountFor(k)
+    val p = math.min(p1, k1)
+    val flat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
+    val fineDf = fineCodebookDf(s, k)
+      .withColumn("coarse", call_function("pq_argmin", col("fwf"), flat,
+        lit(0), lit(Dim)))
+      .select(col("coarse"), col("cell0"), col("fcomps"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cell0"))
+    emb.select(col("vec_id"), col("embedding"),
+        explode(call_function("pq_argmink", col("embedding"), flat,
+          lit(0), lit(Dim), lit(p))).as("coarse"))
+      .join(fineDf, Seq("coarse"))
+      .select(col("vec_id"),
+        (lit(0.0) - lit(2.0) * call_function("vec_dot",
+          col("embedding"), col("fcomps"))).as("d"),
+        col("cell0"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= fineProbes)
+      .select(col("vec_id"), col("cell0").as("cell"))
   }
 
   /** [[cellBalance]] over the TWO-LEVEL router at the auto K
@@ -1181,13 +1227,16 @@ object SimilarityOps {
       .orderBy("p1")
   }
 
-  /** The dynamic-K two-level routing CTE chain, ending at
-    * `tl(vec_id, cell)` — coarse codebook (`c2w/c2n/c2comps`, the
-    * `ivf2_…` namespace), fine raw lists (`fraw`), the fine→coarse
-    * route (`rt`), per-vector coarse probes at rank ≤ [[CoarseProbes]]
-    * (`vp`), and the fine argmin within probed buckets. Composes with
-    * [[AutoCellCtes]] (distinct CTE names; `kk`/`cw`/`comps` are
-    * shared inputs). */
+  /** The dynamic-K two-level routing CTE chain — coarse codebook
+    * (`c2w/c2n/c2comps`, the `ivf2_…` namespace), fine raw lists
+    * (`fraw`), the fine→coarse route (`rt`), per-vector coarse probes
+    * at rank ≤ [[DeployedP1]] (`vp`), and the ranked fine scores within
+    * probed buckets (`tlr`), read at rank = 1 as the routed assignment
+    * `tl(vec_id, cell)` and at rank ≤ 2 as the fine-probe-2 widening
+    * `tl2(vec_id, cell)` (a fine cell appears at most once per vector —
+    * each routes to ONE coarse bucket — so tl2 needs no DISTINCT).
+    * Composes with [[AutoCellCtes]] (distinct CTE names; `kk`/`cw`/
+    * `comps` are shared inputs). */
   private[ops] val TwoLevelCtes: String = {
     val h60c = DedupOps.h60Sql("'ivf2_' || jj.j || '_' || ii.i")
     s"""k1 AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k1 FROM kk),
@@ -1218,19 +1267,19 @@ object SimilarityOps {
                             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
                         c.j) AS rk
                FROM embeddings e CROSS JOIN c2comps c) z
-             WHERE rk <= $CoarseProbes),
-      tl AS (SELECT vec_id, cell FROM (
-               SELECT e.vec_id, rt.fine AS cell,
-                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
-                          list_transform(list_zip(e.embedding, fc.c),
-                            z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
-                        rt.fine) AS rk
-               FROM embeddings e
-                 JOIN vp ON e.vec_id = vp.vec_id
-                 JOIN rt ON rt.coarse = vp.coarse
-                 JOIN comps fc ON fc.j = rt.fine) z
-             WHERE rk = 1)"""
+             WHERE rk <= $DeployedP1),
+      tlr AS (SELECT e.vec_id, rt.fine AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                         list_transform(list_zip(e.embedding, fc.c),
+                           z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v),
+                       rt.fine) AS rk
+              FROM embeddings e
+                JOIN vp ON e.vec_id = vp.vec_id
+                JOIN rt ON rt.coarse = vp.coarse
+                JOIN comps fc ON fc.j = rt.fine),
+      tl AS (SELECT vec_id, cell FROM tlr WHERE rk = 1),
+      tl2 AS (SELECT vec_id, cell FROM tlr WHERE rk <= 2)"""
   }
 
   /** The dynamic-K TRAINED-codebook CTE chain (`tk` → `tc0` → Lloyd
@@ -1785,23 +1834,26 @@ object SimilarityOps {
   }
 
   /** [[ivfTopk]]'s scale path as its own gate query (`s_ivf_topk_auto`,
-    * r16 verdict ask #4): the auto-K IVF read path with BOTH sides
-    * kernel-spelled — corpus assignment through ONE `pq_argmin` call and
-    * the query side's NProbe cell selection through ONE `pq_argmink`
-    * call over the same constant-folded codebook (the gate's [[ivfTopk]]
-    * expands K literal score columns `s0..s{K-1}`, which is fine at the
-    * oracle-pinned K = 8 and codegen death at production K in the
-    * thousands — this spelling generates the SAME bytecode at any K).
-    * Dynamically oracle-gated: the DuckDB replay derives K from its own
-    * count(*) and ranks the shared AutoCellCtes scoring at rank ≤
-    * [[NProbe]] for the probe set, rank = 1 for the corpus assignment —
-    * cell selection, assignment, and the exact-cosine re-rank all
-    * pinned at both SFs (K = 8 / K = 16).
+    * r16 verdict ask #4; ROUTED since r18 — r17 verdict ask #1): the
+    * auto-K IVF read path with BOTH sides Θ(√K) two-level-routed —
+    * corpus assignment through [[twoLevelAssign]] at [[DeployedP1]]
+    * (the r17 DECADE3 probe measured the former flat `pq_argmin` scan
+    * at exp 1.36 — the corpus-side K ∝ N scoring was the wall, not the
+    * probe join) and the query side's NProbe cell selection through
+    * [[routedAssignK]] (NProbe best fine cells among the routed
+    * candidates — at both gate SFs K₁ ≤ [[DeployedP1]], so both sides
+    * equal the former flat spelling exactly). Dynamically oracle-gated:
+    * the DuckDB replay derives K and K₁ from its own count(*),
+    * regenerates both codebooks, routes fine→coarse, and ranks the fine
+    * scores within each vector's probed buckets — rank ≤ [[NProbe]] for
+    * the probe set, rank = 1 for the corpus assignment — then the
+    * exact-cosine re-rank, all pinned at both SFs (K = 8 / K = 16).
     *
-    * Plan/scale: one narrow kernel assignment pass over the corpus, a
-    * 5-row broadcast probe side (NProbe rows per query from one
-    * Generate), the probe join fans each query out to NProbe/K of the
-    * corpus, per-query top-5 rides the rank window below the shuffle. */
+    * Plan/scale: one Θ(√K)-per-vector assignment pass over the corpus
+    * (coarse `pq_argmink` + the [[fineCodebookDf]] join), a broadcast
+    * probe side (NProbe rows per query), the probe join fans each query
+    * out to NProbe/K of the corpus, per-query top-5 rides the rank
+    * window below the shuffle. */
   def ivfTopkAuto(s: SparkSession, d: String): DataFrame =
     ivfTopkAutoFrom(embeddings(s, d))
 
@@ -1823,13 +1875,17 @@ object SimilarityOps {
     * so the spec can pin the fan-out (each query touches ~NProbe/K of
     * the corpus) without re-stating the join. */
   private[ops] def ivfCandidatesAuto(emb: DataFrame, k: Int): DataFrame = {
-    val flat = typedLit(kernelCodebook(k))
-    val assigned = knnAssign(emb, k, forceKernel = true)
-    val probes = emb.filter(col("vec_id") < 5)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+    val assigned = base.join(
+      twoLevelAssign(emb.select(col("vec_id"), col("embedding")), k),
+      Seq("vec_id"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val probes = q
+      .join(routedAssignK(q, k, NProbe), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        expr(s"sqrt(${Vec.normSq("embedding")})").as("q_nrm"),
-        explode(call_function("pq_argmink", col("embedding"), flat,
-          lit(0), lit(Dim), lit(NProbe))).as("cell"))
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("q_nrm"), col("cell"))
     broadcast(probes)
       .join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -1837,26 +1893,48 @@ object SimilarityOps {
         expr(s"(${Vec.dot("q_emb", "embedding")}) / (q_nrm * nrm)").as("cosine"))
   }
 
-  /** [[ivfTopkAuto]] oracle: the shared dynamic-K scoring at rank ≤
-    * NProbe (query side) and rank = 1 (corpus side), then the exact
-    * sequential-fold cosine re-rank. */
+  /** [[ivfTopkAuto]] oracle: the ROUTED read path — query-side NProbe
+    * fine cells ranked within the [[DeployedP1]]-probed coarse buckets
+    * (the `vp`/`rt`/`comps` replay of [[routedAssignK]]), corpus side
+    * the routed assignment `tl`, then the exact sequential-fold cosine
+    * re-rank. */
   private val IvfTopkAutoOracle: String = {
     val dotQC = """list_reduce(list_prepend(0::DOUBLE,
           list_transform(list_zip(p.q_emb, a.embedding),
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
     s"""
       WITH $AutoCellCtes,
+      $TwoLevelCtes,
+      qc AS (
+        SELECT e.vec_id AS q_id, e.embedding AS q_emb, rt.fine AS cell,
+               0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(list_zip(e.embedding, fc.c),
+                   z -> CAST(z[1] AS DOUBLE) * z[2])), (a, v) -> a + v) AS d
+        FROM embeddings e
+          JOIN vp ON vp.vec_id = e.vec_id
+          JOIN rt ON rt.coarse = vp.coarse
+          JOIN comps fc ON fc.j = rt.fine
+        WHERE e.vec_id < 5),
       probes AS (
-        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
-               j::BIGINT AS cell
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                          ORDER BY d, j) AS pr
-              FROM scored WHERE vec_id < 5) z
+        SELECT q_id, q_emb,
+               sqrt(list_reduce(list_prepend(0::DOUBLE,
+                 list_transform(q_emb,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (a, v) -> a + v)) AS q_nrm,
+               cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY d, cell) AS pr
+              FROM qc) z
         WHERE pr <= $NProbe),
+      rba AS (SELECT e.vec_id, e.embedding, $normSql AS nrm, tl.cell
+              FROM embeddings e JOIN tl ON e.vec_id = tl.vec_id),
       cand AS (
         SELECT p.q_id, p.cell, a.vec_id,
                $dotQC / (p.q_nrm * a.nrm) AS cosine
-        FROM probes p JOIN assigned a ON p.cell = a.cell
+        FROM probes p JOIN rba a ON p.cell = a.cell
         WHERE p.q_id <> a.vec_id)
       SELECT q_id, rank::INT AS rank, cell, vec_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id

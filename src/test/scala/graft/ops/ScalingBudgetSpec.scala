@@ -332,15 +332,18 @@ class ScalingBudgetSpec extends SparkSpec {
     val rt = SimilarityOps.fineToCoarse(k, k1)
     assert(rt.size == k && rt.forall(c => c >= 0 && c < k1))
     // cost model: score ops per vector Θ(√K) — at the r17-measured
-    // wall K=1563 the two-level spelling does 119 ops vs 1563 flat
+    // wall K=1563 the deployed spelling does (1+P1)·√K = 200 ops vs
+    // 1563 flat (P1=4, the d_neardup_recall_melt operating point)
     def ops(kk: Int): Int = {
       val c = SimilarityOps.coarseCountFor(kk)
-      c + math.min(SimilarityOps.CoarseProbes, c) *
+      c + math.min(SimilarityOps.DeployedP1, c) *
         ((kk + c - 1) / c)
     }
-    assert(ops(1563) < 1563 / 10,
-      s"two-level must be >10x fewer score ops at K=1563, got ${ops(1563)}")
-    assert(ops(15625) < 15625 / 30,
-      s"and >30x at K=15625, got ${ops(15625)}")
+    assert(ops(1563) < 1563 / 7,
+      s"two-level must be >7x fewer score ops at K=1563, got ${ops(1563)}")
+    assert(ops(15625) < 15625 / 20,
+      s"and >20x at K=15625, got ${ops(15625)}")
+    assert(ops(8000000) < 8000000 / 500,
+      s"and >500x at K=8M, got ${ops(8000000)}")
   }
 }
