@@ -891,10 +891,13 @@ object SimilarityOps {
       nCells: Int = AutoCells): DataFrame =
     knnGraphFrom(embeddings(s, d), nCells)
 
-  /** The DEFAULT-path graph as its own gate query (`s_knn_graph_auto`):
-    * [[knnGraph]] with the [[AutoCells]] occupancy policy — K derived
-    * from the corpus count at [[TargetCellOcc]], assignment through the
-    * pq_argmin KERNEL spelling at every K. Oracle-gated DYNAMICALLY:
+  /** The DEFAULT-path graph as its own gate query (`s_knn_graph_auto`;
+    * ROUTED since r18): [[knnGraph]] with the [[AutoCells]] occupancy
+    * policy — K derived from the corpus count at [[TargetCellOcc]],
+    * assignment through the Θ(√K) [[twoLevelAssign]] router at
+    * [[DeployedP1]] (the flat kernel scan it replaced read DECADE3 exp
+    * 1.09 at 200k vectors; at gate SFs K₁ ≤ P₁ so the routed graph
+    * equals the flat one exactly). Oracle-gated DYNAMICALLY:
     * the DuckDB replay derives the same K from its own count(*),
     * regenerates the same md5 codebook ([[cellsFor]]'s h60 chain in
     * SQL), pre-divides components by 2|c| exactly as the kernel
@@ -1454,19 +1457,27 @@ object SimilarityOps {
                FROM cand) z WHERE rk = 1)"""
   }
 
-  /** [[knnGraphAuto]] oracle: dynamic-K replay of the kernel spelling. */
+  /** [[knnGraphAuto]] oracle: dynamic-K replay of the ROUTED assignment
+    * ([[TwoLevelCtes]] `tl` at the deployed P₁) + the exact cosine
+    * re-rank. */
   private val KnnGraphAutoOracle: String = {
     val dotAB = """list_reduce(list_prepend(0::DOUBLE,
           list_transform(list_zip(a.embedding, b.embedding),
             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+    val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+        list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        (a, v) -> a + v))"""
     s"""
       WITH $AutoCellCtes,
+      $TwoLevelCtes,
+      rkg AS (SELECT e.vec_id, e.embedding, $normSql AS nrm, tl.cell
+              FROM embeddings e JOIN tl ON e.vec_id = tl.vec_id),
       ranked AS (
         SELECT a.vec_id a_id, b.vec_id b_id,
                $dotAB / (a.nrm * b.nrm) AS cos,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY $dotAB / (a.nrm * b.nrm) DESC, b.vec_id) AS rk
-        FROM assigned a JOIN assigned b
+        FROM rkg a JOIN rkg b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id)
       SELECT a_id, b_id, cos, rk::INT AS rk FROM ranked WHERE rk <= 3
       ORDER BY a_id, rk"""
@@ -1482,8 +1493,18 @@ object SimilarityOps {
   private[ops] def knnGraphFrom(emb: DataFrame,
       nCells: Int = AutoCells): DataFrame = {
     val auto = nCells == AutoCells
-    val assigned = knnAssign(emb, resolveCells(emb, nCells),
-      forceKernel = auto)
+    // the AUTO (scale) path rides the Θ(√K) router since r18 — the flat
+    // kernel scan it replaced read DECADE3 exp 1.09 at 200k vectors; at
+    // gate SFs K₁ ≤ DeployedP1 so the routed graph equals the flat one.
+    // Explicit-K callers (the oracle-pinned K = 8 gate family) keep the
+    // flat spellings. Passthrough columns ride the id-key join.
+    val assigned =
+      if (auto) {
+        val k = resolveCells(emb, AutoCells)
+        emb.withColumn("nrm", expr(s"sqrt(${Vec.normSq("embedding")})"))
+          .join(twoLevelAssign(emb.select(col("vec_id"), col("embedding")),
+            k), Seq("vec_id"))
+      } else knnAssign(emb, resolveCells(emb, nCells))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id"))
     assigned.as("a")
