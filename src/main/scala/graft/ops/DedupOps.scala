@@ -1800,6 +1800,64 @@ object DedupOps {
       .filter(col("cosine") >= NearDupCos)
   }
 
+  /** HIERARCHICALLY-trained near-dup pair relation
+    * (`d_embedding_neardup_hier`): the trained tier with the Lloyd
+    * TRAINER itself at Θ(√K) per vector — the r18 DECADE3 run showed
+    * the routed-but-globally-trained arm pinned at exp ≈ 1.0 by the
+    * trainer's own N×K scoring passes; this is the named fix. The
+    * md5-random coarse level buckets the corpus (one rank-1 kernel
+    * pass), each bucket trains K₂ = ⌈K/K₁⌉ LOCAL cells with the same
+    * quantized Lloyd device ([[graft.ops.SimilarityOps
+    * .hierLloydCells]] — per-iteration scoring is a bucket-key join:
+    * √K cells per vector), and deployment probes
+    * [[graft.ops.SimilarityOps.DeployedP1]] coarse buckets and
+    * arg-mins the probed buckets' local cells — no fine→coarse routing
+    * table exists because a local cell IS under its bucket. Training
+    * AND deployment are Θ(N·√K); nothing in the tier scans N×K. */
+  private[ops] def nearDupPairsCellsHier(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
+    val slim = emb.select(col("vec_id"), col("embedding"))
+    val (k1, _, cents) = SimilarityOps.hierLloydCells(slim, k)
+    val p = math.min(SimilarityOps.DeployedP1, k1)
+    val centDf = broadcast(cents.map { case (c, b, comps, cn) =>
+      (c, b, comps.toArray, cn) }.toDF("cell", "bucket", "comps", "cn"))
+    val coarseFlat = typedLit(SimilarityOps.cosineFlatOf(
+      SimilarityOps.coarseCellsFor(k1)))
+    val routed = slim
+      .select(col("vec_id"), col("embedding"),
+        explode(call_function("pq_argmink", col("embedding"), coarseFlat,
+          lit(0), lit(SimilarityOps.Dim), lit(p))).as("bucket"))
+      .join(centDf, Seq("bucket"))
+      .select(col("vec_id"),
+        struct((col("cn") - lit(2.0) * call_function("vec_dot",
+          col("embedding"), col("comps"))).as("d"),
+          col("cell")).as("s"))
+      .groupBy("vec_id")
+      .agg(min(col("s")).getField("cell").as("cell"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+        expr(s"sqrt(${Vec.normSq("embedding")})").as("nrm"))
+      .join(routed, Seq("vec_id"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr(s"(${Vec.dot("`a`.embedding", "`b`.embedding")}) / (`a`.nrm * `b`.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= NearDupCos)
+  }
+
+  /** The hierarchically-trained pair report as its own gate query
+    * (`d_embedding_neardup_hier`) — dynamically oracle-gated end to
+    * end: the DuckDB replay derives K, K₁, K₂ from its own count(*),
+    * regenerates the coarse codebook, buckets every vector, seeds and
+    * unrolls the PER-BUCKET quantized Lloyd iterations, and replays
+    * the probed deployment assignment (the
+    * [[graft.ops.SimilarityOps.HierChain]] device). */
+  def embeddingNearDupHier(s: SparkSession, d: String): DataFrame =
+    nearDupPairsCellsHier(embeddings(s, d)).orderBy("a_id", "b_id")
+
   /** The trained-codebook pair report as its own gate query
     * (`d_embedding_neardup_trained`; ROUTED since r18) — dynamically
     * oracle-gated: the DuckDB replay derives K and K₁ from its own
@@ -3279,6 +3337,7 @@ object DedupOps {
     "d_semantic_sweep_auto" -> semanticSweepAuto,
     "d_embedding_neardup_probe2" -> embeddingNearDupProbe2,
     "d_embedding_neardup_trained" -> embeddingNearDupTrained,
+    "d_embedding_neardup_hier" -> embeddingNearDupHier,
     "d_neardup_recall" -> nearDupRecall,
     "d_neardup_recall_grid" -> nearDupRecallGrid,
     "d_neardup_recall_2level" -> nearDupRecall2Level,
@@ -4382,6 +4441,23 @@ object DedupOps {
              (SELECT count(*) FROM brute JOIN rp USING (a_id, b_id))
                / nt.n_true AS recall
       FROM nt""",
+    "d_embedding_neardup_hier" -> s"""
+      WITH ${SimilarityOps.AutoCellCtes},
+      ${SimilarityOps.TwoLevelCtes},
+      ${SimilarityOps.HierChain},
+      hbase AS (SELECT e.vec_id, e.embedding,
+                  sqrt(list_reduce(list_prepend(0::DOUBLE,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, v) -> a + v)) AS nrm,
+                  hasg.cell
+                FROM embeddings e JOIN hasg ON e.vec_id = hasg.vec_id)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             $NearDupCosSql AS cosine
+      FROM hbase a JOIN hbase b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE $NearDupCosSql >= $NearDupCos
+      ORDER BY a_id, b_id""",
     "d_neardup_recall_melt" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
       ${SimilarityOps.routeMeltCtes(s"vec_id < $NearDupRecallSample")},

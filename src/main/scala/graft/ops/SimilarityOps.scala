@@ -1379,6 +1379,145 @@ object SimilarityOps {
   /** The final-centroid CTE name of a [[trainedChain]] at prefix `pfx`. */
   private[ops] def trainedChainLast(pfx: String): String = s"${pfx}c$KmIters"
 
+  /** HIERARCHICAL (per-bucket) Lloyd trainer — the Θ(√K)-per-vector
+    * answer to the wall the r18 DECADE3 run named: GLOBAL Lloyd at
+    * K ∝ N scores N×K per iteration (exp ≈ 1.0 measured on
+    * `d_embedding_neardup_trained` — the trainer, not the deployment).
+    * Here the md5-random coarse level partitions the corpus into K₁ =
+    * ⌈√K⌉ buckets (ONE rank-1 coarse kernel pass), and each bucket
+    * trains its own K₂ = ⌈K/K₁⌉ local cells with the SAME quantized
+    * Lloyd device (seeds = the bucket's first K₂ vectors by id; global
+    * cell id = bucket·K₂ + seed rank): per-iteration scoring is a
+    * bucket-key broadcast join — each vector scores only its own
+    * bucket's K₂ = Θ(√K) cells — and the update is the standard
+    * (cell, dim) quantized partial-agg collect (K×Dim driver rows, the
+    * trainer grain every Lloyd variant pays). The codebook is
+    * "pre-routed" by construction: a local cell IS under its bucket,
+    * so deployment needs no fine→coarse routing table. Returns
+    * (k1, k2, cents(cell, bucket, comps, cn)) in ascending-cell order;
+    * a bucket with fewer members than K₂ seeds what it has, an empty
+    * bucket trains nothing, and a nonempty bucket always keeps ≥ 1
+    * cell (its members re-assign within the bucket each iteration). */
+  private[ops] def hierLloydCells(emb: DataFrame, k: Int):
+      (Int, Int, Seq[(Long, Long, IndexedSeq[Double], Double)]) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k1 = coarseCountFor(k)
+    val k2 = (k + k1 - 1) / k1
+    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
+    val withB = emb.select(col("vec_id"), col("embedding"),
+        call_function("pq_argmin", col("embedding"), coarseFlat,
+          lit(0), lit(Dim)).as("bucket"))
+      .persist()
+    try {
+      val wSeed = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+      var cents: Seq[(Long, Long, IndexedSeq[Double], Double)] =
+        withB.withColumn("rn", row_number().over(wSeed))
+          .filter(col("rn") <= k2)
+          .select(col("bucket"), col("rn"), col("embedding"))
+          .collect().toSeq
+          .map { r =>
+            val b = r.getLong(0)
+            val comps = r.getSeq[Float](2).map(_.toDouble).toIndexedSeq
+            (b * k2 + (r.getInt(1) - 1), b, comps,
+              comps.foldLeft(0.0)((a, x) => a + x * x))
+          }.sortBy(_._1)
+      if (cents.isEmpty) return (k1, k2, cents)
+      for (_ <- 0 until KmIters) {
+        val centDf = broadcast(cents.map { case (c, b, comps, cn) =>
+          (c, b, comps.toArray, cn) }.toDF("cell", "bucket", "comps", "cn"))
+        // embedding rides INSIDE the min-struct as a never-compared
+        // payload ((d, cell) is unique per candidate set), so the
+        // assignment + update stay ONE shuffle per iteration
+        val pass = withB.join(centDf, Seq("bucket"))
+          .select(col("vec_id"),
+            struct((col("cn") - lit(2.0) * call_function("vec_dot",
+              col("embedding"), col("comps"))).as("d"),
+              col("cell"), col("embedding").as("e")).as("s"))
+          .groupBy("vec_id").agg(min(col("s")).as("m"))
+          .select(col("m.cell").as("cell"),
+            posexplode(col("m.e")).as(Seq("pos", "x")))
+          .select(col("cell"), col("pos"),
+            expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)")
+              .as("q"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        cents = pass.collect().groupBy(_.getLong(0)).toSeq.map {
+          case (cell, rows) =>
+            val byPos = rows.sortBy(_.getInt(1))
+            val comps = byPos.map(r =>
+              r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble)
+              .toIndexedSeq
+            (cell, cell / k2, comps,
+              comps.foldLeft(0.0)((a, x) => a + x * x))
+        }.sortBy(_._1)
+      }
+      (k1, k2, cents)
+    } finally withB.unpersist(blocking = true)
+  }
+
+  /** The dynamic-K HIERARCHICAL-Lloyd CTE chain — the DuckDB replay of
+    * [[hierLloydCells]] + its deployed probe-P₁ assignment, ending at
+    * `hasg(vec_id, cell)`. Composes after [[AutoCellCtes]] +
+    * [[TwoLevelCtes]] (uses `kk`, `k1`, `c2comps`); CTE names are
+    * h-prefixed. Lazy: [[KmIters]]/[[KmQ]] are declared later in this
+    * object, and a strict val here would read them as 0 at init. */
+  private[ops] lazy val HierChain: String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(0::DOUBLE, $body), (a, v) -> a + v)"
+    def foldZip(a: String, b: String) =
+      fold(s"""list_transform(list_zip($a, $b),
+          z -> CAST(z[1] AS DOUBLE) * z[2])""")
+    def iter(i: Int): String = s"""
+      hd$i AS (SELECT e.vec_id, e.embedding, c.cell,
+                 c.cn - 2.0 * (${foldZip("e.embedding", "c.c")}) AS dist
+               FROM hb e JOIN hc${i - 1} c ON c.bucket = e.bucket),
+      ha$i AS (SELECT vec_id, embedding, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+               FROM hd$i),
+      hf$i AS (SELECT vec_id, embedding, cell FROM ha$i WHERE rn = 1),
+      hu$i AS (SELECT cell, i - 1 AS pos,
+                 floor(CAST(embedding[i] AS DOUBLE) * $KmQ.0)::BIGINT AS q
+               FROM hf$i, generate_series(1, $Dim) gs(i)),
+      hg$i AS (SELECT cell, pos, sum(q)::BIGINT sq, count(*)::BIGINT cnt
+               FROM hu$i GROUP BY 1, 2),
+      hc$i AS (SELECT cell, (cell // (SELECT k2 FROM k2))::BIGINT AS bucket,
+                 list(CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE) ORDER BY pos) AS c,
+                 ${fold("list_transform(c, x -> x * x)")} AS cn
+               FROM hg$i GROUP BY cell)"""
+    s"""k2 AS (SELECT CAST((k + k1 - 1) // k1 AS BIGINT) AS k2 FROM kk, k1),
+      hb AS (SELECT vec_id, embedding, j2 AS bucket FROM (
+               SELECT e.vec_id, e.embedding, c.j AS j2,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * ${foldZip("e.embedding", "c.c")},
+                        c.j) AS rk
+               FROM embeddings e CROSS JOIN c2comps c) z WHERE rk = 1),
+      hc0 AS (SELECT (bucket * (SELECT k2 FROM k2) + rn - 1)::BIGINT AS cell,
+                bucket,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
+                ${fold("list_transform(c, x -> x * x)")} AS cn
+              FROM (SELECT bucket, vec_id, embedding,
+                      row_number() OVER (PARTITION BY bucket
+                        ORDER BY vec_id) AS rn
+                    FROM hb) z
+              WHERE rn <= (SELECT k2 FROM k2)),
+      ${(1 to KmIters).map(iter).mkString(",")},
+      hpr AS (SELECT vec_id, embedding, j2 AS bucket FROM (
+               SELECT e.vec_id, e.embedding, c.j AS j2,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        0.0 - 2.0 * ${foldZip("e.embedding", "c.c")},
+                        c.j) AS rk
+               FROM embeddings e CROSS JOIN c2comps c) z
+             WHERE rk <= $DeployedP1),
+      hasg AS (SELECT vec_id, cell FROM (
+               SELECT p.vec_id, c.cell,
+                      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                        c.cn - 2.0 * (${foldZip("p.embedding", "c.c")}),
+                        c.cell) AS rk
+               FROM hpr p JOIN hc$KmIters c ON c.bucket = p.bucket) z
+             WHERE rk = 1)"""
+  }
+
   /** The dynamic-K ROUTED-ASSIGNMENT MELT CTE chain — the DuckDB replay
     * of [[routedMeltAssign]] over BOTH coarse codebooks (random `ivf2_…`
     * and the Lloyd-trained-at-K₁ arm), ending at

@@ -113,5 +113,35 @@ class R18InvariantSpec extends SparkSpec {
     for (cb <- Seq("random", "trained"))
       assert(melt((cb, 2L)) >= melt((cb, k1)),
         s"routing at P1=2 must cost no recall on blobs ($cb): $melt")
+    // hierarchical per-bucket training (the Θ(√K) trainer): at least
+    // the GLOBAL-Lloyd tier's recall on structured data (measured:
+    // 0.998 vs 0.927 here; 0.511 vs 0.132 at 200k — local cells
+    // fragment blobs less, and the probed deployment heals bucket
+    // boundaries), with a total single-cell assignment
+    def sampleRecall(pairs: DataFrame): Long =
+      pairs.filter(col("a_id") < 500 && col("b_id") < 500)
+        .select("a_id", "b_id")
+        .join(bruteSample(emb), Seq("a_id", "b_id"), "left_semi").count()
+    val hier = sampleRecall(DedupOps.nearDupPairsCellsHier(emb))
+    val glob = sampleRecall(DedupOps.nearDupPairsCellsTrainedRouted(emb))
+    assert(hier >= glob,
+      s"hier-trained blocking must not trail global-trained on blobs: " +
+        s"$hier vs $glob")
+    val (k1h, k2h, cents) = SimilarityOps.hierLloydCells(
+      emb.select(col("vec_id"), col("embedding")), k)
+    assert(cents.nonEmpty && cents.forall { case (c, b, comps, _) =>
+      b == c / k2h && b >= 0 && b < k1h && comps.size == 64 })
+  }
+
+  private def bruteSample(emb: DataFrame): DataFrame = {
+    val v = emb.filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr("vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm)")
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a_id"), col("b_id"))
   }
 }

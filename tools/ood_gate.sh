@@ -15,6 +15,10 @@
 #
 # Usage:           tools/ood_gate.sh
 # Knobs (env):     OOD_DIR OOD_OUT OOD_DOCS OOD_VECS OOD_BASE_SF
+#                  OOD_EMB=iso|blobs (embeddings geometry — blobs runs the
+#                  whole gate on a PLANTED-CLUSTER corpus: the Lloyd /
+#                  routing / recall oracles replay on clustered data, a
+#                  different numeric path than the isotropic default)
 #                  SPARK_GRAFT_CPUS SKIP_COMPILE=1 (classes already fresh)
 # Exit:            0 = all queries pass AND no codegen fallback; 1 otherwise
 set -euo pipefail
@@ -25,6 +29,7 @@ OOD_OUT=${OOD_OUT:-/tmp/graft_ood_out}
 OOD_DOCS=${OOD_DOCS:-5000}
 OOD_VECS=${OOD_VECS:-2000}
 OOD_BASE_SF=${OOD_BASE_SF:-/root/testdata/sf0.01}
+OOD_EMB=${OOD_EMB:-iso}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 LOG=${OOD_LOG:-/tmp/graft_ood_verify.log}
 
@@ -47,13 +52,13 @@ run_main() {
     -Xmx48g -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
 }
 
-echo "[ood] corpus: $OOD_DIR (docs=$OOD_DOCS vecs=$OOD_VECS open; relational from $OOD_BASE_SF)"
+echo "[ood] corpus: $OOD_DIR (docs=$OOD_DOCS vecs=$OOD_VECS open emb=$OOD_EMB; relational from $OOD_BASE_SF)"
 rm -rf "$OOD_DIR" "$OOD_OUT"
 mkdir -p "$OOD_DIR"
 for t in region nation customer supplier part orders lineitem events; do
   ln -s "$OOD_BASE_SF/$t.parquet" "$OOD_DIR/$t.parquet"
 done
-run_main graft.ScaleGen "$OOD_DIR" "$OOD_DOCS" "$OOD_VECS" open \
+run_main graft.ScaleGen "$OOD_DIR" "$OOD_DOCS" "$OOD_VECS" open "$OOD_EMB" \
   2> >(grep -E '^\[scalegen\]' >&2 || true)
 
 echo "[ood] dumping full gate (log: $LOG)"
