@@ -109,6 +109,46 @@ object Bench {
     ts(ts.size / 2)
   }
 
+  /** Disk/IO-bound third anchor (r18 verdict ask #7, additions-only):
+    * the compute anchor sees CPU contention and the memory anchor sees
+    * allocator/DRAM contention, but neither reads the I/O stack — the
+    * r18 comparison hinged on a 2.39× memory-anchor swing (25×
+    * in-session spread) that could not be attributed between DRAM and
+    * disk. This arm scans a deterministic ~300 MB parquet written
+    * UNTIMED once per invocation (content is a pure function of the
+    * core count, so runs at the same cpus read identical bytes) and
+    * sums payload lengths — column decode + page reads, the scan-path
+    * profile — under the SAME GC-fence/warm-up/median protocol.
+    * tools/bench_diff.py reports all three ratios and warns when any
+    * pair disagrees. */
+  private def anchorIoSetup(spark: SparkSession, cpus: String): String = {
+    import org.apache.spark.sql.functions._
+    val parts = math.max(1, cpus.toInt)
+    val n = 150000L * parts
+    val path = s"target/anchor_io_c$parts.parquet"
+    spark.range(0L, n, 1L, parts)
+      .select(col("id"), concat(md5(col("id").cast("string")),
+        md5((col("id") + lit(n)).cast("string"))).as("payload"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  private def anchorIoMedian(spark: SparkSession, path: String,
+      reps: Int): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(path)
+        .select(sum(length(col("payload"))).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc()
+    once() // untimed warm-up, the query protocol
+    val ts = Iterator.continually(once()).take(reps).toVector.sorted
+    ts(ts.size / 2)
+  }
+
   /** Drift-verify mode (judge advice r8 #8): re-time the named queries,
     * each in a FRESH SparkSession (new codegen cache / broadcast infra /
     * AQE stats — the state a long full run accumulates), and APPEND the
@@ -126,12 +166,24 @@ object Bench {
       s"SPARK_GRAFT_DRIFT names unknown queries: ${unknown.mkString(", ")}")
     var anchors = List.empty[Double]
     var memAnchors = List.empty[Double]
+    var ioAnchors = List.empty[Double]
+    // the IO anchor's input file is written ONCE per invocation (content
+    // is a pure function of the core count); the per-query sessions only
+    // read it
+    val setup = buildSession(cpus)
+    val ioPath =
+      try anchorIoSetup(setup, cpus)
+      finally {
+        setup.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
     val results = names.sorted.map { name =>
       val spark = buildSession(cpus)
       try {
         warmup(spark, sfDir)
         anchors ::= anchorMedian(spark, cpus, reps)
         memAnchors ::= anchorMemMedian(spark, cpus, reps)
+        ioAnchors ::= anchorIoMedian(spark, ioPath, reps)
         val times = timeQuery(spark, sfDir, name, reps)
         name -> times(times.size / 2)
       } finally {
@@ -148,12 +200,15 @@ object Bench {
     // exactly the runs whose session variance the anchor exists to expose)
     val as = anchors.sorted
     val ms = memAnchors.sorted
+    val ios = ioAnchors.sorted
     val anchorJson = s"""{"start":${as.head},"mid":${
         as(as.size / 2)},"end":${as.last}}"""
     val anchorMemJson = s"""{"start":${ms.head},"mid":${
         ms(ms.size / 2)},"end":${ms.last}}"""
+    val anchorIoJson = s"""{"start":${ios.head},"mid":${
+        ios(ios.size / 2)},"end":${ios.last}}"""
     val json =
-      s"""{"metric":"drift","queries":$qs,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
+      s"""{"metric":"drift","queries":$qs,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"anchor_io":$anchorIoJson,"reps":$reps,"warmup":1,"sf":"$sfDir"}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -214,22 +269,28 @@ object Bench {
       else name -> (times(times.size / 2), times.head)
     }
     val names = selected.keys.toSeq.sorted
+    val ioPath = anchorIoSetup(spark, cpus) // untimed, once per invocation
     val anchorStart = anchorMedian(spark, cpus, reps)
     val memStart = anchorMemMedian(spark, cpus, reps)
+    val ioStart = anchorIoMedian(spark, ioPath, reps)
     val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
     val r1 = firstHalf.map(timeOne)
     val anchorMid = anchorMedian(spark, cpus, reps)
     val memMid = anchorMemMedian(spark, cpus, reps)
+    val ioMid = anchorIoMedian(spark, ioPath, reps)
     val r2 = secondHalf.map(timeOne)
     val anchorEnd = anchorMedian(spark, cpus, reps)
     val memEnd = anchorMemMedian(spark, cpus, reps)
+    val ioEnd = anchorIoMedian(spark, ioPath, reps)
     val results = r1 ++ r2
     val anchorJson =
       s"""{"start":$anchorStart,"mid":$anchorMid,"end":$anchorEnd}"""
     val anchorMemJson =
       s"""{"start":$memStart,"mid":$memMid,"end":$memEnd}"""
+    val anchorIoJson =
+      s"""{"start":$ioStart,"mid":$ioMid,"end":$ioEnd}"""
     System.err.println(
-      s"[bench] anchor: $anchorJson mem: $anchorMemJson")
+      s"[bench] anchor: $anchorJson mem: $anchorMemJson io: $anchorIoJson")
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
@@ -241,7 +302,7 @@ object Bench {
       .map { case (k, m) => "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\"" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"anchor_io":$anchorIoJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver keeps only a tail of stdout, which
     // truncated the per-query map in round 4 — the file keeps rounds
@@ -261,13 +322,42 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     spark.stop()
-    // The driver keeps only a ~2KB tail of stdout; the full JSON above is
-    // ~5KB so its head scrolls off. Print a compact, self-contained summary
-    // LAST (no per-query maps) so the tail always ends with one complete
-    // parseable JSON object. Full detail stays in the big line +
-    // target/bench.json.
+    // Per-query chunk lines (r18 verdict ask #2, additions-only): the
+    // driver keeps only a ~2KB stdout tail and parses trailing JSON
+    // lines, so the ~9.5KB full-precision queries line above can never
+    // reach it whole (measured: 309 entries ≈ 9.3KB; even at 3-decimal
+    // precision ≈ 7.1KB — the verdict's "single last line" option fails
+    // the size check). Per its prescribed fallback, the per-query map is
+    // re-printed as SELF-CONTAINED chunk lines (3-decimal medians,
+    // shared run_id, part/nparts) immediately before the compact final
+    // line: whatever part of the tail survives parses line-by-line, and
+    // the final line stays one complete JSON object for the totals
+    // contract. Full precision remains in the big line + target/bench.json.
+    val runId = java.lang.Long.toHexString(System.nanoTime())
+    def fmt3(d: Double): String =
+      if (d < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val entries = results.map { case (k, (med, _)) => s"\"$k\":${fmt3(med)}" }
+    val chunks = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    var cur = List.empty[String]
+    var curLen = 0
+    for (e <- entries) {
+      if (curLen + e.length + 1 > 1500 && cur.nonEmpty) {
+        chunks += cur.reverse; cur = Nil; curLen = 0
+      }
+      cur ::= e; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.reverse
+    val nparts = chunks.size
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","run_id":"$runId","part":${
+        i + 1},"nparts":$nparts,"reps":$reps,"sf":"$sfDir","queries":${
+        c.mkString("{", ",", "}")}}""")
+    }
+    // The compact, self-contained summary LAST (no per-query maps) so the
+    // tail always ends with one complete parseable JSON object.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"run_id":"$runId","nparts":$nparts,"anchor":$anchorJson,"anchor_mem":$anchorMemJson,"anchor_io":$anchorIoJson,"reps":$reps,"warmup":1,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -21,18 +21,32 @@ object PlanDump {
     val suffix = if (args.length > 3) args(3) else ""
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // ADVICE r18: mirror Bench.scala's env parameterization (a hardcoded
+    // local[8] dumped plan shapes that need not match the bench
+    // configuration), and refuse to ride a pre-existing session, whose
+    // getOrCreate would silently ignore master/conf — the dump must
+    // record plans under the settings it claims.
+    require(SparkSession.getActiveSession.isEmpty &&
+        SparkSession.getDefaultSession.isEmpty,
+      "PlanDump needs a fresh JVM: an existing SparkSession would make " +
+        "getOrCreate silently ignore the master/conf settings")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // provenance header: the effective settings the plans were dumped under
+    val header = s"-- PlanDump master=${spark.sparkContext.master} " +
+      s"shuffle.partitions=${spark.conf.get("spark.sql.shuffle.partitions")} " +
+      s"dataDir=$dir\n"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(out, s"$n$suffix.txt"), txt)
+        java.nio.file.Paths.get(out, s"$n$suffix.txt"), header + txt)
       System.err.println(s"[plandump] wrote $out/$n$suffix.txt")
     }
     spark.stop()

@@ -1816,18 +1816,19 @@ object DedupOps {
     * AND deployment are Θ(N·√K); nothing in the tier scans N×K. */
   private[ops] def nearDupPairsCellsHier(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
-    import s.implicits._
     val k = SimilarityOps.resolveCells(emb, SimilarityOps.AutoCells)
     val slim = emb.select(col("vec_id"), col("embedding"))
-    val (k1, _, cents) = SimilarityOps.hierLloydCells(slim, k)
+    val k1 = SimilarityOps.coarseCountFor(k)
     val p = math.min(SimilarityOps.DeployedP1, k1)
-    val centDf = broadcast(cents.map { case (c, b, comps, cn) =>
-      (c, b, comps.toArray, cn) }.toDF("cell", "bucket", "comps", "cn"))
-    val coarseFlat = typedLit(SimilarityOps.cosineFlatOf(
-      SimilarityOps.coarseCellsFor(k1)))
+    // the trained centroids stay a DISTRIBUTED relation end to end
+    // (r18 verdict ask #4): deployment JOINS the trainer's output —
+    // broadcast-vs-shuffle is the planner's call from runtime stats,
+    // never a driver-held K-row Seq
+    val centDf = SimilarityOps.hierCellsDf(slim, k)
     val routed = slim
+      .crossJoin(broadcast(SimilarityOps.coarseFlatDf(s, k1)))
       .select(col("vec_id"), col("embedding"),
-        explode(call_function("pq_argmink", col("embedding"), coarseFlat,
+        explode(call_function("pq_argmink", col("embedding"), col("cflat"),
           lit(0), lit(SimilarityOps.Dim), lit(p))).as("bucket"))
       .join(centDf, Seq("bucket"))
       .select(col("vec_id"),
@@ -1859,18 +1860,24 @@ object DedupOps {
     nearDupPairsCellsHier(embeddings(s, d)).orderBy("a_id", "b_id")
 
   /** The trained-codebook pair report as its own gate query
-    * (`d_embedding_neardup_trained`; ROUTED since r18) — dynamically
-    * oracle-gated: the DuckDB replay derives K and K₁ from its own
-    * count(*), SEEDS from the first K vectors, unrolls the same
-    * quantized Lloyd iterations (the s_kmeans oracle device at dynamic
-    * K), routes the trained centroids to the regenerated coarse
-    * codebook by direction, and scores every vector's probed buckets
-    * with the kernel's |c|² − 2·x·c arithmetic — trainer, occupancy
-    * policy, router, and deployment assignment all pinned against an
-    * independent engine at both SFs (where K₁ ≤ the deployed P₁, so
-    * the routed report equals the former flat one exactly). */
+    * (`d_embedding_neardup_trained`) — RE-GATED in r19 onto the
+    * HIERARCHICAL trainer (r18 verdict ask #1, sanctioned route (b)):
+    * through r18 this tier trained a GLOBAL Lloyd codebook (KmIters
+    * full N×K scoring passes — the DECADE3-measured exp ≈ 0.96 wall,
+    * 23.3 s at 200k vectors, the one remaining ≈ 1.0 deployment path)
+    * and routed its centroids by direction; training is now the
+    * Θ(N·√K) per-bucket [[graft.ops.SimilarityOps.hierCellsDf]] device
+    * the r18 round built and measured (exp 0.38, and HIGHER planted-
+    * blob recall than the global trainer: 0.511 vs 0.132 at 200k —
+    * spec-pinned in R18InvariantSpec). This deliberately makes the
+    * query compute the [[embeddingNearDupHier]] relation — a DECLARED
+    * re-gate, not a silent rewrite: the DuckDB oracle replays the full
+    * hierarchical chain ([[graft.ops.SimilarityOps.HierChain]]) and
+    * the driver re-hashes it at both SFs. The former global-trained
+    * spelling ([[nearDupPairsCellsTrainedRouted]]) stays as the
+    * measured comparison arm in R18InvariantSpec. */
   def embeddingNearDupTrained(s: SparkSession, d: String): DataFrame =
-    nearDupPairsCellsTrainedRouted(embeddings(s, d)).orderBy("a_id", "b_id")
+    nearDupPairsCellsHier(embeddings(s, d)).orderBy("a_id", "b_id")
 
   /** RECALL/COST GRID over the blocking design space (r16 verdict ask
     * #1): [[nearDupRecall]] extended to codebook ∈ {random, trained} ×
@@ -2013,15 +2020,19 @@ object DedupOps {
           .as("cosine"))
       .filter(col("cosine") >= NearDupCos)
       .select(col("a_id"), col("b_id"))
-    val randomFlat = SimilarityOps.cosineFlatOf(
-      SimilarityOps.coarseCellsFor(k1))
-    val trainedFlat = SimilarityOps.cosineFlatOfTrained(
-      SimilarityOps.lloydCodebook(
-        emb.select(col("vec_id"), col("embedding")), k1))
-    def arm(flat: Array[Double], cb: String): DataFrame =
-      SimilarityOps.routedMeltAssign(samp, k, flat, p1s)
+    // both coarse codebooks ride as ONE-ROW relations (r18 verdict ask
+    // #3): the md5-random level generated where it is joined, the
+    // Lloyd-trained one the trainer's own bounded √K-row output as
+    // LocalRelation data — no constant-folded array literal on any arm
+    val random1 = SimilarityOps.coarseFlatDf(s, k1)
+    val trained1 = SimilarityOps.oneRowFlatDf(s,
+      SimilarityOps.cosineFlatOfTrained(
+        SimilarityOps.lloydCodebook(
+          emb.select(col("vec_id"), col("embedding")), k1)))
+    def arm(coarse1: DataFrame, cb: String): DataFrame =
+      SimilarityOps.routedMeltAssign(samp, k, coarse1, k1, p1s)
         .select(lit(cb).as("cb"), col("p1"), col("vec_id"), col("cell"))
-    val assigned = arm(randomFlat, "random").union(arm(trainedFlat, "trained"))
+    val assigned = arm(random1, "random").union(arm(trained1, "trained"))
     val rbase = assigned.join(v, Seq("vec_id"))
     val pairs = rbase.as("a")
       .join(rbase.as("b"),
@@ -4486,41 +4497,24 @@ object DedupOps {
              coalesce(ct.n_caught, 0) / nt.n_true AS recall
       FROM gr LEFT JOIN ct USING (cb, p1) CROSS JOIN nt
       ORDER BY cb, p1""",
+    // r19 DECLARED RE-GATE (r18 verdict ask #1): the trained tier now
+    // trains hierarchically, so its oracle is the full HierChain replay
+    // (identical to d_embedding_neardup_hier's — the re-gate makes the
+    // two queries compute the same relation by design)
     "d_embedding_neardup_trained" -> s"""
       WITH ${SimilarityOps.AutoCellCtes},
       ${SimilarityOps.TwoLevelCtes},
-      ${SimilarityOps.trainedCellCtes()},
-      rtr AS (SELECT fine, j2 AS coarse FROM (
-               SELECT t.cell AS fine, c2.j AS j2,
-                      row_number() OVER (PARTITION BY t.cell ORDER BY
-                        0.0 - 2.0 * list_reduce(list_prepend(0::DOUBLE,
-                          list_transform(list_zip(t.c, c2.c),
-                            z -> z[1] * z[2])), (a, v) -> a + v),
-                        c2.j) AS rk
-               FROM ${SimilarityOps.trainedChainLast("t")} t
-                 CROSS JOIN c2comps c2) z WHERE rk = 1),
-      rta AS (SELECT vec_id, cell FROM (
-               SELECT e.vec_id, rtr.fine AS cell,
-                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        t.cn - 2.0 * (list_reduce(list_prepend(0::DOUBLE,
-                          list_transform(list_zip(e.embedding, t.c),
-                            q -> CAST(q[1] AS DOUBLE) * q[2])), (a, v) -> a + v)),
-                        rtr.fine) AS rk
-               FROM embeddings e
-                 JOIN vp ON vp.vec_id = e.vec_id
-                 JOIN rtr ON rtr.coarse = vp.coarse
-                 JOIN ${SimilarityOps.trainedChainLast("t")} t
-                   ON t.cell = rtr.fine) z WHERE rk = 1),
-      rtb AS (SELECT e.vec_id, e.embedding,
-                sqrt(list_reduce(list_prepend(0::DOUBLE,
-                  list_transform(e.embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                  (a, v) -> a + v)) AS nrm,
-                rta.cell
-              FROM embeddings e JOIN rta ON e.vec_id = rta.vec_id)
+      ${SimilarityOps.HierChain},
+      hbase AS (SELECT e.vec_id, e.embedding,
+                  sqrt(list_reduce(list_prepend(0::DOUBLE,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, v) -> a + v)) AS nrm,
+                  hasg.cell
+                FROM embeddings e JOIN hasg ON e.vec_id = hasg.vec_id)
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              $NearDupCosSql AS cosine
-      FROM rtb a JOIN rtb b
+      FROM hbase a JOIN hbase b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE $NearDupCosSql >= $NearDupCos
       ORDER BY a_id, b_id""",

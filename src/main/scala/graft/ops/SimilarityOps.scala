@@ -441,9 +441,41 @@ object SimilarityOps {
     * both the oracle-pinned K=8 spelling and the kernel-assignment
     * scale path behind the same occupancy dial. */
   private[ops] def tripletsFrom(emb: DataFrame,
-      nCells: Int = AutoCells): DataFrame = {
-    val assigned = knnAssign(emb, resolveCells(emb, nCells),
-      forceKernel = nCells == AutoCells)
+      nCells: Int = AutoCells): DataFrame =
+    tripletsOverAssigned(knnAssign(emb, resolveCells(emb, nCells),
+      forceKernel = nCells == AutoCells))
+
+  /** [[tripletsFrom]]'s K ∝ N scale twin as its own gate query
+    * (`s_triplets_auto`, r18 verdict ask #5): the same hard-triplet
+    * miner over the [[AutoCells]] occupancy policy with assignment
+    * through the Θ(√K) [[twoLevelAssign]] router at [[DeployedP1]] —
+    * the fixed-K = 8 original is the oracle-pinned DIAGNOSTIC (its
+    * per-cell quadratic grows ∝ N²/8, DECADE3 exp 1.09, documented
+    * since r15 — kept, per the no-drop contract); this twin is the
+    * corpus-scale spelling (per-cell work bounded by [[TargetCellOcc]],
+    * assignment Θ(√K) per vector — the knnGraphAuto recipe with the
+    * label along for the ride). Dynamically oracle-gated end to end:
+    * the DuckDB replay derives K and K₁ from its own count(*),
+    * regenerates both codebooks, replays the routed assignment
+    * ([[TwoLevelCtes]] `tl`), and re-runs the mining windows. At both
+    * gate SFs K₁ ≤ [[DeployedP1]], so the routed assignment equals the
+    * flat kernel argmin exactly (the spec-pinned probe-all anchor). */
+  def tripletsAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val k = resolveCells(emb, AutoCells)
+    val assigned = emb
+      .withColumn("nrm", expr(s"sqrt(${Vec.normSq("embedding")})"))
+      .join(twoLevelAssign(emb.select(col("vec_id"), col("embedding")), k),
+        Seq("vec_id"))
+    tripletsOverAssigned(assigned)
+  }
+
+  /** The mining pass of [[tripletsFrom]] over ANY
+    * (vec_id, embedding, label, nrm, cell) assignment — shared by the
+    * pinned K = 8 diagnostic and the routed auto twin so the two can
+    * never disagree on the miner itself. */
+  private def tripletsOverAssigned(assigned: DataFrame): DataFrame = {
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -1043,6 +1075,48 @@ object SimilarityOps {
         expr("transform(fw, x -> CAST(x AS FLOAT))").as("fwf"))
   }
 
+  /** The K₁-block coarse codebook as a ONE-ROW relation (r18 verdict
+    * ask #3 — the last routed-path literal): the same `ivf2_…` h60
+    * chain as [[coarseCellsFor]] + [[cosineFlatOf]], generated from
+    * `spark.range(k1)` and folded into a single `cflat` array cell in
+    * ascending-cell block order (bit-equal to the driver array —
+    * spec-pinned in R19InvariantSpec). Routed consumers
+    * `crossJoin(broadcast(coarseFlatDf(…)))` and hand `col("cflat")`
+    * to the pq_argmin/pq_argmink KERNELS — the per-row arithmetic is
+    * unchanged (the kernel walks whatever ArrayData its operand
+    * yields), but the codebook is now broadcast DATA instead of a
+    * constant-folded plan literal, so task binaries stay constant in
+    * K₁ and nothing K-shaped rides the closure at any corpus scale. */
+  private[ops] def coarseFlatDf(s: SparkSession, k1: Int): DataFrame = {
+    val h60i = DedupOps.h60(
+      "concat('ivf2_', CAST(id AS STRING), '_', CAST(i AS STRING))")
+    s.range(k1.toLong).select(col("id"),
+        expr(s"transform(sequence(0, ${Dim - 1}), i -> $h60i % 2001 - 1000)")
+          .as("cw"))
+      // |c|² is an exact integer (≤ 64·10⁶ ≪ 2⁵³): the aggregate fold
+      // equals the driver Seq's double sum bit-for-bit
+      .select(col("id"), col("cw"),
+        expr("sqrt(CAST(aggregate(cw, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE))")
+          .as("cnrm"))
+      .select(col("id"),
+        concat(array(lit(0.0)),
+          expr("transform(cw, x -> CAST(x AS DOUBLE) / (2.0D * cnrm))"))
+          .as("blk"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(named_struct('id', id, 'blk', blk))), z -> z.blk))")
+        .as("cflat"))
+  }
+
+  /** A driver-held flat codebook as a ONE-ROW relation — the
+    * [[coarseFlatDf]] spelling for codebooks that are the TRAINER's own
+    * bounded output (the melt's Lloyd-trained coarse arm): the array
+    * rides as LocalRelation DATA (one broadcast row), not a
+    * constant-folded expression literal in every task closure. */
+  private[ops] def oneRowFlatDf(s: SparkSession, flat: Array[Double]): DataFrame = {
+    import s.implicits._
+    Seq(Tuple1(flat.toSeq)).toDF("cflat")
+  }
+
   /** Fine-centroid → coarse-bucket routing table, computed ONCE from
     * the two codebooks on the driver (K rows — catalog-sized at any
     * corpus scale): fine j routes to argmin over coarse j2 of
@@ -1084,7 +1158,8 @@ object SimilarityOps {
       p1: Int = DeployedP1): DataFrame = {
     val k1 = coarseCountFor(k)
     val p = math.min(p1, k1)
-    routedMeltAssign(emb, k, cosineFlatOf(coarseCellsFor(k1)), Seq(p.toLong))
+    routedMeltAssign(emb, k, coarseFlatDf(emb.sparkSession, k1), k1,
+      Seq(p.toLong))
       .select(col("vec_id"), col("cell"))
   }
 
@@ -1098,25 +1173,28 @@ object SimilarityOps {
     * where it is joined, no K-sized driver Seq), the fine score
     * computed once per candidate, then a probe-count melt (`pr0 < p1`)
     * and a (p1, vec_id)-key partial-agg struct-min. Returns
-    * `(p1, vec_id, cell)`. `coarseFlat` is the K₁-block cosine-spelling
-    * codebook — √K-sized, the literal a hierarchical router is allowed
-    * to carry ([[cosineFlatOf]] for the md5-random coarse level,
-    * [[cosineFlatOfTrained]] for a Lloyd-trained one). A `p1` ≥ the
-    * coarse count probes everything — that row equals the flat kernel
-    * assignment bit-for-bit (the spec-pinned exactness anchor). */
+    * `(p1, vec_id, cell)`. `coarse1` is the K₁-block cosine-spelling
+    * codebook as a ONE-ROW `cflat` relation ([[coarseFlatDf]] for the
+    * md5-random coarse level, [[oneRowFlatDf]] of
+    * [[cosineFlatOfTrained]] for a Lloyd-trained one — r18 verdict ask
+    * #3: no array literal rides any routed plan; the kernel reads the
+    * codebook from one broadcast row), `nCoarse` its cell count (the
+    * driver-side pmax clamp). A `p1` ≥ the coarse count probes
+    * everything — that row equals the flat kernel assignment
+    * bit-for-bit (the spec-pinned exactness anchor). */
   private[ops] def routedMeltAssign(emb: DataFrame, k: Int,
-      coarseFlat: Array[Double], p1s: Seq[Long]): DataFrame = {
+      coarse1: DataFrame, nCoarse: Int, p1s: Seq[Long]): DataFrame = {
     require(p1s.nonEmpty && p1s.forall(_ >= 1), s"bad probe melt: $p1s")
     val s = emb.sparkSession
-    val nCoarse = coarseFlat.length / (Dim + 1)
     val pmax = math.min(p1s.max, nCoarse.toLong).toInt
-    val flat = typedLit(coarseFlat)
     val fineDf = fineCodebookDf(s, k)
-      .withColumn("coarse", call_function("pq_argmin", col("fwf"), flat,
-        lit(0), lit(Dim)))
+      .crossJoin(broadcast(coarse1))
+      .withColumn("coarse", call_function("pq_argmin", col("fwf"),
+        col("cflat"), lit(0), lit(Dim)))
       .select(col("coarse"), col("cell0"), col("fcomps"))
-    emb.select(col("vec_id"), col("embedding"),
-        posexplode(call_function("pq_argmink", col("embedding"), flat,
+    emb.crossJoin(broadcast(coarse1))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(call_function("pq_argmink", col("embedding"), col("cflat"),
           lit(0), lit(Dim), lit(pmax))).as(Seq("pr0", "coarse")))
       .join(fineDf, Seq("coarse"))
       .select(col("vec_id"), col("pr0"),
@@ -1142,15 +1220,17 @@ object SimilarityOps {
     val s = emb.sparkSession
     val k1 = coarseCountFor(k)
     val p = math.min(p1, k1)
-    val flat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
+    val coarse1 = coarseFlatDf(s, k1)
     val fineDf = fineCodebookDf(s, k)
-      .withColumn("coarse", call_function("pq_argmin", col("fwf"), flat,
-        lit(0), lit(Dim)))
+      .crossJoin(broadcast(coarse1))
+      .withColumn("coarse", call_function("pq_argmin", col("fwf"),
+        col("cflat"), lit(0), lit(Dim)))
       .select(col("coarse"), col("cell0"), col("fcomps"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cell0"))
-    emb.select(col("vec_id"), col("embedding"),
-        explode(call_function("pq_argmink", col("embedding"), flat,
+    emb.crossJoin(broadcast(coarse1))
+      .select(col("vec_id"), col("embedding"),
+        explode(call_function("pq_argmink", col("embedding"), col("cflat"),
           lit(0), lit(Dim), lit(p))).as("coarse"))
       .join(fineDf, Seq("coarse"))
       .select(col("vec_id"),
@@ -1219,7 +1299,7 @@ object SimilarityOps {
     val flat = knnAssign(emb.select(col("vec_id"), col("embedding")), k,
       forceKernel = true).select(col("vec_id"), col("cell").as("flat_cell"))
     val assigned = routedMeltAssign(emb.select(col("vec_id"), col("embedding")),
-      k, cosineFlatOf(coarseCellsFor(k1)), Seq(2L, 4L, 8L))
+      k, coarseFlatDf(s, k1), k1, Seq(2L, 4L, 8L))
     assigned.join(flat, Seq("vec_id"))
       .groupBy("p1")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1388,72 +1468,94 @@ object SimilarityOps {
     * trains its own K₂ = ⌈K/K₁⌉ local cells with the SAME quantized
     * Lloyd device (seeds = the bucket's first K₂ vectors by id; global
     * cell id = bucket·K₂ + seed rank): per-iteration scoring is a
-    * bucket-key broadcast join — each vector scores only its own
-    * bucket's K₂ = Θ(√K) cells — and the update is the standard
-    * (cell, dim) quantized partial-agg collect (K×Dim driver rows, the
-    * trainer grain every Lloyd variant pays). The codebook is
-    * "pre-routed" by construction: a local cell IS under its bucket,
-    * so deployment needs no fine→coarse routing table. Returns
-    * (k1, k2, cents(cell, bucket, comps, cn)) in ascending-cell order;
-    * a bucket with fewer members than K₂ seeds what it has, an empty
+    * bucket-key join — each vector scores only its own bucket's
+    * K₂ = Θ(√K) cells — and since r19 the centroid UPDATE is a
+    * (cell, dim) quantized partial-agg relation that STAYS DISTRIBUTED
+    * across iterations (r18 verdict ask #4: the former per-iteration
+    * K×Dim `collect()` regroup put ~512M values on the driver per
+    * iteration at K = 8M; now nothing K-sized ever leaves the
+    * executors — the regroup is a collect_list over the cell key and
+    * the deployed consumer JOINS the final centroid relation). The
+    * codebook is "pre-routed" by construction: a local cell IS under
+    * its bucket, so deployment needs no fine→coarse routing table.
+    * Returns the centroid relation `(cell, bucket, comps, cn)`; a
+    * bucket with fewer members than K₂ seeds what it has, an empty
     * bucket trains nothing, and a nonempty bucket always keeps ≥ 1
-    * cell (its members re-assign within the bucket each iteration). */
-  private[ops] def hierLloydCells(emb: DataFrame, k: Int):
-      (Int, Int, Seq[(Long, Long, IndexedSeq[Double], Double)]) = {
+    * cell (its members re-assign within the bucket each iteration).
+    * Arithmetic is bit-identical to the former driver regroup (same
+    * exact-integer quantized sums, same `sq / (cnt·Q)` division, same
+    * ascending-pos left-fold for `cn` — R19InvariantSpec pins the
+    * relation against a driver reference), so the r18 HierChain oracle
+    * replays it unchanged. Lazy by design: the KmIters-unrolled
+    * lineage re-derives the bucket pass per reference (bounded —
+    * KmIters = 2; identical exchange subtrees are deduplicated by
+    * ReuseExchange), which is what lets the trainer be a pure relation
+    * with no persist/collect in the timed query. */
+  private[ops] def hierCellsDf(emb: DataFrame, k: Int): DataFrame = {
     val s = emb.sparkSession
-    import s.implicits._
     val k1 = coarseCountFor(k)
     val k2 = (k + k1 - 1) / k1
-    val coarseFlat = typedLit(cosineFlatOf(coarseCellsFor(k1)))
-    val withB = emb.select(col("vec_id"), col("embedding"),
-        call_function("pq_argmin", col("embedding"), coarseFlat,
+    val withB = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarseFlatDf(s, k1)))
+      .select(col("vec_id"), col("embedding"),
+        call_function("pq_argmin", col("embedding"), col("cflat"),
           lit(0), lit(Dim)).as("bucket"))
-      .persist()
-    try {
-      val wSeed = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
-      var cents: Seq[(Long, Long, IndexedSeq[Double], Double)] =
-        withB.withColumn("rn", row_number().over(wSeed))
-          .filter(col("rn") <= k2)
-          .select(col("bucket"), col("rn"), col("embedding"))
-          .collect().toSeq
-          .map { r =>
-            val b = r.getLong(0)
-            val comps = r.getSeq[Float](2).map(_.toDouble).toIndexedSeq
-            (b * k2 + (r.getInt(1) - 1), b, comps,
-              comps.foldLeft(0.0)((a, x) => a + x * x))
-          }.sortBy(_._1)
-      if (cents.isEmpty) return (k1, k2, cents)
-      for (_ <- 0 until KmIters) {
-        val centDf = broadcast(cents.map { case (c, b, comps, cn) =>
-          (c, b, comps.toArray, cn) }.toDF("cell", "bucket", "comps", "cn"))
-        // embedding rides INSIDE the min-struct as a never-compared
-        // payload ((d, cell) is unique per candidate set), so the
-        // assignment + update stay ONE shuffle per iteration
-        val pass = withB.join(centDf, Seq("bucket"))
-          .select(col("vec_id"),
-            struct((col("cn") - lit(2.0) * call_function("vec_dot",
-              col("embedding"), col("comps"))).as("d"),
-              col("cell"), col("embedding").as("e")).as("s"))
-          .groupBy("vec_id").agg(min(col("s")).as("m"))
-          .select(col("m.cell").as("cell"),
-            posexplode(col("m.e")).as(Seq("pos", "x")))
-          .select(col("cell"), col("pos"),
-            expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)")
-              .as("q"))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-        cents = pass.collect().groupBy(_.getLong(0)).toSeq.map {
-          case (cell, rows) =>
-            val byPos = rows.sortBy(_.getInt(1))
-            val comps = byPos.map(r =>
-              r.getLong(2).toDouble / (r.getLong(3) * KmQ).toDouble)
-              .toIndexedSeq
-            (cell, cell / k2, comps,
-              comps.foldLeft(0.0)((a, x) => a + x * x))
-        }.sortBy(_._1)
-      }
-      (k1, k2, cents)
-    } finally withB.unpersist(blocking = true)
+    val wSeed = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    var cents = withB.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= k2)
+      .select(
+        (col("bucket") * lit(k2.toLong) + col("rn").cast("long") - lit(1L))
+          .as("cell"),
+        col("bucket"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("comps"))
+      .select(col("cell"), col("bucket"), col("comps"),
+        expr("aggregate(comps, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+          .as("cn"))
+    for (_ <- 0 until KmIters) {
+      // embedding rides INSIDE the min-struct as a never-compared
+      // payload ((d, cell) is unique per candidate set), so the
+      // assignment + update stay ONE shuffle per iteration
+      val pass = withB.join(cents, Seq("bucket"))
+        .select(col("vec_id"),
+          struct((col("cn") - lit(2.0) * call_function("vec_dot",
+            col("embedding"), col("comps"))).as("d"),
+            col("cell"), col("embedding").as("e")).as("s"))
+        .groupBy("vec_id").agg(min(col("s")).as("m"))
+        .select(col("m.cell").as("cell"),
+          posexplode(col("m.e")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          expr(s"CAST(floor(CAST(x AS DOUBLE) * ${KmQ}D) AS BIGINT)")
+            .as("q"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      cents = pass
+        .groupBy(col("cell"))
+        .agg(expr(
+          s"""transform(array_sort(collect_list(named_struct('pos', pos,
+             'cp', CAST(sq AS DOUBLE) / CAST(cnt * $KmQ AS DOUBLE)))),
+             z -> z.cp)""").as("comps"))
+        .select(col("cell"),
+          expr(s"CAST(cell DIV $k2 AS BIGINT)").as("bucket"),
+          col("comps"),
+          expr("aggregate(comps, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+            .as("cn"))
+    }
+    cents
+  }
+
+  /** Driver-side readout of [[hierCellsDf]] —
+    * (k1, k2, cents(cell, bucket, comps, cn)) in ascending-cell order.
+    * Test/diagnostic surface only: the deployed pair tier joins the
+    * DISTRIBUTED relation and never collects it. */
+  private[ops] def hierLloydCells(emb: DataFrame, k: Int):
+      (Int, Int, Seq[(Long, Long, IndexedSeq[Double], Double)]) = {
+    val k1 = coarseCountFor(k)
+    val k2 = (k + k1 - 1) / k1
+    val cents = hierCellsDf(emb, k).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toIndexedSeq, r.getDouble(3)))
+      .sortBy(_._1)
+    (k1, k2, cents)
   }
 
   /** The dynamic-K HIERARCHICAL-Lloyd CTE chain — the DuckDB replay of
@@ -3542,6 +3644,7 @@ object SimilarityOps {
     "s_hubness" -> ((s, d) => hubness(s, d, NumCells)),
     "s_spearman_mrl" -> spearmanMrl,
     "s_triplets" -> ((s, d) => triplets(s, d, NumCells)),
+    "s_triplets_auto" -> tripletsAuto,
     "s_ndcg" -> ndcgLsh,
     "s_recall_curve" -> recallCurve,
     "s_pq_encode" -> pqEncode,
@@ -3884,6 +3987,38 @@ object SimilarityOps {
                (a.label = b.label) AS same, b.vec_id b_id,
                $dotAB / (a.nrm * b.nrm) AS cos
         FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      pos AS (SELECT a_id, label, b_id AS pos_id, cos AS cos_pos FROM (
+               SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos ASC, b_id) AS rk FROM pairs WHERE same)
+              WHERE rk = 1),
+      neg AS (SELECT a_id, b_id AS neg_id, cos AS cos_neg FROM (
+               SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos DESC, b_id) AS rk FROM pairs WHERE NOT same)
+              WHERE rk = 1)
+      SELECT p.a_id, p.label, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+             p.cos_pos - n.cos_neg AS margin_gap,
+             n.cos_neg > p.cos_pos - ${DetMath.dlit(0.2)} AS is_active
+      FROM pos p JOIN neg n ON p.a_id = n.a_id ORDER BY p.a_id"""
+    },
+    "s_triplets_auto" -> {
+      val normSql = """sqrt(list_reduce(list_prepend(0::DOUBLE,
+          list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, v) -> a + v))"""
+      val dotAB = """list_reduce(list_prepend(0::DOUBLE,
+            list_transform(list_zip(a.embedding, b.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, v) -> x + v)"""
+      s"""
+      WITH $AutoCellCtes,
+      $TwoLevelCtes,
+      abase AS (SELECT e.vec_id, e.embedding, e.label, $normSql AS nrm,
+                  tl.cell
+                FROM embeddings e JOIN tl ON e.vec_id = tl.vec_id),
+      pairs AS (
+        SELECT a.vec_id a_id, a.label::BIGINT AS label,
+               (a.label = b.label) AS same, b.vec_id b_id,
+               $dotAB / (a.nrm * b.nrm) AS cos
+        FROM abase a JOIN abase b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
       pos AS (SELECT a_id, label, b_id AS pos_id, cos AS cos_pos FROM (
                SELECT *, row_number() OVER (PARTITION BY a_id

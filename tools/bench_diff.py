@@ -89,25 +89,28 @@ def load_queries(path, include_drift=False):
             return vals[len(vals) // 2]
         aval = amedian("anchor")
         amem = amedian("anchor_mem")
+        aio = amedian("anchor_io")  # r18 verdict ask #7: IO-bound arm
         if obj.get("metric") == "drift":
-            drifts.append((q, aval, amem))
+            drifts.append((q, aval, amem, aio))
         else:
             totals.append((q, obj.get("queries_min")
                            if isinstance(obj.get("queries_min"), dict)
-                           else {}, aval, amem))
+                           else {}, aval, amem, aio))
     anchor_mem = None
+    anchor_io = None
     if totals:
         queries.update(totals[-1][0])  # ONE coherent full-run map
         qmins.update(totals[-1][1])
         anchor = totals[-1][2]
         anchor_mem = totals[-1][3]
+        anchor_io = totals[-1][4]
         for q in totals[-1][0]:
             qanchor[q] = anchor
         if len(totals) > 1:
             print(f"note: {path} has {len(totals)} full-run lines; "
                   "using the last", file=sys.stderr)
     if include_drift or (drifts and not totals):
-        for q, aval, amem in drifts:
+        for q, aval, amem, aio in drifts:
             queries.update(q)
             for name in q:  # each query keeps ITS OWN line's anchor
                 qanchor[name] = aval
@@ -119,9 +122,10 @@ def load_queries(path, include_drift=False):
                       "by their own line's anchor", file=sys.stderr)
             anchor = aval if aval is not None else anchor
             anchor_mem = amem if amem is not None else anchor_mem
+            anchor_io = aio if aio is not None else anchor_io
     if not queries:
         sys.exit(f"no per-query map found in {path}")
-    return queries, qmins, anchor, anchor_mem, qanchor
+    return queries, qmins, anchor, anchor_mem, anchor_io, qanchor
 
 
 def main():
@@ -152,9 +156,9 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    prev, prev_min, prev_anchor, prev_mem, prev_qa = \
+    prev, prev_min, prev_anchor, prev_mem, prev_io, prev_qa = \
         load_queries(args[0], include_drift)
-    cur, cur_min, cur_anchor, cur_mem, cur_qa = \
+    cur, cur_min, cur_anchor, cur_mem, cur_io, cur_qa = \
         load_queries(args[1], include_drift)
     # anchor calibration (r15 verdict ask #2): the same code measured
     # 229.4s and 174.3s in two sessions — a uniform session-speed shift
@@ -175,6 +179,7 @@ def main():
     # text/token family while register arithmetic stays flat. When the
     # two anchors disagree, per-family interpretation is required;
     # normalization stays on the conservative compute anchor.
+    mem_cal = None
     if prev_mem and cur_mem:
         mem_cal = cur_mem / prev_mem
         print(f"anchor_mem: prev={prev_mem:.3f}s cur={cur_mem:.3f}s "
@@ -185,6 +190,20 @@ def main():
                   "session shifted on one resource only; memory-bound "
                   "(text/token) family flags below may be contention, "
                   "not code", file=sys.stderr)
+    # third arm (r18 verdict ask #7): the IO anchor scans a deterministic
+    # parquet — when it disagrees with the other two the session shifted
+    # on the I/O stack (page cache / disk), the resource scan-bound
+    # families ride; that attributes flags DRAM-vs-disk.
+    if prev_io and cur_io:
+        io_cal = cur_io / prev_io
+        print(f"anchor_io: prev={prev_io:.3f}s cur={cur_io:.3f}s "
+              f"session ratio {io_cal:.3f}x (parquet-scan/IO-bound)")
+        for other, oname in ((cal, "compute"), (mem_cal, "memory")):
+            if other and (io_cal / other > 1.25 or other / io_cal > 1.25):
+                print(f"warning: {oname} ({other:.2f}x) and IO "
+                      f"({io_cal:.2f}x) session ratios disagree — "
+                      "scan-bound family flags below may be IO "
+                      "contention, not code", file=sys.stderr)
     eff_cal = cal if cal else 1.0
 
     def cal_for(q):

@@ -105,7 +105,7 @@ if [[ "${DECADE3:-0}" == "1" ]]; then
   # always-include rows: the scale-path dials whose 10x->100x exponents the
   # verdict adjudicates every round even when they are cheap at 10x (r16
   # verdict ask #6 extended the list to the multi-probe/recall/manifest tier)
-  FORCE=${DECADE3_FORCE:-s_knn_graph_auto,d_embedding_neardup_auto,d_embedding_neardup_probe2,d_neardup_recall,d_incremental_near,d_neardup_recall_grid,d_embedding_neardup_trained,d_embedding_neardup_hier,d_embedding_clusters_auto,s_ivf_topk_auto,s_cell_balance_auto,s_cell_balance_2level,s_route_agreement,s_route_curve,d_neardup_recall_2level,d_neardup_recall_melt,d_semantic_dedup_auto,d_semantic_sweep_auto}
+  FORCE=${DECADE3_FORCE:-s_knn_graph_auto,d_embedding_neardup_auto,d_embedding_neardup_probe2,d_neardup_recall,d_incremental_near,d_neardup_recall_grid,d_embedding_neardup_trained,d_embedding_neardup_hier,d_embedding_clusters_auto,s_ivf_topk_auto,s_cell_balance_auto,s_cell_balance_2level,s_route_agreement,s_route_curve,d_neardup_recall_2level,d_neardup_recall_melt,d_semantic_dedup_auto,d_semantic_sweep_auto,s_triplets_auto}
   SUBSET=$(python3 - "$TOPN" "$SKIP" "$FORCE" <<'PY'
 import json, sys
 top_n, skip = int(sys.argv[1]), set(sys.argv[2].split(","))
