@@ -1486,11 +1486,15 @@ object SimilarityOps {
     * exact-integer quantized sums, same `sq / (cnt·Q)` division, same
     * ascending-pos left-fold for `cn` — R19InvariantSpec pins the
     * relation against a driver reference), so the r18 HierChain oracle
-    * replays it unchanged. Lazy by design: the KmIters-unrolled
-    * lineage re-derives the bucket pass per reference (bounded —
-    * KmIters = 2; identical exchange subtrees are deduplicated by
-    * ReuseExchange), which is what lets the trainer be a pure relation
-    * with no persist/collect in the timed query. */
+    * replays it unchanged. Lineage: the bucketed corpus and each
+    * iteration's centroid relation are `localCheckpoint`ed — the
+    * dedupClustersFrom in-query loop-truncation discipline (guide §5) —
+    * otherwise the KmIters-unrolled lazy lineage re-derives the bucket
+    * pass per reference and the deployment self-join doubles the whole
+    * training chain (measured +~1 s per query at sf0.1, a multiplier
+    * at any scale). The checkpoint blocks live on the EXECUTORS: still
+    * no K-sized driver collect anywhere (at 100 TB swap for
+    * `checkpoint` on a reliable FS, as the CC loop's scaladoc notes). */
   private[ops] def hierCellsDf(emb: DataFrame, k: Int): DataFrame = {
     val s = emb.sparkSession
     val k1 = coarseCountFor(k)
@@ -1500,6 +1504,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"),
         call_function("pq_argmin", col("embedding"), col("cflat"),
           lit(0), lit(Dim)).as("bucket"))
+      .localCheckpoint()
     val wSeed = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
     var cents = withB.withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= k2)
@@ -1539,6 +1544,7 @@ object SimilarityOps {
           col("comps"),
           expr("aggregate(comps, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
             .as("cn"))
+        .localCheckpoint()
     }
     cents
   }
